@@ -1,0 +1,160 @@
+"""Versioned text analyzer: normalization + tokenization.
+
+Analyzer identity is what makes BM25 scores reproducible across build, query
+and oracle paths, so this module is the single source of truth for text
+semantics, mirroring the reference's per-document normalization invariants:
+
+- HTML tag stripping before indexing (reference strips Tika output with
+  Django ``strip_tags``: harvester/files/models/datatypes/file.py:181-182).
+- Giant-text cap: texts of >= 1,000,000 chars are truncated to their first
+  10,000 whitespace-separated words (harvester/files/models/datatypes/
+  file.py:183-185).
+- Tokenization: lowercase + non-alphanumeric split (harvester/core/analysis/
+  text.py:48-50 uses ``re.split(r"\\W+", text.lower())``; harvester/products/
+  models/datatypes/product.py:176-180 strips non-alpha for suggestions).
+  Analyzer v1 tokens are maximal ASCII ``[a-z0-9]+`` runs of the lowercased
+  text — exactly mirrorable in DuckDB as
+  ``regexp_extract_all(lower(text), '[a-z0-9]+')`` for oracle parity.
+- Language clamp to {en, nl, unk} (harvester/core/utils/analyzers.py:6-14).
+
+Everything here is vectorized over Arrow / numpy — no per-row Python in the
+hot path except for the rare >=1M-char outlier rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ANALYZER_VERSION = "v1"
+
+# Reference constants (files/models/datatypes/file.py:183-185)
+MAX_TEXT_CHARS = 1_000_000
+TRUNCATE_WORDS = 10_000
+
+TOKEN_PATTERN = "[a-z0-9]+"
+SPLIT_PATTERN = "[^a-z0-9]+"
+
+# harvester/core/utils/analyzers.py:6-14 + settings/base.py:307
+ANALYSER_LANGUAGES = ("en", "nl")
+UNKNOWN_LANGUAGE = "unk"
+
+
+def clamp_language(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Clamp a language column to {en, nl, unk} (core/utils/analyzers.py:6-14)."""
+    arr = pc.fill_null(arr, UNKNOWN_LANGUAGE)
+    known = pc.is_in(arr, value_set=pa.array(ANALYSER_LANGUAGES))
+    return pc.if_else(known, arr, pa.scalar(UNKNOWN_LANGUAGE))
+
+
+def strip_tags(arr: pa.Array | pa.ChunkedArray) -> pa.Array | pa.ChunkedArray:
+    """Remove ``<...>`` HTML/XML tags, replacing each with a space.
+
+    Mirrors Django ``strip_tags`` as used on Tika output
+    (files/models/datatypes/file.py:181-182); a space (not empty string)
+    keeps word boundaries intact for the tokenizer.
+    """
+    return pc.replace_substring_regex(arr, pattern="<[^>]*>", replacement=" ")
+
+
+def truncate_long_texts(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Apply the reference's giant-text rule: texts >= 1M chars keep only
+    their first 10k whitespace words (files/models/datatypes/file.py:183-185).
+
+    Vectorized length check; only offender rows (rare by construction) are
+    processed in Python.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lengths = pc.utf8_length(pc.fill_null(arr, ""))
+    offenders = np.flatnonzero(np.asarray(lengths) >= MAX_TEXT_CHARS)
+    if offenders.size == 0:
+        return arr
+    values = arr.to_pylist()
+    for i in offenders:
+        values[i] = " ".join(values[i].split()[:TRUNCATE_WORDS])
+    return pa.array(values, type=pa.string())
+
+
+def normalize_text(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Full normalization: strip tags, cap giant texts. Deterministic and
+    stable under re-application (idempotent for already-normalized text)."""
+    out = strip_tags(pc.fill_null(arr, ""))
+    return truncate_long_texts(out)
+
+
+def tokenize_flat(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """Tokenize a string column into a flat token stream.
+
+    Returns ``(row_ids, codes, dictionary)`` where ``row_ids[i]`` is the source
+    row of flat token i, ``codes[i]`` is its id into ``dictionary`` (a
+    ``pa.StringArray`` of distinct token strings for this batch). Empty-string
+    artifacts of the split are removed. Fully vectorized (Arrow kernels +
+    numpy); no Python loop over rows or tokens.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    lowered = pc.utf8_lower(pc.fill_null(arr, ""))
+    token_lists = pc.split_pattern_regex(lowered, pattern=SPLIT_PATTERN)
+    flat = pc.list_flatten(token_lists)
+    lengths = np.asarray(pc.list_value_length(token_lists), dtype=np.int64)
+    row_ids = np.repeat(np.arange(len(arr), dtype=np.int64), lengths)
+    # split_pattern_regex leaves '' at leading/trailing separator boundaries
+    keep = np.asarray(pc.not_equal(flat, pa.scalar("")))
+    if not keep.all():
+        idx = np.flatnonzero(keep)
+        flat = flat.take(pa.array(idx))
+        row_ids = row_ids[idx]
+    encoded = pc.dictionary_encode(flat)
+    if isinstance(encoded, pa.ChunkedArray):
+        encoded = encoded.combine_chunks()
+    codes = np.asarray(encoded.indices, dtype=np.int64)
+    dictionary = encoded.dictionary
+    return row_ids, codes, dictionary
+
+
+def doc_token_counts(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row token count (doc length |d| for BM25), vectorized."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    row_ids, _, _ = tokenize_flat(arr)
+    return np.bincount(row_ids, minlength=len(arr)).astype(np.int64)
+
+
+def term_frequencies(
+    row_ids: np.ndarray, codes: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Aggregate a flat token stream into (row, code, tf) triples.
+
+    Implemented as a vectorized sort + run-length encode over the
+    ``(row, code)`` composite key; rows come back grouped by row then code.
+    """
+    if row_ids.size == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return empty, empty, empty
+    order = np.lexsort((codes, row_ids))
+    r = row_ids[order]
+    c = codes[order]
+    boundary = np.empty(r.size, dtype=bool)
+    boundary[0] = True
+    np.not_equal(r[1:], r[:-1], out=boundary[1:])
+    cb = np.not_equal(c[1:], c[:-1])
+    boundary[1:] |= cb
+    starts = np.flatnonzero(boundary)
+    tf = np.diff(np.append(starts, r.size)).astype(np.int64)
+    return r[starts], c[starts], tf
+
+
+def tokenize_query(text: str) -> list[str]:
+    """Tokenize a query string with the exact same analyzer as documents
+    (simple_query_string parity: core/models/search/query.py:80-86)."""
+    import re
+
+    return re.findall(TOKEN_PATTERN, text.lower())
+
+
+def sql_tokenize_expr(col: str = "text") -> str:
+    """The DuckDB expression exactly equivalent to analyzer-v1 tokenization —
+    used by oracle SQL so engine and oracle share one tokenizer definition."""
+    return f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')"

@@ -1,0 +1,73 @@
+"""Corpus preparation: stable doc identity for transcript tables.
+
+The reference's document identity is the SRN ``f"{set}:{external_id}"``
+computed at build time and used for all upserts
+(harvester/core/models/datatypes/document.py:58-60). For transcript tables
+``(conv_id, turn_idx, role, text, tool, ts)`` the natural identity is
+``(conv_id, turn_idx)`` and the north_rule requires a *stable global
+ordering* by it; we assign a dense ``doc_id:int64`` as::
+
+    doc_id = conv_base[conv_id] + turn_rank(turn_idx within conv)
+
+where ``conv_base`` is the exclusive prefix sum of per-conversation turn
+counts over conversations sorted by ``conv_id``. This is independent of Ray's
+block/batch partitioning and of read order — any run over the same data
+produces the same ids.
+
+Scale note (10^12 turns, ~10^9+ conversations): the conv_base map below is
+built driver-side from the (small) ``groupby(conv_id).count()`` result and
+broadcast via ``ray.put`` — correct up to a few tens of millions of
+conversations. Beyond that, the same scheme shards hierarchically: range-
+partition conversations by ``conv_id``, compute per-range bases from range
+counts (driver-side, tiny), then per-range local prefix sums inside
+``map_groups`` — no step ever materializes more than one range.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def assign_doc_ids(
+    ds,
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+):
+    """Add a stable dense ``doc_id`` column to a transcript Dataset.
+
+    Assumes ``turn_idx`` is contiguous 0..len(conv)-1 within each conversation
+    (the transcript-table contract, FIXTURES.md §1); doc ids are then
+    ``conv_base + turn_idx`` with no per-row shuffle or sort of the data —
+    only a small count aggregate leaves the corpus.
+    """
+    import ray
+
+    counts = ds.groupby(conv_col).count().to_pandas()
+    counts = counts.sort_values(conv_col, kind="mergesort").reset_index(drop=True)
+    counts_col = "count()" if "count()" in counts.columns else counts.columns[-1]
+    bases = np.zeros(len(counts), dtype=np.int64)
+    np.cumsum(counts[counts_col].to_numpy()[:-1], out=bases[1:])
+    base_map = dict(zip(counts[conv_col].tolist(), bases.tolist()))
+    base_ref = ray.put(base_map)
+
+    def add_ids(batch: pa.Table) -> pa.Table:
+        bm = ray.get(base_ref)
+        convs = batch[conv_col].to_pandas()
+        base = convs.map(bm).to_numpy(dtype=np.int64)
+        turn = np.asarray(batch[turn_col].combine_chunks().cast(pa.int64()))
+        return batch.append_column("doc_id", pa.array(base + turn, pa.int64()))
+
+    return ds.map_batches(add_ids, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_id_table(transcripts: pd.DataFrame) -> pd.DataFrame:
+    """Driver-side oracle for doc-id assignment (pure pandas, used in tests):
+    sort by (conv_id, turn_idx), enumerate."""
+    out = transcripts.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(
+        drop=True
+    )
+    out["doc_id"] = np.arange(len(out), dtype=np.int64)
+    return out

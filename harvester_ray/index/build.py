@@ -1,0 +1,405 @@
+"""Streaming, resumable inverted-index build over a Ray Data corpus.
+
+Architecture — **document-partitioned segments** (the physical layout the
+reference's OpenSearch/Lucene backend itself uses; one "shard" per doc range):
+
+- **Phase 1 (heavy, streaming, zero shuffle).** ``corpus.map_batches(
+  SegmentBuilder, batch_format="pyarrow", concurrency=N)`` — an actor pool.
+  Each batch becomes one immutable *segment*: the builder normalizes +
+  tokenizes (vectorized Arrow/numpy, see analyzer.py), computes per-doc term
+  frequencies and doc lengths, delta-gap + varbyte encodes every term's
+  posting list in one vectorized pass, attaches per-block (last_doc, max_tf,
+  min_dl) skip metadata, and atomically writes
+  ``seg-*.{terms.parquet,docs.parquet,bin}`` plus a fingerprinted ``.done``
+  marker. Its *return value* is the segment's tiny vocabulary partial —
+  ``(term, df, cf)`` rows plus one ``term=""`` meta row — which Ray streams
+  into a staging Parquet checkpoint.
+
+- **Phase 2 (light shuffle).** The classic groupby-aggregate: staging
+  partials → ``groupby("term").aggregate(Sum(df), Sum(cf))`` → global term
+  stats parquet. Because phase 1 already pre-aggregated to one row per
+  (segment, term), the shuffle moves only vocabulary-sized data, and hot
+  ("stopword-like") terms contribute at most one row per segment — term-
+  frequency skew never concentrates on a single reducer, which is the
+  pre-aggregation answer to the salted-repartition requirement.
+
+Compared to a term-partitioned ``groupby(term)`` over raw ``(term, doc, tf)``
+postings, this moves ~100-1000× less data through the object store at 100 TB
+scale and is exactly how Lucene builds per-shard indexes; global BM25 stats
+(N, avgdl, df) are recovered by the cheap phase-2 aggregate, and block-max
+bounds remain exact because blocks store (max_tf, min_dl) rather than
+precomputed scores (see codec.py / bm25.py).
+
+Resume (north_rule): per-segment fingerprinted done markers — a rerun skips
+encode+write for any segment whose input fingerprint matches and replays its
+vocabulary partial from the already-written ``terms.parquet``; a completed
+phase 1 is skipped wholesale via a staging marker. Versioning/promotion in
+manifest.py. Reference analogs: per-doc ``pipeline`` ledger resume
+(harvester/core/models/datatypes/base.py:17-44), DatasetVersion copy-forward
+(harvester/core/models/harvest.py:56-84).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .. import analyzer
+from . import codec
+from . import manifest as mf
+
+PARTIAL_SCHEMA = pa.schema(
+    [
+        ("term", pa.string()),
+        ("df", pa.int64()),
+        ("cf", pa.int64()),
+        ("seg", pa.string()),
+    ]
+)
+
+META_TERM = ""  # analyzer tokens are never empty, so "" marks per-segment meta rows
+
+
+def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
+    out = np.zeros(a.size + 1, dtype=np.int64)
+    np.cumsum(a, out=out[1:])
+    return out
+
+
+class SegmentBuilder:
+    """Actor-pool UDF: one input batch → one on-disk index segment.
+
+    State (output dir, analyzer identity) is set up once per actor in
+    ``__init__``; ``__call__`` does vectorized per-batch work only.
+    """
+
+    def __init__(self, seg_dir: str, id_col: str = "doc_id", text_col: str = "text"):
+        self.seg_dir = seg_dir
+        self.id_col = id_col
+        self.text_col = text_col
+        os.makedirs(seg_dir, exist_ok=True)
+
+    # -- helpers -----------------------------------------------------------
+
+    def _fingerprint(self, doc_ids: np.ndarray, text: pa.Array) -> str:
+        h = hashlib.sha1()
+        h.update(analyzer.ANALYZER_VERSION.encode())
+        h.update(np.ascontiguousarray(doc_ids).tobytes())
+        for buf in text.buffers():
+            if buf is not None:
+                h.update(buf)
+        return h.hexdigest()
+
+    def _emit_existing(self, name: str, marker: dict) -> pa.Table:
+        terms = pq.read_table(
+            os.path.join(self.seg_dir, f"{name}.terms.parquet"), columns=["term", "df", "cf"]
+        )
+        n = terms.num_rows
+        return pa.table(
+            {
+                "term": pa.concat_arrays([terms["term"].combine_chunks(), pa.array([META_TERM])]),
+                "df": pa.concat_arrays(
+                    [terms["df"].combine_chunks(), pa.array([marker["n_docs"]], pa.int64())]
+                ),
+                "cf": pa.concat_arrays(
+                    [terms["cf"].combine_chunks(), pa.array([marker["dl_sum"]], pa.int64())]
+                ),
+                "seg": pa.array([None] * n + [name], pa.string()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+    # -- main --------------------------------------------------------------
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return PARTIAL_SCHEMA.empty_table()
+        doc_col = batch[self.id_col].combine_chunks().cast(pa.int64())
+        doc_ids = np.asarray(doc_col)
+        # stable presentation order: sort the segment by doc_id
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = np.ascontiguousarray(doc_ids[order])
+        text = analyzer.normalize_text(batch[self.text_col]).take(pa.array(order))
+
+        name = f"seg-{doc_ids[0]:012d}-{doc_ids[-1]:012d}"
+        marker_path = os.path.join(self.seg_dir, f"{name}.done")
+        fingerprint = self._fingerprint(doc_ids, text)
+        if os.path.exists(marker_path):
+            with open(marker_path) as f:
+                marker = json.load(f)
+            if marker.get("fingerprint") == fingerprint:
+                return self._emit_existing(name, marker)
+
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        dl = np.bincount(rows, minlength=n).astype(np.int64)
+        p_row, p_code, p_tf = analyzer.term_frequencies(rows, codes)
+        p_doc = doc_ids[p_row]
+        p_dl = dl[p_row]
+        # postings order: (term, doc_id) ascending; doc ids are pre-sorted so
+        # p_row ascending ⇒ p_doc ascending within a term
+        order2 = np.lexsort((p_doc, p_code))
+        p_doc = p_doc[order2]
+        p_tf = p_tf[order2]
+        p_dl = p_dl[order2]
+        p_code = p_code[order2]
+
+        # term slices
+        if p_code.size:
+            term_change = np.flatnonzero(np.diff(p_code)) + 1
+            term_starts = np.concatenate(([0], term_change))
+            term_ends = np.concatenate((term_change, [p_code.size]))
+        else:
+            term_starts = term_ends = np.zeros(0, dtype=np.int64)
+        term_ids = p_code[term_starts] if p_code.size else np.zeros(0, dtype=np.int64)
+        df = (term_ends - term_starts).astype(np.int64)
+        cf = np.add.reduceat(p_tf, term_starts).astype(np.int64) if p_code.size else df
+
+        # delta-gap doc ids with reset at term starts
+        gaps = p_doc.astype(np.int64).copy()
+        if gaps.size > 1:
+            gaps[1:] -= p_doc[:-1]
+        if term_starts.size:
+            gaps[term_starts] = p_doc[term_starts]
+        doc_stream, doc_starts = codec.varbyte_encode_all(gaps)
+        tf_stream, tf_starts = codec.varbyte_encode_all(p_tf)
+        doc_starts = np.append(doc_starts, len(doc_stream))
+        tf_starts = np.append(tf_starts, len(tf_stream))
+
+        # block tiling: BLOCK_SIZE postings per block within each term slice
+        bs = codec.BLOCK_SIZE
+        nblocks = (df + bs - 1) // bs
+        blk_off = _exclusive_cumsum(nblocks)
+        total_blocks = int(blk_off[-1])
+        blk_term = np.repeat(np.arange(term_ids.size), nblocks)
+        within = np.arange(total_blocks) - blk_off[blk_term]
+        blk_start = term_starts[blk_term] + within * bs
+        blk_end = np.minimum(blk_start + bs, term_ends[blk_term])
+        last_doc = p_doc[blk_end - 1] if total_blocks else np.zeros(0, dtype=np.int64)
+        max_tf = (
+            np.maximum.reduceat(p_tf, blk_start).astype(np.int64)
+            if total_blocks
+            else np.zeros(0, dtype=np.int64)
+        )
+        min_dl = (
+            np.minimum.reduceat(p_dl, blk_start).astype(np.int64)
+            if total_blocks
+            else np.zeros(0, dtype=np.int64)
+        )
+        blk_doc_off = doc_starts[blk_start] - doc_starts[term_starts][blk_term]
+        blk_tf_off = tf_starts[blk_start] - tf_starts[term_starts][blk_term]
+
+        tf_base = len(doc_stream)
+
+        def _list_arr(values: np.ndarray, typ=pa.int64()) -> pa.ListArray:
+            return pa.ListArray.from_arrays(
+                pa.array(blk_off, pa.int32()), pa.array(values, typ)
+            )
+
+        terms_tbl = pa.table(
+            {
+                "term": dictionary.take(pa.array(term_ids)),
+                "df": pa.array(df, pa.int64()),
+                "cf": pa.array(cf, pa.int64()),
+                "doc_off": pa.array(doc_starts[term_starts], pa.int64()),
+                "doc_nbytes": pa.array(
+                    doc_starts[term_ends] - doc_starts[term_starts], pa.int64()
+                ),
+                "tf_off": pa.array(tf_base + tf_starts[term_starts], pa.int64()),
+                "tf_nbytes": pa.array(tf_starts[term_ends] - tf_starts[term_starts], pa.int64()),
+                "block_last_doc": _list_arr(last_doc),
+                "block_max_tf": _list_arr(max_tf),
+                "block_min_dl": _list_arr(min_dl),
+                "block_doc_off": _list_arr(blk_doc_off),
+                "block_tf_off": _list_arr(blk_tf_off),
+            }
+        )
+        # sort term table lexicographically for binary-searchable dictionaries
+        sort_idx = pc.sort_indices(terms_tbl["term"])
+        terms_tbl = terms_tbl.take(sort_idx)
+
+        docs_tbl = pa.table(
+            {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dl, pa.int64())}
+        )
+
+        # atomic write: tmp files → os.replace → marker last
+        base = os.path.join(self.seg_dir, name)
+        pq.write_table(terms_tbl, base + ".terms.parquet.tmp")
+        pq.write_table(docs_tbl, base + ".docs.parquet.tmp")
+        with open(base + ".bin.tmp", "wb") as f:
+            f.write(doc_stream)
+            f.write(tf_stream)
+        for ext in (".terms.parquet", ".docs.parquet", ".bin"):
+            os.replace(base + ext + ".tmp", base + ext)
+        dl_sum = int(dl.sum())
+        marker = {
+            "fingerprint": fingerprint,
+            "n_docs": int(n),
+            "dl_sum": dl_sum,
+            "n_terms": int(term_ids.size),
+            "analyzer": analyzer.ANALYZER_VERSION,
+        }
+        tmp = marker_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(marker, f)
+        os.replace(tmp, marker_path)
+
+        term_col = dictionary.take(pa.array(term_ids))
+        return pa.table(
+            {
+                "term": pa.concat_arrays(
+                    [term_col.combine_chunks() if isinstance(term_col, pa.ChunkedArray) else term_col,
+                     pa.array([META_TERM])]
+                ),
+                "df": pa.concat_arrays([pa.array(df, pa.int64()), pa.array([n], pa.int64())]),
+                "cf": pa.concat_arrays([pa.array(cf, pa.int64()), pa.array([dl_sum], pa.int64())]),
+                "seg": pa.array([None] * int(term_ids.size) + [name], pa.string()),
+            },
+            schema=PARTIAL_SCHEMA,
+        )
+
+
+def build_index(
+    ds,
+    index_root: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    version: int | None = None,
+    batch_size: int | None = None,
+    concurrency: int | None = None,
+    promote: bool = True,
+    resume: bool = True,
+    input_desc: str = "",
+    keep_versions: int = 3,
+) -> dict:
+    """Build a new index version from a corpus Dataset. Returns the manifest.
+
+    ``batch_size=None`` (default) makes each *read block* one segment, which
+    keeps segment membership deterministic run-to-run (resume-friendly);
+    tune segment size upstream via ``override_num_blocks`` on the read or
+    ``DataContext.target_max_block_size``.
+    """
+    import ray
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    t0 = time.time()
+    if version is None:
+        version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    seg_dir = os.path.join(vdir, "segments")
+    staging_dir = os.path.join(vdir, "staging", "partials")
+    phase1_marker = os.path.join(vdir, "staging", "phase1.done")
+    termstats_dir = os.path.join(vdir, "termstats")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    if concurrency is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = max(2, ncpu - 2)
+
+    # ---- phase 1: segments + vocabulary partials -------------------------
+    if not (resume and os.path.exists(phase1_marker)):
+        shutil.rmtree(staging_dir, ignore_errors=True)
+        os.makedirs(staging_dir, exist_ok=True)
+        partials = ds.select_columns([id_col, text_col]).map_batches(
+            SegmentBuilder,
+            fn_constructor_kwargs={"seg_dir": seg_dir, "id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
+        partials.write_parquet(staging_dir)
+        os.makedirs(os.path.dirname(phase1_marker), exist_ok=True)
+        with open(phase1_marker + ".tmp", "w") as f:
+            json.dump({"analyzer": analyzer.ANALYZER_VERSION}, f)
+        os.replace(phase1_marker + ".tmp", phase1_marker)
+    t1 = time.time()
+
+    # ---- phase 2: global term stats (the groupby-aggregate shuffle) ------
+    import ray.data as rd
+
+    staged = rd.read_parquet(staging_dir)
+    term_rows = staged.map_batches(
+        lambda t: t.filter(pc.not_equal(t["term"], META_TERM)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    termstats = term_rows.groupby("term").aggregate(
+        Sum("df", alias_name="df"), Sum("cf", alias_name="cf")
+    )
+    shutil.rmtree(termstats_dir, ignore_errors=True)
+    termstats.write_parquet(termstats_dir)
+    t2 = time.time()
+
+    # ---- manifest from per-segment meta rows -----------------------------
+    meta_tbl = (
+        pads.dataset(staging_dir)
+        .to_table(filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"])
+        .sort_by("seg")
+    )
+    seg_names = meta_tbl["seg"].to_pylist()
+    seg_docs = meta_tbl["df"].to_pylist()
+    seg_dls = meta_tbl["cf"].to_pylist()
+    n_docs = int(sum(seg_docs))
+    dl_sum = int(sum(seg_dls))
+    avgdl = (dl_sum / n_docs) if n_docs else 0.0
+    segments = [
+        {
+            "name": s,
+            "path": f"v{version}/segments/{s}",
+            "n_docs": int(nd),
+            "dl_sum": int(dls),
+            "created_version": version,
+        }
+        for s, nd, dls in zip(seg_names, seg_docs, seg_dls)
+    ]
+    live = set(seg_names)
+    for fname in os.listdir(seg_dir):  # GC segments from aborted prior attempts
+        stem = fname.split(".")[0]
+        if stem not in live:
+            os.remove(os.path.join(seg_dir, fname))
+
+    build_sec = time.time() - t0
+    man = {
+        "version": version,
+        "analyzer": analyzer.ANALYZER_VERSION,
+        "k1": 1.2,
+        "b": 0.75,
+        "n_docs": n_docs,
+        "dl_sum": dl_sum,
+        "avgdl": avgdl,
+        "segments": segments,
+        "termstats": f"v{version}/termstats",
+        "tombstones": [],
+        "lineage": {
+            "input": input_desc,
+            "id_col": id_col,
+            "text_col": text_col,
+            "batch_size": batch_size,
+            "concurrency": concurrency,
+            "parent_version": None,
+        },
+        "metrics": {
+            "phase1_sec": round(t1 - t0, 3),
+            "phase2_sec": round(t2 - t1, 3),
+            "build_sec": round(build_sec, 3),
+            "docs_per_sec": round(n_docs / build_sec, 1) if build_sec > 0 else None,
+            "n_segments": len(segments),
+        },
+    }
+    mf.write_manifest(index_root, version, man)
+    if promote:
+        mf.promote(index_root, version)
+        mf.purge_stale_versions(index_root, keep=keep_versions)
+    return man

@@ -1,0 +1,105 @@
+"""Index versioning: manifests, atomic current-pointer promotion, retention.
+
+The analog of the reference's immutable ``DatasetVersion`` snapshots with a
+single ``is_current`` flip (harvester/core/models/datatypes/dataset.py:124-180,
+harvester/core/tasks/harvest/dataset_version.py:47-66) and OpenSearch alias
+promotion after a successful push (harvester/search/models/index.py:113-156).
+
+Layout under an index root::
+
+    index_root/
+      CURRENT                  # text file holding the current version number
+      v{N}/
+        manifest.json          # stats, segment list, analyzer id, lineage, metrics
+        segments/seg-*.{terms.parquet,docs.parquet,bin,done}
+        staging/partials/      # phase-1 checkpoint (segment vocab partials)
+        termstats/             # global (term, df, cf) parquet
+
+All writes are write-temp-then-``os.replace`` so a crashed build never leaves
+a half-written manifest or a torn CURRENT pointer, and a version becomes
+visible only by the atomic pointer flip (promote == alias flip analog).
+Retention mirrors the reference's keep-newest-K purge
+(harvester/core/models/datatypes/dataset.py:83-102).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+
+def _atomic_write(path: str, data: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def version_dir(index_root: str, version: int) -> str:
+    return os.path.join(index_root, f"v{version}")
+
+
+def list_versions(index_root: str) -> list[int]:
+    if not os.path.isdir(index_root):
+        return []
+    out = []
+    for name in os.listdir(index_root):
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def next_version(index_root: str) -> int:
+    versions = list_versions(index_root)
+    return (versions[-1] + 1) if versions else 1
+
+
+def current_version(index_root: str) -> int | None:
+    path = os.path.join(index_root, "CURRENT")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        text = f.read().strip()
+    return int(text) if text else None
+
+
+def promote(index_root: str, version: int) -> None:
+    """Atomically flip the CURRENT pointer to ``version`` (alias-flip analog:
+    only fully-finished versions may be promoted)."""
+    manifest_path = os.path.join(version_dir(index_root, version), "manifest.json")
+    if not os.path.exists(manifest_path):
+        raise ValueError(f"cannot promote v{version}: no manifest at {manifest_path}")
+    _atomic_write(os.path.join(index_root, "CURRENT"), str(version))
+
+
+def write_manifest(index_root: str, version: int, manifest: dict) -> str:
+    path = os.path.join(version_dir(index_root, version), "manifest.json")
+    _atomic_write(path, json.dumps(manifest, indent=2, sort_keys=True))
+    return path
+
+
+def read_manifest(index_root: str, version: int | None = None) -> dict:
+    if version is None:
+        version = current_version(index_root)
+        if version is None:
+            raise FileNotFoundError(f"no CURRENT pointer in {index_root}")
+    path = os.path.join(version_dir(index_root, version), "manifest.json")
+    with open(path) as f:
+        manifest = json.load(f)
+    manifest["_version"] = version
+    return manifest
+
+
+def purge_stale_versions(index_root: str, keep: int = 3) -> list[int]:
+    """Delete all but the newest ``keep`` versions, never the current one
+    (retention analog: core/models/datatypes/dataset.py:83-102)."""
+    versions = list_versions(index_root)
+    cur = current_version(index_root)
+    purged = []
+    for v in versions[:-keep] if keep > 0 else versions:
+        if v == cur:
+            continue
+        shutil.rmtree(version_dir(index_root, v), ignore_errors=True)
+        purged.append(v)
+    return purged

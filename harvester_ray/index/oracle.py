@@ -1,0 +1,98 @@
+"""Independent BM25 oracle as ANSI SQL (DuckDB).
+
+Shares exactly one definition of tokenization with the engine
+(analyzer.sql_tokenize_expr ≡ analyzer-v1) and one BM25 formula (bm25.py:
+Lucene idf, k1=1.2, b=0.75). Used both by pytest golden tests and by
+``__ray_entry__.oracle_sql`` so the external driver can verify the Ray
+pipeline against DuckDB on the same Parquet.
+
+Determinism note: engine and oracle compute identical math on identical
+inputs; scores are rounded (default 4 decimals) in *both* outputs so cross-
+engine float summation order cannot flip the hash compare.
+"""
+
+from __future__ import annotations
+
+from .. import analyzer
+from . import bm25
+
+
+def bm25_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    and_filter = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {and_filter}
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def doc_stats_sql(table: str, *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return (
+        f"SELECT {id_col} AS doc_id, len({tok}) AS dl "
+        f"FROM {table} ORDER BY doc_id"
+    )
+
+
+def corpus_stats_sql(table: str, *, text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return (
+        f"SELECT count(*) AS n_docs, sum(len({tok})) AS dl_sum, "
+        f"round(avg(len({tok})), 6) AS avgdl FROM {table}"
+    )
+
+
+def term_df_sql(table: str, top_n: int = 50, *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM toks GROUP BY term
+)
+SELECT term, df, cf FROM stats ORDER BY df DESC, term ASC LIMIT {top_n}
+""".strip()

@@ -1,0 +1,532 @@
+"""BM25 top-k query engine over the segment index.
+
+Mirrors the reference's search semantics: ``simple_query_string`` with
+``default_operator: "and"`` (harvester/core/models/search/query.py:80-86)
+⇒ AND = posting-list intersection across query terms; OR mode scores the
+union (used by block-max WAND). Scores are Okapi BM25, k1=1.2, b=0.75
+(see bm25.py), ties broken (score desc, doc_id asc), matching the oracle.
+
+Physical execution is document-partitioned fan-out — each segment computes
+its local top-k with block-skip pruning, the driver (or a merge step) merges
+heaps — the same plan OpenSearch runs across shards for the reference's
+search API (harvester/search/views/document.py:122-143).
+
+Two serving modes:
+- ``IndexReader``      — in-process, for tests / single-node latency.
+- ``QueryService``     — an actor pool; each actor holds a subset of
+  segments' dictionaries + mmap'd postings loaded once in ``__init__``
+  (the load-once-per-worker analog of SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from .. import analyzer
+from . import bm25
+from . import codec
+from . import manifest as mf
+
+RESULT_SCHEMA = pa.schema(
+    [("rank", pa.int32()), ("doc_id", pa.int64()), ("score", pa.float64())]
+)
+
+
+def _empty_result() -> pa.Table:
+    return RESULT_SCHEMA.empty_table()
+
+
+class SegmentReader:
+    """Loads one segment's term dictionary + doc lengths; postings are
+    mmap'd and decoded lazily per query term (optionally per block)."""
+
+    def __init__(self, base_path: str):
+        self.base = base_path
+        terms = pq.read_table(base_path + ".terms.parquet")
+        self._terms_tbl = terms
+        self._lookup = {t: i for i, t in enumerate(terms["term"].to_pylist())}
+        docs = pq.read_table(base_path + ".docs.parquet")
+        self.doc_ids = np.asarray(docs["doc_id"].combine_chunks(), dtype=np.int64)
+        self.dl = np.asarray(docs["dl"].combine_chunks(), dtype=np.int64)
+        self._bin = np.memmap(base_path + ".bin", dtype=np.uint8, mode="r")
+
+    def entry(self, term: str) -> dict | None:
+        i = self._lookup.get(term)
+        if i is None:
+            return None
+        row = {name: self._terms_tbl[name][i].as_py() for name in self._terms_tbl.column_names}
+        return row
+
+    def _slices(self, row: dict) -> tuple[memoryview, memoryview]:
+        d0, dn = row["doc_off"], row["doc_nbytes"]
+        t0, tn = row["tf_off"], row["tf_nbytes"]
+        return (
+            memoryview(self._bin[d0 : d0 + dn]),
+            memoryview(self._bin[t0 : t0 + tn]),
+        )
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
+        """Full decode → (doc_ids, tfs)."""
+        row = self.entry(term)
+        if row is None:
+            return None
+        db, tb = self._slices(row)
+        return codec.decode_postings(db, tb)
+
+    def postings_for_candidates(
+        self, row: dict, cand: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Decode only the blocks whose doc-id range can contain ``cand``
+        (block-skip via last_doc metadata); returns decoded (docs, tfs) of
+        just those blocks, sorted."""
+        last_doc = np.asarray(row["block_last_doc"], dtype=np.int64)
+        need = np.unique(np.searchsorted(last_doc, cand))
+        need = need[need < last_doc.size]
+        if need.size == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        db, tb = self._slices(row)
+        blocks = {
+            "last_doc": last_doc,
+            "doc_off": np.asarray(row["block_doc_off"], dtype=np.int64),
+            "tf_off": np.asarray(row["block_tf_off"], dtype=np.int64),
+        }
+        docs_parts, tf_parts = [], []
+        for k in need:
+            d, t = codec.decode_block(db, tb, blocks, int(k))
+            docs_parts.append(d)
+            tf_parts.append(t)
+        return np.concatenate(docs_parts), np.concatenate(tf_parts)
+
+    def doc_lengths(self, docs: np.ndarray) -> np.ndarray:
+        idx = np.searchsorted(self.doc_ids, docs)
+        return self.dl[idx]
+
+
+def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic top-k: score desc, doc_id asc."""
+    if docs.size == 0:
+        return docs, scores
+    if docs.size > k * 4 and k < docs.size:
+        part = np.argpartition(-scores, min(k * 2, docs.size - 1))[: k * 2]
+        docs, scores = docs[part], scores[part]
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order]
+
+
+def search_segment(
+    seg: SegmentReader,
+    terms: list[str],
+    idf_map: dict[str, float],
+    avgdl: float,
+    k: int,
+    mode: str = "and",
+    threshold: float = -np.inf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Local top-k for one segment. ``threshold`` lets callers pass a current
+    global k-th score so OR/WAND mode can prune harder."""
+    entries = {}
+    for t in terms:
+        row = seg.entry(t)
+        if row is None:
+            if mode == "and":
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+        else:
+            entries[t] = row
+    if not entries:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
+
+    if mode == "and":
+        # intersect, driving from the rarest term; block-skip decode others
+        order = sorted(entries, key=lambda t: entries[t]["df"])
+        cand, _ = seg.postings(order[0])
+        decoded = {}
+        for t in order[1:]:
+            if cand.size == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            d, f = seg.postings_for_candidates(entries[t], cand)
+            idx = np.searchsorted(d, cand)
+            idx_c = np.clip(idx, 0, max(d.size - 1, 0))
+            hit = (d.size > 0) & (d[idx_c] == cand) if d.size else np.zeros(cand.size, bool)
+            cand = cand[hit]
+            decoded[t] = (d, f)
+        if cand.size == 0:
+            return cand, np.empty(0, np.float64)
+        dl = seg.doc_lengths(cand).astype(np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(entries):  # fixed accumulation order → deterministic
+            if t == order[0]:
+                d, f = seg.postings(t)
+            else:
+                d, f = decoded[t]
+            idx = np.searchsorted(d, cand)
+            tf = f[idx].astype(np.float64)
+            scores += bm25.score(tf, dl, idf_map[t], avgdl)
+        return _topk(cand, scores, k)
+
+    # mode == "or": block-max pruned union (see block_max_union)
+    return block_max_union(seg, entries, idf_map, avgdl, k, threshold)
+
+
+def block_max_union(
+    seg: SegmentReader,
+    entries: dict[str, dict],
+    idf_map: dict[str, float],
+    avgdl: float,
+    k: int,
+    threshold: float = -np.inf,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Block-max pruned disjunctive top-k (block-max WAND family).
+
+    Doc space is cut at every block boundary of every term; for each
+    resulting interval the exact upper bound is the sum of the covering
+    blocks' ``idf * ub(max_tf, min_dl)`` (bm25.block_upper_bound — exact, see
+    codec.py). Intervals are processed in descending upper-bound order; once
+    the bound falls below the running k-th score θ, every remaining interval
+    is pruned and its blocks are never decoded. Equivalent to BMW's pivot
+    skipping but interval-vectorized instead of cursor-per-posting, which is
+    the right shape for numpy."""
+    t_names = sorted(entries)
+    blocks = []
+    for ti, t in enumerate(t_names):
+        row = entries[t]
+        last = np.asarray(row["block_last_doc"], dtype=np.int64)
+        ub = bm25.block_upper_bound(
+            np.asarray(row["block_max_tf"], dtype=np.float64),
+            np.asarray(row["block_min_dl"], dtype=np.float64),
+            idf_map[t],
+            avgdl,
+        )
+        first = np.empty_like(last)
+        if last.size:
+            first[0] = 0
+            first[1:] = last[:-1] + 1
+        blocks.append((first, last, ub))
+
+    # interval boundaries across all terms
+    cuts = np.unique(np.concatenate([b[1] for b in blocks] + [np.array([-1], np.int64)]))
+    starts = cuts[:-1] + 1
+    ends = cuts[1:]
+    n_int = starts.size
+    int_ub = np.zeros(n_int, dtype=np.float64)
+    cover = []  # per term: block index covering each interval (-1 = none)
+    for first, last, ub in blocks:
+        bi = np.searchsorted(last, starts)
+        ok = (bi < last.size) & (first[np.clip(bi, 0, max(last.size - 1, 0))] <= ends) if last.size else np.zeros(n_int, bool)
+        contrib = np.where(ok, ub[np.clip(bi, 0, max(last.size - 1, 0))], 0.0)
+        int_ub += contrib
+        cover.append(np.where(ok, bi, -1))
+
+    order = np.argsort(-int_ub, kind="stable")
+    heap_docs = np.empty(0, np.int64)
+    heap_scores = np.empty(0, np.float64)
+    theta = threshold
+    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+    slices: dict[int, tuple[memoryview, memoryview, dict]] = {}
+
+    for ii in order:
+        if int_ub[ii] <= theta and heap_docs.size >= k:
+            break
+        lo, hi = starts[ii], ends[ii]
+        # gather exact postings for this interval from each covering block
+        docs_parts, score_parts = [], []
+        for ti, t in enumerate(t_names):
+            bi = cover[ti][ii]
+            if bi < 0:
+                continue
+            key = (ti, int(bi))
+            if key not in decoded:
+                if ti not in slices:
+                    row = entries[t]
+                    db, tb = seg._slices(row)
+                    slices[ti] = (
+                        db,
+                        tb,
+                        {
+                            "last_doc": np.asarray(row["block_last_doc"], np.int64),
+                            "doc_off": np.asarray(row["block_doc_off"], np.int64),
+                            "tf_off": np.asarray(row["block_tf_off"], np.int64),
+                        },
+                    )
+                db, tb, bmeta = slices[ti]
+                decoded[key] = codec.decode_block(db, tb, bmeta, int(bi))
+            d, f = decoded[key]
+            sel = (d >= lo) & (d <= hi)
+            if not sel.any():
+                continue
+            dsel = d[sel]
+            dl = seg.doc_lengths(dsel).astype(np.float64)
+            docs_parts.append(dsel)
+            score_parts.append(bm25.score(f[sel].astype(np.float64), dl, idf_map[t], avgdl))
+        if not docs_parts:
+            continue
+        alld = np.concatenate(docs_parts)
+        alls = np.concatenate(score_parts)
+        so = np.argsort(alld, kind="stable")
+        alld, alls = alld[so], alls[so]
+        uniq, start_idx = np.unique(alld, return_index=True)
+        sums = np.add.reduceat(alls, start_idx)
+        heap_docs = np.concatenate([heap_docs, uniq])
+        heap_scores = np.concatenate([heap_scores, sums])
+        if heap_docs.size > 4 * k:
+            heap_docs, heap_scores = _topk(heap_docs, heap_scores, k)
+        if heap_docs.size >= k:
+            kth = np.partition(heap_scores, heap_scores.size - k)[heap_scores.size - k] if heap_scores.size > k else heap_scores.min()
+            theta = max(theta, kth)
+    return _topk(heap_docs, heap_scores, k)
+
+
+def merge_topk(
+    parts: list[tuple[np.ndarray, np.ndarray]], k: int
+) -> pa.Table:
+    if not parts:
+        return _empty_result()
+    docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+    scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+    docs, scores = _topk(docs, scores, k)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, docs.size + 1, dtype=np.int32)),
+            "doc_id": pa.array(docs, pa.int64()),
+            "score": pa.array(scores, pa.float64()),
+        }
+    )
+
+
+class IndexReader:
+    """In-process reader over an index version (default: CURRENT)."""
+
+    def __init__(self, index_root: str, version: int | None = None):
+        self.root = index_root
+        self.manifest = mf.read_manifest(index_root, version)
+        self.avgdl = float(self.manifest["avgdl"])
+        self.n_docs = int(self.manifest["n_docs"])
+        self._termstats = pads.dataset(os.path.join(index_root, self.manifest["termstats"]))
+        self._segments: dict[str, SegmentReader] = {}
+        self._df_cache: dict[str, int] = {}
+        self._tombstones = np.asarray(self.manifest.get("tombstones", []), dtype=np.int64)
+
+    def _segment(self, seg_meta: dict) -> SegmentReader:
+        name = seg_meta["name"]
+        if name not in self._segments:
+            self._segments[name] = SegmentReader(os.path.join(self.root, seg_meta["path"]))
+        return self._segments[name]
+
+    def df(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            tbl = self._termstats.to_table(
+                filter=pads.field("term").isin(missing), columns=["term", "df"]
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
+        """Top-k BM25. ``mode="and"`` = intersection semantics
+        (simple_query_string default_operator:and parity); ``mode="or"`` =
+        disjunctive block-max pruned scoring."""
+        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        if not terms:
+            return _empty_result()
+        dfs = self.df(terms)
+        if mode == "and" and any(dfs[t] == 0 for t in terms):
+            return _empty_result()
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms:
+            return _empty_result()
+        idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in terms}
+        parts = []
+        theta = -np.inf
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            d, s = search_segment(seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta)
+            if self._tombstones.size and d.size:
+                keep = ~np.isin(d, self._tombstones)
+                d, s = d[keep], s[keep]
+            parts.append((d, s))
+            if s.size >= k:
+                kth = np.sort(s)[-k]
+                theta = max(theta, kth)
+        return merge_topk(parts, k)
+
+
+class QuerySegmentActor:
+    """Actor holding a set of segments, loaded once (SURVEY §2.3 stateful
+    stage). Use via ``QueryService``."""
+
+    def __init__(self, index_root: str, seg_metas: list[dict], manifest: dict):
+        self.readers = [
+            (m, SegmentReader(os.path.join(index_root, m["path"]))) for m in seg_metas
+        ]
+        self.avgdl = float(manifest["avgdl"])
+        self.tombstones = np.asarray(manifest.get("tombstones", []), dtype=np.int64)
+
+    def search(
+        self, terms: list[str], idf_map: dict[str, float], k: int, mode: str
+    ) -> tuple[np.ndarray, np.ndarray]:
+        parts = []
+        for _, seg in self.readers:
+            d, s = search_segment(seg, terms, idf_map, self.avgdl, k, mode=mode)
+            if self.tombstones.size and d.size:
+                keep = ~np.isin(d, self.tombstones)
+                d, s = d[keep], s[keep]
+            parts.append((d, s))
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        return _topk(docs, scores, k)
+
+
+class QueryService:
+    """Distributed query serving: segments spread over an actor pool; search
+    fans out and merges per-actor top-k heaps (the OpenSearch shard fan-out
+    analog). Actors are created once and reused across queries."""
+
+    def __init__(self, index_root: str, version: int | None = None, num_actors: int = 4):
+        import ray
+
+        self.manifest = mf.read_manifest(index_root, version)
+        self.avgdl = float(self.manifest["avgdl"])
+        self.n_docs = int(self.manifest["n_docs"])
+        self._termstats = pads.dataset(os.path.join(index_root, self.manifest["termstats"]))
+        self._df_cache: dict[str, int] = {}
+        segs = self.manifest["segments"]
+        num_actors = max(1, min(num_actors, len(segs)))
+        groups: list[list[dict]] = [segs[i::num_actors] for i in range(num_actors)]
+        actor_cls = ray.remote(num_cpus=1)(QuerySegmentActor)
+        self.actors = [actor_cls.remote(index_root, g, self.manifest) for g in groups]
+
+    def df(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            tbl = self._termstats.to_table(
+                filter=pads.field("term").isin(missing), columns=["term", "df"]
+            )
+            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._df_cache[t] = int(found.get(t, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
+        import ray
+
+        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        if not terms:
+            return _empty_result()
+        dfs = self.df(terms)
+        if mode == "and" and any(dfs[t] == 0 for t in terms):
+            return _empty_result()
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms:
+            return _empty_result()
+        idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in terms}
+        futures = [a.search.remote(terms, idf_map, k, mode) for a in self.actors]
+        parts = ray.get(futures)
+        return merge_topk(parts, k)
+
+
+# ---------------------------------------------------------------------------
+# Independent distributed brute-force scorer (the verification oracle path:
+# map_batches scorer + sort(score desc).limit(k), SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk(
+    ds,
+    query_text: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "and",
+) -> pa.Table:
+    """Score every document with BM25 directly from the corpus — no index.
+
+    Pass 1 (streaming): per-batch partials of (n_docs, dl_sum, df per query
+    term) → driver-side reduce (tiny). Pass 2: per-batch exact scores →
+    global ``sort(score desc, doc_id asc).limit(k)``. Independent of the
+    index code path; used as the in-engine oracle.
+    """
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return _empty_result()
+    term_arr = pa.array(terms)
+
+    def stats_partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        dl_sum = int(rows.size)
+        r, c, _tf = analyzer.term_frequencies(rows, codes)
+        present = np.asarray(pc.is_in(dictionary, value_set=term_arr))
+        dfs = []
+        dict_list = dictionary.to_pylist()
+        code_df = np.bincount(c, minlength=len(dict_list))
+        for t in terms:
+            try:
+                ti = dict_list.index(t)
+                dfs.append(int(code_df[ti]))
+            except ValueError:
+                dfs.append(0)
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "dl_sum": pa.array([dl_sum], pa.int64()),
+                **{f"df_{i}": pa.array([dfs[i]], pa.int64()) for i in range(len(terms))},
+            }
+        )
+
+    stats = ds.map_batches(stats_partials, batch_format="pyarrow").to_pandas()
+    n_docs = int(stats["n_docs"].sum())
+    dl_sum = int(stats["dl_sum"].sum())
+    avgdl = dl_sum / n_docs if n_docs else 0.0
+    dfs = {terms[i]: int(stats[f"df_{i}"].sum()) for i in range(len(terms))}
+    if mode == "and" and any(dfs[t] == 0 for t in terms):
+        return _empty_result()
+    live_terms = [t for t in terms if dfs[t] > 0]
+    if not live_terms:
+        return _empty_result()
+    idf_map = {t: float(bm25.idf(n_docs, dfs[t])) for t in live_terms}
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        doc_ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        dl = np.bincount(rows, minlength=batch.num_rows).astype(np.float64)
+        r, c, tf = analyzer.term_frequencies(rows, codes)
+        dict_list = dictionary.to_pylist()
+        scores = np.zeros(batch.num_rows, dtype=np.float64)
+        nmatch = np.zeros(batch.num_rows, dtype=np.int64)
+        for t in live_terms:
+            try:
+                ti = dict_list.index(t)
+            except ValueError:
+                continue
+            sel = c == ti
+            rr = r[sel]
+            scores[rr] += bm25.score(tf[sel].astype(np.float64), dl[rr], idf_map[t], avgdl)
+            nmatch[rr] += 1
+        need = len(live_terms) if mode == "and" else 1
+        keep = nmatch >= need
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep], pa.int64()),
+                "score": pa.array(scores[keep], pa.float64()),
+                "neg_score": pa.array(-scores[keep], pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow")
+    top = scored.sort(["neg_score", "doc_id"]).limit(k).to_pandas()
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(top) + 1, dtype=np.int32)),
+            "doc_id": pa.array(top["doc_id"].to_numpy(), pa.int64()),
+            "score": pa.array(top["score"].to_numpy(), pa.float64()),
+        }
+    )
