@@ -155,6 +155,10 @@ def tokenize_query(text: str) -> list[str]:
 
 
 def sql_tokenize_expr(col: str = "text") -> str:
-    """The DuckDB expression exactly equivalent to analyzer-v1 tokenization —
-    used by oracle SQL so engine and oracle share one tokenizer definition."""
-    return f"regexp_extract_all(lower({col}), '{TOKEN_PATTERN}')"
+    """The DuckDB expression exactly equivalent to analyzer-v1
+    normalize+tokenize (tag strip → lower → [a-z0-9]+ runs) — used by oracle
+    SQL so engine and oracle share one tokenizer definition. The >=1M-char
+    truncation rule is not expressed here (no such rows in oracle corpora;
+    covered by unit tests)."""
+    stripped = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
+    return f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"

@@ -1,0 +1,45 @@
+"""Flagship pipeline: transcript Parquet → versioned BM25 index → top-k.
+
+The Ray-Data re-expression of the reference's ``run_harvest`` →
+``index_dataset_versions`` lifecycle (harvester/harvester/management/commands/
+run_harvest.py:42-81, harvester/search/tasks/index.py:82-114): read →
+normalize/tokenize (map_batches actor pool) → stable doc ids → segment build
+→ term-stats aggregate → manifest + atomic promote; then the search path
+(harvester/search/views/document.py:122-143) as BM25 top-k over the
+promoted version.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from .. import corpus
+from ..index import build, query
+
+
+def build_transcript_index(
+    transcripts_path: str,
+    index_root: str,
+    *,
+    batch_size: int | None = None,
+    concurrency: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build (and promote) a new index version from a transcript Parquet dir."""
+    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    ds = corpus.assign_doc_ids(ds)
+    return build.build_index(
+        ds,
+        index_root,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        resume=resume,
+        input_desc=transcripts_path,
+    )
+
+
+def search_transcripts(
+    index_root: str, query_text: str, k: int = 10, mode: str = "and"
+):
+    """Top-k over the CURRENT index version (in-process reader)."""
+    return query.IndexReader(index_root).search(query_text, k=k, mode=mode)

@@ -1,0 +1,157 @@
+import glob
+import hashlib
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from harvester_ray import analyzer, corpus, synth
+from harvester_ray.index import oracle, query
+from harvester_ray.pipelines import flagship
+
+
+@pytest.fixture(scope="module")
+def transcripts_dir(tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("synthdata"))
+    return synth.transcripts_parquet(out, n_convs=80, seed=42, shards=4)
+
+
+def test_generator_deterministic():
+    a = synth.generate_transcripts(30, seed=42)
+    b = synth.generate_transcripts(30, seed=42)
+    assert a.equals(b)
+    c = synth.generate_transcripts(30, seed=43)
+    assert not a.equals(c)
+
+
+def test_doc_id_assignment_matches_pandas_oracle(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    with_ids = corpus.assign_doc_ids(ds).to_pandas()
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    expected = corpus.doc_id_table(pdf)
+    got = with_ids.sort_values("doc_id").reset_index(drop=True)
+    exp = expected.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["conv_id"]) == list(exp["conv_id"])
+    assert list(got["turn_idx"]) == list(exp["turn_idx"])
+    # dense, contiguous, stable under (conv_id, turn_idx) order
+    assert got["doc_id"].tolist() == list(range(len(got)))
+
+
+def test_per_turn_text_equality_invariant(transcripts_dir):
+    """BASELINE.json per-row invariant: normalized text of every
+    (conv_id, turn_idx) is identical pre/post pipeline, under stable
+    ordering. The pipeline must never reorder, drop, or mutate turns."""
+    src = rd.read_parquet(transcripts_dir).to_pandas()
+    src_norm = (
+        pd.DataFrame(
+            {
+                "conv_id": src["conv_id"],
+                "turn_idx": src["turn_idx"],
+                "norm": analyzer.normalize_text(pa.array(src["text"])).to_pylist(),
+            }
+        )
+        .sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+    ds = corpus.assign_doc_ids(rd.read_parquet(transcripts_dir))
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "text",
+            analyzer.normalize_text(batch["text"]),
+        )
+
+    out = ds.map_batches(normalize, batch_format="pyarrow").to_pandas()
+    out = out.sort_values(["conv_id", "turn_idx"], kind="mergesort").reset_index(drop=True)
+    assert len(out) == len(src_norm)
+    assert list(out["conv_id"]) == list(src_norm["conv_id"])
+    assert list(out["turn_idx"]) == list(src_norm["turn_idx"])
+    assert list(out["text"]) == list(src_norm["norm"])
+    # normalize is idempotent → applying the pipeline again changes nothing
+    again = analyzer.normalize_text(pa.array(out["text"])).to_pylist()
+    assert again == list(out["text"])
+
+
+@pytest.fixture(scope="module")
+def transcript_index(transcripts_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("tidx"))
+    man = flagship.build_transcript_index(transcripts_dir, root, concurrency=2)
+    return root, man
+
+
+def _transcript_con(transcripts_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        CREATE VIEW transcripts_ids AS
+        WITH base AS (SELECT * FROM read_parquet('{transcripts_dir}/part-*.parquet'))
+        SELECT row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS doc_id, *
+        FROM base
+        """
+    )
+    return con
+
+
+@pytest.mark.parametrize("q", ["gaji hopotenu", "zoquli", "vafawu todefi zavi", "xyznope", "gaji xyznope"])
+def test_transcript_bm25_matches_duckdb(transcript_index, transcripts_dir, q):
+    root, _ = transcript_index
+    con = _transcript_con(transcripts_dir)
+    exp = con.execute(
+        oracle.bm25_sql("transcripts_ids", q, 10, mode="and", round_digits=12)
+    ).fetchdf()
+    got = query.IndexReader(root).search(q, k=10, mode="and").to_pandas()
+    assert list(got["doc_id"]) == list(exp["doc_id"]), f"query={q!r}"
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def _segment_digest(root):
+    files = sorted(glob.glob(os.path.join(root, "v*", "segments", "seg-*")))
+    out = {}
+    for f in files:
+        if f.endswith(".done"):
+            continue
+        with open(f, "rb") as fh:
+            out[os.path.basename(f)] = hashlib.sha1(fh.read()).hexdigest()
+    return out
+
+
+def test_resume_skips_segments_and_is_byte_identical(transcripts_dir, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ridx"))
+    flagship.build_transcript_index(transcripts_dir, root, concurrency=2)
+    before = _segment_digest(root)
+    mtimes = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(root, "v1", "segments", "seg-*.bin"))
+    }
+    # simulate a crash after phase 1: wipe phase-2 outputs + manifest, keep segments
+    os.remove(os.path.join(root, "v1", "manifest.json"))
+    os.remove(os.path.join(root, "v1", "staging", "phase1.done"))
+    import shutil
+
+    shutil.rmtree(os.path.join(root, "v1", "termstats"))
+    man = flagship.build_transcript_index(transcripts_dir, root)
+    assert man["version"] == 1 or man["version"] == 2
+    after = _segment_digest(root)
+    seg_after = {k: v for k, v in after.items() if k in before}
+    assert seg_after == before  # byte-identical segments
+    for f, t in mtimes.items():
+        assert os.path.getmtime(f) == t, "segment was rebuilt instead of resumed"
+
+
+def test_rebuild_same_input_identical_results(transcripts_dir, tmp_path_factory):
+    r1 = str(tmp_path_factory.mktemp("i1"))
+    r2 = str(tmp_path_factory.mktemp("i2"))
+    flagship.build_transcript_index(transcripts_dir, r1, concurrency=2)
+    flagship.build_transcript_index(transcripts_dir, r2, concurrency=3)
+    for q in ["gaji hopotenu", "zoquli vafawu"]:
+        a = query.IndexReader(r1).search(q, k=20).to_pandas()
+        b = query.IndexReader(r2).search(q, k=20).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+        np.testing.assert_allclose(a["score"], b["score"], rtol=0)
