@@ -1,44 +1,298 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship pipeline (documents corpus → versioned BM25
+segment index → top-k search) on sf0.001. ``queries()`` exposes one callable
+per implemented operator/pipeline from SURVEY.md §2 (+ the training-data
+ops); ``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one. Ray is initialised by the driver BEFORE this module is
+imported — nothing here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+
+from harvester_ray import synth
+from harvester_ray.index import build as index_build
+from harvester_ray.index import oracle as index_oracle
+from harvester_ray.index import query as index_query
+from harvester_ray.ops import dedup, similarity, text_analysis
+from harvester_ray.pipelines import flagship, relational
+
+_SCRATCH = "/tmp/harvester_ray_entry"
+
+# fixed evaluation queries over the `documents` corpus vocabulary
+BM25_QUERY_AND = "spark window"
+BM25_QUERY_AND2 = "vector stream sort"
+BM25_QUERY_OR = "customer query big"
+
+
+def _documents_index(sf_dir: str) -> str:
+    """Build (once per sf_dir, cached+resumable) the index over documents."""
+    import ray.data as rd
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"docidx-{tag}")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    from harvester_ray.index import manifest as mf
+
+    if mf.current_version(root) is None:
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+        index_build.build_index(ds, root, input_desc=docs)
+    return root
+
+
+def _bm25(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
+    root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search(q, k=k, mode=mode).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _bm25_brute(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    out = index_query.brute_force_topk(ds, q, k=k, mode=mode).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _doc_stats(sf_dir: str) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray import analyzer
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        dl = analyzer.doc_token_counts(analyzer.normalize_text(t["text"]))
+        return pa.table(
+            {"doc_id": t["doc_id"].combine_chunks().cast(pa.int64()), "dl": pa.array(dl, pa.int64())}
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow").to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _corpus_stats(sf_dir: str) -> pd.DataFrame:
+    root = _documents_index(sf_dir)
+    from harvester_ray.index import manifest as mf
+
+    man = mf.read_manifest(root)
+    return pd.DataFrame(
+        {
+            "n_docs": [man["n_docs"]],
+            "dl_sum": [man["dl_sum"]],
+            "avgdl": [round(man["avgdl"], 6)],
+        }
+    )
+
+
+def _term_df_top50(sf_dir: str) -> pd.DataFrame:
+    import pyarrow.dataset as pads
+
+    root = _documents_index(sf_dir)
+    from harvester_ray.index import manifest as mf
+
+    man = mf.read_manifest(root)
+    ts = pads.dataset(os.path.join(root, man["termstats"])).to_table().to_pandas()
+    ts = ts.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(50)
+    return ts[["term", "df", "cf"]].reset_index(drop=True)
+
+
+def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
+    """Flagship transcript path (rows-only check: transcripts are synthesized,
+    not among the driver's pre-registered views)."""
+    data_dir = synth.transcripts_parquet(_SCRATCH, n_convs=200, seed=42, shards=4)
+    root = os.path.join(_SCRATCH, "transcript-index")
+    from harvester_ray.index import manifest as mf
+
+    if mf.current_version(root) is None:
+        flagship.build_transcript_index(data_dir, root)
+    out = flagship.search_transcripts(root, "gaji hopotenu", k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pads.field("vec_id") == vec_id, columns=["embedding"]
+    )
+    return np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
+
+
+def _knn(sf_dir: str) -> pd.DataFrame:
+    out = similarity.knn_brute(_emb_ds(sf_dir), _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
+def _knn_ivf(sf_dir: str) -> pd.DataFrame:
+    out = similarity.knn_ivf(_emb_ds(sf_dir), _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: build the versioned BM25
+    segment index over `documents`, search, return the top-k table."""
+    return _bm25("/root/testdata/sf0.001", BM25_QUERY_AND, "and", k=10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operator coverage (SURVEY §2.4-2.7) ---------------
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "revenue_by_nation": relational.revenue_by_nation,
+        "join_revenue_by_priority": relational.hash_join_order_lineitem,
+        "topk_orders": relational.topk_orders,
+        "filter_revenue": relational.filter_revenue,
+        "events_facets": relational.events_facets,
+        "events_hourly_window": relational.events_hourly_window,
+        "sessionize": relational.sessionize,
+        "last_event_per_user": relational.last_event_per_user,
+        "distinct_segments": relational.distinct_segments,
+        "state_counts": relational.state_counts,
+        # --- full-text index + BM25 (north_rule core) ---------------------
+        "doc_stats": _doc_stats,
+        "corpus_stats": _corpus_stats,
+        "term_df_top50": _term_df_top50,
+        "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
+        "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
+        "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
+        "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
+        "transcript_bm25": _transcript_bm25,
+        # --- text analysis ------------------------------------------------
+        "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "bpe_token_count": lambda sf: text_analysis.bpe_token_count(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "fingerprint": lambda sf: text_analysis.fingerprint(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        # --- dedup --------------------------------------------------------
+        "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
+        "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        "simhash": lambda sf: dedup.simhash(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "simhash_neardup": lambda sf: dedup.simhash_near_dups(_docs_ds(sf)).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        # --- similarity search -------------------------------------------
+        "knn_cosine": _knn,
+        "knn_ivf": _knn_ivf,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   round(sum(o.o_totalprice), 4) AS revenue,
+                   count(*) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name ORDER BY n.n_name
+        """,
+        "join_revenue_by_priority": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderdate
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "filter_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_quantity < 24
+        """,
+        "events_facets": """
+            SELECT event_type, count(*) AS frequency, round(avg(value), 4) AS avg_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_hourly_window": """
+            SELECT user_id, date_trunc('hour', ts) AS hour,
+                   count(*) AS n_events, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            )
+            SELECT user_id, count(*) AS n_events,
+                   sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS n_sessions
+            FROM lagged GROUP BY user_id ORDER BY user_id
+        """,
+        "last_event_per_user": """
+            SELECT user_id, event_id, ts, event_type FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
+        "state_counts": """
+            SELECT 'orders' AS entity, o_orderstatus AS state, count(*) AS n
+            FROM orders GROUP BY 2
+            UNION ALL
+            SELECT 'lineitem' AS entity, l_linestatus AS state, count(*) AS n
+            FROM lineitem GROUP BY 2
+            ORDER BY entity, state
+        """,
+        # --- index / text -------------------------------------------------
+        "doc_stats": index_oracle.doc_stats_sql("documents"),
+        "corpus_stats": index_oracle.corpus_stats_sql("documents"),
+        "term_df_top50": index_oracle.term_df_sql("documents", 50),
+        "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
+        "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
+        "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "text_quality": text_analysis.analyze_sql("documents"),
+        "lang_id": text_analysis.lang_id_sql("documents"),
+        "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),
+        "fingerprint": text_analysis.fingerprint_sql("documents"),
+        "exact_dedup": dedup.exact_dedup_sql("documents"),
+        "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
+        "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
+        "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
+        # transcript_bm25, simhash, simhash_neardup, knn_ivf: rows-only
+        # (synthesized input / probabilistic sketch / approximate index)
+    }

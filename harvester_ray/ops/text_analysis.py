@@ -1,0 +1,213 @@
+"""Text analysis operators for training-data curation.
+
+Vectorized map_batches stages over the ``documents``-shaped corpus:
+language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios — the spirit of the reference's pydantic validation +
+whitelist projection gates, harvester/products/tasks/products.py:26-45),
+token counting (analyzer tokens and a BPE-ish regex), and document
+fingerprinting. Every operator has an exactly-equivalent DuckDB SQL
+(``*_sql``) so the external driver can verify value-identical output.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import analyzer
+
+EN_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that")
+NL_STOPWORDS = ("de", "het", "een", "en", "van", "ik", "te", "dat", "die", "niet")
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs, each with
+# optional leading space (GPT-2-style shape, ASCII-only so RE2 ≡ re)
+BPE_PATTERN = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_BPE_RE = re.compile(BPE_PATTERN)
+_PUNCT_STRIP = "[A-Za-z0-9 ]"
+
+
+def _stop_hits(text_arr: pa.Array, stopwords: tuple[str, ...]) -> np.ndarray:
+    rows, codes, dictionary = analyzer.tokenize_flat(text_arr)
+    if rows.size == 0:
+        return np.zeros(len(text_arr), dtype=np.int64)
+    is_stop = np.asarray(pc.is_in(dictionary, value_set=pa.array(stopwords)))
+    hit = is_stop[codes]
+    return np.bincount(rows[hit], minlength=len(text_arr)).astype(np.int64)
+
+
+def analyze_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """One-pass quality metrics per document."""
+    text = batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+    text = pc.fill_null(text, "")
+    n = len(text)
+    n_chars = np.asarray(pc.utf8_length(text), dtype=np.int64)
+    n_tokens = analyzer.doc_token_counts(text)
+    stop = _stop_hits(text, EN_STOPWORDS)
+    punct_chars = np.asarray(
+        pc.utf8_length(pc.replace_substring_regex(text, pattern=_PUNCT_STRIP, replacement="")),
+        dtype=np.int64,
+    )
+    denom_t = np.maximum(n_tokens, 1).astype(np.float64)
+    denom_c = np.maximum(n_chars, 1).astype(np.float64)
+    stop_ratio = stop / denom_t
+    punct_ratio = punct_chars / denom_c
+    # quality: enough tokens, some stopwords (natural language), little punct noise
+    quality = (
+        np.minimum(n_tokens / 100.0, 1.0)
+        * (1.0 - np.minimum(punct_ratio * 5.0, 1.0))
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "stop_ratio": pa.array(np.round(stop_ratio, 6), pa.float64()),
+            "punct_ratio": pa.array(np.round(punct_ratio, 6), pa.float64()),
+            "quality": pa.array(np.round(quality, 6), pa.float64()),
+        }
+    )
+
+
+def analyze(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: analyze_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def analyze_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    stops = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         coalesce({text_col}, '') AS t,
+         {tok} AS toks
+  FROM {table}
+)
+SELECT doc_id,
+       length(t) AS n_chars,
+       len(toks) AS n_tokens,
+       round(len(list_filter(toks, x -> x IN ({stops}))) * 1.0 / greatest(len(toks), 1), 6) AS stop_ratio,
+       round(length(regexp_replace(t, '{_PUNCT_STRIP}', '', 'g')) * 1.0 / greatest(length(t), 1), 6) AS punct_ratio,
+       round( least(len(toks) / 100.0, 1.0)
+              * (1.0 - least((length(regexp_replace(t, '{_PUNCT_STRIP}', '', 'g')) * 1.0 / greatest(length(t), 1)) * 5.0, 1.0)), 6) AS quality
+FROM base
+""".strip()
+
+
+def lang_id_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Stopword-vote language ID clamped to {en, nl, unk}
+    (language handling analog: harvester/core/utils/analyzers.py:6-14)."""
+    text = pc.fill_null(batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col], "")
+    en = _stop_hits(text, EN_STOPWORDS)
+    nl = _stop_hits(text, NL_STOPWORDS)
+    pred = np.where(en > nl, "en", np.where(nl > en, "nl", "unk"))
+    return pa.table(
+        {
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "lang_pred": pa.array(pred.tolist(), pa.string()),
+        }
+    )
+
+
+def lang_id(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: lang_id_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def lang_id_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    en = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    nl = ", ".join(f"'{s}'" for s in NL_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id,
+         len(list_filter({tok}, x -> x IN ({en}))) AS en_hits,
+         len(list_filter({tok}, x -> x IN ({nl}))) AS nl_hits
+  FROM {table}
+)
+SELECT doc_id,
+       CASE WHEN en_hits > nl_hits THEN 'en'
+            WHEN nl_hits > en_hits THEN 'nl'
+            ELSE 'unk' END AS lang_pred
+FROM base
+""".strip()
+
+
+def bpe_token_count_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Token counting with a BPE-ish pre-tokenizer regex (count of matches)."""
+    text = pc.fill_null(batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col], "")
+    counts = np.fromiter(
+        (len(_BPE_RE.findall(t)) for t in text.to_pylist()), dtype=np.int64, count=len(text)
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "bpe_tokens": pa.array(counts, pa.int64()),
+        }
+    )
+
+
+def bpe_token_count(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: bpe_token_count_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def bpe_token_count_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return (
+        f"SELECT {id_col} AS doc_id, "
+        f"len(regexp_extract_all(coalesce({text_col}, ''), '{BPE_PATTERN}')) AS bpe_tokens "
+        f"FROM {table}"
+    )
+
+
+def fingerprint_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Canonical document fingerprint: md5 of the space-joined analyzer token
+    stream — invariant to whitespace/punctuation/case noise (the analog of
+    the reference's sha1-of-sorted-properties content hash,
+    harvester/core/models/datatypes/document.py:131-139)."""
+    text = analyzer.normalize_text(batch[text_col])
+    rows, codes, dictionary = analyzer.tokenize_flat(text)
+    n = batch.num_rows
+    # rows come back in ascending row order, so per-doc token streams are
+    # contiguous slices of the flat decoded token array
+    tok_arr = np.asarray(dictionary.take(pa.array(codes)).to_pylist(), dtype=object)
+    bounds = np.searchsorted(rows, np.arange(1, n))
+    fps = [
+        hashlib.md5(" ".join(part).encode()).hexdigest()
+        for part in np.split(tok_arr, bounds)
+    ]
+    return pa.table(
+        {
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "fingerprint": pa.array(fps, pa.string()),
+        }
+    )
+
+
+def fingerprint(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: fingerprint_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def fingerprint_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return (
+        f"SELECT {id_col} AS doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint "
+        f"FROM {table}"
+    )

@@ -1,0 +1,302 @@
+"""Relational operator coverage over the TPC-H-ish test tables.
+
+Each function is one pipeline from the SURVEY §2 operator inventory, written
+Ray-Data-first (read-pruned columns → vectorized map_batches → groupby /
+sort / join), with a matching oracle SQL in ``__ray_entry__``. These are the
+generic engine capabilities behind the reference's aggregation, ordering,
+faceting and merge semantics:
+
+- grouped aggregates  ≙ facet frequency refresh (harvester/metadata/models/
+  field.py:14-39) and report counts (harvester/core/logging.py:90-133)
+- broadcast joins     ≙ metadata-vocab lookups (harvester/products/tasks/
+  learning_materials.py:10-95)
+- top-k sort/limit    ≙ field ordering + pagination (harvester/search/views/
+  document.py:44-53,90-94)
+- last-writer-wins    ≙ upsert dedup by identity (harvester/core/processors/
+  seed/resource.py:98-105)
+- sessionize/window   ≙ Matomo visitor sessionization (harvester/core/
+  analysis/matomo.py)
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate: filter → computed columns →
+    groupby(2 keys).aggregate (pre-aggregated by Ray's partial+final)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
+        t = t.append_column("disc_price", disc_price)
+        return t.append_column("charge", charge)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("l_extendedprice", alias_name="sum_base_price"),
+        Sum("disc_price", alias_name="sum_disc_price"),
+        Sum("charge", alias_name="sum_charge"),
+        Mean("l_quantity", alias_name="avg_qty"),
+        Mean("l_extendedprice", alias_name="avg_price"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="count_order"),
+    )
+    return _round_floats(out.to_pandas(), 4).sort_values(
+        ["l_returnflag", "l_linestatus"]
+    ).reset_index(drop=True)
+
+
+def revenue_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation grouped revenue — the small sides
+    (customer, nation) are broadcast via ``ray.put`` and looked up inside
+    map_batches; the big side streams. No shuffle join at all."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_map = dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
+    nation_map = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
+    ref = ray.put((cust_map, nation_map))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        cm, nm = ray.get(ref)
+        cks = t["o_custkey"].to_pandas()
+        names = cks.map(cm).map(nm)
+        return pa.table(
+            {
+                "n_name": pa.array(names.tolist(), pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    joined = orders.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+    out = joined.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
+    )
+    return _round_floats(out.to_pandas(), 4).sort_values("n_name").reset_index(drop=True)
+
+
+def hash_join_order_lineitem(sf_dir: str):
+    """Large-large join: lineitem ⋈ orders on orderkey via Dataset.join
+    (hash-partitioned), then grouped revenue by order priority."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev(t: pa.Table) -> pa.Table:
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+
+    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=8,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = joined.groupby("o_orderpriority").aggregate(
+        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+    )
+    return _round_floats(out.to_pandas(), 4).sort_values("o_orderpriority").reset_index(
+        drop=True
+    )
+
+
+def topk_orders(sf_dir: str, k: int = 10):
+    """Global top-k by sort(desc) + limit (field-ordering analog)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderdate"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(k)
+    return top.to_pandas()
+
+
+def filter_revenue(sf_dir: str):
+    """TPC-H-Q6-shaped: pushdown-friendly filter + global scalar aggregate."""
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_extendedprice", "l_discount", "l_quantity", "l_shipdate"]
+    )
+
+    def fil(t: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1996-01-01"))),
+                pc.less(t["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            ),
+            pc.and_(
+                pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(m)
+        rev = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        return pa.table({"rev": rev})
+
+    out = ds.map_batches(fil, batch_format="pyarrow", zero_copy_batch=True).sum("rev")
+    return pd.DataFrame({"revenue": [round(float(out or 0.0), 4)]})
+
+
+def events_facets(sf_dir: str):
+    """Facet frequency refresh analog: per-field terms aggregation."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="frequency"), Mean("value", alias_name="avg_value")
+    )
+    return _round_floats(out.to_pandas(), 4).sort_values("event_type").reset_index(drop=True)
+
+
+def events_hourly_window(sf_dir: str):
+    """Tumbling event-time window: truncate ts to the hour inside
+    map_batches (no shuffle) then grouped aggregate per (user, hour)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+
+    out = (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+    pdf = _round_floats(out.to_pandas(), 4)
+    return pdf.sort_values(["user_id", "hour"]).reset_index(drop=True)
+
+
+def sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization (Matomo-analysis analog): groupby(user) →
+    map_groups(sort by ts, split on >gap inactivity). Ordering assumption:
+    within one user's group, events are sorted by (ts, event_id) before the
+    gap scan — the group holds one user's full history."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy()
+        new_sess = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
+        n_sessions = int(new_sess.sum())
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out.to_pandas().sort_values("user_id").reset_index(drop=True)
+
+
+def last_event_per_user(sf_dir: str):
+    """Last-writer-wins upsert semantics: keep each user's latest event
+    (ts desc, event_id desc tie-break) — per-group pre-reduction inside
+    map_batches first, then the grouped final reduce, so the shuffle moves
+    ≤1 row per (user, batch)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+
+    def local_last(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(["ts", "event_id"], kind="mergesort").groupby("user_id").tail(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"], kind="mergesort").tail(1)
+
+    pre = ds.map_batches(local_last, batch_format="pyarrow")
+    out = pre.groupby("user_id").map_groups(final_last, batch_format="pandas")
+    return (
+        out.to_pandas()[["user_id", "event_id", "ts", "event_type"]]
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values of a column (dedup/unique analog)."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pd.DataFrame({"c_mktsegment": vals})
+
+
+def state_counts(sf_dir: str):
+    """Report-counts analog (harvester/core/logging.py:90-133): row counts
+    per categorical state over two tables, unioned."""
+    from ray.data.aggregate import Count
+
+    orders = _read(sf_dir, "orders", columns=["o_orderstatus"]).groupby(
+        "o_orderstatus"
+    ).aggregate(Count(alias_name="n"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pa.array(["orders"] * t.num_rows, pa.string()),
+                "state": t["o_orderstatus"],
+                "n": t["n"],
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_linestatus"]).groupby(
+        "l_linestatus"
+    ).aggregate(Count(alias_name="n"))
+
+    def tag2(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "entity": pa.array(["lineitem"] * t.num_rows, pa.string()),
+                "state": t["l_linestatus"],
+                "n": t["n"],
+            }
+        )
+
+    a = orders.map_batches(tag, batch_format="pyarrow")
+    b = li.map_batches(tag2, batch_format="pyarrow")
+    return (
+        a.union(b).to_pandas().sort_values(["entity", "state"]).reset_index(drop=True)
+    )
+
+
+def _round_floats(df: pd.DataFrame, digits: int) -> pd.DataFrame:
+    for c in df.columns:
+        if df[c].dtype == np.float64:
+            df[c] = df[c].round(digits)
+    return df
