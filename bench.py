@@ -1,0 +1,192 @@
+"""Benchmark harness.
+
+Headline: transcript inverted-index build throughput (turns/sec) + BM25
+query p50 latency over a deterministic synthetic transcript corpus sized to
+the scale factor of $GRAFT_SF_DIR, plus secondary operator pipelines over the
+TPC-H-ish tables in $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "num_cpus": N, ...extras}
+
+``bench.py --scaling`` runs the headline in two fresh processes
+(RAY_GRAFT_CPUS=8 and =32) on the same input and reports both throughputs +
+scaling efficiency (BASELINE.md criterion: (thr_hi/thr_lo)/(hi/lo) >= 0.8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCRATCH = "/tmp/harvester_ray_bench"
+
+# per-conv mean is 10 turns; sf0.1 ≙ ~600k turns (lineitem-rows convention)
+TURNS_PER_SF = 6_000_000
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tag.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _query_set() -> list[tuple[str, str]]:
+    """Reference-style query set: head terms, tail terms, mixed, AND + OR."""
+    head = ["gaji", "hopotenu", "vafawu", "zoquli", "todefi"]
+    qs: list[tuple[str, str]] = []
+    for h in head:
+        qs.append((h, "and"))
+    for i in range(len(head) - 1):
+        qs.append((f"{head[i]} {head[i+1]}", "and"))
+        qs.append((f"{head[i]} {head[i+1]}", "or"))
+    qs += [
+        ("gaji hopotenu vafawu", "and"),
+        ("gaji hopotenu vafawu", "or"),
+        ("togisiwu zavi vilobara", "or"),
+        ("wiva loraka", "and"),
+    ]
+    return qs
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from harvester_ray import synth
+    from harvester_ray.index import query as iq
+    from harvester_ray.pipelines import flagship
+
+    sf = _sf_from_dir(SF_DIR)
+    n_convs = max(100, int(TURNS_PER_SF * sf / 10))
+    data_dir = synth.transcripts_parquet(SCRATCH, n_convs=n_convs, seed=42, shards=32)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    import pyarrow.dataset as pads
+
+    pads.dataset(data_dir).to_table(columns=["turn_idx"])
+
+    index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
+    shutil.rmtree(index_root, ignore_errors=True)
+    t0 = time.time()
+    man = flagship.build_transcript_index(
+        data_dir,
+        index_root,
+        concurrency=max(2, NUM_CPUS - 2),
+        override_num_blocks=max(8, NUM_CPUS * 2),
+    )
+    build_sec = time.time() - t0
+    n_turns = man["n_docs"]
+
+    reader = iq.IndexReader(index_root)
+    qs = _query_set()
+    reader.search(qs[0][0], k=10)  # warm dictionaries / df cache
+    lat = []
+    results = {}
+    for q, mode in qs:
+        t1 = time.time()
+        out = reader.search(q, k=10, mode=mode)
+        lat.append(time.time() - t1)
+        results[q] = out.num_rows
+    p50_ms = statistics.median(lat) * 1000
+    p95_ms = sorted(lat)[int(len(lat) * 0.95)] * 1000
+
+    # secondary operator pipelines over the sf tables
+    from harvester_ray.pipelines import relational
+
+    queries_sec: dict[str, float] = {}
+
+    def timed(name, fn):
+        t = time.time()
+        fn(SF_DIR)
+        queries_sec[name] = round(time.time() - t, 3)
+
+    timed("q1_pricing_summary", relational.q1_pricing_summary)
+    timed("join_revenue_by_priority", relational.hash_join_order_lineitem)
+    timed("events_hourly_window", relational.events_hourly_window)
+    timed("sessionize", relational.sessionize)
+
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    t = time.time()
+    dedup.exact_dedup(
+        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    ).to_pandas()
+    queries_sec["exact_dedup"] = round(time.time() - t, 3)
+
+    queries_sec["index_build"] = round(build_sec, 3)
+    queries_sec["bm25_p50"] = round(p50_ms / 1000, 6)
+
+    ray.shutdown()
+    return {
+        "metric": "transcript index build + BM25 query (turns/sec, p50 sec)",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "n_turns": int(n_turns),
+        "turns_per_sec": round(n_turns / build_sec, 1),
+        "bm25_p50_ms": round(p50_ms, 3),
+        "bm25_p95_ms": round(p95_ms, 3),
+        "n_segments": man["metrics"]["n_segments"],
+    }
+
+
+def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo = run(lo)
+    r_hi = run(hi)
+    thr_lo = r_lo["turns_per_sec"]
+    thr_hi = r_hi["turns_per_sec"]
+    eff = (thr_hi / thr_lo) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (index build, fresh processes)",
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": r_lo["value"],
+        "sec_hi": r_hi["value"],
+        "turns_per_sec_lo": thr_lo,
+        "turns_per_sec_hi": thr_hi,
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

@@ -45,11 +45,21 @@ def assign_doc_ids(
     """
     import ray
 
-    counts = ds.groupby(conv_col).count().to_pandas()
-    counts = counts.sort_values(conv_col, kind="mergesort").reset_index(drop=True)
-    counts_col = "count()" if "count()" in counts.columns else counts.columns[-1]
+    # per-conversation counts via per-batch partials (one streaming pass, no
+    # groupby shuffle — a conversation split across blocks simply yields two
+    # partial rows that the tiny driver-side combine sums)
+    def conv_counts(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([conv_col])
+            .group_by(conv_col)
+            .aggregate([([], "count_all")])
+        )
+        return agg.rename_columns([conv_col, "n"])
+
+    partials = ds.map_batches(conv_counts, batch_format="pyarrow").to_pandas()
+    counts = partials.groupby(conv_col, sort=True)["n"].sum().reset_index()
     bases = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[counts_col].to_numpy()[:-1], out=bases[1:])
+    np.cumsum(counts["n"].to_numpy()[:-1], out=bases[1:])
     base_map = dict(zip(counts[conv_col].tolist(), bases.tolist()))
     base_ref = ray.put(base_map)
 

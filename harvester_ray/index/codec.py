@@ -71,6 +71,8 @@ def varbyte_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     if b.size == 0:
         return np.empty(0, dtype=np.uint64)
     is_terminal = (b & 0x80) == 0
+    if is_terminal.all():  # fast path: every value fits 7 bits (dense gaps, small tfs)
+        return b.astype(np.uint64)
     ends = np.flatnonzero(is_terminal)
     starts = np.empty_like(ends)
     starts[0] = 0
@@ -149,12 +151,26 @@ def decode_block(
     k: int,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Decode block ``k`` standalone → (doc_ids, tfs)."""
+    return decode_block_run(doc_bytes, tf_bytes, blocks, k, k)
+
+
+def decode_block_run(
+    doc_bytes: bytes | memoryview,
+    tf_bytes: bytes | memoryview,
+    blocks: dict[str, np.ndarray],
+    i: int,
+    j: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode the contiguous run of blocks ``i..j`` (inclusive) in ONE
+    varbyte pass each for docs and tfs — blocks are laid out contiguously in
+    the stream, and only the first gap of block i needs the preceding
+    block's last_doc as base."""
     n_blocks = blocks["last_doc"].size
-    d_end = blocks["doc_off"][k + 1] if k + 1 < n_blocks else len(doc_bytes)
-    t_end = blocks["tf_off"][k + 1] if k + 1 < n_blocks else len(tf_bytes)
-    gaps = varbyte_decode(doc_bytes[blocks["doc_off"][k] : d_end])
-    base = blocks["last_doc"][k - 1] if k > 0 else 0
+    d_end = blocks["doc_off"][j + 1] if j + 1 < n_blocks else len(doc_bytes)
+    t_end = blocks["tf_off"][j + 1] if j + 1 < n_blocks else len(tf_bytes)
+    gaps = varbyte_decode(doc_bytes[blocks["doc_off"][i] : d_end])
     doc_ids = np.cumsum(gaps.astype(np.int64))
-    doc_ids += base if k > 0 else 0
-    tfs = varbyte_decode(tf_bytes[blocks["tf_off"][k] : t_end]).astype(np.int64)
+    if i > 0:
+        doc_ids += blocks["last_doc"][i - 1]
+    tfs = varbyte_decode(tf_bytes[blocks["tf_off"][i] : t_end]).astype(np.int64)
     return doc_ids, tfs

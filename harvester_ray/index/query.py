@@ -43,24 +43,53 @@ def _empty_result() -> pa.Table:
 
 
 class SegmentReader:
-    """Loads one segment's term dictionary + doc lengths; postings are
-    mmap'd and decoded lazily per query term (optionally per block)."""
+    """Loads one segment's term dictionary + doc lengths once (numpy column
+    views, no per-term python materialization); postings are mmap'd and
+    decoded lazily per query term, with a small LRU of decoded hot-term
+    lists (the load-once-per-worker discipline of SURVEY §2.3)."""
+
+    POSTINGS_CACHE = 256  # decoded term posting lists kept per segment
 
     def __init__(self, base_path: str):
+        from collections import OrderedDict
+
         self.base = base_path
         terms = pq.read_table(base_path + ".terms.parquet")
-        self._terms_tbl = terms
         self._lookup = {t: i for i, t in enumerate(terms["term"].to_pylist())}
+        for col in ("df", "cf", "doc_off", "doc_nbytes", "tf_off", "tf_nbytes"):
+            setattr(self, "_" + col, np.asarray(terms[col].combine_chunks(), dtype=np.int64))
+        self._blocks: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        for col in ("block_last_doc", "block_max_tf", "block_min_dl", "block_doc_off", "block_tf_off"):
+            arr = terms[col].combine_chunks()
+            self._blocks[col] = (
+                np.asarray(arr.offsets, dtype=np.int64),
+                np.asarray(arr.values, dtype=np.int64),
+            )
         docs = pq.read_table(base_path + ".docs.parquet")
         self.doc_ids = np.asarray(docs["doc_id"].combine_chunks(), dtype=np.int64)
         self.dl = np.asarray(docs["dl"].combine_chunks(), dtype=np.int64)
         self._bin = np.memmap(base_path + ".bin", dtype=np.uint8, mode="r")
+        self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
 
     def entry(self, term: str) -> dict | None:
+        """Lightweight per-term view: scalars + numpy block-metadata slices."""
         i = self._lookup.get(term)
         if i is None:
             return None
-        row = {name: self._terms_tbl[name][i].as_py() for name in self._terms_tbl.column_names}
+        row = {
+            "idx": i,
+            "df": int(self._df[i]),
+            "doc_off": int(self._doc_off[i]),
+            "doc_nbytes": int(self._doc_nbytes[i]),
+            "tf_off": int(self._tf_off[i]),
+            "tf_nbytes": int(self._tf_nbytes[i]),
+        }
+        off, vals = self._blocks["block_last_doc"]
+        lo, hi = off[i], off[i + 1]
+        row["block_last_doc"] = vals[lo:hi]
+        for col in ("block_max_tf", "block_min_dl", "block_doc_off", "block_tf_off"):
+            _, v = self._blocks[col]
+            row[col] = v[lo:hi]
         return row
 
     def _slices(self, row: dict) -> tuple[memoryview, memoryview]:
@@ -72,33 +101,48 @@ class SegmentReader:
         )
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray] | None:
-        """Full decode → (doc_ids, tfs)."""
+        """Full decode → (doc_ids, tfs); hot terms served from the LRU."""
+        hit = self._cache.get(term)
+        if hit is not None:
+            self._cache.move_to_end(term)
+            return hit
         row = self.entry(term)
         if row is None:
             return None
         db, tb = self._slices(row)
-        return codec.decode_postings(db, tb)
+        out = codec.decode_postings(db, tb)
+        self._cache[term] = out
+        if len(self._cache) > self.POSTINGS_CACHE:
+            self._cache.popitem(last=False)
+        return out
 
     def postings_for_candidates(
         self, row: dict, cand: np.ndarray
     ) -> tuple[np.ndarray, np.ndarray]:
         """Decode only the blocks whose doc-id range can contain ``cand``
-        (block-skip via last_doc metadata); returns decoded (docs, tfs) of
-        just those blocks, sorted."""
+        (block-skip via last_doc metadata); consecutive needed blocks are
+        decoded as single runs (one varbyte pass per run). Returns decoded
+        (docs, tfs) of just those blocks, sorted."""
         last_doc = np.asarray(row["block_last_doc"], dtype=np.int64)
         need = np.unique(np.searchsorted(last_doc, cand))
         need = need[need < last_doc.size]
         if need.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+        # if we'd touch most blocks anyway, one full decode is cheaper
+        if need.size >= max(1, int(0.8 * last_doc.size)):
+            db, tb = self._slices(row)
+            return codec.decode_postings(db, tb)
         db, tb = self._slices(row)
         blocks = {
             "last_doc": last_doc,
             "doc_off": np.asarray(row["block_doc_off"], dtype=np.int64),
             "tf_off": np.asarray(row["block_tf_off"], dtype=np.int64),
         }
+        # split needed block ids into maximal consecutive runs
+        run_breaks = np.flatnonzero(np.diff(need) > 1) + 1
         docs_parts, tf_parts = [], []
-        for k in need:
-            d, t = codec.decode_block(db, tb, blocks, int(k))
+        for run in np.split(need, run_breaks):
+            d, t = codec.decode_block_run(db, tb, blocks, int(run[0]), int(run[-1]))
             docs_parts.append(d)
             tf_parts.append(t)
         return np.concatenate(docs_parts), np.concatenate(tf_parts)
@@ -169,8 +213,43 @@ def search_segment(
             scores += bm25.score(tf, dl, idf_map[t], avgdl)
         return _topk(cand, scores, k)
 
-    # mode == "or": block-max pruned union (see block_max_union)
+    # mode == "or": exhaustive vectorized union when the lists are small
+    # (decode cost ≈ one memcpy); block-max pruned union for long lists,
+    # where skipping whole blocks actually pays for its bookkeeping.
+    local_postings = sum(e["df"] for e in entries.values())
+    if local_postings <= OR_EXHAUSTIVE_THRESHOLD:
+        return or_exhaustive(seg, entries, idf_map, avgdl, k)
     return block_max_union(seg, entries, idf_map, avgdl, k, threshold)
+
+
+# below this many postings per segment, exhaustive scoring beats pruning
+OR_EXHAUSTIVE_THRESHOLD = 500_000
+
+
+def or_exhaustive(
+    seg: SegmentReader,
+    entries: dict[str, dict],
+    idf_map: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact disjunctive top-k by full vectorized decode + sort/reduceat
+    score aggregation. Accumulation is in sorted-term order per doc (stable
+    argsort keeps per-doc contributions in append order) — the same order
+    as AND mode and the oracle, so scores are bit-comparable."""
+    docs_parts, score_parts = [], []
+    for t in sorted(entries):
+        d, f = seg.postings(t)
+        dl = seg.doc_lengths(d).astype(np.float64)
+        docs_parts.append(d)
+        score_parts.append(bm25.score(f.astype(np.float64), dl, idf_map[t], avgdl))
+    alld = np.concatenate(docs_parts)
+    alls = np.concatenate(score_parts)
+    order = np.argsort(alld, kind="stable")
+    alld, alls = alld[order], alls[order]
+    uniq, starts = np.unique(alld, return_index=True)
+    sums = np.add.reduceat(alls, starts)
+    return _topk(uniq, sums, k)
 
 
 def block_max_union(
@@ -298,6 +377,44 @@ def merge_topk(
     )
 
 
+class TermStats:
+    """Global (term → df) lookup over the bucket-partitioned term-stats
+    files. Only the bucket files a query's terms hash into are opened, and
+    looked-up terms are cached (load-once analog of the reference's
+    broadcast vocab lookups, SURVEY §2.3)."""
+
+    def __init__(self, termstats_dir: str, num_buckets: int | None):
+        self.dir = termstats_dir
+        self.num_buckets = num_buckets
+        self._cache: dict[str, int] = {}
+
+    def df(self, terms: list[str]) -> dict[str, int]:
+        import zlib
+
+        missing = [t for t in terms if t not in self._cache]
+        if missing:
+            if self.num_buckets:
+                paths = []
+                for t in missing:
+                    p = os.path.join(
+                        self.dir, f"bucket-{zlib.crc32(t.encode()) % self.num_buckets:05d}.parquet"
+                    )
+                    if os.path.exists(p) and p not in paths:
+                        paths.append(p)
+                src = pads.dataset(paths) if paths else None
+            else:  # legacy layout: scan the whole directory
+                src = pads.dataset(self.dir)
+            found: dict[str, int] = {}
+            if src is not None:
+                tbl = src.to_table(
+                    filter=pads.field("term").isin(missing), columns=["term", "df"]
+                )
+                found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+            for t in missing:
+                self._cache[t] = int(found.get(t, 0))
+        return {t: self._cache[t] for t in terms}
+
+
 class IndexReader:
     """In-process reader over an index version (default: CURRENT)."""
 
@@ -306,9 +423,11 @@ class IndexReader:
         self.manifest = mf.read_manifest(index_root, version)
         self.avgdl = float(self.manifest["avgdl"])
         self.n_docs = int(self.manifest["n_docs"])
-        self._termstats = pads.dataset(os.path.join(index_root, self.manifest["termstats"]))
+        self._termstats = TermStats(
+            os.path.join(index_root, self.manifest["termstats"]),
+            self.manifest.get("num_buckets"),
+        )
         self._segments: dict[str, SegmentReader] = {}
-        self._df_cache: dict[str, int] = {}
         self._tombstones = np.asarray(self.manifest.get("tombstones", []), dtype=np.int64)
 
     def _segment(self, seg_meta: dict) -> SegmentReader:
@@ -318,15 +437,7 @@ class IndexReader:
         return self._segments[name]
 
     def df(self, terms: list[str]) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            tbl = self._termstats.to_table(
-                filter=pads.field("term").isin(missing), columns=["term", "df"]
-            )
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
-            for t in missing:
-                self._df_cache[t] = int(found.get(t, 0))
-        return {t: self._df_cache[t] for t in terms}
+        return self._termstats.df(terms)
 
     def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
         """Top-k BM25. ``mode="and"`` = intersection semantics
@@ -394,8 +505,10 @@ class QueryService:
         self.manifest = mf.read_manifest(index_root, version)
         self.avgdl = float(self.manifest["avgdl"])
         self.n_docs = int(self.manifest["n_docs"])
-        self._termstats = pads.dataset(os.path.join(index_root, self.manifest["termstats"]))
-        self._df_cache: dict[str, int] = {}
+        self._termstats = TermStats(
+            os.path.join(index_root, self.manifest["termstats"]),
+            self.manifest.get("num_buckets"),
+        )
         segs = self.manifest["segments"]
         num_actors = max(1, min(num_actors, len(segs)))
         groups: list[list[dict]] = [segs[i::num_actors] for i in range(num_actors)]
@@ -403,15 +516,7 @@ class QueryService:
         self.actors = [actor_cls.remote(index_root, g, self.manifest) for g in groups]
 
     def df(self, terms: list[str]) -> dict[str, int]:
-        missing = [t for t in terms if t not in self._df_cache]
-        if missing:
-            tbl = self._termstats.to_table(
-                filter=pads.field("term").isin(missing), columns=["term", "df"]
-            )
-            found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
-            for t in missing:
-                self._df_cache[t] = int(found.get(t, 0))
-        return {t: self._df_cache[t] for t in terms}
+        return self._termstats.df(terms)
 
     def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
         import ray

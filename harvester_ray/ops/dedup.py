@@ -86,25 +86,26 @@ def _doc_tokens(batch_text: pa.Array) -> list[list[str]]:
     return [list(part) for part in np.split(toks, bounds)]
 
 
+_MINHASH_PRIME = (1 << 31) - 1  # Mersenne 2^31-1
+
+
 def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    a = rng.integers(1, _MINHASH_PRIME, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MINHASH_PRIME, size=num_perm, dtype=np.uint64)
     return a, b
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*x + b) mod M over shingle hashes (vectorized)."""
+    """num_perm minima of (a*x + b) mod (2^31-1) over 32-bit shingle hashes.
+
+    Fully vectorized: a < 2^31 and x < 2^32 keep a*x+b < 2^63 so the whole
+    (P, S) product grid fits uint64 with no overflow."""
     if sh.size == 0:
         return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
-    # (P, S) without overflow: use object->float trick avoided; uint64 wraps,
-    # so compute in python ints via np.uint64 modmul decomposition
     x = sh.astype(np.uint64)
-    out = np.empty(a.size, dtype=np.uint64)
-    for i in range(a.size):  # num_perm is small (64); inner op vectorized over shingles
-        v = (int(a[i]) * x.astype(object) + int(b[i])) % _MERSENNE
-        out[i] = np.min(v.astype(np.uint64))
-    return out
+    grid = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
+    return grid.min(axis=1)
 
 
 def minhash_lsh_candidates(

@@ -127,8 +127,8 @@ def frame_sample(ds, every_n: int = 4, *, id_col: str = "item_id"):
     import pyarrow.compute as pc
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].combine_chunks().cast(pa.int64())
-        keep = pc.equal(pc.mod(ids, every_n), 0)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        keep = pa.array(ids % every_n == 0)
         return batch.filter(pc.and_(keep, pc.equal(batch["mime"], "video/mp4")))
 
     return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)

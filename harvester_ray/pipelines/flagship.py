@@ -24,9 +24,14 @@ def build_transcript_index(
     batch_size: int | None = None,
     concurrency: int | None = None,
     resume: bool = True,
+    override_num_blocks: int | None = None,
 ) -> dict:
     """Build (and promote) a new index version from a transcript Parquet dir."""
-    ds = rd.read_parquet(transcripts_path, columns=["conv_id", "turn_idx", "text"])
+    ds = rd.read_parquet(
+        transcripts_path,
+        columns=["conv_id", "turn_idx", "text"],
+        override_num_blocks=override_num_blocks,
+    )
     ds = corpus.assign_doc_ids(ds)
     return build.build_index(
         ds,

@@ -1,0 +1,131 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from harvester_ray.ops import dedup, multimodal, similarity, text_analysis
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+def _docs():
+    return rd.read_parquet(DOCS, columns=["doc_id", "text"])
+
+
+def test_exact_dedup_with_planted_dups():
+    base = rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas().head(20)
+    dup = base.copy()
+    dup["doc_id"] = dup["doc_id"] + 10_000  # same text, new ids
+    ds = rd.from_pandas(pd.concat([base, dup], ignore_index=True))
+    out = dedup.exact_dedup(ds).to_pandas()
+    assert len(out) == 20  # every text survives exactly once
+    assert set(out["doc_id"]) == set(base["doc_id"])  # min id wins
+
+
+def test_minhash_near_dup_finds_planted_pair():
+    base = rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas().head(30)
+    words = base.loc[0, "text"].split()
+    near = " ".join(words[:-1] + ["zzznovel"])  # drop/replace one word
+    extra = pd.DataFrame({"doc_id": [90_000], "text": [near]})
+    ds = rd.from_pandas(pd.concat([base, extra], ignore_index=True))
+    pairs = dedup.near_dup_minhash(ds, threshold=0.5).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 90_000)).any()
+    j = pairs.loc[(pairs["doc_a"] == 0) & (pairs["doc_b"] == 90_000), "jaccard"].iloc[0]
+    assert 0.5 <= j <= 1.0
+
+
+def test_minhash_signature_similarity_estimate():
+    a, b = dedup._minhash_params(256)
+    rng = np.random.default_rng(3)
+    s1 = rng.integers(0, 2**32, 500).astype(np.uint64)
+    s2 = np.concatenate([s1[:250], rng.integers(0, 2**32, 250).astype(np.uint64)])
+    sig1 = dedup.minhash_signature(np.unique(s1), a, b)
+    sig2 = dedup.minhash_signature(np.unique(s2), a, b)
+    est = (sig1 == sig2).mean()
+    inter = np.intersect1d(s1, s2).size
+    true_j = inter / np.union1d(s1, s2).size
+    assert abs(est - true_j) < 0.15
+
+
+def test_simhash_identical_and_different():
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 1, "text": "alpha beta gamma delta epsilon"},
+            {"doc_id": 2, "text": "totally different words here now"},
+        ]
+    )
+    out = dedup.simhash(ds).to_pandas().sort_values("doc_id")
+    h = out["simhash"].to_numpy()
+    assert h[0] == h[1]
+    assert h[0] != h[2]
+    pairs = dedup.simhash_near_dups(ds, max_hamming=3).to_pandas()
+    assert ((pairs["doc_a"] == 0) & (pairs["doc_b"] == 1)).any()
+
+
+def test_knn_ivf_recall_vs_brute():
+    ds = rd.read_parquet(EMB)
+    import pyarrow.dataset as pads
+
+    q = np.asarray(
+        pads.dataset(EMB).to_table(filter=pads.field("vec_id") == 0)["embedding"][0].as_py()
+    )
+    brute = similarity.knn_brute(ds, q, k=10).to_pandas()
+    ivf = similarity.knn_ivf(ds, q, k=10, n_centroids=8, nprobe=4).to_pandas()
+    recall = len(set(brute["vec_id"]) & set(ivf["vec_id"])) / 10
+    assert recall >= 0.5  # approximate, but must overlap substantially
+    # brute is exact: must match itself deterministically on rerun
+    brute2 = similarity.knn_brute(ds, q, k=10).to_pandas()
+    assert list(brute["vec_id"]) == list(brute2["vec_id"])
+
+
+def test_lang_id_clamp_and_votes():
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "the cat and the dog in a house"},
+            {"doc_id": 1, "text": "de kat en de hond van het huis"},
+            {"doc_id": 2, "text": "lorem ipsum dolor sit amet"},
+        ]
+    )
+    out = text_analysis.lang_id(ds).to_pandas().sort_values("doc_id")
+    assert list(out["lang_pred"]) == ["en", "nl", "unk"]
+
+
+def test_quality_metrics_shape():
+    out = text_analysis.analyze(_docs()).to_pandas()
+    assert len(out) == 500
+    assert (out["stop_ratio"] <= 1.0).all() and (out["stop_ratio"] >= 0.0).all()
+    assert (out["quality"] <= 1.0).all() and (out["quality"] >= 0.0).all()
+
+
+def test_fingerprint_invariance():
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": "Hello, WORLD!  foo"},
+            {"doc_id": 1, "text": "hello world foo"},
+            {"doc_id": 2, "text": "hello world bar"},
+        ]
+    )
+    out = text_analysis.fingerprint(ds).to_pandas().sort_values("doc_id")
+    fps = list(out["fingerprint"])
+    assert fps[0] == fps[1]  # punctuation/case-invariant
+    assert fps[0] != fps[2]
+
+
+def test_multimodal_decode_plumbing():
+    tbl = multimodal.synth_media(48, seed=42)
+    ds = rd.from_arrow(tbl)
+    out = multimodal.decode_features(ds, concurrency=2, batch_size=8).to_pandas()
+    assert len(out) == 48
+    assert set(out.columns) == {"item_id", "technical_type", "payload_bytes", "features"}
+    assert out["features"].map(len).eq(multimodal.DecodeStage.FEATURE_DIM).all()
+    # deterministic: same payload → same features
+    out2 = multimodal.decode_features(rd.from_arrow(tbl), concurrency=1, batch_size=16).to_pandas()
+    a = out.sort_values("item_id")["features"].map(tuple).tolist()
+    b = out2.sort_values("item_id")["features"].map(tuple).tolist()
+    assert a == b
+    sampled = multimodal.frame_sample(ds, every_n=4).to_pandas()
+    assert (sampled["mime"] == "video/mp4").all()
+    assert (sampled["item_id"] % 4 == 0).all()
