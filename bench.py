@@ -83,7 +83,7 @@ def run_headline() -> dict:
     # warm the page cache so we measure compute+shuffle, not first disk read
     import pyarrow.dataset as pads
 
-    pads.dataset(data_dir).to_table(columns=["turn_idx"])
+    pads.dataset(data_dir).to_table(columns=["conv_id", "turn_idx", "text"])
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
     shutil.rmtree(index_root, ignore_errors=True)
@@ -97,18 +97,32 @@ def run_headline() -> dict:
     build_sec = time.time() - t0
     n_turns = man["n_docs"]
 
-    reader = iq.IndexReader(index_root)
+    # serving shape: segments fanned out over an actor pool (the OpenSearch
+    # shard fan-out analog); in-process single-threaded numbers reported too
+    svc = iq.QueryService(index_root, num_actors=min(16, NUM_CPUS))
     qs = _query_set()
-    reader.search(qs[0][0], k=10)  # warm dictionaries / df cache
-    lat = []
-    results = {}
-    for q, mode in qs:
+    cold, warm = [], []
+    for q, mode in qs:  # first execution: cold dictionaries/postings
         t1 = time.time()
-        out = reader.search(q, k=10, mode=mode)
-        lat.append(time.time() - t1)
-        results[q] = out.num_rows
-    p50_ms = statistics.median(lat) * 1000
-    p95_ms = sorted(lat)[int(len(lat) * 0.95)] * 1000
+        svc.search(q, k=10, mode=mode)
+        cold.append(time.time() - t1)
+    for _ in range(3):  # steady state: postings LRU + df cache hot
+        for q, mode in qs:
+            t1 = time.time()
+            svc.search(q, k=10, mode=mode)
+            warm.append(time.time() - t1)
+    p50_ms = statistics.median(warm) * 1000
+    p95_ms = sorted(warm)[int(len(warm) * 0.95)] * 1000
+    cold_p50_ms = statistics.median(cold) * 1000
+
+    reader = iq.IndexReader(index_root)
+    inproc = []
+    for _ in range(2):
+        for q, mode in qs:
+            t1 = time.time()
+            reader.search(q, k=10, mode=mode)
+            inproc.append(time.time() - t1)
+    inproc_p50_ms = statistics.median(inproc[len(qs):]) * 1000
 
     # secondary operator pipelines over the sf tables
     from harvester_ray.pipelines import relational
@@ -150,6 +164,8 @@ def run_headline() -> dict:
         "turns_per_sec": round(n_turns / build_sec, 1),
         "bm25_p50_ms": round(p50_ms, 3),
         "bm25_p95_ms": round(p95_ms, 3),
+        "bm25_cold_p50_ms": round(cold_p50_ms, 3),
+        "bm25_inprocess_p50_ms": round(inproc_p50_ms, 3),
         "n_segments": man["metrics"]["n_segments"],
     }
 

@@ -383,10 +383,37 @@ class TermStats:
     looked-up terms are cached (load-once analog of the reference's
     broadcast vocab lookups, SURVEY §2.3)."""
 
+    # bucket files at or below this row count are loaded wholesale into an
+    # in-memory dict (one parquet open per bucket, ever); larger buckets fall
+    # back to filtered reads per query
+    SMALL_BUCKET_ROWS = 2_000_000
+
     def __init__(self, termstats_dir: str, num_buckets: int | None):
         self.dir = termstats_dir
         self.num_buckets = num_buckets
         self._cache: dict[str, int] = {}
+        self._bucket_loaded: set[int] = set()
+
+    def _bucket_path(self, b: int) -> str:
+        return os.path.join(self.dir, f"bucket-{b:05d}.parquet")
+
+    def _load_bucket(self, b: int, wanted: list[str]) -> None:
+        if b in self._bucket_loaded:
+            return
+        path = self._bucket_path(b)
+        if not os.path.exists(path):
+            self._bucket_loaded.add(b)
+            return
+        f = pq.ParquetFile(path)
+        if f.metadata.num_rows <= self.SMALL_BUCKET_ROWS:
+            tbl = f.read(columns=["term", "df"])
+            self._cache.update(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
+            self._bucket_loaded.add(b)
+        else:  # huge vocab: filtered read for just the wanted terms
+            tbl = pads.dataset(path).to_table(
+                filter=pads.field("term").isin(wanted), columns=["term", "df"]
+            )
+            self._cache.update(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
 
     def df(self, terms: list[str]) -> dict[str, int]:
         import zlib
@@ -394,24 +421,18 @@ class TermStats:
         missing = [t for t in terms if t not in self._cache]
         if missing:
             if self.num_buckets:
-                paths = []
+                by_bucket: dict[int, list[str]] = {}
                 for t in missing:
-                    p = os.path.join(
-                        self.dir, f"bucket-{zlib.crc32(t.encode()) % self.num_buckets:05d}.parquet"
-                    )
-                    if os.path.exists(p) and p not in paths:
-                        paths.append(p)
-                src = pads.dataset(paths) if paths else None
+                    by_bucket.setdefault(zlib.crc32(t.encode()) % self.num_buckets, []).append(t)
+                for b, wanted in by_bucket.items():
+                    self._load_bucket(b, wanted)
             else:  # legacy layout: scan the whole directory
-                src = pads.dataset(self.dir)
-            found: dict[str, int] = {}
-            if src is not None:
-                tbl = src.to_table(
+                tbl = pads.dataset(self.dir).to_table(
                     filter=pads.field("term").isin(missing), columns=["term", "df"]
                 )
-                found = dict(zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()))
+                self._cache.update(zip(tbl["term"].to_pylist(), (int(x) for x in tbl["df"].to_pylist())))
             for t in missing:
-                self._cache[t] = int(found.get(t, 0))
+                self._cache.setdefault(t, 0)
         return {t: self._cache[t] for t in terms}
 
 
