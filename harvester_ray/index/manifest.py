@@ -92,13 +92,32 @@ def read_manifest(index_root: str, version: int | None = None) -> dict:
 
 
 def purge_stale_versions(index_root: str, keep: int = 3) -> list[int]:
-    """Delete all but the newest ``keep`` versions, never the current one
+    """Delete all but the newest ``keep`` versions, never the current one and
+    never a version whose files are still referenced by a kept manifest
+    (incremental versions carry segments forward by pointer)
     (retention analog: core/models/datatypes/dataset.py:83-102)."""
     versions = list_versions(index_root)
     cur = current_version(index_root)
+    kept = set(versions[-keep:]) if keep > 0 else set()
+    if cur is not None:
+        kept.add(cur)
+    referenced: set[int] = set()
+    for v in kept:
+        try:
+            man = read_manifest(index_root, v)
+        except FileNotFoundError:
+            continue
+        for seg in man.get("segments", []):
+            top = seg["path"].split("/", 1)[0]
+            if top.startswith("v") and top[1:].isdigit():
+                referenced.add(int(top[1:]))
+        ts = man.get("termstats", "")
+        top = ts.split("/", 1)[0]
+        if top.startswith("v") and top[1:].isdigit():
+            referenced.add(int(top[1:]))
     purged = []
-    for v in versions[:-keep] if keep > 0 else versions:
-        if v == cur:
+    for v in versions:
+        if v in kept or v in referenced:
             continue
         shutil.rmtree(version_dir(index_root, v), ignore_errors=True)
         purged.append(v)

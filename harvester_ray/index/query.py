@@ -171,9 +171,12 @@ def search_segment(
     k: int,
     mode: str = "and",
     threshold: float = -np.inf,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Local top-k for one segment. ``threshold`` lets callers pass a current
-    global k-th score so OR/WAND mode can prune harder."""
+    global k-th score so OR/WAND mode can prune harder; ``exclude`` is the
+    segment's tombstoned doc-id set, applied BEFORE top-k selection so dead
+    docs never crowd out live ones."""
     entries = {}
     for t in terms:
         row = seg.entry(t)
@@ -189,6 +192,8 @@ def search_segment(
         # intersect, driving from the rarest term; block-skip decode others
         order = sorted(entries, key=lambda t: entries[t]["df"])
         cand, _ = seg.postings(order[0])
+        if exclude is not None and exclude.size and cand.size:
+            cand = cand[~np.isin(cand, exclude)]
         decoded = {}
         for t in order[1:]:
             if cand.size == 0:
@@ -218,8 +223,8 @@ def search_segment(
     # where skipping whole blocks actually pays for its bookkeeping.
     local_postings = sum(e["df"] for e in entries.values())
     if local_postings <= OR_EXHAUSTIVE_THRESHOLD:
-        return or_exhaustive(seg, entries, idf_map, avgdl, k)
-    return block_max_union(seg, entries, idf_map, avgdl, k, threshold)
+        return or_exhaustive(seg, entries, idf_map, avgdl, k, exclude=exclude)
+    return block_max_union(seg, entries, idf_map, avgdl, k, threshold, exclude=exclude)
 
 
 # below this many postings per segment, exhaustive scoring beats pruning
@@ -232,6 +237,7 @@ def or_exhaustive(
     idf_map: dict[str, float],
     avgdl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact disjunctive top-k by full vectorized decode + sort/reduceat
     score aggregation. Accumulation is in sorted-term order per doc (stable
@@ -249,6 +255,9 @@ def or_exhaustive(
     alld, alls = alld[order], alls[order]
     uniq, starts = np.unique(alld, return_index=True)
     sums = np.add.reduceat(alls, starts)
+    if exclude is not None and exclude.size and uniq.size:
+        keep = ~np.isin(uniq, exclude)
+        uniq, sums = uniq[keep], sums[keep]
     return _topk(uniq, sums, k)
 
 
@@ -259,6 +268,7 @@ def block_max_union(
     avgdl: float,
     k: int,
     threshold: float = -np.inf,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Block-max pruned disjunctive top-k (block-max WAND family).
 
@@ -350,6 +360,9 @@ def block_max_union(
         alld, alls = alld[so], alls[so]
         uniq, start_idx = np.unique(alld, return_index=True)
         sums = np.add.reduceat(alls, start_idx)
+        if exclude is not None and exclude.size and uniq.size:
+            keep = ~np.isin(uniq, exclude)
+            uniq, sums = uniq[keep], sums[keep]
         heap_docs = np.concatenate([heap_docs, uniq])
         heap_scores = np.concatenate([heap_scores, sums])
         if heap_docs.size > 4 * k:
@@ -358,6 +371,27 @@ def block_max_union(
             kth = np.partition(heap_scores, heap_scores.size - k)[heap_scores.size - k] if heap_scores.size > k else heap_scores.min()
             theta = max(theta, kth)
     return _topk(heap_docs, heap_scores, k)
+
+
+def parse_tombstones(manifest: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Manifest tombstones are ``[doc_id, version]`` pairs: the doc's
+    occurrences in segments created BEFORE that version are dead (a modified
+    doc is re-added by a newer segment and must keep matching there)."""
+    tombs = manifest.get("tombstones", [])
+    if not tombs:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    arr = np.asarray(tombs, dtype=np.int64)
+    if arr.ndim == 1:  # legacy flat id list: treat as tombstoned everywhere
+        return arr, np.full(arr.size, np.iinfo(np.int64).max, dtype=np.int64)
+    return arr[:, 0], arr[:, 1]
+
+
+def tombstones_for_segment(
+    tomb_ids: np.ndarray, tomb_vers: np.ndarray, created_version: int
+) -> np.ndarray:
+    if tomb_ids.size == 0:
+        return tomb_ids
+    return np.unique(tomb_ids[tomb_vers > created_version])
 
 
 def merge_topk(
@@ -449,13 +483,13 @@ class IndexReader:
             self.manifest.get("num_buckets"),
         )
         self._segments: dict[str, SegmentReader] = {}
-        self._tombstones = np.asarray(self.manifest.get("tombstones", []), dtype=np.int64)
+        self._tomb_ids, self._tomb_vers = parse_tombstones(self.manifest)
 
     def _segment(self, seg_meta: dict) -> SegmentReader:
-        name = seg_meta["name"]
-        if name not in self._segments:
-            self._segments[name] = SegmentReader(os.path.join(self.root, seg_meta["path"]))
-        return self._segments[name]
+        key = seg_meta["path"]
+        if key not in self._segments:
+            self._segments[key] = SegmentReader(os.path.join(self.root, key))
+        return self._segments[key]
 
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
@@ -478,10 +512,14 @@ class IndexReader:
         theta = -np.inf
         for seg_meta in self.manifest["segments"]:
             seg = self._segment(seg_meta)
-            d, s = search_segment(seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta)
-            if self._tombstones.size and d.size:
-                keep = ~np.isin(d, self._tombstones)
-                d, s = d[keep], s[keep]
+            exclude = tombstones_for_segment(
+                self._tomb_ids, self._tomb_vers,
+                seg_meta.get("created_version", self.manifest["_version"]),
+            )
+            d, s = search_segment(
+                seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
+                exclude=exclude,
+            )
             parts.append((d, s))
             if s.size >= k:
                 kth = np.sort(s)[-k]
@@ -494,21 +532,25 @@ class QuerySegmentActor:
     stage). Use via ``QueryService``."""
 
     def __init__(self, index_root: str, seg_metas: list[dict], manifest: dict):
-        self.readers = [
-            (m, SegmentReader(os.path.join(index_root, m["path"]))) for m in seg_metas
-        ]
+        tomb_ids, tomb_vers = parse_tombstones(manifest)
+        cur_version = manifest.get("_version", 0)
+        self.readers = []
+        for m in seg_metas:
+            reader = SegmentReader(os.path.join(index_root, m["path"]))
+            exclude = tombstones_for_segment(
+                tomb_ids, tomb_vers, m.get("created_version", cur_version)
+            )
+            self.readers.append((m, reader, exclude))
         self.avgdl = float(manifest["avgdl"])
-        self.tombstones = np.asarray(manifest.get("tombstones", []), dtype=np.int64)
 
     def search(
         self, terms: list[str], idf_map: dict[str, float], k: int, mode: str
     ) -> tuple[np.ndarray, np.ndarray]:
         parts = []
-        for _, seg in self.readers:
-            d, s = search_segment(seg, terms, idf_map, self.avgdl, k, mode=mode)
-            if self.tombstones.size and d.size:
-                keep = ~np.isin(d, self.tombstones)
-                d, s = d[keep], s[keep]
+        for _, seg, exclude in self.readers:
+            d, s = search_segment(
+                seg, terms, idf_map, self.avgdl, k, mode=mode, exclude=exclude
+            )
             parts.append((d, s))
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)

@@ -1,0 +1,124 @@
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from harvester_ray.index import build, incremental, manifest as mf, query
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+QUERIES = [("spark window", "and"), ("table", "and"), ("customer query big", "or"), ("zzznewterm", "and")]
+
+
+def _base_corpus() -> pd.DataFrame:
+    return rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas()
+
+
+def _delta1(base: pd.DataFrame) -> pd.DataFrame:
+    rows = []
+    for d in [5, 6, 7, 8, 9]:  # modified
+        rows.append({"doc_id": d, "text": base.loc[base.doc_id == d, "text"].iloc[0] + " zzznewterm spark", "state": "active"})
+    for d in [10, 11, 12]:  # deleted
+        rows.append({"doc_id": d, "text": "", "state": "deleted"})
+    for d in range(500, 510):  # added
+        rows.append({"doc_id": d, "text": f"fresh spark window document number {d} zzznewterm", "state": "active"})
+    return pd.DataFrame(rows)
+
+
+def _delta2(merged: pd.DataFrame) -> pd.DataFrame:
+    rows = [
+        {"doc_id": 5, "text": "completely rewritten again table scan", "state": "active"},  # re-modify
+        {"doc_id": 500, "text": "", "state": "deleted"},  # delete a previously added doc
+        {"doc_id": 600, "text": "brand new second wave spark", "state": "active"},
+    ]
+    return pd.DataFrame(rows)
+
+
+def _apply(base: pd.DataFrame, delta: pd.DataFrame) -> pd.DataFrame:
+    dead = set(delta["doc_id"])
+    kept = base[~base["doc_id"].isin(dead)]
+    active = delta[delta["state"] == "active"][["doc_id", "text"]]
+    return pd.concat([kept, active], ignore_index=True).sort_values("doc_id").reset_index(drop=True)
+
+
+def _search_all(root):
+    r = query.IndexReader(root)
+    return {
+        (q, m): r.search(q, k=20, mode=m).to_pandas() for q, m in QUERIES
+    }
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    base = _base_corpus()
+    delta1 = _delta1(base)
+    merged1 = _apply(base, delta1)
+    delta2 = _delta2(merged1)
+    merged2 = _apply(merged1, delta2)
+
+    inc_root = str(tmp_path_factory.mktemp("inc"))
+    build.build_index(rd.from_pandas(base), inc_root, concurrency=2, input_desc="base")
+    incremental.build_incremental(inc_root, rd.from_pandas(delta1), input_desc="delta1")
+
+    full1_root = str(tmp_path_factory.mktemp("full1"))
+    build.build_index(rd.from_pandas(merged1), full1_root, concurrency=2)
+    return base, delta2, merged2, inc_root, full1_root, tmp_path_factory
+
+
+def test_incremental_equals_full_rebuild(setup):
+    _, _, _, inc_root, full1_root, _ = setup
+    got = _search_all(inc_root)
+    exp = _search_all(full1_root)
+    for key in got:
+        assert list(got[key]["doc_id"]) == list(exp[key]["doc_id"]), key
+        np.testing.assert_allclose(got[key]["score"], exp[key]["score"], rtol=0, err_msg=str(key))
+
+
+def test_incremental_stats_exact(setup):
+    _, _, _, inc_root, full1_root, _ = setup
+    a = mf.read_manifest(inc_root)
+    b = mf.read_manifest(full1_root)
+    assert a["n_docs"] == b["n_docs"]
+    assert a["dl_sum"] == b["dl_sum"]
+    assert abs(a["avgdl"] - b["avgdl"]) < 1e-12
+
+
+def test_modified_docs_match_new_content_only(setup):
+    _, _, _, inc_root, _, _ = setup
+    r = query.IndexReader(inc_root)
+    # "zzznewterm" exists only in modified/added docs
+    out = r.search("zzznewterm", k=50, mode="and").to_pandas()
+    assert set(out["doc_id"]) == {5, 6, 7, 8, 9, *range(500, 510)}
+    # deleted docs never match
+    out2 = r.search("table", k=500, mode="or").to_pandas()
+    assert not (set(out2["doc_id"]) & {10, 11, 12})
+
+
+def test_second_incremental_round(setup):
+    base, delta2, merged2, inc_root, _, tmpf = setup
+    incremental.build_incremental(inc_root, rd.from_pandas(delta2), input_desc="delta2")
+    full2_root = str(tmpf.mktemp("full2"))
+    build.build_index(rd.from_pandas(merged2), full2_root, concurrency=2)
+    got = _search_all(inc_root)
+    exp = _search_all(full2_root)
+    for key in got:
+        assert list(got[key]["doc_id"]) == list(exp[key]["doc_id"]), key
+        np.testing.assert_allclose(got[key]["score"], exp[key]["score"], rtol=0, err_msg=str(key))
+    a = mf.read_manifest(inc_root)
+    b = mf.read_manifest(full2_root)
+    assert a["n_docs"] == b["n_docs"] and a["dl_sum"] == b["dl_sum"]
+    # re-modified doc 5 matches its v3 content, not v2's
+    r = query.IndexReader(inc_root)
+    assert 5 not in set(r.search("zzznewterm", k=50, mode="and").to_pandas()["doc_id"])
+    # deleted-after-add doc 500 is gone
+    assert 500 not in set(r.search("spark", k=500, mode="or").to_pandas()["doc_id"])
+
+
+def test_actor_service_respects_tombstones(setup):
+    _, _, _, inc_root, _, _ = setup
+    svc = query.QueryService(inc_root, num_actors=2)
+    reader = query.IndexReader(inc_root)
+    for q, m in QUERIES[:3]:
+        a = svc.search(q, k=20, mode=m).to_pandas()
+        b = reader.search(q, k=20, mode=m).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
