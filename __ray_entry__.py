@@ -151,6 +151,20 @@ def _emb_ds(sf_dir: str):
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _extract_props(sf_dir: str) -> pd.DataFrame:
+    """Declarative OBJECTIVE extraction over the events.props JSON column
+    (source-plugin protocol: harvester/products/sources/sharekit.py:165-200)."""
+    import ray.data as rd
+
+    from harvester_ray.sources import objective as obj
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id", "props"])
+    out = obj.extract_json_column(
+        ds, "props", {"@": "$", "k": "$.k"}, keep_cols=["event_id"]
+    )
+    return out.to_pandas().sort_values("event_id").reset_index(drop=True)
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: build the versioned BM25
     segment index over `documents`, search, return the top-k table."""
@@ -194,6 +208,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
         "knn_ivf": _knn_ivf,
+        # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
+        "extract_props": _extract_props,
     }
 
 
@@ -293,6 +309,10 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
+        "extract_props": (
+            "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
+            "FROM events ORDER BY event_id"
+        ),
         # transcript_bm25, simhash, simhash_neardup, knn_ivf: rows-only
         # (synthesized input / probabilistic sketch / approximate index)
     }
