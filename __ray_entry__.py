@@ -106,6 +106,16 @@ def _term_df_top50(sf_dir: str) -> pd.DataFrame:
     return ts[["term", "df", "cf"]].reset_index(drop=True)
 
 
+def _term_df_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Term stats via the explicit salted groupby-aggregate shuffle path
+    (north_rule skew mechanism; see harvester_ray/index/stats.py)."""
+    from harvester_ray.index import stats
+
+    out = stats.term_stats_shuffle(_docs_ds(sf_dir), hot_threshold=50).to_pandas()
+    out = out.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(50)
+    return out[["term", "df", "cf"]].reset_index(drop=True)
+
+
 def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
     """Flagship transcript path (rows-only check: transcripts are synthesized,
     not among the driver's pre-registered views)."""
@@ -189,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _doc_stats,
         "corpus_stats": _corpus_stats,
         "term_df_top50": _term_df_top50,
+        "term_df_shuffle": _term_df_shuffle,
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
@@ -297,6 +308,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": index_oracle.doc_stats_sql("documents"),
         "corpus_stats": index_oracle.corpus_stats_sql("documents"),
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
+        "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
