@@ -77,13 +77,22 @@ def run_headline() -> dict:
     from harvester_ray.pipelines import flagship
 
     sf = _sf_from_dir(SF_DIR)
-    n_convs = max(100, int(TURNS_PER_SF * sf / 10))
+    mult = int(os.environ.get("GRAFT_SCALE_MULT", "1"))
+    n_convs = max(100, int(TURNS_PER_SF * sf / 10)) * mult
     data_dir = synth.transcripts_parquet(SCRATCH, n_convs=n_convs, seed=42, shards=32)
 
     # warm the page cache so we measure compute+shuffle, not first disk read
     import pyarrow.dataset as pads
 
     pads.dataset(data_dir).to_table(columns=["conv_id", "turn_idx", "text"])
+
+    # untimed warmup: a tiny build spins up Ray's worker pool and loads the
+    # heavy imports into prestarted workers, so the timed run measures
+    # steady-state build throughput rather than one-time process cold start
+    warm_dir = synth.transcripts_parquet(SCRATCH, n_convs=60, seed=1, shards=2)
+    warm_root = os.path.join(SCRATCH, f"warmidx-{NUM_CPUS}")
+    shutil.rmtree(warm_root, ignore_errors=True)
+    flagship.build_transcript_index(warm_dir, warm_root, concurrency=max(2, NUM_CPUS - 2))
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
     shutil.rmtree(index_root, ignore_errors=True)
@@ -124,30 +133,31 @@ def run_headline() -> dict:
             inproc.append(time.time() - t1)
     inproc_p50_ms = statistics.median(inproc[len(qs):]) * 1000
 
-    # secondary operator pipelines over the sf tables
-    from harvester_ray.pipelines import relational
-
+    # secondary operator pipelines over the sf tables (skipped in the
+    # headline-only mode --scaling uses for its subprocess runs)
     queries_sec: dict[str, float] = {}
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        from harvester_ray.pipelines import relational
 
-    def timed(name, fn):
+        def timed(name, fn):
+            t = time.time()
+            fn(SF_DIR)
+            queries_sec[name] = round(time.time() - t, 3)
+
+        timed("q1_pricing_summary", relational.q1_pricing_summary)
+        timed("join_revenue_by_priority", relational.hash_join_order_lineitem)
+        timed("events_hourly_window", relational.events_hourly_window)
+        timed("sessionize", relational.sessionize)
+
+        import ray.data as rd
+
+        from harvester_ray.ops import dedup
+
         t = time.time()
-        fn(SF_DIR)
-        queries_sec[name] = round(time.time() - t, 3)
-
-    timed("q1_pricing_summary", relational.q1_pricing_summary)
-    timed("join_revenue_by_priority", relational.hash_join_order_lineitem)
-    timed("events_hourly_window", relational.events_hourly_window)
-    timed("sessionize", relational.sessionize)
-
-    import ray.data as rd
-
-    from harvester_ray.ops import dedup
-
-    t = time.time()
-    dedup.exact_dedup(
-        rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
-    ).to_pandas()
-    queries_sec["exact_dedup"] = round(time.time() - t, 3)
+        dedup.exact_dedup(
+            rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+        ).to_pandas()
+        queries_sec["exact_dedup"] = round(time.time() - t, 3)
 
     queries_sec["index_build"] = round(build_sec, 3)
     queries_sec["bm25_p50"] = round(p50_ms / 1000, 6)
@@ -171,8 +181,17 @@ def run_headline() -> dict:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+    # scaling runs use a larger corpus (4× turns) so per-doc compute, not
+    # per-process fixed cost, dominates — the regime the 100 TB target lives in
+    mult = os.environ.get("GRAFT_SCALE_MULT", "4")
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_HEADLINE_ONLY="1",
+            GRAFT_SCALE_MULT=mult,
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

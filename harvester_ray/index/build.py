@@ -116,11 +116,15 @@ class SegmentBuilder:
         id_col: str = "doc_id",
         text_col: str = "text",
         num_buckets: int = NUM_TERM_BUCKETS,
+        attr_cols: list[str] | None = None,
     ):
         self.seg_dir = seg_dir
         self.id_col = id_col
         self.text_col = text_col
         self.num_buckets = num_buckets
+        # attribute columns stored alongside doc lengths for filtered search
+        # / recency boosting (facet-filter analog: search/views/document.py:70-94)
+        self.attr_cols = attr_cols or []
         os.makedirs(seg_dir, exist_ok=True)
 
     def _partials(self, term_col: pa.Array, df: np.ndarray, cf: np.ndarray, name: str, n_docs: int, dl_sum: int) -> pa.Table:
@@ -150,6 +154,7 @@ class SegmentBuilder:
     def _fingerprint(self, doc_ids: np.ndarray, text: pa.Array) -> str:
         h = hashlib.sha1()
         h.update(analyzer.ANALYZER_VERSION.encode())
+        h.update(",".join(self.attr_cols).encode())
         h.update(np.ascontiguousarray(doc_ids).tobytes())
         for buf in text.buffers():
             if buf is not None:
@@ -278,9 +283,13 @@ class SegmentBuilder:
         sort_idx = pc.sort_indices(terms_tbl["term"])
         terms_tbl = terms_tbl.take(sort_idx)
 
-        docs_tbl = pa.table(
-            {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dl, pa.int64())}
-        )
+        docs_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dl, pa.int64())}
+        for c in self.attr_cols:
+            col = batch[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            docs_cols[c] = col.take(pa.array(order))
+        docs_tbl = pa.table(docs_cols)
 
         # atomic write: tmp files → os.replace → marker last
         base = os.path.join(self.seg_dir, name)
@@ -321,6 +330,7 @@ def build_index(
     resume: bool = True,
     input_desc: str = "",
     keep_versions: int = 3,
+    attr_cols: list[str] | None = None,
 ) -> dict:
     """Build a new index version from a corpus Dataset. Returns the manifest.
 
@@ -356,13 +366,14 @@ def build_index(
     if not (resume and os.path.exists(phase1_marker)):
         shutil.rmtree(staging_dir, ignore_errors=True)
         os.makedirs(staging_dir, exist_ok=True)
-        partials = ds.select_columns([id_col, text_col]).map_batches(
+        partials = ds.select_columns([id_col, text_col] + list(attr_cols or [])).map_batches(
             SegmentBuilder,
             fn_constructor_kwargs={
                 "seg_dir": seg_dir,
                 "id_col": id_col,
                 "text_col": text_col,
                 "num_buckets": num_buckets,
+                "attr_cols": attr_cols,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -408,14 +419,17 @@ def build_index(
 
     # ---- manifest from per-segment meta rows -----------------------------
     meta_dir = os.path.join(staging_dir, f"bucket={num_buckets}")
-    meta_tbl = (
-        pads.dataset(meta_dir)
-        .to_table(filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"])
-        .sort_by("seg")
-    )
-    seg_names = meta_tbl["seg"].to_pylist()
-    seg_docs = meta_tbl["df"].to_pylist()
-    seg_dls = meta_tbl["cf"].to_pylist()
+    if os.path.isdir(meta_dir):
+        meta_tbl = (
+            pads.dataset(meta_dir)
+            .to_table(filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"])
+            .sort_by("seg")
+        )
+        seg_names = meta_tbl["seg"].to_pylist()
+        seg_docs = meta_tbl["df"].to_pylist()
+        seg_dls = meta_tbl["cf"].to_pylist()
+    else:  # empty corpus → empty (but valid, promotable) index version
+        seg_names, seg_docs, seg_dls = [], [], []
     n_docs = int(sum(seg_docs))
     dl_sum = int(sum(seg_dls))
     avgdl = (dl_sum / n_docs) if n_docs else 0.0
@@ -445,6 +459,7 @@ def build_index(
         "dl_sum": dl_sum,
         "avgdl": avgdl,
         "num_buckets": num_buckets,
+        "attr_cols": list(attr_cols or []),
         "segments": segments,
         "termstats": f"v{version}/termstats",
         "tombstones": [],

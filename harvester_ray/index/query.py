@@ -68,6 +68,12 @@ class SegmentReader:
         docs = pq.read_table(base_path + ".docs.parquet")
         self.doc_ids = np.asarray(docs["doc_id"].combine_chunks(), dtype=np.int64)
         self.dl = np.asarray(docs["dl"].combine_chunks(), dtype=np.int64)
+        # attribute columns (filtered search / recency boost), aligned to doc_ids
+        self.attrs: dict[str, pa.Array] = {
+            c: docs[c].combine_chunks()
+            for c in docs.column_names
+            if c not in ("doc_id", "dl")
+        }
         self._bin = np.memmap(base_path + ".bin", dtype=np.uint8, mode="r")
         self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
 
@@ -151,6 +157,31 @@ class SegmentReader:
         idx = np.searchsorted(self.doc_ids, docs)
         return self.dl[idx]
 
+    def attr_values(self, col: str, docs: np.ndarray) -> np.ndarray:
+        if col not in self.attrs:
+            raise KeyError(
+                f"attribute {col!r} not stored in this index — build with attr_cols=[{col!r}]"
+            )
+        idx = np.searchsorted(self.doc_ids, docs)
+        return np.asarray(self.attrs[col].take(pa.array(idx)))
+
+    def allowed_docs(self, filters: dict[str, list] | None) -> np.ndarray | None:
+        """Facet filters → sorted allowed doc-id array. Semantics mirror the
+        reference API: OR within a field's value list, AND across fields
+        (search/views/document.py:70-94). Filters do not affect scoring
+        stats (OpenSearch filter-context parity)."""
+        if not filters:
+            return None
+        mask = np.ones(self.doc_ids.size, dtype=bool)
+        for col, values in filters.items():
+            if col not in self.attrs:
+                raise KeyError(
+                    f"filter field {col!r} not stored — build with attr_cols=[{col!r}]"
+                )
+            ok = pc.is_in(self.attrs[col], value_set=pa.array(values))
+            mask &= np.asarray(pc.fill_null(ok, False))
+        return self.doc_ids[mask]
+
 
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """Deterministic top-k: score desc, doc_id asc."""
@@ -163,6 +194,19 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
     return docs[order], scores[order]
 
 
+def recency_boost(seg: SegmentReader, docs: np.ndarray, recency: dict) -> np.ndarray:
+    """Lucene ``distance_feature`` date boost: ``boost * pivot/(pivot+|Δt|)``
+    — reference defaults pivot=90d, boost=1.15 (core/models/search/
+    query.py:90-98). ``origin_us`` is passed explicitly (no wall clock)."""
+    ts = seg.attr_values(recency.get("ts_col", "ts"), docs)
+    ts = ts.astype("datetime64[us]").astype(np.int64)
+    origin = int(recency["origin_us"])
+    pivot = float(recency.get("pivot_us", 90 * 86400 * 1_000_000))
+    boost = float(recency.get("boost", 1.15))
+    dist = np.abs(origin - ts).astype(np.float64)
+    return boost * pivot / (pivot + dist)
+
+
 def search_segment(
     seg: SegmentReader,
     terms: list[str],
@@ -172,11 +216,14 @@ def search_segment(
     mode: str = "and",
     threshold: float = -np.inf,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
+    recency: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Local top-k for one segment. ``threshold`` lets callers pass a current
     global k-th score so OR/WAND mode can prune harder; ``exclude`` is the
-    segment's tombstoned doc-id set, applied BEFORE top-k selection so dead
-    docs never crowd out live ones."""
+    segment's tombstoned doc-id set and ``include`` the facet-filter allowed
+    set, both applied BEFORE top-k selection so dead/filtered docs never
+    crowd out live ones; ``recency`` adds the distance_feature date boost."""
     entries = {}
     for t in terms:
         row = seg.entry(t)
@@ -194,6 +241,8 @@ def search_segment(
         cand, _ = seg.postings(order[0])
         if exclude is not None and exclude.size and cand.size:
             cand = cand[~np.isin(cand, exclude)]
+        if include is not None and cand.size:
+            cand = np.intersect1d(cand, include, assume_unique=True)
         decoded = {}
         for t in order[1:]:
             if cand.size == 0:
@@ -216,14 +265,20 @@ def search_segment(
             idx = np.searchsorted(d, cand)
             tf = f[idx].astype(np.float64)
             scores += bm25.score(tf, dl, idf_map[t], avgdl)
+        if recency is not None:
+            scores = scores + recency_boost(seg, cand, recency)
         return _topk(cand, scores, k)
 
     # mode == "or": exhaustive vectorized union when the lists are small
     # (decode cost ≈ one memcpy); block-max pruned union for long lists,
     # where skipping whole blocks actually pays for its bookkeeping.
+    # filters/recency change per-doc scores, which would invalidate block-max
+    # upper bounds → those queries always take the exhaustive path
     local_postings = sum(e["df"] for e in entries.values())
-    if local_postings <= OR_EXHAUSTIVE_THRESHOLD:
-        return or_exhaustive(seg, entries, idf_map, avgdl, k, exclude=exclude)
+    if include is not None or recency is not None or local_postings <= OR_EXHAUSTIVE_THRESHOLD:
+        return or_exhaustive(
+            seg, entries, idf_map, avgdl, k, exclude=exclude, include=include, recency=recency
+        )
     return block_max_union(seg, entries, idf_map, avgdl, k, threshold, exclude=exclude)
 
 
@@ -238,6 +293,8 @@ def or_exhaustive(
     avgdl: float,
     k: int,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
+    recency: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact disjunctive top-k by full vectorized decode + sort/reduceat
     score aggregation. Accumulation is in sorted-term order per doc (stable
@@ -258,6 +315,11 @@ def or_exhaustive(
     if exclude is not None and exclude.size and uniq.size:
         keep = ~np.isin(uniq, exclude)
         uniq, sums = uniq[keep], sums[keep]
+    if include is not None and uniq.size:
+        keep = np.isin(uniq, include, assume_unique=True)
+        uniq, sums = uniq[keep], sums[keep]
+    if recency is not None and uniq.size:
+        sums = sums + recency_boost(seg, uniq, recency)
     return _topk(uniq, sums, k)
 
 
@@ -494,10 +556,19 @@ class IndexReader:
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
 
-    def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+    ) -> pa.Table:
         """Top-k BM25. ``mode="and"`` = intersection semantics
         (simple_query_string default_operator:and parity); ``mode="or"`` =
-        disjunctive block-max pruned scoring."""
+        disjunctive block-max pruned scoring. ``filters`` are facet filters
+        (OR within field, AND across fields, filter-context scoring);
+        ``recency`` is the distance_feature date boost (see recency_boost)."""
         terms = sorted(set(analyzer.tokenize_query(query_text)))
         if not terms:
             return _empty_result()
@@ -518,10 +589,10 @@ class IndexReader:
             )
             d, s = search_segment(
                 seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
-                exclude=exclude,
+                exclude=exclude, include=seg.allowed_docs(filters), recency=recency,
             )
             parts.append((d, s))
-            if s.size >= k:
+            if s.size >= k and recency is None:
                 kth = np.sort(s)[-k]
                 theta = max(theta, kth)
         return merge_topk(parts, k)
@@ -544,12 +615,19 @@ class QuerySegmentActor:
         self.avgdl = float(manifest["avgdl"])
 
     def search(
-        self, terms: list[str], idf_map: dict[str, float], k: int, mode: str
+        self,
+        terms: list[str],
+        idf_map: dict[str, float],
+        k: int,
+        mode: str,
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         parts = []
         for _, seg, exclude in self.readers:
             d, s = search_segment(
-                seg, terms, idf_map, self.avgdl, k, mode=mode, exclude=exclude
+                seg, terms, idf_map, self.avgdl, k, mode=mode, exclude=exclude,
+                include=seg.allowed_docs(filters), recency=recency,
             )
             parts.append((d, s))
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
@@ -581,7 +659,14 @@ class QueryService:
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
 
-    def search(self, query_text: str, k: int = 10, mode: str = "and") -> pa.Table:
+    def search(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+    ) -> pa.Table:
         import ray
 
         terms = sorted(set(analyzer.tokenize_query(query_text)))
@@ -594,7 +679,9 @@ class QueryService:
         if not terms:
             return _empty_result()
         idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in terms}
-        futures = [a.search.remote(terms, idf_map, k, mode) for a in self.actors]
+        futures = [
+            a.search.remote(terms, idf_map, k, mode, filters, recency) for a in self.actors
+        ]
         parts = ray.get(futures)
         return merge_topk(parts, k)
 

@@ -1,0 +1,135 @@
+import os
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data as rd
+
+from harvester_ray.index import build, oracle, query
+from harvester_ray.pipelines import multilingual
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def attr_index(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("attr_idx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang", "source"])
+    build.build_index(ds, root, concurrency=2, attr_cols=["lang", "source"])
+    return root
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    return c
+
+
+@pytest.mark.parametrize("mode", ["and", "or"])
+def test_filtered_search_matches_oracle(attr_index, con, mode):
+    """Filters restrict matches but do NOT change scoring stats
+    (OpenSearch filter-context parity)."""
+    filters = {"source": ["src0", "src1"]}
+    got = (
+        query.IndexReader(attr_index)
+        .search("table", k=15, mode=mode, filters=filters)
+        .to_pandas()
+    )
+    base_sql = oracle.bm25_sql("documents", "table", 10_000, mode=mode, round_digits=12)
+    exp = con.execute(
+        f"""
+        WITH ranked AS ({base_sql})
+        SELECT r.doc_id, r.score FROM ranked r
+        JOIN documents d ON d.doc_id = r.doc_id
+        WHERE d.source IN ('src0', 'src1')
+        ORDER BY r.score DESC, r.doc_id ASC LIMIT 15
+        """
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def test_filter_and_across_fields(attr_index):
+    r = query.IndexReader(attr_index)
+    both = r.search("table", k=100, filters={"source": ["src0"], "lang": ["en"]}).to_pandas()
+    only_src = r.search("table", k=100, filters={"source": ["src0"]}).to_pandas()
+    assert set(both["doc_id"]) <= set(only_src["doc_id"])
+
+
+def test_filter_unknown_field_raises(attr_index):
+    with pytest.raises(KeyError):
+        query.IndexReader(attr_index).search("table", k=5, filters={"nope": ["x"]})
+
+
+def test_recency_boost(tmp_path_factory, con):
+    import pandas as pd
+
+    root = str(tmp_path_factory.mktemp("ts_idx"))
+    base = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["alpha beta"] * 3,  # identical BM25 scores
+            "ts": pd.to_datetime(["2024-01-01", "2024-06-01", "2023-01-01"]),
+        }
+    )
+    build.build_index(rd.from_pandas(base), root, concurrency=2, attr_cols=["ts"])
+    origin = int(pd.Timestamp("2024-06-02").value // 1000)  # µs
+    rec = {"origin_us": origin, "boost": 1.15}
+    out = query.IndexReader(root).search("alpha", k=3, recency=rec).to_pandas()
+    # newest doc first (distance_feature: closer ts → bigger boost)
+    assert list(out["doc_id"]) == [1, 0, 2]
+    # oracle check of the full score (BM25 + boost) for the top doc
+    con2 = duckdb.connect()
+    pivot_us = 90 * 86400 * 1_000_000
+    exp = con2.execute(
+        f"""
+        WITH d AS (SELECT * FROM (VALUES (0, TIMESTAMP '2024-01-01'),
+                                         (1, TIMESTAMP '2024-06-01'),
+                                         (2, TIMESTAMP '2023-01-01')) AS t(doc_id, ts))
+        SELECT doc_id, 1.15 * {pivot_us} /
+               ({pivot_us} + abs({origin} - epoch_us(ts))) AS boost
+        FROM d ORDER BY doc_id
+        """
+    ).fetchdf()
+    base_score = out.loc[out.doc_id == 2, "score"].iloc[0] - exp.loc[2, "boost"]
+    for d in [0, 1]:
+        np.testing.assert_allclose(
+            out.loc[out.doc_id == d, "score"].iloc[0],
+            base_score + exp.loc[d, "boost"],
+            rtol=1e-9,
+        )
+
+
+def test_language_routed_indexes(tmp_path_factory, con):
+    root = str(tmp_path_factory.mktemp("langs"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "lang"])
+    manifests = multilingual.build_language_indexes(ds, root, concurrency=2)
+    assert set(manifests) == {"en", "nl", "unk", "all"}
+    n_total = con.execute("SELECT count(*) FROM documents").fetchone()[0]
+    assert manifests["all"]["n_docs"] == n_total
+    routed_sum = sum(manifests[r]["n_docs"] for r in ("en", "nl", "unk"))
+    assert routed_sum == n_total
+    # en-index results match an oracle restricted to clamped-en docs
+    # (per-language stats: df/avgdl computed over the en corpus only)
+    con.execute(
+        "CREATE OR REPLACE VIEW docs_en AS SELECT * FROM documents "
+        "WHERE (CASE WHEN lang IN ('en','nl') THEN lang ELSE 'unk' END) = 'en'"
+    )
+    exp = con.execute(oracle.bm25_sql("docs_en", "table", 10, round_digits=12)).fetchdf()
+    got = multilingual.search_language(root, "table", k=10, language="en").to_pandas()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+    # unknown language routes to 'all'
+    all_res = multilingual.search_language(root, "table", k=10).to_pandas()
+    assert len(all_res) == 10
+
+
+def test_query_service_filters(attr_index):
+    svc = query.QueryService(attr_index, num_actors=2)
+    reader = query.IndexReader(attr_index)
+    f = {"source": ["src0", "src1"]}
+    a = svc.search("table", k=15, filters=f).to_pandas()
+    b = reader.search("table", k=15, filters=f).to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
