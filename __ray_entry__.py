@@ -37,13 +37,13 @@ def _documents_index(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_SCRATCH, f"docidx-{tag}")
+    root = os.path.join(_SCRATCH, f"docidx-attrs-{tag}")
     docs = os.path.join(sf_dir, "documents.parquet")
     from harvester_ray.index import manifest as mf
 
     if mf.current_version(root) is None:
-        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
-        index_build.build_index(ds, root, input_desc=docs)
+        ds = rd.read_parquet(docs, columns=["doc_id", "text", "source", "lang"])
+        index_build.build_index(ds, root, input_desc=docs, attr_cols=["source", "lang"])
     return root
 
 
@@ -175,6 +175,26 @@ def _extract_props(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _suggest_terms(sf_dir: str) -> pd.DataFrame:
+    """Prefix autocomplete over the term dictionary (autocomplete analog,
+    harvester/search/views/autocomplete.py:25-33)."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    return extras.suggest(reader, "s", limit=10)
+
+
+def _matches_by_source(sf_dir: str) -> pd.DataFrame:
+    """Exact results_total filter-count aggregation per source field
+    (harvester/search/views/document.py:129-143)."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    got = extras.match_counts(reader, BM25_QUERY_AND, mode="and", count_fields=["source"])
+    items = sorted(got["filter_counts"]["source"].items())
+    return pd.DataFrame({"source": [k for k, _ in items], "n": [v for _, v in items]})
+
+
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001: build the versioned BM25
     segment index over `documents`, search, return the top-k table."""
@@ -221,6 +241,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
+        # --- search extras (autocomplete + filter-count aggregations) -----
+        "suggest_terms": _suggest_terms,
+        "matches_by_source": _matches_by_source,
     }
 
 
@@ -321,6 +344,19 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
+        "suggest_terms": """
+            WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term FROM documents),
+            stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+            SELECT term, df FROM stats WHERE term LIKE 's%'
+            ORDER BY df DESC, term ASC LIMIT 10
+        """,
+        "matches_by_source": """
+            WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term FROM documents),
+            m AS (SELECT doc_id FROM toks WHERE term IN ('spark', 'window')
+                  GROUP BY doc_id HAVING count(DISTINCT term) = 2)
+            SELECT d.source, count(*) AS n FROM documents d JOIN m ON d.doc_id = m.doc_id
+            GROUP BY d.source ORDER BY d.source
+        """,
         "extract_props": (
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events ORDER BY event_id"

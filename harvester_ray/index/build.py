@@ -126,6 +126,11 @@ class SegmentBuilder:
         # / recency boosting (facet-filter analog: search/views/document.py:70-94)
         self.attr_cols = attr_cols or []
         os.makedirs(seg_dir, exist_ok=True)
+        # one actor == one CPU slot: pin Arrow's internal thread pool so N
+        # concurrent actors don't each spawn num_cpus kernel threads and
+        # thrash the node (8× UDF-time inflation observed without this)
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(2)
 
     def _partials(self, term_col: pa.Array, df: np.ndarray, cf: np.ndarray, name: str, n_docs: int, dl_sum: int) -> pa.Table:
         if isinstance(term_col, pa.ChunkedArray):

@@ -1,0 +1,139 @@
+"""Search extras: more_like_this, autocomplete suggestions, match counts
+with per-field filter aggregations.
+
+The reference delegates these wholesale to OpenSearch (similarity + author
+suggestions: harvester/search/views/similarity.py:70-110; autocomplete:
+harvester/search/views/autocomplete.py:25-33; ``results_total`` and
+``include_filter_counts`` aggregations: harvester/search/views/
+document.py:129-143; facet frequency refresh: harvester/metadata/models/
+field.py:14-39). Implemented natively against the segment index.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .. import analyzer
+from . import bm25
+from .query import IndexReader, tombstones_for_segment
+
+
+def doc_top_terms(
+    reader: IndexReader, doc_id: int, max_terms: int = 12
+) -> list[str]:
+    """A document's highest tf·idf terms — the MLT query-term selection.
+
+    Scans only the one segment containing the doc (binary search over
+    segment doc tables)."""
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        pos = np.searchsorted(seg.doc_ids, doc_id)
+        if pos >= seg.doc_ids.size or seg.doc_ids[pos] != doc_id:
+            continue
+        terms_tbl = pq.read_table(seg.base + ".terms.parquet", columns=["term"])
+        scores: list[tuple[float, str]] = []
+        for t in terms_tbl["term"].to_pylist():
+            d, f = seg.postings(t)
+            i = np.searchsorted(d, doc_id)
+            if i < d.size and d[i] == doc_id:
+                df = reader.df([t])[t]
+                scores.append((float(f[i]) * float(bm25.idf(reader.n_docs, df)), t))
+        scores.sort(key=lambda x: (-x[0], x[1]))
+        return [t for _, t in scores[:max_terms]]
+    return []
+
+
+def more_like_this(
+    reader: IndexReader, doc_id: int, k: int = 10, max_terms: int = 12
+) -> pa.Table:
+    """Similar documents: OR query over the doc's top tf·idf terms, the doc
+    itself excluded (similarity endpoint analog)."""
+    terms = doc_top_terms(reader, doc_id, max_terms=max_terms)
+    if not terms:
+        return reader.search("", k=k)
+    out = reader.search(" ".join(terms), k=k + 1, mode="or").to_pandas()
+    out = out[out["doc_id"] != doc_id].head(k).reset_index(drop=True)
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int32)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def suggest(reader: IndexReader, prefix: str, limit: int = 10) -> pd.DataFrame:
+    """Prefix autocomplete over the global term dictionary, ordered by
+    document frequency (suggest_completion field analog,
+    harvester/products/models/datatypes/product.py:169-180)."""
+    prefix = prefix.lower()
+    num_buckets = reader.manifest.get("num_buckets")
+    ts_dir = os.path.join(reader.root, reader.manifest["termstats"])
+    parts = []
+    if os.path.isdir(ts_dir):
+        for fname in sorted(os.listdir(ts_dir)):
+            if not fname.endswith(".parquet"):
+                continue
+            tbl = pq.read_table(os.path.join(ts_dir, fname), columns=["term", "df"])
+            import pyarrow.compute as pc
+
+            m = pc.starts_with(tbl["term"], pattern=prefix)
+            parts.append(tbl.filter(m).to_pandas())
+    if not parts:
+        return pd.DataFrame({"term": [], "df": []})
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    return out.head(limit).reset_index(drop=True)
+
+
+def match_counts(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "and",
+    count_fields: list[str] | None = None,
+    filters: dict[str, list] | None = None,
+) -> dict:
+    """Exact ``results_total`` + per-field value counts over the matching
+    docs (``include_filter_counts`` analog). Matches are enumerated per
+    segment from posting intersections/unions (k=∞ without scoring)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    terms = [t for t in terms if dfs.get(t, 0) > 0]
+    if not terms or (mode == "and" and len(terms) < len(set(analyzer.tokenize_query(query_text)))):
+        if mode == "and" and terms != sorted(set(analyzer.tokenize_query(query_text))):
+            return {"results_total": {"value": 0, "is_precise": True}, "filter_counts": {}}
+    total = 0
+    counts: dict[str, dict] = {f: {} for f in (count_fields or [])}
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        include = seg.allowed_docs(filters)
+        matched: np.ndarray | None = None
+        for t in sorted(terms, key=lambda t: seg.entry(t)["df"] if seg.entry(t) else 0):
+            p = seg.postings(t)
+            d = p[0] if p else np.empty(0, np.int64)
+            if matched is None:
+                matched = d
+            elif mode == "and":
+                matched = np.intersect1d(matched, d, assume_unique=True)
+            else:
+                matched = np.union1d(matched, d)
+            if mode == "and" and matched.size == 0:
+                break
+        if matched is None or matched.size == 0:
+            continue
+        if exclude is not None and exclude.size:
+            matched = matched[~np.isin(matched, exclude)]
+        if include is not None:
+            matched = np.intersect1d(matched, include, assume_unique=True)
+        total += int(matched.size)
+        for f in counts:
+            vals = seg.attr_values(f, matched)
+            uniq, cnt = np.unique(vals, return_counts=True)
+            for v, c in zip(uniq, cnt):
+                counts[f][str(v)] = counts[f].get(str(v), 0) + int(c)
+    return {"results_total": {"value": total, "is_precise": True}, "filter_counts": counts}
