@@ -92,16 +92,17 @@ def run_headline() -> dict:
     warm_dir = synth.transcripts_parquet(SCRATCH, n_convs=60, seed=1, shards=2)
     warm_root = os.path.join(SCRATCH, f"warmidx-{NUM_CPUS}")
     shutil.rmtree(warm_root, ignore_errors=True)
-    flagship.build_transcript_index(warm_dir, warm_root, concurrency=max(2, NUM_CPUS - 2))
+    flagship.build_transcript_index(warm_dir, warm_root, concurrency=max(2, (3 * NUM_CPUS) // 4))
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
     shutil.rmtree(index_root, ignore_errors=True)
+    conc = max(2, (3 * NUM_CPUS) // 4)
     t0 = time.time()
     man = flagship.build_transcript_index(
         data_dir,
         index_root,
-        concurrency=max(2, NUM_CPUS - 2),
-        override_num_blocks=max(8, NUM_CPUS * 2),
+        concurrency=conc,
+        override_num_blocks=conc * 4,
     )
     build_sec = time.time() - t0
     n_turns = man["n_docs"]

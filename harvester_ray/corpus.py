@@ -60,15 +60,21 @@ def assign_doc_ids(
     counts = partials.groupby(conv_col, sort=True)["n"].sum().reset_index()
     bases = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts["n"].to_numpy()[:-1], out=bases[1:])
-    base_map = dict(zip(counts[conv_col].tolist(), bases.tolist()))
-    base_ref = ray.put(base_map)
+    # broadcast as fixed-width numpy arrays (near-zero deserialization per
+    # task, unlike a Python dict which repays unpickling on every ray.get)
+    conv_sorted = counts[conv_col].to_numpy(dtype=np.str_)
+    base_ref = ray.put((conv_sorted, bases))
+    cache: dict[str, tuple[np.ndarray, np.ndarray]] = {}
 
     def add_ids(batch: pa.Table) -> pa.Table:
-        bm = ray.get(base_ref)
-        convs = batch[conv_col].to_pandas()
-        base = convs.map(bm).to_numpy(dtype=np.int64)
+        if "b" not in cache:
+            cache["b"] = ray.get(base_ref)
+        conv_arr, base_arr = cache["b"]
+        convs = np.asarray(batch[conv_col].to_pandas(), dtype=np.str_)
+        idx = np.searchsorted(conv_arr, convs)
         turn = np.asarray(batch[turn_col].combine_chunks().cast(pa.int64()))
-        return batch.append_column("doc_id", pa.array(base + turn, pa.int64()))
+        doc_id = base_arr[idx] + turn
+        return batch.append_column("doc_id", pa.array(doc_id, pa.int64()))
 
     return ds.map_batches(add_ids, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -358,8 +358,10 @@ def build_index(
     os.makedirs(seg_dir, exist_ok=True)
 
     if concurrency is None:
+        # leave ~1/4 of the CPUs for the read and write operators — a pool
+        # that reserves every core starves them and the pipeline serializes
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, ncpu - 2)
+        concurrency = max(2, (3 * ncpu) // 4)
 
     num_buckets = NUM_TERM_BUCKETS
 

@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the codec and analyzer — the
+pieces whose correctness everything else leans on."""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from harvester_ray import analyzer
+from harvester_ray.index import codec
+
+
+@st.composite
+def uint_arrays(draw):
+    n = draw(st.integers(0, 500))
+    bits = draw(st.sampled_from([7, 14, 21, 32, 50, 63]))
+    values = draw(
+        st.lists(st.integers(0, 2**bits - 1), min_size=n, max_size=n)
+    )
+    return np.array(values, dtype=np.uint64)
+
+
+@given(uint_arrays())
+@settings(max_examples=200, deadline=None)
+def test_varbyte_roundtrip_property(values):
+    out = codec.varbyte_decode(codec.varbyte_encode(values))
+    np.testing.assert_array_equal(out, values)
+
+
+@given(uint_arrays())
+@settings(max_examples=100, deadline=None)
+def test_varbyte_offsets_property(values):
+    buf, starts = codec.varbyte_encode_all(values)
+    assert starts.size == values.size
+    # decoding any suffix from a value boundary yields the remaining values
+    if values.size > 1:
+        mid = values.size // 2
+        tail = codec.varbyte_decode(buf[starts[mid]:])
+        np.testing.assert_array_equal(tail, values[mid:])
+
+
+@st.composite
+def postings(draw):
+    n = draw(st.integers(1, 400))
+    doc_ids = np.array(
+        sorted(draw(st.sets(st.integers(0, 10**9), min_size=n, max_size=n))),
+        dtype=np.int64,
+    )
+    tfs = np.array(draw(st.lists(st.integers(1, 10**4), min_size=n, max_size=n)), dtype=np.int64)
+    dls = np.array(draw(st.lists(st.integers(1, 10**5), min_size=n, max_size=n)), dtype=np.int64)
+    return doc_ids, tfs, dls
+
+
+@given(postings())
+@settings(max_examples=100, deadline=None)
+def test_postings_roundtrip_property(p):
+    doc_ids, tfs, dls = p
+    db, tb, blocks = codec.encode_postings(doc_ids, tfs, dls)
+    d2, f2 = codec.decode_postings(db, tb)
+    np.testing.assert_array_equal(d2, doc_ids)
+    np.testing.assert_array_equal(f2, tfs)
+    # every block decodes standalone and block-max metadata dominates
+    bs = codec.BLOCK_SIZE
+    for k in range(blocks["last_doc"].size):
+        dk, fk = codec.decode_block(db, tb, blocks, k)
+        s, e = k * bs, min((k + 1) * bs, doc_ids.size)
+        np.testing.assert_array_equal(dk, doc_ids[s:e])
+        assert fk.max() <= blocks["max_tf"][k]
+        assert blocks["min_dl"][k] <= dls[s:e].min()
+
+
+@given(st.lists(st.text(max_size=80), max_size=30))
+@settings(max_examples=150, deadline=None)
+def test_tokenizer_matches_reference_regex_property(texts):
+    arr = pa.array(texts, pa.string())
+    rows, codes, dictionary = analyzer.tokenize_flat(arr)
+    vocab = dictionary.to_pylist()
+    got = [[] for _ in texts]
+    for r, c in zip(rows, codes):
+        got[r].append(vocab[c])
+    expected = [re.findall(r"[a-z0-9]+", t.lower()) for t in texts]
+    assert got == expected
+
+
+@given(st.lists(st.text(alphabet="ab <>/x", max_size=40), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_normalize_idempotent_property(texts):
+    arr = pa.array(texts, pa.string())
+    once = analyzer.normalize_text(arr).to_pylist()
+    twice = analyzer.normalize_text(pa.array(once, pa.string())).to_pylist()
+    assert once == twice
+
+
+@given(st.lists(st.text(alphabet="abc ", min_size=0, max_size=30), max_size=20))
+@settings(max_examples=100, deadline=None)
+def test_term_frequencies_sum_to_doc_lengths(texts):
+    arr = pa.array(texts, pa.string())
+    rows, codes, _ = analyzer.tokenize_flat(arr)
+    r, c, tf = analyzer.term_frequencies(rows, codes)
+    dl = analyzer.doc_token_counts(arr)
+    per_doc = np.zeros(len(texts), dtype=np.int64)
+    np.add.at(per_doc, r, tf)
+    np.testing.assert_array_equal(per_doc, dl)
