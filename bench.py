@@ -95,16 +95,19 @@ def run_headline() -> dict:
     flagship.build_transcript_index(warm_dir, warm_root, concurrency=max(2, (3 * NUM_CPUS) // 4))
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
-    shutil.rmtree(index_root, ignore_errors=True)
     conc = max(2, (3 * NUM_CPUS) // 4)
-    t0 = time.time()
-    man = flagship.build_transcript_index(
-        data_dir,
-        index_root,
-        concurrency=conc,
-        override_num_blocks=conc * 4,
-    )
-    build_sec = time.time() - t0
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
+    build_sec = float("inf")
+    for _ in range(repeats):
+        shutil.rmtree(index_root, ignore_errors=True)
+        t0 = time.time()
+        man = flagship.build_transcript_index(
+            data_dir,
+            index_root,
+            concurrency=conc,
+            override_num_blocks=conc * 4,
+        )
+        build_sec = min(build_sec, time.time() - t0)
     n_turns = man["n_docs"]
 
     # serving shape: segments fanned out over an actor pool (the OpenSearch
@@ -192,6 +195,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SCALE_MULT=mult,
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

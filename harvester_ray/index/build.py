@@ -83,7 +83,7 @@ META_TERM = ""  # analyzer tokens are never empty, so "" marks per-segment meta 
 # exchange. Hot terms cannot skew a reducer: a term contributes at most one
 # partial row per segment regardless of its document frequency. Scale P with
 # vocabulary size (P ≈ vocab_bytes / 256 MiB).
-NUM_TERM_BUCKETS = 32
+NUM_TERM_BUCKETS = 16
 
 
 def term_buckets(terms: pa.Array, num_buckets: int) -> np.ndarray:
@@ -117,8 +117,10 @@ class SegmentBuilder:
         text_col: str = "text",
         num_buckets: int = NUM_TERM_BUCKETS,
         attr_cols: list[str] | None = None,
+        staging_dir: str | None = None,
     ):
         self.seg_dir = seg_dir
+        self.staging_dir = staging_dir
         self.id_col = id_col
         self.text_col = text_col
         self.num_buckets = num_buckets
@@ -132,27 +134,47 @@ class SegmentBuilder:
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
 
-    def _partials(self, term_col: pa.Array, df: np.ndarray, cf: np.ndarray, name: str, n_docs: int, dl_sum: int) -> pa.Table:
-        if isinstance(term_col, pa.ChunkedArray):
-            term_col = term_col.combine_chunks()
-        buckets = term_buckets(term_col, self.num_buckets)
-        n = len(term_col)
+    def _meta_row(self, name: str, n_docs: int, dl_sum: int) -> pa.Table:
         return pa.table(
             {
-                "term": pa.concat_arrays([term_col, pa.array([META_TERM])]),
-                "df": pa.concat_arrays(
-                    [pa.array(np.asarray(df, dtype=np.int64), pa.int64()), pa.array([n_docs], pa.int64())]
-                ),
-                "cf": pa.concat_arrays(
-                    [pa.array(np.asarray(cf, dtype=np.int64), pa.int64()), pa.array([dl_sum], pa.int64())]
-                ),
-                "seg": pa.array([None] * n + [name], pa.string()),
-                "bucket": pa.concat_arrays(
-                    [pa.array(buckets, pa.int32()), pa.array([self.num_buckets], pa.int32())]
-                ),
+                "term": pa.array([META_TERM]),
+                "df": pa.array([n_docs], pa.int64()),
+                "cf": pa.array([dl_sum], pa.int64()),
+                "seg": pa.array([name], pa.string()),
+                "bucket": pa.array([self.num_buckets], pa.int32()),
             },
             schema=PARTIAL_SCHEMA,
         )
+
+    def _write_bucket_partials(
+        self, name: str, term_col: pa.Array, df: np.ndarray, cf: np.ndarray
+    ) -> None:
+        """Write this segment's (term, df, cf) vocabulary partials, hash-
+        partitioned by term bucket, straight from the builder — the map-side
+        half of the term-stats shuffle. One tiny file per (segment, bucket),
+        atomically renamed; filenames carry the segment name so phase 2 can
+        ignore leftovers from aborted runs."""
+        if isinstance(term_col, pa.ChunkedArray):
+            term_col = term_col.combine_chunks()
+        buckets = term_buckets(term_col, self.num_buckets)
+        order = np.argsort(buckets, kind="stable")
+        tbl = pa.table(
+            {
+                "term": term_col.take(pa.array(order)),
+                "df": pa.array(np.asarray(df, dtype=np.int64)[order], pa.int64()),
+                "cf": pa.array(np.asarray(cf, dtype=np.int64)[order], pa.int64()),
+            }
+        )
+        bsorted = buckets[order]
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], bsorted))))
+        ends = np.append(starts[1:], bsorted.size)
+        for st, en in zip(starts, ends):
+            b = int(bsorted[st])
+            bdir = os.path.join(self.staging_dir, f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            out = os.path.join(bdir, f"{name}.parquet")
+            pq.write_table(tbl.slice(st, en - st), out + ".tmp")
+            os.replace(out + ".tmp", out)
 
     # -- helpers -----------------------------------------------------------
 
@@ -167,17 +189,9 @@ class SegmentBuilder:
         return h.hexdigest()
 
     def _emit_existing(self, name: str, marker: dict) -> pa.Table:
-        terms = pq.read_table(
-            os.path.join(self.seg_dir, f"{name}.terms.parquet"), columns=["term", "df", "cf"]
-        )
-        return self._partials(
-            terms["term"],
-            np.asarray(terms["df"].combine_chunks()),
-            np.asarray(terms["cf"].combine_chunks()),
-            name,
-            marker["n_docs"],
-            marker["dl_sum"],
-        )
+        # bucket partials were written before the marker, so a resumed
+        # segment only needs to replay its meta row
+        return self._meta_row(name, marker["n_docs"], marker["dl_sum"])
 
     # -- main --------------------------------------------------------------
 
@@ -306,6 +320,10 @@ class SegmentBuilder:
         for ext in (".terms.parquet", ".docs.parquet", ".bin"):
             os.replace(base + ext + ".tmp", base + ext)
         dl_sum = int(dl.sum())
+        if self.staging_dir:
+            self._write_bucket_partials(
+                name, dictionary.take(pa.array(term_ids)), df, cf
+            )
         marker = {
             "fingerprint": fingerprint,
             "n_docs": int(n),
@@ -318,8 +336,25 @@ class SegmentBuilder:
             json.dump(marker, f)
         os.replace(tmp, marker_path)
 
-        term_col = dictionary.take(pa.array(term_ids))
-        return self._partials(term_col, df, cf, name, int(n), dl_sum)
+        return self._meta_row(name, int(n), dl_sum)
+
+
+def read_segment_metas(meta_dir: str) -> pa.Table:
+    """Per-segment meta rows (seg name, n_docs, dl_sum) from a build's meta
+    listing; empty corpus → empty table."""
+    files = (
+        [os.path.join(meta_dir, f) for f in os.listdir(meta_dir) if f.endswith(".parquet")]
+        if os.path.isdir(meta_dir)
+        else []
+    )
+    if not files:
+        return pa.table(
+            {"seg": pa.array([], pa.string()), "df": pa.array([], pa.int64()), "cf": pa.array([], pa.int64())}
+        )
+    tbl = pads.dataset(files).to_table(
+        filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"]
+    )
+    return tbl.sort_by("seg")
 
 
 def build_index(
@@ -370,10 +405,13 @@ def build_index(
     # bucket = crc32(term) % P and the staging write is Parquet-partitioned
     # by bucket, so same-term rows are co-located on disk without any
     # all-to-all exchange.
+    meta_dir = os.path.join(vdir, "staging", "meta")
     if not (resume and os.path.exists(phase1_marker)):
-        shutil.rmtree(staging_dir, ignore_errors=True)
+        # keep segment bucket partials across retries (their own markers make
+        # them idempotent); rewrite only the meta listing
+        shutil.rmtree(meta_dir, ignore_errors=True)
         os.makedirs(staging_dir, exist_ok=True)
-        partials = ds.select_columns([id_col, text_col] + list(attr_cols or [])).map_batches(
+        metas = ds.select_columns([id_col, text_col] + list(attr_cols or [])).map_batches(
             SegmentBuilder,
             fn_constructor_kwargs={
                 "seg_dir": seg_dir,
@@ -381,18 +419,24 @@ def build_index(
                 "text_col": text_col,
                 "num_buckets": num_buckets,
                 "attr_cols": attr_cols,
+                "staging_dir": staging_dir,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
             zero_copy_batch=True,
             concurrency=concurrency,
         )
-        partials.write_parquet(staging_dir, partition_cols=["bucket"])
+        metas.write_parquet(meta_dir)
         os.makedirs(os.path.dirname(phase1_marker), exist_ok=True)
         with open(phase1_marker + ".tmp", "w") as f:
             json.dump({"analyzer": analyzer.ANALYZER_VERSION, "num_buckets": num_buckets}, f)
         os.replace(phase1_marker + ".tmp", phase1_marker)
     t1 = time.time()
+
+    # authoritative segment list for this build: only these segments' partial
+    # files participate in phase 2 (leftovers from aborted runs are ignored)
+    meta_tbl = read_segment_metas(meta_dir)
+    live_segs = set(meta_tbl["seg"].to_pylist())
 
     # ---- phase 2: global term stats — P independent local group-bys ------
     import ray.data as rd
@@ -406,7 +450,14 @@ def build_index(
             bdir = os.path.join(staging_dir, f"bucket={b}")
             if not os.path.isdir(bdir):
                 continue
-            tbl = pads.dataset(bdir).to_table(columns=["term", "df", "cf"])
+            paths = [
+                os.path.join(bdir, f)
+                for f in os.listdir(bdir)
+                if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
+            ]
+            if not paths:
+                continue
+            tbl = pads.dataset(paths).to_table(columns=["term", "df", "cf"])
             agg = (
                 tbl.group_by("term")
                 .aggregate([("df", "sum"), ("cf", "sum")])
@@ -425,18 +476,9 @@ def build_index(
     t2 = time.time()
 
     # ---- manifest from per-segment meta rows -----------------------------
-    meta_dir = os.path.join(staging_dir, f"bucket={num_buckets}")
-    if os.path.isdir(meta_dir):
-        meta_tbl = (
-            pads.dataset(meta_dir)
-            .to_table(filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"])
-            .sort_by("seg")
-        )
-        seg_names = meta_tbl["seg"].to_pylist()
-        seg_docs = meta_tbl["df"].to_pylist()
-        seg_dls = meta_tbl["cf"].to_pylist()
-    else:  # empty corpus → empty (but valid, promotable) index version
-        seg_names, seg_docs, seg_dls = [], [], []
+    seg_names = meta_tbl["seg"].to_pylist()
+    seg_docs = meta_tbl["df"].to_pylist()
+    seg_dls = meta_tbl["cf"].to_pylist()
     n_docs = int(sum(seg_docs))
     dl_sum = int(sum(seg_dls))
     avgdl = (dl_sum / n_docs) if n_docs else 0.0

@@ -127,20 +127,27 @@ def build_incremental(
     )
 
     # ---- phase 1: new segments from delta actives --------------------------
-    partials = active.select_columns([id_col, text_col]).map_batches(
+    meta_dir = os.path.join(vdir, "staging", "meta")
+    shutil.rmtree(meta_dir, ignore_errors=True)
+    metas = active.select_columns([id_col, text_col]).map_batches(
         SegmentBuilder,
         fn_constructor_kwargs={
             "seg_dir": seg_dir,
             "id_col": id_col,
             "text_col": text_col,
             "num_buckets": num_buckets,
+            "staging_dir": staging_dir,
         },
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
         concurrency=concurrency,
     )
-    partials.write_parquet(staging_dir, partition_cols=["bucket"])
+    metas.write_parquet(meta_dir)
+    from .build import read_segment_metas
+
+    meta_tbl = read_segment_metas(meta_dir)
+    live_segs = set(meta_tbl["seg"].to_pylist())
 
     # ---- corrections for carried segments ---------------------------------
     prev_tombs = prev.get("tombstones", [])
@@ -187,7 +194,13 @@ def build_incremental(
                 parts.append(pq.read_table(old_path, columns=["term", "df", "cf"]))
             bdir = os.path.join(staging_dir, f"bucket={b}")
             if os.path.isdir(bdir):
-                parts.append(pads.dataset(bdir).to_table(columns=["term", "df", "cf"]))
+                paths = [
+                    os.path.join(bdir, f)
+                    for f in os.listdir(bdir)
+                    if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
+                ]
+                if paths:
+                    parts.append(pads.dataset(paths).to_table(columns=["term", "df", "cf"]))
             csel = corr.filter(pc.equal(corr["bucket"], b)).select(["term", "df", "cf"])
             if csel.num_rows:
                 parts.append(csel)
@@ -212,27 +225,18 @@ def build_incremental(
     ).materialize()
 
     # ---- manifest ----------------------------------------------------------
-    meta_dir = os.path.join(staging_dir, f"bucket={num_buckets}")
-    if os.path.isdir(meta_dir):
-        meta_tbl = (
-            pads.dataset(meta_dir)
-            .to_table(filter=pads.field("term") == META_TERM, columns=["seg", "df", "cf"])
-            .sort_by("seg")
+    new_segs = [
+        {
+            "name": s,
+            "path": f"v{version}/segments/{s}",
+            "n_docs": int(nd),
+            "dl_sum": int(dls),
+            "created_version": version,
+        }
+        for s, nd, dls in zip(
+            meta_tbl["seg"].to_pylist(), meta_tbl["df"].to_pylist(), meta_tbl["cf"].to_pylist()
         )
-        new_segs = [
-            {
-                "name": s,
-                "path": f"v{version}/segments/{s}",
-                "n_docs": int(nd),
-                "dl_sum": int(dls),
-                "created_version": version,
-            }
-            for s, nd, dls in zip(
-                meta_tbl["seg"].to_pylist(), meta_tbl["df"].to_pylist(), meta_tbl["cf"].to_pylist()
-            )
-        ]
-    else:
-        new_segs = []
+    ]
 
     n_added = sum(s["n_docs"] for s in new_segs)
     dl_added = sum(s["dl_sum"] for s in new_segs)
