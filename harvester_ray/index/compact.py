@@ -1,0 +1,225 @@
+"""Segment compaction: merge small/tombstone-laden segments into fewer,
+clean ones — the Lucene segment-merge analog.
+
+After several incremental rounds (incremental.py) an index accumulates many
+small segments plus tombstones that every query must filter. Compaction
+creates a new version whose segments are merged at the *postings level* (no
+re-tokenization): for each merge group, term posting lists are concatenated
+across source segments with tombstoned docs dropped, re-sorted by doc id,
+and re-encoded (delta-gap + varbyte + block metadata). Global term stats are
+already exact w.r.t. tombstones (incremental corrections), so the term-stats
+files carry over unchanged, and all tombstones at or below the new version
+become droppable (no older segment remains for them to apply to).
+
+Merging runs as parallel Ray tasks, one per merge group.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from . import codec
+from . import manifest as mf
+from .query import SegmentReader, parse_tombstones, tombstones_for_segment
+
+
+def merge_segments(
+    index_root: str,
+    seg_metas: list[dict],
+    tomb_ids: np.ndarray,
+    tomb_vers: np.ndarray,
+    out_dir: str,
+) -> dict:
+    """Merge a group of segments into one, dropping tombstoned docs.
+    Returns the new segment's meta entry fields (name, n_docs, dl_sum)."""
+    readers = []
+    for m in seg_metas:
+        reader = SegmentReader(os.path.join(index_root, m["path"]))
+        dead = tombstones_for_segment(tomb_ids, tomb_vers, m["created_version"])
+        readers.append((reader, dead))
+
+    # merged doc table (tombstones dropped)
+    doc_parts, dl_parts, attr_parts = [], [], {}
+    attr_names = list(readers[0][0].attrs.keys()) if readers else []
+    for reader, dead in readers:
+        keep = (
+            ~np.isin(reader.doc_ids, dead) if dead.size else np.ones(reader.doc_ids.size, bool)
+        )
+        doc_parts.append(reader.doc_ids[keep])
+        dl_parts.append(reader.dl[keep])
+        for a in attr_names:
+            attr_parts.setdefault(a, []).append(reader.attrs[a].take(pa.array(np.flatnonzero(keep))))
+    doc_ids = np.concatenate(doc_parts)
+    dls = np.concatenate(dl_parts)
+    order = np.argsort(doc_ids, kind="stable")
+    doc_ids = doc_ids[order]
+    dls = dls[order]
+
+    # merged vocabulary
+    vocab: set[str] = set()
+    for reader, _ in readers:
+        vocab.update(reader._lookup.keys())
+    terms_sorted = sorted(vocab)
+
+    doc_stream_parts: list[bytes] = []
+    tf_stream_parts: list[bytes] = []
+    rows = {
+        "term": [], "df": [], "cf": [], "doc_off": [], "doc_nbytes": [],
+        "tf_off": [], "tf_nbytes": [],
+        "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
+        "block_doc_off": [], "block_tf_off": [],
+    }
+    pos = 0
+    tf_entries = []  # (tf_bytes, term_index) to lay out after doc streams
+    for t in terms_sorted:
+        dparts, fparts = [], []
+        for reader, dead in readers:
+            p = reader.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            if dead.size:
+                keep = ~np.isin(d, dead)
+                d, f = d[keep], f[keep]
+            if d.size:
+                dparts.append(d)
+                fparts.append(f)
+        if not dparts:
+            continue
+        d = np.concatenate(dparts)
+        f = np.concatenate(fparts)
+        o = np.argsort(d, kind="stable")
+        d, f = d[o], f[o]
+        dl_for = dls[np.searchsorted(doc_ids, d)]
+        db, tb, blocks = codec.encode_postings(d, f, dl_for)
+        rows["term"].append(t)
+        rows["df"].append(int(d.size))
+        rows["cf"].append(int(f.sum()))
+        rows["doc_off"].append(pos)
+        rows["doc_nbytes"].append(len(db))
+        doc_stream_parts.append(db)
+        pos += len(db)
+        tf_entries.append((tb, len(rows["term"]) - 1))
+        rows["tf_nbytes"].append(len(tb))
+        rows["tf_off"].append(-1)  # fixed below
+        for key, bkey in (
+            ("block_last_doc", "last_doc"), ("block_max_tf", "max_tf"),
+            ("block_min_dl", "min_dl"), ("block_doc_off", "doc_off"),
+            ("block_tf_off", "tf_off"),
+        ):
+            rows[key].append(blocks[bkey].tolist())
+    for tb, i in tf_entries:
+        rows["tf_off"][i] = pos
+        tf_stream_parts.append(tb)
+        pos += len(tb)
+
+    name = f"seg-{doc_ids[0]:012d}-{doc_ids[-1]:012d}" if doc_ids.size else "seg-empty"
+    base = os.path.join(out_dir, name)
+    terms_tbl = pa.table(
+        {
+            "term": pa.array(rows["term"], pa.string()),
+            "df": pa.array(rows["df"], pa.int64()),
+            "cf": pa.array(rows["cf"], pa.int64()),
+            "doc_off": pa.array(rows["doc_off"], pa.int64()),
+            "doc_nbytes": pa.array(rows["doc_nbytes"], pa.int64()),
+            "tf_off": pa.array(rows["tf_off"], pa.int64()),
+            "tf_nbytes": pa.array(rows["tf_nbytes"], pa.int64()),
+            "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.int64())),
+            "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int64())),
+            "block_min_dl": pa.array(rows["block_min_dl"], pa.list_(pa.int64())),
+            "block_doc_off": pa.array(rows["block_doc_off"], pa.list_(pa.int64())),
+            "block_tf_off": pa.array(rows["block_tf_off"], pa.list_(pa.int64())),
+        }
+    )
+    docs_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dls, pa.int64())}
+    for a in attr_names:
+        merged_attr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in attr_parts[a]])
+        docs_cols[a] = merged_attr.take(pa.array(order))
+    pq.write_table(terms_tbl, base + ".terms.parquet.tmp")
+    pq.write_table(pa.table(docs_cols), base + ".docs.parquet.tmp")
+    with open(base + ".bin.tmp", "wb") as fh:
+        for part in doc_stream_parts:
+            fh.write(part)
+        for part in tf_stream_parts:
+            fh.write(part)
+    for ext in (".terms.parquet", ".docs.parquet", ".bin"):
+        os.replace(base + ext + ".tmp", base + ext)
+    with open(base + ".done.tmp", "w") as fh:
+        json.dump({"merged_from": [m["name"] for m in seg_metas]}, fh)
+    os.replace(base + ".done.tmp", base + ".done")
+    return {"name": name, "n_docs": int(doc_ids.size), "dl_sum": int(dls.sum())}
+
+
+def compact(
+    index_root: str,
+    *,
+    target_segments: int = 8,
+    promote: bool = True,
+    keep_versions: int = 3,
+) -> dict:
+    """Compact the CURRENT version into ≤ target_segments merged segments
+    (parallel Ray tasks, one per merge group). Term stats carry over; all
+    current tombstones are dropped."""
+    import ray
+
+    t0 = time.time()
+    prev = mf.read_manifest(index_root)
+    prev_version = prev["_version"]
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    seg_dir = os.path.join(vdir, "segments")
+    termstats_dir = os.path.join(vdir, "termstats")
+    os.makedirs(seg_dir, exist_ok=True)
+
+    tomb_ids, tomb_vers = parse_tombstones(prev)
+    segs = sorted(prev["segments"], key=lambda m: m["name"])
+    groups = np.array_split(np.arange(len(segs)), min(target_segments, len(segs)))
+    merge_task = ray.remote(num_cpus=1)(merge_segments)
+    futures = [
+        merge_task.remote(index_root, [segs[i] for i in g], tomb_ids, tomb_vers, seg_dir)
+        for g in groups
+        if len(g)
+    ]
+    merged = ray.get(futures)
+
+    # term stats are already exact under tombstones → copy forward
+    shutil.copytree(os.path.join(index_root, prev["termstats"]), termstats_dir)
+
+    new_segs = [
+        {
+            "name": m["name"],
+            "path": f"v{version}/segments/{m['name']}",
+            "n_docs": m["n_docs"],
+            "dl_sum": m["dl_sum"],
+            "created_version": version,
+        }
+        for m in sorted(merged, key=lambda m: m["name"])
+        if m["n_docs"] > 0
+    ]
+    man = {
+        **{k: prev[k] for k in ("analyzer", "k1", "b", "n_docs", "dl_sum", "avgdl", "num_buckets")},
+        "version": version,
+        "attr_cols": prev.get("attr_cols", []),
+        "segments": new_segs,
+        "termstats": f"v{version}/termstats",
+        "tombstones": [],
+        "lineage": {
+            "parent_version": prev_version,
+            "compacted_from": len(segs),
+            "compacted_to": len(new_segs),
+        },
+        "metrics": {"compact_sec": round(time.time() - t0, 3)},
+    }
+    mf.write_manifest(index_root, version, man)
+    if promote:
+        mf.promote(index_root, version)
+        mf.purge_stale_versions(index_root, keep=keep_versions)
+    return man
