@@ -22,7 +22,7 @@ from harvester_ray.index import build as index_build
 from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import dedup, similarity, text_analysis
-from harvester_ray.pipelines import flagship, relational
+from harvester_ray.pipelines import flagship, relational, windows
 
 _SCRATCH = "/tmp/harvester_ray_entry"
 
@@ -104,6 +104,41 @@ def _term_df_top50(sf_dir: str) -> pd.DataFrame:
     ts = pads.dataset(os.path.join(root, man["termstats"])).to_table().to_pandas()
     ts = ts.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(50)
     return ts[["term", "df", "cf"]].reset_index(drop=True)
+
+
+def _sliding_window(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from harvester_ray.pipelines import windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"])
+    out = windows.sliding_window_counts(ds).to_pandas()
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["user_id", "window_start"]).reset_index(drop=True)
+
+
+def _session_windows(sf_dir: str) -> pd.DataFrame:
+    import ray.data as rd
+
+    from harvester_ray.pipelines import windows
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id", "ts"])
+    return windows.session_windows(ds).to_pandas().sort_values(
+        ["user_id", "session_start"]
+    ).reset_index(drop=True)
+
+
+def _bm25_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered search: facet filters restrict matches without changing
+    scoring stats (filter-context parity, search/views/document.py:70-94)."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root)
+        .search(BM25_QUERY_AND, k=10, mode="and", filters={"source": ["src0", "src1", "src2"]})
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
 
 
 def _term_df_shuffle(sf_dir: str) -> pd.DataFrame:
@@ -211,6 +246,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
         "events_hourly_window": relational.events_hourly_window,
+        "events_sliding_window": _sliding_window,
+        "session_windows": _session_windows,
+        "bm25_filtered": _bm25_filtered,
         "sessionize": relational.sessionize,
         "last_event_per_user": relational.last_event_per_user,
         "distinct_segments": relational.distinct_segments,
@@ -328,11 +366,39 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY entity, state
         """,
         # --- index / text -------------------------------------------------
+        "events_sliding_window": windows.sliding_window_sql("events"),
+        "session_windows": """
+            WITH ordered AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, ts,
+                     sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess
+              FROM ordered
+            )
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM marked GROUP BY user_id, sess
+            ORDER BY user_id, session_start
+        """,
         "doc_stats": index_oracle.doc_stats_sql("documents"),
         "corpus_stats": index_oracle.corpus_stats_sql("documents"),
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "bm25_filtered": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_AND, 100000, mode="and")
+            + ") SELECT r.doc_id, r.score FROM ranked r "
+            "JOIN documents d ON d.doc_id = r.doc_id "
+            "WHERE d.source IN ('src0','src1','src2') "
+            "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
+        ),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),

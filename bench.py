@@ -185,9 +185,10 @@ def run_headline() -> dict:
 
 
 def run_scaling(lo: int = 8, hi: int = 32) -> dict:
-    # scaling runs use a larger corpus (4× turns) so per-doc compute, not
-    # per-process fixed cost, dominates — the regime the 100 TB target lives in
-    mult = os.environ.get("GRAFT_SCALE_MULT", "4")
+    # scaling runs use a larger corpus (16× turns) so per-doc compute, not
+    # the ~5s per-build serial floor (pipeline launches, doc-id count pass,
+    # manifest), dominates — the regime the 100 TB target lives in
+    mult = os.environ.get("GRAFT_SCALE_MULT", "16")
 
     def run(ncpu: int) -> dict:
         env = dict(
@@ -195,7 +196,7 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SCALE_MULT=mult,
-            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "2"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

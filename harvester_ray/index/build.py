@@ -470,9 +470,19 @@ def build_index(
             done.append(b)
         return pa.table({"bucket": pa.array(done, pa.int64())})
 
-    rd.range(num_buckets).map_batches(
-        combine_bucket, batch_size=1, batch_format="pyarrow"
-    ).materialize()
+    staging_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(staging_dir)
+        for f in fs
+    )
+    if staging_bytes < 256 * 1024 * 1024:
+        # small vocabulary: one in-process pass beats Ray task overhead;
+        # beyond the threshold the P bucket tasks run distributed
+        combine_bucket(pa.table({"id": pa.array(range(num_buckets), pa.int64())}))
+    else:
+        rd.range(num_buckets).map_batches(
+            combine_bucket, batch_size=1, batch_format="pyarrow"
+        ).materialize()
     t2 = time.time()
 
     # ---- manifest from per-segment meta rows -----------------------------
