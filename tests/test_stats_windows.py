@@ -1,0 +1,91 @@
+import os
+
+import duckdb
+import numpy as np
+import pytest
+import ray.data as rd
+
+from harvester_ray.index import stats
+from harvester_ray.pipelines import windows
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ("documents", "events"):
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def test_salted_shuffle_term_stats_match_oracle(con):
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"), columns=["doc_id", "text"])
+    got = (
+        stats.term_stats_shuffle(ds, hot_threshold=20, n_salts=4)
+        .to_pandas()
+        .sort_values("term")
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        """
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+        FROM toks GROUP BY term ORDER BY term
+        """
+    ).fetchdf()
+    assert list(got["term"]) == list(exp["term"])
+    np.testing.assert_array_equal(got["df"].to_numpy(), exp["df"].to_numpy())
+    np.testing.assert_array_equal(got["cf"].to_numpy(), exp["cf"].to_numpy())
+
+
+def test_sliding_windows_match_oracle(con):
+    ds = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "ts", "value"])
+    got = (
+        windows.sliding_window_counts(ds)
+        .to_pandas()
+        .sort_values(["user_id", "window_start"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(windows.sliding_window_sql("events")).fetchdf()
+    assert len(got) == len(exp)
+    assert list(got["user_id"]) == list(exp["user_id"])
+    assert list(got["window_start"]) == list(exp["window_start"])
+    np.testing.assert_array_equal(got["n_events"].to_numpy(), exp["n_events"].to_numpy())
+    np.testing.assert_allclose(got["sum_value"].to_numpy(), exp["sum_value"].to_numpy(), rtol=1e-6)
+    # every event lands in exactly size/step windows
+    n_events = con.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert got["n_events"].sum() == n_events * 2
+
+
+def test_session_windows_match_oracle(con):
+    ds = rd.read_parquet(os.path.join(SF_DIR, "events.parquet"), columns=["user_id", "event_id", "ts"])
+    got = (
+        windows.session_windows(ds)
+        .to_pandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = con.execute(
+        """
+        WITH ordered AS (
+          SELECT user_id, event_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ),
+        marked AS (
+          SELECT user_id, ts,
+                 sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sess
+          FROM ordered
+        )
+        SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        FROM marked GROUP BY user_id, sess ORDER BY user_id, session_start
+        """
+    ).fetchdf()
+    assert len(got) == len(exp)
+    assert list(got["user_id"]) == list(exp["user_id"])
+    assert list(got["session_start"]) == list(exp["session_start"])
+    assert list(got["n_events"]) == list(exp["n_events"])
