@@ -35,9 +35,12 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def q1_pricing_summary(sf_dir: str):
-    """TPC-H-Q1-shaped grouped aggregate: filter → computed columns →
-    groupby(2 keys).aggregate (pre-aggregated by Ray's partial+final)."""
-    from ray.data.aggregate import Count, Mean, Sum
+    """TPC-H-Q1-shaped grouped aggregate with an explicit map-side combiner:
+    each batch pre-aggregates to ≤6 partial rows (|returnflag×linestatus|)
+    inside map_batches, so the groupby shuffle moves O(groups × blocks) rows
+    instead of the whole table — the pre-aggregate-before-shuffle pattern the
+    100 TB target requires for low-cardinality keys."""
+    from ray.data.aggregate import Sum
 
     ds = _read(
         sf_dir,
@@ -53,25 +56,63 @@ def q1_pricing_summary(sf_dir: str):
         ],
     )
 
-    def prep(t: pa.Table) -> pa.Table:
+    def partial(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
         disc_price = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), t["l_tax"]))
         t = t.append_column("disc_price", disc_price)
-        return t.append_column("charge", charge)
+        t = t.append_column("charge", charge)
+        return (
+            t.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                [
+                    ("l_quantity", "sum"),
+                    ("l_extendedprice", "sum"),
+                    ("disc_price", "sum"),
+                    ("charge", "sum"),
+                    ("l_discount", "sum"),
+                    ("l_quantity", "count"),
+                ]
+            )
+        )
 
-    ds = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    out = ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("l_extendedprice", alias_name="sum_base_price"),
-        Sum("disc_price", alias_name="sum_disc_price"),
-        Sum("charge", alias_name="sum_charge"),
-        Mean("l_quantity", alias_name="avg_qty"),
-        Mean("l_extendedprice", alias_name="avg_price"),
-        Mean("l_discount", alias_name="avg_disc"),
-        Count(alias_name="count_order"),
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    out = parts.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity_sum", alias_name="sum_qty"),
+        Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+        Sum("disc_price_sum", alias_name="sum_disc_price"),
+        Sum("charge_sum", alias_name="sum_charge"),
+        Sum("l_discount_sum", alias_name="sum_disc"),
+        Sum("l_quantity_count", alias_name="count_order"),
     )
-    return _round_floats(out.to_pandas(), 4).sort_values(
+    pdf = out.to_pandas()
+    if pdf.empty:
+        pdf = pd.DataFrame(
+            {
+                c: pd.Series(dtype="object" if c in ("l_returnflag", "l_linestatus") else "float64")
+                for c in ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                          "sum_disc_price", "sum_charge", "sum_disc", "count_order"]
+            }
+        )
+    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    pdf["avg_price"] = pdf["sum_base_price"] / pdf["count_order"]
+    pdf["avg_disc"] = pdf["sum_disc"] / pdf["count_order"]
+    pdf = pdf.drop(columns=["sum_disc"])
+    pdf = pdf[
+        [
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            "avg_qty",
+            "avg_price",
+            "avg_disc",
+            "count_order",
+        ]
+    ]
+    return _round_floats(pdf, 4).sort_values(
         ["l_returnflag", "l_linestatus"]
     ).reset_index(drop=True)
 
@@ -111,25 +152,40 @@ def revenue_by_nation(sf_dir: str):
 def hash_join_order_lineitem(sf_dir: str):
     """Large-large join: lineitem ⋈ orders on orderkey via Dataset.join
     (hash-partitioned), then grouped revenue by order priority."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
+
+    import ray
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev(t: pa.Table) -> pa.Table:
+    def rev_partial(t: pa.Table) -> pa.Table:
+        """Per-batch pre-reduction by join key: lineitems of one order are
+        adjacent in the input, so this shrinks the join's left side ~4×
+        before any data moves (revenue sum + item count per orderkey)."""
         r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+        t2 = pa.table({"l_orderkey": t["l_orderkey"], "rev": r})
+        agg = t2.group_by("l_orderkey").aggregate([("rev", "sum"), ("rev", "count")])
+        return agg.rename_columns(["l_orderkey", "rev", "n_items"])
 
-    li = li.map_batches(rev, batch_format="pyarrow", zero_copy_batch=True)
+    li = li.map_batches(rev_partial, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    ncpu = int(ray.cluster_resources().get("CPU", 8))
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=max(8, ncpu),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
-    out = joined.groupby("o_orderpriority").aggregate(
-        Sum("rev", alias_name="revenue"), Count(alias_name="n_items")
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("o_orderpriority").aggregate([("rev", "sum"), ("n_items", "sum")])
+        return agg.rename_columns(["o_orderpriority", "rev", "n_items"])
+
+    out = (
+        joined.map_batches(prio_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
     )
     return _round_floats(out.to_pandas(), 4).sort_values("o_orderpriority").reset_index(
         drop=True
