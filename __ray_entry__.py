@@ -210,6 +210,39 @@ def _extract_props(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _more_like_this(sf_dir: str, doc_id: int = 0, k: int = 10) -> pd.DataFrame:
+    """Similar-documents endpoint analog (harvester/search/views/
+    similarity.py:70-110): top tf·idf terms of the doc → BM25 OR query,
+    source doc excluded."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    out = extras.more_like_this(reader, doc_id, k=k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _neardup_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact n-gram Jaccard near-dup (complete shingle-bucket candidates —
+    the non-approximate sibling of neardup_minhash)."""
+    out = dedup.near_dup_jaccard(_docs_ds(sf_dir), threshold=0.8).to_pandas()
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
+    """Multimodal decode/feature plumbing: binary payload column → actor-pool
+    decode stage → typed feature rows (deterministic fake decoder; rows-only
+    check — no SQL surface for binary decode)."""
+    import ray.data as rd
+
+    from harvester_ray.ops import multimodal
+
+    ds = rd.from_arrow(multimodal.synth_media(n_items=64, seed=42))
+    out = multimodal.decode_features(ds).to_pandas()
+    out = out.drop(columns=["features"])
+    return out.sort_values("item_id").reset_index(drop=True)
+
+
 def _suggest_terms(sf_dir: str) -> pd.DataFrame:
     """Prefix autocomplete over the term dictionary (autocomplete analog,
     harvester/search/views/autocomplete.py:25-33)."""
@@ -273,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "simhash": lambda sf: dedup.simhash(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "simhash_neardup": lambda sf: dedup.simhash_near_dups(_docs_ds(sf)).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        "neardup_jaccard": _neardup_jaccard,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -282,6 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- search extras (autocomplete + filter-count aggregations) -----
         "suggest_terms": _suggest_terms,
         "matches_by_source": _matches_by_source,
+        "more_like_this": _more_like_this,
+        # --- multimodal plumbing (rows-only: binary decode has no SQL) ----
+        "multimodal_decode": _multimodal_decode,
     }
 
 
@@ -408,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": text_analysis.fingerprint_sql("documents"),
         "exact_dedup": dedup.exact_dedup_sql("documents"),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
+        "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),
+        "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
         "suggest_terms": """

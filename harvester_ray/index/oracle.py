@@ -69,6 +69,62 @@ LIMIT {k}
 """.strip()
 
 
+def more_like_this_sql(
+    table: str,
+    doc_id: int,
+    k: int = 10,
+    *,
+    max_terms: int = 12,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for the MLT path (extras.doc_top_terms + OR search): pick the
+    source doc's top ``max_terms`` terms by tf·idf (Lucene idf, tie-break
+    term asc), BM25-OR over them, exclude the doc itself."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+alltf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+alldf AS (
+  SELECT term, count(*) AS df FROM alltf GROUP BY term
+),
+top_terms AS (
+  SELECT t.term
+  FROM alltf t JOIN alldf d USING (term) CROSS JOIN stats s
+  WHERE t.doc_id = {doc_id}
+  ORDER BY t.tf * ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5)) DESC, t.term ASC
+  LIMIT {max_terms}
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM alltf tf
+  JOIN alldf df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM top_terms) AND tf.doc_id != {doc_id}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def doc_stats_sql(table: str, *, id_col: str = "doc_id", text_col: str = "text") -> str:
     tok = analyzer.sql_tokenize_expr(text_col)
     return (

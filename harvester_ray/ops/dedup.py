@@ -249,6 +249,81 @@ def near_dup_minhash(
     )
 
 
+def jaccard_candidates_exact(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+):
+    """Exact (non-approximate) candidate generation: inverted shingle buckets.
+
+    Emits one (shingle_hash, doc_id) row per distinct shingle per doc, then a
+    groupby(shingle) produces all pairs sharing ≥1 shingle — a complete
+    candidate set for ANY Jaccard threshold > 0 (unlike MinHash bands, which
+    are probabilistic). Shuffle volume is O(total distinct shingles), never
+    documents. ``max_bucket`` (optional) skips pathological hot shingles
+    (boilerplate n-grams) whose O(|bucket|²) pair blowup dominates at scale —
+    a doc pair above a high threshold shares many shingles, so dropping a few
+    hot buckets rarely loses true pairs (document the tradeoff when used).
+    """
+    import pandas as pd
+
+    def to_shingle_rows(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        out_sh, out_doc = [], []
+        for i, toks in enumerate(_doc_tokens(text)):
+            sh = np.unique(_shingle_hashes(toks, shingle_n))
+            out_sh.append(sh.astype(np.int64))
+            out_doc.append(np.full(sh.size, ids[i], dtype=np.int64))
+        if not out_sh:
+            return pa.table(
+                {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+            }
+        )
+
+    rows = ds.map_batches(to_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if ids.size < 2 or (max_bucket is not None and ids.size > max_bucket):
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+
+    pairs = rows.groupby("shingle").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+
+
+def near_dup_jaccard(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+):
+    """Exact n-gram Jaccard near-dup: complete shingle-bucket candidates →
+    exact verification. Deterministically equal to the all-pairs oracle
+    (``ngram_jaccard_sql``) at any threshold > 0."""
+    cands = jaccard_candidates_exact(
+        ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    return jaccard_verify_pairs(
+        cands, ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        threshold=threshold,
+    )
+
+
 def ngram_jaccard_sql(
     table: str = "documents",
     *,

@@ -92,3 +92,15 @@ def test_match_counts_absent_term(idx):
     reader = query.IndexReader(idx)
     got = extras.match_counts(reader, "table zzzabsent", mode="and")
     assert got["results_total"]["value"] == 0
+
+
+def test_more_like_this_matches_sql_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    got = extras.more_like_this(reader, doc_id=0, k=10).to_pandas()
+    exp = con.execute(oracle.more_like_this_sql("documents", 0, 10)).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(
+        got["score"].round(4).to_numpy(), exp["score"].to_numpy(), atol=1e-6
+    )

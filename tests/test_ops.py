@@ -129,3 +129,34 @@ def test_multimodal_decode_plumbing():
     sampled = multimodal.frame_sample(ds, every_n=4).to_pandas()
     assert (sampled["mime"] == "video/mp4").all()
     assert (sampled["item_id"] % 4 == 0).all()
+
+
+def test_exact_jaccard_equals_minhash_on_planted_pair():
+    """near_dup_jaccard (complete shingle-bucket candidates) finds the same
+    planted near-pair as MinHash-LSH, with identical exact jaccard value."""
+    base = rd.read_parquet(DOCS, columns=["doc_id", "text"]).to_pandas().head(30)
+    words = base.loc[0, "text"].split()
+    near = " ".join(words[:-1] + ["zzznovel"])
+    extra = pd.DataFrame({"doc_id": [90_000], "text": [near]})
+    src = pd.concat([base, extra], ignore_index=True)
+    exact = dedup.near_dup_jaccard(rd.from_pandas(src), threshold=0.5).to_pandas()
+    mh = dedup.near_dup_minhash(rd.from_pandas(src), threshold=0.5).to_pandas()
+    m = exact[(exact["doc_a"] == 0) & (exact["doc_b"] == 90_000)]
+    assert len(m) == 1
+    # exact candidates are a superset of LSH candidates after verification
+    mh_pairs = set(zip(mh["doc_a"], mh["doc_b"]))
+    ex_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert mh_pairs <= ex_pairs
+    j_mh = mh.loc[(mh["doc_a"] == 0) & (mh["doc_b"] == 90_000), "jaccard"].iloc[0]
+    assert m["jaccard"].iloc[0] == j_mh
+
+
+def test_jaccard_candidates_hot_bucket_cap():
+    """max_bucket drops pathological shared-shingle buckets instead of
+    emitting O(bucket**2) pairs."""
+    docs = [{"doc_id": i, "text": "common boiler plate phrase " + f"unique{i}"} for i in range(10)]
+    ds = rd.from_items(docs)
+    capped = dedup.jaccard_candidates_exact(ds, max_bucket=2).to_pandas()
+    uncapped = dedup.jaccard_candidates_exact(ds).to_pandas()
+    assert len(capped) < len(uncapped)
+    assert len(uncapped) == 45  # all 10-choose-2 pairs share the boilerplate shingles
