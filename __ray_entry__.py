@@ -210,6 +210,16 @@ def _extract_props(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values("event_id").reset_index(drop=True)
 
 
+def _ranking_eval(sf_dir: str) -> pd.DataFrame:
+    """Saved-query ranking evaluation (Query/QueryRanking analog,
+    harvester/core/models/search/query.py:13-116): nDCG@10 + mean graded
+    relevance per fixture query, judgments = #distinct matching terms."""
+    from harvester_ray.index import evaluate, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    return evaluate.evaluate_ranking(reader, k=10)
+
+
 def _more_like_this(sf_dir: str, doc_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Similar-documents endpoint analog (harvester/search/views/
     similarity.py:70-110): top tf·idf terms of the doc → BM25 OR query,
@@ -261,6 +271,12 @@ def _matches_by_source(sf_dir: str) -> pd.DataFrame:
     got = extras.match_counts(reader, BM25_QUERY_AND, mode="and", count_fields=["source"])
     items = sorted(got["filter_counts"]["source"].items())
     return pd.DataFrame({"source": [k for k, _ in items], "n": [v for _, v in items]})
+
+
+def _ranking_eval_sql() -> str:
+    from harvester_ray.index import evaluate
+
+    return evaluate.evaluate_ranking_sql("documents", k=10)
 
 
 def entry() -> Any:
@@ -317,6 +333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _suggest_terms,
         "matches_by_source": _matches_by_source,
         "more_like_this": _more_like_this,
+        "ranking_eval": _ranking_eval,
         # --- multimodal plumbing (rows-only: binary decode has no SQL) ----
         "multimodal_decode": _multimodal_decode,
     }
@@ -447,6 +464,7 @@ def oracle_sql() -> dict[str, str]:
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
+        "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
         "suggest_terms": """

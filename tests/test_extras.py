@@ -104,3 +104,27 @@ def test_more_like_this_matches_sql_oracle(idx, con):
     np.testing.assert_allclose(
         got["score"].round(4).to_numpy(), exp["score"].to_numpy(), atol=1e-6
     )
+
+
+def test_ranking_eval_ndcg(idx, con):
+    from harvester_ray.index import evaluate
+
+    reader = query.IndexReader(idx)
+    got = evaluate.evaluate_ranking(reader, k=10)
+    assert ((got["ndcg"] >= 0) & (got["ndcg"] <= 1)).all()
+    exp = con.execute(
+        evaluate.evaluate_ranking_sql("documents", k=10)
+    ).fetchdf().sort_values("query").reset_index(drop=True)
+    assert list(got["query"]) == list(exp["query"])
+    np.testing.assert_allclose(got["ndcg"].to_numpy(), exp["ndcg"].to_numpy(), atol=1e-6)
+    np.testing.assert_allclose(got["mean_rel"].to_numpy(), exp["mean_rel"].to_numpy(), atol=1e-6)
+
+
+def test_ndcg_unit():
+    from harvester_ray.index.evaluate import ndcg_at_k
+
+    assert ndcg_at_k(np.array([], dtype=float)) == 0.0
+    assert ndcg_at_k(np.array([3.0, 2.0, 1.0])) == 1.0  # already ideal order
+    worse = ndcg_at_k(np.array([1.0, 2.0, 3.0]))
+    assert 0 < worse < 1.0
+    assert ndcg_at_k(np.array([0.0, 0.0])) == 0.0  # no relevant docs
