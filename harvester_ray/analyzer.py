@@ -99,18 +99,21 @@ def tokenize_flat(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
     token_lists = pc.split_pattern_regex(lowered, pattern=SPLIT_PATTERN)
     flat = pc.list_flatten(token_lists)
     lengths = np.asarray(pc.list_value_length(token_lists), dtype=np.int64)
-    row_ids = np.repeat(np.arange(len(arr), dtype=np.int64), lengths)
-    # split_pattern_regex leaves '' at leading/trailing separator boundaries
-    keep = np.asarray(pc.not_equal(flat, pa.scalar("")))
-    if not keep.all():
-        idx = np.flatnonzero(keep)
-        flat = flat.take(pa.array(idx))
-        row_ids = row_ids[idx]
+    row_ids = np.repeat(np.arange(len(arr), dtype=np.int32), lengths)
+    # dictionary-encode FIRST, then drop the '' artifact of the split by its
+    # CODE — filtering int32 codes instead of take()-copying the flat string
+    # array cuts the dominant memory traffic of this function (int32
+    # throughout: batches are << 2^31 rows and per-batch vocab << 2^31)
     encoded = pc.dictionary_encode(flat)
     if isinstance(encoded, pa.ChunkedArray):
         encoded = encoded.combine_chunks()
-    codes = np.asarray(encoded.indices, dtype=np.int64)
+    codes = np.asarray(encoded.indices, dtype=np.int32)
     dictionary = encoded.dictionary
+    empty_pos = np.flatnonzero(np.asarray(pc.equal(dictionary, pa.scalar(""))))
+    if empty_pos.size:
+        keep = codes != np.int32(empty_pos[0])
+        codes = codes[keep]
+        row_ids = row_ids[keep]
     return row_ids, codes, dictionary
 
 
@@ -133,17 +136,20 @@ def term_frequencies(
     if row_ids.size == 0:
         empty = np.empty(0, dtype=np.int64)
         return empty, empty, empty
-    order = np.lexsort((codes, row_ids))
-    r = row_ids[order]
-    c = codes[order]
-    boundary = np.empty(r.size, dtype=bool)
+    # single composite-key sort: (row << 32) | code in one int64 array —
+    # one in-place sort and one boundary diff instead of a two-key lexsort
+    # plus two gathers (~2-3x less memory traffic on the hottest path)
+    comp = row_ids.astype(np.int64)
+    np.left_shift(comp, 32, out=comp)
+    np.bitwise_or(comp, codes.astype(np.int64), out=comp)
+    comp.sort()  # equal keys are indistinguishable — stability not needed
+    boundary = np.empty(comp.size, dtype=bool)
     boundary[0] = True
-    np.not_equal(r[1:], r[:-1], out=boundary[1:])
-    cb = np.not_equal(c[1:], c[:-1])
-    boundary[1:] |= cb
+    np.not_equal(comp[1:], comp[:-1], out=boundary[1:])
     starts = np.flatnonzero(boundary)
-    tf = np.diff(np.append(starts, r.size)).astype(np.int64)
-    return r[starts], c[starts], tf
+    tf = np.diff(np.append(starts, comp.size)).astype(np.int64)
+    keys = comp[starts]
+    return (keys >> 32).astype(np.int64), (keys & 0xFFFFFFFF).astype(np.int64), tf
 
 
 def tokenize_query(text: str) -> list[str]:

@@ -133,6 +133,28 @@ class SegmentBuilder:
         # thrash the node (8× UDF-time inflation observed without this)
         pa.set_cpu_count(1)
         pa.set_io_thread_count(2)
+        # keep glibc from returning big numpy buffers to the OS between
+        # batches: with N concurrent actors the default mmap/munmap churn
+        # makes every batch re-fault fresh zero pages, serializing on the
+        # kernel's memory subsystem (measured 6x per-task CPU inflation at
+        # 24 actors). Raising the mmap/trim thresholds keeps freed arena
+        # memory warm for reuse.
+        if not os.environ.get("GRAFT_NO_MALLOPT"):
+            import ctypes
+
+            try:
+                libc = ctypes.CDLL("libc.so.6")
+                libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+                libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+            except OSError:  # non-glibc platform: harmless no-op
+                pass
+            # Arrow's bundled jemalloc purges freed batch memory back to the
+            # kernel (madvise/munmap) after every batch; with N concurrent
+            # actors that is a TLB-shootdown/zone-lock storm (measured: 60%
+            # sys time, per-actor throughput collapsing 20x at 24 actors).
+            # The glibc system pool + the thresholds above keep pages
+            # resident and reused instead.
+            pa.set_memory_pool(pa.system_memory_pool())
 
     def _meta_row(self, name: str, n_docs: int, dl_sum: int) -> pa.Table:
         return pa.table(
