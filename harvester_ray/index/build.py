@@ -171,11 +171,14 @@ class SegmentBuilder:
     def _write_bucket_partials(
         self, name: str, term_col: pa.Array, df: np.ndarray, cf: np.ndarray
     ) -> None:
-        """Write this segment's (term, df, cf) vocabulary partials, hash-
-        partitioned by term bucket, straight from the builder — the map-side
-        half of the term-stats shuffle. One tiny file per (segment, bucket),
-        atomically renamed; filenames carry the segment name so phase 2 can
-        ignore leftovers from aborted runs."""
+        """Write this segment's (term, df, cf, bucket) vocabulary partials —
+        the map-side half of the term-stats shuffle — as ONE file per
+        segment, rows sorted by bucket (hash-partition key carried as a
+        column). One file instead of one-per-bucket matters: at 768 segments
+        x 16 buckets the per-file parquet open overhead alone made the
+        phase-2 combine a ~20s serial tail. Atomically renamed; filenames
+        carry the segment name so phase 2 can ignore leftovers from aborted
+        runs."""
         if isinstance(term_col, pa.ChunkedArray):
             term_col = term_col.combine_chunks()
         buckets = term_buckets(term_col, self.num_buckets)
@@ -185,18 +188,12 @@ class SegmentBuilder:
                 "term": term_col.take(pa.array(order)),
                 "df": pa.array(np.asarray(df, dtype=np.int64)[order], pa.int64()),
                 "cf": pa.array(np.asarray(cf, dtype=np.int64)[order], pa.int64()),
+                "bucket": pa.array(buckets[order], pa.int32()),
             }
         )
-        bsorted = buckets[order]
-        starts = np.flatnonzero(np.diff(np.concatenate(([-1], bsorted))))
-        ends = np.append(starts[1:], bsorted.size)
-        for st, en in zip(starts, ends):
-            b = int(bsorted[st])
-            bdir = os.path.join(self.staging_dir, f"bucket={b}")
-            os.makedirs(bdir, exist_ok=True)
-            out = os.path.join(bdir, f"{name}.parquet")
-            pq.write_table(tbl.slice(st, en - st), out + ".tmp")
-            os.replace(out + ".tmp", out)
+        out = os.path.join(self.staging_dir, f"{name}.parquet")
+        pq.write_table(tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
 
     # -- helpers -----------------------------------------------------------
 
@@ -466,45 +463,76 @@ def build_index(
     shutil.rmtree(termstats_dir, ignore_errors=True)
     os.makedirs(termstats_dir, exist_ok=True)
 
-    def combine_bucket(batch: pa.Table) -> pa.Table:
+    partial_files = sorted(
+        os.path.join(staging_dir, f)
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
+    )
+
+    def write_bucket_files(agg: pa.Table) -> list[int]:
+        """agg: (bucket, term, df, cf) — slice per bucket, write sorted."""
+        agg = agg.sort_by([("bucket", "ascending"), ("term", "ascending")])
+        bvals = np.asarray(agg["bucket"].combine_chunks(), dtype=np.int64)
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], bvals))))
+        ends = np.append(starts[1:], bvals.size)
         done = []
-        for b in batch["id"].to_pylist():
-            bdir = os.path.join(staging_dir, f"bucket={b}")
-            if not os.path.isdir(bdir):
-                continue
-            paths = [
-                os.path.join(bdir, f)
-                for f in os.listdir(bdir)
-                if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
-            ]
-            if not paths:
-                continue
-            tbl = pads.dataset(paths).to_table(columns=["term", "df", "cf"])
-            agg = (
-                tbl.group_by("term")
-                .aggregate([("df", "sum"), ("cf", "sum")])
-                .rename_columns(["term", "df", "cf"])
-            )
-            agg = agg.take(pc.sort_indices(agg["term"]))
+        for st, en in zip(starts, ends):
+            b = int(bvals[st])
             out = os.path.join(termstats_dir, f"bucket-{b:05d}.parquet")
-            pq.write_table(agg, out + ".tmp")
+            pq.write_table(
+                agg.slice(st, en - st).select(["term", "df", "cf"]), out + ".tmp"
+            )
             os.replace(out + ".tmp", out)
             done.append(b)
-        return pa.table({"bucket": pa.array(done, pa.int64())})
+        return done
 
-    staging_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(staging_dir)
-        for f in fs
-    )
-    if staging_bytes < 256 * 1024 * 1024:
-        # small vocabulary: one in-process pass beats Ray task overhead;
-        # beyond the threshold the P bucket tasks run distributed
-        combine_bucket(pa.table({"id": pa.array(range(num_buckets), pa.int64())}))
-    else:
-        rd.range(num_buckets).map_batches(
-            combine_bucket, batch_size=1, batch_format="pyarrow"
-        ).materialize()
+    staging_bytes = sum(os.path.getsize(f) for f in partial_files)
+    if partial_files:
+        if staging_bytes < 256 * 1024 * 1024:
+            # vocabulary fits comfortably in one worker: a single read of
+            # all per-segment partials + one local group_by (each file is
+            # opened exactly once — the file count, not the byte count, is
+            # what made the old per-bucket-file layout slow)
+            tbl = pads.dataset(partial_files).to_table(
+                columns=["bucket", "term", "df", "cf"]
+            )
+            agg = (
+                tbl.group_by(["bucket", "term"])
+                .aggregate([("df", "sum"), ("cf", "sum")])
+                .rename_columns(["bucket", "term", "df", "cf"])
+            )
+            write_bucket_files(agg)
+        else:
+            # huge vocabulary: tree aggregation. Stage A tasks each read a
+            # disjoint chunk of partial FILES and pre-aggregate (bucket,
+            # term) locally; stage B re-groups the (much smaller) stage-A
+            # outputs per bucket and writes the final stats. Every partial
+            # file is opened exactly once; no all-to-all exchange.
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            chunk = max(1, len(partial_files) // (2 * ncpu))
+
+            def preagg(batch: pa.Table) -> pa.Table:
+                tbl = pads.dataset(batch["path"].to_pylist()).to_table(
+                    columns=["bucket", "term", "df", "cf"]
+                )
+                return (
+                    tbl.group_by(["bucket", "term"])
+                    .aggregate([("df", "sum"), ("cf", "sum")])
+                    .rename_columns(["bucket", "term", "df", "cf"])
+                )
+
+            parts = (
+                rd.from_items([{"path": f} for f in partial_files])
+                .map_batches(preagg, batch_size=chunk, batch_format="pyarrow")
+                .to_arrow_refs()
+            )
+            tbl = pa.concat_tables(ray.get(parts))
+            agg = (
+                tbl.group_by(["bucket", "term"])
+                .aggregate([("df", "sum"), ("cf", "sum")])
+                .rename_columns(["bucket", "term", "df", "cf"])
+            )
+            write_bucket_files(agg)
     t2 = time.time()
 
     # ---- manifest from per-segment meta rows -----------------------------

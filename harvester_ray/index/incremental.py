@@ -182,28 +182,36 @@ def build_incremental(
     corr_all = (
         pa.concat_tables(corrections) if corrections else PARTIAL_SCHEMA.empty_table()
     )
-    corr_ref = ray.put(corr_all)
+    # new-segment partials: one (term, df, cf, bucket) file per segment
+    partial_files = sorted(
+        os.path.join(staging_dir, f)
+        for f in os.listdir(staging_dir)
+        if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
+    )
+    delta_parts = [corr_all.select(["bucket", "term", "df", "cf"])]
+    if partial_files:
+        delta_parts.append(
+            pads.dataset(partial_files).to_table(columns=["bucket", "term", "df", "cf"])
+        )
+    delta_tbl = pa.concat_tables(delta_parts)
+    delta_agg = (
+        delta_tbl.group_by(["bucket", "term"])
+        .aggregate([("df", "sum"), ("cf", "sum")])
+        .rename_columns(["bucket", "term", "df", "cf"])
+    )
+    delta_ref = ray.put(delta_agg)
 
     def combine_bucket(batch: pa.Table) -> pa.Table:
-        corr = ray.get(corr_ref)
+        delta = ray.get(delta_ref)
         done = []
         for b in batch["id"].to_pylist():
             parts = []
             old_path = os.path.join(old_ts_dir, f"bucket-{b:05d}.parquet")
             if os.path.exists(old_path):
                 parts.append(pq.read_table(old_path, columns=["term", "df", "cf"]))
-            bdir = os.path.join(staging_dir, f"bucket={b}")
-            if os.path.isdir(bdir):
-                paths = [
-                    os.path.join(bdir, f)
-                    for f in os.listdir(bdir)
-                    if f.endswith(".parquet") and f[: -len(".parquet")] in live_segs
-                ]
-                if paths:
-                    parts.append(pads.dataset(paths).to_table(columns=["term", "df", "cf"]))
-            csel = corr.filter(pc.equal(corr["bucket"], b)).select(["term", "df", "cf"])
-            if csel.num_rows:
-                parts.append(csel)
+            dsel = delta.filter(pc.equal(delta["bucket"], b)).select(["term", "df", "cf"])
+            if dsel.num_rows:
+                parts.append(dsel)
             if not parts:
                 continue
             tbl = pa.concat_tables(parts)
