@@ -85,11 +85,13 @@ def _corpus_stats(sf_dir: str) -> pd.DataFrame:
     from harvester_ray.index import manifest as mf
 
     man = mf.read_manifest(root)
+    # derive avgdl from the integer pair so the float64 division input is
+    # bit-identical to the oracle's (see oracle.corpus_stats_sql)
     return pd.DataFrame(
         {
-            "n_docs": [man["n_docs"]],
-            "dl_sum": [man["dl_sum"]],
-            "avgdl": [round(man["avgdl"], 6)],
+            "n_docs": [int(man["n_docs"])],
+            "dl_sum": [int(man["dl_sum"])],
+            "avgdl": [round(float(man["dl_sum"]) / float(man["n_docs"]), 6)],
         }
     )
 
@@ -399,8 +401,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT user_id, count(*) AS n_events,
-                   sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
-                            THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM lagged GROUP BY user_id ORDER BY user_id
         """,
         "last_event_per_user": """

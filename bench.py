@@ -302,8 +302,10 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    if hi % lo != 0:
+        raise SystemExit(f"GRAFT_SCALE_HI ({hi}) must be a multiple of GRAFT_SCALE_LO ({lo})")
     conc_lo = max(1, (3 * lo) // 4)
-    conc_hi = conc_lo * (hi // lo)  # exactly 4x the workers for 4x the CPUs
+    conc_hi = conc_lo * (hi // lo)  # worker ratio exactly matches the CPU ratio
     r_lo = run(lo, conc_lo)
     r_hi = run(hi, conc_hi)
     thr_lo = r_lo["turns_per_sec"]

@@ -134,10 +134,14 @@ def doc_stats_sql(table: str, *, id_col: str = "doc_id", text_col: str = "text")
 
 
 def corpus_stats_sql(table: str, *, text_col: str = "text") -> str:
+    """avgdl is derived from the SAME integer pair (dl_sum, n_docs) on both
+    sides — a single float64 division whose input bits are identical in the
+    engine and DuckDB, so round(·, 6) cannot flip between them (the engine's
+    running float avg and DuckDB's avg() may differ by an ulp)."""
     tok = analyzer.sql_tokenize_expr(text_col)
     return (
-        f"SELECT count(*) AS n_docs, sum(len({tok})) AS dl_sum, "
-        f"round(avg(len({tok})), 6) AS avgdl FROM {table}"
+        f"SELECT count(*) AS n_docs, CAST(sum(len({tok})) AS BIGINT) AS dl_sum, "
+        f"round(CAST(sum(len({tok})) AS DOUBLE) / count(*), 6) AS avgdl FROM {table}"
     )
 
 

@@ -164,6 +164,42 @@ def minhash_lsh_candidates(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
+def doc_shingle_sets(
+    docs_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    key_name: str = "doc_id",
+    payload_name: str = "sh",
+):
+    """(doc_id, sh:binary) — each doc's sorted distinct shingle hashes packed
+    as little-endian uint64 bytes. Binary (not list<uint64>) because Arrow's
+    hash join only carries flat payload columns; np.frombuffer round-trips it
+    zero-copy on the other side."""
+
+    def to_shingles(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        blobs = [
+            np.unique(_shingle_hashes(toks, shingle_n)).astype("<u8").tobytes()
+            for toks in _doc_tokens(text)
+        ]
+        return pa.table(
+            {
+                key_name: pa.array(ids, pa.int64()),
+                payload_name: pa.array(blobs, pa.binary()),
+            }
+        )
+
+    return docs_ds.map_batches(to_shingles, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_VERIFY_SCHEMA = pa.schema(
+    [("key", pa.int64()), ("other", pa.int64()), ("sh", pa.binary()), ("sh_x", pa.binary())]
+)
+
+
 def jaccard_verify_pairs(
     pairs_ds,
     docs_ds,
@@ -173,50 +209,82 @@ def jaccard_verify_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
 ):
-    """Stage 3: exact n-gram Jaccard on candidate pairs. The shingle-set
-    lookup side is broadcast (ray.put) — correct while candidate docs fit a
-    worker (at larger scale: semi-join candidates against the corpus and
-    verify per bucket). Returns (doc_a, doc_b, jaccard) with
-    jaccard >= threshold."""
-    import ray
+    """Stage 3: exact n-gram Jaccard on candidate pairs — fully distributed.
 
-    def to_shingles(batch: pa.Table) -> pa.Table:
-        text = analyzer.normalize_text(batch[text_col])
-        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        sh = [
-            np.unique(_shingle_hashes(toks, shingle_n))
-            for toks in _doc_tokens(text)
-        ]
+    Shingle sets are attached to candidates by co-partitioning, not by
+    driver-side broadcast: the shingle table (doc_id, sh) and the candidate
+    pairs are unioned under one schema and grouped by doc key twice — the
+    first pass attaches doc_a's shingle blob to each pair, the second
+    attaches doc_b's and computes the exact Jaccard inside the group. Each
+    doc's shingle set crosses the wire once per pass regardless of how many
+    candidates reference it; nothing is ever materialized on the driver.
+    (Implementation note: this deliberately uses groupby/map_groups — Ray's
+    sort-based exchange — rather than Dataset.join, whose hash-shuffle
+    aggregator loses the schema of 0-row input blocks and a join *output*
+    always contains empty partitions.) Returns (doc_a, doc_b, jaccard) with
+    jaccard >= threshold.
+    """
+    sh = doc_shingle_sets(docs_ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "shingles": pa.array([s.tolist() for s in sh], pa.list_(pa.uint64())),
-            }
+                "key": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "other": pa.nulls(n, pa.int64()),
+                "sh": t["sh"].combine_chunks(),
+                "sh_x": pa.nulls(n, pa.binary()),
+            },
+            schema=_VERIFY_SCHEMA,
         )
 
-    shingle_tbl = docs_ds.map_batches(to_shingles, batch_format="pyarrow").to_pandas()
-    lookup = {
-        int(d): np.asarray(s, dtype=np.uint64)
-        for d, s in zip(shingle_tbl["doc_id"], shingle_tbl["shingles"])
-    }
-    ref = ray.put(lookup)
+    def pair_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "key": t["doc_a"].combine_chunks().cast(pa.int64()),
+                "other": t["doc_b"].combine_chunks().cast(pa.int64()),
+                "sh": pa.nulls(n, pa.binary()),
+                "sh_x": pa.nulls(n, pa.binary()),
+            },
+            schema=_VERIFY_SCHEMA,
+        )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        lk = ray.get(ref)
-        da = np.asarray(batch["doc_a"].combine_chunks().cast(pa.int64()))
-        db = np.asarray(batch["doc_b"].combine_chunks().cast(pa.int64()))
+    def attach_a(g: pd.DataFrame) -> pa.Table:
+        prs = g[g["other"].notna()]
+        docs = g[g["other"].isna()]
+        if not len(prs) or not len(docs):
+            return _VERIFY_SCHEMA.empty_table()
+        blob = docs["sh"].iloc[0]
+        # re-key by doc_b for the second pass; carry doc_a's blob in sh_x
+        return pa.table(
+            {
+                "key": pa.array(prs["other"].to_numpy(dtype=np.int64), pa.int64()),
+                "other": pa.array(prs["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "sh": pa.nulls(len(prs), pa.binary()),
+                "sh_x": pa.array([blob] * len(prs), pa.binary()),
+            },
+            schema=_VERIFY_SCHEMA,
+        )
+
+    def verify_b(g: pd.DataFrame) -> pa.Table:
+        prs = g[g["sh_x"].notna()]
+        docs = g[g["sh_x"].isna() & g["other"].isna()]
         out_a, out_b, out_j = [], [], []
-        for x, y in zip(da, db):
-            sa, sb = lk.get(int(x)), lk.get(int(y))
-            if sa is None or sb is None or (sa.size == 0 and sb.size == 0):
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                out_a.append(int(x))
-                out_b.append(int(y))
-                out_j.append(round(j, 6))
+        if len(prs) and len(docs):
+            sb = np.frombuffer(docs["sh"].iloc[0], dtype="<u8")
+            key = int(g["key"].iloc[0])
+            for _, row in prs.iterrows():
+                sa = np.frombuffer(row["sh_x"], dtype="<u8")
+                if sa.size == 0 and sb.size == 0:
+                    continue
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                j = inter / union if union else 0.0
+                if j >= threshold:
+                    out_a.append(int(row["other"]))
+                    out_b.append(key)
+                    out_j.append(round(j, 6))
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -225,7 +293,13 @@ def jaccard_verify_pairs(
             }
         )
 
-    return pairs_ds.map_batches(verify, batch_format="pyarrow")
+    doc_side = sh.map_batches(doc_rows, batch_format="pyarrow", zero_copy_batch=True)
+    pair_side = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
+        pair_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    stage1 = doc_side.union(pair_side).groupby("key").map_groups(attach_a, batch_format="pandas")
+    stage2 = doc_side.union(stage1).groupby("key").map_groups(verify_b, batch_format="pandas")
+    return stage2
 
 
 def near_dup_minhash(
@@ -311,12 +385,18 @@ def near_dup_jaccard(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    max_bucket: int | None = None,
 ):
     """Exact n-gram Jaccard near-dup: complete shingle-bucket candidates →
-    exact verification. Deterministically equal to the all-pairs oracle
-    (``ngram_jaccard_sql``) at any threshold > 0."""
+    exact verification. With ``max_bucket=None`` (default) this is
+    deterministically equal to the all-pairs oracle (``ngram_jaccard_sql``)
+    at any threshold > 0; at scale pass ``max_bucket`` (e.g. 256) to skip
+    pathological boilerplate shingles whose O(|bucket|²) pair fan-out would
+    otherwise pin one reducer — pairs above a high threshold share many
+    shingles, so dropping a few hot buckets rarely loses true pairs."""
     cands = jaccard_candidates_exact(
-        ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+        ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
+        max_bucket=max_bucket,
     )
     return jaccard_verify_pairs(
         cands, ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
@@ -456,47 +536,142 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
 # ---------------------------------------------------------------------------
 
 
+def _ids_and_normed(t: pa.Table, id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+    vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+    n = np.linalg.norm(vecs, axis=1)
+    n[n == 0] = 1.0
+    return ids, vecs / n[:, None]
+
+
 def embedding_near_dups(
     ds,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    round_digits: int = 4,
 ):
-    """Near-dup pairs by embedding cosine ≥ threshold. The comparison side is
-    broadcast once (ray.put of the normalized matrix); each batch does one
-    numpy matmul against it — O(n·d) per row, no shuffle. Scale path: LSH
-    bucket (random hyperplanes) or IVF-partition both sides first."""
+    """Exact near-dup pairs by embedding cosine ≥ threshold, as a distributed
+    block-pair cross product: the dataset's Arrow blocks stay in the object
+    store (``to_arrow_refs`` ships references, never rows, to the driver) and
+    one Ray task per (block_i, block_j) pair with i ≤ j does a single float64
+    matmul. Exact all-pairs semantics with O(B²) bounded tasks, no full-table
+    ``to_pandas()`` and no whole-matrix broadcast; peak task memory is two
+    blocks. The sub-quadratic approximate path is
+    ``embedding_near_dups_lsh`` (hyperplane-bucketed).
+
+    The threshold is applied to the cosine ROUNDED to ``round_digits`` on
+    both engine and oracle side, so sub-ulp disagreement with DuckDB's
+    ``list_cosine_similarity`` cannot flip boundary pairs.
+    """
     import ray
+    import ray.data as rd
 
-    full = ds.to_pandas()
-    ids_all = full[id_col].to_numpy(dtype=np.int64)
-    mat = np.stack(full[vec_col].to_numpy())
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat = mat / norms[:, None]
-    ref = ray.put((ids_all, mat.astype(np.float64)))
+    blocks = ds.map_batches(
+        lambda t: t.select([id_col, vec_col]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    refs = blocks.materialize().to_arrow_refs()
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        ids_b = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        vecs = np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
-        n = np.linalg.norm(vecs, axis=1)
-        n[n == 0] = 1.0
-        vecs = vecs / n[:, None]
-        all_ids, all_mat = ray.get(ref)
-        sims = vecs @ all_mat.T
-        bi, aj = np.nonzero(sims >= threshold)
-        da, db_ = ids_b[bi], all_ids[aj]
-        keep = da < db_
+    @ray.remote
+    def block_pair(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ia, va = _ids_and_normed(ta, id_col, vec_col)
+        ib, vb = _ids_and_normed(tb, id_col, vec_col)
+        sims = np.round(va @ vb.T, round_digits)
+        ai, bj = np.nonzero(sims >= threshold)
+        da, db_ = ia[ai], ib[bj]
+        if same:
+            keep = da < db_  # each unordered pair appears twice in the self-product
+            lo, hi, cs = da[keep], db_[keep], sims[ai, bj][keep]
+        else:
+            keep = da != db_  # cross-block: each pair appears once; canonicalize order
+            da, db_, cs = da[keep], db_[keep], sims[ai, bj][keep]
+            lo, hi = np.minimum(da, db_), np.maximum(da, db_)
         return pa.table(
             {
-                "doc_a": pa.array(da[keep], pa.int64()),
-                "doc_b": pa.array(db_[keep], pa.int64()),
-                "cosine": pa.array(np.round(sims[bi, aj][keep], 6), pa.float64()),
+                "doc_a": pa.array(lo, pa.int64()),
+                "doc_b": pa.array(hi, pa.int64()),
+                "cosine": pa.array(cs, pa.float64()),
             }
         )
 
-    return ds.map_batches(pairs, batch_format="pyarrow")
+    futures = [
+        block_pair.remote(refs[i], refs[j], i == j)
+        for i in range(len(refs))
+        for j in range(i, len(refs))
+    ]
+    return rd.from_arrow_refs(futures)
+
+
+def embedding_near_dups_lsh(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 6,
+    seed: int = 11,
+    round_digits: int = 4,
+):
+    """Approximate near-dup pairs via random-hyperplane LSH — the 100 TB
+    path. Each vector hashes to ``n_tables`` sign-pattern buckets
+    (``n_planes`` hyperplanes per table); only pairs sharing ≥1 bucket are
+    verified with an exact cosine, so nothing quadratic in the corpus ever
+    runs. Shuffles only (table, bucket, doc_id, vec-bytes) rows. Recall vs
+    the exact ``embedding_near_dups`` is probabilistic
+    (1 - (1 - p^planes)^tables, p = 1 - angle/pi); measured in tests."""
+    probe = ds.take(1)
+    dim = len(probe[0][vec_col])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))
+
+    def to_buckets(t: pa.Table) -> pa.Table:
+        ids, vecs = _ids_and_normed(t, id_col, vec_col)
+        out = []
+        for ti in range(n_tables):
+            bits = (vecs @ planes[ti].T) > 0  # (n, planes)
+            buckets = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+            out.append(
+                pa.table(
+                    {
+                        "table_id": pa.array(np.full(ids.size, ti, np.int32)),
+                        "bucket": pa.array(buckets, pa.int64()),
+                        "doc_id": pa.array(ids, pa.int64()),
+                        "vec": pa.array(
+                            [v.astype("<f8").tobytes() for v in vecs], pa.binary()
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    rows = ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame(
+                {"doc_a": pd.Series([], dtype=np.int64),
+                 "doc_b": pd.Series([], dtype=np.int64),
+                 "cosine": pd.Series([], dtype=np.float64)}
+            )
+        mat = np.stack([np.frombuffer(b, dtype="<f8") for b in g["vec"]])
+        sims = np.round(mat @ mat.T, round_digits)
+        ai, bi = np.triu_indices(ids.size, k=1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "cosine": sims[ai, bi][keep]}
+        )
+
+    pairs = rows.groupby(["table_id", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    # dedupe pairs that collide in multiple tables
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("cosine", alias_name="cosine"))
 
 
 def embedding_near_dups_sql(
@@ -505,11 +680,18 @@ def embedding_near_dups_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    round_digits: int = 4,
 ) -> str:
+    # CAST to DOUBLE[]: list_cosine_similarity over list<float> computes and
+    # returns float32, which can never byte-match the engine's float64 path.
+    cos = (
+        f"list_cosine_similarity(CAST(a.{vec_col} AS DOUBLE[]), "
+        f"CAST(b.{vec_col} AS DOUBLE[]))"
+    )
     return f"""
 SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
-       round(list_cosine_similarity(a.{vec_col}, b.{vec_col}), 6) AS cosine
+       round({cos}, {round_digits}) AS cosine
 FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
-WHERE list_cosine_similarity(a.{vec_col}, b.{vec_col}) >= {threshold}
+WHERE round({cos}, {round_digits}) >= {threshold}
 ORDER BY doc_a, doc_b
 """.strip()

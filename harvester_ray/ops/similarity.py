@@ -182,12 +182,15 @@ def knn_sql(
     vec_col: str = "embedding",
 ) -> str:
     """Oracle: exact cosine top-k where the query vector is row
-    ``query_vec_id`` of the same table."""
+    ``query_vec_id`` of the same table. Lists are cast to DOUBLE[] because
+    list_cosine_similarity over list<float> computes in float32, which the
+    engine's float64 path cannot byte-match."""
+    cos = f"list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
     return f"""
-WITH q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_vec_id})
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id})
 SELECT e.{id_col} AS vec_id,
-       round(list_cosine_similarity(e.{vec_col}, q.qv), 6) AS cosine
+       round({cos}, 6) AS cosine
 FROM {table} e CROSS JOIN q
-ORDER BY list_cosine_similarity(e.{vec_col}, q.qv) DESC, e.{id_col} ASC
+ORDER BY {cos} DESC, e.{id_col} ASC
 LIMIT {k}
 """.strip()

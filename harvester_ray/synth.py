@@ -24,6 +24,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+# bump whenever generator output changes for the same inputs (cache key)
+GEN_VERSION = 2
+
 SCHEMA = pa.schema(
     [
         ("conv_id", pa.string()),
@@ -177,7 +180,12 @@ def transcripts_parquet(
     ``out_dir`` (cached: regenerated only if missing). Returns the path.
     Large corpora stream chunk-by-chunk to ``shards`` row-balanced files
     without materializing the whole table."""
-    path = os.path.join(out_dir, f"transcripts-c{n_convs}-s{seed}-t{mean_turns}")
+    # GEN_VERSION is part of the cache key: any change to the generator's
+    # output for the same (seed, n_convs) must bump it, or stale /tmp corpora
+    # from an older generator get silently reused in benchmarks.
+    path = os.path.join(
+        out_dir, f"transcripts-v{GEN_VERSION}-c{n_convs}-s{seed}-t{mean_turns}"
+    )
     done = os.path.join(path, "_DONE")
     if os.path.exists(done):
         return path

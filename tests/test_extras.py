@@ -118,6 +118,9 @@ def test_ranking_eval_ndcg(idx, con):
     assert list(got["query"]) == list(exp["query"])
     np.testing.assert_allclose(got["ndcg"].to_numpy(), exp["ndcg"].to_numpy(), atol=1e-6)
     np.testing.assert_allclose(got["mean_rel"].to_numpy(), exp["mean_rel"].to_numpy(), atol=1e-6)
+    # the fixture must be able to DETECT a ranking regression: at least one
+    # query's top-10 must have non-trivial ideal ordering (ndcg < 1)
+    assert (got["ndcg"] < 1.0).any(), "query set is degenerate: every ndcg == 1"
 
 
 def test_ndcg_unit():
