@@ -65,25 +65,107 @@ def exact_dedup_sql(table: str = "documents", *, id_col: str = "doc_id", text_co
 # shingles + MinHash
 # ---------------------------------------------------------------------------
 
-
-def _shingle_hashes(tokens: list[str], n: int) -> np.ndarray:
-    """crc32 of each word n-gram (deterministic across processes)."""
-    if len(tokens) < n:
-        joined = " ".join(tokens)
-        return np.array([zlib.crc32(joined.encode())], dtype=np.uint64) if tokens else np.empty(0, np.uint64)
-    return np.array(
-        [zlib.crc32(" ".join(tokens[i : i + n]).encode()) for i in range(len(tokens) - n + 1)],
-        dtype=np.uint64,
-    )
+_H64_MUL = np.uint64(0x100000001B3)  # FNV-1a prime, polynomial n-gram combine
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_CRC_SALT = 0x9E3779B9
 
 
-def _doc_tokens(batch_text: pa.Array) -> list[list[str]]:
-    rows, codes, dictionary = analyzer.tokenize_flat(batch_text)
-    vocab = dictionary.to_pylist()
-    n = len(batch_text)
-    toks = np.asarray([vocab[c] for c in codes], dtype=object)
-    bounds = np.searchsorted(rows, np.arange(1, n))
-    return [list(part) for part in np.split(toks, bounds)]
+def _vocab_hash64(dictionary: pa.Array) -> np.ndarray:
+    """64-bit deterministic hash per distinct token string (two salted
+    crc32s). Only the batch's small vocabulary is hashed in Python; the flat
+    token stream is then mapped with one vectorized gather. 64 bits (vs the
+    former per-shingle crc32) makes shingle-hash collisions — which would
+    silently skew Jaccard vs the string-based oracle — ~2^-32 × rarer."""
+    out = np.empty(len(dictionary), dtype=np.uint64)
+    for i, w in enumerate(dictionary.to_pylist()):
+        b = w.encode()
+        out[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(
+            zlib.crc32(b, _CRC_SALT)
+        )
+    return out
+
+
+def _batch_shingles(text: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized word-n-gram hashing for a whole batch.
+
+    Returns ``(doc_idx, shingle_hash)`` flat arrays (NOT deduped per doc):
+    token 64-bit hashes combined per sliding window with a polynomial roll —
+    no per-shingle Python, no string joins. Docs with 0 < len < n tokens get
+    one shingle covering all their tokens (mirrors the oracle's
+    ``array_to_string`` fallback, ngram_jaccard_sql)."""
+    rows, codes, dictionary = analyzer.tokenize_flat(text)
+    nrows = len(text)
+    if rows.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    th = _vocab_hash64(dictionary)[codes]
+    if rows.size >= n:
+        valid = rows[: rows.size - n + 1] == rows[n - 1 :]
+        h = th[: th.size - n + 1].copy()
+        for k in range(1, n):  # uint64 arithmetic wraps (intended)
+            h = h * _H64_MUL + th[k : th.size - n + 1 + k]
+        sh_doc = rows[: rows.size - n + 1][valid].astype(np.int64)
+        sh_h = h[valid]
+    else:
+        sh_doc, sh_h = np.empty(0, np.int64), np.empty(0, np.uint64)
+    counts = np.bincount(rows, minlength=nrows)
+    short = np.flatnonzero((counts > 0) & (counts < n))
+    if short.size:
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+        extra = np.empty(short.size, np.uint64)
+        for si, r in enumerate(short):  # short docs only — rare
+            hh = th[offs[r]]
+            for t in th[offs[r] + 1 : offs[r + 1]]:
+                hh = hh * _H64_MUL + t
+            extra[si] = hh
+        sh_doc = np.concatenate([sh_doc, short.astype(np.int64)])
+        sh_h = np.concatenate([sh_h, extra])
+    return sh_doc, sh_h
+
+
+def _dedup_doc_shingles(sh_doc: np.ndarray, sh_h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct (doc, shingle) pairs, sorted by (doc, hash) — vectorized."""
+    if sh_h.size == 0:
+        return sh_doc, sh_h
+    order = np.lexsort((sh_h, sh_doc))
+    sh_doc, sh_h = sh_doc[order], sh_h[order]
+    keep = np.ones(sh_h.size, bool)
+    keep[1:] = (sh_doc[1:] != sh_doc[:-1]) | (sh_h[1:] != sh_h[:-1])
+    return sh_doc[keep], sh_h[keep]
+
+
+def _group_pairs(
+    counts: np.ndarray, emit: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Enumerate all within-group index pairs (i < j) over a group-sorted
+    array described by ``counts`` (group sizes), fully vectorized (closed-form
+    triangle decode — no Python loop over groups, which is what makes
+    one-map_groups-call-per-tiny-group pipelines slow). ``emit`` masks groups
+    whose pairs should be suppressed (hot-bucket cap). Returns global index
+    arrays (i, j) into the underlying array."""
+    counts = counts.astype(np.int64)
+    m = counts * (counts - 1) // 2
+    if emit is not None:
+        m = np.where(emit, m, 0)
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    cm = np.concatenate([np.zeros(1, np.int64), np.cumsum(m)])
+    offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+    p = np.arange(total, dtype=np.int64)
+    g = np.searchsorted(cm, p, side="right") - 1
+    q = p - cm[g]
+    c = counts[g]
+    r = m[g] - q  # 1-based pair index counted from the group's end
+    k = np.ceil((np.sqrt(8.0 * r.astype(np.float64) + 1.0) - 1.0) / 2.0).astype(np.int64) - 1
+    # exact integer correction of float sqrt edge error: T(k) < r <= T(k+1)
+    t_k = k * (k + 1) // 2
+    k = np.where(t_k >= r, k - 1, k)
+    k = np.where((k + 1) * (k + 2) // 2 < r, k + 1, k)
+    i = c - 2 - k
+    cum_i = i * c - i * (i + 1) // 2
+    j = q - cum_i + i + 1
+    return offs[g] + i, offs[g] + j
 
 
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne 2^31-1
@@ -97,15 +179,50 @@ def _minhash_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarra
 
 
 def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """num_perm minima of (a*x + b) mod (2^31-1) over 32-bit shingle hashes.
+    """num_perm minima of (a*x + b) mod (2^31-1) over shingle hashes.
 
-    Fully vectorized: a < 2^31 and x < 2^32 keep a*x+b < 2^63 so the whole
-    (P, S) product grid fits uint64 with no overflow."""
+    Fully vectorized: x is reduced mod the prime first, so a < 2^31 and
+    x < 2^31 keep a*x+b < 2^62 — the whole (P, S) product grid fits uint64
+    with no overflow, for 32- or 64-bit shingle hashes alike."""
     if sh.size == 0:
         return np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
-    x = sh.astype(np.uint64)
+    x = sh.astype(np.uint64) % np.uint64(_MINHASH_PRIME)
     grid = (a[:, None] * x[None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
     return grid.min(axis=1)
+
+
+def _batch_signatures(
+    sh_doc: np.ndarray,
+    sh_h: np.ndarray,
+    nrows: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    *,
+    chunk: int = 200_000,
+) -> np.ndarray:
+    """(nrows, num_perm) MinHash signature matrix for a batch, computed with
+    ``np.minimum.reduceat`` over doc boundaries in bounded-memory chunks (the
+    (num_perm × shingles) permutation grid is never wider than ``chunk``).
+    Docs with no shingles keep the uint64-max sentinel signature."""
+    num_perm = a.size
+    sigs = np.full((nrows, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if sh_h.size == 0:
+        return sigs
+    order = np.argsort(sh_doc, kind="stable")
+    sh_doc, x = sh_doc[order], sh_h[order] % np.uint64(_MINHASH_PRIME)
+    docs_present, starts = np.unique(sh_doc, return_index=True)
+    seg_ends = np.concatenate([starts[1:], [sh_doc.size]])
+    c0 = 0
+    while c0 < docs_present.size:
+        c1 = c0 + 1
+        while c1 < docs_present.size and seg_ends[c1 - 1] - starts[c0] < chunk:
+            c1 += 1
+        sl = slice(starts[c0], seg_ends[c1 - 1])
+        grid = (a[:, None] * x[sl][None, :] + b[:, None]) % np.uint64(_MINHASH_PRIME)
+        mins = np.minimum.reduceat(grid, starts[c0:c1] - starts[c0], axis=1)
+        sigs[docs_present[c0:c1]] = mins.T
+        c0 = c1
+    return sigs
 
 
 def minhash_lsh_candidates(
@@ -116,48 +233,56 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    n_partitions: int = 64,
 ):
-    """Stage 1+2 of MinHash-LSH: per-doc signatures → (band_id, band_hash,
-    doc_id) rows → groupby band bucket → candidate pairs (a < b), deduped.
+    """Stage 1+2 of MinHash-LSH: per-doc signatures → (band_key, doc_id)
+    rows → coarse-bucket groupby → candidate pairs (a < b), deduped.
 
-    Only O(docs × bands) tiny rows are shuffled. Returns a Dataset of
-    (doc_a, doc_b).
+    Only O(docs × bands) tiny rows are shuffled, and the shuffle is over
+    ``n_partitions`` coarse buckets (band_key mod P), NOT one group per band
+    bucket — pair enumeration inside a coarse bucket is a closed-form
+    vectorized decode (``_group_pairs``), so there is no per-tiny-bucket
+    Python call. Band keys are FNV-folded from the signature rows with a
+    per-band salt (vectorized; no per-doc crc32). Returns a Dataset of
+    (doc_a, doc_b, n_bands).
     """
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
+    band_salt = np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
 
     def to_bands(batch: pa.Table) -> pa.Table:
         text = analyzer.normalize_text(batch[text_col])
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        out_band, out_hash, out_doc = [], [], []
-        for i, toks in enumerate(_doc_tokens(text)):
-            sig = minhash_signature(_shingle_hashes(toks, shingle_n), a, b)
-            for bi in range(bands):
-                seg = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                h = zlib.crc32(seg.tobytes())
-                out_band.append(bi)
-                out_hash.append(h)
-                out_doc.append(ids[i])
+        sh_doc, sh_h = _batch_shingles(text, shingle_n)
+        sigs = _batch_signatures(sh_doc, sh_h, len(text), a, b)
+        s3 = sigs.reshape(len(text), bands, rows_per_band)
+        h = np.full((len(text), bands), _FNV_OFF, dtype=np.uint64)
+        for k in range(rows_per_band):
+            h = (h ^ s3[:, :, k]) * _H64_MUL
+        h ^= band_salt[None, :]
+        flat = h.ravel()
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.int64()),
-                "doc_id": pa.array(out_doc, pa.int64()),
+                "bkey": pa.array(flat.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, bands), pa.int64()),
+                "bucket": pa.array((flat % np.uint64(n_partitions)).astype(np.int32)),
             }
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        k = group["bkey"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, k))
+        k, d = k[order], d[order]
+        _, counts = np.unique(k, return_counts=True)
+        i, j = _group_pairs(counts)
+        return pa.table(
+            {"doc_a": pa.array(d[i], pa.int64()), "doc_b": pa.array(d[j], pa.int64())}
+        )
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     from ray.data.aggregate import Count
 
     # dedupe pairs that collide in multiple bands
@@ -174,17 +299,19 @@ def doc_shingle_sets(
     payload_name: str = "sh",
 ):
     """(doc_id, sh:binary) — each doc's sorted distinct shingle hashes packed
-    as little-endian uint64 bytes. Binary (not list<uint64>) because Arrow's
-    hash join only carries flat payload columns; np.frombuffer round-trips it
-    zero-copy on the other side."""
+    as little-endian uint64 bytes. Binary (not list<uint64>) so the blob can
+    ride any exchange as a flat payload column; np.frombuffer round-trips it
+    zero-copy on the other side. Hashing is fully vectorized
+    (``_batch_shingles``)."""
 
     def to_shingles(batch: pa.Table) -> pa.Table:
         text = analyzer.normalize_text(batch[text_col])
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        blobs = [
-            np.unique(_shingle_hashes(toks, shingle_n)).astype("<u8").tobytes()
-            for toks in _doc_tokens(text)
-        ]
+        sh_doc, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
+        counts = np.bincount(sh_doc, minlength=len(text)) if sh_doc.size else np.zeros(len(text), np.int64)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+        le = sh_h.astype("<u8")
+        blobs = [le[offs[i] : offs[i + 1]].tobytes() for i in range(len(text))]
         return pa.table(
             {
                 key_name: pa.array(ids, pa.int64()),
@@ -196,7 +323,13 @@ def doc_shingle_sets(
 
 
 _VERIFY_SCHEMA = pa.schema(
-    [("key", pa.int64()), ("other", pa.int64()), ("sh", pa.binary()), ("sh_x", pa.binary())]
+    [
+        ("bucket", pa.int32()),
+        ("key", pa.int64()),
+        ("other", pa.int64()),
+        ("sh", pa.binary()),
+        ("sh_x", pa.binary()),
+    ]
 )
 
 
@@ -208,29 +341,38 @@ def jaccard_verify_pairs(
     text_col: str = "text",
     shingle_n: int = 3,
     threshold: float = 0.8,
+    n_partitions: int = 64,
 ):
     """Stage 3: exact n-gram Jaccard on candidate pairs — fully distributed.
 
     Shingle sets are attached to candidates by co-partitioning, not by
     driver-side broadcast: the shingle table (doc_id, sh) and the candidate
-    pairs are unioned under one schema and grouped by doc key twice — the
-    first pass attaches doc_a's shingle blob to each pair, the second
-    attaches doc_b's and computes the exact Jaccard inside the group. Each
-    doc's shingle set crosses the wire once per pass regardless of how many
-    candidates reference it; nothing is ever materialized on the driver.
+    pairs are unioned under one schema and grouped into ``n_partitions``
+    coarse buckets of the doc key twice — the first pass attaches doc_a's
+    shingle blob to each pair via a vectorized in-bucket pandas merge, the
+    second attaches doc_b's and computes the exact Jaccard. Coarse buckets
+    (not one group per doc) keep the number of Python group calls at O(P),
+    and each doc's shingle set crosses the wire once per pass regardless of
+    how many candidates reference it; nothing is materialized on the driver.
     (Implementation note: this deliberately uses groupby/map_groups — Ray's
     sort-based exchange — rather than Dataset.join, whose hash-shuffle
-    aggregator loses the schema of 0-row input blocks and a join *output*
+    aggregator loses the schema of 0-row input blocks, and a join *output*
     always contains empty partitions.) Returns (doc_a, doc_b, jaccard) with
     jaccard >= threshold.
     """
+
+    def _bucket(keys: np.ndarray) -> pa.Array:
+        return pa.array((keys % n_partitions).astype(np.int32))
+
     sh = doc_shingle_sets(docs_ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
 
     def doc_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        keys = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
         return pa.table(
             {
-                "key": t["doc_id"].combine_chunks().cast(pa.int64()),
+                "bucket": _bucket(keys),
+                "key": pa.array(keys, pa.int64()),
                 "other": pa.nulls(n, pa.int64()),
                 "sh": t["sh"].combine_chunks(),
                 "sh_x": pa.nulls(n, pa.binary()),
@@ -240,9 +382,11 @@ def jaccard_verify_pairs(
 
     def pair_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
+        keys = np.asarray(t["doc_a"].combine_chunks().cast(pa.int64()))
         return pa.table(
             {
-                "key": t["doc_a"].combine_chunks().cast(pa.int64()),
+                "bucket": _bucket(keys),
+                "key": pa.array(keys, pa.int64()),
                 "other": t["doc_b"].combine_chunks().cast(pa.int64()),
                 "sh": pa.nulls(n, pa.binary()),
                 "sh_x": pa.nulls(n, pa.binary()),
@@ -255,14 +399,18 @@ def jaccard_verify_pairs(
         docs = g[g["other"].isna()]
         if not len(prs) or not len(docs):
             return _VERIFY_SCHEMA.empty_table()
-        blob = docs["sh"].iloc[0]
+        merged = prs[["key", "other"]].merge(docs[["key", "sh"]], on="key", how="inner")
+        if not len(merged):
+            return _VERIFY_SCHEMA.empty_table()
         # re-key by doc_b for the second pass; carry doc_a's blob in sh_x
+        new_key = merged["other"].to_numpy(dtype=np.int64)
         return pa.table(
             {
-                "key": pa.array(prs["other"].to_numpy(dtype=np.int64), pa.int64()),
-                "other": pa.array(prs["key"].to_numpy(dtype=np.int64), pa.int64()),
-                "sh": pa.nulls(len(prs), pa.binary()),
-                "sh_x": pa.array([blob] * len(prs), pa.binary()),
+                "bucket": _bucket(new_key),
+                "key": pa.array(new_key, pa.int64()),
+                "other": pa.array(merged["key"].to_numpy(dtype=np.int64), pa.int64()),
+                "sh": pa.nulls(len(merged), pa.binary()),
+                "sh_x": pa.array(list(merged["sh"]), pa.binary()),
             },
             schema=_VERIFY_SCHEMA,
         )
@@ -272,18 +420,22 @@ def jaccard_verify_pairs(
         docs = g[g["sh_x"].isna() & g["other"].isna()]
         out_a, out_b, out_j = [], [], []
         if len(prs) and len(docs):
-            sb = np.frombuffer(docs["sh"].iloc[0], dtype="<u8")
-            key = int(g["key"].iloc[0])
-            for _, row in prs.iterrows():
-                sa = np.frombuffer(row["sh_x"], dtype="<u8")
+            merged = prs[["key", "other", "sh_x"]].merge(
+                docs[["key", "sh"]], on="key", how="inner"
+            )
+            for key, other, blob_a, blob_b in zip(
+                merged["key"], merged["other"], merged["sh_x"], merged["sh"]
+            ):
+                sa = np.frombuffer(blob_a, dtype="<u8")
+                sb = np.frombuffer(blob_b, dtype="<u8")
                 if sa.size == 0 and sb.size == 0:
                     continue
                 inter = np.intersect1d(sa, sb, assume_unique=True).size
                 union = sa.size + sb.size - inter
                 j = inter / union if union else 0.0
                 if j >= threshold:
-                    out_a.append(int(row["other"]))
-                    out_b.append(key)
+                    out_a.append(int(other))
+                    out_b.append(int(key))
                     out_j.append(round(j, 6))
         return pa.table(
             {
@@ -297,8 +449,12 @@ def jaccard_verify_pairs(
     pair_side = pairs_ds.select_columns(["doc_a", "doc_b"]).map_batches(
         pair_rows, batch_format="pyarrow", zero_copy_batch=True
     )
-    stage1 = doc_side.union(pair_side).groupby("key").map_groups(attach_a, batch_format="pandas")
-    stage2 = doc_side.union(stage1).groupby("key").map_groups(verify_b, batch_format="pandas")
+    stage1 = doc_side.union(pair_side).groupby("bucket").map_groups(
+        attach_a, batch_format="pandas"
+    )
+    stage2 = doc_side.union(stage1).groupby("bucket").map_groups(
+        verify_b, batch_format="pandas"
+    )
     return stage2
 
 
@@ -330,49 +486,50 @@ def jaccard_candidates_exact(
     text_col: str = "text",
     shingle_n: int = 3,
     max_bucket: int | None = None,
+    n_partitions: int = 64,
 ):
     """Exact (non-approximate) candidate generation: inverted shingle buckets.
 
     Emits one (shingle_hash, doc_id) row per distinct shingle per doc, then a
-    groupby(shingle) produces all pairs sharing ≥1 shingle — a complete
-    candidate set for ANY Jaccard threshold > 0 (unlike MinHash bands, which
-    are probabilistic). Shuffle volume is O(total distinct shingles), never
-    documents. ``max_bucket`` (optional) skips pathological hot shingles
-    (boilerplate n-grams) whose O(|bucket|²) pair blowup dominates at scale —
-    a doc pair above a high threshold shares many shingles, so dropping a few
-    hot buckets rarely loses true pairs (document the tradeoff when used).
+    coarse-bucket groupby (shingle mod ``n_partitions``) enumerates all pairs
+    sharing ≥1 shingle with one closed-form vectorized decode per bucket
+    (``_group_pairs``) — a complete candidate set for ANY Jaccard threshold
+    > 0 (unlike MinHash bands, which are probabilistic), with no
+    one-Python-call-per-shingle-group overhead. Shuffle volume is O(total
+    distinct shingles), never documents. ``max_bucket`` (optional) skips
+    pathological hot shingles (boilerplate n-grams) whose O(|bucket|²) pair
+    blowup dominates at scale — a doc pair above a high threshold shares many
+    shingles, so dropping a few hot buckets rarely loses true pairs (document
+    the tradeoff when used).
     """
-    import pandas as pd
 
     def to_shingle_rows(batch: pa.Table) -> pa.Table:
         text = analyzer.normalize_text(batch[text_col])
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        out_sh, out_doc = [], []
-        for i, toks in enumerate(_doc_tokens(text)):
-            sh = np.unique(_shingle_hashes(toks, shingle_n))
-            out_sh.append(sh.astype(np.int64))
-            out_doc.append(np.full(sh.size, ids[i], dtype=np.int64))
-        if not out_sh:
-            return pa.table(
-                {"shingle": pa.array([], pa.int64()), "doc_id": pa.array([], pa.int64())}
-            )
+        sh_doc, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
         return pa.table(
             {
-                "shingle": pa.array(np.concatenate(out_sh), pa.int64()),
-                "doc_id": pa.array(np.concatenate(out_doc), pa.int64()),
+                "shingle": pa.array(sh_h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(ids[sh_doc] if sh_doc.size else np.empty(0, np.int64), pa.int64()),
+                "bucket": pa.array((sh_h % np.uint64(n_partitions)).astype(np.int32)),
             }
         )
 
     rows = ds.map_batches(to_shingle_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if ids.size < 2 or (max_bucket is not None and ids.size > max_bucket):
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ai], "doc_b": ids[bi]})
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        sh = group["shingle"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, sh))
+        sh, d = sh[order], d[order]
+        _, counts = np.unique(sh, return_counts=True)
+        emit = None if max_bucket is None else (counts <= max_bucket)
+        i, j = _group_pairs(counts, emit)
+        return pa.table(
+            {"doc_a": pa.array(d[i], pa.int64()), "doc_b": pa.array(d[j], pa.int64())}
+        )
 
-    pairs = rows.groupby("shingle").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
     from ray.data.aggregate import Count
 
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
@@ -519,7 +676,8 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64), "hamming": pd.Series([], dtype=np.int64)})
         ai, bi = np.triu_indices(ids.size, k=1)
         x = hs[ai] ^ hs[bi]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        # vectorized popcount: 8 bytes per uint64 → unpack to bits and sum
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= max_hamming
         return pd.DataFrame({"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "hamming": ham[keep]})
 
