@@ -167,6 +167,56 @@ def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _set_integrity(sf_dir: str) -> pd.DataFrame:
+    """Set-integrity guard scenario (reference check_set_integrity,
+    core/tasks/harvest/set.py:99-126): a delta deleting every even doc_id
+    shrinks the corpus ~50% ≥ the 5% bar, so promotion must be refused and
+    the parent version keeps serving."""
+    import shutil
+
+    import ray.data as rd
+
+    from harvester_ray.index import incremental
+    from harvester_ray.index import manifest as mf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"integrity-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    index_build.build_index(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), root, input_desc=docs
+    )
+    ids = rd.read_parquet(docs, columns=["doc_id"]).to_pandas()["doc_id"]
+    bad = pd.DataFrame(
+        {"doc_id": ids[ids % 2 == 0], "text": "", "state": "deleted"}
+    )
+    man = incremental.build_incremental(root, rd.from_pandas(bad), input_desc="bad-delta")
+    integ = man["lineage"]["integrity"]
+    serving = mf.read_manifest(root)  # CURRENT after the guard's decision
+    return pd.DataFrame(
+        {
+            "parent_docs": [int(integ["parent_docs"])],
+            "new_docs": [int(integ["new_docs"])],
+            "is_replaced": [bool(integ["is_replaced"])],
+            "serving_docs": [int(serving["n_docs"])],
+        }
+    )
+
+
+def _set_integrity_sql(table: str = "documents") -> str:
+    cond = "(parent_docs >= 50 AND (new_docs = 0 OR (parent_docs - new_docs) * 1.0 / new_docs >= 0.05))"
+    return f"""
+WITH c AS (
+  SELECT count(*) AS parent_docs,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS new_docs
+  FROM {table}
+)
+SELECT parent_docs, new_docs, {cond} AS is_replaced,
+       CASE WHEN {cond} THEN parent_docs ELSE new_docs END AS serving_docs
+FROM c
+""".strip()
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.dataset as pads
 
@@ -307,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- full-text index + BM25 (north_rule core) ---------------------
         "doc_stats": _doc_stats,
         "corpus_stats": _corpus_stats,
+        "set_integrity": _set_integrity,
         "term_df_top50": _term_df_top50,
         "term_df_shuffle": _term_df_shuffle,
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
@@ -444,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_stats": index_oracle.doc_stats_sql("documents"),
         "corpus_stats": index_oracle.corpus_stats_sql("documents"),
+        "set_integrity": _set_integrity_sql("documents"),
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),

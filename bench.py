@@ -188,7 +188,10 @@ def run_headline() -> dict:
 
     # serving shape: segments fanned out over an actor pool (the OpenSearch
     # shard fan-out analog); in-process single-threaded numbers reported too
-    svc = iq.QueryService(index_root, num_actors=min(16, NUM_CPUS))
+    # 8 actors: with intra-actor early-θ propagation the fan-out width barely
+    # changes p50 (4≈8≈16 measured), and fewer in-flight RPCs per query mean
+    # fewer chances of one descheduled actor setting the tail on a noisy host
+    svc = iq.QueryService(index_root, num_actors=min(8, NUM_CPUS))
     qs = _query_set()
     cold, warm = [], []
     for q, mode in qs:  # first execution: cold dictionaries/postings

@@ -86,21 +86,141 @@ META_TERM = ""  # analyzer tokens are never empty, so "" marks per-segment meta 
 NUM_TERM_BUCKETS = 16
 
 
+def _crc32_table() -> np.ndarray:
+    t = np.arange(256, dtype=np.uint32)
+    for _ in range(8):
+        t = np.where(t & 1, (t >> 1) ^ np.uint32(0xEDB88320), t >> 1)
+    return t
+
+
+_CRC32_TABLE = _crc32_table()
+
+
+def crc32_strings(terms: pa.Array) -> np.ndarray:
+    """Vectorized crc32 over a string/binary array — identical to
+    ``zlib.crc32`` per value, computed table-driven per byte POSITION over
+    the array's flat data buffer (one numpy pass per byte of the longest
+    term), so there is no Python loop over terms."""
+    b = terms.cast(pa.binary())
+    if isinstance(b, pa.ChunkedArray):
+        b = b.combine_chunks()
+    n = len(b)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    bufs = b.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1, offset=b.offset * 4)
+    data = np.frombuffer(bufs[2], dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    crc = np.full(n, 0xFFFFFFFF, np.uint32)
+    for i in range(int(lens.max()) if n else 0):
+        act = lens > i
+        byte = data[starts[act] + i]
+        crc_a = crc[act]
+        crc[act] = (crc_a >> np.uint32(8)) ^ _CRC32_TABLE[(crc_a ^ byte) & np.uint32(0xFF)]
+    return crc ^ np.uint32(0xFFFFFFFF)
+
+
 def term_buckets(terms: pa.Array, num_buckets: int) -> np.ndarray:
     """Deterministic, process-independent term bucket ids (crc32 mod P)."""
-    import zlib
-
-    return np.fromiter(
-        (zlib.crc32(t) % num_buckets for t in terms.cast(pa.binary()).to_pylist()),
-        dtype=np.int32,
-        count=len(terms),
-    )
+    return (crc32_strings(terms) % np.uint32(num_buckets)).astype(np.int32)
 
 
 def _exclusive_cumsum(a: np.ndarray) -> np.ndarray:
     out = np.zeros(a.size + 1, dtype=np.int64)
     np.cumsum(a, out=out[1:])
     return out
+
+
+def encode_postings_streams(
+    p_code: np.ndarray,
+    p_doc: np.ndarray,
+    p_tf: np.ndarray,
+    p_dl: np.ndarray,
+    dictionary: pa.Array,
+) -> tuple[bytes, bytes, pa.Table]:
+    """Encode a whole segment's postings in one vectorized pass.
+
+    Input arrays are one row per posting, sorted by (term code, doc id);
+    ``dictionary[p_code]`` gives the term string. Returns (doc_stream,
+    tf_stream, terms_tbl) where terms_tbl is the term-sorted dictionary table
+    the segment's ``.terms.parquet`` stores (delta-gap + varbyte streams,
+    per-term byte ranges, block-max skip metadata). Shared by the phase-1
+    ``SegmentBuilder`` and postings-level ``compact.merge_segments`` — no
+    per-term ``encode_postings`` Python loop anywhere."""
+    # term slices
+    if p_code.size:
+        term_change = np.flatnonzero(np.diff(p_code)) + 1
+        term_starts = np.concatenate(([0], term_change))
+        term_ends = np.concatenate((term_change, [p_code.size]))
+    else:
+        term_starts = term_ends = np.zeros(0, dtype=np.int64)
+    term_ids = p_code[term_starts] if p_code.size else np.zeros(0, dtype=np.int64)
+    df = (term_ends - term_starts).astype(np.int64)
+    cf = np.add.reduceat(p_tf, term_starts).astype(np.int64) if p_code.size else df
+
+    # delta-gap doc ids with reset at term starts
+    gaps = p_doc.astype(np.int64).copy()
+    if gaps.size > 1:
+        gaps[1:] -= p_doc[:-1]
+    if term_starts.size:
+        gaps[term_starts] = p_doc[term_starts]
+    doc_stream, doc_starts = codec.varbyte_encode_all(gaps)
+    tf_stream, tf_starts = codec.varbyte_encode_all(p_tf)
+    doc_starts = np.append(doc_starts, len(doc_stream))
+    tf_starts = np.append(tf_starts, len(tf_stream))
+
+    # block tiling: BLOCK_SIZE postings per block within each term slice
+    bs = codec.BLOCK_SIZE
+    nblocks = (df + bs - 1) // bs
+    blk_off = _exclusive_cumsum(nblocks)
+    total_blocks = int(blk_off[-1])
+    blk_term = np.repeat(np.arange(term_ids.size), nblocks)
+    within = np.arange(total_blocks) - blk_off[blk_term]
+    blk_start = term_starts[blk_term] + within * bs
+    blk_end = np.minimum(blk_start + bs, term_ends[blk_term])
+    last_doc = p_doc[blk_end - 1] if total_blocks else np.zeros(0, dtype=np.int64)
+    max_tf = (
+        np.maximum.reduceat(p_tf, blk_start).astype(np.int64)
+        if total_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    min_dl = (
+        np.minimum.reduceat(p_dl, blk_start).astype(np.int64)
+        if total_blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    blk_doc_off = doc_starts[blk_start] - doc_starts[term_starts][blk_term]
+    blk_tf_off = tf_starts[blk_start] - tf_starts[term_starts][blk_term]
+
+    tf_base = len(doc_stream)
+
+    def _list_arr(values: np.ndarray, typ=pa.int64()) -> pa.ListArray:
+        return pa.ListArray.from_arrays(
+            pa.array(blk_off, pa.int32()), pa.array(values, typ)
+        )
+
+    terms_tbl = pa.table(
+        {
+            "term": dictionary.take(pa.array(term_ids)),
+            "df": pa.array(df, pa.int64()),
+            "cf": pa.array(cf, pa.int64()),
+            "doc_off": pa.array(doc_starts[term_starts], pa.int64()),
+            "doc_nbytes": pa.array(
+                doc_starts[term_ends] - doc_starts[term_starts], pa.int64()
+            ),
+            "tf_off": pa.array(tf_base + tf_starts[term_starts], pa.int64()),
+            "tf_nbytes": pa.array(tf_starts[term_ends] - tf_starts[term_starts], pa.int64()),
+            "block_last_doc": _list_arr(last_doc),
+            "block_max_tf": _list_arr(max_tf),
+            "block_min_dl": _list_arr(min_dl),
+            "block_doc_off": _list_arr(blk_doc_off),
+            "block_tf_off": _list_arr(blk_tf_off),
+        }
+    )
+    # sort term table lexicographically for binary-searchable dictionaries
+    sort_idx = pc.sort_indices(terms_tbl["term"])
+    return doc_stream, tf_stream, terms_tbl.take(sort_idx)
 
 
 class SegmentBuilder:
@@ -247,79 +367,13 @@ class SegmentBuilder:
         p_dl = p_dl[order2]
         p_code = p_code[order2]
 
-        # term slices
-        if p_code.size:
-            term_change = np.flatnonzero(np.diff(p_code)) + 1
-            term_starts = np.concatenate(([0], term_change))
-            term_ends = np.concatenate((term_change, [p_code.size]))
-        else:
-            term_starts = term_ends = np.zeros(0, dtype=np.int64)
-        term_ids = p_code[term_starts] if p_code.size else np.zeros(0, dtype=np.int64)
-        df = (term_ends - term_starts).astype(np.int64)
-        cf = np.add.reduceat(p_tf, term_starts).astype(np.int64) if p_code.size else df
-
-        # delta-gap doc ids with reset at term starts
-        gaps = p_doc.astype(np.int64).copy()
-        if gaps.size > 1:
-            gaps[1:] -= p_doc[:-1]
-        if term_starts.size:
-            gaps[term_starts] = p_doc[term_starts]
-        doc_stream, doc_starts = codec.varbyte_encode_all(gaps)
-        tf_stream, tf_starts = codec.varbyte_encode_all(p_tf)
-        doc_starts = np.append(doc_starts, len(doc_stream))
-        tf_starts = np.append(tf_starts, len(tf_stream))
-
-        # block tiling: BLOCK_SIZE postings per block within each term slice
-        bs = codec.BLOCK_SIZE
-        nblocks = (df + bs - 1) // bs
-        blk_off = _exclusive_cumsum(nblocks)
-        total_blocks = int(blk_off[-1])
-        blk_term = np.repeat(np.arange(term_ids.size), nblocks)
-        within = np.arange(total_blocks) - blk_off[blk_term]
-        blk_start = term_starts[blk_term] + within * bs
-        blk_end = np.minimum(blk_start + bs, term_ends[blk_term])
-        last_doc = p_doc[blk_end - 1] if total_blocks else np.zeros(0, dtype=np.int64)
-        max_tf = (
-            np.maximum.reduceat(p_tf, blk_start).astype(np.int64)
-            if total_blocks
-            else np.zeros(0, dtype=np.int64)
+        doc_stream, tf_stream, terms_tbl = encode_postings_streams(
+            p_code, p_doc, p_tf, p_dl, dictionary
         )
-        min_dl = (
-            np.minimum.reduceat(p_dl, blk_start).astype(np.int64)
-            if total_blocks
-            else np.zeros(0, dtype=np.int64)
-        )
-        blk_doc_off = doc_starts[blk_start] - doc_starts[term_starts][blk_term]
-        blk_tf_off = tf_starts[blk_start] - tf_starts[term_starts][blk_term]
-
-        tf_base = len(doc_stream)
-
-        def _list_arr(values: np.ndarray, typ=pa.int64()) -> pa.ListArray:
-            return pa.ListArray.from_arrays(
-                pa.array(blk_off, pa.int32()), pa.array(values, typ)
-            )
-
-        terms_tbl = pa.table(
-            {
-                "term": dictionary.take(pa.array(term_ids)),
-                "df": pa.array(df, pa.int64()),
-                "cf": pa.array(cf, pa.int64()),
-                "doc_off": pa.array(doc_starts[term_starts], pa.int64()),
-                "doc_nbytes": pa.array(
-                    doc_starts[term_ends] - doc_starts[term_starts], pa.int64()
-                ),
-                "tf_off": pa.array(tf_base + tf_starts[term_starts], pa.int64()),
-                "tf_nbytes": pa.array(tf_starts[term_ends] - tf_starts[term_starts], pa.int64()),
-                "block_last_doc": _list_arr(last_doc),
-                "block_max_tf": _list_arr(max_tf),
-                "block_min_dl": _list_arr(min_dl),
-                "block_doc_off": _list_arr(blk_doc_off),
-                "block_tf_off": _list_arr(blk_tf_off),
-            }
-        )
-        # sort term table lexicographically for binary-searchable dictionaries
-        sort_idx = pc.sort_indices(terms_tbl["term"])
-        terms_tbl = terms_tbl.take(sort_idx)
+        # term-sorted views (terms_tbl order) for partials and the marker
+        seg_terms = terms_tbl["term"].combine_chunks()
+        df = np.asarray(terms_tbl["df"])
+        cf = np.asarray(terms_tbl["cf"])
 
         docs_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dl, pa.int64())}
         for c in self.attr_cols:
@@ -340,14 +394,12 @@ class SegmentBuilder:
             os.replace(base + ext + ".tmp", base + ext)
         dl_sum = int(dl.sum())
         if self.staging_dir:
-            self._write_bucket_partials(
-                name, dictionary.take(pa.array(term_ids)), df, cf
-            )
+            self._write_bucket_partials(name, seg_terms, df, cf)
         marker = {
             "fingerprint": fingerprint,
             "n_docs": int(n),
             "dl_sum": dl_sum,
-            "n_terms": int(term_ids.size),
+            "n_terms": int(len(seg_terms)),
             "analyzer": analyzer.ANALYZER_VERSION,
         }
         tmp = marker_path + ".tmp"

@@ -63,82 +63,51 @@ def merge_segments(
     doc_ids = doc_ids[order]
     dls = dls[order]
 
-    # merged vocabulary
-    vocab: set[str] = set()
-    for reader, _ in readers:
-        vocab.update(reader._lookup.keys())
-    terms_sorted = sorted(vocab)
+    # merged vocabulary: sorted union of the (already term-sorted) dictionaries
+    all_terms = pa.concat_arrays([r._term_strings for r, _ in readers]).unique()
+    merged_vocab = all_terms.take(pc.sort_indices(all_terms))
+    vocab_np = merged_vocab.cast(pa.binary()).to_numpy(zero_copy_only=False)
 
-    doc_stream_parts: list[bytes] = []
-    tf_stream_parts: list[bytes] = []
-    rows = {
-        "term": [], "df": [], "cf": [], "doc_off": [], "doc_nbytes": [],
-        "tf_off": [], "tf_nbytes": [],
-        "block_last_doc": [], "block_max_tf": [], "block_min_dl": [],
-        "block_doc_off": [], "block_tf_off": [],
-    }
-    pos = 0
-    tf_entries = []  # (tf_bytes, term_index) to lay out after doc streams
-    for t in terms_sorted:
-        dparts, fparts = [], []
-        for reader, dead in readers:
-            p = reader.postings(t)
-            if p is None:
-                continue
-            d, f = p
-            if dead.size:
-                keep = ~np.isin(d, dead)
-                d, f = d[keep], f[keep]
-            if d.size:
-                dparts.append(d)
-                fparts.append(f)
-        if not dparts:
+    # whole-postings merge, one vectorized decode per source segment: each
+    # segment's full stream → (global term code, doc, tf) triples, dead docs
+    # masked; then one lexsort + one vectorized re-encode for the whole
+    # merged segment (no per-term Python loop — see encode_postings_streams)
+    code_parts, doc_parts2, tf_parts2 = [], [], []
+    for reader, dead in readers:
+        term_rows, df_s, d, f = reader.all_postings()
+        if d.size == 0:
             continue
-        d = np.concatenate(dparts)
-        f = np.concatenate(fparts)
-        o = np.argsort(d, kind="stable")
-        d, f = d[o], f[o]
-        dl_for = dls[np.searchsorted(doc_ids, d)]
-        db, tb, blocks = codec.encode_postings(d, f, dl_for)
-        rows["term"].append(t)
-        rows["df"].append(int(d.size))
-        rows["cf"].append(int(f.sum()))
-        rows["doc_off"].append(pos)
-        rows["doc_nbytes"].append(len(db))
-        doc_stream_parts.append(db)
-        pos += len(db)
-        tf_entries.append((tb, len(rows["term"]) - 1))
-        rows["tf_nbytes"].append(len(tb))
-        rows["tf_off"].append(-1)  # fixed below
-        for key, bkey in (
-            ("block_last_doc", "last_doc"), ("block_max_tf", "max_tf"),
-            ("block_min_dl", "min_dl"), ("block_doc_off", "doc_off"),
-            ("block_tf_off", "tf_off"),
-        ):
-            rows[key].append(blocks[bkey].tolist())
-    for tb, i in tf_entries:
-        rows["tf_off"][i] = pos
-        tf_stream_parts.append(tb)
-        pos += len(tb)
+        local_terms = (
+            reader._term_strings.take(pa.array(term_rows))
+            .cast(pa.binary())
+            .to_numpy(zero_copy_only=False)
+        )
+        g_codes = np.searchsorted(vocab_np, local_terms)
+        p_code = np.repeat(g_codes, df_s)
+        if dead.size:
+            keep = ~np.isin(d, dead)
+            p_code, d, f = p_code[keep], d[keep], f[keep]
+        code_parts.append(p_code)
+        doc_parts2.append(d)
+        tf_parts2.append(f)
+    if code_parts:
+        p_code = np.concatenate(code_parts)
+        p_doc = np.concatenate(doc_parts2)
+        p_tf = np.concatenate(tf_parts2)
+        order2 = np.lexsort((p_doc, p_code))
+        p_code, p_doc, p_tf = p_code[order2], p_doc[order2], p_tf[order2]
+        p_dl = dls[np.searchsorted(doc_ids, p_doc)]
+    else:
+        p_code = p_doc = p_tf = p_dl = np.empty(0, np.int64)
+
+    from .build import encode_postings_streams
+
+    doc_stream, tf_stream, terms_tbl = encode_postings_streams(
+        p_code, p_doc, p_tf, p_dl, merged_vocab
+    )
 
     name = f"seg-{doc_ids[0]:012d}-{doc_ids[-1]:012d}" if doc_ids.size else "seg-empty"
     base = os.path.join(out_dir, name)
-    terms_tbl = pa.table(
-        {
-            "term": pa.array(rows["term"], pa.string()),
-            "df": pa.array(rows["df"], pa.int64()),
-            "cf": pa.array(rows["cf"], pa.int64()),
-            "doc_off": pa.array(rows["doc_off"], pa.int64()),
-            "doc_nbytes": pa.array(rows["doc_nbytes"], pa.int64()),
-            "tf_off": pa.array(rows["tf_off"], pa.int64()),
-            "tf_nbytes": pa.array(rows["tf_nbytes"], pa.int64()),
-            "block_last_doc": pa.array(rows["block_last_doc"], pa.list_(pa.int64())),
-            "block_max_tf": pa.array(rows["block_max_tf"], pa.list_(pa.int64())),
-            "block_min_dl": pa.array(rows["block_min_dl"], pa.list_(pa.int64())),
-            "block_doc_off": pa.array(rows["block_doc_off"], pa.list_(pa.int64())),
-            "block_tf_off": pa.array(rows["block_tf_off"], pa.list_(pa.int64())),
-        }
-    )
     docs_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dls, pa.int64())}
     for a in attr_names:
         merged_attr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in attr_parts[a]])
@@ -146,10 +115,8 @@ def merge_segments(
     pq.write_table(terms_tbl, base + ".terms.parquet.tmp")
     pq.write_table(pa.table(docs_cols), base + ".docs.parquet.tmp")
     with open(base + ".bin.tmp", "wb") as fh:
-        for part in doc_stream_parts:
-            fh.write(part)
-        for part in tf_stream_parts:
-            fh.write(part)
+        fh.write(doc_stream)
+        fh.write(tf_stream)
     for ext in (".terms.parquet", ".docs.parquet", ".bin"):
         os.replace(base + ext + ".tmp", base + ext)
     with open(base + ".done.tmp", "w") as fh:

@@ -29,20 +29,26 @@ def doc_top_terms(
     """A document's highest tf·idf terms — the MLT query-term selection.
 
     Scans only the one segment containing the doc (binary search over
-    segment doc tables)."""
+    segment doc tables), and recovers the doc's terms from ONE vectorized
+    whole-segment decode (``SegmentReader.all_postings``) rather than
+    decoding every term's posting list separately."""
     for seg_meta in reader.manifest["segments"]:
         seg = reader._segment(seg_meta)
         pos = np.searchsorted(seg.doc_ids, doc_id)
         if pos >= seg.doc_ids.size or seg.doc_ids[pos] != doc_id:
             continue
-        terms_tbl = pq.read_table(seg.base + ".terms.parquet", columns=["term"])
-        scores: list[tuple[float, str]] = []
-        for t in terms_tbl["term"].to_pylist():
-            d, f = seg.postings(t)
-            i = np.searchsorted(d, doc_id)
-            if i < d.size and d[i] == doc_id:
-                df = reader.df([t])[t]
-                scores.append((float(f[i]) * float(bm25.idf(reader.n_docs, df)), t))
+        term_rows, df_s, d_all, f_all = seg.all_postings()
+        hit = np.flatnonzero(d_all == doc_id)
+        if hit.size == 0:
+            return []
+        seg_of = np.searchsorted(np.cumsum(df_s), hit, side="right")
+        terms = seg._term_strings.take(pa.array(term_rows[seg_of])).to_pylist()
+        tfs = f_all[hit]
+        dfs = reader.df(terms)
+        scores = [
+            (float(tf) * float(bm25.idf(reader.n_docs, dfs[t])), t)
+            for t, tf in zip(terms, tfs)
+        ]
         scores.sort(key=lambda x: (-x[0], x[1]))
         return [t for _, t in scores[:max_terms]]
     return []

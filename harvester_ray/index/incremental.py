@@ -49,34 +49,68 @@ from .query import SegmentReader
 def _correction_partials(
     seg_path: str, tomb_ids: np.ndarray, num_buckets: int, seg_name: str
 ) -> tuple[pa.Table, int, int]:
-    """Decode one carried segment and emit negative (term, df, cf) partials
-    for the postings that belong to ``tomb_ids``. Returns (partials,
-    n_docs_removed, dl_removed)."""
-    seg = SegmentReader(seg_path)
-    present = np.intersect1d(seg.doc_ids, tomb_ids)
+    """Emit negative (term, df, cf) partials for the postings of one carried
+    segment that belong to ``tomb_ids``. Returns (partials, n_docs_removed,
+    dl_removed).
+
+    Postings are term-major in the segment's ``.bin`` (whole doc-gap stream,
+    then whole tf stream; varbyte is self-delimiting), so the ENTIRE segment
+    decodes in two vectorized varbyte passes; per-term doc ids come from one
+    segmented cumsum over the per-term ``df`` boundaries and the corrections
+    from two ``np.add.reduceat`` calls — no per-term Python loop."""
+    from . import codec
+
+    docs = pq.read_table(seg_path + ".docs.parquet", columns=["doc_id", "dl"])
+    seg_doc_ids = np.asarray(docs["doc_id"].combine_chunks(), dtype=np.int64)
+    present = np.intersect1d(seg_doc_ids, tomb_ids)
     if present.size == 0:
         return PARTIAL_SCHEMA.empty_table(), 0, 0
-    terms = pq.read_table(seg_path + ".terms.parquet", columns=["term"])["term"]
-    out_terms, out_df, out_cf = [], [], []
-    for i, t in enumerate(terms.to_pylist()):
-        d, f = seg.postings(t)
-        idx = np.searchsorted(d, present)
-        idx_c = np.clip(idx, 0, d.size - 1)
-        hit = d[idx_c] == present
-        n_hit = int(hit.sum())
-        if n_hit:
-            out_terms.append(t)
-            out_df.append(-n_hit)
-            out_cf.append(-int(f[idx_c][hit].sum()))
-    dl_removed = int(seg.doc_lengths(present).sum())
-    buckets = term_buckets(pa.array(out_terms, pa.string()), num_buckets) if out_terms else np.zeros(0, np.int32)
+    terms = pq.read_table(
+        seg_path + ".terms.parquet",
+        columns=["term", "df", "doc_off", "doc_nbytes", "tf_off", "tf_nbytes"],
+    )
+    df = np.asarray(terms["df"].combine_chunks(), dtype=np.int64)
+    dl_removed = int(
+        np.asarray(docs["dl"].combine_chunks(), dtype=np.int64)[
+            np.searchsorted(seg_doc_ids, present)
+        ].sum()
+    )
+    if df.size == 0:
+        return PARTIAL_SCHEMA.empty_table(), int(present.size), dl_removed
+    doc_off = np.asarray(terms["doc_off"].combine_chunks(), dtype=np.int64)
+    doc_nb = np.asarray(terms["doc_nbytes"].combine_chunks(), dtype=np.int64)
+    tf_off = np.asarray(terms["tf_off"].combine_chunks(), dtype=np.int64)
+    tf_nb = np.asarray(terms["tf_nbytes"].combine_chunks(), dtype=np.int64)
+    bin_ = np.memmap(seg_path + ".bin", dtype=np.uint8, mode="r")
+    # terms.parquet is sorted by TERM; byte offsets follow the encoder's
+    # stream order — recover it so the decoded value stream can be segmented
+    order = np.argsort(doc_off, kind="stable")
+    df_s = df[order]
+    d0 = int(doc_off.min())
+    t0 = int(tf_off.min())
+    gaps = codec.varbyte_decode(bin_[d0 : d0 + int(doc_nb.sum())]).astype(np.int64)
+    tfs = codec.varbyte_decode(bin_[t0 : t0 + int(tf_nb.sum())]).astype(np.int64)
+    offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(df_s)])
+    run = np.cumsum(gaps)
+    base = np.zeros(df_s.size, dtype=np.int64)
+    base[1:] = run[offs[1:-1] - 1]
+    doc_ids = run - np.repeat(base, df_s)
+    idx = np.clip(np.searchsorted(present, doc_ids), 0, present.size - 1)
+    hit = present[idx] == doc_ids
+    df_corr = np.add.reduceat(hit.astype(np.int64), offs[:-1])
+    cf_corr = np.add.reduceat(np.where(hit, tfs, 0), offs[:-1])
+    nz_s = np.flatnonzero(df_corr)
+    if nz_s.size == 0:
+        return PARTIAL_SCHEMA.empty_table(), int(present.size), dl_removed
+    out_terms = terms["term"].combine_chunks().take(pa.array(order[nz_s]))
+    nz = nz_s
     tbl = pa.table(
         {
-            "term": pa.array(out_terms, pa.string()),
-            "df": pa.array(out_df, pa.int64()),
-            "cf": pa.array(out_cf, pa.int64()),
-            "seg": pa.array([None] * len(out_terms), pa.string()),
-            "bucket": pa.array(buckets, pa.int32()),
+            "term": out_terms,
+            "df": pa.array(-df_corr[nz], pa.int64()),
+            "cf": pa.array(-cf_corr[nz], pa.int64()),
+            "seg": pa.nulls(nz.size, pa.string()),
+            "bucket": pa.array(term_buckets(out_terms, num_buckets), pa.int32()),
         },
         schema=PARTIAL_SCHEMA,
     )
@@ -95,9 +129,20 @@ def build_incremental(
     promote: bool = True,
     keep_versions: int = 3,
     input_desc: str = "",
+    integrity_check: bool = True,
+    integrity_min_docs: int = 50,
 ) -> dict:
     """Build version N+1 from the CURRENT version plus a delta Dataset with
-    columns (id, text, state∈{active,deleted}). Returns the new manifest."""
+    columns (id, text, state∈{active,deleted}). Returns the new manifest.
+
+    Before promotion the set-integrity guard runs (the reference's
+    ``check_set_integrity`` data-quality gate, core/tasks/harvest/set.py:
+    99-126): if the parent version has ≥ ``integrity_min_docs`` live docs
+    and the new version is empty, or shrank such that
+    (parent - new) / new ≥ 5%, the new version is NOT promoted — the parent
+    stays CURRENT (the "replace with historic" analog) and the decision is
+    recorded in ``lineage.integrity``. A bad delta therefore cannot wipe the
+    serving index. Pass ``integrity_check=False`` to force promotion."""
     import ray
     import ray.data as rd
 
@@ -150,30 +195,50 @@ def build_incremental(
     live_segs = set(meta_tbl["seg"].to_pylist())
 
     # ---- corrections for carried segments ---------------------------------
+    # one Ray task per carried segment (the same fan-out compact() uses) —
+    # a 64-segment index corrects in parallel instead of driver-serially
     prev_tombs = prev.get("tombstones", [])
-    prev_tomb_latest: dict[int, int] = {}
-    for d, v in prev_tombs:
-        prev_tomb_latest[d] = max(v, prev_tomb_latest.get(d, 0))
+    if prev_tombs:
+        pt = np.asarray(prev_tombs, dtype=np.int64).reshape(-1, 2)
+        order = np.lexsort((pt[:, 1], pt[:, 0]))
+        pt = pt[order]
+        keep_last = np.ones(pt.shape[0], bool)
+        keep_last[:-1] = pt[1:, 0] != pt[:-1, 0]
+        tomb_doc_sorted, tomb_ver_latest = pt[keep_last, 0], pt[keep_last, 1]
+    else:
+        tomb_doc_sorted = np.empty(0, np.int64)
+        tomb_ver_latest = np.empty(0, np.int64)
+    # latest prior tombstone version per delta id (0 = never tombstoned)
+    pos = np.clip(np.searchsorted(tomb_doc_sorted, new_tomb_ids), 0, max(tomb_doc_sorted.size - 1, 0))
+    if tomb_doc_sorted.size:
+        delta_prior_ver = np.where(
+            tomb_doc_sorted[pos] == new_tomb_ids, tomb_ver_latest[pos], 0
+        )
+    else:
+        delta_prior_ver = np.zeros(new_tomb_ids.size, np.int64)
 
-    corrections: list[pa.Table] = []
-    n_removed = 0
-    dl_removed = 0
+    corr_task = ray.remote(num_cpus=1)(_correction_partials)
+    futures = []
     carried = []
     for seg_meta in prev["segments"]:
         cv = seg_meta.get("created_version", prev_version)
         # only subtract docs still LIVE in this segment (not already
         # tombstoned for its creation version)
-        live_new = np.array(
-            [d for d in new_tomb_ids if prev_tomb_latest.get(int(d), 0) <= cv],
-            dtype=np.int64,
-        )
+        live_new = new_tomb_ids[delta_prior_ver <= cv]
         seg_path = os.path.join(index_root, seg_meta["path"])
-        tbl, nr, dlr = _correction_partials(seg_path, live_new, num_buckets, seg_meta["name"])
+        futures.append(
+            corr_task.remote(seg_path, live_new, num_buckets, seg_meta["name"])
+        )
+        carried.append(dict(seg_meta))
+
+    corrections: list[pa.Table] = []
+    n_removed = 0
+    dl_removed = 0
+    for tbl, nr, dlr in ray.get(futures):
         if tbl.num_rows:
             corrections.append(tbl)
         n_removed += nr
         dl_removed += dlr
-        carried.append(dict(seg_meta))
 
     # ---- term stats: old per-bucket stats + new partials + corrections ----
     shutil.rmtree(termstats_dir, ignore_errors=True)
@@ -277,8 +342,20 @@ def build_incremental(
             "n_carried_segments": len(carried),
         },
     }
+    # ---- set-integrity guard (reference check_set_integrity semantics) ----
+    parent_docs = int(prev["n_docs"])
+    shrank = n_docs == 0 or (
+        parent_docs > n_docs and (parent_docs - n_docs) / n_docs >= 0.05
+    )
+    replaced = bool(integrity_check and parent_docs >= integrity_min_docs and shrank)
+    man["lineage"]["integrity"] = {
+        "checked": bool(integrity_check),
+        "parent_docs": parent_docs,
+        "new_docs": int(n_docs),
+        "is_replaced": replaced,
+    }
     mf.write_manifest(index_root, version, man)
-    if promote:
+    if promote and not replaced:
         mf.promote(index_root, version)
         mf.purge_stale_versions(index_root, keep=keep_versions)
     return man

@@ -55,7 +55,8 @@ class SegmentReader:
 
         self.base = base_path
         terms = pq.read_table(base_path + ".terms.parquet")
-        self._lookup = {t: i for i, t in enumerate(terms["term"].to_pylist())}
+        self._term_strings = terms["term"].combine_chunks()
+        self._lookup = {t: i for i, t in enumerate(self._term_strings.to_pylist())}
         for col in ("df", "cf", "doc_off", "doc_nbytes", "tf_off", "tf_nbytes"):
             setattr(self, "_" + col, np.asarray(terms[col].combine_chunks(), dtype=np.int64))
         self._blocks: dict[str, tuple[np.ndarray, np.ndarray]] = {}
@@ -152,6 +153,37 @@ class SegmentReader:
             docs_parts.append(d)
             tf_parts.append(t)
         return np.concatenate(docs_parts), np.concatenate(tf_parts)
+
+    def all_postings(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the ENTIRE segment in two vectorized varbyte passes.
+
+        Returns ``(term_rows, df_s, doc_ids, tfs)``: the postings stream in
+        encoder order, segmented per term — ``term_rows[k]`` is the row index
+        into the (term-sorted) dictionary table of the k-th stream segment,
+        whose ``df_s[k]`` postings are the next slice of the flat
+        ``doc_ids``/``tfs`` arrays. The doc ids come from one segmented
+        cumsum over the per-term delta-gaps; no per-term Python loop
+        (compaction/corrections use this instead of per-term ``postings``)."""
+        # terms.parquet is term-sorted; byte offsets follow stream order
+        order = np.argsort(self._doc_off, kind="stable")
+        df_s = self._df[order]
+        if df_s.size == 0:
+            z = np.empty(0, np.int64)
+            return z, z, z, z
+        d0 = int(self._doc_off.min())
+        t0 = int(self._tf_off.min())
+        gaps = codec.varbyte_decode(
+            self._bin[d0 : d0 + int(self._doc_nbytes.sum())]
+        ).astype(np.int64)
+        tfs = codec.varbyte_decode(
+            self._bin[t0 : t0 + int(self._tf_nbytes.sum())]
+        ).astype(np.int64)
+        offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(df_s)])
+        run = np.cumsum(gaps)
+        base = np.zeros(df_s.size, dtype=np.int64)
+        base[1:] = run[offs[1:-1] - 1]
+        doc_ids = run - np.repeat(base, df_s)
+        return order, df_s, doc_ids, tfs
 
     def doc_lengths(self, docs: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
@@ -624,12 +656,20 @@ class QuerySegmentActor:
         recency: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         parts = []
+        theta = -np.inf
         for _, seg, exclude in self.readers:
             d, s = search_segment(
-                seg, terms, idf_map, self.avgdl, k, mode=mode, exclude=exclude,
-                include=seg.allowed_docs(filters), recency=recency,
+                seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
+                exclude=exclude, include=seg.allowed_docs(filters), recency=recency,
             )
             parts.append((d, s))
+            # propagate the actor-local k-th score as a block-max pruning
+            # threshold into this actor's remaining segments (same early-θ
+            # the in-process reader uses; cross-actor θ would need an extra
+            # round-trip per query)
+            if s.size >= k and recency is None:
+                kth = np.sort(s)[-k]
+                theta = max(theta, kth)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
         return _topk(docs, scores, k)

@@ -118,40 +118,89 @@ def q1_pricing_summary(sf_dir: str):
 
 
 def revenue_by_nation(sf_dir: str):
-    """orders ⋈ customer ⋈ nation grouped revenue — the small sides
-    (customer, nation) are broadcast via ``ray.put`` and looked up inside
-    map_batches; the big side streams. No shuffle join at all."""
+    """orders ⋈ customer ⋈ nation grouped revenue — the small side is
+    broadcast ONCE as numpy arrays (``ray.put`` of a sorted key array +
+    values; searchsorted lookup inside map_batches, no Python dict, no
+    per-row .map), the big side streams, and the shuffle carries only the
+    int nation key. Nation NAMES are attached to the 25 result rows on the
+    driver — strings never enter the hot path."""
     import ray
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_map = dict(zip(cust["c_custkey"].to_numpy(), cust["c_nationkey"].to_numpy()))
-    nation_map = dict(zip(nation["n_nationkey"].to_numpy(), nation["n_name"].tolist()))
-    ref = ray.put((cust_map, nation_map))
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    nk = cust["c_nationkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ck)
+    ref = ray.put((ck[order], nk[order]))
 
     def lookup(t: pa.Table) -> pa.Table:
-        cm, nm = ray.get(ref)
-        cks = t["o_custkey"].to_pandas()
-        names = cks.map(cm).map(nm)
+        keys, vals = ray.get(ref)
+        cks = np.asarray(t["o_custkey"].combine_chunks().cast(pa.int64()))
+        idx = np.searchsorted(keys, cks)
         return pa.table(
             {
-                "n_name": pa.array(names.tolist(), pa.string()),
+                "n_nationkey": pa.array(vals[idx], pa.int64()),
                 "o_totalprice": t["o_totalprice"],
             }
         )
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     joined = orders.map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
-    out = joined.groupby("n_name").aggregate(
+    out = joined.groupby("n_nationkey").aggregate(
         Sum("o_totalprice", alias_name="revenue"), Count(alias_name="n_orders")
-    )
-    return _round_floats(out.to_pandas(), 4).sort_values("n_name").reset_index(drop=True)
+    ).to_pandas()
+    out = out.merge(
+        nation.rename(columns={"n_nationkey": "n_nationkey", "n_name": "n_name"}),
+        on="n_nationkey",
+    )[["n_name", "revenue", "n_orders"]]
+    return _round_floats(out, 4).sort_values("n_name").reset_index(drop=True)
 
 
 def hash_join_order_lineitem(sf_dir: str):
-    """Large-large join: lineitem ⋈ orders on orderkey via Dataset.join
-    (hash-partitioned), then grouped revenue by order priority."""
+    """lineitem ⋈ orders grouped revenue by order priority — broadcast form.
+
+    The orders side is one ``ray.put`` of (sorted orderkey array, priority
+    CODE int8 array): each lineitem batch pre-reduces revenue per orderkey,
+    maps orderkey → priority code with a vectorized searchsorted, and
+    re-reduces to ≤5 partial rows — so the shuffle moves O(5 × blocks) rows
+    and the 5 priority STRINGS are attached on the driver. Correct while
+    orders' key array fits a worker (~16 B/order); past that, use the
+    hash-partitioned ``hash_join_order_lineitem_shuffle`` fallback."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"]).to_pandas()
+    prio_cat = orders["o_orderpriority"].astype("category")
+    prio_names = list(prio_cat.cat.categories)
+    ok = orders["o_orderkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ok)
+    ref = ray.put((ok[order], prio_cat.cat.codes.to_numpy(dtype=np.int8)[order]))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, codes = ray.get(ref)
+        r = pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        lk = np.asarray(t["l_orderkey"].combine_chunks().cast(pa.int64()))
+        code = codes[np.searchsorted(keys, lk)].astype(np.int32)
+        t2 = pa.table({"prio_code": pa.array(code), "rev": r})
+        agg = t2.group_by("prio_code").aggregate([("rev", "sum"), ("rev", "count")])
+        return agg.rename_columns(["prio_code", "rev", "n_items"])
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    out = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("prio_code")
+        .aggregate(Sum("rev", alias_name="revenue"), Sum("n_items", alias_name="n_items"))
+        .to_pandas()
+    )
+    out["o_orderpriority"] = out["prio_code"].map(lambda c: prio_names[c])
+    out = out[["o_orderpriority", "revenue", "n_items"]]
+    return _round_floats(out, 4).sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def hash_join_order_lineitem_shuffle(sf_dir: str):
+    """Large-large fallback: lineitem ⋈ orders on orderkey via Dataset.join
+    (hash-partitioned) — for when neither side's key array fits a worker."""
     from ray.data.aggregate import Sum
 
     import ray
@@ -238,18 +287,25 @@ def events_facets(sf_dir: str):
 def events_hourly_window(sf_dir: str):
     """Tumbling event-time window: truncate ts to the hour inside
     map_batches (no shuffle) then grouped aggregate per (user, hour)."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
     def bucket(t: pa.Table) -> pa.Table:
+        # per-batch combiner (same pattern as q1): pre-aggregate to one row
+        # per (user, hour) inside the batch so the shuffle moves
+        # O(groups × blocks) rows, not every event
         hour = pc.floor_temporal(t["ts"], unit="hour")
-        return pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+        t2 = pa.table({"user_id": t["user_id"], "hour": hour, "value": t["value"]})
+        agg = t2.group_by(["user_id", "hour"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+        return agg.rename_columns(["user_id", "hour", "n_events", "sum_value"])
 
     out = (
         ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "hour"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
     )
     pdf = _round_floats(out.to_pandas(), 4)
     return pdf.sort_values(["user_id", "hour"]).reset_index(drop=True)

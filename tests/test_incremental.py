@@ -122,3 +122,40 @@ def test_actor_service_respects_tombstones(setup):
         a = svc.search(q, k=20, mode=m).to_pandas()
         b = reader.search(q, k=20, mode=m).to_pandas()
         assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+def test_set_integrity_guard_blocks_bad_delta(tmp_path):
+    """A delta that deletes most of the corpus must NOT be promoted: the
+    parent version stays CURRENT (reference check_set_integrity,
+    core/tasks/harvest/set.py:99-126) and the refusal is recorded."""
+    root = str(tmp_path / "guard_idx")
+    base = _base_corpus()
+    build.build_index(rd.from_pandas(base), root, input_desc="base")
+    v_parent = mf.current_version(root)
+    parent_man = mf.read_manifest(root)
+
+    bad = pd.DataFrame(
+        {"doc_id": base["doc_id"].head(400), "text": "", "state": "deleted"}
+    )
+    man = incremental.build_incremental(root, rd.from_pandas(bad), input_desc="bad")
+    integ = man["lineage"]["integrity"]
+    assert integ["is_replaced"] is True
+    assert integ["parent_docs"] == parent_man["n_docs"]
+    # CURRENT untouched; queries still serve the parent corpus
+    assert mf.current_version(root) == v_parent
+    reader = query.IndexReader(root)
+    assert reader.n_docs == parent_man["n_docs"]
+
+    # a benign delta still promotes
+    ok = pd.DataFrame(
+        {"doc_id": [10_001], "text": ["fresh spark addition"], "state": ["active"]}
+    )
+    man2 = incremental.build_incremental(root, rd.from_pandas(ok), input_desc="ok")
+    assert man2["lineage"]["integrity"]["is_replaced"] is False
+    assert mf.current_version(root) == man2["version"]
+
+    # integrity_check=False forces promotion of even a wiping delta
+    man3 = incremental.build_incremental(
+        root, rd.from_pandas(bad), input_desc="forced", integrity_check=False
+    )
+    assert mf.current_version(root) == man3["version"]
