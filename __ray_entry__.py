@@ -217,6 +217,54 @@ FROM c
 """.strip()
 
 
+def _merge_child_table(sf_dir: str) -> pd.DataFrame:
+    """Ordered fan-in join (Product ⟕ Files analog, reference
+    products/models/datatypes/product.py:82-167): orders gain their
+    highest-price lineitem's fields plus all return flags concatenated in
+    price order."""
+    import ray.data as rd
+
+    from harvester_ray.pipelines import fanin
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_orderpriority"]
+    )
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_partkey", "l_extendedprice", "l_returnflag"],
+    )
+    out = fanin.merge_child_table(
+        orders,
+        li,
+        key="l_orderkey",
+        parent_key="o_orderkey",
+        order_by=["l_extendedprice", "l_linenumber"],
+        descending=[True, False],
+        take_first=["l_partkey", "l_extendedprice"],
+        concat={"flags": ("l_returnflag", ",")},
+    ).to_pandas()
+    out["first_l_extendedprice"] = pd.to_numeric(out["first_l_extendedprice"]).round(4)
+    out["first_l_partkey"] = pd.to_numeric(out["first_l_partkey"])
+    out["flags"] = out["flags"].where(out["flags"].notna(), None)
+    out = out[
+        ["o_orderkey", "o_orderpriority", "first_l_partkey", "first_l_extendedprice", "flags", "n_children"]
+    ]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _merge_child_table_sql() -> str:
+    return """
+SELECT o.o_orderkey, o.o_orderpriority,
+       first(l.l_partkey ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC) AS first_l_partkey,
+       round(first(l.l_extendedprice ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC), 4)
+           AS first_l_extendedprice,
+       string_agg(l.l_returnflag, ',' ORDER BY l.l_extendedprice DESC, l.l_linenumber ASC) AS flags,
+       CAST(count(l.l_orderkey) AS BIGINT) AS n_children
+FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2 ORDER BY 1
+""".strip()
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.dataset as pads
 
@@ -232,7 +280,12 @@ def _knn(sf_dir: str) -> pd.DataFrame:
 
 
 def _knn_ivf(sf_dir: str) -> pd.DataFrame:
-    out = similarity.knn_ivf(_emb_ds(sf_dir), _query_vec(sf_dir), k=10).to_pandas()
+    """Partition-pruned IVF: the corpus is laid out once as one Parquet dir
+    per centroid; the query reads only its nprobe cluster dirs."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ivf_dir = os.path.join(_SCRATCH, f"ivf-{tag}")
+    similarity.ivf_partition(_emb_ds(sf_dir), ivf_dir, n_centroids=16)
+    out = similarity.knn_ivf_partitioned(ivf_dir, _query_vec(sf_dir), k=10).to_pandas()
     return out[["vec_id", "cosine"]]
 
 
@@ -343,6 +396,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_pricing_summary": relational.q1_pricing_summary,
         "revenue_by_nation": relational.revenue_by_nation,
         "join_revenue_by_priority": relational.hash_join_order_lineitem,
+        "join_shuffle_fallback": relational.hash_join_order_lineitem_shuffle,
+        "merge_child_table": _merge_child_table,
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
@@ -425,6 +480,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
+        "join_shuffle_fallback": """
+            SELECT o.o_orderpriority,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+        """,
+        "merge_child_table": _merge_child_table_sql(),
         "topk_orders": """
             SELECT o_orderkey, o_totalprice, o_orderdate
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10

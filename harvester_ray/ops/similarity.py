@@ -29,6 +29,27 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
 
 
+def _merge_query_topk(parts, k: int) -> pa.Table:
+    """Driver-side merge of per-batch local top-k rows (O(Q·k·blocks) rows
+    only): deterministic per-query ordering (cosine desc, vec_id asc)."""
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["cosine"].to_numpy()))[:k]
+        sel = g.iloc[order]
+        out.append(
+            pa.table(
+                {
+                    "query_id": pa.array(np.full(len(sel), qi, np.int64)),
+                    "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+                    "cosine": pa.array(np.round(sel["cosine"].to_numpy(), 6), pa.float64()),
+                }
+            )
+        )
+    return pa.concat_tables(out) if out else pa.table(
+        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+    )
+
+
 def knn_brute(
     ds,
     query_vecs: np.ndarray,
@@ -68,22 +89,7 @@ def knn_brute(
         )
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["cosine"].to_numpy()))[:k]
-        sel = g.iloc[order]
-        out.append(
-            pa.table(
-                {
-                    "query_id": pa.array(np.full(len(sel), qi, np.int64)),
-                    "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-                    "cosine": pa.array(np.round(sel["cosine"].to_numpy(), 6), pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out) if out else pa.table(
-        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-    )
+    return _merge_query_topk(parts, k)
 
 
 def deterministic_centroids(ds, n_centroids: int, *, vec_col: str = "embedding", iters: int = 5):
@@ -105,6 +111,118 @@ def deterministic_centroids(ds, n_centroids: int, *, vec_col: str = "embedding",
     return cent
 
 
+def ivf_partition(
+    ds,
+    out_dir: str,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Physically partition the corpus by nearest centroid: one Parquet
+    directory per cluster (``cluster=<c>/``) plus the centroid matrix. This
+    is the IVF *index build* — queries then READ only their ``nprobe``
+    cluster directories instead of scanning and filtering every batch
+    (partition-level pruning, the true IVF win at scale). Cached: skipped
+    when the ``_DONE`` marker exists. Returns the centroids."""
+    import os
+
+    done = os.path.join(out_dir, "_DONE")
+    cent_path = os.path.join(out_dir, "centroids.npy")
+    if os.path.exists(done):
+        return np.load(cent_path)
+    cent = deterministic_centroids(ds, n_centroids, vec_col=vec_col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(t, vec_col))
+        cl = np.argmax(mat @ cent.T, axis=1).astype(np.int32)
+        return t.select([id_col, vec_col]).append_column("cluster", pa.array(cl))
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=["cluster"]
+    )
+    np.save(cent_path, cent)
+    with open(done, "w") as f:
+        f.write("ok")
+    return cent
+
+
+def knn_ivf_partitioned(
+    out_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 4,
+):
+    """ANN search over an ``ivf_partition`` directory: reads ONLY the union
+    of the queries' ``nprobe`` nearest-centroid partitions — unscanned
+    clusters never leave storage. Per-batch scoring re-derives the batch's
+    cluster from the centroids so each query scores only its own probed
+    clusters. Returns (query_id, vec_id, cosine), cosine desc / vec_id asc,
+    rounded to 6."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(out_dir, "centroids.npy"))
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    probe = np.argsort(-(q @ cent.T), axis=1)[:, :nprobe]  # (Q, nprobe)
+    needed = sorted(set(int(c) for row in probe for c in row))
+    paths = [
+        os.path.join(out_dir, f"cluster={c}")
+        for c in needed
+        if os.path.isdir(os.path.join(out_dir, f"cluster={c}"))
+    ]
+    if not paths:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+        )
+    files = sorted(
+        os.path.join(p, f)
+        for p in paths
+        for f in os.listdir(p)
+        if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=[id_col, vec_col])
+    ref = ray.put((q, cent, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, cm, pr = ray.get(ref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        assign = np.argmax(mat @ cm.T, axis=1)
+        rows_q, rows_v, rows_s = [], [], []
+        for qi in range(qm.shape[0]):
+            mask = np.isin(assign, pr[qi])
+            if not mask.any():
+                continue
+            sims = mat[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k, sel_ids.size)
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            rows_q.append(np.full(kk, qi, np.int64))
+            rows_v.append(sel_ids[part])
+            rows_s.append(sims[part])
+        if not rows_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(rows_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(rows_v), pa.int64()),
+                "cosine": pa.array(np.concatenate(rows_s), pa.float64()),
+            }
+        )
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _merge_query_topk(parts, k)
+
+
 def knn_ivf(
     ds,
     query_vecs: np.ndarray,
@@ -115,9 +233,12 @@ def knn_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
 ):
-    """IVF-style ANN: only batch rows assigned to the query's ``nprobe``
-    closest centroids are scored. Approximate; recall measured against
-    knn_brute in tests."""
+    """IVF-style ANN over a streaming Dataset (no prebuilt partitions): every
+    batch is read but only rows assigned to the query's ``nprobe`` closest
+    centroids are scored. Use ``ivf_partition`` + ``knn_ivf_partitioned``
+    when the corpus can be laid out once — that variant prunes at the
+    partition level and never reads unprobed clusters. Approximate; recall
+    measured against knn_brute in tests."""
     import ray
 
     cent = deterministic_centroids(ds, n_centroids, vec_col=vec_col)
@@ -155,22 +276,7 @@ def knn_ivf(
         )
 
     parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["cosine"].to_numpy()))[:k]
-        sel = g.iloc[order]
-        out.append(
-            pa.table(
-                {
-                    "query_id": pa.array(np.full(len(sel), qi, np.int64)),
-                    "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-                    "cosine": pa.array(np.round(sel["cosine"].to_numpy(), 6), pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out) if out else pa.table(
-        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-    )
+    return _merge_query_topk(parts, k)
 
 
 def knn_sql(

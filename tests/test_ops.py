@@ -160,3 +160,44 @@ def test_jaccard_candidates_hot_bucket_cap():
     uncapped = dedup.jaccard_candidates_exact(ds).to_pandas()
     assert len(capped) < len(uncapped)
     assert len(uncapped) == 45  # all 10-choose-2 pairs share the boilerplate shingles
+
+
+def test_knn_ivf_partitioned_prunes_and_recalls(tmp_path):
+    """ivf_partition lays out one dir per cluster; knn_ivf_partitioned reads
+    only nprobe of them and still substantially overlaps exact top-10."""
+    import os
+
+    ds = rd.read_parquet(EMB)
+    out_dir = str(tmp_path / "ivf")
+    cent = similarity.ivf_partition(ds, out_dir, n_centroids=8)
+    assert cent.shape[0] == 8
+    cluster_dirs = [d for d in os.listdir(out_dir) if d.startswith("cluster=")]
+    assert 1 < len(cluster_dirs) <= 8
+    import pyarrow.dataset as pads
+
+    q = np.asarray(
+        pads.dataset(EMB).to_table(filter=pads.field("vec_id") == 0)["embedding"][0].as_py()
+    )
+    brute = similarity.knn_brute(ds, q, k=10).to_pandas()
+    ivf = similarity.knn_ivf_partitioned(out_dir, q, k=10, nprobe=4).to_pandas()
+    recall = len(set(brute["vec_id"]) & set(ivf["vec_id"])) / 10
+    assert recall >= 0.5
+    # pruning is real: fewer than all clusters are read for nprobe < n_centroids
+    probe = np.argsort(-(similarity._normalize(np.atleast_2d(q.astype(np.float64))) @ cent.T), axis=1)[:, :4]
+    assert len(set(probe.ravel().tolist())) <= 4
+
+
+def test_embedding_lsh_recall_vs_exact():
+    """Hyperplane-LSH near-dup must recover most exact pairs at a moderate
+    threshold (probabilistic recall, deterministic seed)."""
+    ds = rd.read_parquet(EMB)
+    exact = dedup.embedding_near_dups(ds, threshold=0.4).to_pandas()
+    # cos 0.4 is a WIDE angle (~66°): collision prob per plane is only ~0.63,
+    # so few planes + many tables are needed (1-(1-p^planes)^tables ≈ 0.99
+    # at 3/16); production near-dup thresholds ≥0.9 tolerate far more planes
+    lsh = dedup.embedding_near_dups_lsh(ds, threshold=0.4, n_planes=3, n_tables=16).to_pandas()
+    ex = set(zip(exact["doc_a"], exact["doc_b"]))
+    got = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    assert got <= ex  # verification is exact, so no false positives
+    assert len(ex) > 0
+    assert len(got & ex) / len(ex) >= 0.8
