@@ -17,6 +17,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 
+from harvester_ray import analyzer as _analyzer
 from harvester_ray import synth
 from harvester_ray.index import build as index_build
 from harvester_ray.index import oracle as index_oracle
@@ -265,6 +266,143 @@ GROUP BY 1, 2 ORDER BY 1
 """.strip()
 
 
+def _seed_merge(sf_dir: str) -> pd.DataFrame:
+    """Seeding `merge` strategy (reference resource.py:86-95): orders seeds
+    enriched with the customer endpoint's fields on o_custkey."""
+    import ray.data as rd
+
+    from harvester_ray.sources import objective as obj
+
+    seeds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    )
+    extra = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment", "c_nationkey"]
+    ).to_pandas().rename(columns={"c_custkey": "o_custkey"})
+    out = obj.merge_phase(seeds, extra, merge_on="o_custkey").to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(4)
+    out = out[["o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment", "c_nationkey"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def _seed_back_fill(sf_dir: str) -> pd.DataFrame:
+    """Seeding `back_fill` strategy (reference resource.py:168-177): each
+    supplier seed expands into (s_suppkey % 3) detail records."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.sources import objective as obj
+
+    seeds = rd.read_parquet(os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey"])
+    schema = pa.schema([("s_suppkey", pa.int64()), ("detail", pa.int64())])
+
+    def expand(r):
+        return [{"s_suppkey": r["s_suppkey"], "detail": i} for i in range(r["s_suppkey"] % 3)]
+
+    out = obj.back_fill_phase(seeds, expand, schema=schema).to_pandas()
+    return out.sort_values(["s_suppkey", "detail"]).reset_index(drop=True)
+
+
+def _readback_documents(sf_dir: str) -> pd.DataFrame:
+    """Raw-data read-back (reference core/views/document.py:22-83): live doc
+    listing straight from the version's segment doc tables."""
+    from harvester_ray.index import readback
+
+    root = _documents_index(sf_dir)
+    out = readback.read_documents(root, columns=["doc_id", "dl", "source"]).to_pandas()
+    return out[["doc_id", "dl", "source"]].sort_values("doc_id").reset_index(drop=True)
+
+
+def _check_urls(sf_dir: str) -> pd.DataFrame:
+    """URL prober actor pool (rows-only: the fake prober's crc32 statuses
+    aren't SQL-expressible; see ops/probe.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import probe
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    urls = parts.map_batches(
+        lambda t: pa.table(
+            {"url": pa.array([f"http://files.example.org/part/{k}" for k in t["p_partkey"].to_pylist()])}
+        ),
+        batch_format="pyarrow",
+    )
+    out = probe.check_urls(urls, concurrency=4).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _demo_vocab() -> pd.DataFrame:
+    """Deterministic 40-node vocab forest: v0..v2 roots, parent(i)=v[(i-3)//3]."""
+    values = [f"v{i}" for i in range(40)]
+    parents = [None if i < 3 else f"v{(i - 3) // 3}" for i in range(40)]
+    return pd.DataFrame({"value": values, "parent": parents})
+
+
+def _vocab_ancestors(sf_dir: str) -> pd.DataFrame:
+    """Vocab tree closure (reference lookup_study_vocabulary_parents,
+    products/tasks/learning_materials.py:10-45): each doc's leaf value
+    (v{20 + doc_id % 20}) expands to its sorted ancestors incl self, plus
+    the root normalization (metadata/utils/operations.py)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.functions import vocab as vb
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"])
+
+    def leaf(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "leaf": pa.array([f"v{20 + int(i) % 20}" for i in ids], pa.string()),
+            }
+        )
+
+    seeded = docs.map_batches(leaf, batch_format="pyarrow")
+    tree = _demo_vocab()
+    expanded = vb.expand_ancestors(seeded, tree, col="leaf", out_col="anc")
+    rooted = vb.normalize_to_roots(expanded, tree, col="leaf", out_col="root")
+
+    def finish(t: pa.Table) -> pa.Table:
+        joined = [",".join(a) for a in t["anc"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "leaf": t["leaf"],
+                "ancestors": pa.array(joined, pa.string()),
+                "root": t["root"],
+            }
+        )
+
+    out = rooted.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _vocab_ancestors_sql() -> str:
+    rows = ", ".join(
+        f"('v{i}', " + ("NULL" if i < 3 else f"'v{(i - 3) // 3}'") + ")" for i in range(40)
+    )
+    return f"""
+WITH RECURSIVE vocab(value, parent) AS (VALUES {rows}),
+anc AS (
+  SELECT value AS start, value, parent FROM vocab
+  UNION ALL
+  SELECT a.start, v.value, v.parent FROM anc a JOIN vocab v ON a.parent = v.value
+),
+docs AS (
+  SELECT doc_id, 'v' || CAST(20 + doc_id % 20 AS VARCHAR) AS leaf FROM documents
+)
+SELECT d.doc_id, d.leaf,
+       string_agg(a.value, ',' ORDER BY a.value) AS ancestors,
+       min(CASE WHEN a.parent IS NULL THEN a.value END) AS root
+FROM docs d JOIN anc a ON a.start = d.leaf
+GROUP BY d.doc_id, d.leaf
+ORDER BY d.doc_id
+""".strip()
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.dataset as pads
 
@@ -398,6 +536,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_revenue_by_priority": relational.hash_join_order_lineitem,
         "join_shuffle_fallback": relational.hash_join_order_lineitem_shuffle,
         "merge_child_table": _merge_child_table,
+        "seed_merge": _seed_merge,
+        "seed_back_fill": _seed_back_fill,
+        "readback_documents": _readback_documents,
+        "check_urls": _check_urls,
+        "vocab_ancestors": _vocab_ancestors,
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
@@ -488,6 +631,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         """,
         "merge_child_table": _merge_child_table_sql(),
+        "vocab_ancestors": _vocab_ancestors_sql(),
+        "seed_merge": """
+            SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice,
+                   c.c_mktsegment, c.c_nationkey
+            FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+            ORDER BY o.o_orderkey
+        """,
+        "seed_back_fill": """
+            SELECT s_suppkey, CAST(g.detail AS BIGINT) AS detail
+            FROM supplier, LATERAL (
+              SELECT unnest(range(s_suppkey % 3)) AS detail
+            ) g
+            ORDER BY s_suppkey, detail
+        """,
+        "readback_documents": (
+            f"SELECT doc_id, len({_analyzer.sql_tokenize_expr('text')}) AS dl, source "
+            "FROM documents ORDER BY doc_id"
+        ),
         "topk_orders": """
             SELECT o_orderkey, o_totalprice, o_orderdate
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10

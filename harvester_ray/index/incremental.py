@@ -117,6 +117,32 @@ def _correction_partials(
     return tbl, int(present.size), dl_removed
 
 
+def ingest_document(
+    index_root: str,
+    doc: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> dict:
+    """Webhook single-record ingestion (reference
+    core/views/webhook.py-style upsert): one document rides the same
+    incremental delta path — a 1-row delta with ``state`` derived from the
+    presence of text (empty/None → delete). The set-integrity guard is
+    skipped: a single-doc upsert can never be the reference's bad-harvest
+    wipe scenario."""
+    import ray.data as rd
+
+    state = doc.get("state") or ("active" if doc.get(text_col) else "deleted")
+    row = {id_col: doc[id_col], text_col: doc.get(text_col) or "", "state": state}
+    kwargs.setdefault("integrity_check", False)
+    kwargs.setdefault("concurrency", 2)
+    return build_incremental(
+        index_root, rd.from_items([row]), id_col=id_col, text_col=text_col,
+        input_desc=f"webhook:{doc[id_col]}", **kwargs,
+    )
+
+
 def build_incremental(
     index_root: str,
     delta_ds,

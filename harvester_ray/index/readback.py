@@ -1,0 +1,95 @@
+"""Raw-data read-back API over a versioned index.
+
+The reference exposes its harvested raw documents through paginated
+list/detail endpoints with a ``modified_since`` filter
+(harvester/core/views/document.py:22-83). Here the same surface backed by
+the version manifests: documents stream straight out of the segment doc
+tables of a chosen version, optionally restricted to segments created at or
+after a version watermark (the ``modified_since`` analog — a doc's segment
+``created_version`` IS its last-modified version, because modification
+rewrites the doc into a new segment and tombstones the old occurrence).
+
+Scale: segment doc tables are Parquet; the listing is a
+``ray.data.read_parquet`` over exactly the selected segments' files
+(version pruning happens BEFORE any I/O), with tombstone filtering as a
+vectorized map. Pagination = ``ds.take``/``iter_batches`` on the caller's
+side; ``get_document`` is a binary search in one segment, no scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from . import manifest as mf
+from .query import parse_tombstones, tombstones_for_segment
+
+
+def read_documents(
+    index_root: str,
+    *,
+    version: int | None = None,
+    modified_since_version: int | None = None,
+    columns: list[str] | None = None,
+):
+    """Dataset of live documents of an index version: (doc_id, dl, attrs…,
+    created_version). ``modified_since_version`` keeps only docs (re)written
+    at or after that version."""
+    import ray.data as rd
+
+    man = mf.read_manifest(index_root, version)
+    cur = man.get("_version", man.get("version", 0))
+    tomb_ids, tomb_vers = parse_tombstones(man)
+    segs = [
+        s
+        for s in man["segments"]
+        if modified_since_version is None
+        or s.get("created_version", cur) >= modified_since_version
+    ]
+    if not segs:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64())}))
+    paths = [os.path.join(index_root, s["path"]) + ".docs.parquet" for s in segs]
+    created = {os.path.basename(s["path"]): s.get("created_version", cur) for s in segs}
+
+    ds = rd.read_parquet(paths, columns=columns, include_paths=True)
+
+    def live(t: pa.Table) -> pa.Table:
+        path = t["path"][0].as_py()
+        seg_name = os.path.basename(path)[: -len(".docs.parquet")]
+        cv = created[seg_name]
+        dead = tombstones_for_segment(tomb_ids, tomb_vers, cv)
+        docs = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        keep = ~np.isin(docs, dead) if dead.size else np.ones(docs.size, bool)
+        out = t.filter(pa.array(keep)).drop_columns(["path"])
+        return out.append_column(
+            "created_version", pa.array(np.full(int(keep.sum()), cv, np.int64))
+        )
+
+    return ds.map_batches(live, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def get_document(index_root: str, doc_id: int, *, version: int | None = None) -> dict | None:
+    """Detail endpoint analog: one doc's stored fields via per-segment
+    binary search (newest segment wins for re-added docs)."""
+    import pyarrow.parquet as pq
+
+    man = mf.read_manifest(index_root, version)
+    cur = man.get("_version", man.get("version", 0))
+    tomb_ids, tomb_vers = parse_tombstones(man)
+    best = None
+    best_cv = -1
+    for s in man["segments"]:
+        cv = s.get("created_version", cur)
+        dead = tombstones_for_segment(tomb_ids, tomb_vers, cv)
+        if dead.size and np.isin(doc_id, dead):
+            continue
+        tbl = pq.read_table(os.path.join(index_root, s["path"]) + ".docs.parquet")
+        docs = np.asarray(tbl["doc_id"].combine_chunks().cast(pa.int64()))
+        pos = int(np.searchsorted(docs, doc_id))
+        if pos < docs.size and docs[pos] == doc_id and cv > best_cv:
+            row = {c: tbl[c][pos].as_py() for c in tbl.column_names}
+            row["created_version"] = cv
+            best, best_cv = row, cv
+    return best

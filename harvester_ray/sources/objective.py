@@ -99,6 +99,78 @@ def extract_json_column(
     return ds.map_batches(run, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def merge_phase(
+    ds,
+    extra_ds,
+    *,
+    merge_on: str,
+    update_cols: list[str] | None = None,
+):
+    """Seeding ``merge`` strategy (reference resource.py:86-95): records from
+    an extra endpoint, keyed on ``merge_on``, are folded INTO the current
+    seed batch — an extra record's non-null values overwrite the seed's
+    (``content.update(buffer[key])`` parity; seeds without a match pass
+    through unchanged). The extra side is broadcast once as sorted numpy
+    key + column arrays (merge endpoints are per-set detail feeds, small by
+    construction); the seed stream never shuffles."""
+    import numpy as np
+    import ray
+
+    extra = extra_ds.to_pandas() if hasattr(extra_ds, "to_pandas") else extra_ds
+    cols = update_cols or [c for c in extra.columns if c != merge_on]
+    keys = extra[merge_on].to_numpy()
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], {c: extra[c].to_numpy()[order] for c in cols}))
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        keys_s, colmap = ray.get(ref)
+        bk = batch[merge_on].to_pandas().to_numpy()
+        idx = np.searchsorted(keys_s, bk)
+        idx_c = np.clip(idx, 0, max(keys_s.size - 1, 0))
+        found = (keys_s[idx_c] == bk) if keys_s.size else np.zeros(bk.size, bool)
+        out = {}
+        for name in batch.column_names:
+            if name in colmap:
+                vals = batch[name].to_pandas().to_numpy(copy=True)
+                extra_vals = colmap[name][idx_c]
+                use = found & ~_isnull(extra_vals)
+                vals[use] = extra_vals[use]
+                out[name] = pa.array(vals)
+            else:
+                out[name] = batch[name]
+        for name, arr in colmap.items():  # extra-only columns appended
+            if name not in batch.column_names:
+                out[name] = pa.array(arr[idx_c], mask=~found, from_pandas=True)
+        return pa.table(out)
+
+    return ds.map_batches(enrich, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _isnull(a):
+    import numpy as np
+    import pandas as pd
+
+    return pd.isna(a) if a.dtype == object else (np.isnan(a) if a.dtype.kind == "f" else np.zeros(a.size, bool))
+
+
+def back_fill_phase(ds, callback, *, schema: pa.Schema | None = None, concurrency: int | None = None):
+    """Seeding ``back_fill`` strategy (reference resource.py:168-177): each
+    seed expands through a callback into zero or more records that REPLACE
+    it (list-endpoint → per-item detail expansion). One flat_map-style
+    map_batches; in production the callback wraps an HTTP client inside the
+    actor pool that ``concurrency`` sizes."""
+
+    def expand(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for r in batch.to_pylist():
+            rows.extend(callback(r) or [])
+        if not rows:
+            return schema.empty_table() if schema is not None else pa.table({})
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return ds.map_batches(expand, batch_format="pyarrow", concurrency=concurrency)
+
+
 class PagedSource:
     """Paged-reader analog of ``HttpSeedingProcessor`` (harvester/core/
     processors/seed/resource.py:144-205): a deterministic page fetcher
