@@ -403,6 +403,127 @@ ORDER BY d.doc_id
 """.strip()
 
 
+def _parse_seed_data(sf_dir: str) -> pd.DataFrame:
+    """Dotted-key -> nested-struct builder + access round trip
+    (reference parse_seed_data, core/models/datatypes/document.py:68-79)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from harvester_ray.functions import document as fd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+    def dotted(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "meta.source": t["source"],
+                "meta.lang": t["lang"],
+                "meta.stats.n_chars": t["n_chars"],
+            }
+        )
+
+    nested = fd.parse_seed_data(docs.map_batches(dotted, batch_format="pyarrow"))
+
+    def access(t: pa.Table) -> pa.Table:
+        meta = t["meta"].combine_chunks()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "source": pc.struct_field(meta, "source"),
+                "lang": pc.struct_field(meta, "lang"),
+                "n_chars": pc.struct_field(meta, ["stats", "n_chars"]),
+            }
+        )
+
+    out = nested.map_batches(access, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _set_metadata(sf_dir: str) -> pd.DataFrame:
+    """Provider coalesce + hash-diff modified stamp + language clamp
+    (reference set_metadata, core/models/datatypes/document.py:99-139)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.functions import document as fd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source", "lang"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        src = t["source"].to_pylist()
+        texts = t["text"].to_pylist()
+        import hashlib
+
+        name = [s if i % 3 != 0 else None for i, s in zip(ids, src)]
+        slug = [s.lower() if i % 2 != 0 else None for i, s in zip(ids, src)]
+        ext = [f"ext-{i}" for i in ids]
+        # previous-version hash: docs with doc_id % 10 == 0 changed upstream
+        prev = [
+            hashlib.md5(((x or "") + ("CHANGED" if i % 10 == 0 else "")).encode()).hexdigest()
+            for i, x in zip(ids, texts)
+        ]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "text": t["text"],
+                "lang": t["lang"],
+                "name": pa.array(name, pa.string()),
+                "slug": pa.array(slug, pa.string()),
+                "ext": pa.array(ext, pa.string()),
+                "prev_hash": pa.array(prev, pa.string()),
+            }
+        )
+
+    stamped = docs.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda t: fd.set_metadata(
+            t,
+            provider_cols=["name", "slug", "ext"],
+            content_col="text",
+            prev_hash_col="prev_hash",
+            language_col="lang",
+            current_version=2,
+            parent_version=1,
+        ).select(["doc_id", "provider", "content_hash", "modified_at_version", "language"]),
+        batch_format="pyarrow",
+    )
+    return stamped.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _to_search(sf_dir: str) -> pd.DataFrame:
+    """Bulk search-action assembly with tombstone delete ops (reference
+    to_search, core/models/datatypes/document.py:182-205)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.functions import document as fd
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "lang", "n_chars"],
+    )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        return fd.to_search(
+            t,
+            id_cols=["source", "doc_id"],
+            language_col="lang",
+            keep_cols=["n_chars"],
+            deleted_mask=(ids % 25 == 0),  # synthesized soft-delete set
+        )
+
+    out = docs.map_batches(assemble, batch_format="pyarrow").to_pandas()
+    return out.sort_values("_id").reset_index(drop=True)
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.dataset as pads
 
@@ -541,6 +662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readback_documents": _readback_documents,
         "check_urls": _check_urls,
         "vocab_ancestors": _vocab_ancestors,
+        "parse_seed_data": _parse_seed_data,
+        "set_metadata": _set_metadata,
+        "to_search": _to_search,
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
@@ -632,6 +756,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "merge_child_table": _merge_child_table_sql(),
         "vocab_ancestors": _vocab_ancestors_sql(),
+        "parse_seed_data": """
+            SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id
+        """,
+        "set_metadata": """
+            SELECT doc_id,
+                   coalesce(CASE WHEN doc_id % 3 <> 0 THEN source END,
+                            CASE WHEN doc_id % 2 <> 0 THEN lower(source) END,
+                            'ext-' || CAST(doc_id AS VARCHAR)) AS provider,
+                   md5(text) AS content_hash,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS BIGINT)
+                       AS modified_at_version,
+                   CASE WHEN lang IN ('en', 'nl') THEN lang ELSE 'unk' END AS language
+            FROM documents ORDER BY doc_id
+        """,
+        "to_search": """
+            SELECT source || ':' || CAST(doc_id AS VARCHAR) AS _id,
+                   CASE WHEN doc_id % 25 = 0 THEN 'delete' ELSE 'index' END AS op,
+                   CASE WHEN lang IN ('en', 'nl') THEN lang ELSE 'unk' END AS language,
+                   CASE WHEN doc_id % 25 = 0 THEN NULL ELSE n_chars END AS n_chars
+            FROM documents ORDER BY _id
+        """,
         "seed_merge": """
             SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice,
                    c.c_mktsegment, c.c_nationkey
