@@ -539,8 +539,9 @@ def build_index(
         return done
 
     staging_bytes = sum(os.path.getsize(f) for f in partial_files)
+    tree_threshold = int(os.environ.get("GRAFT_VOCAB_TREE_BYTES", 256 * 1024 * 1024))
     if partial_files:
-        if staging_bytes < 256 * 1024 * 1024:
+        if staging_bytes < tree_threshold:
             # vocabulary fits comfortably in one worker: a single read of
             # all per-segment partials + one local group_by (each file is
             # opened exactly once — the file count, not the byte count, is
@@ -557,34 +558,61 @@ def build_index(
         else:
             # huge vocabulary: tree aggregation. Stage A tasks each read a
             # disjoint chunk of partial FILES and pre-aggregate (bucket,
-            # term) locally; stage B re-groups the (much smaller) stage-A
-            # outputs per bucket and writes the final stats. Every partial
-            # file is opened exactly once; no all-to-all exchange.
+            # term) locally, split by contiguous bucket RANGE, and write each
+            # range slice to staging; stage B is one independent task per
+            # range that re-groups only its ranges' slices and writes the
+            # final bucket files. Every partial file is opened exactly once,
+            # nothing is concatenated on the driver, and the exchange is
+            # filesystem-partitioned (object-store/FS mediated), not
+            # all-to-all.
             ncpu = int(ray.cluster_resources().get("CPU", 8))
             chunk = max(1, len(partial_files) // (2 * ncpu))
+            n_ranges = min(num_buckets, 4 * ncpu)
+            stage_a_dir = os.path.join(vdir, "staging", "vocab_a")
+            shutil.rmtree(stage_a_dir, ignore_errors=True)
+            for r in range(n_ranges):
+                os.makedirs(os.path.join(stage_a_dir, f"range-{r:04d}"), exist_ok=True)
 
             def preagg(batch: pa.Table) -> pa.Table:
-                tbl = pads.dataset(batch["path"].to_pylist()).to_table(
-                    columns=["bucket", "term", "df", "cf"]
-                )
-                return (
+                paths = batch["path"].to_pylist()
+                tbl = pads.dataset(paths).to_table(columns=["bucket", "term", "df", "cf"])
+                agg = (
+                    tbl.group_by(["bucket", "term"])
+                    .aggregate([("df", "sum"), ("cf", "sum")])
+                    .rename_columns(["bucket", "term", "df", "cf"])
+                ).sort_by([("bucket", "ascending")])
+                bvals = np.asarray(agg["bucket"].combine_chunks(), dtype=np.int64)
+                rng = (bvals * n_ranges) // num_buckets
+                starts = np.flatnonzero(np.diff(np.concatenate(([-1], rng))))
+                ends = np.append(starts[1:], rng.size)
+                stem = hashlib.sha1("\n".join(paths).encode()).hexdigest()[:16]
+                for st, en in zip(starts, ends):
+                    r = int(rng[st])
+                    out = os.path.join(stage_a_dir, f"range-{r:04d}", f"{stem}.parquet")
+                    pq.write_table(agg.slice(st, en - st), out + ".tmp")
+                    os.replace(out + ".tmp", out)
+                return pa.table({"chunk": pa.array([stem])})
+
+            rd.from_items([{"path": f} for f in partial_files]).map_batches(
+                preagg, batch_size=chunk, batch_format="pyarrow"
+            ).materialize()
+
+            @ray.remote
+            def finalize_range(r: int) -> int:
+                rdir = os.path.join(stage_a_dir, f"range-{r:04d}")
+                files = [os.path.join(rdir, f) for f in sorted(os.listdir(rdir))]
+                if not files:
+                    return 0
+                tbl = pads.dataset(files).to_table(columns=["bucket", "term", "df", "cf"])
+                agg = (
                     tbl.group_by(["bucket", "term"])
                     .aggregate([("df", "sum"), ("cf", "sum")])
                     .rename_columns(["bucket", "term", "df", "cf"])
                 )
+                return len(write_bucket_files(agg))
 
-            parts = (
-                rd.from_items([{"path": f} for f in partial_files])
-                .map_batches(preagg, batch_size=chunk, batch_format="pyarrow")
-                .to_arrow_refs()
-            )
-            tbl = pa.concat_tables(ray.get(parts))
-            agg = (
-                tbl.group_by(["bucket", "term"])
-                .aggregate([("df", "sum"), ("cf", "sum")])
-                .rename_columns(["bucket", "term", "df", "cf"])
-            )
-            write_bucket_files(agg)
+            ray.get([finalize_range.remote(r) for r in range(n_ranges)])
+            shutil.rmtree(stage_a_dir, ignore_errors=True)
     t2 = time.time()
 
     # ---- manifest from per-segment meta rows -----------------------------

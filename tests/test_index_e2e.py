@@ -118,3 +118,27 @@ def test_versioning_and_promote(index_root):
     assert man["analyzer"] == "v1"
     assert len(man["segments"]) >= 1
     assert man["metrics"]["docs_per_sec"] is not None
+
+
+def test_tree_vocab_aggregation_identical(index_root, tmp_path, monkeypatch):
+    """GRAFT_VOCAB_TREE_BYTES=0 forces the distributed tree-aggregation
+    stage (per-range stage-B tasks, no driver concat); the resulting
+    term-stats bucket files must be identical to the small-vocab path."""
+    import pyarrow.dataset as pads
+
+    monkeypatch.setenv("GRAFT_VOCAB_TREE_BYTES", "0")
+    root2 = str(tmp_path / "idx-tree")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    man2 = build.build_index(ds, root2, concurrency=2, input_desc=DOCS)
+    man1 = mf.read_manifest(index_root)
+    assert man2["n_docs"] == man1["n_docs"]
+
+    def stats(root, man):
+        return (
+            pads.dataset(os.path.join(root, man["termstats"]))
+            .to_table()
+            .sort_by([("term", "ascending")])
+        )
+
+    t1, t2 = stats(index_root, man1), stats(root2, man2)
+    assert t1.equals(t2)
