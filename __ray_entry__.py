@@ -524,6 +524,43 @@ def _to_search(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("_id").reset_index(drop=True)
 
 
+def _generate_previews(sf_dir: str) -> pd.DataFrame:
+    """Thumbnail actor pool (reference files/tasks/previews.py:8-102):
+    mime-dispatched generator, per-size fan-out, content-addressed paths."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import previews
+
+    parts = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_partkey"])
+    ctypes = ["video/mp4", "application/pdf", "image/png", "text/html"]
+
+    def files(t: pa.Table) -> pa.Table:
+        keys = [int(k) for k in t["p_partkey"].to_pylist()]
+        return pa.table(
+            {
+                "url": pa.array([f"http://files.example.org/part/{k}" for k in keys]),
+                "content_type": pa.array([ctypes[k % 4] for k in keys]),
+            }
+        )
+
+    ds = parts.map_batches(files, batch_format="pyarrow")
+    out = previews.generate_previews(ds, concurrency=4).to_pandas()
+    return out.sort_values(["url", "size"]).reset_index(drop=True)
+
+
+def _translate_values(sf_dir: str) -> pd.DataFrame:
+    """Translation fetcher actor pool (reference metadata/tasks.py:13-28):
+    per-actor client + distinct-value memo cache."""
+    import ray.data as rd
+
+    from harvester_ray.ops import translate
+
+    nation = rd.read_parquet(os.path.join(sf_dir, "nation.parquet"), columns=["n_name"])
+    out = translate.translate_values(nation, value_col="n_name", target="en").to_pandas()
+    return out.sort_values("value").reset_index(drop=True)
+
+
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
     import pyarrow.dataset as pads
 
@@ -665,6 +702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parse_seed_data": _parse_seed_data,
         "set_metadata": _set_metadata,
         "to_search": _to_search,
+        "generate_previews": _generate_previews,
+        "translate_values": _translate_values,
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
@@ -776,6 +815,32 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN lang IN ('en', 'nl') THEN lang ELSE 'unk' END AS language,
                    CASE WHEN doc_id % 25 = 0 THEN NULL ELSE n_chars END AS n_chars
             FROM documents ORDER BY _id
+        """,
+        "generate_previews": """
+            WITH files AS (
+              SELECT 'http://files.example.org/part/' || CAST(p_partkey AS VARCHAR) AS url,
+                     CASE p_partkey % 4 WHEN 0 THEN 'video/mp4'
+                          WHEN 1 THEN 'application/pdf'
+                          WHEN 2 THEN 'image/png' ELSE 'text/html' END AS content_type
+              FROM part
+            ), gen AS (
+              SELECT url,
+                     CASE WHEN content_type LIKE 'video/%' THEN 'youtube_dl'
+                          WHEN content_type = 'application/pdf' THEN 'pdf2image'
+                          WHEN content_type LIKE 'image/%' THEN 'pillow' END AS generator
+              FROM files
+            )
+            SELECT url, generator, s.size,
+                   'previews/' || md5(url) || '-' || s.size || '.png' AS preview_path,
+                   TRUE AS success
+            FROM gen, (VALUES ('400x300'), ('200x150')) s(size)
+            WHERE generator IS NOT NULL
+            ORDER BY url, s.size
+        """,
+        "translate_values": """
+            SELECT n_name AS value, CAST(NULL AS VARCHAR) AS language,
+                   'en' AS target, n_name || ' (en)' AS translation
+            FROM nation ORDER BY value
         """,
         "seed_merge": """
             SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice,
