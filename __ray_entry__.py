@@ -524,6 +524,50 @@ def _to_search(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("_id").reset_index(drop=True)
 
 
+def _file_split(sf_dir: str) -> pd.DataFrame:
+    """Per-parent child dedup + files/links split (reference
+    products/models/datatypes/product.py:119-143): duplicate (order, part)
+    children drop keeping the first line number; survivors are ranked
+    within their kind."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.pipelines import fanin
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey", "l_linenumber", "l_suppkey"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        sk = np.asarray(t["l_suppkey"].combine_chunks().cast(pa.int64()))
+        ln = np.asarray(t["l_linenumber"].combine_chunks().cast(pa.int64()))
+        pk = np.asarray(t["l_partkey"].combine_chunks().cast(pa.int64()))
+        # l_linenumber is not unique within an order in the synthetic data;
+        # (l_linenumber, l_suppkey, l_partkey) makes both the dedup pick and
+        # the within-kind ranking deterministic
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_partkey": t["l_partkey"],
+                "l_linenumber": t["l_linenumber"],
+                "ord": pa.array((ln * 1_000_000 + sk) * 1_000_000 + pk, pa.int64()),
+                "is_link": pa.array(sk % 2 == 0),
+            }
+        )
+
+    out = fanin.split_children(
+        li.map_batches(prep, batch_format="pyarrow"),
+        key="l_orderkey",
+        dedup_col="l_partkey",
+        order_col="ord",
+        is_link_col="is_link",
+    ).to_pandas()
+    out["kind_rank"] = out["kind_rank"].astype("int64")
+    out = out[["l_orderkey", "l_partkey", "l_linenumber", "kind", "kind_rank"]]
+    return out.sort_values(["l_orderkey", "l_partkey"]).reset_index(drop=True)
+
+
 def _generate_previews(sf_dir: str) -> pd.DataFrame:
     """Thumbnail actor pool (reference files/tasks/previews.py:8-102):
     mime-dispatched generator, per-size fan-out, content-addressed paths."""
@@ -704,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "to_search": _to_search,
         "generate_previews": _generate_previews,
         "translate_values": _translate_values,
+        "file_split": _file_split,
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
@@ -841,6 +886,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS value, CAST(NULL AS VARCHAR) AS language,
                    'en' AS target, n_name || ' (en)' AS translation
             FROM nation ORDER BY value
+        """,
+        "file_split": """
+            WITH c AS (
+              SELECT l_orderkey, l_partkey, l_linenumber, l_suppkey,
+                     CASE WHEN l_suppkey % 2 = 0 THEN 'link' ELSE 'file' END AS kind,
+                     row_number() OVER (PARTITION BY l_orderkey, l_partkey
+                                        ORDER BY l_linenumber, l_suppkey, l_partkey) AS rn
+              FROM lineitem
+            )
+            SELECT l_orderkey, l_partkey, l_linenumber, kind,
+                   CAST(row_number() OVER (PARTITION BY l_orderkey, kind
+                                           ORDER BY l_linenumber, l_suppkey, l_partkey)
+                        AS BIGINT) AS kind_rank
+            FROM c WHERE rn = 1
+            ORDER BY l_orderkey, l_partkey
         """,
         "seed_merge": """
             SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 4) AS o_totalprice,
