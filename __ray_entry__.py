@@ -718,6 +718,50 @@ def _matches_by_source(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"source": [k for k, _ in items], "n": [v for _, v in items]})
 
 
+def _asof_events(sf_dir: str) -> pd.DataFrame:
+    """As-of join: each order gains the latest event by the same user at or
+    before the order date (ties on ts broken by max event_id). Custom
+    operator the reference lacks — closest analog is the carry-forward
+    upsert (core/models/harvest.py:56-84); composed as hash-bucket
+    co-partition + per-bucket vectorized merge_asof."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.pipelines import asof
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    ev = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+
+    def ren(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"o_custkey": t["user_id"], "ts": t["ts"], "value": t["value"], "event_id": t["event_id"]}
+        )
+
+    out = asof.asof_join(
+        orders,
+        ev.map_batches(ren, batch_format="pyarrow"),
+        on="o_custkey",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        value_cols=["value", "event_id"],
+        tiebreak=["event_id"],
+        n_partitions=16,
+    ).to_pandas()
+    # NULL (no event at or before the order) -> sentinels, matching the
+    # oracle's coalesce, so both sides hash with identical dtypes
+    out["last_value"] = out["value"].fillna(-1.0).round(4)
+    out["last_event_id"] = out["event_id"].fillna(-1).astype("int64")
+    out["last_ts"] = out["ts"].fillna(pd.Timestamp("1970-01-01"))
+    out = out[["o_orderkey", "o_custkey", "o_orderdate", "last_ts", "last_value", "last_event_id"]]
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
 def _ranking_eval_sql() -> str:
     from harvester_ray.index import evaluate
 
@@ -758,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _bm25_filtered,
         "sessionize": relational.sessionize,
         "last_event_per_user": relational.last_event_per_user,
+        "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
         "state_counts": relational.state_counts,
         # --- full-text index + BM25 (north_rule core) ---------------------
@@ -956,6 +1001,23 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
               FROM events
             ) WHERE rn = 1 ORDER BY user_id
+        """,
+        "asof_join": """
+            WITH matched AS (
+              SELECT o.o_orderkey, e.ts, e.value, e.event_id,
+                     row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY e.ts DESC, e.event_id DESC) AS rn
+              FROM orders o
+              JOIN events e ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+            )
+            SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                   coalesce(m.ts, TIMESTAMP '1970-01-01') AS last_ts,
+                   coalesce(round(m.value, 4), -1.0) AS last_value,
+                   CAST(coalesce(m.event_id, -1) AS BIGINT) AS last_event_id
+            FROM orders o
+            LEFT JOIN matched m ON m.o_orderkey = o.o_orderkey AND m.rn = 1
+            ORDER BY o.o_orderkey
         """,
         "distinct_segments": "SELECT DISTINCT c_mktsegment FROM customer ORDER BY 1",
         "state_counts": """
