@@ -38,13 +38,15 @@ def _documents_index(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_SCRATCH, f"docidx-attrs-{tag}")
+    root = os.path.join(_SCRATCH, f"docidx-attrs-pos-{tag}")
     docs = os.path.join(sf_dir, "documents.parquet")
     from harvester_ray.index import manifest as mf
 
     if mf.current_version(root) is None:
         ds = rd.read_parquet(docs, columns=["doc_id", "text", "source", "lang"])
-        index_build.build_index(ds, root, input_desc=docs, attr_cols=["source", "lang"])
+        index_build.build_index(
+            ds, root, input_desc=docs, attr_cols=["source", "lang"], store_positions=True
+        )
     return root
 
 
@@ -718,6 +720,19 @@ def _matches_by_source(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"source": [k for k, _ in items], "n": [v for _, v in items]})
 
 
+PHRASE_QUERY = "part filter"
+PHRASE_QUERY3 = "part filter scan"
+
+
+def _phrase(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
+    """Exact-phrase BM25 top-k over the positional documents index
+    (simple_query_string quoted-phrase parity)."""
+    root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search_phrase(phrase, k=k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _asof_events(sf_dir: str) -> pd.DataFrame:
     """As-of join: each order gains the latest event by the same user at or
     before the order date (ties on ts broken by max event_id). Custom
@@ -815,6 +830,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
+        "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
+        "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
         "transcript_bm25": _transcript_bm25,
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -1066,6 +1083,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
+        "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),
         "text_quality": text_analysis.analyze_sql("documents"),
         "lang_id": text_analysis.lang_id_sql("documents"),
         "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),

@@ -117,6 +117,24 @@ def tokenize_flat(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
     return row_ids, codes, dictionary
 
 
+def token_positions(row_ids: np.ndarray) -> np.ndarray:
+    """Within-document ordinal (0-based) of each token in a flat stream.
+
+    ``tokenize_flat`` emits tokens in document order with ``row_ids``
+    non-decreasing, so the position of flat token i is its index within its
+    row's run. Positions count the KEPT tokens (post empty-filter), matching
+    the oracle tokenizer ``sql_tokenize_expr`` which never emits empties.
+    Vectorized: one boundary diff + one gather."""
+    n = row_ids.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.flatnonzero(np.diff(row_ids)) + 1))
+    run_first = np.zeros(n, dtype=np.int64)
+    run_first[starts] = starts
+    np.maximum.accumulate(run_first, out=run_first)
+    return np.arange(n, dtype=np.int64) - run_first
+
+
 def doc_token_counts(arr: pa.Array | pa.ChunkedArray) -> np.ndarray:
     """Per-row token count (doc length |d| for BM25), vectorized."""
     if isinstance(arr, pa.ChunkedArray):

@@ -138,16 +138,26 @@ def encode_postings_streams(
     p_tf: np.ndarray,
     p_dl: np.ndarray,
     dictionary: pa.Array,
-) -> tuple[bytes, bytes, pa.Table]:
+    positions: np.ndarray | None = None,
+) -> tuple[bytes, bytes, pa.Table, bytes]:
     """Encode a whole segment's postings in one vectorized pass.
 
     Input arrays are one row per posting, sorted by (term code, doc id);
     ``dictionary[p_code]`` gives the term string. Returns (doc_stream,
-    tf_stream, terms_tbl) where terms_tbl is the term-sorted dictionary table
-    the segment's ``.terms.parquet`` stores (delta-gap + varbyte streams,
-    per-term byte ranges, block-max skip metadata). Shared by the phase-1
-    ``SegmentBuilder`` and postings-level ``compact.merge_segments`` — no
-    per-term ``encode_postings`` Python loop anywhere."""
+    tf_stream, terms_tbl, pos_stream) where terms_tbl is the term-sorted
+    dictionary table the segment's ``.terms.parquet`` stores (delta-gap +
+    varbyte streams, per-term byte ranges, block-max skip metadata). Shared
+    by the phase-1 ``SegmentBuilder`` and postings-level
+    ``compact.merge_segments`` — no per-term ``encode_postings`` Python loop
+    anywhere.
+
+    ``positions`` (optional, Lucene ``.pos``-stream analog) is the flat
+    token-level array of absolute within-doc token ordinals aligned with
+    posting order: posting j's ``p_tf[j]`` tokens are a contiguous ascending
+    slice. Encoded as delta-gaps (reset per posting) into ``pos_stream``
+    (b"" when absent); terms_tbl then carries per-term ``pos_off`` /
+    ``pos_nbytes`` byte ranges. Positions are deliberately a separate stream
+    so term/tf-only queries never touch it."""
     # term slices
     if p_code.size:
         term_change = np.flatnonzero(np.diff(p_code)) + 1
@@ -195,6 +205,31 @@ def encode_postings_streams(
 
     tf_base = len(doc_stream)
 
+    # positional stream: delta-gaps reset at posting boundaries; per-term
+    # byte ranges derived from the same cumulative offsets as doc/tf
+    pos_stream = b""
+    pos_cols: dict[str, pa.Array] = {}
+    if positions is not None:
+        post_tok_starts = _exclusive_cumsum(p_tf.astype(np.int64))[:-1]
+        pgaps = positions.astype(np.int64).copy()
+        if pgaps.size > 1:
+            pgaps[1:] -= positions[:-1]
+        if post_tok_starts.size:
+            pgaps[post_tok_starts] = positions[post_tok_starts]
+        pos_stream, pos_starts = codec.varbyte_encode_all(pgaps)
+        pos_starts = np.append(pos_starts, len(pos_stream))
+        if term_starts.size:
+            term_tok_start = post_tok_starts[term_starts]
+            term_tok_end = post_tok_starts[term_ends - 1] + p_tf[term_ends - 1]
+            pos_off = pos_starts[term_tok_start]
+            pos_nbytes = pos_starts[term_tok_end] - pos_off
+        else:
+            pos_off = pos_nbytes = np.zeros(0, dtype=np.int64)
+        pos_cols = {
+            "pos_off": pa.array(pos_off, pa.int64()),
+            "pos_nbytes": pa.array(pos_nbytes, pa.int64()),
+        }
+
     def _list_arr(values: np.ndarray, typ=pa.int64()) -> pa.ListArray:
         return pa.ListArray.from_arrays(
             pa.array(blk_off, pa.int32()), pa.array(values, typ)
@@ -211,6 +246,7 @@ def encode_postings_streams(
             ),
             "tf_off": pa.array(tf_base + tf_starts[term_starts], pa.int64()),
             "tf_nbytes": pa.array(tf_starts[term_ends] - tf_starts[term_starts], pa.int64()),
+            **pos_cols,
             "block_last_doc": _list_arr(last_doc),
             "block_max_tf": _list_arr(max_tf),
             "block_min_dl": _list_arr(min_dl),
@@ -220,7 +256,7 @@ def encode_postings_streams(
     )
     # sort term table lexicographically for binary-searchable dictionaries
     sort_idx = pc.sort_indices(terms_tbl["term"])
-    return doc_stream, tf_stream, terms_tbl.take(sort_idx)
+    return doc_stream, tf_stream, terms_tbl.take(sort_idx), pos_stream
 
 
 class SegmentBuilder:
@@ -238,12 +274,18 @@ class SegmentBuilder:
         num_buckets: int = NUM_TERM_BUCKETS,
         attr_cols: list[str] | None = None,
         staging_dir: str | None = None,
+        store_positions: bool = False,
     ):
         self.seg_dir = seg_dir
         self.staging_dir = staging_dir
         self.id_col = id_col
         self.text_col = text_col
         self.num_buckets = num_buckets
+        # Lucene .pos-stream analog: within-doc token ordinals per posting,
+        # enabling phrase queries (simple_query_string quoted phrases,
+        # core/models/search/query.py:81-86). Off by default — costs ~cf
+        # varbytes per segment and non-phrase queries never read it.
+        self.store_positions = store_positions
         # attribute columns stored alongside doc lengths for filtered search
         # / recency boosting (facet-filter analog: search/views/document.py:70-94)
         self.attr_cols = attr_cols or []
@@ -321,6 +363,8 @@ class SegmentBuilder:
         h = hashlib.sha1()
         h.update(analyzer.ANALYZER_VERSION.encode())
         h.update(",".join(self.attr_cols).encode())
+        if self.store_positions:  # resume must not reuse a position-less segment
+            h.update(b"+pos")
         h.update(np.ascontiguousarray(doc_ids).tobytes())
         for buf in text.buffers():
             if buf is not None:
@@ -367,8 +411,16 @@ class SegmentBuilder:
         p_dl = p_dl[order2]
         p_code = p_code[order2]
 
-        doc_stream, tf_stream, terms_tbl = encode_postings_streams(
-            p_code, p_doc, p_tf, p_dl, dictionary
+        positions = None
+        if self.store_positions:
+            # token stream is (row, pos)-ordered; a stable sort by code gives
+            # (code, row, pos) — exactly the (term, doc) posting order above,
+            # with each posting's tf tokens contiguous and ascending
+            tok_pos = analyzer.token_positions(rows)
+            positions = tok_pos[np.argsort(codes, kind="stable")]
+
+        doc_stream, tf_stream, terms_tbl, pos_stream = encode_postings_streams(
+            p_code, p_doc, p_tf, p_dl, dictionary, positions=positions
         )
         # term-sorted views (terms_tbl order) for partials and the marker
         seg_terms = terms_tbl["term"].combine_chunks()
@@ -390,7 +442,12 @@ class SegmentBuilder:
         with open(base + ".bin.tmp", "wb") as f:
             f.write(doc_stream)
             f.write(tf_stream)
-        for ext in (".terms.parquet", ".docs.parquet", ".bin"):
+        exts = [".terms.parquet", ".docs.parquet", ".bin"]
+        if self.store_positions:
+            with open(base + ".pos.tmp", "wb") as f:
+                f.write(pos_stream)
+            exts.append(".pos")
+        for ext in exts:
             os.replace(base + ext + ".tmp", base + ext)
         dl_sum = int(dl.sum())
         if self.staging_dir:
@@ -442,6 +499,7 @@ def build_index(
     input_desc: str = "",
     keep_versions: int = 3,
     attr_cols: list[str] | None = None,
+    store_positions: bool = False,
 ) -> dict:
     """Build a new index version from a corpus Dataset. Returns the manifest.
 
@@ -491,6 +549,7 @@ def build_index(
                 "num_buckets": num_buckets,
                 "attr_cols": attr_cols,
                 "staging_dir": staging_dir,
+                "store_positions": store_positions,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -649,6 +708,7 @@ def build_index(
         "avgdl": avgdl,
         "num_buckets": num_buckets,
         "attr_cols": list(attr_cols or []),
+        "positions": bool(store_positions),
         "segments": segments,
         "termstats": f"v{version}/termstats",
         "tombstones": [],

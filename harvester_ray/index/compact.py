@@ -72,7 +72,10 @@ def merge_segments(
     # segment's full stream → (global term code, doc, tf) triples, dead docs
     # masked; then one lexsort + one vectorized re-encode for the whole
     # merged segment (no per-term Python loop — see encode_postings_streams)
-    code_parts, doc_parts2, tf_parts2 = [], [], []
+    # positions carry through a merge untouched (a doc's token ordinals don't
+    # change when segments merge) — only when EVERY source segment has them
+    carry_pos = bool(readers) and all(r.has_positions for r, _ in readers)
+    code_parts, doc_parts2, tf_parts2, pos_parts = [], [], [], []
     for reader, dead in readers:
         term_rows, df_s, d, f = reader.all_postings()
         if d.size == 0:
@@ -84,17 +87,34 @@ def merge_segments(
         )
         g_codes = np.searchsorted(vocab_np, local_terms)
         p_code = np.repeat(g_codes, df_s)
+        pos = reader.all_positions(f) if carry_pos else None
         if dead.size:
             keep = ~np.isin(d, dead)
+            if pos is not None:
+                pos = pos[np.repeat(keep, f)]
             p_code, d, f = p_code[keep], d[keep], f[keep]
         code_parts.append(p_code)
         doc_parts2.append(d)
         tf_parts2.append(f)
+        if pos is not None:
+            pos_parts.append(pos)
+    positions = None
     if code_parts:
         p_code = np.concatenate(code_parts)
         p_doc = np.concatenate(doc_parts2)
         p_tf = np.concatenate(tf_parts2)
         order2 = np.lexsort((p_doc, p_code))
+        if carry_pos:
+            # segmented gather: output posting j's tokens come from the
+            # contiguous source slice of input posting order2[j]
+            from .build import _exclusive_cumsum
+
+            pos_cat = np.concatenate(pos_parts)
+            src_start = _exclusive_cumsum(p_tf.astype(np.int64))[:-1][order2]
+            out_tf = p_tf[order2]
+            out_start = _exclusive_cumsum(out_tf.astype(np.int64))[:-1]
+            idx = np.repeat(src_start - out_start, out_tf) + np.arange(pos_cat.size)
+            positions = pos_cat[idx]
         p_code, p_doc, p_tf = p_code[order2], p_doc[order2], p_tf[order2]
         p_dl = dls[np.searchsorted(doc_ids, p_doc)]
     else:
@@ -102,8 +122,8 @@ def merge_segments(
 
     from .build import encode_postings_streams
 
-    doc_stream, tf_stream, terms_tbl = encode_postings_streams(
-        p_code, p_doc, p_tf, p_dl, merged_vocab
+    doc_stream, tf_stream, terms_tbl, pos_stream = encode_postings_streams(
+        p_code, p_doc, p_tf, p_dl, merged_vocab, positions=positions
     )
 
     name = f"seg-{doc_ids[0]:012d}-{doc_ids[-1]:012d}" if doc_ids.size else "seg-empty"
@@ -117,7 +137,12 @@ def merge_segments(
     with open(base + ".bin.tmp", "wb") as fh:
         fh.write(doc_stream)
         fh.write(tf_stream)
-    for ext in (".terms.parquet", ".docs.parquet", ".bin"):
+    exts = [".terms.parquet", ".docs.parquet", ".bin"]
+    if carry_pos:
+        with open(base + ".pos.tmp", "wb") as fh:
+            fh.write(pos_stream)
+        exts.append(".pos")
+    for ext in exts:
         os.replace(base + ext + ".tmp", base + ext)
     with open(base + ".done.tmp", "w") as fh:
         json.dump({"merged_from": [m["name"] for m in seg_metas]}, fh)
@@ -175,6 +200,7 @@ def compact(
         **{k: prev[k] for k in ("analyzer", "k1", "b", "n_docs", "dl_sum", "avgdl", "num_buckets")},
         "version": version,
         "attr_cols": prev.get("attr_cols", []),
+        "positions": prev.get("positions", False),
         "segments": new_segs,
         "termstats": f"v{version}/termstats",
         "tombstones": [],

@@ -200,7 +200,8 @@ def build_incremental(
     # ---- phase 1: new segments from delta actives --------------------------
     meta_dir = os.path.join(vdir, "staging", "meta")
     shutil.rmtree(meta_dir, ignore_errors=True)
-    metas = active.select_columns([id_col, text_col]).map_batches(
+    attr_cols = list(prev.get("attr_cols") or [])
+    metas = active.select_columns([id_col, text_col] + attr_cols).map_batches(
         SegmentBuilder,
         fn_constructor_kwargs={
             "seg_dir": seg_dir,
@@ -208,6 +209,12 @@ def build_incremental(
             "text_col": text_col,
             "num_buckets": num_buckets,
             "staging_dir": staging_dir,
+            # delta segments inherit the parent's attribute layout so
+            # filtered search keeps working on post-delta docs
+            "attr_cols": attr_cols,
+            # delta segments inherit the parent's positional layout so a
+            # version never mixes phrase-capable and phrase-less segments
+            "store_positions": bool(prev.get("positions", False)),
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -352,6 +359,8 @@ def build_incremental(
         "dl_sum": dl_sum,
         "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
         "num_buckets": num_buckets,
+        "positions": bool(prev.get("positions", False)),
+        "attr_cols": attr_cols,
         "segments": carried + new_segs,
         "termstats": f"v{version}/termstats",
         "tombstones": tombstones,

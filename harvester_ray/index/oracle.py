@@ -156,3 +156,66 @@ stats AS (
 )
 SELECT term, df, cf FROM stats ORDER BY df DESC, term ASC LIMIT {top_n}
 """.strip()
+
+
+def phrase_bm25_sql(
+    table: str,
+    phrase: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Exact-phrase BM25 oracle (Lucene PhraseQuery semantics: tf = phrase
+    frequency, df = docs containing the phrase). Adjacency is checked on
+    token ordinals from the shared tokenizer — positions here are 1-based
+    (generate_subscripts) vs the engine's 0-based, which cancels out in the
+    relative-adjacency predicate."""
+    terms = analyzer.tokenize_query(phrase)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    quoted = ["'" + t.replace("'", "''") + "'" for t in terms]
+    joins = "\n  ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        for i in range(1, len(terms))
+    )
+    preds = " AND ".join(f"p{i}.term = {q}" for i, q in enumerate(quoted))
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+m AS (
+  SELECT p0.doc_id, count(*) AS ptf
+  FROM pos p0
+  {joins}
+  WHERE {preds}
+  GROUP BY p0.doc_id
+),
+dfv AS (
+  SELECT count(*) AS df FROM m
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m
+  CROSS JOIN dfv
+  CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

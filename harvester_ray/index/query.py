@@ -76,6 +76,15 @@ class SegmentReader:
             if c not in ("doc_id", "dl")
         }
         self._bin = np.memmap(base_path + ".bin", dtype=np.uint8, mode="r")
+        # positional stream (phrase queries): present only when the index was
+        # built with store_positions — loaded lazily, never touched otherwise
+        self.has_positions = "pos_off" in terms.column_names and os.path.exists(
+            base_path + ".pos"
+        )
+        if self.has_positions:
+            for col in ("pos_off", "pos_nbytes"):
+                setattr(self, "_" + col, np.asarray(terms[col].combine_chunks(), dtype=np.int64))
+            self._pos = np.memmap(base_path + ".pos", dtype=np.uint8, mode="r")
         self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
 
     def entry(self, term: str) -> dict | None:
@@ -184,6 +193,40 @@ class SegmentReader:
         base[1:] = run[offs[1:-1] - 1]
         doc_ids = run - np.repeat(base, df_s)
         return order, df_s, doc_ids, tfs
+
+    @staticmethod
+    def _abs_positions(gaps: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+        """Delta-gap position stream → absolute ordinals; gaps reset at each
+        posting boundary (posting j owns tfs[j] consecutive gaps)."""
+        run = np.cumsum(gaps)
+        offs = np.cumsum(tfs)
+        base = np.zeros(tfs.size, dtype=np.int64)
+        base[1:] = run[offs[:-1] - 1]
+        return run - np.repeat(base, tfs)
+
+    def positions(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
+        """Decode a term's postings + positions → (doc_ids, tfs, positions)
+        where ``positions`` is flat: posting j's tfs[j] ascending within-doc
+        token ordinals are a contiguous slice. None if the term is absent or
+        the segment has no positional stream."""
+        if not self.has_positions:
+            return None
+        row = self.entry(term)
+        if row is None:
+            return None
+        hit = self.postings(term)
+        docs, tfs = hit
+        i = row["idx"]
+        p0, pn = int(self._pos_off[i]), int(self._pos_nbytes[i])
+        gaps = codec.varbyte_decode(self._pos[p0 : p0 + pn]).astype(np.int64)
+        return docs, tfs, self._abs_positions(gaps, tfs)
+
+    def all_positions(self, tfs_stream: np.ndarray) -> np.ndarray:
+        """Whole-segment position decode (one vectorized varbyte pass) in the
+        same stream order as ``all_postings``; ``tfs_stream`` is that call's
+        flat tf array (defines the per-posting gap-reset boundaries)."""
+        gaps = codec.varbyte_decode(self._pos).astype(np.int64)
+        return self._abs_positions(gaps, tfs_stream)
 
     def doc_lengths(self, docs: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
@@ -628,6 +671,83 @@ class IndexReader:
                 kth = np.sort(s)[-k]
                 theta = max(theta, kth)
         return merge_topk(parts, k)
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        filters: dict[str, list] | None = None,
+    ) -> pa.Table:
+        """Exact-phrase top-k (simple_query_string quoted-phrase parity,
+        core/models/search/query.py:81-86): docs containing the query terms
+        adjacently in order, BM25-scored with phrase frequency as tf and the
+        phrase's own document frequency as df (Lucene PhraseQuery semantics).
+        Requires an index built with ``store_positions=True``."""
+        terms = analyzer.tokenize_query(phrase)  # order + duplicates kept
+        if not terms:
+            return _empty_result()
+        matches: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        df = 0
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            if not seg.has_positions:
+                raise ValueError(
+                    "phrase search needs positions — build_index(store_positions=True)"
+                )
+            docs, ptf = phrase_match_segment(seg, terms)
+            if docs.size == 0:
+                continue
+            exclude = tombstones_for_segment(
+                self._tomb_ids, self._tomb_vers,
+                seg_meta.get("created_version", self.manifest["_version"]),
+            )
+            if exclude.size:
+                keep = ~np.isin(docs, exclude)
+                docs, ptf = docs[keep], ptf[keep]
+            df += int(docs.size)  # live docs with the phrase, pre-filter
+            include = seg.allowed_docs(filters)
+            if include is not None:
+                keep = np.isin(docs, include)
+                docs, ptf = docs[keep], ptf[keep]
+            if docs.size:
+                matches.append((docs, ptf, seg.doc_lengths(docs)))
+        if not matches or df == 0:
+            return _empty_result()
+        term_idf = float(bm25.idf(self.n_docs, df))
+        parts = [
+            (docs, bm25.score(ptf, dl, term_idf, self.avgdl))
+            for docs, ptf, dl in matches
+        ]
+        return merge_topk(parts, k)
+
+
+def phrase_match_segment(
+    seg: SegmentReader, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
+    """Docs of one segment containing ``terms`` as an exact adjacent phrase,
+    with the phrase frequency. Vectorized adjacency: term i contributes keys
+    ``(local_doc << 31) | (pos - i)``; a phrase occurrence is a key present
+    for EVERY term, found by iterative sorted-set intersection. Positions are
+    < 2^31 (1M-char truncation) and local doc indices < 2^31, so the packed
+    key fits int64."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    keys: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        res = seg.positions(t)
+        if res is None:
+            return empty
+        docs, tfs, pos = res
+        local = np.searchsorted(seg.doc_ids, docs)
+        tok_local = np.repeat(local, tfs)
+        shifted = pos - i
+        ok = shifted >= 0
+        k = (tok_local[ok].astype(np.int64) << 31) | shifted[ok]
+        keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
+        if keys.size == 0:
+            return empty
+    start_local = (keys >> 31).astype(np.int64)
+    uniq, ptf = np.unique(start_local, return_counts=True)
+    return seg.doc_ids[uniq], ptf.astype(np.int64)
 
 
 class QuerySegmentActor:

@@ -1,0 +1,120 @@
+"""Positional postings + phrase queries (Lucene .pos-stream analog;
+simple_query_string quoted-phrase parity, core/models/search/query.py:81-86)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from harvester_ray import analyzer
+from harvester_ray.index import build as ib
+from harvester_ray.index import compact as ic
+from harvester_ray.index import query as iq
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS = SF_DIR + "/documents.parquet"
+
+
+def test_token_positions_basic():
+    rows = np.array([0, 0, 0, 2, 2, 5])
+    assert analyzer.token_positions(rows).tolist() == [0, 1, 2, 0, 1, 0]
+    assert analyzer.token_positions(np.empty(0, np.int64)).size == 0
+
+
+@pytest.fixture(scope="module")
+def pos_index(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("posidx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    man = ib.build_index(ds, root, input_desc=DOCS, store_positions=True)
+    assert man["positions"] is True
+    return root
+
+
+def test_positions_roundtrip_vs_text(pos_index):
+    """Decoded positions for a term must equal the token ordinals of that
+    term in the analyzed text, for every doc of a sampled segment."""
+    reader = iq.IndexReader(pos_index)
+    seg = reader._segment(reader.manifest["segments"][0])
+    assert seg.has_positions
+    docs_pd = pd.read_parquet(DOCS)
+    texts = dict(zip(docs_pd.doc_id, docs_pd.text))
+    term = "the"
+    res = seg.positions(term)
+    if res is None:
+        pytest.skip("term absent from first segment")
+    docs, tfs, pos = res
+    off = 0
+    for d, f in zip(docs[:20], tfs[:20]):
+        toks = analyzer.tokenize_query(texts[int(d)])
+        expect = [i for i, t in enumerate(toks) if t == term]
+        assert pos[off : off + f].tolist() == expect
+        off += f
+
+
+def test_phrase_search_matches_duckdb(pos_index):
+    import duckdb
+
+    from harvester_ray.index import oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    for phrase in ("order fast", "part filter", "big order scan", "the the"):
+        got = reader.search_phrase(phrase, k=10).to_pandas()[["doc_id", "score"]]
+        got["score"] = got["score"].round(4)
+        exp = con.execute(oracle.phrase_bm25_sql("documents", phrase, 10)).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        ), phrase
+
+
+def test_phrase_absent_and_empty(pos_index):
+    reader = iq.IndexReader(pos_index)
+    assert reader.search_phrase("zzzz qqqq", k=5).num_rows == 0
+    assert reader.search_phrase("", k=5).num_rows == 0
+
+
+def test_compact_carries_positions(pos_index, tmp_path):
+    """Phrase results must be identical before and after compaction."""
+    reader = iq.IndexReader(pos_index)
+    before = reader.search_phrase("order fast", k=10).to_pandas()
+    man = ic.compact(pos_index, target_segments=2)
+    assert man.get("positions") is True
+    after = iq.IndexReader(pos_index).search_phrase("order fast", k=10).to_pandas()
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_phrase_without_positions_raises(tmp_path):
+    root = str(tmp_path / "nopos")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    ib.build_index(ds, root, input_desc=DOCS)
+    with pytest.raises(ValueError, match="store_positions"):
+        iq.IndexReader(root).search_phrase("order fast", k=5)
+
+
+def test_incremental_inherits_positions(tmp_path):
+    """A delta on a positional index builds positional delta segments and a
+    phrase query sees the new docs (engine result vs brute-force text scan)."""
+    from harvester_ray.index import incremental
+
+    root = str(tmp_path / "incpos")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    ib.build_index(ds, root, store_positions=True)
+    delta = pd.DataFrame(
+        [
+            {"doc_id": 900001, "text": "alpha bravo charlie alpha bravo", "state": "active"},
+            {"doc_id": 0, "text": "", "state": "deleted"},
+        ]
+    )
+    man = incremental.build_incremental(
+        root, rd.from_pandas(delta), integrity_check=False
+    )
+    assert man["positions"] is True
+    out = iq.IndexReader(root).search_phrase("alpha bravo", k=5).to_pandas()
+    assert out["doc_id"].tolist() == [900001]
+    # deleted doc 0 must not appear in any phrase result
+    res = iq.IndexReader(root).search_phrase("order fast", k=1000).to_pandas()
+    assert 0 not in set(res["doc_id"])
