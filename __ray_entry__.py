@@ -709,6 +709,31 @@ def _suggest_terms(sf_dir: str) -> pd.DataFrame:
     return extras.suggest(reader, "s", limit=10)
 
 
+def _search_paged(sf_dir: str) -> pd.DataFrame:
+    """Relevance pagination (page/page_size, search/views/document.py:27-29):
+    page 2 of the BM25 ranking — ES from+size semantics."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    out = extras.search_page(reader, BM25_QUERY_AND, page=2, page_size=10, mode="and")
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]].reset_index(drop=True)
+
+
+def _search_ordered(sf_dir: str) -> pd.DataFrame:
+    """Attribute-field ordering (ordering='-source',
+    search/views/document.py:42-51): relevance as predicate, stored-attr
+    global sort, first page."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    out = extras.search_page(
+        reader, "table", page=1, page_size=20, mode="and", ordering="-source"
+    )
+    out["rank"] = out["rank"].astype("int32")
+    return out[["rank", "doc_id", "source"]].reset_index(drop=True)
+
+
 def _matches_by_source(sf_dir: str) -> pd.DataFrame:
     """Exact results_total filter-count aggregation per source field
     (harvester/search/views/document.py:129-143)."""
@@ -832,6 +857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
+        "search_paged": _search_paged,
+        "search_ordered": _search_ordered,
         "transcript_bm25": _transcript_bm25,
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -1085,6 +1112,24 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),
+        "search_paged": (
+            "SELECT doc_id, score FROM ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_AND, 20, mode="and")
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"
+        ),
+        "search_ordered": f"""
+            WITH toks AS (
+              SELECT doc_id, source, {_analyzer.sql_tokenize_expr('text')} AS t
+              FROM documents
+            ), matched AS (
+              SELECT doc_id, source FROM toks WHERE list_contains(t, 'table')
+            )
+            SELECT CAST(row_number() OVER (ORDER BY source DESC, doc_id ASC) AS INTEGER) AS rank,
+                   doc_id, source
+            FROM matched
+            ORDER BY source DESC, doc_id ASC
+            LIMIT 20
+        """,
         "text_quality": text_analysis.analyze_sql("documents"),
         "lang_id": text_analysis.lang_id_sql("documents"),
         "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),

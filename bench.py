@@ -242,6 +242,36 @@ def run_headline() -> dict:
         ).to_pandas()
         queries_sec["exact_dedup"] = round(time.time() - t, 3)
 
+        # positional build overhead + phrase-query latency (documents corpus)
+        from harvester_ray.index import build as ib
+
+        docs_pq = os.path.join(SF_DIR, "documents.parquet")
+        pos_times = {}
+        for flag in (False, True):
+            r = os.path.join(SCRATCH, f"posbench-{int(flag)}-{NUM_CPUS}")
+            shutil.rmtree(r, ignore_errors=True)
+            t = time.time()
+            ib.build_index(
+                rd.read_parquet(docs_pq, columns=["doc_id", "text"]),
+                r, store_positions=flag, concurrency=conc,
+            )
+            pos_times[flag] = time.time() - t
+            if flag:
+                rd2 = iq.IndexReader(r)
+                phrases = ["part filter", "table hash", "merge group"]
+                for p in phrases:  # cold
+                    rd2.search_phrase(p, k=10)
+                lat = []
+                for _ in range(5):
+                    for p in phrases:
+                        t1 = time.time()
+                        rd2.search_phrase(p, k=10)
+                        lat.append(time.time() - t1)
+                queries_sec["phrase_p50"] = round(statistics.median(lat), 6)
+        queries_sec["pos_build_overhead_pct"] = round(
+            100.0 * (pos_times[True] - pos_times[False]) / pos_times[False], 1
+        )
+
     queries_sec["index_build"] = round(build_sec, 3)
     queries_sec["bm25_p50"] = round(p50_ms / 1000, 6)
 

@@ -35,6 +35,7 @@ def assign_doc_ids(
     *,
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
+    counts_ds=None,
 ):
     """Add a stable dense ``doc_id`` column to a transcript Dataset.
 
@@ -42,6 +43,13 @@ def assign_doc_ids(
     (the transcript-table contract, FIXTURES.md §1); doc ids are then
     ``conv_base + turn_idx`` with no per-row shuffle or sort of the data —
     only a small count aggregate leaves the corpus.
+
+    ``counts_ds`` (optional) is a Dataset to compute the per-conversation
+    counts from instead of ``ds`` — pass a ``read_parquet(path,
+    columns=[conv_col])`` of the same files so the counting pre-pass reads
+    ONE dictionary-encoded column instead of re-decoding the whole corpus
+    (the text column is >20x the bytes; measured ~36s -> ~4s per 9.6M-turn
+    pass at 2 CPUs).
     """
     import ray
 
@@ -56,7 +64,11 @@ def assign_doc_ids(
         )
         return agg.rename_columns([conv_col, "n"])
 
-    partials = ds.map_batches(conv_counts, batch_format="pyarrow").to_pandas()
+    partials = (
+        (counts_ds if counts_ds is not None else ds)
+        .map_batches(conv_counts, batch_format="pyarrow")
+        .to_pandas()
+    )
     counts = partials.groupby(conv_col, sort=True)["n"].sum().reset_index()
     bases = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts["n"].to_numpy()[:-1], out=bases[1:])

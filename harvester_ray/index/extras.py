@@ -92,25 +92,15 @@ def suggest(reader: IndexReader, prefix: str, limit: int = 10) -> pd.DataFrame:
     return out.head(limit).reset_index(drop=True)
 
 
-def match_counts(
+def _segment_matches(
     reader: IndexReader,
-    query_text: str,
-    *,
-    mode: str = "and",
-    count_fields: list[str] | None = None,
-    filters: dict[str, list] | None = None,
-) -> dict:
-    """Exact ``results_total`` + per-field value counts over the matching
-    docs (``include_filter_counts`` analog). Matches are enumerated per
-    segment from posting intersections/unions (k=∞ without scoring)."""
-    terms = sorted(set(analyzer.tokenize_query(query_text)))
-    dfs = reader.df(terms) if terms else {}
-    terms = [t for t in terms if dfs.get(t, 0) > 0]
-    if not terms or (mode == "and" and len(terms) < len(set(analyzer.tokenize_query(query_text)))):
-        if mode == "and" and terms != sorted(set(analyzer.tokenize_query(query_text))):
-            return {"results_total": {"value": 0, "is_precise": True}, "filter_counts": {}}
-    total = 0
-    counts: dict[str, dict] = {f: {} for f in (count_fields or [])}
+    terms: list[str],
+    mode: str,
+    filters: dict[str, list] | None,
+):
+    """Yield ``(seg, matched_doc_ids)`` per segment: exact match enumeration
+    from posting intersections/unions (no scoring), tombstone- and
+    facet-filter-aware. Shared by match_counts and ordered search."""
     for seg_meta in reader.manifest["segments"]:
         seg = reader._segment(seg_meta)
         exclude = tombstones_for_segment(
@@ -136,6 +126,30 @@ def match_counts(
             matched = matched[~np.isin(matched, exclude)]
         if include is not None:
             matched = np.intersect1d(matched, include, assume_unique=True)
+        if matched.size:
+            yield seg, matched
+
+
+def match_counts(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "and",
+    count_fields: list[str] | None = None,
+    filters: dict[str, list] | None = None,
+) -> dict:
+    """Exact ``results_total`` + per-field value counts over the matching
+    docs (``include_filter_counts`` analog). Matches are enumerated per
+    segment from posting intersections/unions (k=∞ without scoring)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    terms = [t for t in terms if dfs.get(t, 0) > 0]
+    if not terms or (mode == "and" and len(terms) < len(set(analyzer.tokenize_query(query_text)))):
+        if mode == "and" and terms != sorted(set(analyzer.tokenize_query(query_text))):
+            return {"results_total": {"value": 0, "is_precise": True}, "filter_counts": {}}
+    total = 0
+    counts: dict[str, dict] = {f: {} for f in (count_fields or [])}
+    for seg, matched in _segment_matches(reader, terms, mode, filters):
         total += int(matched.size)
         for f in counts:
             vals = seg.attr_values(f, matched)
@@ -143,3 +157,59 @@ def match_counts(
             for v, c in zip(uniq, cnt):
                 counts[f][str(v)] = counts[f].get(str(v), 0) + int(c)
     return {"results_total": {"value": total, "is_precise": True}, "filter_counts": counts}
+
+
+def search_page(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    page: int = 1,
+    page_size: int = 10,
+    mode: str = "and",
+    ordering: str | None = None,
+    filters: dict[str, list] | None = None,
+) -> pd.DataFrame:
+    """Paginated search with optional attribute-field ordering — the
+    reference search request surface (search/views/document.py:20-51:
+    ``page``/``page_size``/``ordering``, '-' prefix = descending).
+
+    ``ordering=None``: relevance (BM25 top page*page_size, then slice —
+    ES from+size semantics). ``ordering="field"``/``"-field"``: relevance
+    becomes a match predicate; ALL matches are enumerated per segment,
+    globally sorted by the stored attribute (ties by doc_id asc), and the
+    page is sliced. Returns (rank, doc_id, score|value)."""
+    if page < 1:
+        raise ValueError("page is 1-based")
+    lo, hi = (page - 1) * page_size, page * page_size
+    if ordering is None:
+        res = reader.search(query_text, k=hi, mode=mode, filters=filters).to_pandas()
+        out = res.iloc[lo:hi].reset_index(drop=True)
+        out["rank"] = np.arange(lo + 1, lo + 1 + len(out), dtype=np.int32)
+        return out
+    desc = ordering.startswith("-")
+    field = ordering[1:] if desc else ordering
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int32),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             field: pd.Series(dtype=object)})
+    doc_parts, val_parts = [], []
+    for seg, matched in _segment_matches(reader, live, mode, filters):
+        doc_parts.append(matched)
+        val_parts.append(seg.attr_values(field, matched))
+    docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
+    vals = np.concatenate(val_parts) if val_parts else np.empty(0, object)
+    # deterministic: field asc/desc, then doc_id asc (dense value codes so
+    # descending order works for any attr dtype, strings included)
+    codes = np.unique(vals, return_inverse=True)[1]
+    order = np.lexsort((docs, -codes if desc else codes))
+    sel = order[lo:hi]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(lo + 1, lo + 1 + sel.size, dtype=np.int32),
+            "doc_id": docs[sel],
+            field: vals[sel],
+        }
+    )

@@ -794,6 +794,39 @@ class QuerySegmentActor:
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
         return _topk(docs, scores, k)
 
+    def phrase_match(
+        self, terms: list[str], filters: dict[str, list] | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+        """Per-actor phrase matches: (docs, phrase_tf, dl, df_pre_filter).
+        Scoring happens on the driver once the global phrase df is known."""
+        doc_parts, ptf_parts, dl_parts = [], [], []
+        df = 0
+        for _, seg, exclude in self.readers:
+            docs, ptf = phrase_match_segment(seg, terms)
+            if docs.size == 0:
+                continue
+            if exclude.size:
+                keep = ~np.isin(docs, exclude)
+                docs, ptf = docs[keep], ptf[keep]
+            df += int(docs.size)
+            include = seg.allowed_docs(filters)
+            if include is not None:
+                keep = np.isin(docs, include)
+                docs, ptf = docs[keep], ptf[keep]
+            if docs.size:
+                doc_parts.append(docs)
+                ptf_parts.append(ptf)
+                dl_parts.append(seg.doc_lengths(docs))
+        if not doc_parts:
+            z = np.empty(0, np.int64)
+            return z, z, z, df
+        return (
+            np.concatenate(doc_parts),
+            np.concatenate(ptf_parts),
+            np.concatenate(dl_parts),
+            df,
+        )
+
 
 class QueryService:
     """Distributed query serving: segments spread over an actor pool; search
@@ -844,6 +877,33 @@ class QueryService:
         ]
         parts = ray.get(futures)
         return merge_topk(parts, k)
+
+    def search_phrase(
+        self,
+        phrase: str,
+        k: int = 10,
+        filters: dict[str, list] | None = None,
+    ) -> pa.Table:
+        """Distributed exact-phrase top-k: actors enumerate matches + local
+        stats in one fan-out; the driver computes the global phrase df, idf,
+        and final BM25 scores (phrase df is a query-time aggregate, so
+        scoring can't complete actor-locally)."""
+        import ray
+
+        terms = analyzer.tokenize_query(phrase)
+        if not terms:
+            return _empty_result()
+        parts = ray.get([a.phrase_match.remote(terms, filters) for a in self.actors])
+        df = int(sum(p[3] for p in parts))
+        if df == 0:
+            return _empty_result()
+        term_idf = float(bm25.idf(self.n_docs, df))
+        scored = [
+            (docs, bm25.score(ptf, dl, term_idf, self.avgdl))
+            for docs, ptf, dl, _ in parts
+            if docs.size
+        ]
+        return merge_topk(scored, k)
 
 
 # ---------------------------------------------------------------------------

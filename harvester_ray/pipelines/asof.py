@@ -37,7 +37,9 @@ def asof_join(
     """Left as-of join: every left row gains ``value_cols`` from the latest
     right row with the same ``on`` key and ``right_ts`` <= ``left_ts``
     (NULLs when no match). ``on`` must be integral; the two ts columns must
-    be mutually comparable dtypes. Returns left's columns + value_cols."""
+    be mutually comparable dtypes and differently named; ``tiebreak``
+    columns must be listed in ``value_cols`` (they ride along in the
+    output). Returns left's columns + right's (ts, value) columns."""
     lsch = left_ds.schema().base_schema
     rsch = right_ds.schema().base_schema
     lnames = list(lsch.names)

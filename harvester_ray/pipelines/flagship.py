@@ -32,7 +32,10 @@ def build_transcript_index(
         columns=["conv_id", "turn_idx", "text"],
         override_num_blocks=override_num_blocks,
     )
-    ds = corpus.assign_doc_ids(ds)
+    # Counting pre-pass over ONE dictionary-encoded column, not the corpus:
+    # the text column dominates bytes and would be decoded twice otherwise.
+    counts_ds = rd.read_parquet(transcripts_path, columns=["conv_id"])
+    ds = corpus.assign_doc_ids(ds, counts_ds=counts_ds)
     return build.build_index(
         ds,
         index_root,

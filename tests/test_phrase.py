@@ -118,3 +118,13 @@ def test_incremental_inherits_positions(tmp_path):
     # deleted doc 0 must not appear in any phrase result
     res = iq.IndexReader(root).search_phrase("order fast", k=1000).to_pandas()
     assert 0 not in set(res["doc_id"])
+
+
+def test_query_service_phrase_parity(pos_index):
+    """Actor-pool phrase serving returns exactly the in-process result."""
+    svc = iq.QueryService(pos_index, num_actors=2)
+    reader = iq.IndexReader(pos_index)
+    for phrase in ("order fast", "part filter", "big order scan"):
+        a = svc.search_phrase(phrase, k=10).to_pandas()
+        b = reader.search_phrase(phrase, k=10).to_pandas()
+        pd.testing.assert_frame_equal(a, b), phrase
