@@ -709,6 +709,20 @@ def _suggest_terms(sf_dir: str) -> pd.DataFrame:
     return extras.suggest(reader, "s", limit=10)
 
 
+DYM_QUERY = "custmer filter tabel windw"
+
+
+def _did_you_mean(sf_dir: str) -> pd.DataFrame:
+    """Spelling suggestions (``did_you_mean`` in every reference search
+    response, search/views/document.py:139): ES suggest_mode=missing —
+    absent tokens corrected to the min-edit-distance vocab term (first char
+    fixed, <=2 edits, ties by df desc then term asc)."""
+    from harvester_ray.index import extras, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    return extras.did_you_mean(reader, DYM_QUERY)
+
+
 def _search_paged(sf_dir: str) -> pd.DataFrame:
     """Relevance pagination (page/page_size, search/views/document.py:27-29):
     page 2 of the BM25 ranking — ES from+size semantics."""
@@ -859,6 +873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
         "search_paged": _search_paged,
         "search_ordered": _search_ordered,
+        "did_you_mean": _did_you_mean,
         "transcript_bm25": _transcript_bm25,
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -1146,6 +1161,22 @@ def oracle_sql() -> dict[str, str]:
             stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
             SELECT term, df FROM stats WHERE term LIKE 's%'
             ORDER BY df DESC, term ASC LIMIT 10
+        """,
+        "did_you_mean": f"""
+            WITH toks(token) AS (VALUES {", ".join(f"('{t}')" for t in sorted(set(DYM_QUERY.split())))}),
+            tokd AS (SELECT doc_id, unnest({_analyzer.sql_tokenize_expr('text')}) AS t FROM documents),
+            vocab AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY t)
+            SELECT token,
+                   coalesce((
+                     SELECT term FROM vocab
+                     WHERE substr(term, 1, 1) = substr(token, 1, 1)
+                       AND abs(length(term) - length(token)) <= 2
+                       AND levenshtein(term, token) <= 2
+                       AND NOT EXISTS (SELECT 1 FROM vocab v2 WHERE v2.term = token)
+                     ORDER BY levenshtein(term, token) ASC, df DESC, term ASC
+                     LIMIT 1
+                   ), '') AS suggestion
+            FROM toks ORDER BY token
         """,
         "matches_by_source": """
             WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term FROM documents),

@@ -213,3 +213,121 @@ def search_page(
             field: vals[sel],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# did_you_mean — the OpenSearch term-suggester half of the reference search
+# response (harvester/search/views/document.py:139 returns ``did_you_mean``
+# from the search_client's suggester on every query). ES ``suggest_mode:
+# missing`` semantics: only tokens ABSENT from the index get a correction;
+# candidates must share the first ``prefix_length`` chars (ES default 1) and
+# lie within ``max_edits`` (ES default 2) Levenshtein edits, ranked by edit
+# distance, then document frequency desc, then term asc.
+
+
+def _levenshtein_batch(query: str, cands: list[str]) -> np.ndarray:
+    """Edit distance from ``query`` to every candidate, vectorized over the
+    candidate axis: the DP runs m × Lmax numpy steps of O(n_cands) instead
+    of a per-pair Python DP. Tokens are analyzer output (ascii), so a uint8
+    byte matrix is exact."""
+    q = np.frombuffer(query.encode(), dtype=np.uint8)
+    m = q.size
+    n = len(cands)
+    lens = np.fromiter((len(c) for c in cands), dtype=np.int64, count=n)
+    L = int(lens.max())
+    mat = np.zeros((n, L), dtype=np.uint8)
+    for i, c in enumerate(cands):
+        b = c.encode()
+        mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    prev = np.tile(np.arange(L + 1, dtype=np.int64), (n, 1))
+    for i in range(1, m + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        qi = q[i - 1]
+        for j in range(1, L + 1):
+            sub = prev[:, j - 1] + (mat[:, j - 1] != qi)
+            cur[:, j] = np.minimum(np.minimum(prev[:, j], cur[:, j - 1]) + 1, sub)
+        prev = cur
+    return prev[np.arange(n), lens]
+
+
+def _prefix_range(seg, prefix: str) -> tuple[int, int]:
+    """[lo, hi) row range of the segment's lexicographically-sorted term
+    dictionary whose terms start with ``prefix`` — O(log V) binary search
+    with per-probe scalar access, no vocabulary materialization."""
+    arr = seg._term_strings
+    n = len(arr)
+
+    def bisect(key: str) -> int:
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    return bisect(prefix), bisect(prefix + "\U0010ffff")
+
+
+def did_you_mean(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+) -> pd.DataFrame:
+    """Per-token spelling suggestions over the index vocabulary.
+
+    Candidate enumeration touches only each segment's first-char dictionary
+    range (terms are stored sorted: build.py sorts the dictionary before the
+    ``.terms.parquet`` write), so cost is O(log V) probes + the one prefix
+    bucket per segment — never a vocabulary scan. Returns one row per
+    distinct query token, sorted: (token, suggestion) with suggestion = ''
+    for tokens that are present (nothing to correct) or uncorrectable."""
+    tokens = sorted(set(analyzer.tokenize_query(query_text)))
+    if not tokens:
+        return pd.DataFrame({"token": pd.Series(dtype=object),
+                             "suggestion": pd.Series(dtype=object)})
+    dfs = reader.df(tokens)
+    out = []
+    for tok in tokens:
+        if dfs.get(tok, 0) > 0 or len(tok) < prefix_length:
+            out.append((tok, ""))
+            continue
+        prefix = tok[:prefix_length]
+        parts = []
+        for seg_meta in reader.manifest["segments"]:
+            seg = reader._segment(seg_meta)
+            lo, hi = _prefix_range(seg, prefix)
+            if hi > lo:
+                sl = seg._term_strings.slice(lo, hi - lo)
+                parts.append(
+                    pd.DataFrame({"term": sl.to_pylist(),
+                                  "df": seg._df[lo:hi]})
+                )
+        if not parts:
+            out.append((tok, ""))
+            continue
+        vocab = pd.concat(parts).groupby("term", sort=False)["df"].sum().reset_index()
+        # cheap pre-filter: |len - len(tok)| > max_edits can't be within range
+        keep = (vocab["term"].str.len() - len(tok)).abs() <= max_edits
+        vocab = vocab[keep]
+        if vocab.empty:
+            out.append((tok, ""))
+            continue
+        terms = vocab["term"].tolist()
+        dist = _levenshtein_batch(tok, terms)
+        ok = dist <= max_edits
+        if not ok.any():
+            out.append((tok, ""))
+            continue
+        cand = pd.DataFrame(
+            {"term": vocab["term"].to_numpy()[ok],
+             "df": vocab["df"].to_numpy()[ok],
+             "dist": dist[ok]}
+        ).sort_values(["dist", "df", "term"], ascending=[True, False, True],
+                      kind="mergesort")
+        out.append((tok, cand.iloc[0]["term"]))
+    return pd.DataFrame(out, columns=["token", "suggestion"])

@@ -76,3 +76,35 @@ def test_no_match_and_bad_page(attr_index):
     assert len(empty) == 0 and list(empty.columns) == ["rank", "doc_id", "source"]
     with pytest.raises(ValueError):
         extras.search_page(reader, "table", page=0)
+
+
+def test_did_you_mean(attr_index):
+    reader = iq.IndexReader(attr_index)
+    out = extras.did_you_mean(reader, "custmer filter tabel")
+    got = dict(zip(out["token"], out["suggestion"]))
+    assert got["filter"] == ""          # present token: nothing to correct
+    assert got["custmer"] == "customer"
+    assert got["tabel"] == "table"
+    # uncorrectable garbage and empty query
+    out2 = extras.did_you_mean(reader, "zzqqxx")
+    assert out2["suggestion"].tolist() == [""]
+    assert len(extras.did_you_mean(reader, "")) == 0
+
+
+def test_levenshtein_batch_exact():
+    from harvester_ray.index.extras import _levenshtein_batch
+
+    import itertools
+
+    def ref(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    words = ["table", "tale", "tables", "cab", "t", "tabel", "abcdefgh"]
+    got = _levenshtein_batch("tabel", words)
+    exp = [ref("tabel", w) for w in words]
+    assert got.tolist() == exp
