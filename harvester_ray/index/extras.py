@@ -197,8 +197,17 @@ def search_page(
                              field: pd.Series(dtype=object)})
     doc_parts, val_parts = [], []
     for seg, matched in _segment_matches(reader, live, mode, filters):
+        svals = np.asarray(seg.attr_values(field, matched))
+        # segment-local top-hi: the global page can only contain rows that
+        # are within the first `hi` of their own segment's ordering, so the
+        # driver merge holds O(n_segments * page_end) rows, never the full
+        # match set (the per-shard from+size bound ES serving relies on)
+        if matched.size > hi:
+            codes_s = np.unique(svals, return_inverse=True)[1]
+            ord_s = np.lexsort((matched, -codes_s if desc else codes_s))[:hi]
+            matched, svals = matched[ord_s], svals[ord_s]
         doc_parts.append(matched)
-        val_parts.append(seg.attr_values(field, matched))
+        val_parts.append(svals)
     docs = np.concatenate(doc_parts) if doc_parts else np.empty(0, np.int64)
     vals = np.concatenate(val_parts) if val_parts else np.empty(0, object)
     # deterministic: field asc/desc, then doc_id asc (dense value codes so
