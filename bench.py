@@ -157,12 +157,15 @@ def run_headline() -> dict:
     # per-segment amortization differences. Block count is rounded up to a
     # multiple of the pool size for even waves.
     #
-    # Default 12.5k docs/segment: measured sweet spot on this VM (per-actor
-    # working set small enough that N concurrent actors don't thrash the
-    # host's cache/TLB — 100k-doc segments inflate per-task CPU up to 9x at
-    # 12+ actors; see BASELINE.md). On real hardware with per-node DRAM,
-    # size segments to node memory instead (100k-1M docs).
-    seg_docs = int(os.environ.get("GRAFT_SEG_DOCS", "12500"))
+    # Default 45k docs/segment: re-measured round 2 after the builder
+    # hot-path fixes (allocator hygiene, vectorized bucketing) — 43k-doc
+    # segments now beat the round-1 12.5k sweet spot at every pool size
+    # tried (1/4/24 actors: 76k / 278k / 648k docs/s on 9.6M turns vs
+    # 59k / 158k docs/s at 12.5k-doc segments), because per-segment fixed
+    # costs (dictionary sort, file creation, partial write) amortize and
+    # the old cache-thrash penalty no longer reproduces. On real hardware
+    # with per-node DRAM, size segments to node memory (100k-1M docs).
+    seg_docs = int(os.environ.get("GRAFT_SEG_DOCS", "45000"))
     est_turns = n_convs * 10
     blocks = max(1, round(est_turns / seg_docs), conc)
     blocks = ((blocks + conc - 1) // conc) * conc

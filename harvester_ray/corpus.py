@@ -30,12 +30,37 @@ import pandas as pd
 import pyarrow as pa
 
 
+def conv_counts_from_files(
+    paths: list[str], conv_col: str = "conv_id"
+) -> pd.DataFrame:
+    """Per-conversation turn counts straight from Parquet fragments: one
+    plain Ray task per file doing a single-column ``value_counts``. For the
+    tiny counting pre-pass, raw tasks beat a Dataset pipeline — they skip
+    the streaming-executor launch entirely (measured ~3s fixed cost per
+    execution regardless of CPU count, which is the whole budget here).
+    Returns (conv_col, n) sorted by conversation."""
+    import ray
+    import pyarrow.parquet as _pq
+
+    @ray.remote(num_cpus=1)
+    def one(path: str):
+        vc = _pq.read_table(path, columns=[conv_col])[conv_col].value_counts()
+        return pa.table(
+            {conv_col: vc.field("values"), "n": vc.field("counts")}
+        )
+
+    parts = ray.get([one.remote(p) for p in paths])
+    df = pa.concat_tables(parts).to_pandas()
+    return df.groupby(conv_col, sort=True)["n"].sum().reset_index()
+
+
 def assign_doc_ids(
     ds,
     *,
     conv_col: str = "conv_id",
     turn_col: str = "turn_idx",
     counts_ds=None,
+    counts: pd.DataFrame | None = None,
 ):
     """Add a stable dense ``doc_id`` column to a transcript Dataset.
 
@@ -49,27 +74,29 @@ def assign_doc_ids(
     columns=[conv_col])`` of the same files so the counting pre-pass reads
     ONE dictionary-encoded column instead of re-decoding the whole corpus
     (the text column is >20x the bytes; measured ~36s -> ~4s per 9.6M-turn
-    pass at 2 CPUs).
+    pass at 2 CPUs). ``counts`` (optional) skips the pass entirely with a
+    precomputed (conv, n) frame — see :func:`conv_counts_from_files`.
     """
     import ray
 
-    # per-conversation counts via per-batch partials (one streaming pass, no
-    # groupby shuffle — a conversation split across blocks simply yields two
-    # partial rows that the tiny driver-side combine sums)
-    def conv_counts(batch: pa.Table) -> pa.Table:
-        agg = (
-            batch.select([conv_col])
-            .group_by(conv_col)
-            .aggregate([([], "count_all")])
-        )
-        return agg.rename_columns([conv_col, "n"])
+    if counts is None:
+        # per-conversation counts via per-batch partials (one streaming
+        # pass, no groupby shuffle — a conversation split across blocks
+        # simply yields two partial rows the driver-side combine sums)
+        def conv_counts(batch: pa.Table) -> pa.Table:
+            agg = (
+                batch.select([conv_col])
+                .group_by(conv_col)
+                .aggregate([([], "count_all")])
+            )
+            return agg.rename_columns([conv_col, "n"])
 
-    partials = (
-        (counts_ds if counts_ds is not None else ds)
-        .map_batches(conv_counts, batch_format="pyarrow")
-        .to_pandas()
-    )
-    counts = partials.groupby(conv_col, sort=True)["n"].sum().reset_index()
+        partials = (
+            (counts_ds if counts_ds is not None else ds)
+            .map_batches(conv_counts, batch_format="pyarrow")
+            .to_pandas()
+        )
+        counts = partials.groupby(conv_col, sort=True)["n"].sum().reset_index()
     bases = np.zeros(len(counts), dtype=np.int64)
     np.cumsum(counts["n"].to_numpy()[:-1], out=bases[1:])
     # broadcast as fixed-width numpy arrays (near-zero deserialization per

@@ -557,6 +557,10 @@ def build_index(
             concurrency=concurrency,
         )
         metas.write_parquet(meta_dir)
+        stats_out = os.environ.get("GRAFT_BUILD_STATS")
+        if stats_out:  # diagnostic: per-operator wall/udf breakdown of phase 1
+            with open(stats_out, "a") as f:
+                f.write(metas.stats() + "\n")
         os.makedirs(os.path.dirname(phase1_marker), exist_ok=True)
         with open(phase1_marker + ".tmp", "w") as f:
             json.dump({"analyzer": analyzer.ANALYZER_VERSION, "num_buckets": num_buckets}, f)

@@ -32,10 +32,16 @@ def build_transcript_index(
         columns=["conv_id", "turn_idx", "text"],
         override_num_blocks=override_num_blocks,
     )
-    # Counting pre-pass over ONE dictionary-encoded column, not the corpus:
-    # the text column dominates bytes and would be decoded twice otherwise.
-    counts_ds = rd.read_parquet(transcripts_path, columns=["conv_id"])
-    ds = corpus.assign_doc_ids(ds, counts_ds=counts_ds)
+    # Counting pre-pass as raw per-file tasks over ONE column (conv_id):
+    # skips both the text decode and the Dataset-executor launch overhead.
+    import os
+
+    paths = sorted(
+        os.path.join(transcripts_path, f)
+        for f in os.listdir(transcripts_path)
+        if f.endswith(".parquet")
+    ) if os.path.isdir(transcripts_path) else [transcripts_path]
+    ds = corpus.assign_doc_ids(ds, counts=corpus.conv_counts_from_files(paths))
     return build.build_index(
         ds,
         index_root,
