@@ -101,31 +101,17 @@ def _segment_matches(
     """Yield ``(seg, matched_doc_ids)`` per segment: exact match enumeration
     from posting intersections/unions (no scoring), tombstone- and
     facet-filter-aware. Shared by match_counts and ordered search."""
+    from .query import match_one_segment
+
     for seg_meta in reader.manifest["segments"]:
         seg = reader._segment(seg_meta)
         exclude = tombstones_for_segment(
             reader._tomb_ids, reader._tomb_vers,
             seg_meta.get("created_version", reader.manifest["_version"]),
         )
-        include = seg.allowed_docs(filters)
-        matched: np.ndarray | None = None
-        for t in sorted(terms, key=lambda t: seg.entry(t)["df"] if seg.entry(t) else 0):
-            p = seg.postings(t)
-            d = p[0] if p else np.empty(0, np.int64)
-            if matched is None:
-                matched = d
-            elif mode == "and":
-                matched = np.intersect1d(matched, d, assume_unique=True)
-            else:
-                matched = np.union1d(matched, d)
-            if mode == "and" and matched.size == 0:
-                break
-        if matched is None or matched.size == 0:
-            continue
-        if exclude is not None and exclude.size:
-            matched = matched[~np.isin(matched, exclude)]
-        if include is not None:
-            matched = np.intersect1d(matched, include, assume_unique=True)
+        matched = match_one_segment(
+            seg, terms, mode, exclude, seg.allowed_docs(filters)
+        )
         if matched.size:
             yield seg, matched
 
@@ -260,24 +246,27 @@ def _levenshtein_batch(query: str, cands: list[str]) -> np.ndarray:
     return prev[np.arange(n), lens]
 
 
-def _prefix_range(seg, prefix: str) -> tuple[int, int]:
-    """[lo, hi) row range of the segment's lexicographically-sorted term
-    dictionary whose terms start with ``prefix`` — O(log V) binary search
-    with per-probe scalar access, no vocabulary materialization."""
-    arr = seg._term_strings
-    n = len(arr)
-
-    def bisect(key: str) -> int:
-        lo, hi = 0, n
-        while lo < hi:
-            mid = (lo + hi) // 2
-            if arr[mid].as_py() < key:
-                lo = mid + 1
-            else:
-                hi = mid
-        return lo
-
-    return bisect(prefix), bisect(prefix + "\U0010ffff")
+def _best_suggestion(tok: str, vocab: dict[str, int], max_edits: int) -> str:
+    """Shared ranking core: min edit distance, then df desc, then term asc
+    over an aggregated {term: df} candidate map; '' when nothing qualifies.
+    Used by both the in-process and the QueryService did_you_mean."""
+    if not vocab:
+        return ""
+    terms = sorted(vocab)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
+    keep = np.abs(lens - len(tok)) <= max_edits
+    terms = [t for t, k in zip(terms, keep) if k]
+    if not terms:
+        return ""
+    dist = _levenshtein_batch(tok, terms)
+    ok = dist <= max_edits
+    if not ok.any():
+        return ""
+    dfs = np.fromiter((vocab[t] for t in terms), dtype=np.int64, count=len(terms))
+    cand = sorted(
+        ((int(d), -int(f), t) for t, d, f, o in zip(terms, dist, dfs, ok) if o)
+    )
+    return cand[0][2]
 
 
 def did_you_mean(
@@ -305,38 +294,16 @@ def did_you_mean(
         if dfs.get(tok, 0) > 0 or len(tok) < prefix_length:
             out.append((tok, ""))
             continue
+        from .query import _term_prefix_range
+
         prefix = tok[:prefix_length]
-        parts = []
+        vocab: dict[str, int] = {}
         for seg_meta in reader.manifest["segments"]:
             seg = reader._segment(seg_meta)
-            lo, hi = _prefix_range(seg, prefix)
+            lo, hi = _term_prefix_range(seg, prefix)
             if hi > lo:
-                sl = seg._term_strings.slice(lo, hi - lo)
-                parts.append(
-                    pd.DataFrame({"term": sl.to_pylist(),
-                                  "df": seg._df[lo:hi]})
-                )
-        if not parts:
-            out.append((tok, ""))
-            continue
-        vocab = pd.concat(parts).groupby("term", sort=False)["df"].sum().reset_index()
-        # cheap pre-filter: |len - len(tok)| > max_edits can't be within range
-        keep = (vocab["term"].str.len() - len(tok)).abs() <= max_edits
-        vocab = vocab[keep]
-        if vocab.empty:
-            out.append((tok, ""))
-            continue
-        terms = vocab["term"].tolist()
-        dist = _levenshtein_batch(tok, terms)
-        ok = dist <= max_edits
-        if not ok.any():
-            out.append((tok, ""))
-            continue
-        cand = pd.DataFrame(
-            {"term": vocab["term"].to_numpy()[ok],
-             "df": vocab["df"].to_numpy()[ok],
-             "dist": dist[ok]}
-        ).sort_values(["dist", "df", "term"], ascending=[True, False, True],
-                      kind="mergesort")
-        out.append((tok, cand.iloc[0]["term"]))
+                for t, d in zip(seg._term_strings.slice(lo, hi - lo).to_pylist(),
+                                seg._df[lo:hi]):
+                    vocab[t] = vocab.get(t, 0) + int(d)
+        out.append((tok, _best_suggestion(tok, vocab, max_edits)))
     return pd.DataFrame(out, columns=["token", "suggestion"])

@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -750,6 +751,38 @@ def phrase_match_segment(
     return seg.doc_ids[uniq], ptf.astype(np.int64)
 
 
+def match_one_segment(
+    seg,
+    terms: list[str],
+    mode: str,
+    exclude: np.ndarray | None,
+    include: np.ndarray | None,
+) -> np.ndarray:
+    """Exact match enumeration for one segment (k=∞, no scoring): posting
+    intersections (``and``, rarest-first with early exit) or unions
+    (``or``), minus tombstones, intersected with the facet-filter allowed
+    set. Shared by the in-process extras and the actor-pool serving path."""
+    matched: np.ndarray | None = None
+    for t in sorted(terms, key=lambda t: seg.entry(t)["df"] if seg.entry(t) else 0):
+        p = seg.postings(t)
+        d = p[0] if p else np.empty(0, np.int64)
+        if matched is None:
+            matched = d
+        elif mode == "and":
+            matched = np.intersect1d(matched, d, assume_unique=True)
+        else:
+            matched = np.union1d(matched, d)
+        if mode == "and" and matched.size == 0:
+            break
+    if matched is None or matched.size == 0:
+        return np.empty(0, np.int64)
+    if exclude is not None and exclude.size:
+        matched = matched[~np.isin(matched, exclude)]
+    if include is not None:
+        matched = np.intersect1d(matched, include, assume_unique=True)
+    return matched
+
+
 class QuerySegmentActor:
     """Actor holding a set of segments, loaded once (SURVEY §2.3 stateful
     stage). Use via ``QueryService``."""
@@ -826,6 +859,106 @@ class QuerySegmentActor:
             np.concatenate(dl_parts),
             df,
         )
+
+    def _matches(self, terms, mode, filters):
+        for _, seg, exclude in self.readers:
+            m = match_one_segment(
+                seg, terms, mode, exclude, seg.allowed_docs(filters)
+            )
+            if m.size:
+                yield seg, m
+
+    def match_stats(
+        self,
+        terms: list[str],
+        mode: str,
+        filters: dict[str, list] | None,
+        count_fields: list[str] | None,
+    ) -> tuple[int, dict[str, dict[str, int]]]:
+        """Actor-local results_total + per-field value counts over this
+        actor's segments; the driver sums the partial dicts."""
+        total = 0
+        counts: dict[str, dict[str, int]] = {f: {} for f in (count_fields or [])}
+        for seg, matched in self._matches(terms, mode, filters):
+            total += int(matched.size)
+            for f in counts:
+                vals = seg.attr_values(f, matched)
+                uniq, cnt = np.unique(vals, return_counts=True)
+                for v, c in zip(uniq, cnt):
+                    counts[f][str(v)] = counts[f].get(str(v), 0) + int(c)
+        return total, counts
+
+    def match_attr_page(
+        self,
+        terms: list[str],
+        mode: str,
+        filters: dict[str, list] | None,
+        field: str,
+        desc: bool,
+        limit: int,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Actor-local top-``limit`` matches ordered by a stored attribute
+        (ties doc_id asc): a page can only contain rows within the first
+        ``limit`` of each shard's own ordering, so O(actors × limit) rows
+        reach the driver merge (the per-shard from+size bound)."""
+        doc_parts, val_parts = [], []
+        for seg, matched in self._matches(terms, mode, filters):
+            svals = np.asarray(seg.attr_values(field, matched))
+            if matched.size > limit:
+                codes = np.unique(svals, return_inverse=True)[1]
+                sel = np.lexsort((matched, -codes if desc else codes))[:limit]
+                matched, svals = matched[sel], svals[sel]
+            doc_parts.append(matched)
+            val_parts.append(svals)
+        if not doc_parts:
+            return np.empty(0, np.int64), np.empty(0, object)
+        docs = np.concatenate(doc_parts)
+        vals = np.concatenate(val_parts)
+        if docs.size > limit:
+            codes = np.unique(vals, return_inverse=True)[1]
+            sel = np.lexsort((docs, -codes if desc else codes))[:limit]
+            docs, vals = docs[sel], vals[sel]
+        return docs, vals
+
+    def prefix_vocab(
+        self, prefix: str, min_len: int, max_len: int
+    ) -> tuple[list[str], np.ndarray]:
+        """(term, df) pairs from this actor's segments whose terms start
+        with ``prefix`` and have length in [min_len, max_len] — the
+        did_you_mean candidate set, enumerated from the sorted dictionary
+        range only (never a vocabulary scan)."""
+        agg: dict[str, int] = {}
+        for _, seg, _ in self.readers:
+            lo, hi = _term_prefix_range(seg, prefix)
+            if hi <= lo:
+                continue
+            sl = seg._term_strings.slice(lo, hi - lo).to_pylist()
+            dfs = seg._df[lo:hi]
+            for t, d in zip(sl, dfs):
+                if min_len <= len(t) <= max_len:
+                    agg[t] = agg.get(t, 0) + int(d)
+        terms = sorted(agg)
+        return terms, np.fromiter((agg[t] for t in terms), dtype=np.int64,
+                                  count=len(terms))
+
+
+def _term_prefix_range(seg, prefix: str) -> tuple[int, int]:
+    """[lo, hi) rows of the segment's sorted term dictionary starting with
+    ``prefix`` — O(log V) binary search with scalar probes."""
+    arr = seg._term_strings
+    n = len(arr)
+
+    def bisect(key: str) -> int:
+        lo, hi = 0, n
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    return bisect(prefix), bisect(prefix + "\U0010ffff")
 
 
 class QueryService:
@@ -904,6 +1037,128 @@ class QueryService:
             if docs.size
         ]
         return merge_topk(scored, k)
+
+    def _live_terms(self, query_text: str, mode: str) -> list[str] | None:
+        """Query terms with df>0, or None when an AND query is unmatchable."""
+        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        if not terms:
+            return None
+        dfs = self.df(terms)
+        live = [t for t in terms if dfs.get(t, 0) > 0]
+        if not live or (mode == "and" and len(live) < len(terms)):
+            return None
+        return live
+
+    def match_counts(
+        self,
+        query_text: str,
+        *,
+        mode: str = "and",
+        count_fields: list[str] | None = None,
+        filters: dict[str, list] | None = None,
+    ) -> dict:
+        """Distributed ``results_total`` + ``include_filter_counts``: one
+        fan-out, driver sums the per-actor partial count dicts."""
+        import ray
+
+        live = self._live_terms(query_text, mode)
+        if live is None:
+            return {"results_total": {"value": 0, "is_precise": True},
+                    "filter_counts": {}}
+        parts = ray.get([
+            a.match_stats.remote(live, mode, filters, count_fields)
+            for a in self.actors
+        ])
+        total = sum(p[0] for p in parts)
+        counts: dict[str, dict[str, int]] = {f: {} for f in (count_fields or [])}
+        for _, pc in parts:
+            for f, vals in pc.items():
+                for v, c in vals.items():
+                    counts[f][v] = counts[f].get(v, 0) + c
+        return {"results_total": {"value": total, "is_precise": True},
+                "filter_counts": counts}
+
+    def search_page(
+        self,
+        query_text: str,
+        *,
+        page: int = 1,
+        page_size: int = 10,
+        mode: str = "and",
+        ordering: str | None = None,
+        filters: dict[str, list] | None = None,
+    ) -> pd.DataFrame:
+        """Distributed paginated search, semantics identical to
+        ``extras.search_page`` (relevance slice or attribute ordering)."""
+        import ray
+
+        if page < 1:
+            raise ValueError("page is 1-based")
+        lo, hi = (page - 1) * page_size, page * page_size
+        if ordering is None:
+            res = self.search(query_text, k=hi, mode=mode, filters=filters).to_pandas()
+            out = res.iloc[lo:hi].reset_index(drop=True)
+            out["rank"] = np.arange(lo + 1, lo + 1 + len(out), dtype=np.int32)
+            return out
+        desc = ordering.startswith("-")
+        field = ordering[1:] if desc else ordering
+        live = self._live_terms(query_text, mode)
+        if live is None:
+            return pd.DataFrame({"rank": pd.Series(dtype=np.int32),
+                                 "doc_id": pd.Series(dtype=np.int64),
+                                 field: pd.Series(dtype=object)})
+        parts = ray.get([
+            a.match_attr_page.remote(live, mode, filters, field, desc, hi)
+            for a in self.actors
+        ])
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        vals = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, object)
+        codes = np.unique(vals, return_inverse=True)[1] if vals.size else np.empty(0, np.int64)
+        order = np.lexsort((docs, -codes if desc else codes))
+        sel = order[lo:hi]
+        return pd.DataFrame({
+            "rank": np.arange(lo + 1, lo + 1 + sel.size, dtype=np.int32),
+            "doc_id": docs[sel],
+            field: vals[sel],
+        })
+
+    def did_you_mean(
+        self,
+        query_text: str,
+        *,
+        max_edits: int = 2,
+        prefix_length: int = 1,
+    ) -> pd.DataFrame:
+        """Distributed spelling suggestions: candidate (term, df) ranges are
+        enumerated on the actors (each scans only its own segments' sorted
+        dictionary prefix range), merged and ranked on the driver with the
+        same rules as ``extras.did_you_mean``."""
+        import ray
+
+        from .extras import _best_suggestion
+
+        tokens = sorted(set(analyzer.tokenize_query(query_text)))
+        if not tokens:
+            return pd.DataFrame({"token": pd.Series(dtype=object),
+                                 "suggestion": pd.Series(dtype=object)})
+        dfs = self.df(tokens)
+        out = []
+        for tok in tokens:
+            if dfs.get(tok, 0) > 0 or len(tok) < prefix_length:
+                out.append((tok, ""))
+                continue
+            parts = ray.get([
+                a.prefix_vocab.remote(
+                    tok[:prefix_length], len(tok) - max_edits, len(tok) + max_edits
+                )
+                for a in self.actors
+            ])
+            agg: dict[str, int] = {}
+            for terms, part_dfs in parts:
+                for t, d in zip(terms, part_dfs):
+                    agg[t] = agg.get(t, 0) + int(d)
+            out.append((tok, _best_suggestion(tok, agg, max_edits)))
+        return pd.DataFrame(out, columns=["token", "suggestion"])
 
 
 # ---------------------------------------------------------------------------
