@@ -700,6 +700,20 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("item_id").reset_index(drop=True)
 
 
+def _frame_sample(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling fan-out: one video row → many sampled frame rows
+    (deterministic byte-slice frames; rows-only — binary fan-out has no SQL
+    surface on the registered tables)."""
+    import ray.data as rd
+
+    from harvester_ray.ops import multimodal
+
+    ds = rd.from_arrow(multimodal.synth_media(n_items=64, seed=42))
+    out = multimodal.frame_sample(ds, every_n=4, frame_stride=512).to_pandas()
+    out = out.drop(columns=["frame_payload"])
+    return out.sort_values(["item_id", "frame_idx"]).reset_index(drop=True)
+
+
 def _suggest_terms(sf_dir: str) -> pd.DataFrame:
     """Prefix autocomplete over the term dictionary (autocomplete analog,
     harvester/search/views/autocomplete.py:25-33)."""
@@ -899,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranking_eval": _ranking_eval,
         # --- multimodal plumbing (rows-only: binary decode has no SQL) ----
         "multimodal_decode": _multimodal_decode,
+        "frame_sample": _frame_sample,
     }
 
 

@@ -120,15 +120,64 @@ def decode_features(ds, *, concurrency: int = 2, batch_size: int = 16):
     )
 
 
-def frame_sample(ds, every_n: int = 4, *, id_col: str = "item_id"):
-    """Deterministic frame-sampling stub for video rows: keeps items whose id
-    ≡ 0 (mod every_n) — the partition-friendly shape of frame selection
-    (real impl would flat_map decoded frames)."""
+def frame_sample(
+    ds,
+    every_n: int = 4,
+    frame_stride: int = 1024,
+    *,
+    id_col: str = "item_id",
+):
+    """Expand each video row into its sampled frame rows — the real fan-out
+    plumbing of video frame sampling (one input row → many frame rows), with
+    the frame *decode* faked deterministically (no codec libs in this
+    container): "frame" j of an item is the payload byte-slice
+    ``[j*frame_stride, (j+1)*frame_stride)``, and every ``every_n``-th frame
+    is kept. Output (item_id, frame_idx, frame_payload, frame_bytes), one
+    row per sampled frame, batch-vectorized offsets (the per-frame slice is
+    the only per-object step — binary payloads are inherently per-object).
+
+    Scale note: output rows ≈ input_bytes / (frame_stride * every_n); keep
+    ``batch_size`` small upstream for wide payloads so a batch × pool fits
+    worker heaps (the same sizing rule as DecodeStage)."""
     import pyarrow.compute as pc
 
-    def pick(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        keep = pa.array(ids % every_n == 0)
-        return batch.filter(pc.and_(keep, pc.equal(batch["mime"], "video/mp4")))
+    def expand(batch: pa.Table) -> pa.Table:
+        vid = batch.filter(pc.equal(batch["mime"], "video/mp4"))
+        if vid.num_rows == 0:
+            return pa.table(
+                {
+                    "item_id": pa.array([], pa.int64()),
+                    "frame_idx": pa.array([], pa.int32()),
+                    "frame_payload": pa.array([], pa.binary()),
+                    "frame_bytes": pa.array([], pa.int64()),
+                }
+            )
+        payloads = vid["payload"].to_pylist()
+        ids = np.asarray(vid[id_col].combine_chunks().cast(pa.int64()))
+        sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=len(payloads))
+        n_frames = -(-sizes // frame_stride)  # ceil
+        n_sampled = -(-n_frames // every_n)
+        # vectorized (row, frame_idx) expansion: repeat row ids, then build
+        # each row's sampled frame indices 0, every_n, 2*every_n, ...
+        row_of = np.repeat(np.arange(len(payloads)), n_sampled)
+        starts = np.zeros(len(payloads), dtype=np.int64)
+        np.cumsum(n_sampled[:-1], out=starts[1:])
+        within = np.arange(row_of.size, dtype=np.int64) - starts[row_of]
+        fidx = within * every_n
+        frames = [
+            payloads[r][f * frame_stride : (f + 1) * frame_stride]
+            for r, f in zip(row_of, fidx)
+        ]
+        return pa.table(
+            {
+                "item_id": pa.array(ids[row_of], pa.int64()),
+                "frame_idx": pa.array(fidx.astype(np.int32), pa.int32()),
+                "frame_payload": pa.array(frames, pa.binary()),
+                "frame_bytes": pa.array(
+                    np.fromiter((len(f) for f in frames), dtype=np.int64, count=len(frames)),
+                    pa.int64(),
+                ),
+            }
+        )
 
-    return ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(expand, batch_format="pyarrow", zero_copy_batch=True)

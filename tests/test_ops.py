@@ -126,9 +126,21 @@ def test_multimodal_decode_plumbing():
     a = out.sort_values("item_id")["features"].map(tuple).tolist()
     b = out2.sort_values("item_id")["features"].map(tuple).tolist()
     assert a == b
-    sampled = multimodal.frame_sample(ds, every_n=4).to_pandas()
-    assert (sampled["mime"] == "video/mp4").all()
-    assert (sampled["item_id"] % 4 == 0).all()
+    sampled = multimodal.frame_sample(ds, every_n=4, frame_stride=512).to_pandas()
+    media = tbl.to_pandas()
+    vids = media[media["mime"] == "video/mp4"]
+    # only video items, every item represented, frame indices every 4th
+    assert set(sampled["item_id"]) == set(vids["item_id"])
+    assert (sampled["frame_idx"] % 4 == 0).all()
+    # per-item frame count and byte-slice reassembly match the payload
+    for _, row in vids.iterrows():
+        sub = sampled[sampled["item_id"] == row["item_id"]].sort_values("frame_idx")
+        n_frames = -(-len(row["payload"]) // 512)
+        assert len(sub) == -(-n_frames // 4)
+        for _, fr in sub.iterrows():
+            lo = fr["frame_idx"] * 512
+            assert fr["frame_payload"] == row["payload"][lo : lo + 512]
+            assert fr["frame_bytes"] == len(fr["frame_payload"])
 
 
 def test_exact_jaccard_equals_minhash_on_planted_pair():
