@@ -22,6 +22,7 @@ from harvester_ray import synth
 from harvester_ray.index import build as index_build
 from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
+from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import flagship, relational, windows
 
@@ -679,11 +680,52 @@ def _more_like_this(sf_dir: str, doc_id: int = 0, k: int = 10) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _neardup_pairs_ds(sf_dir: str):
+    """Verified exact-Jaccard pairs (threshold 0.8), cached as parquet per
+    sf_dir so the three gates that consume them (neardup_jaccard,
+    dedup_clusters, dedup_corpus) run the shingle pipeline once."""
+    import ray.data as rd
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(_SCRATCH, f"ndpairs-j08-{tag}")
+    if not os.path.exists(os.path.join(path, "_DONE")):
+        os.makedirs(path, exist_ok=True)
+        dedup.near_dup_jaccard(_docs_ds(sf_dir), threshold=0.8).write_parquet(path)
+        open(os.path.join(path, "_DONE"), "w").close()
+    return rd.read_parquet(path)
+
+
 def _neardup_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact n-gram Jaccard near-dup (complete shingle-bucket candidates —
     the non-approximate sibling of neardup_minhash)."""
-    out = dedup.near_dup_jaccard(_docs_ds(sf_dir), threshold=0.8).to_pandas()
+    out = _neardup_pairs_ds(sf_dir).to_pandas()
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Near-dup clusters: exact-Jaccard pairs → distributed hash-to-min
+    connected components → (doc_id, cluster_id=min reachable id). The
+    transitive-closure generalization of the reference's one-live-doc-per-srn
+    upsert rule (core/processors/seed/resource.py:98-105)."""
+    from harvester_ray.ops import cluster
+
+    out = cluster.connected_components(_neardup_pairs_ds(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level near-dup removal: keep the minimum-id representative of
+    every cluster, drop the rest (bucketed anti-join, no driver collect)."""
+    import ray.data as rd
+
+    from harvester_ray.ops import cluster
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    out = cluster.dedup_corpus(docs, _neardup_pairs_ds(sf_dir)).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
@@ -900,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": lambda sf: dedup.simhash(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "simhash_neardup": lambda sf: dedup.simhash_near_dups(_docs_ds(sf)).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "neardup_jaccard": _neardup_jaccard,
+        "dedup_clusters": _dedup_clusters,
+        "dedup_corpus": _dedup_corpus,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1167,6 +1211,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": dedup.exact_dedup_sql("documents"),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),
+        "dedup_clusters": _cluster.cluster_sql(
+            dedup.ngram_jaccard_sql("documents", threshold=0.8)
+        ),
+        "dedup_corpus": _cluster.dedup_corpus_sql(
+            dedup.ngram_jaccard_sql("documents", threshold=0.8),
+            "(SELECT doc_id, text, lang, source, n_chars FROM documents)",
+        ),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),

@@ -1,0 +1,254 @@
+"""Near-duplicate clustering: connected components over candidate pairs.
+
+The near-dup operators (`ops/dedup.py`) emit verified *pairs*
+(doc_a, doc_b, jaccard); a corpus-level dedup needs the transitive closure of
+those pairs — duplicate *clusters* — and one representative per cluster. The
+reference keeps only one live document per identity and soft-deletes the rest
+(`/root/reference/harvester/core/processors/seed/resource.py:98-105` upsert by
+``srn``;
+`/root/reference/harvester/core/models/datatypes/set.py:69-85` soft-delete
+reconciliation); this module is the near-dup generalization of that rule:
+cluster by similarity, keep the minimum doc_id, drop the rest.
+
+Algorithm: hash-to-min connected components (Rastogi et al., "Finding
+Connected Components in Map-Reduce in Logarithmic Rounds", ICDE 2013) over
+the symmetrized edge list. Each round is ONE Ray Data shuffle of the edge
+list keyed by a coarse node bucket; inside a bucket everything is vectorized
+numpy (sort + reduceat). Rounds converge in O(log d) for component diameter
+d — near-dup clusters are shallow (a dup of a dup of a dup...), so 2-4 rounds
+in practice. Nothing is ever materialized on the driver: the driver sees only
+per-round (row_count, label_checksum) scalars for the convergence test.
+
+Scale notes (100 TB): the edge list is O(near-dup pairs), already a small
+fraction of the corpus, and every round shuffles only (int64, int64) rows.
+Labels only ever decrease, so the per-round sum of labels is a monotone
+convergence witness: an unchanged (count, sum) pair implies every per-node
+min is unchanged (each term is non-increasing), i.e. a fixed point.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_EDGE_SCHEMA = pa.schema(
+    [("bucket", pa.int32()), ("node", pa.int64()), ("nbr", pa.int64())]
+)
+
+
+def _dedup_sorted_edges(node: np.ndarray, nbr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Lexsort (node, nbr) and drop duplicate rows. Returns sorted arrays."""
+    order = np.lexsort((nbr, node))
+    node, nbr = node[order], nbr[order]
+    if node.size:
+        keep = np.empty(node.size, dtype=bool)
+        keep[0] = True
+        keep[1:] = (node[1:] != node[:-1]) | (nbr[1:] != nbr[:-1])
+        node, nbr = node[keep], nbr[keep]
+    return node, nbr
+
+
+def _edge_table(node: np.ndarray, nbr: np.ndarray, n_partitions: int) -> pa.Table:
+    return pa.table(
+        {
+            "bucket": pa.array((node % n_partitions).astype(np.int32)),
+            "node": pa.array(node, pa.int64()),
+            "nbr": pa.array(nbr, pa.int64()),
+        },
+        schema=_EDGE_SCHEMA,
+    )
+
+
+def connected_components(
+    pairs_ds,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    n_partitions: int = 64,
+    max_rounds: int = 16,
+):
+    """(doc_a, doc_b) pairs → (doc_id, cluster_id) labels, fully distributed.
+
+    ``cluster_id`` is the minimum doc id reachable from ``doc_id`` through
+    the pair graph — the deterministic cluster representative. Only nodes
+    that appear in at least one pair are labeled (isolated docs are their own
+    trivial cluster; callers that need them join against the corpus, see
+    ``dedup_corpus``). Returns a Ray Dataset sorted by nothing — callers
+    sort/limit as needed.
+    """
+    import ray.data  # noqa: F401  (Dataset methods on pairs_ds)
+
+    def seed_edges(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[a_col].combine_chunks().cast(pa.int64()))
+        b = np.asarray(t[b_col].combine_chunks().cast(pa.int64()))
+        # symmetric edges + self-loops keep every member present each round
+        node = np.concatenate([a, b, a, b])
+        nbr = np.concatenate([b, a, a, b])
+        return _edge_table(node, nbr, n_partitions)
+
+    def hash_to_min(g: pd.DataFrame) -> pa.Table:
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        node, nbr = _dedup_sorted_edges(node, nbr)
+        if not node.size:
+            return _EDGE_SCHEMA.empty_table()
+        uniq, starts = np.unique(node, return_index=True)
+        counts = np.diff(np.append(starts, node.size))
+        mins = nbr[starts]  # nbr ascending within node ⇒ min is first
+        # hash-to-min emission: (m → v) AND (v → m) for every v ∈ N(u)∪{u}
+        m_rep = np.repeat(mins, counts)
+        out_node = np.concatenate([m_rep, nbr])
+        out_nbr = np.concatenate([nbr, m_rep])
+        out_node, out_nbr = _dedup_sorted_edges(out_node, out_nbr)
+        return _edge_table(out_node, out_nbr, n_partitions)
+
+    def labels_of(g: pd.DataFrame) -> pa.Table:
+        node = g["node"].to_numpy(dtype=np.int64)
+        nbr = g["nbr"].to_numpy(dtype=np.int64)
+        order = np.lexsort((nbr, node))
+        node, nbr = node[order], nbr[order]
+        uniq, starts = np.unique(node, return_index=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, pa.int64()),
+                "cluster_id": pa.array(nbr[starts], pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(
+        seed_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    prev_sig: tuple[int, int] | None = None
+    labels = None
+    for _ in range(max_rounds):
+        edges = (
+            edges.groupby("bucket").map_groups(hash_to_min, batch_format="pandas")
+        ).materialize()
+        labels = edges.groupby("bucket").map_groups(
+            labels_of, batch_format="pandas"
+        ).materialize()
+        # monotone witness: labels only decrease, so equal (count, sum) ⇒ fixed point
+        sig = (labels.count(), int(labels.sum("cluster_id") or 0))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return labels.select_columns(["doc_id", "cluster_id"])
+
+
+def dedup_corpus(
+    docs_ds,
+    pairs_ds,
+    *,
+    id_col: str = "doc_id",
+    n_partitions: int = 64,
+):
+    """Corpus-level near-dup removal: keep one representative per cluster.
+
+    The survivor set is the corpus minus every clustered doc whose id is not
+    its cluster's minimum — the near-dup analog of the reference's
+    upsert-by-identity rule (one live document per ``srn``,
+    `/root/reference/harvester/core/processors/seed/resource.py:98-105`).
+    The drop list is applied with a bucketed anti-join (union + per-bucket
+    filter), never a driver-side collect — at scale the duplicate set is
+    itself huge.
+    """
+    labels = connected_components(pairs_ds, n_partitions=n_partitions)
+    drops = labels.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    doc_schema = docs_ds.schema().base_schema
+    tag_schema = pa.schema(
+        [("bucket", pa.int32()), ("is_drop", pa.bool_())]
+        + [(f.name, f.type) for f in doc_schema]
+    )
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        cols = [
+            pa.array((keys % n_partitions).astype(np.int32)),
+            pa.array(np.zeros(t.num_rows, dtype=bool)),
+        ] + [t[f.name].combine_chunks().cast(f.type) for f in doc_schema]
+        return pa.table(dict(zip(tag_schema.names, cols)), schema=tag_schema)
+
+    def tag_drops(t: pa.Table) -> pa.Table:
+        keys = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        cols = [
+            pa.array((keys % n_partitions).astype(np.int32)),
+            pa.array(np.ones(t.num_rows, dtype=bool)),
+        ]
+        for f in doc_schema:
+            if f.name == id_col:
+                cols.append(pa.array(keys, f.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(dict(zip(tag_schema.names, cols)), schema=tag_schema)
+
+    def anti(g: pd.DataFrame) -> pa.Table:
+        drop_ids = g.loc[g["is_drop"], id_col].to_numpy(dtype=np.int64)
+        keep = g[~g["is_drop"] & ~g[id_col].isin(drop_ids)]
+        out = keep.drop(columns=["bucket", "is_drop"])
+        return pa.Table.from_pandas(out, schema=doc_schema, preserve_index=False)
+
+    both = docs_ds.map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        drops.map_batches(tag_drops, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return both.groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
+def _pairs_cte(pairs_sql: str) -> str:
+    """Wrap a pairs query (doc_a, doc_b, …) for use inside WITH RECURSIVE."""
+    return f"SELECT doc_a, doc_b FROM ({pairs_sql})"
+
+
+def cluster_sql(pairs_sql: str) -> str:
+    """Oracle: connected-component labels via recursive reachability closure.
+
+    ``pairs_sql`` is any query yielding (doc_a, doc_b[, …]) — e.g.
+    ``dedup.ngram_jaccard_sql(...)``. Enumerates every reachable node per
+    node (fine at oracle scale; clusters are small) and takes the min.
+    """
+    return f"""
+WITH RECURSIVE nd_pairs AS ({_pairs_cte(pairs_sql)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+  UNION
+  SELECT doc_b, doc_a FROM nd_pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+)
+SELECT node AS doc_id, min(r) AS cluster_id
+FROM reach GROUP BY node ORDER BY doc_id
+""".strip()
+
+
+def dedup_corpus_sql(pairs_sql: str, table: str = "documents", *, id_col: str = "doc_id") -> str:
+    """Oracle: corpus minus non-representative cluster members."""
+    return f"""
+WITH RECURSIVE nd_pairs AS ({_pairs_cte(pairs_sql)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+  UNION
+  SELECT doc_b, doc_a FROM nd_pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+drops AS (
+  SELECT node FROM reach GROUP BY node HAVING min(r) <> node
+)
+SELECT * FROM {table} WHERE {id_col} NOT IN (SELECT node FROM drops)
+ORDER BY {id_col}
+""".strip()
