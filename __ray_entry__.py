@@ -23,6 +23,7 @@ from harvester_ray.index import build as index_build
 from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
+from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import flagship, relational, windows
 
@@ -728,6 +729,24 @@ def _dedup_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: distinct 5-gram hashes of a deterministic
+    eval slice (doc_id % 13 == 0) broadcast once; streaming vectorized
+    overlap count per corpus doc (GPT-3 App. C-style n-gram collision)."""
+    from harvester_ray.ops import decontam
+
+    def bench_slice(t):
+        ids = np.asarray(t["doc_id"])
+        return t.filter(ids % 13 == 0)
+
+    docs = _docs_ds(sf_dir)
+    bench = _docs_ds(sf_dir).map_batches(
+        bench_slice, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = decontam.decontaminate(docs, bench, shingle_n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode/feature plumbing: binary payload column → actor-pool
     decode stage → typed feature rows (deterministic fake decoder; rows-only
@@ -944,6 +963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_jaccard": _neardup_jaccard,
         "dedup_clusters": _dedup_clusters,
         "dedup_corpus": _dedup_corpus,
+        "decontaminate": _decontaminate,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1218,6 +1238,7 @@ def oracle_sql() -> dict[str, str]:
             dedup.ngram_jaccard_sql("documents", threshold=0.8),
             "(SELECT doc_id, text, lang, source, n_chars FROM documents)",
         ),
+        "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),

@@ -1,0 +1,145 @@
+"""Benchmark decontamination: flag corpus docs overlapping an eval set.
+
+A training-data pipeline must drop documents that contain evaluation-set
+content (n-gram collision decontamination, as in GPT-3 App. C / PaLM /
+The Pile): build the set of word n-grams occurring in the benchmark, then
+flag every corpus document sharing at least one. The reference's analog is
+its set-membership hygiene (one live doc per identity, validation filters
+`/root/reference/harvester/products/tasks/products.py:26-45`); the n-gram
+overlap test is the scale generalization.
+
+Shape for 100 TB: the benchmark side is SMALL by definition (eval sets are
+MBs, not TBs) — its distinct n-gram hash set is collected once, sorted, and
+broadcast via ``ray.put`` (CLAUDE.md rule: broadcast numpy arrays, not
+dicts); the corpus side streams through one ``map_batches`` doing a
+vectorized ``np.searchsorted`` membership test per batch. No shuffle, no
+join, no driver materialization of corpus data.
+
+Shingle hashing reuses the near-dup tokenizer/hash path (`ops/dedup.py`),
+so engine and oracle share one n-gram definition; 64-bit hash collisions
+(~n²/2⁶⁴) are the standard accepted error of hashed decontamination.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from harvester_ray import analyzer
+from harvester_ray.ops.dedup import _batch_shingles, _dedup_doc_shingles
+
+
+def benchmark_ngram_hashes(bench_ds, *, text_col: str = "text", shingle_n: int = 5) -> np.ndarray:
+    """Distinct word-``shingle_n``-gram hashes of the benchmark corpus.
+
+    Runs distributed (per-batch shingling), then collects ONLY the uint64
+    hash column — bounded by the benchmark's vocabulary, never the corpus.
+    Returns a sorted unique uint64 array ready for ``np.searchsorted``.
+    """
+
+    def to_hashes(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        _, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
+        return pa.table({"h": pa.array(np.unique(sh_h).view(np.int64), pa.int64())})
+
+    parts = bench_ds.map_batches(
+        to_hashes, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if not len(parts):
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(parts["h"].to_numpy().view(np.uint64))
+
+
+def decontaminate(
+    corpus_ds,
+    bench_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+):
+    """Per-doc overlap with the benchmark n-gram set.
+
+    Returns (doc_id, n_ngrams, n_contaminated, contaminated): distinct
+    n-grams of the doc, how many occur in the benchmark, and the drop flag
+    (any overlap). Callers filter ``contaminated == False`` for the clean
+    corpus.
+    """
+    import ray
+
+    bench_ref = ray.put(benchmark_ngram_hashes(bench_ds, text_col=text_col, shingle_n=shingle_n))
+
+    def score(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        text = analyzer.normalize_text(batch[text_col])
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        sh_doc, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
+        n = len(ids)
+        n_ngrams = np.zeros(n, dtype=np.int64)
+        n_hit = np.zeros(n, dtype=np.int64)
+        if sh_doc.size:
+            np.add.at(n_ngrams, sh_doc, 1)
+            if bench.size:
+                pos = np.searchsorted(bench, sh_h)
+                pos[pos == bench.size] = 0
+                hit = bench[pos] == sh_h
+                np.add.at(n_hit, sh_doc[hit], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_ngrams": pa.array(n_ngrams, pa.int64()),
+                "n_contaminated": pa.array(n_hit, pa.int64()),
+                "contaminated": pa.array(n_hit > 0),
+            }
+        )
+
+    return corpus_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_sql(
+    table: str = "documents",
+    *,
+    bench_pred: str = "doc_id % 13 = 0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> str:
+    """Oracle: same n-gram overlap by string equality (no hashing).
+
+    ``bench_pred`` selects the benchmark rows out of ``table`` — the gate
+    uses a deterministic id slice of the same corpus so both sides derive
+    the benchmark identically.
+    """
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(ts) = 0 THEN []
+              WHEN len(ts) < {shingle_n} THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct([array_to_string(ts[i : i + {shingle_n} - 1], ' ')
+                                 for i in range(1, len(ts) - {shingle_n} + 2)])
+         END AS shingles
+  FROM toks
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh
+  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {bench_pred})
+),
+expl AS (
+  SELECT doc_id, unnest(shingles) AS s FROM sh
+),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_hit
+  FROM expl e JOIN bench b ON e.s = b.s
+  GROUP BY e.doc_id
+)
+SELECT sh.doc_id,
+       len(sh.shingles) AS n_ngrams,
+       coalesce(h.n_hit, 0) AS n_contaminated,
+       coalesce(h.n_hit, 0) > 0 AS contaminated
+FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
+ORDER BY sh.doc_id
+""".strip()

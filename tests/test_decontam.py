@@ -1,0 +1,45 @@
+"""Benchmark n-gram decontamination (ops/decontam.py)."""
+
+import pyarrow as pa
+
+from harvester_ray.ops import decontam
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    ids, texts = zip(*rows) if rows else ((), ())
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(list(ids), pa.int64()), "text": pa.array(list(texts))})
+    )
+
+
+def test_overlap_counts_and_flags(ray_session):
+    corpus = _ds(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # contains bench doc's 5-grams
+            (2, "one two three four five six seven"),  # disjoint
+            (3, "tiny doc"),  # shorter than n → single whole-text shingle
+        ]
+    )
+    bench = _ds([(10, "alpha beta gamma delta epsilon"), (11, "tiny doc")])
+    out = (
+        decontam.decontaminate(corpus, bench, shingle_n=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc 1: 2 distinct 5-grams, 1 shared with bench doc 10
+    assert out.loc[0, ["n_ngrams", "n_contaminated"]].tolist() == [2, 1]
+    assert bool(out.loc[0, "contaminated"])
+    assert out.loc[1, "n_contaminated"] == 0 and not bool(out.loc[1, "contaminated"])
+    # doc 3 == bench doc 11 verbatim (sub-n doc hashes as one whole-text gram)
+    assert out.loc[2, ["n_ngrams", "n_contaminated"]].tolist() == [1, 1]
+
+
+def test_empty_benchmark_flags_nothing(ray_session):
+    corpus = _ds([(1, "a b c d e f g")])
+    bench = _ds([(9, "")])  # no tokens → empty n-gram set
+    out = decontam.decontaminate(corpus, bench, shingle_n=5).to_pandas()
+    assert out["n_contaminated"].tolist() == [0]
+    assert not out["contaminated"].any()
