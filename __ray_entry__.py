@@ -24,6 +24,7 @@ from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
+from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import flagship, relational, windows
 
@@ -747,6 +748,49 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+SPLIT_SPEC = {"train": 0.8, "val": 0.1, "test": 0.1}
+STRATA_RATES = {"en": 0.25, "de": 0.5}
+
+
+def _sample_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split by Knuth multiplicative hash of
+    doc_id — row-local, partition-independent; per-split doc and char
+    totals."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from harvester_ray.ops import sampling
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    tagged = sampling.assign_split(docs, splits=SPLIT_SPEC)
+    out = (
+        tagged.groupby("split")
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_weight"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_weight"] = out["sum_weight"].astype("int64")
+    return out.sort_values("split").reset_index(drop=True)
+
+
+def _stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Per-language mixture downsampling (en 25%, de 50%, rest kept):
+    deterministic hash-fraction keep rule, no shuffle."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sampling
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    out = sampling.stratified_sample(
+        docs, strata_col="lang", rates=STRATA_RATES
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode/feature plumbing: binary payload column → actor-pool
     decode stage → typed feature rows (deterministic fake decoder; rows-only
@@ -964,6 +1008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
+        "sample_split": _sample_split,
+        "stratified_sample": _stratified_sample,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1239,6 +1285,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, text, lang, source, n_chars FROM documents)",
         ),
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
+        "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),
+        "stratified_sample": _sampling.stratified_sample_sql(
+            "documents", strata_col="lang", rates=STRATA_RATES
+        ),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),

@@ -1,0 +1,144 @@
+"""Deterministic sampling: hash splits and stratified mixture sampling.
+
+Training-data pipelines need reproducible, partition-independent corpus
+splits (train/val/test) and per-stratum downsampling (language/source
+mixture weights) — assignments must be a pure function of the row identity,
+never of block layout, worker count, or RNG state (the same discipline the
+reference applies to identity: srn is computed, not assigned,
+`/root/reference/harvester/core/models/datatypes/document.py:58-60`; its
+test corpora are deterministic sequences,
+`/root/reference/harvester/testing/utils/generators.py:13-28`).
+
+Mechanism: Knuth multiplicative hashing on the integer id —
+``frac = ((id * 2654435761 + salt) mod 2^32) / 2^32`` — exact integer
+arithmetic that DuckDB reproduces verbatim, fully vectorized in numpy, no
+shuffle (each row decides locally inside ``map_batches``). Valid for ids
+< 2^31 (no int64 overflow in the product); beyond that, widen to a 128-bit
+mix on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = 2654435761
+_MOD = 1 << 32
+
+
+def _hash_frac(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform-ish fraction in [0, 1) per id."""
+    return ((ids * _KNUTH + salt) % _MOD).astype(np.float64) / _MOD
+
+
+def _sql_frac(id_col: str, salt: int) -> str:
+    return f"((({id_col} * {_KNUTH} + {salt}) % {_MOD}) * 1.0 / {_MOD})"
+
+
+def assign_split(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: int = 12345,
+):
+    """Add a ``split`` column: named ranges over the hash fraction.
+
+    ``splits`` maps name → fraction (must sum to ≤ 1; remainder falls into
+    the last split). Assignment order follows dict order, e.g.
+    {"train": .8, "val": .1, "test": .1} → train = frac < .8,
+    val = .8 ≤ frac < .9, test = rest.
+    """
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names])
+    cuts[-1] = 1.0 + 1e-9  # remainder → last split
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        frac = _hash_frac(ids, salt)
+        idx = np.searchsorted(cuts, frac, side="right")
+        labels = np.array(names, dtype=object)[idx]
+        return t.append_column("split", pa.array(labels, pa.string()))
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_summary_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    salt: int = 12345,
+    weight_col: str = "n_chars",
+) -> str:
+    """Oracle: per-split row count + weight sum with identical arithmetic."""
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names])
+    frac = _sql_frac(id_col, salt)
+    cases = " ".join(
+        f"WHEN {frac} < {cuts[i]} THEN '{names[i]}'" for i in range(len(names) - 1)
+    )
+    return f"""
+SELECT CASE {cases} ELSE '{names[-1]}' END AS split,
+       count(*) AS n_docs,
+       CAST(sum({weight_col}) AS BIGINT) AS sum_weight
+FROM {table}
+GROUP BY split ORDER BY split
+""".strip()
+
+
+def stratified_sample(
+    ds,
+    *,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: int = 777,
+):
+    """Keep each row with its stratum's probability, deterministically.
+
+    The mixture-weights primitive: ``rates`` maps stratum value → keep
+    fraction; unlisted strata use ``default_rate``. Row-local decision
+    (hash fraction < rate), so the sample is stable under any
+    repartitioning and needs no shuffle or global state.
+    """
+    keys = sorted(rates)
+    key_arr = np.array(keys, dtype=object)
+    rate_arr = np.array([rates[k] for k in keys], dtype=np.float64)
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        strata = t[strata_col].combine_chunks().to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(key_arr, strata)
+        pos_clip = np.minimum(pos, len(keys) - 1) if len(keys) else pos
+        matched = (
+            (key_arr[pos_clip] == strata) if len(keys) else np.zeros(len(strata), bool)
+        )
+        rate = np.where(matched, rate_arr[pos_clip] if len(keys) else 0.0, default_rate)
+        return t.filter(pa.array(_hash_frac(ids, salt) < rate))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample_sql(
+    table: str = "documents",
+    *,
+    strata_col: str = "lang",
+    rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    id_col: str = "doc_id",
+    salt: int = 777,
+) -> str:
+    """Oracle: identical per-stratum keep rule; returns surviving ids."""
+    rates = rates or {}
+    cases = " ".join(f"WHEN '{k}' THEN {v}" for k, v in sorted(rates.items()))
+    rate = f"CASE {strata_col} {cases} ELSE {default_rate} END" if rates else str(default_rate)
+    return f"""
+SELECT {id_col}, {strata_col}
+FROM {table}
+WHERE {_sql_frac(id_col, salt)} < ({rate})
+ORDER BY {id_col}
+""".strip()
