@@ -999,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "bpe_token_count": lambda sf: text_analysis.bpe_token_count(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "fingerprint": lambda sf: text_analysis.fingerprint(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "repetition": lambda sf: text_analysis.repetition(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         # --- dedup --------------------------------------------------------
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
@@ -1274,6 +1275,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": text_analysis.lang_id_sql("documents"),
         "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),
         "fingerprint": text_analysis.fingerprint_sql("documents"),
+        "repetition": text_analysis.repetition_sql("documents"),
         "exact_dedup": dedup.exact_dedup_sql("documents"),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),

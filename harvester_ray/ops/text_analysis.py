@@ -211,3 +211,123 @@ def fingerprint_sql(table: str = "documents", *, id_col: str = "doc_id", text_co
         f"SELECT {id_col} AS doc_id, md5(array_to_string({tok}, ' ')) AS fingerprint "
         f"FROM {table}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+# Flag thresholds (applied to the ROUNDED ratios on both engine and oracle
+# side, so boundary docs cannot flip between them). Chosen to be
+# non-degenerate on the synthetic corpora: both flags fire on a real
+# fraction of docs, neither on all.
+REP_DISTINCT_MIN = 0.45
+REP_TOP_BIGRAM_MAX = 0.06
+# the bigram rule only applies to docs long enough for the ratio to be
+# meaningful (1/n_bigrams exceeds the threshold trivially on short docs)
+REP_MIN_TOKENS = 20
+
+
+def repetition_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc repetition statistics, fully vectorized and collision-free.
+
+    Works on the analyzer's dictionary codes (no hashing): unigram counts
+    per (doc, code), bigrams as code_i * V + code_{i+1}. Emits
+    (doc_id, n_tokens, distinct_ratio, top_token_frac, top_bigram_frac,
+    repetitive) — the excessive-repetition family of the Gopher/C4 quality
+    rules (massive-web filtering), the scale analog of the reference's
+    validation filter (harvester/products/tasks/products.py:26-45).
+    """
+    ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+    n_docs = len(ids)
+    rows, codes, dictionary = analyzer.tokenize_flat(batch[text_col])
+    rows = rows.astype(np.int64)
+    codes = codes.astype(np.int64)
+
+    n_tok = np.bincount(rows, minlength=n_docs).astype(np.int64)
+
+    def _per_doc_distinct_and_top(r: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(#distinct values, max multiplicity) per doc over (r, c) pairs."""
+        d = np.zeros(n_docs, np.int64)
+        m = np.zeros(n_docs, np.int64)
+        if not r.size:
+            return d, m
+        order = np.lexsort((c, r))
+        r, c = r[order], c[order]
+        new = np.empty(r.size, bool)
+        new[0] = True
+        new[1:] = (r[1:] != r[:-1]) | (c[1:] != c[:-1])
+        starts = np.flatnonzero(new)
+        run_len = np.diff(np.append(starts, r.size))
+        run_row = r[starts]
+        np.add.at(d, run_row, 1)
+        np.maximum.at(m, run_row, run_len)
+        return d, m
+
+    uni_d, uni_m = _per_doc_distinct_and_top(rows, codes)
+
+    v = np.int64(len(dictionary))
+    valid = rows[:-1] == rows[1:] if rows.size > 1 else np.empty(0, bool)
+    brows = rows[:-1][valid] if rows.size > 1 else np.empty(0, np.int64)
+    bcodes = (codes[:-1] * v + codes[1:])[valid] if rows.size > 1 else np.empty(0, np.int64)
+    _, big_m = _per_doc_distinct_and_top(brows, bcodes)
+    n_big = np.maximum(n_tok - 1, 0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        distinct_ratio = np.where(n_tok > 0, uni_d / np.maximum(n_tok, 1), 0.0).round(6)
+        top_token = np.where(n_tok > 0, uni_m / np.maximum(n_tok, 1), 0.0).round(6)
+        top_bigram = np.where(n_big > 0, big_m / np.maximum(n_big, 1), 0.0).round(6)
+    repetitive = ((distinct_ratio < REP_DISTINCT_MIN) & (n_tok > 0)) | (
+        (top_bigram > REP_TOP_BIGRAM_MAX) & (n_tok >= REP_MIN_TOKENS)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "distinct_ratio": pa.array(distinct_ratio, pa.float64()),
+            "top_token_frac": pa.array(top_token, pa.float64()),
+            "top_bigram_frac": pa.array(top_bigram, pa.float64()),
+            "repetitive": pa.array(repetitive),
+        }
+    )
+
+
+def repetition(ds, *, id_col: str = "doc_id", text_col: str = "text"):
+    return ds.map_batches(
+        lambda t: repetition_batch(t, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def repetition_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}
+),
+uni AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+ucnt AS (SELECT doc_id, w, count(*) AS c FROM uni GROUP BY doc_id, w),
+ustat AS (SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS m FROM ucnt GROUP BY doc_id),
+big AS (
+  SELECT doc_id, unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS b
+  FROM toks WHERE len(ts) >= 2
+),
+bcnt AS (SELECT doc_id, b, count(*) AS c FROM big GROUP BY doc_id, b),
+bstat AS (SELECT doc_id, max(c) AS m, sum(c) AS n FROM bcnt GROUP BY doc_id),
+j AS (
+  SELECT t.doc_id,
+         coalesce(u.n, 0) AS n_tokens,
+         round(coalesce(u.d * 1.0 / u.n, 0), 6) AS distinct_ratio,
+         round(coalesce(u.m * 1.0 / u.n, 0), 6) AS top_token_frac,
+         round(coalesce(b.m * 1.0 / b.n, 0), 6) AS top_bigram_frac
+  FROM toks t
+  LEFT JOIN ustat u ON t.doc_id = u.doc_id
+  LEFT JOIN bstat b ON t.doc_id = b.doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_ratio, top_token_frac,
+       top_bigram_frac,
+       ((distinct_ratio < {REP_DISTINCT_MIN} AND n_tokens > 0)
+        OR (top_bigram_frac > {REP_TOP_BIGRAM_MAX} AND n_tokens >= {REP_MIN_TOKENS})) AS repetitive
+FROM j ORDER BY doc_id
+""".strip()

@@ -213,3 +213,34 @@ def test_embedding_lsh_recall_vs_exact():
     assert got <= ex  # verification is exact, so no false positives
     assert len(ex) > 0
     assert len(got & ex) / len(ex) >= 0.8
+
+
+def test_repetition_metrics_edge_cases(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a a a a",               # one token repeated
+                    "w x y z",               # all distinct
+                    "",                      # empty
+                    "go go stop go go stop", # dominant bigram "go go"? -> "go go" x2
+                ]
+            ),
+        }
+    )
+    out = (
+        text_analysis.repetition(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, ["n_tokens", "distinct_ratio", "top_token_frac", "top_bigram_frac"]].tolist() == [4, 0.25, 1.0, 1.0]
+    assert bool(out.loc[0, "repetitive"])
+    assert out.loc[1, ["distinct_ratio", "top_token_frac"]].tolist() == [1.0, 0.25]
+    assert not bool(out.loc[1, "repetitive"])
+    assert out.loc[2, ["n_tokens", "distinct_ratio", "top_bigram_frac"]].tolist() == [0, 0.0, 0.0]
+    assert not bool(out.loc[2, "repetitive"])
+    assert out.loc[3, "n_tokens"] == 6 and out.loc[3, "top_bigram_frac"] == 0.4
