@@ -16,6 +16,7 @@ from typing import Any
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from harvester_ray import analyzer as _analyzer
 from harvester_ray import synth
@@ -24,6 +25,7 @@ from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
+from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import flagship, relational, windows
@@ -791,6 +793,38 @@ def _stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction (emails/phones/IPv4 → placeholder tokens) with audit
+    counts. The synthetic corpus has no PII, so both sides inject identical
+    deterministic spans derived from doc_id before scrubbing — the gate
+    then checks the regex semantics, not a trivially-zero pass-through."""
+    import pyarrow.compute as pc
+
+    from harvester_ray.ops import pii
+
+    def inject(t):
+        ids = t["doc_id"].combine_chunks().cast(pa.int64())
+        s = pc.cast(ids, pa.string())
+        m1000 = pc.utf8_lpad(pc.cast(_np_mod(ids, 1000), pa.string()), 3, "0")
+        m10000 = pc.utf8_lpad(pc.cast(_np_mod(ids, 10000), pa.string()), 4, "0")
+        txt = pc.binary_join_element_wise(
+            t["text"].combine_chunks(),
+            " contact user", s, "@example.org ip 10.",
+            pc.cast(_np_mod(ids, 256), pa.string()), ".0.",
+            pc.cast(_np_mod(ids, 250), pa.string()),
+            " call +1-555-", m1000, "-", m10000,
+            "",
+        )
+        return pa.table({"doc_id": ids, "text": txt})
+
+    out = pii.scrub(_docs_ds(sf_dir).map_batches(inject, batch_format="pyarrow")).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _np_mod(arr: "pa.Array", m: int) -> "pa.Array":
+    return pa.array(np.asarray(arr) % m, pa.int64())
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode/feature plumbing: binary payload column → actor-pool
     decode stage → typed feature rows (deterministic fake decoder; rows-only
@@ -1011,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "sample_split": _sample_split,
         "stratified_sample": _stratified_sample,
+        "pii_scrub": _pii_scrub,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1290,6 +1325,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),
         "stratified_sample": _sampling.stratified_sample_sql(
             "documents", strata_col="lang", rates=STRATA_RATES
+        ),
+        "pii_scrub": _pii.scrub_sql(
+            """(SELECT doc_id,
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.org ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+                            || ' call +1-555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                            || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+                FROM documents)"""
         ),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
         "ranking_eval": _ranking_eval_sql(),
