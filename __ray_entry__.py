@@ -25,6 +25,7 @@ from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
+from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import dedup, similarity, text_analysis
@@ -793,6 +794,38 @@ def _stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+BM25F_QUERY = "spark src3"
+BM25F_WEIGHTS = {"text": 1.0, "source": 2.0}
+
+
+def _field_index(sf_dir: str, col: str) -> str:
+    """A per-field index (BM25F leg) over one attribute column as its text."""
+    import ray.data as rd
+
+    from harvester_ray.index import manifest as mf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"docidx-field-{col}-{tag}")
+    if mf.current_version(root) is None:
+        docs = os.path.join(sf_dir, "documents.parquet")
+        ds = rd.read_parquet(docs, columns=["doc_id", col])
+        index_build.build_index(ds, root, text_col=col, input_desc=docs)
+    return root
+
+
+def _bm25f(sf_dir: str) -> pd.DataFrame:
+    """Multi-field weighted BM25 (simple_query_string fields ["text",
+    "source^2"] parity, core/models/search/query.py:73-98): per-field
+    indexes scored independently, weighted sum, OR semantics."""
+    from harvester_ray.index import bm25f
+
+    readers = {
+        "text": index_query.IndexReader(_documents_index(sf_dir)),
+        "source": index_query.IndexReader(_field_index(sf_dir, "source")),
+    }
+    return bm25f.search_weighted_fields(readers, BM25F_WEIGHTS, BM25F_QUERY, k=10)
+
+
 def _pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII redaction (emails/phones/IPv4 → placeholder tokens) with audit
     counts. The synthetic corpus has no PII, so both sides inject identical
@@ -1024,6 +1057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
+        "bm25f_fields": _bm25f,
         "search_paged": _search_paged,
         "search_ordered": _search_ordered,
         "did_you_mean": _did_you_mean,
@@ -1288,6 +1322,9 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),
+        "bm25f_fields": _bm25f_oracle.bm25f_sql(
+            "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10
+        ),
         "search_paged": (
             "SELECT doc_id, score FROM ("
             + index_oracle.bm25_sql("documents", BM25_QUERY_AND, 20, mode="and")
