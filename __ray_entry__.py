@@ -117,6 +117,28 @@ def _term_df_top50(sf_dir: str) -> pd.DataFrame:
     return ts[["term", "df", "cf"]].reset_index(drop=True)
 
 
+def _index_stats(sf_dir: str) -> pd.DataFrame:
+    """Index-level integrity counters (_cat/indices analog + the set-level
+    count reporting of core/logging.py:90-133): corpus size, vocabulary
+    size, postings count, token count — all read from the index's own
+    termstats/manifest, verified against recomputation from the raw text."""
+    import pyarrow.dataset as pads
+
+    root = _documents_index(sf_dir)
+    from harvester_ray.index import manifest as mf
+
+    man = mf.read_manifest(root)
+    ts = pads.dataset(os.path.join(root, man["termstats"])).to_table()
+    return pd.DataFrame(
+        {
+            "n_docs": [int(man["n_docs"])],
+            "n_terms": [int(ts.num_rows)],
+            "n_postings": [int(pd.Series(ts["df"].to_numpy(zero_copy_only=False)).sum())],
+            "n_tokens": [int(pd.Series(ts["cf"].to_numpy(zero_copy_only=False)).sum())],
+        }
+    )
+
+
 def _sliding_window(sf_dir: str) -> pd.DataFrame:
     import ray.data as rd
 
@@ -794,6 +816,35 @@ def _stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+DECOMPOUND_QUERY = "sparkscan window"  # "sparkscan" is OOV; parts are in-vocab
+SYN_MAP = {"rapid": ["fast"], "huge": ["big"]}
+SYN_QUERY = "rapid huge"
+
+
+def _decompound_search(sf_dir: str) -> pd.DataFrame:
+    """Dictionary decompounding at query time (the Dutch decompound word
+    list analog, opensearch/config/decompound_word_list.nl.txt via
+    settings/base.py:308-309): OOV compound query terms split against the
+    index's own term dictionary, then OR-BM25 over the expanded set."""
+    from harvester_ray.index import synonyms
+
+    reader = index_query.IndexReader(_documents_index(sf_dir))
+    out = synonyms.search_expanded(reader, DECOMPOUND_QUERY, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _synonym_search(sf_dir: str) -> pd.DataFrame:
+    """Query-time synonym expansion (OpenSearch synonym-filter analog):
+    broadcast synonym map, OR-BM25 over original + synonym terms."""
+    from harvester_ray.index import synonyms
+
+    reader = index_query.IndexReader(_documents_index(sf_dir))
+    out = synonyms.search_expanded(reader, SYN_QUERY, synonyms=SYN_MAP, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 BM25F_QUERY = "spark src3"
 BM25F_WEIGHTS = {"text": 1.0, "source": 2.0}
 
@@ -1048,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- full-text index + BM25 (north_rule core) ---------------------
         "doc_stats": _doc_stats,
         "corpus_stats": _corpus_stats,
+        "index_stats": _index_stats,
         "set_integrity": _set_integrity,
         "term_df_top50": _term_df_top50,
         "term_df_shuffle": _term_df_shuffle,
@@ -1058,6 +1110,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
         "bm25f_fields": _bm25f,
+        "decompound_search": _decompound_search,
+        "synonym_search": _synonym_search,
         "search_paged": _search_paged,
         "search_ordered": _search_ordered,
         "did_you_mean": _did_you_mean,
@@ -1305,6 +1359,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_stats": index_oracle.doc_stats_sql("documents"),
         "corpus_stats": index_oracle.corpus_stats_sql("documents"),
+        "index_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_analyzer.sql_tokenize_expr('text')}) AS term
+              FROM documents
+            ),
+            td AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+                   FROM toks GROUP BY term)
+            SELECT (SELECT count(*) FROM documents) AS n_docs,
+                   count(*) AS n_terms,
+                   CAST(sum(df) AS BIGINT) AS n_postings,
+                   CAST(sum(cf) AS BIGINT) AS n_tokens
+            FROM td
+        """,
         "set_integrity": _set_integrity_sql("documents"),
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
@@ -1324,6 +1391,15 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),
         "bm25f_fields": _bm25f_oracle.bm25f_sql(
             "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10
+        ),
+        # expansion is deterministic driver-side string work; the oracle
+        # runs BM25 over the *expected* expanded term set, so a wrong
+        # engine-side expansion surfaces as a score/rank mismatch
+        "decompound_search": index_oracle.bm25_sql(
+            "documents", "sparkscan spark scan window", 10, mode="or"
+        ),
+        "synonym_search": index_oracle.bm25_sql(
+            "documents", "rapid fast huge big", 10, mode="or"
         ),
         "search_paged": (
             "SELECT doc_id, score FROM ("
