@@ -29,6 +29,7 @@ from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import dedup, similarity, text_analysis
+from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
 
 _SCRATCH = "/tmp/harvester_ray_entry"
@@ -909,6 +910,30 @@ def _np_mod(arr: "pa.Array", m: int) -> "pa.Array":
     return pa.array(np.asarray(arr) % m, pa.int64())
 
 
+def _curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation: repetition filter → benchmark decontamination →
+    train-split selection (one fused map pass, zero shuffle) → near-dup
+    dedup over the survivors (the only shuffling stage, run last)."""
+    import ray.data as rd
+
+    from harvester_ray.pipelines import curate
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+    def bench_slice(t):
+        ids = np.asarray(t["doc_id"])
+        return t.filter(ids % 13 == 0)
+
+    bench = _docs_ds(sf_dir).map_batches(
+        bench_slice, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = curate.curate(docs, bench).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode/feature plumbing: binary payload column → actor-pool
     decode stage → typed feature rows (deterministic fake decoder; rows-only
@@ -1134,6 +1159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _sample_split,
         "stratified_sample": _stratified_sample,
         "pii_scrub": _pii_scrub,
+        "curate_corpus": _curate_corpus,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1439,6 +1465,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sampling.stratified_sample_sql(
             "documents", strata_col="lang", rates=STRATA_RATES
         ),
+        "curate_corpus": _curate.curate_sql("documents"),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)
