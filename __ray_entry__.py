@@ -28,6 +28,7 @@ from harvester_ray.ops import decontam as _decontam
 from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
+from harvester_ray.ops import sketch as _sketch
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -910,6 +911,18 @@ def _np_mod(arr: "pa.Array", m: int) -> "pa.Array":
     return pa.array(np.asarray(arr) % m, pa.int64())
 
 
+def _approx_distinct(sf_dir: str) -> pd.DataFrame:
+    """KMV distinct-count sketch over events.user_id (k=64 < true
+    cardinality so the estimator path, not the exact path, is exercised);
+    the sketch state itself is verified value-identically vs SQL."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return sketch.kmv_distinct(ds, "user_id", k=64)
+
+
 def _curate_corpus(sf_dir: str) -> pd.DataFrame:
     """End-to-end curation: repetition filter → benchmark decontamination →
     train-split selection (one fused map pass, zero shuffle) → near-dup
@@ -1160,6 +1173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": _stratified_sample,
         "pii_scrub": _pii_scrub,
         "curate_corpus": _curate_corpus,
+        "approx_distinct": _approx_distinct,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1466,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", strata_col="lang", rates=STRATA_RATES
         ),
         "curate_corpus": _curate.curate_sql("documents"),
+        "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -1,0 +1,39 @@
+"""KMV distinct sketch (ops/sketch.py)."""
+
+import numpy as np
+import pyarrow as pa
+
+from harvester_ray.ops import sketch
+
+
+def _ds(vals):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"v": pa.array(vals)}))
+
+
+def test_exact_below_k(ray_session):
+    out = sketch.kmv_distinct(_ds(["a", "b", "c", "a", "b", None]), "v", k=16)
+    assert out.loc[0, "n_kept"] == 3
+    assert out.loc[0, "estimate"] == 3.0
+
+
+def test_estimate_within_error(ray_session):
+    vals = [f"user-{i}" for i in range(5000)] * 2  # 5000 distinct, repeated
+    out = sketch.kmv_distinct(_ds(vals), "v", k=256)
+    assert out.loc[0, "n_kept"] == 256
+    est = out.loc[0, "estimate"]
+    # KMV standard error ~ 1/sqrt(k-2) ≈ 6.3%; allow 4 sigma
+    assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_partition_independent(ray_session):
+    vals = [f"x{i % 700}" for i in range(3000)]
+    a = sketch.kmv_distinct(_ds(vals), "v", k=64)
+    b = sketch.kmv_distinct(_ds(vals).repartition(7), "v", k=64)
+    assert a.equals(b)
+
+
+def test_empty_input(ray_session):
+    out = sketch.kmv_distinct(_ds([]).filter(lambda r: True), "v", k=8)
+    assert out.loc[0, "n_kept"] == 0 and out.loc[0, "estimate"] == 0.0
