@@ -1125,6 +1125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_orders": relational.topk_orders,
         "filter_revenue": relational.filter_revenue,
         "events_facets": relational.events_facets,
+        "value_quantiles": relational.value_quantiles,
         "events_hourly_window": relational.events_hourly_window,
         "events_sliding_window": _sliding_window,
         "session_windows": _session_windows,
@@ -1323,6 +1324,7 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_discount >= 0.05 AND l_quantity < 24
         """,
+        "value_quantiles": relational.VALUE_QUANTILES_SQL,
         "events_facets": """
             SELECT event_type, count(*) AS frequency, round(avg(value), 4) AS avg_value
             FROM events GROUP BY event_type ORDER BY event_type

@@ -412,3 +412,42 @@ def _round_floats(df: pd.DataFrame, digits: int) -> pd.DataFrame:
         if df[c].dtype == np.float64:
             df[c] = df[c].round(digits)
     return df
+
+
+def value_quantiles(sf_dir: str):
+    """Exact per-group quantiles (p25/p50/p75/p95 of value per event_type) —
+    the percentile-aggregation sibling of events_facets. Grouped exact
+    quantiles need each group's full value set in one place: groupby +
+    map_groups (sort-based exchange) with a vectorized np.quantile per
+    group; 'linear' interpolation is definitionally identical to DuckDB's
+    quantile_cont, so results are value-identical, not approximate. Shuffle
+    volume is the (event_type, value) pair stream — acceptable because the
+    group count is tiny; for high-cardinality keys use a t-digest-style
+    mergeable summary instead (documented tradeoff)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        qs = np.quantile(v, [0.25, 0.5, 0.75, 0.95], method="linear")
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p25": [round(qs[0], 4)],
+                "p50": [round(qs[1], 4)],
+                "p75": [round(qs[2], 4)],
+                "p95": [round(qs[3], 4)],
+            }
+        )
+
+    out = ds.groupby("event_type").map_groups(q, batch_format="pandas")
+    return out.to_pandas().sort_values("event_type").reset_index(drop=True)
+
+
+VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type ORDER BY event_type
+""".strip()
