@@ -25,6 +25,7 @@ from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
+from harvester_ray.ops import dupgrams as _dupgrams
 from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
@@ -775,6 +776,29 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Duplicated-n-gram fraction per doc: one bucketed all-to-all of
+    distinct (gram_hash, doc_id) pairs, vectorized run-length dup marking
+    per bucket, doc-cardinality final fold (ops/dupgrams.py)."""
+    from harvester_ray.ops import dupgrams
+
+    out = dupgrams.dup_ngram_fraction(_docs_ds(sf_dir), shingle_n=5).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement (k=20 by
+    n_chars): per-batch local top-k, O(k × blocks) driver merge."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sampling
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    return sampling.weighted_sample(docs, k=20, weight_col="n_chars")
+
+
 SPLIT_SPEC = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_RATES = {"en": 0.25, "de": 0.5}
 
@@ -1170,7 +1194,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
+        "dup_ngrams": _dup_ngrams,
         "sample_split": _sample_split,
+        "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
         "pii_scrub": _pii_scrub,
         "curate_corpus": _curate_corpus,
@@ -1477,7 +1503,11 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT doc_id, text, lang, source, n_chars FROM documents)",
         ),
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
+        "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),
+        "weighted_sample": _sampling.weighted_sample_sql(
+            "documents", k=20, weight_col="n_chars"
+        ),
         "stratified_sample": _sampling.stratified_sample_sql(
             "documents", strata_col="lang", rates=STRATA_RATES
         ),

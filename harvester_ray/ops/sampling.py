@@ -123,6 +123,71 @@ def stratified_sample(
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def weighted_sample(
+    ds,
+    *,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: int = 424242,
+):
+    """Top-k weighted sample without replacement (Efraimidis–Spirakis).
+
+    Each row gets key = u^(1/w) with u a deterministic hash-uniform of its
+    id; the k largest keys form an exact weighted sample without
+    replacement. Distributed as per-batch local top-k (map_batches) then a
+    tiny driver merge of O(k × blocks) rows — the same bounded-merge shape
+    as `knn_cosine`; no shuffle, no RNG state. Mirrors the reference's
+    deterministic-identity discipline (srn is computed, not drawn,
+    `/root/reference/harvester/core/models/datatypes/document.py:58-60`).
+
+    Rows with weight ≤ 0 are excluded. Keys are computed in log space
+    (log(u)/w) for numerical parity with the SQL oracle: DuckDB evaluates
+    `ln(u)/w` with the same float64 operations, so ordering — and the
+    rounded key — is bit-identical.
+    """
+    import pandas as pd
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        w = np.asarray(t[weight_col].combine_chunks().cast(pa.float64()))
+        pos = w > 0
+        ids, w = ids[pos], w[pos]
+        # u in (0,1]: shift by +1 so u is never 0 → log is finite
+        u = (((ids * _KNUTH + salt) % _MOD).astype(np.float64) + 1.0) / _MOD
+        key = np.log(u) / w  # monotone in u^(1/w); larger = better
+        if len(key) > k:
+            top = np.argpartition(-key, k - 1)[:k]
+            ids, key = ids[top], key[top]
+        return pa.table({id_col: ids, "es_key": key})
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", zero_copy_batch=True)
+    df = parts.to_pandas()  # O(k × blocks) rows only
+    df = df.sort_values(["es_key", id_col], ascending=[False, True]).head(k)
+    out = df.reset_index(drop=True)
+    out["es_key"] = out["es_key"].round(6)
+    return pd.DataFrame({id_col: out[id_col], "es_key": out["es_key"]})
+
+
+def weighted_sample_sql(
+    table: str = "documents",
+    *,
+    k: int = 20,
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    salt: int = 424242,
+) -> str:
+    """Oracle: identical key arithmetic (ln((h+1)/2^32)/w), same tie-break."""
+    u = f"((({id_col} * {_KNUTH} + {salt}) % {_MOD}) + 1.0) / {_MOD}"
+    return f"""
+SELECT {id_col}, round(ln({u}) / {weight_col}, 6) AS es_key
+FROM {table}
+WHERE {weight_col} > 0
+ORDER BY ln({u}) / {weight_col} DESC, {id_col}
+LIMIT {k}
+""".strip()
+
+
 def stratified_sample_sql(
     table: str = "documents",
     *,

@@ -1,0 +1,89 @@
+"""Duplicated-n-gram fraction (ops/dupgrams.py) + weighted sampling."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from harvester_ray.ops import dupgrams, sampling
+
+
+def _docs(texts):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def test_dup_fraction_basic(ray_session):
+    # doc0 and doc1 share a 3-gram ("a b c"); doc2 is unique
+    out = (
+        dupgrams.dup_ngram_fraction(
+            _docs(["a b c d", "x a b c", "p q r s"]), shingle_n=3
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_ngrams"]) == [2, 2, 2]
+    assert list(out["n_dup"]) == [1, 1, 0]
+    assert list(out["dup_frac"]) == [0.5, 0.5, 0.0]
+
+
+def test_dup_fraction_partition_independent(ray_session):
+    texts = [f"w{i % 7} w{(i + 1) % 7} w{(i + 2) % 7} w{i} tail{i % 3}" for i in range(40)]
+    a = dupgrams.dup_ngram_fraction(_docs(texts), shingle_n=3).to_pandas()
+    b = dupgrams.dup_ngram_fraction(_docs(texts).repartition(9), shingle_n=3).to_pandas()
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_dup_fraction_short_and_empty_docs(ray_session):
+    # "a b" (< n tokens) gets one fallback shingle; "" yields no row
+    out = (
+        dupgrams.dup_ngram_fraction(_docs(["a b", "a b", ""]), shingle_n=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 1]
+    assert list(out["dup_frac"]) == [1.0, 1.0]
+
+
+def _weights(ws):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(ws)), pa.int64()),
+                "w": pa.array(ws, pa.float64()),
+            }
+        )
+    )
+
+
+def test_weighted_sample_determinism_and_size(ray_session):
+    ws = [float(1 + (i % 10)) for i in range(200)]
+    a = sampling.weighted_sample(_weights(ws), k=15, weight_col="w")
+    b = sampling.weighted_sample(_weights(ws).repartition(8), k=15, weight_col="w")
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 15 and a["doc_id"].is_unique
+
+
+def test_weighted_sample_favors_heavy(ray_session):
+    # one dominant weight should essentially always be selected
+    ws = [1.0] * 100 + [10000.0]
+    out = sampling.weighted_sample(_weights(ws), k=5, weight_col="w")
+    assert 100 in set(out["doc_id"])
+
+
+def test_weighted_sample_excludes_nonpositive(ray_session):
+    out = sampling.weighted_sample(_weights([0.0, -2.0, 3.0, 5.0]), k=10, weight_col="w")
+    assert set(out["doc_id"]) == {2, 3}
