@@ -799,6 +799,65 @@ def _weighted_sample(sf_dir: str) -> pd.DataFrame:
     return sampling.weighted_sample(docs, k=20, weight_col="n_chars")
 
 
+def _range_join_bands(sf_dir: str) -> pd.DataFrame:
+    """Interval join: events.value against 25 overlapping price bands
+    derived from nation (band k = [20k, 20k+24.5]); per-band event count +
+    value sum. Range-partitioned domain, intervals replicated only to
+    overlapping buckets (pipelines/rangejoin.py)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from harvester_ray.pipelines import rangejoin
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        k = t["n_nationkey"].combine_chunks().cast(pa.float64())
+        lo = pc.multiply(k, 20.0)
+        return pa.table(
+            {
+                "band": t["n_nationkey"].combine_chunks().cast(pa.int64()),
+                "lo": lo,
+                "hi": pc.add(lo, 24.5),
+            }
+        )
+
+    bands = rd.read_parquet(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+    ).map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
+    joined = rangejoin.range_join(
+        events,
+        bands,
+        value_col="value",
+        lo_col="lo",
+        hi_col="hi",
+        left_cols=["event_id", "value"],
+        right_cols=["band"],
+    )
+    agg = joined.groupby("band").aggregate(
+        Count(alias_name="n_events"), Sum("value", alias_name="sum_value")
+    )
+    out = agg.to_pandas().sort_values("band").reset_index(drop=True)
+    out["sum_value"] = out["sum_value"].round(4)
+    return out
+
+
+def _range_join_sql() -> str:
+    return """
+SELECT n.n_nationkey AS band,
+       count(*) AS n_events,
+       round(sum(e.value), 4) AS sum_value
+FROM events e
+JOIN nation n
+  ON e.value BETWEEN n.n_nationkey * 20.0 AND n.n_nationkey * 20.0 + 24.5
+GROUP BY band
+ORDER BY band
+""".strip()
+
+
 SPLIT_SPEC = {"train": 0.8, "val": 0.1, "test": 0.1}
 STRATA_RATES = {"en": 0.25, "de": 0.5}
 
@@ -1195,6 +1254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
         "dup_ngrams": _dup_ngrams,
+        "range_join_bands": _range_join_bands,
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
@@ -1504,6 +1564,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
+        "range_join_bands": _range_join_sql(),
         "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),
         "weighted_sample": _sampling.weighted_sample_sql(
             "documents", k=20, weight_col="n_chars"
