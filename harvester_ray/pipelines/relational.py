@@ -362,6 +362,51 @@ def last_event_per_user(sf_dir: str):
     )
 
 
+def top_n_per_key(ds, *, key: str, order_by: list[str], ascending: list[bool], n: int):
+    """Generic per-key top-N (the within-group ordering primitive behind the
+    reference's priority-ranked file selection,
+    /root/reference/harvester/products/models/datatypes/product.py:96-117,
+    generalized to N). Map-side partial top-N per (key, batch) caps the
+    shuffle at N rows per key per block; the grouped final reduce re-ranks
+    the partials. Deterministic for any total order (callers include a
+    unique tie-break column in ``order_by``)."""
+
+    def local_top(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(order_by, ascending=ascending, kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(key).head(n), preserve_index=False)
+
+    def final_top(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_by, ascending=ascending, kind="mergesort").head(n)
+
+    pre = ds.map_batches(local_top, batch_format="pyarrow")
+    return pre.groupby(key).map_groups(final_top, batch_format="pandas")
+
+
+def top_events_per_user(sf_dir: str, n: int = 3):
+    """Top-3 events per user by value (desc, event_id asc tie-break)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "value"])
+    out = top_n_per_key(
+        ds, key="user_id", order_by=["value", "event_id"], ascending=[False, True], n=n
+    )
+    df = out.to_pandas()[["user_id", "event_id", "value"]]
+    df["value"] = df["value"].round(4)
+    return df.sort_values(["user_id", "event_id"]).reset_index(drop=True)
+
+
+def top_events_per_user_sql(n: int = 3) -> str:
+    return f"""
+SELECT user_id, event_id, round(value, 4) AS value
+FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+  FROM events
+)
+WHERE rn <= {n}
+ORDER BY user_id, event_id
+""".strip()
+
+
 def distinct_segments(sf_dir: str):
     """Distinct values of a column (dedup/unique analog)."""
     ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
