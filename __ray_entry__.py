@@ -1006,6 +1006,18 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketch.kmv_distinct(ds, "user_id", k=64)
 
 
+def _approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog sketch over events.event_id (m=64 registers, raw
+    estimator regime: true cardinality >> 2.5m); register state verified
+    value-identically vs SQL, estimate to 2 decimals."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+    return sketch.hll_distinct(ds, "event_id", p=6)
+
+
 def _curate_corpus(sf_dir: str) -> pd.DataFrame:
     """End-to-end curation: repetition filter → benchmark decontamination →
     train-split selection (one fused map pass, zero shuffle) → near-dup
@@ -1262,6 +1274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _pii_scrub,
         "curate_corpus": _curate_corpus,
         "approx_distinct": _approx_distinct,
+        "approx_distinct_hll": _approx_distinct_hll,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1576,6 +1589,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_corpus": _curate.curate_sql("documents"),
         "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
+        "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -76,6 +76,115 @@ def kmv_distinct(ds, col: str, *, k: int = 256):
     )
 
 
+def _alpha(m: int) -> float:
+    return {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+
+def _bitlen(x: np.ndarray) -> np.ndarray:
+    """floor(log2(x)) for x > 0, exact (vectorized binary search — float
+    log2 rounds wrong near powers of two above 2^53)."""
+    r = np.zeros(x.shape, np.int64)
+    x = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        r[m] += s
+        x[m] >>= np.uint64(s)
+    return r
+
+
+def hll_distinct(ds, col: str, *, p: int = 6):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) → 1 row.
+
+    m = 2^p registers; register j = max over values of rho (leading-zero
+    rank of the hash's low 64-p bits). Per batch only the m-entry register
+    vector travels to the driver; merge is an elementwise max — one
+    streaming map pass, no shuffle, O(m · blocks) driver work.
+
+    Like `kmv_distinct`, the sketch STATE is exactly reproducible in SQL
+    (same md5-derived hash, integer-exact rho via `bin()` length), so the
+    gate verifies (rho_sum, rho_max, n_zero) value-identically and the
+    estimate — pure float arithmetic over exact integer state, identical
+    operation order both sides — to 2 decimals.
+    """
+    import pandas as pd
+
+    m = 1 << p
+    q = 64 - p
+    mask = (np.uint64(1) << np.uint64(q)) - np.uint64(1)
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        vals = pc.drop_null(t[col].combine_chunks().cast(pa.string())).unique()
+        regs = np.zeros(m, dtype=np.int64)
+        if len(vals):
+            h = _md5_64(vals.to_pylist())
+            j = (h >> np.uint64(q)).astype(np.int64)
+            rem = h & mask
+            rho = np.where(rem == 0, q + 1, q - _bitlen(np.maximum(rem, 1)))
+            np.maximum.at(regs, j, rho)
+        return pa.table({"j": pa.array(np.arange(m), pa.int64()), "rho": pa.array(regs, pa.int64())})
+
+    parts = ds.map_batches(
+        batch_regs, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    regs = np.zeros(m, dtype=np.int64)
+    if len(parts):
+        np.maximum.at(regs, parts["j"].to_numpy(), parts["rho"].to_numpy())
+    n_zero = int((regs == 0).sum())
+    big_r = q + 1
+    s_int = sum(1 << (big_r - int(r)) for r in regs)  # exact integer harmonic sum
+    est = _alpha(m) * m * m * float(1 << big_r) / float(s_int)
+    if est <= 2.5 * m and n_zero > 0:
+        est = m * float(np.log(m / n_zero))
+    return pd.DataFrame(
+        {
+            "m": [m],
+            "rho_sum": [int(regs.sum())],
+            "rho_max": [int(regs.max())],
+            "n_zero": [n_zero],
+            "estimate": [round(est, 2)],
+        }
+    )
+
+
+def hll_distinct_sql(table: str, col: str, *, p: int = 6) -> str:
+    """Oracle: identical register state and estimate arithmetic in SQL."""
+    m = 1 << p
+    q = 64 - p
+    big_r = q + 1
+    alpha = _alpha(m)
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+  FROM {table} WHERE {col} IS NOT NULL
+),
+rhos AS (
+  SELECT CAST(h >> {q} AS BIGINT) AS j,
+         CASE WHEN (h & {(1 << q) - 1}::UBIGINT) = 0 THEN {q + 1}
+              ELSE {q} - (length(bin(h & {(1 << q) - 1}::UBIGINT)) - 1) END AS rho
+  FROM hashes
+),
+regs AS (
+  SELECT r.range AS j, coalesce(max(rhos.rho), 0) AS rho
+  FROM range({m}) r LEFT JOIN rhos ON rhos.j = r.range
+  GROUP BY r.range
+),
+st AS (
+  SELECT CAST(sum(rho) AS BIGINT) AS rho_sum,
+         CAST(max(rho) AS BIGINT) AS rho_max,
+         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << ({big_r} - rho)) AS HUGEINT) AS s_int
+  FROM regs
+)
+SELECT {m}::BIGINT AS m, rho_sum, rho_max, n_zero,
+       round(CASE WHEN ({alpha!r} * {m} * {m} * {float(1 << big_r)!r} / CAST(s_int AS DOUBLE)) <= {2.5 * m}
+                   AND n_zero > 0
+                  THEN {m} * ln({m} * 1.0 / n_zero)
+                  ELSE {alpha!r} * {m} * {m} * {float(1 << big_r)!r} / CAST(s_int AS DOUBLE)
+             END, 2) AS estimate
+FROM st
+""".strip()
+
+
 def kmv_distinct_sql(table: str, col: str, *, k: int = 256) -> str:
     """Oracle: identical sketch state + estimate in SQL."""
     return f"""

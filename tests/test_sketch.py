@@ -37,3 +37,30 @@ def test_partition_independent(ray_session):
 def test_empty_input(ray_session):
     out = sketch.kmv_distinct(_ds([]).filter(lambda r: True), "v", k=8)
     assert out.loc[0, "n_kept"] == 0 and out.loc[0, "estimate"] == 0.0
+
+
+def test_hll_estimate_within_error(ray_session):
+    vals = [f"user-{i}" for i in range(5000)] * 2
+    out = sketch.hll_distinct(_ds(vals), "v", p=8)  # m=256, rse ~6.5%
+    est = out.loc[0, "estimate"]
+    assert abs(est - 5000) / 5000 < 0.26  # 4 sigma
+    assert out.loc[0, "m"] == 256 and out.loc[0, "n_zero"] == 0
+
+
+def test_hll_partition_independent(ray_session):
+    vals = [f"x{i % 700}" for i in range(3000)]
+    a = sketch.hll_distinct(_ds(vals), "v", p=6)
+    b = sketch.hll_distinct(_ds(vals).repartition(7), "v", p=6)
+    assert a.equals(b)
+
+
+def test_hll_small_range_correction(ray_session):
+    # 3 distinct values, m=64: linear-counting branch
+    out = sketch.hll_distinct(_ds(["a", "b", "c", "a", None]), "v", p=6)
+    assert out.loc[0, "n_zero"] >= 61
+    assert abs(out.loc[0, "estimate"] - 3) < 1.5
+
+
+def test_hll_empty(ray_session):
+    out = sketch.hll_distinct(_ds([]).filter(lambda r: True), "v", p=6)
+    assert out.loc[0, "rho_sum"] == 0 and out.loc[0, "n_zero"] == 64
