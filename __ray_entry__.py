@@ -26,6 +26,8 @@ from harvester_ray.index import query as index_query
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
+from harvester_ray.ops import packing as _packing
+from harvester_ray.pipelines import graph as _graph
 from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
@@ -845,6 +847,32 @@ def _range_join_bands(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Virtual-concatenation sequence packing (capacity 512 tokens) via a
+    two-phase distributed prefix scan (ops/packing.py)."""
+    from harvester_ray.ops import packing
+
+    out = packing.pack_sequences(_docs_ds(sf_dir), capacity=512).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _highlight(sf_dir: str) -> pd.DataFrame:
+    """Snippet highlighting over the BM25 top-10 (ES highlight-block
+    analog): broadcast-id semi-join text fetch, O(k) snippet assembly."""
+    from harvester_ray.index import extras
+
+    reader = index_query.IndexReader(_documents_index(sf_dir))
+    return extras.highlight_topk(reader, _docs_ds(sf_dir), BM25_QUERY_AND, k=10)
+
+
+def _pagerank(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank (5 fixed-point rounds) over the
+    customer→supplier order graph; see pipelines/graph.py."""
+    from harvester_ray.pipelines import graph
+
+    return graph.customer_supplier_pagerank(sf_dir)
+
+
 def _range_join_sql() -> str:
     return """
 SELECT n.n_nationkey AS band,
@@ -1228,6 +1256,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": relational.sessionize,
         "last_event_per_user": relational.last_event_per_user,
         "top_events_per_user": relational.top_events_per_user,
+        "events_rollup": relational.events_rollup,
+        "pack_sequences": _pack_sequences,
         "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
         "state_counts": relational.state_counts,
@@ -1268,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "dup_ngrams": _dup_ngrams,
         "range_join_bands": _range_join_bands,
+        "pagerank": _pagerank,
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
@@ -1285,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suggest_terms": _suggest_terms,
         "matches_by_source": _matches_by_source,
         "more_like_this": _more_like_this,
+        "highlight": _highlight,
         "ranking_eval": _ranking_eval,
         # --- multimodal plumbing (rows-only: binary decode has no SQL) ----
         "multimodal_decode": _multimodal_decode,
@@ -1446,6 +1478,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lagged GROUP BY user_id ORDER BY user_id
         """,
         "top_events_per_user": relational.top_events_per_user_sql(),
+        "events_rollup": relational.events_rollup_sql(),
+        "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
         "last_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (
               SELECT *, row_number() OVER (
@@ -1580,6 +1614,10 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "range_join_bands": _range_join_sql(),
+        "pagerank": _graph.pagerank_sql(
+            "SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        ),
         "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),
         "weighted_sample": _sampling.weighted_sample_sql(
             "documents", k=20, weight_col="n_chars"
@@ -1600,6 +1638,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents)"""
         ),
         "more_like_this": index_oracle.more_like_this_sql("documents", 0, 10),
+        "highlight": index_oracle.highlight_sql("documents", BM25_QUERY_AND, 10),
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),

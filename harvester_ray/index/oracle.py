@@ -69,6 +69,36 @@ LIMIT {k}
 """.strip()
 
 
+def highlight_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    window: int = 30,
+    width: int = 80,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for `extras.highlight_topk`: identical first-occurrence
+    window (1-based strpos ≡ 0-based str.find + 1) and the same nested
+    term-order replace chain."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    esc = [t.replace("'", "''") for t in terms]
+    pos = "least(" + ", ".join(f"strpos(d.{text_col}, '{t}')" for t in esc) + ")"
+    snip = f"substr(d.{text_col}, greatest(1, {pos} - {window}), {width})"
+    for t in esc:
+        snip = f"replace({snip}, '{t}', '<em>{t}</em>')"
+    base = bm25_sql(table, query_text, k, mode="and", id_col=id_col, text_col=text_col)
+    return f"""
+WITH res AS (
+{base}
+)
+SELECT r.doc_id, r.score, {snip} AS snippet
+FROM res r JOIN {table} d ON d.{id_col} = r.doc_id
+ORDER BY r.score DESC, r.doc_id
+""".strip()
+
+
 def more_like_this_sql(
     table: str,
     doc_id: int,

@@ -1,0 +1,200 @@
+"""Distributed PageRank over an edge Dataset (iterative graph operator).
+
+The web-scale iterative primitive the Dataset API lacks as a built-in:
+rank flows along edges for a fixed number of rounds, with damping and
+dangling-mass redistribution (Page et al. 1999; the MapReduce formulation
+of Dean & Ghemawat's lineage). The reference's closest analog is its
+metadata-vocab ancestor traversal (a fixed-depth graph walk,
+/root/reference/harvester/metadata/utils/operations.py); PageRank is the
+general fixed-point version over an arbitrary edge table.
+
+Scale shape per iteration: the EDGE dataset streams through one
+``map_batches`` that pre-reduces contributions per destination inside the
+batch (integer partial sums — exact under any order), then a
+destination-cardinality ``groupby.sum``. The rank vector itself rides as a
+broadcast numpy pair (sorted node ids, ranks — the CLAUDE.md broadcast
+rule); past ~10^9 nodes, swap the broadcast for a bucketed rank join keyed
+like the edges, the iteration structure is unchanged. Edges are
+materialized once and re-streamed each round (no re-read / re-join per
+iteration).
+
+Exact oracle parity for an iterative float algorithm: every cross-row sum
+is computed in FIXED-POINT — per-edge contribution ``floor(r*1e12/deg +
+0.5)`` summed as int64 — so no summation-order ulp drift exists for the
+gate's unrolled-CTE SQL to disagree with; per-round ranks are re-quantized
+to 12 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SCALE = 1_000_000_000_000.0  # 1e12 fixed-point
+
+
+def pagerank(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 5,
+):
+    """PageRank over a directed edge Dataset (edges need not be distinct —
+    they are deduplicated here). Returns a DataFrame (node, rank) with rank
+    rounded to 8 decimals, summing to ~1. Nodes = all srcs ∪ dsts; nodes
+    with no out-edges are dangling and redistribute their mass uniformly.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.groupby([src_col, dst_col]).count().drop_columns(["count()"])
+    edges = edges.materialize()
+
+    # node universe + out-degrees: two tiny aggregates over the edge set
+    deg_df = edges.groupby(src_col).count().to_pandas()
+    srcs = deg_df[src_col].to_numpy(dtype=np.int64)
+    degs = deg_df["count()"].to_numpy(dtype=np.int64)
+    dsts = edges.groupby(dst_col).count().to_pandas()[dst_col].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([srcs, dsts]))
+    n = int(nodes.size)
+    if n == 0:
+        return pd.DataFrame({"node": pd.Series(dtype=np.int64), "rank": pd.Series(dtype=np.float64)})
+
+    deg_full = np.zeros(n, dtype=np.int64)
+    deg_full[np.searchsorted(nodes, srcs)] = degs
+    dangling = deg_full == 0
+
+    rank = np.round(np.full(n, 1.0 / n), 12)
+    for _ in range(n_iter):
+        # per-edge fixed-point contribution, order-independent integer sums
+        per_src = np.zeros(n, dtype=np.int64)
+        nz = ~dangling
+        per_src[nz] = np.floor(rank[nz] * _SCALE / deg_full[nz] + 0.5).astype(np.int64)
+        ref = ray.put((nodes, per_src))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, ps = ray.get(ref)
+            s = np.asarray(t[src_col].combine_chunks().cast(pa.int64()))
+            d = np.asarray(t[dst_col].combine_chunks().cast(pa.int64()))
+            ci = ps[np.searchsorted(nd, s)]
+            dpos, inv = np.unique(d, return_inverse=True)
+            sums = np.zeros(dpos.size, dtype=np.int64)
+            np.add.at(sums, inv, ci)  # int64 accumulate: exact (bincount's
+            # float64 weights would round above 2^53)
+            return pa.table(
+                {
+                    "node": pa.array(dpos, pa.int64()),
+                    "ci": pa.array(sums, pa.int64()),
+                }
+            )
+
+        agg = (
+            edges.map_batches(contrib, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Sum("ci", alias_name="ci"))
+            .to_pandas()
+        )
+        contrib_full = np.zeros(n, dtype=np.int64)
+        if len(agg):
+            contrib_full[np.searchsorted(nodes, agg["node"].to_numpy(dtype=np.int64))] = agg[
+                "ci"
+            ].to_numpy(dtype=np.int64)
+        dang_int = int(np.floor(rank[dangling] * _SCALE + 0.5).astype(np.int64).sum())
+        rank = np.round(
+            (1.0 - damping) / n
+            + damping * (contrib_full / _SCALE + dang_int / _SCALE / n),
+            12,
+        )
+
+    return pd.DataFrame({"node": nodes, "rank": np.round(rank, 8)})
+
+
+def customer_supplier_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Gate pipeline: PageRank over the customer→supplier order graph.
+
+    Edge (c, s) whenever customer c's order contains a lineitem from
+    supplier s (distinct pairs); supplier nodes are offset by 1,000,000 to
+    disambiguate the id spaces. Customers are sources, suppliers dangling —
+    exercising both the contribution and the dangling-redistribution paths.
+    The orders→custkey side rides as one broadcast array pair into the
+    lineitem stream (same shape as hash_join_order_lineitem).
+    """
+    import os
+
+    import ray
+    import ray.data as rd
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey"]
+    ).to_pandas()
+    ok = orders["o_orderkey"].to_numpy(dtype=np.int64)
+    order = np.argsort(ok)
+    ref = ray.put((ok[order], orders["o_custkey"].to_numpy(dtype=np.int64)[order]))
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        keys, custs = ray.get(ref)
+        lk = np.asarray(t["l_orderkey"].combine_chunks().cast(pa.int64()))
+        sk = np.asarray(t["l_suppkey"].combine_chunks().cast(pa.int64()))
+        return pa.table(
+            {
+                "src": pa.array(custs[np.searchsorted(keys, lk)], pa.int64()),
+                "dst": pa.array(sk + 1_000_000, pa.int64()),
+            }
+        )
+
+    li = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
+    )
+    edges = li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    out = pagerank(edges, damping=0.85, n_iter=5)
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def pagerank_sql(
+    edges_sql: str, *, damping: float = 0.85, n_iter: int = 5
+) -> str:
+    """Oracle: identical fixed-point iteration as unrolled CTEs.
+
+    ``edges_sql`` must yield distinct (src, dst) rows.
+    """
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "outdeg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        "r0 AS (SELECT node, round(1.0 / (SELECT n FROM nn), 12) AS r FROM nodes)",
+    ]
+    for i in range(n_iter):
+        rk, rk1 = f"r{i}", f"r{i + 1}"
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node,
+         sum(CAST(floor({rk}.r * 1000000000000.0 / od.deg + 0.5) AS BIGINT)) AS ci
+  FROM edges e
+  JOIN {rk} ON {rk}.node = e.src
+  JOIN outdeg od ON od.node = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""g{i} AS (
+  SELECT coalesce(sum(CAST(floor({rk}.r * 1000000000000.0 + 0.5) AS BIGINT)), 0) AS di
+  FROM {rk} LEFT JOIN outdeg od ON od.node = {rk}.node
+  WHERE od.node IS NULL
+)"""
+        )
+        parts.append(
+            f"""{rk1} AS (
+  SELECT nodes.node,
+         round((1.0 - {d!r}) / (SELECT n FROM nn)
+               + {d!r} * (coalesce(c{i}.ci, 0) / 1000000000000.0
+                          + (SELECT di FROM g{i}) / 1000000000000.0 / (SELECT n FROM nn)), 12) AS r
+  FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node
+)"""
+        )
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, round(r, 8) AS rank FROM r{n_iter} ORDER BY node"

@@ -362,6 +362,70 @@ def last_event_per_user(sf_dir: str):
     )
 
 
+def events_rollup(sf_dir: str):
+    """GROUPING SETS rollup — (event_type, day), (event_type), () — in ONE
+    distributed pass: the finest grouping runs with the q1 map-side
+    combiner, and the coarser levels are derived from the finest result
+    (O(types × days) rows) on the driver, so the raw table is scanned and
+    shuffled exactly once instead of once per grouping set. Subtotal rows
+    use the '<all>' marker (the reference's facet trees label totals the
+    same way, /root/reference/harvester/metadata/models/field.py:14-39)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.date32())
+        t2 = pa.table(
+            {"event_type": t["event_type"], "day": day, "value": t["value"]}
+        )
+        agg = t2.group_by(["event_type", "day"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+        return agg.rename_columns(["event_type", "day", "value", "n"])
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "day"])
+        .aggregate(Sum("value", alias_name="sum_value"), Sum("n", alias_name="n_events"))
+        .to_pandas()
+    )
+    finest["day"] = pd.to_datetime(finest["day"]).dt.strftime("%Y-%m-%d")
+    by_type = (
+        finest.groupby("event_type", as_index=False)
+        .agg(sum_value=("sum_value", "sum"), n_events=("n_events", "sum"))
+        .assign(day="<all>")
+    )
+    total = pd.DataFrame(
+        {
+            "event_type": ["<all>"],
+            "day": ["<all>"],
+            "sum_value": [finest["sum_value"].sum()],
+            "n_events": [finest["n_events"].sum()],
+        }
+    )
+    out = pd.concat([finest, by_type, total], ignore_index=True)
+    out["sum_value"] = out["sum_value"].round(4)
+    out["n_events"] = out["n_events"].astype(np.int64)
+    return (
+        out[["event_type", "day", "n_events", "sum_value"]]
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+
+
+def events_rollup_sql() -> str:
+    return """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(CAST(day AS VARCHAR), '<all>') AS day,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+GROUP BY GROUPING SETS ((event_type, day), (event_type), ())
+ORDER BY event_type, day
+""".strip()
+
+
 def top_n_per_key(ds, *, key: str, order_by: list[str], ascending: list[bool], n: int):
     """Generic per-key top-N (the within-group ordering primitive behind the
     reference's priority-ranked file selection,

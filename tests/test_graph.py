@@ -1,0 +1,75 @@
+"""Distributed PageRank (pipelines/graph.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from harvester_ray.pipelines import graph
+
+
+def _edges(pairs):
+    import ray.data as rd
+
+    src, dst = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    )
+
+
+def _reference_pagerank(pairs, n_iter=5, d=0.85):
+    """Dense numpy mirror of the same fixed-point iteration."""
+    pairs = sorted(set(pairs))
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, np.int64)
+    for s, _ in pairs:
+        deg[idx[s]] += 1
+    r = np.round(np.full(n, 1.0 / n), 12)
+    for _ in range(n_iter):
+        per_src = np.zeros(n, np.int64)
+        nz = deg > 0
+        per_src[nz] = np.floor(r[nz] * 1e12 / deg[nz] + 0.5).astype(np.int64)
+        contrib = np.zeros(n, np.int64)
+        for s, t in pairs:
+            contrib[idx[t]] += per_src[idx[s]]
+        dang = int(np.floor(r[~nz] * 1e12 + 0.5).astype(np.int64).sum())
+        r = np.round((1 - d) / n + d * (contrib / 1e12 + dang / 1e12 / n), 12)
+    return pd.DataFrame({"node": nodes, "rank": np.round(r, 8)})
+
+
+def test_cycle_uniform(ray_session):
+    # pure cycle: stationary distribution is uniform
+    out = graph.pagerank(_edges([(0, 1), (1, 2), (2, 0)]))
+    assert np.allclose(out["rank"], 1 / 3, atol=1e-6)
+
+
+def test_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(11)
+    pairs = [tuple(map(int, p)) for p in rng.integers(0, 30, size=(200, 2))]
+    pairs = [(s, t) for s, t in pairs if s != t]
+    out = graph.pagerank(_edges(pairs)).sort_values("node").reset_index(drop=True)
+    exp = _reference_pagerank(pairs)
+    pd.testing.assert_frame_equal(out, exp)
+
+
+def test_dangling_mass_conserved(ray_session):
+    # star into a sink: total rank stays ~1 because the sink redistributes
+    out = graph.pagerank(_edges([(i, 99) for i in range(10)]))
+    assert abs(out["rank"].sum() - 1.0) < 1e-6
+    sink = out.set_index("node").loc[99, "rank"]
+    assert sink > out.set_index("node").loc[0, "rank"]
+
+
+def test_duplicate_edges_ignored(ray_session):
+    a = graph.pagerank(_edges([(0, 1), (0, 1), (1, 0)]))
+    b = graph.pagerank(_edges([(0, 1), (1, 0)]))
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_partition_independence(ray_session):
+    pairs = [(i % 13, (i * 7 + 1) % 13) for i in range(60)]
+    pairs = [(s, t) for s, t in pairs if s != t]
+    a = graph.pagerank(_edges(pairs))
+    b = graph.pagerank(_edges(pairs).repartition(6))
+    pd.testing.assert_frame_equal(a, b)
