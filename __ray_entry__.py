@@ -1257,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_event_per_user": relational.last_event_per_user,
         "top_events_per_user": relational.top_events_per_user,
         "events_rollup": relational.events_rollup,
+        "q5_local_supplier": relational.q5_local_supplier,
         "pack_sequences": _pack_sequences,
         "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
@@ -1479,6 +1480,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "top_events_per_user": relational.top_events_per_user_sql(),
         "events_rollup": relational.events_rollup_sql(),
+        "q5_local_supplier": relational.q5_local_supplier_sql(),
         "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
         "last_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (

@@ -362,6 +362,110 @@ def last_event_per_user(sf_dir: str):
     )
 
 
+def q5_local_supplier(sf_dir: str, *, region: str = "ASIA", year: int = 1996):
+    """TPC-H-Q5-shaped 6-table join — revenue per nation where customer and
+    supplier share the nation, restricted to one region and order year —
+    with ZERO shuffle joins: every dimension chain rides as a broadcast
+    numpy pair and the fact table (lineitem) streams through one
+    map_batches doing vectorized searchsorted lookups + a per-batch
+    revenue combiner. Broadcast sizes at 100 TB: nation/region/supplier are
+    trivially small; customer→nationkey and (date-filtered)
+    orders→custkey are ~8-16 B/row — the documented limit is worker heap,
+    past which the `hash_join_order_lineitem_shuffle` co-partition path
+    applies table by table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    regdf = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    asia = nation.merge(regdf[regdf["r_name"] == region], left_on="n_regionkey", right_on="r_regionkey")
+    nat_keys = np.sort(asia["n_nationkey"].to_numpy(dtype=np.int64))
+    nat_names = (
+        asia.set_index("n_nationkey").loc[nat_keys, "n_name"].tolist()
+    )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)
+    corder = np.argsort(ck)
+    supp = _read(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sk = supp["s_suppkey"].to_numpy(dtype=np.int64)
+    sorder = np.argsort(sk)
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]).to_pandas()
+    lo, hi = pd.Timestamp(f"{year}-01-01"), pd.Timestamp(f"{year + 1}-01-01")
+    orders = orders[(orders["o_orderdate"] >= lo) & (orders["o_orderdate"] < hi)]
+    ok = orders["o_orderkey"].to_numpy(dtype=np.int64)
+    oorder = np.argsort(ok)
+
+    ref = ray.put(
+        (
+            ok[oorder],
+            orders["o_custkey"].to_numpy(dtype=np.int64)[oorder],
+            ck[corder],
+            cust["c_nationkey"].to_numpy(dtype=np.int64)[corder],
+            sk[sorder],
+            supp["s_nationkey"].to_numpy(dtype=np.int64)[sorder],
+            nat_keys,
+        )
+    )
+
+    def _lookup(keys: np.ndarray, vals: np.ndarray, probe: np.ndarray):
+        pos = np.searchsorted(keys, probe)
+        pos_c = np.minimum(pos, keys.size - 1) if keys.size else pos
+        hit = (keys[pos_c] == probe) if keys.size else np.zeros(probe.size, bool)
+        return vals[pos_c] if keys.size else probe, hit
+
+    def partial(t: pa.Table) -> pa.Table:
+        okk, ocust, ckk, cnat, skk, snat, nkeys = ray.get(ref)
+        lk = np.asarray(t["l_orderkey"].combine_chunks().cast(pa.int64()))
+        ls = np.asarray(t["l_suppkey"].combine_chunks().cast(pa.int64()))
+        rev = np.asarray(t["l_extendedprice"].combine_chunks()) * (
+            1.0 - np.asarray(t["l_discount"].combine_chunks())
+        )
+        custkey, hit_o = _lookup(okk, ocust, lk)
+        c_nat, hit_c = _lookup(ckk, cnat, custkey)
+        s_nat, hit_s = _lookup(skk, snat, ls)
+        pos = np.searchsorted(nkeys, s_nat)
+        pos_c = np.minimum(pos, nkeys.size - 1)
+        in_region = nkeys[pos_c] == s_nat
+        keep = hit_o & hit_c & hit_s & in_region & (c_nat == s_nat)
+        nat = s_nat[keep]
+        npos, inv = np.unique(nat, return_inverse=True)
+        sums = np.bincount(inv, weights=rev[keep])
+        return pa.table(
+            {
+                "n_nationkey": pa.array(npos, pa.int64()),
+                "revenue": pa.array(sums, pa.float64()),
+            }
+        )
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    agg = (
+        li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("n_nationkey")
+        .aggregate(Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    name_of = dict(zip(nat_keys.tolist(), nat_names))
+    agg["n_name"] = agg["n_nationkey"].map(name_of)
+    agg["revenue"] = agg["revenue"].round(4)
+    return (
+        agg[["n_name", "revenue"]].sort_values("n_name").reset_index(drop=True)
+    )
+
+
+def q5_local_supplier_sql(*, region: str = "ASIA", year: int = 1996) -> str:
+    return f"""
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = '{region}'
+  AND o_orderdate >= TIMESTAMP '{year}-01-01' AND o_orderdate < TIMESTAMP '{year + 1}-01-01'
+GROUP BY n_name
+ORDER BY n_name
+""".strip()
+
+
 def events_rollup(sf_dir: str):
     """GROUPING SETS rollup — (event_type, day), (event_type), () — in ONE
     distributed pass: the finest grouping runs with the q1 map-side
