@@ -58,3 +58,49 @@ def test_pack_sparse_ids(ray_session):
     )
     assert list(out["doc_id"]) == [5, 70, 1000]
     assert list(out["start_tok"]) == [0, 2, 4]
+
+
+def test_events_rollup_consistency(ray_session):
+    from harvester_ray.pipelines import relational
+
+    out = relational.events_rollup("/root/testdata/sf0.001")
+    total = out[(out.event_type == "<all>")]
+    assert len(total) == 1
+    finest = out[(out.event_type != "<all>") & (out.day != "<all>")]
+    by_type = out[(out.event_type != "<all>") & (out.day == "<all>")]
+    assert int(total.n_events.iloc[0]) == int(finest.n_events.sum()) == int(by_type.n_events.sum())
+    assert abs(float(total.sum_value.iloc[0]) - float(finest.sum_value.sum())) < 1e-2
+
+
+def test_q5_nonempty_and_matches_duckdb(ray_session):
+    import duckdb
+
+    from harvester_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    out = relational.q5_local_supplier(sf)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    exp = con.execute(relational.q5_local_supplier_sql()).df()
+    pd.testing.assert_frame_equal(out, exp)
+    assert len(out) > 0
+
+
+def test_highlight_wraps_terms(ray_session):
+    import ray.data as rd
+
+    from harvester_ray import analyzer
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import query as iq
+    from harvester_ray.index.extras import highlight_topk
+
+    import tempfile, os
+
+    docs = ["spark window table scan", "window spark merge", "unrelated words only"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(docs)})
+    root = tempfile.mkdtemp(prefix="hltest-", dir="/tmp")
+    ib.build_index(rd.from_arrow(t), root, input_desc="hltest")
+    out = highlight_topk(iq.IndexReader(root), rd.from_arrow(t), "spark window", k=5)
+    assert len(out) == 2
+    assert all("<em>spark</em>" in s and "<em>window</em>" in s for s in out["snippet"])
