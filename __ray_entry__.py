@@ -847,6 +847,15 @@ def _range_join_bands(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _hybrid_search(sf_dir: str) -> pd.DataFrame:
+    """Hybrid lexical+dense retrieval: BM25 top-50 candidates re-ranked by
+    embedding cosine vs vec 0, normalized linear fusion (ops/similarity.py)."""
+    reader = index_query.IndexReader(_documents_index(sf_dir))
+    return similarity.hybrid_search(
+        reader, _emb_ds(sf_dir), BM25_QUERY_AND, query_vec_id=0, k=10, k_cand=50
+    )
+
+
 def _pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Virtual-concatenation sequence packing (capacity 512 tokens) via a
     two-phase distributed prefix scan (ops/packing.py)."""
@@ -1310,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
+        "hybrid_search": _hybrid_search,
         "knn_ivf": _knn_ivf,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
@@ -1482,6 +1492,11 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": relational.events_rollup_sql(),
         "q5_local_supplier": relational.q5_local_supplier_sql(),
         "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
+        "hybrid_search": similarity.hybrid_search_sql(
+            index_oracle.bm25_sql("documents", BM25_QUERY_AND, 50, mode="and"),
+            query_vec_id=0,
+            k=10,
+        ),
         "last_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (
               SELECT *, row_number() OVER (

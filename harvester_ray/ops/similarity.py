@@ -279,6 +279,111 @@ def knn_ivf(
     return _merge_query_topk(parts, k)
 
 
+def hybrid_search(
+    reader,
+    emb_ds,
+    query_text: str,
+    *,
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_cand: int = 50,
+    w_lex: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Hybrid lexical+dense retrieval: BM25 top-``k_cand`` candidates
+    re-ranked by embedding cosine against a query vector, combined as
+    ``w·(bm25/max_bm25) + (1-w)·cosine`` (the standard normalized linear
+    fusion; the reference's search stack exposes the same two signals —
+    BM25 body ranking and more-like-this vector similarity,
+    /root/reference/harvester/search/views/similarity.py:70-110).
+
+    Distributed shape: candidate generation is the normal index top-k; the
+    dense side touches ONLY candidate embeddings via one broadcast-id
+    semi-join pass over the embedding Dataset (O(k_cand) rows collected);
+    fusion is O(k_cand) driver work. Both bm25 and cosine are rounded to 4
+    before fusing, so the fused ordering is ulp-stable against the oracle.
+    """
+    import ray
+
+    import pandas as pd
+
+    res = reader.search(query_text, k=k_cand, mode="and").to_pandas()
+    cols = ["doc_id", "score", "cosine", "hybrid"]
+    if not len(res):
+        return pd.DataFrame({c: pd.Series(dtype=np.float64) for c in cols})
+    res["score"] = res["score"].round(4)
+
+    qdf = emb_ds.filter(expr=f"{id_col} == {query_vec_id}").to_pandas()
+    qv = np.asarray(qdf[vec_col].iloc[0], dtype=np.float64)
+    qn = np.linalg.norm(qv)
+    ids_ref = ray.put((np.sort(res["doc_id"].to_numpy(dtype=np.int64)), qv, qn))
+
+    def cand_cos(t: pa.Table) -> pa.Table:
+        ids, q, qnorm = ray.get(ids_ref)
+        d = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        pos = np.searchsorted(ids, d)
+        pos[pos == ids.size] = 0
+        sel = ids[pos] == d
+        t = t.filter(pa.array(sel))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())})
+        vecs = np.stack(t[vec_col].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        cos = np.round(vecs @ q / (norms * qnorm), 4)
+        return pa.table(
+            {
+                "doc_id": t[id_col].combine_chunks().cast(pa.int64()),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    cand = (
+        emb_ds.map_batches(cand_cos, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    merged = res.merge(cand, on="doc_id", how="inner")
+    ms = merged["score"].max()
+    merged["hybrid"] = np.round(
+        w_lex * (merged["score"] / ms) + (1.0 - w_lex) * merged["cosine"], 4
+    )
+    merged = merged.sort_values(
+        ["hybrid", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return merged[cols].reset_index(drop=True)
+
+
+def hybrid_search_sql(
+    bm25_candidates_sql: str,
+    *,
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    w_lex: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle: identical fusion over the BM25 candidate CTE."""
+    cos = f"round(list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv), 4)"
+    return f"""
+WITH res AS (
+{bm25_candidates_sql}
+),
+q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id}),
+cand AS (
+  SELECT r.doc_id, r.score, {cos} AS cosine
+  FROM res r JOIN {table} e ON e.{id_col} = r.doc_id CROSS JOIN q
+),
+m AS (SELECT max(score) AS ms FROM cand)
+SELECT doc_id, score, cosine,
+       round({w_lex!r} * (score / (SELECT ms FROM m)) + {1.0 - w_lex!r} * cosine, 4) AS hybrid
+FROM cand
+ORDER BY hybrid DESC, doc_id
+LIMIT {k}
+""".strip()
+
+
 def knn_sql(
     table: str = "embeddings",
     query_vec_id: int = 0,
