@@ -104,3 +104,31 @@ def test_highlight_wraps_terms(ray_session):
     out = highlight_topk(iq.IndexReader(root), rd.from_arrow(t), "spark window", k=5)
     assert len(out) == 2
     assert all("<em>spark</em>" in s and "<em>window</em>" in s for s in out["snippet"])
+
+
+def test_hybrid_search_fuses_signals(ray_session):
+    import tempfile
+
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import query as iq
+    from harvester_ray.ops import similarity
+
+    docs = ["spark window table", "window spark spark", "spark window window win"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()), "text": pa.array(docs)})
+    vecs = pa.array(
+        [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7]], pa.list_(pa.float32())
+    )
+    emb = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()), "embedding": vecs})
+    root = tempfile.mkdtemp(prefix="hybtest-", dir="/tmp")
+    ib.build_index(rd.from_arrow(t), root, input_desc="hybtest")
+    out = similarity.hybrid_search(
+        iq.IndexReader(root), rd.from_arrow(emb), "spark window", query_vec_id=0, k=3
+    )
+    assert list(out.columns) == ["doc_id", "score", "cosine", "hybrid"]
+    assert len(out) == 3
+    # doc 0 is the query vector itself: cosine 1.0
+    assert out.set_index("doc_id").loc[0, "cosine"] == 1.0
+    # fused ordering is monotone in the fused score
+    assert list(out["hybrid"]) == sorted(out["hybrid"], reverse=True)
