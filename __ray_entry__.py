@@ -1297,6 +1297,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": lambda sf: text_analysis.bpe_token_count(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "fingerprint": lambda sf: text_analysis.fingerprint(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "repetition": lambda sf: text_analysis.repetition(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        # rows-only: no deterministic compressor exists in DuckDB
+        "compression_ratio": lambda sf: text_analysis.compression_ratio(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         # --- dedup --------------------------------------------------------
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),

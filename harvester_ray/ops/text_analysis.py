@@ -331,3 +331,40 @@ SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, distinct_ratio, top_token_f
         OR (top_bigram_frac > {REP_TOP_BIGRAM_MAX} AND n_tokens >= {REP_MIN_TOKENS})) AS repetitive
 FROM j ORDER BY doc_id
 """.strip()
+
+
+def compression_ratio(ds, *, id_col: str = "doc_id", text_col: str = "text", level: int = 6):
+    """Per-doc zlib compression ratio — the Dolma/CCNet-style quality proxy
+    (highly compressible ≈ repetitive/templated text; near-incompressible ≈
+    noise). No SQL analog exists (DuckDB has no deterministic compressor
+    exposed), so the gate records a rows-only check; determinism across
+    partitions/runs is guaranteed by zlib level pinning and covered by a
+    unit test. One streaming map pass; the C compressor runs per row — no
+    shuffle, bounded batch memory.
+
+    The reference's analog surface is its quality/validation filtering
+    (`/root/reference/harvester/products/tasks/products.py:26-45`);
+    compression ratio is the content-agnostic scale generalization.
+    """
+    import zlib
+
+    def score(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(
+            t[text_col].combine_chunks()
+            if isinstance(t[text_col], pa.ChunkedArray)
+            else t[text_col],
+            "",
+        )
+        raw = [s.encode() for s in text.to_pylist()]
+        comp = np.array([len(zlib.compress(b, level)) for b in raw], dtype=np.float64)
+        rawlen = np.maximum(np.array([len(b) for b in raw], dtype=np.float64), 1.0)
+        return pa.table(
+            {
+                "doc_id": t[id_col].combine_chunks().cast(pa.int64()),
+                "n_bytes": pa.array(rawlen.astype(np.int64), pa.int64()),
+                "n_compressed": pa.array(comp.astype(np.int64), pa.int64()),
+                "compression_ratio": pa.array(np.round(comp / rawlen, 6), pa.float64()),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

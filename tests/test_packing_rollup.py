@@ -132,3 +132,24 @@ def test_hybrid_search_fuses_signals(ray_session):
     assert out.set_index("doc_id").loc[0, "cosine"] == 1.0
     # fused ordering is monotone in the fused score
     assert list(out["hybrid"]) == sorted(out["hybrid"], reverse=True)
+
+
+def test_compression_ratio_deterministic(ray_session):
+    from harvester_ray.ops import text_analysis
+
+    texts = ["abc " * 50, "x", "", "qwertyuiopasdfgh" * 3]
+    a = (
+        text_analysis.compression_ratio(_docs(texts))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        text_analysis.compression_ratio(_docs(texts).repartition(3))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # repetitive text compresses far better than high-entropy text
+    assert a.loc[0, "compression_ratio"] < a.loc[3, "compression_ratio"]
