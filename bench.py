@@ -209,45 +209,47 @@ def run_headline() -> dict:
     # 8 actors: with intra-actor early-θ propagation the fan-out width barely
     # changes p50 (4≈8≈16 measured), and fewer in-flight RPCs per query mean
     # fewer chances of one descheduled actor setting the tail on a noisy host
-    svc = iq.QueryService(index_root, num_actors=min(8, NUM_CPUS))
     qs = _query_set()
-    cold, warm = [], []
-    for q, mode in qs:  # first execution: cold dictionaries/postings
-        t1 = time.time()
-        svc.search(q, k=10, mode=mode)
-        cold.append(time.time() - t1)
-    passes: list[list[float]] = []
-    for _ in range(5):  # steady state: postings LRU + df cache hot
-        cur: list[float] = []
-        for q, mode in qs:
+    p50_ms = p95_ms = p50_best_ms = p95_best_ms = cold_p50_ms = inproc_p50_ms = 0.0
+    if not os.environ.get("GRAFT_SKIP_SERVING"):
+        svc = iq.QueryService(index_root, num_actors=min(8, NUM_CPUS))
+        cold, warm = [], []
+        for q, mode in qs:  # first execution: cold dictionaries/postings
             t1 = time.time()
             svc.search(q, k=10, mode=mode)
-            cur.append(time.time() - t1)
-        passes.append(cur)
-        warm.extend(cur)
-    p50_ms = statistics.median(warm) * 1000
-    p95_ms = sorted(warm)[int(len(warm) * 0.95)] * 1000
-    # per-pass medians: the best pass is the least host-noise-disturbed
-    # estimate of engine latency (the hypervisor deschedules this VM in
-    # multi-second bursts; a burst inflates whole passes, not single queries)
-    best = min(passes, key=statistics.median)
-    p50_best_ms = statistics.median(best) * 1000
-    p95_best_ms = sorted(best)[int(len(best) * 0.95)] * 1000
-    cold_p50_ms = statistics.median(cold) * 1000
+            cold.append(time.time() - t1)
+        passes: list[list[float]] = []
+        for _ in range(5):  # steady state: postings LRU + df cache hot
+            cur: list[float] = []
+            for q, mode in qs:
+                t1 = time.time()
+                svc.search(q, k=10, mode=mode)
+                cur.append(time.time() - t1)
+            passes.append(cur)
+            warm.extend(cur)
+        p50_ms = statistics.median(warm) * 1000
+        p95_ms = sorted(warm)[int(len(warm) * 0.95)] * 1000
+        # per-pass medians: the best pass is the least host-noise-disturbed
+        # estimate of engine latency (the hypervisor deschedules this VM in
+        # multi-second bursts; a burst inflates whole passes, not single queries)
+        best = min(passes, key=statistics.median)
+        p50_best_ms = statistics.median(best) * 1000
+        p95_best_ms = sorted(best)[int(len(best) * 0.95)] * 1000
+        cold_p50_ms = statistics.median(cold) * 1000
 
-    # release the serving pool's CPU reservations: with num_actors ==
-    # NUM_CPUS the pool otherwise holds every slot and the first Dataset
-    # pipeline below deadlocks waiting for a CPU (observed at 8 vCPUs)
-    svc.shutdown()
+        # release the serving pool's CPU reservations: with num_actors ==
+        # NUM_CPUS the pool otherwise holds every slot and the first Dataset
+        # pipeline below deadlocks waiting for a CPU (observed at 8 vCPUs)
+        svc.shutdown()
 
-    reader = iq.IndexReader(index_root)
-    inproc = []
-    for _ in range(2):
-        for q, mode in qs:
-            t1 = time.time()
-            reader.search(q, k=10, mode=mode)
-            inproc.append(time.time() - t1)
-    inproc_p50_ms = statistics.median(inproc[len(qs):]) * 1000
+        reader = iq.IndexReader(index_root)
+        inproc = []
+        for _ in range(2):
+            for q, mode in qs:
+                t1 = time.time()
+                reader.search(q, k=10, mode=mode)
+                inproc.append(time.time() - t1)
+        inproc_p50_ms = statistics.median(inproc[len(qs):]) * 1000
 
     # secondary operator pipelines over the sf tables (skipped in the
     # headline-only mode --scaling uses for its subprocess runs)
@@ -370,25 +372,45 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BUILD_CONC=str(conc),
             GRAFT_HEADLINE_ONLY="1",
+            # scaling measures BUILD throughput; the serving-latency passes
+            # are pure overhead here and take ~25 min at the 2-CPU leg on
+            # the 16x corpus (84 fan-out queries on 2 actors)
+            GRAFT_SKIP_SERVING="1",
             GRAFT_SCALE_MULT=mult,
             GRAFT_BENCH_REPEATS=os.environ.get("GRAFT_BENCH_REPEATS", "3"),
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise SystemExit(f"scaling leg (cpus={ncpu}) failed: rc={proc.returncode}")
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     if hi % lo != 0:
         raise SystemExit(f"GRAFT_SCALE_HI ({hi}) must be a multiple of GRAFT_SCALE_LO ({lo})")
     conc_lo = max(1, (3 * lo) // 4)
     conc_hi = conc_lo * (hi // lo)  # worker ratio exactly matches the CPU ratio
-    r_lo = run(lo, conc_lo)
-    r_hi = run(hi, conc_hi)
+    # INTERLEAVED repeats (lo, hi, lo, hi, ...), best per side: host noise
+    # here is strongly time-varying (steal bursts, multi-second hypervisor
+    # suspensions) — sequential all-lo-then-all-hi lets one bad window land
+    # entirely on one side and bias the ratio either way; alternating gives
+    # both sides the same noise exposure and best-of picks each side's
+    # cleanest window.
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", "3"))
+    os.environ["GRAFT_BENCH_REPEATS"] = "1"
+    r_lo = r_hi = None
+    for _ in range(rounds):
+        cand_lo = run(lo, conc_lo)
+        cand_hi = run(hi, conc_hi)
+        if r_lo is None or cand_lo["turns_per_sec"] > r_lo["turns_per_sec"]:
+            r_lo = cand_lo
+        if r_hi is None or cand_hi["turns_per_sec"] > r_hi["turns_per_sec"]:
+            r_hi = cand_hi
     thr_lo = r_lo["turns_per_sec"]
     thr_hi = r_hi["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
