@@ -33,6 +33,7 @@ from harvester_ray.ops import pii as _pii
 from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import sketch as _sketch
 from harvester_ray.ops import spandedup as _spandedup
+from harvester_ray.ops import kmeans as _kmeans
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1311,6 +1312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "dup_ngrams": _dup_ngrams,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "range_join_bands": _range_join_bands,
         "pagerank": _pagerank,
         "sample_split": _sample_split,
@@ -1635,6 +1637,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
+        "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "range_join_bands": _range_join_sql(),
         "pagerank": _graph.pagerank_sql(
             "SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "

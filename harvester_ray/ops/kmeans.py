@@ -1,0 +1,197 @@
+"""Distributed Lloyd's k-means over an embedding column.
+
+Clustering is a first-class curation operator at training-data scale —
+topic bucketing, cluster-balanced sampling, and the centroid build behind
+IVF approximate search (`ops/similarity.py:ivf_partition` uses a
+driver-side sampled variant; this is the full-corpus distributed one).
+The reference has no clustering, but its vectorizer corpus-stats stage
+(`/root/reference/harvester/core/processors/compare.py`) is the adjacent
+"fit global state from every document" pattern.
+
+Scale shape: classic two-phase Lloyd iteration —
+
+- centroids live in the closure (k × d ints — broadcast once per pass,
+  NOT per batch);
+- each pass is one streaming `map_batches` over the corpus producing
+  per-batch partial sums ``(cluster, count, component sums)`` — k rows
+  per batch, folded on the driver exactly like `pipelines/graph.py`
+  folds PageRank contributions. No shuffle at any point; the corpus is
+  re-streamed per iteration (at 100 TB you cannot pin it, and a pruned
+  columnar re-read is the honest cost of an iterative algorithm).
+
+Oracle parity (CLAUDE.md fixed-point rule): float equality across engines
+is hopeless, so BOTH sides quantize embedding components to integers
+(``floor(x * 1e6 + 0.5)``) up front. Distances are then exact integer
+sums (d=64, |v|~1e6 → Σ(a-b)² ≤ ~2.6e14 « 2^63), argmin ties break to
+the lowest cluster id on both sides, and centroid updates re-quantize
+with the same ``floor(sum/count + 0.5)`` in IEEE double (sums < 2^53, so
+the division is bit-identical). Empty clusters keep their previous
+centroid.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SCALE = 1_000_000.0
+
+
+def _quantize(batch: pa.Table, vec_col: str) -> np.ndarray:
+    import pyarrow.compute as pc
+
+    lists = batch[vec_col].combine_chunks()
+    if len(lists) == 0:
+        return np.empty((0, 0), np.int64)
+    flat = np.asarray(pc.list_flatten(lists).cast(pa.float64()))
+    mat = flat.reshape(len(lists), len(lists[0]))
+    return np.floor(mat * _SCALE + 0.5).astype(np.int64)
+
+
+def _assign(qmat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Exact integer argmin of squared euclidean distance; ties → lowest
+    cluster id (np.argmin returns the first minimum)."""
+    # |a-c|^2 = |a|^2 - 2 a·c + |c|^2 ; |a|^2 is constant per row for argmin
+    cross = qmat @ cent.T  # int64, ≤ 64·1e12 per element
+    dist = (cent * cent).sum(axis=1)[None, :] - 2 * cross
+    return np.argmin(dist, axis=1)
+
+
+def kmeans_assign(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Run ``iters`` Lloyd iterations from deterministic init (the k vectors
+    with ``id < k``) and return the final assignment as a Dataset of
+    ``(vec_id, cluster)``."""
+
+    def init_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        m = ids < k
+        if not m.any():
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "q": pa.array([], pa.list_(pa.int64()))}
+            )
+        q = _quantize(batch, vec_col)[m]
+        return pa.table(
+            {
+                "id": pa.array(ids[m], pa.int64()),
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    seed = (
+        ds.map_batches(init_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .sort_values("id")
+    )
+    if len(seed) < k:
+        raise ValueError(f"need ids 0..{k - 1} present for deterministic init")
+    cent = np.stack(seed["q"].to_numpy()).astype(np.int64)
+
+    for _ in range(iters):
+        c = cent  # rebind for closure capture of this iteration's value
+
+        def partials(batch: pa.Table, cent_now=c) -> pa.Table:
+            q = _quantize(batch, vec_col)
+            a = _assign(q, cent_now)
+            cnt = np.bincount(a, minlength=k)
+            sums = np.zeros((k, q.shape[1]), np.int64)
+            np.add.at(sums, a, q)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(k, dtype=np.int64), pa.int64()),
+                    "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+                    "sums": pa.array(list(sums), pa.list_(pa.int64())),
+                }
+            )
+
+        rows = ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()  # k rows per batch — tiny driver fold, like pagerank
+        cnt = np.zeros(k, np.int64)
+        sums = np.zeros_like(cent)
+        for r in rows:
+            cnt[r["cluster"]] += r["cnt"]
+            sums[r["cluster"]] += np.asarray(r["sums"], np.int64)
+        nz = cnt > 0
+        new = cent.copy()  # empty clusters keep their previous centroid
+        new[nz] = np.floor(sums[nz] / cnt[nz, None] + 0.5).astype(np.int64)
+        cent = new
+
+    final = cent
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        a = _assign(_quantize(batch, vec_col), final)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(assign_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Unrolled-iteration oracle with identical quantization, tie-break and
+    empty-cluster semantics."""
+    parts = [
+        f"""WITH q AS (
+  SELECT {id_col} AS vec_id, i - 1 AS dim,
+         CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS v
+  FROM (SELECT {id_col}, unnest({vec_col}) AS e,
+               generate_subscripts({vec_col}, 1) AS i FROM {table})
+),
+c0 AS (SELECT vec_id AS cluster, dim, v FROM q WHERE vec_id < {k})"""
+    ]
+    for it in range(iters):
+        cprev, a, cnext = f"c{it}", f"a{it}", f"c{it + 1}"
+        parts.append(
+            f"""{a} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (SELECT q.vec_id, c.cluster, sum((q.v - c.v) * (q.v - c.v)) AS dist
+          FROM q JOIN {cprev} c ON q.dim = c.dim
+          GROUP BY q.vec_id, c.cluster) d
+  ) ranked WHERE rn = 1
+),
+{cnext} AS (
+  SELECT c.cluster, c.dim, coalesce(n.v, c.v) AS v
+  FROM {cprev} c LEFT JOIN (
+    SELECT a.cluster, q.dim,
+           CAST(floor(sum(q.v) * 1.0 / count(*) + 0.5) AS BIGINT) AS v
+    FROM {a} a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cluster, q.dim
+  ) n ON n.cluster = c.cluster AND n.dim = c.dim
+)"""
+        )
+    # final assignment against the last recomputed centroids
+    parts.append(
+        f"""afinal AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster) AS rn
+    FROM (SELECT q.vec_id, c.cluster, sum((q.v - c.v) * (q.v - c.v)) AS dist
+          FROM q JOIN c{iters} c ON q.dim = c.dim
+          GROUP BY q.vec_id, c.cluster) d
+  ) ranked WHERE rn = 1
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""".strip()
