@@ -38,7 +38,7 @@ import pyarrow as pa
 _SCALE = 1_000_000.0
 
 
-def _quantize(batch: pa.Table, vec_col: str) -> np.ndarray:
+def _quantize(batch: pa.Table, vec_col: str, scale: float = _SCALE) -> np.ndarray:
     import pyarrow.compute as pc
 
     lists = batch[vec_col].combine_chunks()
@@ -46,7 +46,7 @@ def _quantize(batch: pa.Table, vec_col: str) -> np.ndarray:
         return np.empty((0, 0), np.int64)
     flat = np.asarray(pc.list_flatten(lists).cast(pa.float64()))
     mat = flat.reshape(len(lists), len(lists[0]))
-    return np.floor(mat * _SCALE + 0.5).astype(np.int64)
+    return np.floor(mat * scale + 0.5).astype(np.int64)
 
 
 def _assign(qmat: np.ndarray, cent: np.ndarray) -> np.ndarray:
@@ -58,17 +58,17 @@ def _assign(qmat: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.argmin(dist, axis=1)
 
 
-def kmeans_assign(
+def kmeans_fit(
     ds,
     *,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-):
+    scale: float = _SCALE,
+) -> np.ndarray:
     """Run ``iters`` Lloyd iterations from deterministic init (the k vectors
-    with ``id < k``) and return the final assignment as a Dataset of
-    ``(vec_id, cluster)``."""
+    with ``id < k``) and return the final quantized centroid matrix."""
 
     def init_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
@@ -77,7 +77,7 @@ def kmeans_assign(
             return pa.table(
                 {"id": pa.array([], pa.int64()), "q": pa.array([], pa.list_(pa.int64()))}
             )
-        q = _quantize(batch, vec_col)[m]
+        q = _quantize(batch, vec_col, scale)[m]
         return pa.table(
             {
                 "id": pa.array(ids[m], pa.int64()),
@@ -98,7 +98,7 @@ def kmeans_assign(
         c = cent  # rebind for closure capture of this iteration's value
 
         def partials(batch: pa.Table, cent_now=c) -> pa.Table:
-            q = _quantize(batch, vec_col)
+            q = _quantize(batch, vec_col, scale)
             a = _assign(q, cent_now)
             cnt = np.bincount(a, minlength=k)
             sums = np.zeros((k, q.shape[1]), np.int64)
@@ -124,11 +124,24 @@ def kmeans_assign(
         new[nz] = np.floor(sums[nz] / cnt[nz, None] + 0.5).astype(np.int64)
         cent = new
 
-    final = cent
+    return cent
+
+
+def kmeans_assign(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = _SCALE,
+):
+    """Final ``(vec_id, cluster)`` assignment after ``kmeans_fit``."""
+    final = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
 
     def assign_rows(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
-        a = _assign(_quantize(batch, vec_col), final)
+        a = _assign(_quantize(batch, vec_col, scale), final)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
@@ -146,13 +159,31 @@ def kmeans_sql(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    scale: float = _SCALE,
 ) -> str:
     """Unrolled-iteration oracle with identical quantization, tie-break and
     empty-cluster semantics."""
+    parts = _kmeans_ctes(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""".strip()
+
+
+def _kmeans_ctes(
+    table: str,
+    *,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+) -> list:
+    """The shared CTE chain: quantized components ``q``, centroid tables
+    ``c0..c{iters}``, final assignment ``afinal``."""
     parts = [
         f"""WITH q AS (
   SELECT {id_col} AS vec_id, i - 1 AS dim,
-         CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS v
+         CAST(floor(e * {int(scale)} + 0.5) AS BIGINT) AS v
   FROM (SELECT {id_col}, unnest({vec_col}) AS e,
                generate_subscripts({vec_col}, 1) AS i FROM {table})
 ),
@@ -192,6 +223,121 @@ c0 AS (SELECT vec_id AS cluster, dim, v FROM q WHERE vec_id < {k})"""
   ) ranked WHERE rn = 1
 )"""
     )
+    return parts
+
+
+def semantic_dedup(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 10_000.0,
+):
+    """SemDeDup-style semantic dedup: flag each vector that has a LOWER-id
+    vector in the same k-means cluster with cosine ≥ threshold.
+
+    This is the order-free "dominator" variant of SemDeDup's greedy
+    within-cluster pruning — a vector is a duplicate iff some lower-id
+    cluster-mate dominates it, so every cluster partition can be judged
+    independently and in parallel with one vectorized Gram-matrix pass
+    (no sequential scan). Cosine comparison is exact integer arithmetic:
+    with quantized components, ``cos(a,b) ≥ p/100`` ⟺
+    ``100·dot² ≥ (p/10)²·|a|²·|b|² and dot > 0`` (``threshold_pct`` must be
+    a multiple of 10 so the rational stays int64-safe; unit-norm vectors
+    at scale 1e4 keep every term ≥9× under the int64 ceiling, asserted).
+
+    Scale shape: one `kmeans_fit` (streaming passes, no shuffle), then ONE
+    shuffle of quantized vectors into their clusters; within a cluster the
+    pairwise Gram matrix is the SemDeDup cost model's intended O(|c|²·d).
+    Output: ``(vec_id, cluster, is_dup)`` with is_dup ∈ {0,1} as BIGINT.
+    """
+    if threshold_pct % 10 != 0 or not (0 < threshold_pct <= 100):
+        raise ValueError("threshold_pct must be a positive multiple of 10")
+    num = (threshold_pct // 10) ** 2
+    cent = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        q = _quantize(batch, vec_col, scale)
+        if q.size:
+            nn = (q * q).sum(axis=1)
+            if nn.max() > 250_000_000:
+                raise ValueError(
+                    "quantized norms exceed the int64-exact bound; lower `scale`"
+                )
+        a = _assign(q, cent) if q.size else np.array([], np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(a.astype(np.int64), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
+                "q": pa.array(list(q), pa.list_(pa.int64())),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_group(g: pd.DataFrame) -> pa.Table:
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        qm = np.stack(g["q"].to_numpy()[order]).astype(np.int64)
+        gram = qm @ qm.T
+        nn = np.diag(gram).copy()
+        cond = (gram > 0) & (100 * gram * gram >= num * np.outer(nn, nn))
+        is_dup = np.tril(cond, -1).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster": pa.array(
+                    g["cluster"].to_numpy()[order].astype(np.int64), pa.int64()
+                ),
+                "is_dup": pa.array(is_dup.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return tagged.groupby("cluster").map_groups(dedup_group, batch_format="pandas")
+
+
+def semantic_dedup_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold_pct: int = 90,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 10_000.0,
+) -> str:
+    """Oracle: same dominator rule in exact HUGEINT arithmetic."""
+    num = (threshold_pct // 10) ** 2
+    parts = _kmeans_ctes(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+    parts.append(
+        """nrm AS (SELECT vec_id, sum(CAST(v AS HUGEINT) * v) AS nn FROM q GROUP BY vec_id)"""
+    )
+    parts.append(
+        """dots AS (
+  SELECT a.vec_id AS ai, b.vec_id AS bi, sum(CAST(qa.v AS HUGEINT) * qb.v) AS d
+  FROM afinal a JOIN afinal b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+  JOIN q qa ON qa.vec_id = a.vec_id
+  JOIN q qb ON qb.vec_id = b.vec_id AND qb.dim = qa.dim
+  GROUP BY a.vec_id, b.vec_id
+)"""
+    )
+    parts.append(
+        f"""dupd AS (
+  SELECT DISTINCT d.ai AS vec_id
+  FROM dots d
+  JOIN nrm na ON na.vec_id = d.ai
+  JOIN nrm nb ON nb.vec_id = d.bi
+  WHERE d.d > 0 AND 100 * d.d * d.d >= {num} * na.nn * nb.nn
+)"""
+    )
     body = ",\n".join(parts)
     return f"""{body}
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM afinal ORDER BY vec_id""".strip()
+SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+       CAST(CASE WHEN dd.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+FROM afinal a LEFT JOIN dupd dd ON dd.vec_id = a.vec_id
+ORDER BY a.vec_id""".strip()

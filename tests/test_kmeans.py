@@ -69,3 +69,43 @@ def test_block_count_invariance():
         one.sort_values("vec_id").reset_index(drop=True),
         many.sort_values("vec_id").reset_index(drop=True),
     )
+
+
+def test_semantic_dedup_flags_near_duplicates():
+    rng = np.random.default_rng(3)
+    base = rng.normal(0, 1, (6, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # vec 6 is a near-copy of vec 2 (tiny perturbation, re-normalized)
+    near = base[2] + 1e-4
+    near /= np.linalg.norm(near)
+    mat = np.vstack([base, near])
+    out = (
+        kmeans.semantic_dedup(_vecs(mat), k=2, iters=2, threshold_pct=90)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[6, "is_dup"] == 1  # dominated by lower-id vec 2
+    assert out.loc[2, "is_dup"] == 0
+    assert out["is_dup"].sum() == 1  # random unit vecs in 8-d are far apart
+
+
+def test_semantic_dedup_matches_sql_oracle():
+    rng = np.random.default_rng(5)
+    mat = rng.normal(0, 1, (15, 6))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    mat[9] = mat[4]  # exact dup pair
+    eng = (
+        kmeans.semantic_dedup(_vecs(mat), k=3, iters=2, threshold_pct=80)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "embeddings",
+        pd.DataFrame({"vec_id": range(len(mat)), "embedding": [list(map(float, r)) for r in mat]}),
+    )
+    ora = con.sql(kmeans.semantic_dedup_sql("embeddings", k=3, iters=2, threshold_pct=80)).df()
+    pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
+    assert eng.loc[9, "is_dup"] == 1
