@@ -341,3 +341,75 @@ SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
        CAST(CASE WHEN dd.vec_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
 FROM afinal a LEFT JOIN dupd dd ON dd.vec_id = a.vec_id
 ORDER BY a.vec_id""".strip()
+
+
+def cluster_sample(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    n_per_cluster: int = 10,
+    salt: int = 12345,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = _SCALE,
+):
+    """Cluster-balanced deterministic sampling: up to ``n_per_cluster``
+    vectors per k-means cluster, chosen by smallest Knuth hash key
+    (`ops/sampling.py` mechanism — a pure function of the id, so the sample
+    is stable under any block layout). This is the diversity-preserving
+    downsampling step cluster-curation pipelines run after semantic dedup:
+    quota per topic bucket instead of a global uniform sample.
+
+    Scale shape: assignment is shuffle-free; selection reuses
+    `pipelines/relational.py:top_n_per_key`, whose map-side partial top-N
+    caps the shuffle at N rows per cluster per block. Ids must be < 2^31
+    (same bound as ops/sampling.py).
+    """
+    from ..pipelines.relational import top_n_per_key
+
+    assigned = kmeans_assign(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+
+    def key_rows(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].combine_chunks())
+        hkey = (ids * 2654435761 + salt) % (1 << 32)
+        return t.append_column("hkey", pa.array(hkey.astype(np.int64), pa.int64()))
+
+    keyed = assigned.map_batches(key_rows, batch_format="pyarrow", zero_copy_batch=True)
+    picked = top_n_per_key(
+        keyed, key="cluster", order_by=["hkey", "vec_id"], ascending=[True, True], n=n_per_cluster
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["vec_id", "cluster"])
+
+    return picked.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cluster_sample_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    n_per_cluster: int = 10,
+    salt: int = 12345,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = _SCALE,
+) -> str:
+    parts = _kmeans_ctes(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+    parts.append(
+        f"""keyed AS (
+  SELECT vec_id, cluster,
+         (vec_id * 2654435761 + {salt}) % 4294967296 AS hkey
+  FROM afinal
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY cluster ORDER BY hkey, vec_id) AS rn
+  FROM keyed
+) ranked WHERE rn <= {n_per_cluster}
+ORDER BY vec_id""".strip()

@@ -109,3 +109,22 @@ def test_semantic_dedup_matches_sql_oracle():
     ora = con.sql(kmeans.semantic_dedup_sql("embeddings", k=3, iters=2, threshold_pct=80)).df()
     pd.testing.assert_frame_equal(eng, ora, check_dtype=False)
     assert eng.loc[9, "is_dup"] == 1
+
+
+def test_cluster_sample_quota_and_determinism():
+    mat = _blob_data()
+    out = (
+        kmeans.cluster_sample(_vecs(mat), k=2, iters=2, n_per_cluster=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (out.groupby("cluster").size() <= 5).all()
+    assert len(out) == 10  # both blobs have >5 members -> full quota
+    again = (
+        kmeans.cluster_sample(_vecs(mat).repartition(5), k=2, iters=2, n_per_cluster=5)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, again)
