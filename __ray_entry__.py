@@ -1045,6 +1045,21 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketch.kmv_distinct(ds, "user_id", k=64)
 
 
+def _approx_distinct_by_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user HLL distinct event_type counts (m=64): batches emit at most
+    groups x m register rows; one groupby(user_id) max-folds and finalizes.
+    State exact vs SQL, estimate to 2 decimals."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    out = sketch.hll_distinct_by(ds, "user_id", "event_type", p=6).to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def _approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog sketch over events.event_id (m=64 registers, raw
     estimator regime: true cardinality >> 2.5m); register state verified
@@ -1324,6 +1339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _curate_corpus,
         "approx_distinct": _approx_distinct,
         "approx_distinct_hll": _approx_distinct_hll,
+        "approx_distinct_by_user": _approx_distinct_by_user,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1657,6 +1673,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate.curate_sql("documents"),
         "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
+        "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

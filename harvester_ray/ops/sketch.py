@@ -205,3 +205,121 @@ SELECT CAST(n_kept AS BIGINT) AS n_kept,
        END AS estimate
 FROM st
 """.strip()
+
+
+def hll_distinct_by(ds, key: str, col: str, *, p: int = 6):
+    """Per-group HyperLogLog distinct count — the mergeable-sketch shape of
+    `hll_distinct` with a grouping key (approx "distinct X per user" at
+    scales where exact per-key sets don't fit).
+
+    Scale shape: each batch reduces its (key, value) pairs to nonzero
+    register rows ``(key, j, rho)`` — at most ``groups_in_batch × m`` rows,
+    independent of value cardinality — and ONE groupby(key) folds register
+    partials with an elementwise max and finalizes the estimate. Groups
+    never see raw values, only m-entry register vectors; hot keys cannot
+    skew a reducer beyond m rows per block. State and estimate arithmetic
+    are identical to the single-sketch gate (`hll_distinct_sql`), so the
+    oracle verifies (rho_sum, rho_max, n_zero) exactly and the estimate to
+    2 decimals.
+    """
+    import pandas as pd
+
+    m = 1 << p
+    q = 64 - p
+    mask = (np.uint64(1) << np.uint64(q)) - np.uint64(1)
+
+    def batch_regs(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        df = df.dropna(subset=[col]).drop_duplicates()
+        if not len(df):
+            return pa.table(
+                {
+                    key: pa.array([], pa.int64()),
+                    "j": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        vals = df[col].astype(str).to_numpy()
+        uniq, inv = np.unique(vals, return_inverse=True)
+        h = _md5_64(list(uniq))[inv]
+        j = (h >> np.uint64(q)).astype(np.int64)
+        rem = h & mask
+        rho = np.where(rem == 0, q + 1, q - _bitlen(np.maximum(rem, 1)))
+        out = pd.DataFrame({key: df[key].to_numpy(), "j": j, "rho": rho})
+        out = out.groupby([key, "j"], as_index=False)["rho"].max()
+        return pa.table(
+            {
+                key: pa.array(out[key].to_numpy().astype(np.int64), pa.int64()),
+                "j": pa.array(out["j"].to_numpy(), pa.int64()),
+                "rho": pa.array(out["rho"].to_numpy().astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(batch_regs, batch_format="pyarrow", zero_copy_batch=True)
+    big_r = q + 1
+    alpha = _alpha(m)
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, g["j"].to_numpy(), g["rho"].to_numpy())
+        n_zero = int((regs == 0).sum())
+        s_int = sum(1 << (big_r - int(r)) for r in regs)
+        est = alpha * m * m * float(1 << big_r) / float(s_int)
+        if est <= 2.5 * m and n_zero > 0:
+            est = m * float(np.log(m / n_zero))
+        return pd.DataFrame(
+            {
+                key: [int(g[key].iloc[0])],
+                "m": [m],
+                "rho_sum": [int(regs.sum())],
+                "rho_max": [int(regs.max())],
+                "n_zero": [n_zero],
+                "estimate": [round(est, 2)],
+            }
+        )
+
+    return parts.groupby(key).map_groups(finalize, batch_format="pandas")
+
+
+def hll_distinct_by_sql(table: str, key: str, col: str, *, p: int = 6) -> str:
+    """Grouped oracle: identical per-key register state and estimate."""
+    m = 1 << p
+    q = 64 - p
+    big_r = q + 1
+    alpha = _alpha(m)
+    return f"""
+WITH hashes AS (
+  SELECT DISTINCT {key} AS k,
+         CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 16)) AS UBIGINT) AS h
+  FROM {table} WHERE {col} IS NOT NULL
+),
+rhos AS (
+  SELECT k, CAST(h >> {q} AS BIGINT) AS j,
+         CASE WHEN (h & {(1 << q) - 1}::UBIGINT) = 0 THEN {q + 1}
+              ELSE {q} - (length(bin(h & {(1 << q) - 1}::UBIGINT)) - 1) END AS rho
+  FROM hashes
+),
+keys AS (SELECT DISTINCT k FROM hashes),
+regs AS (
+  SELECT keys.k, r.range AS j, coalesce(max(rhos.rho), 0) AS rho
+  FROM keys CROSS JOIN range({m}) r
+  LEFT JOIN rhos ON rhos.k = keys.k AND rhos.j = r.range
+  GROUP BY keys.k, r.range
+),
+st AS (
+  SELECT k,
+         CAST(sum(rho) AS BIGINT) AS rho_sum,
+         CAST(max(rho) AS BIGINT) AS rho_max,
+         CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+         CAST(sum(1::BIGINT << ({big_r} - rho)) AS HUGEINT) AS s_int
+  FROM regs GROUP BY k
+)
+SELECT k AS {key}, {m}::BIGINT AS m, rho_sum, rho_max, n_zero,
+       round(CASE WHEN ({alpha!r} * {m} * {m} * {float(1 << big_r)!r} / CAST(s_int AS DOUBLE)) <= {2.5 * m}
+                   AND n_zero > 0
+                  THEN {m} * ln({m} * 1.0 / n_zero)
+                  ELSE {alpha!r} * {m} * {m} * {float(1 << big_r)!r} / CAST(s_int AS DOUBLE)
+             END, 2) AS estimate
+FROM st
+ORDER BY {key}
+""".strip()

@@ -1,6 +1,7 @@
 """KMV distinct sketch (ops/sketch.py)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from harvester_ray.ops import sketch
@@ -64,3 +65,41 @@ def test_hll_small_range_correction(ray_session):
 def test_hll_empty(ray_session):
     out = sketch.hll_distinct(_ds([]).filter(lambda r: True), "v", p=6)
     assert out.loc[0, "rho_sum"] == 0 and out.loc[0, "n_zero"] == 64
+
+
+def test_hll_by_key_matches_exact_for_small_groups():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "k": pa.array([1, 1, 1, 2, 2, 3] * 4, pa.int64()),
+            "v": pa.array(["a", "b", "a", "c", "c", "d"] * 4, pa.string()),
+        }
+    )
+    out = (
+        sketch.hll_distinct_by(rd.from_arrow(t).repartition(3), "k", "v", p=6)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    # tiny cardinalities land in the exact small-range regime
+    assert list(out["k"]) == [1, 2, 3]
+    est = out["estimate"].to_numpy()
+    assert abs(est[0] - 2) < 0.2 and abs(est[1] - 1) < 0.2 and abs(est[2] - 1) < 0.2
+
+
+def test_hll_by_key_partition_invariance():
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "k": pa.array([i % 5 for i in range(200)], pa.int64()),
+            "v": pa.array([f"v{i % 37}" for i in range(200)], pa.string()),
+        }
+    )
+    a = sketch.hll_distinct_by(rd.from_arrow(t).repartition(1), "k", "v").to_pandas()
+    b = sketch.hll_distinct_by(rd.from_arrow(t).repartition(9), "k", "v").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("k").reset_index(drop=True),
+        b.sort_values("k").reset_index(drop=True),
+    )
