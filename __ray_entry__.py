@@ -34,6 +34,7 @@ from harvester_ray.ops import sampling as _sampling
 from harvester_ray.ops import sketch as _sketch
 from harvester_ray.ops import spandedup as _spandedup
 from harvester_ray.ops import kmeans as _kmeans
+from harvester_ray.ops import compare as _compare
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1045,6 +1046,18 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketch.kmv_distinct(ds, "user_id", k=64)
 
 
+def _source_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Exact shingle-set Jaccard between every source pair: one bucketed
+    all-to-all of distinct (shingle_hash, source) pairs, closed-form pair
+    enumeration per bucket, tiny driver fold (ops/compare.py)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+    return _compare.source_jaccard(ds, shingle_n=5)
+
+
 def _approx_distinct_by_user(sf_dir: str) -> pd.DataFrame:
     """Per-user HLL distinct event_type counts (m=64): batches emit at most
     groups x m register rows; one groupby(user_id) max-folds and finalizes.
@@ -1340,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _approx_distinct,
         "approx_distinct_hll": _approx_distinct_hll,
         "approx_distinct_by_user": _approx_distinct_by_user,
+        "source_jaccard": _source_jaccard,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1674,6 +1688,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
+        "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -1,0 +1,167 @@
+"""Corpus-pair similarity: exact shingle-set Jaccard between sources.
+
+The reference ships a corpus-comparison stage that fits vectorizer corpus
+stats to judge how alike two collections are
+(`/root/reference/harvester/core/processors/compare.py`); the
+training-data version of that question is "how much n-gram mass do two
+sources/snapshots share?" — used to spot mirrored sites, re-crawls and
+licensing overlap before near-dup dedup is even run. This operator
+computes the exact Jaccard similarity of the distinct-shingle sets of
+every source pair.
+
+Scale shape is `ops/dupgrams.py`'s: ONE all-to-all of distinct
+``(shingle_hash, source)`` pairs into coarse hash buckets (never the
+text), so each bucket holds every occurrence of its shingles and
+contributes exact partial counts — per-source distinct-shingle totals and
+per-pair intersection counts — enumerated with the closed-form triangle
+decode (`ops/dedup.py:_group_pairs`, no per-group Python). Partials are
+``O(sources² × buckets)`` rows, folded on the driver. 64-bit shingle
+collisions are the standard accepted error vs the string-equality oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .. import analyzer
+from .dedup import _batch_shingles, _dedup_doc_shingles, _group_pairs
+
+
+def source_jaccard(
+    ds,
+    *,
+    key: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 5,
+    n_partitions: int = 64,
+) -> pd.DataFrame:
+    """Exact Jaccard between the distinct-shingle sets of every pair of
+    ``key`` values. Returns ``(source_a, source_b, n_a, n_b, n_common,
+    jaccard)`` for intersecting pairs only, jaccard rounded to 6 decimals
+    (CLAUDE.md ratio rule); pair order is lexicographic ``a < b``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        src = batch[key].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        sh_doc, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
+        s = src[sh_doc]
+        # batch-local distinct (hash, source)
+        uniq, inv = np.unique(s, return_inverse=True)
+        order = np.lexsort((inv, sh_h))
+        h, si = sh_h[order], inv[order]
+        keep = np.ones(h.size, bool)
+        keep[1:] = (h[1:] != h[:-1]) | (si[1:] != si[:-1])
+        h, si = h[keep], si[keep]
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64), pa.int64()),
+                "src": pa.array(uniq[si], pa.string()),
+                "bucket": pa.array((h % np.uint64(n_partitions)).astype(np.int32)),
+            }
+        )
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_partials(group: pd.DataFrame) -> pa.Table:
+        h = group["h"].to_numpy()
+        srcs, si = np.unique(group["src"].to_numpy(), return_inverse=True)
+        # cross-batch distinct (hash, source) inside the bucket
+        order = np.lexsort((si, h))
+        h, si = h[order], si[order]
+        keep = np.ones(h.size, bool)
+        keep[1:] = (h[1:] != h[:-1]) | (si[1:] != si[:-1])
+        h, si = h[keep], si[keep]
+        # per-source distinct totals
+        tot = np.bincount(si, minlength=srcs.size).astype(np.int64)
+        # per-shingle runs → all source pairs (si sorted ascending inside a run)
+        starts = np.ones(h.size, bool)
+        starts[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(starts) - 1
+        counts = np.bincount(run_id)
+        i, j = _group_pairs(counts)
+        pa_i, pa_j = si[i], si[j]
+        pair_code = pa_i.astype(np.int64) * srcs.size + pa_j
+        codes, ccnt = np.unique(pair_code, return_counts=True)
+        out_a = np.concatenate([codes // srcs.size, np.arange(srcs.size)])
+        out_b = np.concatenate([codes % srcs.size, np.full(srcs.size, -1)])
+        out_n = np.concatenate([ccnt.astype(np.int64), tot])
+        return pa.table(
+            {
+                "source_a": pa.array(srcs[out_a], pa.string()),
+                # kind rows: source_b = "" marks a per-source total partial
+                "source_b": pa.array(
+                    np.where(out_b >= 0, srcs[np.maximum(out_b, 0)], ""), pa.string()
+                ),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    parts = (
+        pairs.groupby("bucket")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .to_pandas()  # O(sources² × buckets) rows — driver fold like pagerank
+    )
+    totals: dict[str, int] = {}
+    inter: dict[tuple[str, str], int] = {}
+    for sa, sb, n in parts.itertuples(index=False):
+        if sb == "":
+            totals[sa] = totals.get(sa, 0) + int(n)
+        else:
+            inter[(sa, sb)] = inter.get((sa, sb), 0) + int(n)
+    rows = []
+    for (sa, sb), c in sorted(inter.items()):
+        na, nb = totals[sa], totals[sb]
+        rows.append(
+            {
+                "source_a": sa,
+                "source_b": sb,
+                "n_a": na,
+                "n_b": nb,
+                "n_common": c,
+                "jaccard": round(c / (na + nb - c), 6),
+            }
+        )
+    return pd.DataFrame(
+        rows, columns=["source_a", "source_b", "n_a", "n_b", "n_common", "jaccard"]
+    )
+
+
+def source_jaccard_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    text_col: str = "text",
+    shingle_n: int = 5,
+) -> str:
+    """Oracle: identical semantics by shingle *string* equality."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    n = shingle_n
+    return f"""
+WITH toks AS (
+  SELECT {key} AS src, {tok} AS ts FROM {table}
+),
+sh0 AS (
+  SELECT src,
+         CASE WHEN len(ts) = 0 THEN []
+              WHEN len(ts) < {n} THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct([array_to_string(ts[i : i + {n} - 1], ' ')
+                                 for i in range(1, len(ts) - {n} + 2)])
+         END AS shingles
+  FROM toks
+),
+sh AS (SELECT DISTINCT src, unnest(shingles) AS s FROM sh0),
+counts AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY src),
+inter AS (
+  SELECT a.src AS source_a, b.src AS source_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.src < b.src
+  GROUP BY a.src, b.src
+)
+SELECT i.source_a, i.source_b, ca.n AS n_a, cb.n AS n_b, i.n_common,
+       round(i.n_common * 1.0 / (ca.n + cb.n - i.n_common), 6) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.src = i.source_a
+JOIN counts cb ON cb.src = i.source_b
+ORDER BY source_a, source_b
+""".strip()
