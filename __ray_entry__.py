@@ -35,6 +35,7 @@ from harvester_ray.ops import sketch as _sketch
 from harvester_ray.ops import spandedup as _spandedup
 from harvester_ray.ops import kmeans as _kmeans
 from harvester_ray.ops import compare as _compare
+from harvester_ray.ops import keywords as _keywords
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1046,6 +1047,27 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketch.kmv_distinct(ds, "user_id", k=64)
 
 
+def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+def _tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-5 TF-IDF terms: one partial-fold pass for (df, N), one
+    broadcast-vocab scoring pass with per-batch vectorized top-k
+    (ops/keywords.py)."""
+    return _keywords.tfidf_keywords(_docs_ds(sf_dir), k=5)
+
+
+def _collocations(sf_dir: str) -> pd.DataFrame:
+    """Corpus bigram collocations by PMI from one partial-count pass; the
+    log argument is an exact integer ratio so oracle parity is ulp-safe."""
+    return _keywords.collocations_pmi(_docs_ds(sf_dir, ("text",)), k=50, min_count=5)
+
+
 def _source_jaccard(sf_dir: str) -> pd.DataFrame:
     """Exact shingle-set Jaccard between every source pair: one bucketed
     all-to-all of distinct (shingle_hash, source) pairs, closed-form pair
@@ -1354,6 +1376,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_hll": _approx_distinct_hll,
         "approx_distinct_by_user": _approx_distinct_by_user,
         "source_jaccard": _source_jaccard,
+        "tfidf_keywords": _tfidf_keywords,
+        "collocations_pmi": _collocations,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1689,6 +1713,8 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
+        "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
+        "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -1,0 +1,269 @@
+"""Keyword extraction: per-document TF-IDF top-k and corpus PMI collocations.
+
+The reference fits sklearn vectorizers over harvested content to derive
+corpus statistics (`/root/reference/harvester/core/analysis/text.py:45-71`)
+and serves per-document "important terms" through OpenSearch significant-
+text aggregations it merely configures. These are the two engine-side
+equivalents a training-data pipeline actually runs:
+
+- ``tfidf_keywords``: the k most characteristic terms of every document
+  (tf × ln(N/df)) — used for topic tagging, near-dup triage and
+  significant-term summaries.
+- ``collocations_pmi``: corpus-level bigram collocations ranked by
+  pointwise mutual information — the first step of phrase/compound
+  detection (the engine-side analog of the reference's Dutch decompound
+  word list, which is exactly such a phrase vocabulary, shipped static at
+  `/root/reference/harvester/opensearch/config/decompound_word_list.nl.txt`).
+
+Scale shape: corpus stats (df / unigram / bigram counts) are per-batch
+partial tables folded once — vocabulary-bounded data never round-trips a
+Ray groupby (CLAUDE.md round-1 rule); at vocabularies beyond driver memory
+the fold becomes the bucketed filesystem partitioning the index build uses
+(index/build.py phase 2). The per-document scoring pass broadcasts the df
+vocabulary ONCE as sorted numpy arrays (``ray.put`` + searchsorted inside
+``map_batches``), so the wide pass is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from .. import analyzer
+
+# sentinel "term" for per-batch doc counts: real tokens are [a-z0-9]+ runs,
+# so a NUL-prefixed key can never collide with one
+_NDOCS_KEY = "\x00n_docs"
+
+
+def _fold_partials(parts: list[pd.DataFrame]) -> pd.DataFrame:
+    if not parts:
+        return pd.DataFrame({"term": pd.Series([], dtype=object), "n": pd.Series([], dtype=np.int64)})
+    return pd.concat(parts, ignore_index=True).groupby("term", sort=False, as_index=False)["n"].sum()
+
+
+def corpus_df(ds, *, text_col: str = "text") -> tuple[pd.DataFrame, int]:
+    """(term → document frequency) table + total document count, via one
+    streaming pass of per-batch partials folded on the driver."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        _, c, _ = analyzer.term_frequencies(rows, codes)
+        # term_frequencies returns one row per (doc, term): bincount of the
+        # term codes IS the per-batch document frequency
+        df = np.bincount(c, minlength=len(dictionary)).astype(np.int64) if c.size else np.zeros(len(dictionary), np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = df > 0
+        return pa.table(
+            {
+                "term": pa.array(np.append(terms[keep], [_NDOCS_KEY]), pa.string()),
+                "n": pa.array(np.append(df[keep], [len(batch)]), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = _fold_partials(parts)
+    is_n = folded["term"] == _NDOCS_KEY
+    n_docs = int(folded.loc[is_n, "n"].sum())
+    return folded[~is_n].reset_index(drop=True), n_docs
+
+
+def tfidf_keywords(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> pd.DataFrame:
+    """Top-``k`` TF-IDF terms per document: score = tf × ln(N/df), rounded
+    to 4 decimals (BM25 score rule); rank ties broken by term ascending.
+    Returns ``(doc_id, rank, term, tf, df, tfidf)`` sorted by (doc_id, rank).
+    """
+    df_tbl, n_docs = corpus_df(ds, text_col=text_col)
+    vocab = df_tbl["term"].to_numpy(dtype=object).astype("U")
+    dfs = df_tbl["n"].to_numpy(dtype=np.int64)
+    order = np.argsort(vocab, kind="stable")
+    ref = ray.put((vocab[order], dfs[order], n_docs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted, dfs_sorted, n = ray.get(ref)
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        r, c, tf = analyzer.term_frequencies(rows, codes)
+        if c.size == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], batch[id_col].type),
+                    "rank": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        batch_terms = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+        pos = np.searchsorted(terms_sorted, batch_terms)
+        df_of_code = dfs_sorted[np.clip(pos, 0, max(terms_sorted.size - 1, 0))]
+        pair_df = df_of_code[c]
+        s = np.round(tf.astype(np.float64) * np.log(np.float64(n) / pair_df), 4) + 0.0
+        pair_terms = batch_terms[c]
+        # per-doc rank by (score desc, term asc): one lexsort, run-length ranks
+        order = np.lexsort((pair_terms, -s, r))
+        r_s, s_s, t_s = r[order], s[order], pair_terms[order]
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], r_s))))
+        run_len = np.diff(np.append(starts, r_s.size))
+        rank = np.arange(r_s.size, dtype=np.int64) - np.repeat(starts, run_len)
+        keep = rank < k
+        doc_ids = batch[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[r_s[keep]], batch[id_col].type),
+                "rank": pa.array(rank[keep] + 1, pa.int64()),
+                "term": pa.array(t_s[keep], pa.string()),
+                "tf": pa.array(tf[order][keep], pa.int64()),
+                "df": pa.array(pair_df[order][keep], pa.int64()),
+                "tfidf": pa.array(s_s[keep], pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["doc_id", "rank", "term", "tf", "df", "tfidf"]
+    if out.empty:  # empty Dataset.to_pandas() drops columns
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+def tfidf_keywords_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2),
+df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM flat GROUP BY 1),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table}),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 4) + 0.0 AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df, tfidf
+FROM ranked WHERE rank <= {k} ORDER BY doc_id, rank
+""".strip()
+
+
+def collocations_pmi(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> pd.DataFrame:
+    """Top-``k`` adjacent-token bigrams by PMI = ln(c_ab·U² / (B·c_a·c_b)),
+    U = total tokens, B = total bigrams, c_ab ≥ ``min_count``. The log's
+    argument is an exact integer ratio converted to float once, so engine
+    and oracle agree to the ulp before the 4-decimal rounding. Returns
+    ``(w1, w2, n_pair, pmi)`` ordered by (pmi desc, w1, w2)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        uni = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        out_t = [terms[uni > 0], np.array([_NDOCS_KEY], object)]
+        out_n = [uni[uni > 0], np.array([codes.size], np.int64)]
+        adj = rows[1:] == rows[:-1] if rows.size else np.zeros(0, bool)
+        if adj.any():
+            a, b = codes[:-1][adj], codes[1:][adj]
+            pair_code = a.astype(np.int64) * len(dictionary) + b
+            pc_u, pc_n = np.unique(pair_code, return_counts=True)
+            w1 = terms[(pc_u // len(dictionary)).astype(np.int64)]
+            w2 = terms[(pc_u % len(dictionary)).astype(np.int64)]
+            # bigram partial key "w1 w2" — tokens contain no spaces
+            out_t.append(np.char.add(np.char.add(w1.astype("U"), " "), w2.astype("U")).astype(object))
+            out_n.append(pc_n.astype(np.int64))
+        return pa.table(
+            {
+                "term": pa.array(np.concatenate(out_t), pa.string()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = _fold_partials(parts)
+    terms = folded["term"].to_numpy(dtype=object)
+    ns = folded["n"].to_numpy(dtype=np.int64)
+    is_total = terms == _NDOCS_KEY
+    is_pair = np.char.find(terms.astype("U"), " ") >= 0
+    u_total = int(ns[is_total].sum())
+    uni = {t: int(c) for t, c in zip(terms[~is_total & ~is_pair], ns[~is_total & ~is_pair])}
+    pair_t, pair_n = terms[is_pair], ns[is_pair]
+    b_total = int(pair_n.sum())
+    rows = []
+    for t, c_ab in zip(pair_t, pair_n):
+        if c_ab < min_count:
+            continue
+        w1, w2 = t.split(" ")
+        num = int(c_ab) * u_total * u_total
+        den = b_total * uni[w1] * uni[w2]
+        rows.append((w1, w2, int(c_ab), round(float(np.log(np.float64(num) / np.float64(den))), 4) + 0.0))
+    out = pd.DataFrame(rows, columns=["w1", "w2", "n_pair", "pmi"])
+    out = out.sort_values(["pmi", "w1", "w2"], ascending=[False, True, True], kind="stable")
+    return out.head(k).reset_index(drop=True)
+
+
+def collocations_pmi_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {tok} AS ts FROM {table}),
+flat AS (SELECT unnest(ts) AS term FROM toks),
+uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM flat GROUP BY 1),
+u AS (SELECT CAST(count(*) AS BIGINT) AS u FROM flat),
+pairs AS (
+  SELECT unnest([ts[i] || ' ' || ts[i + 1] for i in range(1, len(ts))]) AS pair
+  FROM toks WHERE len(ts) >= 2
+),
+pc AS (SELECT pair, CAST(count(*) AS BIGINT) AS c_ab FROM pairs GROUP BY 1),
+b AS (SELECT CAST(count(*) AS BIGINT) AS b FROM pairs),
+scored AS (
+  SELECT split_part(pair, ' ', 1) AS w1, split_part(pair, ' ', 2) AS w2,
+         pc.c_ab AS n_pair,
+         round(ln(CAST(pc.c_ab * u.u * u.u AS DOUBLE)
+                  / CAST(b.b * ua.c * ub.c AS DOUBLE)), 4) + 0.0 AS pmi
+  FROM pc CROSS JOIN u CROSS JOIN b
+  JOIN uni ua ON ua.term = split_part(pair, ' ', 1)
+  JOIN uni ub ON ub.term = split_part(pair, ' ', 2)
+  WHERE pc.c_ab >= {min_count}
+)
+SELECT w1, w2, n_pair, pmi FROM scored
+ORDER BY pmi DESC, w1, w2 LIMIT {k}
+""".strip()

@@ -1,0 +1,82 @@
+"""TF-IDF keywords + PMI collocations (ops/keywords.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from harvester_ray.ops import keywords
+
+
+def _ds(texts, ids=None):
+    import ray.data as rd
+
+    ids = list(range(len(texts))) if ids is None else ids
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    )
+
+
+TEXTS = [
+    "spark streams data fast",
+    "spark batch data",
+    "rare unicorn spark",
+    "data data data spark",
+    "",  # token-less doc still counts toward N
+]
+
+
+def test_corpus_df(ray_session):
+    df, n = keywords.corpus_df(_ds(TEXTS))
+    assert n == 5
+    m = dict(zip(df["term"], df["n"]))
+    assert m["spark"] == 4 and m["data"] == 3 and m["unicorn"] == 1
+
+
+def test_tfidf_scores_and_ranks(ray_session):
+    out = keywords.tfidf_keywords(_ds(TEXTS), k=2)
+    # doc 2: unicorn (tf=1, df=1) and rare (tf=1, df=1) beat spark (df=4)
+    d2 = out[out["doc_id"] == 2].sort_values("rank")
+    assert list(d2["term"]) == ["rare", "unicorn"]  # tie → term asc
+    exp = round(1 * math.log(5 / 1), 4)
+    assert list(d2["tfidf"]) == [exp, exp]
+    # doc 3: data tf=3 df=3 → 3·ln(5/3) ranks above spark tf=1 df=4
+    d3 = out[out["doc_id"] == 3].sort_values("rank")
+    assert list(d3["term"]) == ["data", "spark"]
+    # token-less doc emits no rows; every other doc has ≤ k rows
+    assert (out["doc_id"] != 4).all()
+    assert out.groupby("doc_id").size().max() <= 2
+
+
+def test_tfidf_partition_independent(ray_session):
+    a = keywords.tfidf_keywords(_ds(TEXTS * 8, ids=list(range(40))), k=3)
+    b = keywords.tfidf_keywords(
+        _ds(TEXTS * 8, ids=list(range(40))).repartition(7), k=3
+    )
+    assert a.equals(b)
+
+
+def test_collocations_pmi(ray_session):
+    texts = ["big apple pie"] * 6 + ["big data", "apple pie chart"] * 3
+    out = keywords.collocations_pmi(_ds(texts), k=10, min_count=5)
+    pairs = set(zip(out["w1"], out["w2"]))
+    assert ("apple", "pie") in pairs and ("big", "apple") in pairs
+    # "apple pie" (9 of 21 bigrams) is a stronger collocation than chance
+    row = out[(out["w1"] == "apple") & (out["w2"] == "pie")].iloc[0]
+    assert row["n_pair"] == 9 and row["pmi"] > 0
+    # min_count filters the 3-count pairs
+    assert ("data", "big") not in pairs and ("pie", "chart") not in pairs
+
+
+def test_collocations_partition_independent(ray_session):
+    texts = ["alpha beta gamma alpha beta"] * 30
+    a = keywords.collocations_pmi(_ds(texts), k=5, min_count=2)
+    b = keywords.collocations_pmi(_ds(texts).repartition(6), k=5, min_count=2)
+    assert a.equals(b)
+
+
+def test_empty_corpus(ray_session):
+    out = keywords.tfidf_keywords(_ds(["", ""]), k=3)
+    assert len(out) == 0
+    out2 = keywords.collocations_pmi(_ds(["", ""]), k=3, min_count=1)
+    assert len(out2) == 0
