@@ -36,6 +36,7 @@ from harvester_ray.ops import spandedup as _spandedup
 from harvester_ray.ops import kmeans as _kmeans
 from harvester_ray.ops import compare as _compare
 from harvester_ray.ops import keywords as _keywords
+from harvester_ray.pipelines import analytics as _analytics
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1047,6 +1048,52 @@ def _approx_distinct(sf_dir: str) -> pd.DataFrame:
     return sketch.kmv_distinct(ds, "user_id", k=64)
 
 
+def _ev_ds(sf_dir: str, columns):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=list(columns)
+    )
+
+
+def _running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-user cumulative value (window-function analog): groupby(user) +
+    in-group sort + exact integer-micros cumsum (pipelines/analytics.py)."""
+    return _analytics.running_total(
+        _ev_ds(sf_dir, ("event_id", "user_id", "ts", "value"))
+    )
+
+
+def _funnel(sf_dir: str) -> pd.DataFrame:
+    """view→click→purchase funnel: per-user earliest strictly-ordered chain
+    inside map_groups, then a tiny per-stage count aggregate."""
+    return _analytics.funnel(_ev_ds(sf_dir, ("user_id", "event_type", "ts")))
+
+
+def _value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Equi-width histogram per event_type over the exact global [min,max]:
+    exact bounds aggregate + per-batch bincount partials, no raw shuffle."""
+    return _analytics.value_histogram(
+        _ev_ds(sf_dir, ("event_type", "value")), nbins=20
+    )
+
+
+def _outliers_mad(sf_dir: str) -> pd.DataFrame:
+    """Robust per-type outliers (|x−median| > 3·MAD) via the same grouped
+    exchange as value_quantiles; medians ≡ DuckDB median."""
+    return _analytics.outliers_mad(
+        _ev_ds(sf_dir, ("event_id", "event_type", "value")), k=3.0
+    )
+
+
+def _user_timeline(sf_dir: str) -> pd.DataFrame:
+    """Ordered string_agg per user (ContentContainer ordered-assembly
+    analog): per-group time-sorted event-type concatenation."""
+    return _analytics.user_timeline(
+        _ev_ds(sf_dir, ("user_id", "event_type", "ts", "event_id"))
+    )
+
+
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
@@ -1378,6 +1425,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_jaccard": _source_jaccard,
         "tfidf_keywords": _tfidf_keywords,
         "collocations_pmi": _collocations,
+        "running_total": _running_total,
+        "funnel": _funnel,
+        "value_histogram": _value_histogram,
+        "outliers_mad": _outliers_mad,
+        "user_timeline": _user_timeline,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1715,6 +1767,11 @@ def oracle_sql() -> dict[str, str]:
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
+        "running_total": _analytics.running_total_sql("events"),
+        "funnel": _analytics.funnel_sql("events"),
+        "value_histogram": _analytics.value_histogram_sql("events", nbins=20),
+        "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
+        "user_timeline": _analytics.user_timeline_sql("events"),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -1,0 +1,363 @@
+"""Event-stream analytics: running totals, funnels, histograms, robust
+outliers, ordered timelines.
+
+The reference's Matomo-visits pipeline reduces a raw event stream into
+per-entity engagement aggregates (`/root/reference/harvester/metadata/tasks.py`
+sessionization; facet frequency refreshes in
+`/root/reference/harvester/metadata/models/value.py:21-64`). These are the
+remaining members of that analytics family a warehouse user expects:
+
+- ``running_total``: per-key cumulative sum in event order — the window
+  function ``sum() OVER (PARTITION BY … ORDER BY …)``. Cross-row float sums
+  are order-sensitive, so values are quantized to integer micros first
+  (CLAUDE.md fixed-point rule); the cumulative int is exact and the derived
+  double is identical on both sides.
+- ``funnel``: per-user earliest strictly-ordered completion of a stage
+  sequence (view → click → purchase), reduced to per-stage user counts.
+- ``value_histogram``: equi-width histogram per group over the exact global
+  [min, max] — two streaming passes (exact min/max aggregate, then
+  per-batch bincount partials folded once; bins × groups is tiny).
+- ``outliers_mad``: robust per-group outliers by |x − median| > k·MAD —
+  median/MAD need each group's full value set in one place (same exchange
+  as value_quantiles; linear-interpolation medians are definitionally
+  identical to DuckDB ``median``).
+- ``user_timeline``: ordered ``string_agg`` per key — the ordered-
+  aggregation primitive (reference analog: ContentContainer's ordered text
+  assembly, `/root/reference/harvester/core/utils/contents.py:8-57`).
+
+Scale notes: running_total / outliers_mad / user_timeline shuffle by their
+group key (per-key data must co-locate; keys are users/types, groups are
+small and skew-bounded); funnel reduces inside ``map_groups`` to one row
+per (user, stage) and then a tiny stage-count aggregate; value_histogram
+never shuffles raw rows at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MICROS = 1_000_000.0
+
+
+def _quantize(v: np.ndarray) -> np.ndarray:
+    # floor(x·1e6 + 0.5): round-half-up, identical in DuckDB and numpy
+    # (never use round-half — np half-even vs DuckDB half-away)
+    return np.floor(v * MICROS + 0.5).astype(np.int64)
+
+
+# --------------------------------------------------------------------------
+# running total (window-function analog)
+# --------------------------------------------------------------------------
+
+def running_total(
+    ds,
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-``key`` cumulative sum of ``value_col`` in ``order_by`` order.
+    Returns ``(id_col, key, cum_micros, cum_value)`` sorted by (key, id)."""
+
+    def cum(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        micros = np.cumsum(_quantize(g[value_col].to_numpy(np.float64)))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "cum_micros": micros,
+                "cum_value": np.round(micros / MICROS, 6),
+            }
+        )
+
+    out = ds.groupby(key).map_groups(cum, batch_format="pandas").to_pandas()
+    return out.sort_values([key, id_col]).reset_index(drop=True)
+
+
+def running_total_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+SELECT {id_col}, {key},
+       sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT))
+           OVER (PARTITION BY {key} ORDER BY {ob}) AS cum_micros,
+       round(sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT))
+           OVER (PARTITION BY {key} ORDER BY {ob}) / 1e6, 6) AS cum_value
+FROM {table} ORDER BY {key}, {id_col}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# funnel analysis
+# --------------------------------------------------------------------------
+
+def funnel(
+    ds,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Per-user earliest strictly-time-ordered completion of ``stages``;
+    returns ``(stage, event_type, n_users)`` where n_users counts users
+    reaching at least that stage (stage 1-indexed, monotone non-increasing).
+    """
+    from ray.data.aggregate import Count
+
+    def depth(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy()
+        et = g[type_col].to_numpy()
+        t_prev = None
+        reached = 0
+        for s in stages:
+            mask = et == s if t_prev is None else (et == s) & (ts > t_prev)
+            if not mask.any():
+                break
+            t_prev = ts[mask].min()
+            reached += 1
+        return pd.DataFrame({"stage": np.arange(1, reached + 1, dtype=np.int64)})
+
+    per_user = ds.groupby(key).map_groups(depth, batch_format="pandas")
+    counts = per_user.groupby("stage").aggregate(Count(alias_name="n_users")).to_pandas()
+    out = pd.DataFrame({"stage": np.arange(1, len(stages) + 1, dtype=np.int64)})
+    if counts.empty:
+        counts = pd.DataFrame({"stage": pd.Series([], dtype=np.int64), "n_users": pd.Series([], dtype=np.int64)})
+    out = out.merge(counts, on="stage", how="left")
+    out["event_type"] = list(stages)
+    out["n_users"] = out["n_users"].fillna(0).astype(np.int64)
+    return out[["stage", "event_type", "n_users"]]
+
+
+def funnel_sql(
+    table: str = "events",
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    ctes, selects = [], []
+    for i, s in enumerate(stages):
+        if i == 0:
+            ctes.append(
+                f"s0 AS (SELECT {key}, min({ts_col}) AS t FROM {table} "
+                f"WHERE {type_col} = '{s}' GROUP BY 1)"
+            )
+        else:
+            ctes.append(
+                f"s{i} AS (SELECT e.{key}, min(e.{ts_col}) AS t FROM {table} e "
+                f"JOIN s{i - 1} p ON e.{key} = p.{key} AND e.{ts_col} > p.t "
+                f"WHERE e.{type_col} = '{s}' GROUP BY 1)"
+            )
+        selects.append(
+            f"SELECT CAST({i + 1} AS BIGINT) AS stage, '{s}' AS event_type, "
+            f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "SELECT * FROM (" + " UNION ALL ".join(selects) + ") ORDER BY stage"
+    )
+
+
+# --------------------------------------------------------------------------
+# equi-width histogram
+# --------------------------------------------------------------------------
+
+def value_histogram(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    nbins: int = 20,
+) -> pd.DataFrame:
+    """Equi-width histogram of ``value_col`` per ``group_col`` over the
+    exact global [min, max]. Two streaming passes; no raw-row shuffle.
+    Returns ``(group, bin, bin_lo, n)``; the bin expression
+    ``least(nbins-1, floor((v-mn)*nbins/(mx-mn)))`` is evaluated with the
+    identical operation order in engine and oracle."""
+    from ray.data.aggregate import Max, Min
+
+    agg = ds.aggregate(Min(value_col), Max(value_col))
+    mn, mx = float(agg[f"min({value_col})"]), float(agg[f"max({value_col})"])
+    span = mx - mn
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        b = (
+            np.minimum(nbins - 1, np.floor((v - mn) * nbins / span)).astype(np.int64)
+            if span > 0
+            else np.zeros(v.size, np.int64)
+        )
+        gu, gi = np.unique(g, return_inverse=True)
+        code = gi.astype(np.int64) * nbins + b
+        cu, cn = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                group_col: pa.array(gu[(cu // nbins).astype(np.int64)], pa.string()),
+                "bin": pa.array(cu % nbins, pa.int64()),
+                "n": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pd.DataFrame(columns=[group_col, "bin", "bin_lo", "n"])
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby([group_col, "bin"], sort=True, as_index=False)["n"]
+        .sum()
+    )
+    out["bin_lo"] = np.round(mn + out["bin"].to_numpy(np.float64) * span / nbins, 6)
+    return out[[group_col, "bin", "bin_lo", "n"]].reset_index(drop=True)
+
+
+def value_histogram_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    nbins: int = 20,
+) -> str:
+    return f"""
+WITH bounds AS (SELECT min({value_col}) AS mn, max({value_col}) AS mx FROM {table}),
+binned AS (
+  SELECT {group_col},
+         CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+              ELSE CAST(least({nbins} - 1,
+                   floor(({value_col} - mn) * {nbins} / (mx - mn))) AS BIGINT)
+         END AS bin
+  FROM {table} CROSS JOIN bounds
+)
+SELECT b.{group_col}, b.bin,
+       round(mn + b.bin * (mx - mn) / {nbins}, 6) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM binned b CROSS JOIN bounds
+GROUP BY b.{group_col}, b.bin, mn, mx
+ORDER BY b.{group_col}, b.bin
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# robust outliers (median / MAD)
+# --------------------------------------------------------------------------
+
+def outliers_mad(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> pd.DataFrame:
+    """Rows with |value − group median| > k · MAD (median absolute
+    deviation). Medians use linear interpolation ≡ DuckDB ``median``; the
+    comparison runs on raw float64 with the same expression on both sides.
+    Returns ``(id, group, value, med, mad)`` (med/mad rounded to 6) sorted
+    by id."""
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(np.float64)
+        med = np.quantile(v, 0.5, method="linear")
+        mad = np.quantile(np.abs(v - med), 0.5, method="linear")
+        mask = np.abs(v - med) > k * mad
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy()[mask],
+                group_col: g[group_col].to_numpy()[mask],
+                value_col: v[mask],
+                "med": round(float(med), 6),
+                "mad": round(float(mad), 6),
+            }
+        )
+
+    out = ds.groupby(group_col).map_groups(pick, batch_format="pandas").to_pandas()
+    cols = [id_col, group_col, value_col, "med", "mad"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(id_col).reset_index(drop=True)[cols]
+
+
+def outliers_mad_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    k: float = 3.0,
+) -> str:
+    return f"""
+WITH med AS (SELECT {group_col}, median({value_col}) AS med FROM {table} GROUP BY 1),
+mad AS (
+  SELECT e.{group_col}, median(abs(e.{value_col} - m.med)) AS mad
+  FROM {table} e JOIN med m USING ({group_col}) GROUP BY 1
+)
+SELECT e.{id_col}, e.{group_col}, e.{value_col},
+       round(m.med, 6) AS med, round(d.mad, 6) AS mad
+FROM {table} e
+JOIN med m USING ({group_col}) JOIN mad d USING ({group_col})
+WHERE abs(e.{value_col} - m.med) > {k} * d.mad
+ORDER BY e.{id_col}
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation
+# --------------------------------------------------------------------------
+
+def user_timeline(
+    ds,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    sep: str = ">",
+) -> pd.DataFrame:
+    """Ordered ``string_agg`` per key: the full event-type sequence of each
+    user in time order. Returns ``(key, n_events, timeline)`` sorted by key.
+    """
+
+    def agg(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                "n_events": np.array([len(g)], np.int64),
+                "timeline": [sep.join(g[type_col].tolist())],
+            }
+        )
+
+    out = ds.groupby(key).map_groups(agg, batch_format="pandas").to_pandas()
+    return out.sort_values(key).reset_index(drop=True)
+
+
+def user_timeline_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    sep: str = ">",
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+SELECT {key}, CAST(count(*) AS BIGINT) AS n_events,
+       string_agg({type_col}, '{sep}' ORDER BY {ob}) AS timeline
+FROM {table} GROUP BY {key} ORDER BY {key}
+""".strip()

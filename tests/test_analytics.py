@@ -1,0 +1,88 @@
+"""Event analytics: running totals, funnel, histogram, MAD outliers,
+ordered timelines (pipelines/analytics.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from harvester_ray.pipelines import analytics
+
+
+def _events(rows):
+    import ray.data as rd
+
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+
+ROWS = [
+    # user 1: view → click → purchase (complete funnel)
+    (1, 1, "view", "2024-01-01 10:00", 1.5),
+    (2, 1, "click", "2024-01-01 10:05", 2.25),
+    (3, 1, "purchase", "2024-01-01 10:10", 100.0),
+    # user 2: click before view → only reaches stage 1 (view at 11:00)
+    (4, 2, "click", "2024-01-01 09:00", 3.0),
+    (5, 2, "view", "2024-01-01 11:00", 4.0),
+    # user 3: view only
+    (6, 3, "view", "2024-01-01 12:00", 5.5),
+]
+
+
+def test_running_total_exact(ray_session):
+    out = analytics.running_total(_events(ROWS))
+    u1 = out[out["user_id"] == 1]
+    assert list(u1["cum_micros"]) == [1_500_000, 3_750_000, 103_750_000]
+    assert list(u1["cum_value"]) == [1.5, 3.75, 103.75]
+    # order within user is by (ts, event_id), output sorted by (user, id)
+    assert list(out["event_id"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_running_total_partition_independent(ray_session):
+    rows = [(i, i % 7, "view", f"2024-01-01 {i % 24:02d}:00", 0.1 * i) for i in range(200)]
+    a = analytics.running_total(_events(rows))
+    b = analytics.running_total(_events(rows).repartition(5))
+    assert a.equals(b)
+
+
+def test_funnel_counts(ray_session):
+    out = analytics.funnel(_events(ROWS))
+    assert list(out["stage"]) == [1, 2, 3]
+    assert list(out["event_type"]) == ["view", "click", "purchase"]
+    # u1 completes all; u2's click precedes its view; u3 views only
+    assert list(out["n_users"]) == [3, 1, 1]
+
+
+def test_funnel_missing_stage(ray_session):
+    out = analytics.funnel(_events(ROWS), stages=("purchase", "view"))
+    # only u1 purchases; nobody views after purchasing
+    assert list(out["n_users"]) == [1, 0]
+
+
+def test_value_histogram_bins(ray_session):
+    rows = [(i, 1, "a" if i % 2 else "b", "2024-01-01", float(i)) for i in range(10)]
+    out = analytics.value_histogram(_events(rows), nbins=3)
+    # span [0,9], width 3: bins {0,1,2}; value 9 clamps into bin 2
+    total = out.groupby("bin")["n"].sum()
+    assert list(total) == [3, 3, 4]
+    assert out[out["bin"] == 0]["bin_lo"].iloc[0] == 0.0
+    # constant-value edge: everything lands in bin 0
+    const = analytics.value_histogram(_events([(1, 1, "a", "2024-01-01", 2.0), (2, 1, "a", "2024-01-01", 2.0)]), nbins=4)
+    assert list(const["bin"]) == [0] and list(const["n"]) == [2]
+
+
+def test_outliers_mad(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", 10.0 + (i % 3)) for i in range(20)]
+    rows.append((99, 1, "a", "2024-01-01", 500.0))
+    out = analytics.outliers_mad(_events(rows), k=3.0)
+    assert list(out["event_id"]) == [99]
+    assert out.iloc[0]["med"] == 11.0
+
+
+def test_user_timeline(ray_session):
+    out = analytics.user_timeline(_events(ROWS))
+    m = dict(zip(out["user_id"], out["timeline"]))
+    assert m[1] == "view>click>purchase"
+    assert m[2] == "click>view"  # time order, not input order
+    assert m[3] == "view"
+    assert list(out["n_events"]) == [3, 2, 1]
