@@ -37,6 +37,7 @@ from harvester_ray.ops import kmeans as _kmeans
 from harvester_ray.ops import compare as _compare
 from harvester_ray.ops import keywords as _keywords
 from harvester_ray.pipelines import analytics as _analytics
+from harvester_ray.ops import bloom as _bloom
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1094,6 +1095,32 @@ def _user_timeline(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _bloom_semijoin(sf_dir: str) -> pd.DataFrame:
+    """Bloom-filter pushdown audit: filter lineitem by a 16384-bit bloom of
+    urgent-order keys, report pass/true/false-positive counts — positions
+    from md5 double hashing so the oracle reproduces them exactly."""
+    import ray.data as rd
+
+    probe = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    build = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return _bloom.bloom_semijoin_stats(
+        probe, build, probe_key="l_orderkey", build_key="o_orderkey"
+    )
+
+
+def _regression_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-type OLS of value vs time from mergeable integer sufficient
+    statistics — zero-shuffle regr_slope analog (pipelines/analytics.py)."""
+    return _analytics.regression_by_group(
+        _ev_ds(sf_dir, ("event_type", "ts", "value"))
+    )
+
+
 def _docs_ds(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
@@ -1430,6 +1457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _value_histogram,
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
+        "regression_by_type": _regression_by_type,
+        "bloom_semijoin": _bloom_semijoin,
+        "anti_join_orders": relational.orders_without_lineitems,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1772,6 +1802,14 @@ def oracle_sql() -> dict[str, str]:
         "value_histogram": _analytics.value_histogram_sql("events", nbins=20),
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
+        "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "bloom_semijoin": _bloom.bloom_semijoin_sql(
+            "lineitem",
+            "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",
+            probe_key="l_orderkey",
+            build_key="o_orderkey",
+        ),
+        "anti_join_orders": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

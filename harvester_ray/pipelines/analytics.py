@@ -318,6 +318,121 @@ ORDER BY e.{id_col}
 
 
 # --------------------------------------------------------------------------
+# group-wise OLS regression from mergeable integer sufficient statistics
+# --------------------------------------------------------------------------
+
+_REG_EPOCH = "2024-01-01"
+
+
+def regression_by_group(
+    ds,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-group OLS of value vs time (slope in value-units per minute,
+    ``x = minutes since 2024-01-01``): the ``regr_slope`` window-aggregate
+    analog, built from mergeable sufficient statistics so it never
+    shuffles rows — each batch emits exact integer partials
+    (n, Σx, Σy, Σxy, Σxx) with x in whole minutes ≥ 0 and y in centi-units
+    (values are 2-decimal), folded once on the driver; the final
+    numerator/denominator are Python arbitrary-precision ints (DuckDB
+    folds the same sums as HUGEINT). Float enters exactly once, in the
+    final slope/intercept expressions, with the same operation order on
+    both sides. Returns ``(group, n, slope, intercept)`` rounded to 6;
+    slope is NULL when the group's x values are all equal."""
+    base_us = int(pd.Timestamp(_REG_EPOCH).value // 1_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        ts_us = (
+            t[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))  # normalize ns/us inputs to micros
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        x = (ts_us - base_us) // 60_000_000  # whole minutes (floor ≡ date_diff)
+        y = _quantize_centi(t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64))
+        gu, gi = np.unique(g, return_inverse=True)
+        ng = gu.size
+        return pa.table(
+            {
+                group_col: pa.array(gu, pa.string()),
+                "n": pa.array(np.bincount(gi, minlength=ng).astype(np.int64), pa.int64()),
+                "sx": pa.array(np.bincount(gi, weights=x, minlength=ng).astype(np.int64), pa.int64()),
+                "sy": pa.array(np.bincount(gi, weights=y, minlength=ng).astype(np.int64), pa.int64()),
+                "sxy": pa.array(np.bincount(gi, weights=x * y, minlength=ng).astype(np.int64), pa.int64()),
+                "sxx": pa.array(np.bincount(gi, weights=x * x, minlength=ng).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [group_col, "n", "slope", "intercept"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(group_col, sort=True, as_index=False)[["n", "sx", "sy", "sxy", "sxx"]]
+        .sum()
+    )
+    rows = []
+    for g, n, sx, sy, sxy, sxx in folded.itertuples(index=False):
+        n, sx, sy, sxy, sxx = int(n), int(sx), int(sy), int(sxy), int(sxx)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        if den == 0:
+            rows.append((g, n, None, None))
+            continue
+        slope = float(num) / float(den) / 100.0
+        intercept = (float(sy) / 100.0 - slope * float(sx)) / n
+        rows.append((g, n, round(slope, 6) + 0.0, round(intercept, 6) + 0.0))
+    return pd.DataFrame(rows, columns=cols)
+
+
+def _quantize_centi(v: np.ndarray) -> np.ndarray:
+    return np.floor(v * 100.0 + 0.5)  # float64 whole numbers — exact in bincount weights
+
+
+def regression_by_group_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> str:
+    return f"""
+WITH p AS (
+  SELECT {group_col},
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(date_diff('minute', TIMESTAMP '{_REG_EPOCH}', {ts_col}) AS HUGEINT)) AS sx,
+         sum(CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)) AS sy,
+         sum(CAST(date_diff('minute', TIMESTAMP '{_REG_EPOCH}', {ts_col}) AS HUGEINT)
+             * CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)) AS sxy,
+         sum(CAST(date_diff('minute', TIMESTAMP '{_REG_EPOCH}', {ts_col}) AS HUGEINT)
+             * CAST(date_diff('minute', TIMESTAMP '{_REG_EPOCH}', {ts_col}) AS HUGEINT)) AS sxx
+  FROM {table} GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) + 0.0
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL ELSE
+       round((CAST(sy AS DOUBLE) / 100.0
+              - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) + 0.0
+       END AS intercept
+FROM p ORDER BY {group_col}
+""".strip()
+
+
+# --------------------------------------------------------------------------
 # ordered string aggregation
 # --------------------------------------------------------------------------
 

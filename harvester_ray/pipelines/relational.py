@@ -664,3 +664,65 @@ SELECT event_type,
        round(quantile_cont(value, 0.95), 4) AS p95
 FROM events GROUP BY event_type ORDER BY event_type
 """.strip()
+
+
+def orders_without_lineitems(sf_dir: str):
+    """Broadcast anti-join: orders that no lineitem references (the
+    orphan-detection data-quality audit — reference analog: the
+    set-reconciliation checks in harvester/core/tasks/harvest/set.py:99-126
+    that compare document sets between versions). The probe side (orders)
+    streams; the build side's DISTINCT key set is collected once from a
+    single-column pruned read and broadcast as one sorted numpy array
+    (CLAUDE.md broadcast rule). Works while the distinct-key set fits a
+    worker (orders-cardinality, not lineitem-cardinality); beyond that,
+    hash-partition both sides on the key and anti-join per bucket (the
+    join_shuffle_fallback exchange)."""
+    import numpy as np
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+
+    def batch_keys(t: pa.Table) -> pa.Table:
+        u = t["l_orderkey"].combine_chunks().unique()
+        return pa.table({"k": u.cast(pa.int64())})
+
+    parts = [
+        b.to_pandas()
+        for b in li.map_batches(batch_keys, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    keys = (
+        np.unique(pd.concat(parts, ignore_index=True)["k"].to_numpy(np.int64))
+        if parts
+        else np.empty(0, np.int64)
+    )
+    ref = ray.put(keys)
+
+    def anti(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        if ks.size == 0:
+            mask = np.ones(ok.size, bool)
+        else:
+            pos = np.searchsorted(ks, ok)
+            mask = ks[np.clip(pos, 0, ks.size - 1)] != ok
+        return t.filter(pa.array(mask))
+
+    out = (
+        _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+        .map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("o_orderkey").reset_index(drop=True)[cols]
+
+
+ORDERS_WITHOUT_LINEITEMS_SQL = """
+SELECT o_orderkey, o_orderpriority, o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey
+""".strip()
