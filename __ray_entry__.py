@@ -1113,6 +1113,28 @@ def _bloom_semijoin(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Markov transition counts (lag() window analog): per-user consecutive
+    pairs in map_groups, tiny pair-vocabulary fold."""
+    return _analytics.event_transitions(
+        _ev_ds(sf_dir, ("user_id", "event_type", "ts", "event_id"))
+    )
+
+
+def _pivot_hourly(sf_dir: str) -> pd.DataFrame:
+    """Crosstab hour-of-day × event-type counts: per-batch bincount
+    partials over a 24×5 grid, driver reshape, no shuffle."""
+    return _analytics.pivot_hourly(_ev_ds(sf_dir, ("event_type", "ts")))
+
+
+def _zscore(sf_dir: str) -> pd.DataFrame:
+    """Per-type z-score standardization from exact integer moment partials
+    + broadcast moments — two streaming passes, no shuffle."""
+    return _analytics.zscore_normalize(
+        _ev_ds(sf_dir, ("event_id", "event_type", "value"))
+    )
+
+
 def _regression_by_type(sf_dir: str) -> pd.DataFrame:
     """Per-type OLS of value vs time from mergeable integer sufficient
     statistics — zero-shuffle regr_slope analog (pipelines/analytics.py)."""
@@ -1458,6 +1480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "event_transitions": _event_transitions,
+        "pivot_hourly": _pivot_hourly,
+        "zscore_normalize": _zscore,
         "bloom_semijoin": _bloom_semijoin,
         "anti_join_orders": relational.orders_without_lineitems,
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
@@ -1803,6 +1828,9 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "event_transitions": _analytics.event_transitions_sql("events"),
+        "pivot_hourly": _analytics.pivot_hourly_sql("events"),
+        "zscore_normalize": _analytics.zscore_normalize_sql("events"),
         "bloom_semijoin": _bloom.bloom_semijoin_sql(
             "lineitem",
             "(SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')",

@@ -476,3 +476,252 @@ SELECT {key}, CAST(count(*) AS BIGINT) AS n_events,
        string_agg({type_col}, '{sep}' ORDER BY {ob}) AS timeline
 FROM {table} GROUP BY {key} ORDER BY {key}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# event transitions (window lag analog)
+# --------------------------------------------------------------------------
+
+def event_transitions(
+    ds,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+) -> pd.DataFrame:
+    """Corpus-wide Markov transition counts: for every consecutive pair of
+    events per key (in ``order_by`` order), count (prev_type, next_type) —
+    the ``lag() OVER (PARTITION BY …)`` analog. Per-key pairs are formed
+    inside ``map_groups`` (same exchange as running_total); the pair
+    counts are a tiny vocabulary aggregate folded once. Returns
+    ``(prev_type, next_type, n)`` sorted by the pair."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        et = g[type_col].to_numpy()
+        if et.size < 2:
+            return pd.DataFrame({"prev_type": [], "next_type": [], "n": []}).astype(
+                {"prev_type": str, "next_type": str, "n": np.int64}
+            )
+        df = pd.DataFrame({"prev_type": et[:-1], "next_type": et[1:]})
+        out = df.groupby(["prev_type", "next_type"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.groupby(key).map_groups(pairs, batch_format="pandas").to_pandas()
+    cols = ["prev_type", "next_type", "n"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    return (
+        parts.groupby(["prev_type", "next_type"], sort=True, as_index=False)["n"]
+        .sum()
+        .sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True)[cols]
+    )
+
+
+def event_transitions_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+WITH lagged AS (
+  SELECT lag({type_col}) OVER (PARTITION BY {key} ORDER BY {ob}) AS prev_type,
+         {type_col} AS next_type
+  FROM {table}
+)
+SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE prev_type IS NOT NULL
+GROUP BY prev_type, next_type ORDER BY prev_type, next_type
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# pivot (crosstab)
+# --------------------------------------------------------------------------
+
+def pivot_hourly(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> pd.DataFrame:
+    """Crosstab: hour-of-day rows × one count column per event type. The
+    long-form (hour, type, n) aggregate is per-batch partials folded once
+    (24 × |types| cells); the reshape to wide is driver-side on that tiny
+    grid. Returns ``(hour, n_<type>…)`` with all 24 hours present."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = (
+            t[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        hour = (ts_us // 3_600_000_000) % 24
+        et = t[type_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        gu, gi = np.unique(et, return_inverse=True)
+        code = gi.astype(np.int64) * 24 + hour
+        cu, cn = np.unique(code, return_counts=True)
+        return pa.table(
+            {
+                "event_type": pa.array(gu[(cu // 24).astype(np.int64)], pa.string()),
+                "hour": pa.array(cu % 24, pa.int64()),
+                "n": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    grid = pd.DataFrame({"hour": np.arange(24, dtype=np.int64)})
+    long = (
+        pd.concat(parts, ignore_index=True).groupby(["event_type", "hour"], as_index=False)["n"].sum()
+        if parts
+        else pd.DataFrame({"event_type": [], "hour": [], "n": []})
+    )
+    for ty in types:
+        sub = long[long["event_type"] == ty][["hour", "n"]].rename(columns={"n": f"n_{ty}"})
+        grid = grid.merge(sub, on="hour", how="left")
+        grid[f"n_{ty}"] = grid[f"n_{ty}"].fillna(0).astype(np.int64)
+    return grid
+
+
+def pivot_hourly_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER ({type_col} = '{t}') AS BIGINT) AS n_{t}" for t in types
+    )
+    return f"""
+WITH hours AS (SELECT unnest(range(24)) AS hour),
+agg AS (
+  SELECT CAST(extract(hour FROM {ts_col}) AS BIGINT) AS hour, {type_col}
+  FROM {table}
+)
+SELECT CAST(h.hour AS BIGINT) AS hour,
+       {cols}
+FROM hours h LEFT JOIN agg ON agg.hour = h.hour
+GROUP BY h.hour ORDER BY h.hour
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# per-group z-score normalization
+# --------------------------------------------------------------------------
+
+def zscore_normalize(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Standardize ``value_col`` within each group: z = (v − mean)/std with
+    the POPULATION std. Two streaming passes: exact integer moment partials
+    (n, Σy, Σy²; y in centi-units) folded to per-group (mean, std), then a
+    broadcast-free map pass is unnecessary — moments are a tiny table, so
+    z is computed per row against merged moments inside one map_batches
+    with the moments joined in. Float enters in mean/std/z only, same
+    expression order as the oracle. Returns ``(id, group, value, z)``
+    (z rounded to 4) sorted by id."""
+
+    def moments(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        y = _quantize_centi(t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64))
+        gu, gi = np.unique(g, return_inverse=True)
+        ng = gu.size
+        return pa.table(
+            {
+                group_col: pa.array(gu, pa.string()),
+                "n": pa.array(np.bincount(gi, minlength=ng).astype(np.int64), pa.int64()),
+                "sy": pa.array(np.bincount(gi, weights=y, minlength=ng).astype(np.int64), pa.int64()),
+                "syy": pa.array(np.bincount(gi, weights=y * y, minlength=ng).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [id_col, group_col, value_col, "z"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    m = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(group_col, sort=True, as_index=False)[["n", "sy", "syy"]]
+        .sum()
+    )
+    groups_sorted = m[group_col].to_numpy(dtype=object).astype("U")
+    means = np.empty(len(m), np.float64)
+    stds = np.empty(len(m), np.float64)
+    for i, (g, n, sy, syy) in enumerate(m.itertuples(index=False)):
+        n, sy, syy = int(n), int(sy), int(syy)
+        var_num = n * syy - sy * sy  # exact int; population var = num / (100²·n²)
+        means[i] = float(sy) / 100.0 / n
+        stds[i] = float(np.sqrt(float(var_num))) / 100.0 / n
+    import ray
+
+    ref = ray.put((groups_sorted, means, stds))
+
+    def score(t: pa.Table) -> pa.Table:
+        gs, mean_arr, std_arr = ray.get(ref)
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False).astype("U")
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(gs, g)
+        mean = mean_arr[idx]
+        std = std_arr[idx]
+        z = np.where(std > 0, np.round((v - mean) / np.where(std > 0, std, 1.0), 4) + 0.0, 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                value_col: t[value_col],
+                "z": pa.array(z, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)[cols]
+
+
+def zscore_normalize_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH p AS (
+  SELECT {group_col},
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)) AS sy,
+         sum(CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)
+             * CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)) AS syy
+  FROM {table} GROUP BY {group_col}
+),
+st AS (
+  SELECT {group_col},
+         CAST(sy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS mean,
+         sqrt(CAST(n * syy - sy * sy AS DOUBLE)) / 100.0 / CAST(n AS DOUBLE) AS std
+  FROM p
+)
+SELECT e.{id_col}, e.{group_col}, e.{value_col},
+       CASE WHEN st.std > 0
+            THEN round((e.{value_col} - st.mean) / st.std, 4) + 0.0
+            ELSE 0.0 END AS z
+FROM {table} e JOIN st USING ({group_col})
+ORDER BY e.{id_col}
+""".strip()

@@ -86,3 +86,36 @@ def test_user_timeline(ray_session):
     assert m[2] == "click>view"  # time order, not input order
     assert m[3] == "view"
     assert list(out["n_events"]) == [3, 2, 1]
+
+
+def test_event_transitions(ray_session):
+    out = analytics.event_transitions(_events(ROWS))
+    m = {(r["prev_type"], r["next_type"]): r["n"] for _, r in out.iterrows()}
+    # u1: view>click, click>purchase; u2 (time order): click>view
+    assert m == {("view", "click"): 1, ("click", "purchase"): 1, ("click", "view"): 1}
+
+
+def test_pivot_hourly(ray_session):
+    out = analytics.pivot_hourly(_events(ROWS), types=("view", "click", "purchase"))
+    assert len(out) == 24 and list(out["hour"]) == list(range(24))
+    assert out.loc[10, "n_view"] == 1 and out.loc[10, "n_click"] == 1 and out.loc[10, "n_purchase"] == 1
+    assert out.loc[9, "n_click"] == 1 and out.loc[11, "n_view"] == 1 and out.loc[12, "n_view"] == 1
+    assert out.drop(columns="hour").to_numpy().sum() == len(ROWS)
+
+
+def test_zscore_normalize(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    out = analytics.zscore_normalize(_events(rows))
+    # mean 2.5, population std sqrt(1.25)
+    exp = np.round((np.array([1, 2, 3, 4]) - 2.5) / np.sqrt(1.25), 4)
+    assert list(out["z"]) == list(exp)
+    # constant group → z = 0 everywhere, no div-by-zero
+    const = analytics.zscore_normalize(_events([(1, 1, "c", "2024-01-01", 5.0), (2, 1, "c", "2024-01-01", 5.0)]))
+    assert list(const["z"]) == [0.0, 0.0]
+
+
+def test_zscore_partition_independent(ray_session):
+    rows = [(i, i % 3, "t" + str(i % 2), "2024-01-01", 0.37 * i) for i in range(300)]
+    a = analytics.zscore_normalize(_events(rows))
+    b = analytics.zscore_normalize(_events(rows).repartition(8))
+    assert a.equals(b)
