@@ -1472,6 +1472,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_hll": _approx_distinct_hll,
         "approx_distinct_by_user": _approx_distinct_by_user,
         "source_jaccard": _source_jaccard,
+        "kmv_overlap": lambda sf: _sketch.kmv_overlap(
+            _ev_ds(sf, ("user_id", "event_type")),
+            key_col="user_id", label_col="event_type",
+            label_a="click", label_b="purchase", k=64,
+        ),
         "tfidf_keywords": _tfidf_keywords,
         "collocations_pmi": _collocations,
         "running_total": _running_total,
@@ -1820,6 +1825,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
+        "kmv_overlap": _sketch.kmv_overlap_sql(
+            "events", key_col="user_id", label_col="event_type",
+            label_a="click", label_b="purchase", k=64,
+        ),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "running_total": _analytics.running_total_sql("events"),

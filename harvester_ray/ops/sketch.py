@@ -323,3 +323,119 @@ SELECT k AS {key}, {m}::BIGINT AS m, rho_sum, rho_max, n_zero,
 FROM st
 ORDER BY {key}
 """.strip()
+
+
+def kmv_overlap(
+    ds,
+    *,
+    key_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 256,
+):
+    """KMV set-overlap sketch: estimate the Jaccard similarity and
+    intersection size of two keyed sets (rows where ``label_col`` equals
+    ``label_a`` vs ``label_b``) without materializing either set.
+
+    Per batch each side contributes its k smallest distinct md5-64 key
+    hashes; the merged union sketch's k smallest hashes are an unbiased
+    bottom-k sample of A ∪ B, so ``jaccard ≈ |sketch ∩ A ∩ B| / |sketch|``
+    (Bar-Yossef et al.'s bottom-k estimator — merge is order-independent,
+    results are partition-independent and reproducible in SQL). Returns one
+    row ``(n_kept, n_common, union_est, jaccard_est, inter_est)``; when
+    |A ∪ B| < k every count is exact."""
+    import pandas as pd
+
+    def batch_mins(t: pa.Table) -> pa.Table:
+        lab = t[label_col].combine_chunks().cast(pa.string())
+        out_h, out_s = [], []
+        for side, lval in ((0, label_a), (1, label_b)):
+            vals = pc.drop_null(
+                pc.filter(t[key_col].combine_chunks(), pc.equal(lab, lval))
+            ).cast(pa.string()).unique()
+            h = np.unique(_md5_64(vals.to_pylist()))[:k]
+            out_h.append(h)
+            out_s.append(np.full(h.size, side, np.int8))
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(out_h).view(np.int64), pa.int64()),
+                "side": pa.array(np.concatenate(out_s), pa.int8()),
+            }
+        )
+
+    parts = ds.map_batches(
+        batch_mins, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"n_kept": [0], "n_common": [0], "union_est": [0.0], "jaccard_est": [0.0], "inter_est": [0.0]}
+        )
+    h = parts["h"].to_numpy().view(np.uint64)
+    side = parts["side"].to_numpy()
+    in_a = np.unique(h[side == 0])
+    in_b = np.unique(h[side == 1])
+    union = np.unique(h)[:k]
+    n_kept = int(union.size)
+    common = np.intersect1d(union, np.intersect1d(in_a, in_b, assume_unique=True), assume_unique=True)
+    n_common = int(common.size)
+    if n_kept == 0:
+        union_est = 0.0
+    elif n_kept < k:
+        union_est = float(n_kept)
+    else:
+        union_est = round((k - 1) / (float(union[k - 1]) / _TWO64), 4)
+    # floor(x+0.5) fixed-point on BOTH sides: n/n_kept can land on exact
+    # decimal halves (x/256), where round-half-even and half-away disagree
+    jacc = float(np.floor(n_common * 1e6 / n_kept + 0.5) / 1e6) if n_kept else 0.0
+    return pd.DataFrame(
+        {
+            "n_kept": [n_kept],
+            "n_common": [n_common],
+            "union_est": [union_est],
+            "jaccard_est": [jacc],
+            "inter_est": [float(np.floor(jacc * union_est * 1e4 + 0.5) / 1e4)],
+        }
+    )
+
+
+def kmv_overlap_sql(
+    table: str,
+    *,
+    key_col: str,
+    label_col: str,
+    label_a: str,
+    label_b: str,
+    k: int = 256,
+) -> str:
+    """Oracle: identical union sketch + overlap counts in SQL."""
+    h_expr = f"CAST(('0x' || substr(md5(CAST({key_col} AS VARCHAR)), 1, 16)) AS UBIGINT)"
+    return f"""
+WITH ha AS (
+  SELECT DISTINCT {h_expr} AS h FROM {table}
+  WHERE {key_col} IS NOT NULL AND {label_col} = '{label_a}'
+),
+hb AS (
+  SELECT DISTINCT {h_expr} AS h FROM {table}
+  WHERE {key_col} IS NOT NULL AND {label_col} = '{label_b}'
+),
+u AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT {k}),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(count(*) FILTER (u.h IN (SELECT h FROM ha) AND u.h IN (SELECT h FROM hb)) AS BIGINT) AS n_common,
+         max(u.h) AS kth
+  FROM u
+)
+SELECT n_kept, n_common,
+       CASE WHEN n_kept = 0 THEN 0.0
+            WHEN n_kept < {k} THEN n_kept * 1.0
+            ELSE round(({k} - 1) / (kth / 18446744073709551616.0), 4)
+       END AS union_est,
+       CASE WHEN n_kept = 0 THEN 0.0 ELSE floor(n_common * 1e6 / n_kept + 0.5) / 1e6 END AS jaccard_est,
+       floor(
+         (CASE WHEN n_kept = 0 THEN 0.0 ELSE floor(n_common * 1e6 / n_kept + 0.5) / 1e6 END)
+         * (CASE WHEN n_kept = 0 THEN 0.0
+                 WHEN n_kept < {k} THEN n_kept * 1.0
+                 ELSE round(({k} - 1) / (kth / 18446744073709551616.0), 4) END) * 1e4 + 0.5) / 1e4 AS inter_est
+FROM st
+""".strip()

@@ -103,3 +103,61 @@ def test_hll_by_key_partition_invariance():
         a.sort_values("k").reset_index(drop=True),
         b.sort_values("k").reset_index(drop=True),
     )
+
+
+def _labeled(pairs):
+    import ray.data as rd
+
+    import pandas as pd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([p[0] for p in pairs], pa.int64()),
+                "lab": pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+    )
+
+
+def test_kmv_overlap_exact_when_small(ray_session):
+    # A = {0..9}, B = {5..14}: |A∪B| = 15 < k → everything exact
+    pairs = [(i, "a") for i in range(10)] + [(i, "b") for i in range(5, 15)]
+    out = sketch.kmv_overlap(
+        _labeled(pairs), key_col="k", label_col="lab", label_a="a", label_b="b", k=64
+    )
+    r = out.iloc[0]
+    assert r["n_kept"] == 15 and r["n_common"] == 5
+    assert r["union_est"] == 15.0 and r["jaccard_est"] == round(5 / 15, 6)
+    assert abs(r["inter_est"] - 5.0) < 0.01
+
+
+def test_kmv_overlap_estimates(ray_session):
+    # |A| = |B| = 3000 with 1500 shared → J = 1/3, |A∪B| = 4500
+    pairs = [(i, "a") for i in range(3000)] + [(i, "b") for i in range(1500, 4500)]
+    out = sketch.kmv_overlap(
+        _labeled(pairs), key_col="k", label_col="lab", label_a="a", label_b="b", k=256
+    )
+    r = out.iloc[0]
+    assert abs(r["union_est"] - 4500) / 4500 < 0.25
+    assert abs(r["jaccard_est"] - 1 / 3) < 0.12
+    assert abs(r["inter_est"] - 1500) / 1500 < 0.4
+
+
+def test_kmv_overlap_partition_independent(ray_session):
+    pairs = [(i * 7, "a") for i in range(800)] + [(i * 11, "b") for i in range(800)]
+    a = sketch.kmv_overlap(_labeled(pairs), key_col="k", label_col="lab", label_a="a", label_b="b", k=128)
+    b = sketch.kmv_overlap(
+        _labeled(pairs).repartition(9), key_col="k", label_col="lab", label_a="a", label_b="b", k=128
+    )
+    assert a.equals(b)
+
+
+def test_kmv_overlap_disjoint_and_empty(ray_session):
+    pairs = [(i, "a") for i in range(20)] + [(i + 100, "b") for i in range(20)]
+    out = sketch.kmv_overlap(_labeled(pairs), key_col="k", label_col="lab", label_a="a", label_b="b", k=64)
+    assert out.iloc[0]["n_common"] == 0 and out.iloc[0]["jaccard_est"] == 0.0
+    empty = sketch.kmv_overlap(
+        _labeled([(1, "x")]), key_col="k", label_col="lab", label_a="a", label_b="b", k=8
+    )
+    assert empty.iloc[0]["n_kept"] == 0 and empty.iloc[0]["inter_est"] == 0.0
