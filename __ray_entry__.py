@@ -38,6 +38,7 @@ from harvester_ray.ops import compare as _compare
 from harvester_ray.ops import keywords as _keywords
 from harvester_ray.pipelines import analytics as _analytics
 from harvester_ray.ops import bloom as _bloom
+from harvester_ray.ops import embstats as _embstats
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1479,6 +1480,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "tfidf_keywords": _tfidf_keywords,
         "collocations_pmi": _collocations,
+        "bpe_pair_counts": lambda sf: _keywords.bpe_pair_counts(
+            _docs_ds(sf, ("text",)), k=100
+        ),
         "running_total": _running_total,
         "funnel": _funnel,
         "value_histogram": _value_histogram,
@@ -1490,6 +1494,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_normalize": _zscore,
         "bloom_semijoin": _bloom_semijoin,
         "anti_join_orders": relational.orders_without_lineitems,
+        "centroid_cosine": lambda sf: _embstats.centroid_cosine(_emb_ds(sf)),
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1831,6 +1836,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
+        "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "running_total": _analytics.running_total_sql("events"),
         "funnel": _analytics.funnel_sql("events"),
         "value_histogram": _analytics.value_histogram_sql("events", nbins=20),
@@ -1847,6 +1853,7 @@ def oracle_sql() -> dict[str, str]:
             build_key="o_orderkey",
         ),
         "anti_join_orders": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "centroid_cosine": _embstats.centroid_cosine_sql("embeddings"),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

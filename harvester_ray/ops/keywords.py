@@ -267,3 +267,87 @@ scored AS (
 SELECT w1, w2, n_pair, pmi FROM scored
 ORDER BY pmi DESC, w1, w2 LIMIT {k}
 """.strip()
+
+
+def bpe_pair_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 100,
+) -> pd.DataFrame:
+    """The first iteration of BPE tokenizer training: corpus-wide counts of
+    adjacent character pairs inside tokens (initial symbol state = single
+    characters). The merge rule a real BPE trainer would apply is the
+    top-count pair; we return the top-``k`` ranked (n desc, pair asc).
+
+    Vectorized per batch: the token dictionary is joined into one byte
+    buffer, adjacent in-token byte pairs are bincounted into a 65,536-cell
+    grid weighted by token frequency — per-batch partials are the nonzero
+    cells (≤ alphabet², tiny), folded once on the driver. Tokens are
+    [a-z0-9]+ so bytes == characters. Returns ``(left_sym, right_sym, n)``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        if len(dictionary) == 0:
+            return pa.table(
+                {"pair": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        cf = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        words = dictionary.to_pandas().to_numpy(dtype=object)
+        buf = np.frombuffer(("\x00".join(words) + "\x00").encode(), np.uint8)
+        word_id = np.cumsum(buf == 0) - (buf == 0)  # id of the word each byte belongs to
+        a, b = buf[:-1], buf[1:]
+        ok = (a != 0) & (b != 0)
+        pair = a[ok].astype(np.int64) * 256 + b[ok]
+        w = cf[word_id[:-1][ok]]
+        counts = np.bincount(pair, weights=w, minlength=65536).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "pair": pa.array(nz.astype(np.int64), pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["left_sym", "right_sym", "n"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby("pair", as_index=False)["n"].sum()
+    pair = folded["pair"].to_numpy(np.int64)
+    out = pd.DataFrame(
+        {
+            "left_sym": [chr(p >> 8) for p in pair],
+            "right_sym": [chr(p & 255) for p in pair],
+            "n": folded["n"].to_numpy(np.int64),
+        }
+    )
+    out = out.sort_values(["n", "left_sym", "right_sym"], ascending=[False, True, True], kind="stable")
+    return out.head(k).reset_index(drop=True)
+
+
+def bpe_pair_counts_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    k: int = 100,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {tok} AS ts FROM {table}),
+words AS (SELECT unnest(ts) AS w FROM toks),
+pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS p
+  FROM words WHERE len(w) >= 2
+),
+counts AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1)
+SELECT substr(p, 1, 1) AS left_sym, substr(p, 2, 1) AS right_sym, n
+FROM counts ORDER BY n DESC, left_sym, right_sym LIMIT {k}
+""".strip()

@@ -82,3 +82,45 @@ def test_regression_partition_independent(ray_session):
     a = analytics.regression_by_group(_events(200))
     b = analytics.regression_by_group(_events(200).repartition(9))
     assert a.equals(b)
+
+
+def test_centroid_cosine(ray_session):
+    import ray.data as rd
+
+    from harvester_ray.ops import embstats
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]
+    labs = [0, 0, 1, 2]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array(labs, pa.int32()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    out = embstats.centroid_cosine(ds)
+    m = {(r["label_a"], r["label_b"]): r["cosine"] for _, r in out.iterrows()}
+    assert m[(0, 1)] == 0.0  # orthogonal centroids
+    assert abs(m[(0, 2)] - np.round(1 / np.sqrt(2), 6)) < 1e-9
+    assert abs(m[(1, 2)] - np.round(1 / np.sqrt(2), 6)) < 1e-9
+    assert list(out["n_a"]) == [2, 2, 1]
+
+
+def test_centroid_cosine_partition_independent(ray_session):
+    import ray.data as rd
+
+    from harvester_ray.ops import embstats
+
+    rng_vals = [[(i * 7 % 13) * 0.1, (i * 5 % 11) * 0.2, 1.0] for i in range(60)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "label": pa.array([i % 4 for i in range(60)], pa.int32()),
+                "embedding": pa.array(rng_vals, pa.list_(pa.float32())),
+            }
+        )
+    )
+    a = embstats.centroid_cosine(ds)
+    b = embstats.centroid_cosine(ds.repartition(7))
+    assert a.equals(b)

@@ -80,3 +80,20 @@ def test_empty_corpus(ray_session):
     assert len(out) == 0
     out2 = keywords.collocations_pmi(_ds(["", ""]), k=3, min_count=1)
     assert len(out2) == 0
+
+
+def test_bpe_pair_counts(ray_session):
+    out = keywords.bpe_pair_counts(_ds(["abab abab", "ab cd"]), k=10)
+    m = {(r["left_sym"], r["right_sym"]): r["n"] for _, r in out.iterrows()}
+    # "abab" ×2 tokens: pairs per occurrence ab,ba,ab → ab=2·2+1 (the "ab"
+    # token adds one), ba=1·2
+    assert m[("a", "b")] == 5 and m[("b", "a")] == 2 and m[("c", "d")] == 1
+    # ranked by count desc then pair
+    assert list(out.iloc[0][["left_sym", "right_sym"]]) == ["a", "b"]
+
+
+def test_bpe_partition_independent(ray_session):
+    texts = ["hello world " * 5] * 40
+    a = keywords.bpe_pair_counts(_ds(texts), k=20)
+    b = keywords.bpe_pair_counts(_ds(texts).repartition(7), k=20)
+    assert a.equals(b)
