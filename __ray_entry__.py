@@ -1483,6 +1483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": lambda sf: _keywords.bpe_pair_counts(
             _docs_ds(sf, ("text",)), k=100
         ),
+        "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "running_total": _running_total,
         "funnel": _funnel,
         "value_histogram": _value_histogram,
@@ -1837,6 +1838,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
+        "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "running_total": _analytics.running_total_sql("events"),
         "funnel": _analytics.funnel_sql("events"),
         "value_histogram": _analytics.value_histogram_sql("events", nbins=20),

@@ -351,3 +351,118 @@ counts AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY 1)
 SELECT substr(p, 1, 1) AS left_sym, substr(p, 2, 1) AS right_sym, n
 FROM counts ORDER BY n DESC, left_sym, right_sym LIMIT {k}
 """.strip()
+
+
+def unigram_logprob(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Unigram-LM quality score per document — the engine-side analog of
+    CCNet/KenLM perplexity filtering, with the corpus itself as the model:
+    ``logprob = Σ_terms tf · ln(cf_term / U)`` and
+    ``lp_per_token = logprob / doc_len`` (higher = more typical text;
+    boilerplate scores high, lexical soup scores low).
+
+    Oracle-exact float discipline: each term's ln(cf/U) is quantized ONCE
+    to a nano-fixed-point integer; per-doc totals are integer sums (no
+    order-dependent float accumulation), floats re-enter only in the final
+    per-token division. The cf vocabulary is broadcast as sorted numpy
+    arrays (same shape as tfidf_keywords). Returns
+    ``(doc_id, n_tokens, logprob, lp_per_token)`` rounded to 6."""
+    # pass 1: corpus collection frequencies + total token count
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        _, codes, dictionary = analyzer.tokenize_flat(text)
+        cf = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = cf > 0
+        return pa.table(
+            {
+                "term": pa.array(np.append(terms[keep], [_NDOCS_KEY]), pa.string()),
+                "n": pa.array(np.append(cf[keep], [int(codes.size)]), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(cf_partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = _fold_partials(parts)
+    is_u = folded["term"] == _NDOCS_KEY
+    u_total = int(folded.loc[is_u, "n"].sum())
+    vocab_tbl = folded[~is_u]
+    vocab = vocab_tbl["term"].to_numpy(dtype=object).astype("U")
+    cfs = vocab_tbl["n"].to_numpy(np.int64)
+    order = np.argsort(vocab, kind="stable")
+    # quantize each term's ln(cf/U) once — ln(cf·1.0/U) exactly as the oracle
+    lp_nano = np.floor(
+        np.log(cfs[order].astype(np.float64) / np.float64(u_total)) * 1e9 + 0.5
+    ).astype(np.int64) if u_total else np.zeros(0, np.int64)
+    ref = ray.put((vocab[order], lp_nano))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted, lp_sorted = ray.get(ref)
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n = batch.num_rows
+        doc_ids = batch[id_col].combine_chunks()
+        n_tok = np.bincount(rows, minlength=n).astype(np.int64) if rows.size else np.zeros(n, np.int64)
+        totals = np.zeros(n, np.int64)
+        if codes.size:
+            batch_terms = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+            pos = np.searchsorted(terms_sorted, batch_terms)
+            lp_of_code = lp_sorted[np.clip(pos, 0, max(terms_sorted.size - 1, 0))]
+            np.add.at(totals, rows, lp_of_code[codes])
+        lp = totals / 1e9
+        per_tok = np.divide(lp, n_tok, out=np.zeros(n, np.float64), where=n_tok > 0)
+        return pa.table(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "logprob": pa.array(np.round(lp, 6) + 0.0, pa.float64()),
+                "lp_per_token": pa.array(np.round(per_tok, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["doc_id", "n_tokens", "logprob", "lp_per_token"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+def unigram_logprob_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM flat GROUP BY 1),
+u AS (SELECT CAST(count(*) AS BIGINT) AS u FROM flat),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(cf * 1.0 / u.u) * 1e9 + 0.5) AS BIGINT) AS lp_nano
+  FROM cf CROSS JOIN u
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(lp.lp_nano) AS total_nano
+  FROM flat f JOIN lp USING (term) GROUP BY f.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       round(coalesce(p.total_nano, 0) / 1e9, 6) + 0.0 AS logprob,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+            ELSE round((p.total_nano / 1e9) / p.n_tokens, 6) + 0.0 END AS lp_per_token
+FROM (SELECT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+""".strip()

@@ -97,3 +97,28 @@ def test_bpe_partition_independent(ray_session):
     a = keywords.bpe_pair_counts(_ds(texts), k=20)
     b = keywords.bpe_pair_counts(_ds(texts).repartition(7), k=20)
     assert a.equals(b)
+
+
+def test_unigram_logprob(ray_session):
+    import math
+
+    out = keywords.unigram_logprob(_ds(["a a b", "a", ""]))
+    # corpus tokens: a,a,b,a → cf(a)=3, cf(b)=1, U=4
+    lp_a = math.floor(math.log(3 / 4) * 1e9 + 0.5)
+    lp_b = math.floor(math.log(1 / 4) * 1e9 + 0.5)
+    d0 = out[out["doc_id"] == 0].iloc[0]
+    assert d0["n_tokens"] == 3
+    assert d0["logprob"] == round((2 * lp_a + lp_b) / 1e9, 6)
+    assert d0["lp_per_token"] == round((2 * lp_a + lp_b) / 1e9 / 3, 6)
+    # empty doc present with zeros
+    d2 = out[out["doc_id"] == 2].iloc[0]
+    assert d2["n_tokens"] == 0 and d2["logprob"] == 0.0 and d2["lp_per_token"] == 0.0
+    # typical text (common terms) scores higher per token than rare text
+    assert out[out["doc_id"] == 1].iloc[0]["lp_per_token"] > d0["lp_per_token"]
+
+
+def test_unigram_logprob_partition_independent(ray_session):
+    texts = [f"tok{i % 17} tok{i % 5} filler common" for i in range(80)]
+    a = keywords.unigram_logprob(_ds(texts))
+    b = keywords.unigram_logprob(_ds(texts).repartition(9))
+    assert a.equals(b)
