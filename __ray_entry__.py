@@ -1490,6 +1490,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "ntile_quartiles": lambda sf: _analytics.ntile_buckets(
+            _ev_ds(sf, ("event_id", "event_type", "value")), n=4
+        ),
         "event_transitions": _event_transitions,
         "pivot_hourly": _pivot_hourly,
         "zscore_normalize": _zscore,
@@ -1845,6 +1848,7 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "ntile_quartiles": _analytics.ntile_buckets_sql("events", n=4),
         "event_transitions": _analytics.event_transitions_sql("events"),
         "pivot_hourly": _analytics.pivot_hourly_sql("events"),
         "zscore_normalize": _analytics.zscore_normalize_sql("events"),

@@ -725,3 +725,60 @@ SELECT e.{id_col}, e.{group_col}, e.{value_col},
 FROM {table} e JOIN st USING ({group_col})
 ORDER BY e.{id_col}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# ntile / percent_rank (rank-window analog)
+# --------------------------------------------------------------------------
+
+def ntile_buckets(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n: int = 4,
+) -> pd.DataFrame:
+    """Assign every row its n-tile within its group by
+    ``(value, id)`` order — DuckDB ``ntile(n) OVER (PARTITION BY group
+    ORDER BY value, id)`` semantics (first ``size mod n`` tiles get the
+    extra row). Same grouped exchange as running_total. Returns
+    ``(id, group, value, tile)`` sorted by id."""
+
+    def tile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], kind="stable")
+        sz = len(g)
+        base, rem = divmod(sz, n)
+        sizes = np.full(n, base, np.int64)
+        sizes[:rem] += 1
+        tiles = np.repeat(np.arange(1, n + 1, dtype=np.int64), sizes)  # len == sz
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group_col: g[group_col].to_numpy(),
+                value_col: g[value_col].to_numpy(),
+                "tile": tiles,
+            }
+        )
+
+    out = ds.groupby(group_col).map_groups(tile, batch_format="pandas").to_pandas()
+    cols = [id_col, group_col, value_col, "tile"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(id_col).reset_index(drop=True)[cols]
+
+
+def ntile_buckets_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n: int = 4,
+) -> str:
+    return f"""
+SELECT {id_col}, {group_col}, {value_col},
+       CAST(ntile({n}) OVER (PARTITION BY {group_col}
+                             ORDER BY {value_col}, {id_col}) AS BIGINT) AS tile
+FROM {table} ORDER BY {id_col}
+""".strip()

@@ -119,3 +119,19 @@ def test_zscore_partition_independent(ray_session):
     a = analytics.zscore_normalize(_events(rows))
     b = analytics.zscore_normalize(_events(rows).repartition(8))
     assert a.equals(b)
+
+
+def test_ntile_buckets(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(i)) for i in range(10)]
+    out = analytics.ntile_buckets(_events(rows), n=4)
+    # 10 rows into 4 tiles → sizes 3,3,2,2 in value order
+    assert list(out["tile"]) == [1, 1, 1, 2, 2, 2, 3, 3, 4, 4]
+    tiny = analytics.ntile_buckets(_events(rows[:3]), n=4)
+    assert list(tiny["tile"]) == [1, 2, 3]
+
+
+def test_ntile_partition_independent(ray_session):
+    rows = [(i, 1, "t" + str(i % 3), "2024-01-01", float((i * 17) % 23)) for i in range(90)]
+    a = analytics.ntile_buckets(_events(rows), n=5)
+    b = analytics.ntile_buckets(_events(rows).repartition(6), n=5)
+    assert a.equals(b)
