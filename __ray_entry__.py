@@ -1478,6 +1478,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "source_kl": lambda sf: _compare.source_kl(
+            _docs_ds(sf, ("source", "text"))
+        ),
         "tfidf_keywords": _tfidf_keywords,
         "collocations_pmi": _collocations,
         "bpe_pair_counts": lambda sf: _keywords.bpe_pair_counts(
@@ -1498,6 +1501,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_normalize": _zscore,
         "bloom_semijoin": _bloom_semijoin,
         "anti_join_orders": relational.orders_without_lineitems,
+        "global_sort_page": relational.global_sort_page,
         "centroid_cosine": lambda sf: _embstats.centroid_cosine(_emb_ds(sf)),
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
@@ -1838,6 +1842,7 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "source_kl": _compare.source_kl_sql("documents"),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
@@ -1859,6 +1864,7 @@ def oracle_sql() -> dict[str, str]:
             build_key="o_orderkey",
         ),
         "anti_join_orders": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "global_sort_page": relational.GLOBAL_SORT_PAGE_SQL,
         "centroid_cosine": _embstats.centroid_cosine_sql("embeddings"),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,

@@ -165,3 +165,107 @@ JOIN counts ca ON ca.src = i.source_a
 JOIN counts cb ON cb.src = i.source_b
 ORDER BY source_a, source_b
 """.strip()
+
+
+def source_kl(
+    ds,
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """KL divergence D(P_source ‖ P_corpus) of each source's unigram
+    distribution from the whole corpus's — the information-theoretic
+    member of the corpus-comparison family (`source_jaccard` measures set
+    overlap; this measures distributional drift, the signal used to spot
+    a source whose content shifted between crawls).
+
+    One streaming pass emits per-batch (source, term, cf) partials
+    (vocabulary-bounded, folded once — same shape as `ops/keywords.py`);
+    every per-term contribution ``cf_s/U_s · ln((cf_s/U_s)/(cf_c/U_c))``
+    is computed from exact integer counts and quantized to nano units
+    BEFORE the cross-term sum, so the engine's fold order cannot change
+    the result and DuckDB reproduces it bit-for-bit. Returns
+    ``(source, n_tokens, kl)`` (kl rounded to 6, nats), sorted by source.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .. import analyzer
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        src = batch[key].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        tok_src, si = np.unique(src[rows], return_inverse=True) if rows.size else (np.array([], object), np.zeros(0, np.int64))
+        code = si.astype(np.int64) * max(len(dictionary), 1) + codes
+        cu, cn = np.unique(code, return_counts=True)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        return pa.table(
+            {
+                "src": pa.array(tok_src[(cu // max(len(dictionary), 1)).astype(np.int64)], pa.string()),
+                "term": pa.array(terms[(cu % max(len(dictionary), 1)).astype(np.int64)], pa.string()),
+                "cf": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["source", "n_tokens", "kl"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["src", "term"], sort=False, as_index=False)["cf"]
+        .sum()
+    )
+    corpus = folded.groupby("term", sort=False, as_index=False)["cf"].sum()
+    u_c = int(corpus["cf"].sum())
+    cf_c = dict(zip(corpus["term"], corpus["cf"]))
+    u_s = folded.groupby("src", sort=True)["cf"].sum()
+    rows_out = []
+    for src_name, us in u_s.items():
+        sub = folded[folded["src"] == src_name]
+        us = int(us)
+        # per-term contribution, nano-quantized BEFORE summation — identical
+        # expression to the oracle: (cf_s/U_s)·ln((cf_s·U_c)/(cf_c·U_s))
+        total = 0
+        for term, cf_s in zip(sub["term"], sub["cf"]):
+            cf_s = int(cf_s)
+            contrib = (cf_s / us) * float(np.log((cf_s * u_c) / (cf_c[term] * us)))
+            total += int(np.floor(contrib * 1e9 + 0.5))
+        rows_out.append((src_name, us, round(total / 1e9, 6) + 0.0))
+    return pd.DataFrame(rows_out, columns=cols)
+
+
+def source_kl_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {key} AS src, {tok} AS ts FROM {table}),
+flat AS (SELECT src, unnest(ts) AS term FROM toks),
+sc AS (SELECT src, term, CAST(count(*) AS BIGINT) AS cf_s FROM flat GROUP BY 1, 2),
+cc AS (SELECT term, CAST(count(*) AS BIGINT) AS cf_c FROM flat GROUP BY 1),
+us AS (SELECT src, CAST(count(*) AS BIGINT) AS u_s FROM flat GROUP BY 1),
+uc AS (SELECT CAST(count(*) AS BIGINT) AS u_c FROM flat),
+contrib AS (
+  SELECT sc.src,
+         CAST(floor((sc.cf_s * 1.0 / us.u_s)
+                    * ln((sc.cf_s * uc.u_c) * 1.0 / (cc.cf_c * us.u_s))
+                    * 1e9 + 0.5) AS BIGINT) AS nano
+  FROM sc JOIN cc USING (term) JOIN us USING (src) CROSS JOIN uc
+)
+SELECT us.src AS source, us.u_s AS n_tokens,
+       round(coalesce(sum(contrib.nano), 0) / 1e9, 6) + 0.0 AS kl
+FROM us LEFT JOIN contrib ON contrib.src = us.src
+GROUP BY us.src, us.u_s ORDER BY us.src
+""".strip()

@@ -726,3 +726,26 @@ FROM orders o
 WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 ORDER BY o_orderkey
 """.strip()
+
+
+def global_sort_page(sf_dir: str, *, offset: int = 1000, page: int = 10):
+    """Deep pagination into a full distributed sort: rows [offset,
+    offset+page) of events ordered by (value DESC, event_id). The sort is
+    Ray Data's range-partitioned exchange (sample → range-split → per-range
+    sort) — the one all-to-all this operator fundamentally requires; only
+    ``offset + page`` rows ever reach the driver via ``limit()``, so deep
+    pages stay cheap as long as offset ≪ corpus (the same contract as the
+    search API's from+size pagination, index/extras.py:search_page)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    out = (
+        ds.sort(["value", "event_id"], descending=[True, False])
+        .limit(offset + page)
+        .to_pandas()
+    )
+    return out.iloc[offset:].reset_index(drop=True)[["event_id", "event_type", "value"]]
+
+
+GLOBAL_SORT_PAGE_SQL = """
+SELECT event_id, event_type, value
+FROM events ORDER BY value DESC, event_id LIMIT 10 OFFSET 1000
+""".strip()

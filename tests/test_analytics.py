@@ -135,3 +135,24 @@ def test_ntile_partition_independent(ray_session):
     a = analytics.ntile_buckets(_events(rows), n=5)
     b = analytics.ntile_buckets(_events(rows).repartition(6), n=5)
     assert a.equals(b)
+
+
+def test_global_sort_page(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    n = 50
+    t = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array([float((i * 13) % 29) for i in range(n)]),
+        }
+    )
+    pq.write_table(t, tmp_path / "events.parquet")
+    from harvester_ray.pipelines import relational
+
+    out = relational.global_sort_page(str(tmp_path), offset=5, page=7)
+    df = t.to_pandas().sort_values(["value", "event_id"], ascending=[False, True])
+    exp = df.iloc[5:12].reset_index(drop=True)
+    assert list(out["event_id"]) == list(exp["event_id"])
+    assert list(out["value"]) == list(exp["value"])
