@@ -1503,6 +1503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_orders": relational.orders_without_lineitems,
         "global_sort_page": relational.global_sort_page,
         "centroid_cosine": lambda sf: _embstats.centroid_cosine(_emb_ds(sf)),
+        "embedding_quantize": lambda sf: _embstats.quantize_embeddings_int8(_emb_ds(sf)),
         "embedding_neardup": lambda sf: dedup.embedding_near_dups(_emb_ds(sf), threshold=0.4).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
@@ -1866,6 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "anti_join_orders": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
         "global_sort_page": relational.GLOBAL_SORT_PAGE_SQL,
         "centroid_cosine": _embstats.centroid_cosine_sql("embeddings"),
+        "embedding_quantize": _embstats.quantize_embeddings_int8_sql("embeddings"),
         "pii_scrub": _pii.scrub_sql(
             """(SELECT doc_id,
                        text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -123,3 +123,87 @@ JOIN cnt ca ON ca.label = d.label_a
 JOIN cnt cb ON cb.label = d.label_b
 ORDER BY d.label_a, d.label_b
 """.strip()
+
+
+def quantize_embeddings_int8(
+    ds,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Symmetric int8 quantization of an embedding column with per-dimension
+    scales — the vector-store compression step (4× smaller, |q| ≤ 127,
+    q = floor(x / max|x|_dim · 127 + 0.5)). Two streaming passes: exact
+    per-dim max-abs partials (dims floats per batch) folded and broadcast,
+    then a stateless quantize map. Returns long-form ``(vec_id, i, q)``
+    (1-based dim index, matching SQL generate_subscripts) sorted by
+    (vec_id, i); zero-scale dims quantize to 0."""
+    import ray
+
+    def maxabs(t: pa.Table) -> pa.Table:
+        vecs = t[vec_col].combine_chunks()
+        flat = np.abs(vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64))
+        dims = np.diff(vecs.offsets.to_numpy(zero_copy_only=False))
+        d = int(dims[0]) if dims.size else 0
+        m = flat.reshape(-1, d).max(axis=0) if d and flat.size else np.zeros(d)
+        return pa.table({"i": pa.array(np.arange(d, dtype=np.int64), pa.int64()),
+                         "m": pa.array(m, pa.float64())})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(maxabs, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["vec_id", "i", "q"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    scales = (
+        pd.concat(parts, ignore_index=True).groupby("i", sort=True)["m"].max().to_numpy(np.float64)
+    )
+    ref = ray.put(scales)
+
+    def quant(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        vecs = t[vec_col].combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = m.size
+        x = flat.reshape(-1, d)
+        safe = np.where(m > 0, m, 1.0)
+        q = np.clip(np.floor(x / safe * 127 + 0.5), -127, 127).astype(np.int64)
+        q[:, m <= 0] = 0
+        ids = t[id_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, d), pa.int64()),
+                "i": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), ids.size), pa.int64()),
+                "q": pa.array(q.ravel(), pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(quant, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(["vec_id", "i"]).reset_index(drop=True)[cols]
+
+
+def quantize_embeddings_int8_sql(
+    table: str = "embeddings",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    return f"""
+WITH e AS (
+  SELECT {id_col} AS vec_id,
+         generate_subscripts({vec_col}, 1) AS i,
+         CAST(unnest({vec_col}) AS DOUBLE) AS x
+  FROM {table}
+),
+s AS (SELECT i, max(abs(x)) AS m FROM e GROUP BY i)
+SELECT e.vec_id, CAST(e.i AS BIGINT) AS i,
+       CASE WHEN s.m <= 0 THEN CAST(0 AS BIGINT)
+            ELSE CAST(least(127, greatest(-127, floor(e.x / s.m * 127 + 0.5))) AS BIGINT)
+       END AS q
+FROM e JOIN s USING (i) ORDER BY e.vec_id, e.i
+""".strip()

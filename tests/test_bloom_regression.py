@@ -124,3 +124,46 @@ def test_centroid_cosine_partition_independent(ray_session):
     a = embstats.centroid_cosine(ds)
     b = embstats.centroid_cosine(ds.repartition(7))
     assert a.equals(b)
+
+
+def test_embedding_quantize(ray_session):
+    import ray.data as rd
+
+    from harvester_ray.ops import embstats
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array([0, 1], pa.int64()),
+                "embedding": pa.array(
+                    [[1.0, -0.5, 0.0], [0.5, 0.25, 0.0]], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+    out = embstats.quantize_embeddings_int8(ds)
+    m = {(r["vec_id"], r["i"]): r["q"] for _, r in out.iterrows()}
+    # dim scales: 1.0, 0.5, 0 (all-zero dim → q = 0)
+    assert m[(0, 1)] == 127 and m[(1, 1)] == 64  # floor(0.5·127+0.5)=64
+    assert m[(0, 2)] == -127 and m[(1, 2)] == 64  # floor(0.25/0.5·127+0.5)
+    assert m[(0, 3)] == 0 and m[(1, 3)] == 0
+    assert len(out) == 6
+
+
+def test_embedding_quantize_partition_independent(ray_session):
+    import ray.data as rd
+
+    from harvester_ray.ops import embstats
+
+    vecs = [[(i * 3 % 7) * 0.3 - 1.0, (i % 5) * 0.1] for i in range(50)]
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(50), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            }
+        )
+    )
+    a = embstats.quantize_embeddings_int8(ds)
+    b = embstats.quantize_embeddings_int8(ds.repartition(7))
+    assert a.equals(b)
