@@ -1493,6 +1493,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "rolling_mean": lambda sf: _analytics.rolling_mean(
+            _ev_ds(sf, ("event_id", "user_id", "ts", "value")), window=4
+        ),
+        "event_gaps": lambda sf: _analytics.event_gaps(
+            _ev_ds(sf, ("event_id", "user_id", "ts"))
+        ),
         "ntile_quartiles": lambda sf: _analytics.ntile_buckets(
             _ev_ds(sf, ("event_id", "event_type", "value")), n=4
         ),
@@ -1854,6 +1860,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
+        "event_gaps": _analytics.event_gaps_sql("events"),
         "ntile_quartiles": _analytics.ntile_buckets_sql("events", n=4),
         "event_transitions": _analytics.event_transitions_sql("events"),
         "pivot_hourly": _analytics.pivot_hourly_sql("events"),

@@ -782,3 +782,114 @@ SELECT {id_col}, {group_col}, {value_col},
                              ORDER BY {value_col}, {id_col}) AS BIGINT) AS tile
 FROM {table} ORDER BY {id_col}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# window frames: rolling mean + lag deltas
+# --------------------------------------------------------------------------
+
+def rolling_mean(
+    ds,
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 4,
+) -> pd.DataFrame:
+    """Per-key rolling mean over the trailing ``window`` rows (ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW). The frame sum is an exact integer
+    (micros) difference of two cumsums; the mean divides by the actual
+    frame length, so leading rows average over what exists. Returns
+    ``(id, key, roll_mean)`` (rounded 6) sorted by (key, id)."""
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        q = _quantize(g[value_col].to_numpy(np.float64))
+        c = np.concatenate(([0], np.cumsum(q)))
+        n = q.size
+        lo = np.maximum(0, np.arange(n) - window + 1)
+        frame_sum = c[1:] - c[lo]
+        frame_len = np.arange(n) - lo + 1
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "roll_mean": np.round(frame_sum / 1e6 / frame_len, 6) + 0.0,
+            }
+        )
+
+    out = ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
+    cols = [id_col, key, "roll_mean"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values([key, id_col]).reset_index(drop=True)[cols]
+
+
+def rolling_mean_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+    id_col: str = "event_id",
+    window: int = 4,
+) -> str:
+    ob = ", ".join(order_by)
+    frame = f"PARTITION BY {key} ORDER BY {ob} ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW"
+    return f"""
+SELECT {id_col}, {key},
+       round(sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)) OVER ({frame}) / 1e6
+             / count(*) OVER ({frame}), 6) + 0.0 AS roll_mean
+FROM {table} ORDER BY {key}, {id_col}
+""".strip()
+
+
+def event_gaps(
+    ds,
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-key inter-event gap (lag() delta): microseconds since the
+    previous event of the same key; -1 for each key's first event (both
+    sides use the same sentinel so NULL semantics can't diverge). Returns
+    ``(id, key, gap_us)`` sorted by (key, id)."""
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        gap = np.concatenate(([np.int64(-1)], np.diff(ts_us)))
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key: g[key].to_numpy(),
+                "gap_us": gap,
+            }
+        )
+
+    out = ds.groupby(key).map_groups(gaps, batch_format="pandas").to_pandas()
+    cols = [id_col, key, "gap_us"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values([key, id_col]).reset_index(drop=True)[cols]
+
+
+def event_gaps_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+SELECT {id_col}, {key},
+       coalesce(date_diff('microsecond',
+                          lag({ts_col}) OVER (PARTITION BY {key} ORDER BY {ob}),
+                          {ts_col}), -1) AS gap_us
+FROM {table} ORDER BY {key}, {id_col}
+""".strip()

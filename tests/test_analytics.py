@@ -156,3 +156,28 @@ def test_global_sort_page(ray_session, tmp_path):
     exp = df.iloc[5:12].reset_index(drop=True)
     assert list(out["event_id"]) == list(exp["event_id"])
     assert list(out["value"]) == list(exp["value"])
+
+
+def test_rolling_mean(ray_session):
+    rows = [(i, 1, "a", f"2024-01-01 00:{i:02d}", float(i + 1)) for i in range(6)]
+    out = analytics.rolling_mean(_events(rows), window=3)
+    # values 1..6, trailing-3 means: 1, 1.5, 2, 3, 4, 5
+    assert list(out["roll_mean"]) == [1.0, 1.5, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_event_gaps(ray_session):
+    out = analytics.event_gaps(_events(ROWS))
+    m = dict(zip(out["event_id"], out["gap_us"]))
+    assert m[1] == -1 and m[2] == 300_000_000 and m[3] == 300_000_000
+    assert m[4] == -1 and m[5] == 7_200_000_000  # u2: 09:00 → 11:00
+    assert m[6] == -1
+
+
+def test_rolling_gaps_partition_independent(ray_session):
+    rows = [(i, i % 5, "a", f"2024-01-0{1 + i % 9}", 0.25 * i) for i in range(200)]
+    a1 = analytics.rolling_mean(_events(rows), window=5)
+    b1 = analytics.rolling_mean(_events(rows).repartition(7), window=5)
+    assert a1.equals(b1)
+    a2 = analytics.event_gaps(_events(rows))
+    b2 = analytics.event_gaps(_events(rows).repartition(7))
+    assert a2.equals(b2)
