@@ -1493,6 +1493,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "user_set_ops": lambda sf: _analytics.user_set_ops(
+            _ev_ds(sf, ("user_id", "event_type"))
+        ),
+        "hourly_correlation": lambda sf: _analytics.hourly_correlation(
+            _ev_ds(sf, ("event_type", "ts"))
+        ),
         "rolling_mean": lambda sf: _analytics.rolling_mean(
             _ev_ds(sf, ("event_id", "user_id", "ts", "value")), window=4
         ),
@@ -1860,6 +1866,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "user_set_ops": _analytics.user_set_ops_sql("events"),
+        "hourly_correlation": _analytics.hourly_correlation_sql("events"),
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "ntile_quartiles": _analytics.ntile_buckets_sql("events", n=4),

@@ -893,3 +893,181 @@ SELECT {id_col}, {key},
                           {ts_col}), -1) AS gap_us
 FROM {table} ORDER BY {key}, {id_col}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# set algebra between two keyed cohorts
+# --------------------------------------------------------------------------
+
+def user_set_ops(
+    ds,
+    *,
+    key: str = "user_id",
+    label_col: str = "event_type",
+    label_a: str = "click",
+    label_b: str = "purchase",
+) -> pd.DataFrame:
+    """Exact set algebra between two cohorts (keys having an ``label_a``
+    event vs a ``label_b`` event): intersection / differences / union /
+    Jaccard. Per batch each key contributes distinct (key, in_a, in_b)
+    indicator rows; one groupby(key) max-fold yields the per-key membership
+    bits, and the final combo counts are a four-cell fold (the sketch-free
+    exact sibling of ``kmv_overlap``). Jaccard uses the fixed-point
+    floor(x·1e6+0.5)/1e6 rule. Returns one row
+    ``(n_a, n_b, n_both, n_a_only, n_b_only, n_union, jaccard)``."""
+    from ray.data.aggregate import Max
+
+    def indicators(t: pa.Table) -> pa.Table:
+        lab = t[label_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        keys = t[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mask = (lab == label_a) | (lab == label_b)
+        keys, lab = keys[mask], lab[mask]
+        ku, ki = np.unique(keys, return_inverse=True)
+        in_a = np.zeros(ku.size, np.int64)
+        in_b = np.zeros(ku.size, np.int64)
+        np.maximum.at(in_a, ki, (lab == label_a).astype(np.int64))
+        np.maximum.at(in_b, ki, (lab == label_b).astype(np.int64))
+        return pa.table(
+            {
+                key: pa.array(ku, pa.int64()),
+                "in_a": pa.array(in_a, pa.int64()),
+                "in_b": pa.array(in_b, pa.int64()),
+            }
+        )
+
+    per_key = (
+        ds.map_batches(indicators, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(Max("in_a", alias_name="in_a"), Max("in_b", alias_name="in_b"))
+        .to_pandas()
+    )
+    if per_key.empty:
+        n_a = n_b = n_both = 0
+    else:
+        a = per_key["in_a"].to_numpy(np.int64)
+        b = per_key["in_b"].to_numpy(np.int64)
+        n_a, n_b = int(a.sum()), int(b.sum())
+        n_both = int((a & b).sum())
+    n_union = n_a + n_b - n_both
+    jacc = float(np.floor(n_both * 1e6 / n_union + 0.5) / 1e6) if n_union else 0.0
+    return pd.DataFrame(
+        {
+            "n_a": np.array([n_a], np.int64),
+            "n_b": np.array([n_b], np.int64),
+            "n_both": np.array([n_both], np.int64),
+            "n_a_only": np.array([n_a - n_both], np.int64),
+            "n_b_only": np.array([n_b - n_both], np.int64),
+            "n_union": np.array([n_union], np.int64),
+            "jaccard": [jacc],
+        }
+    )
+
+
+def user_set_ops_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    label_col: str = "event_type",
+    label_a: str = "click",
+    label_b: str = "purchase",
+) -> str:
+    return f"""
+WITH m AS (
+  SELECT {key},
+         max(CASE WHEN {label_col} = '{label_a}' THEN 1 ELSE 0 END) AS in_a,
+         max(CASE WHEN {label_col} = '{label_b}' THEN 1 ELSE 0 END) AS in_b
+  FROM {table} WHERE {label_col} IN ('{label_a}', '{label_b}')
+  GROUP BY {key}
+),
+c AS (
+  SELECT CAST(sum(in_a) AS BIGINT) AS n_a,
+         CAST(sum(in_b) AS BIGINT) AS n_b,
+         CAST(sum(in_a * in_b) AS BIGINT) AS n_both
+  FROM m
+)
+SELECT n_a, n_b, n_both,
+       n_a - n_both AS n_a_only,
+       n_b - n_both AS n_b_only,
+       n_a + n_b - n_both AS n_union,
+       CASE WHEN n_a + n_b - n_both = 0 THEN 0.0
+            ELSE floor(n_both * 1e6 / (n_a + n_b - n_both) + 0.5) / 1e6
+       END AS jaccard
+FROM c
+""".strip()
+
+
+# --------------------------------------------------------------------------
+# Pearson correlation between per-group hourly volume series
+# --------------------------------------------------------------------------
+
+def hourly_correlation(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> pd.DataFrame:
+    """Pearson correlation between every pair of event types' hour-of-day
+    volume series (n = 24 points): do types co-move over the day? Built on
+    the pivot_hourly grid (bincount partials, no shuffle); r is computed
+    from exact integer sums with float entering once —
+    r = (nΣxy − ΣxΣy) / (sqrt(nΣxx − Σx²) · sqrt(nΣyy − Σy²)).
+    Returns ``(type_a, type_b, r)`` (rounded 6) for type_a < type_b."""
+    grid = pivot_hourly(ds, type_col=type_col, ts_col=ts_col, types=types)
+    n = len(grid)
+    series = {t: grid[f"n_{t}"].to_numpy(np.int64) for t in types}
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            x, y = series[ta], series[tb]
+            sx, sy = int(x.sum()), int(y.sum())
+            sxy = int(np.dot(x, y))
+            sxx, syy = int(np.dot(x, x)), int(np.dot(y, y))
+            num = n * sxy - sx * sy
+            da, db = n * sxx - sx * sx, n * syy - sy * sy
+            if da == 0 or db == 0:
+                rows.append((ta, tb, None))
+                continue
+            r = float(num) / (float(np.sqrt(float(da))) * float(np.sqrt(float(db))))
+            rows.append((ta, tb, round(r, 6) + 0.0))
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "r"])
+
+
+def hourly_correlation_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER ({type_col} = '{t}') AS BIGINT) AS n_{t}" for t in types
+    )
+    pair_selects = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            pair_selects.append(
+                f"""SELECT '{ta}' AS type_a, '{tb}' AS type_b,
+       CASE WHEN 24 * sum(n_{ta} * n_{ta}) - sum(n_{ta}) * sum(n_{ta}) = 0
+              OR 24 * sum(n_{tb} * n_{tb}) - sum(n_{tb}) * sum(n_{tb}) = 0 THEN NULL
+            ELSE round(CAST(24 * sum(n_{ta} * n_{tb}) - sum(n_{ta}) * sum(n_{tb}) AS DOUBLE)
+                 / (sqrt(CAST(24 * sum(n_{ta} * n_{ta}) - sum(n_{ta}) * sum(n_{ta}) AS DOUBLE))
+                    * sqrt(CAST(24 * sum(n_{tb} * n_{tb}) - sum(n_{tb}) * sum(n_{tb}) AS DOUBLE))), 6) + 0.0
+       END AS r
+FROM grid"""
+            )
+    body = "\nUNION ALL\n".join(pair_selects)
+    return f"""
+WITH hours AS (SELECT unnest(range(24)) AS hour),
+agg AS (
+  SELECT CAST(extract(hour FROM {ts_col}) AS BIGINT) AS hour, {type_col}
+  FROM {table}
+),
+grid AS (
+  SELECT CAST(h.hour AS BIGINT) AS hour,
+       {cols}
+  FROM hours h LEFT JOIN agg ON agg.hour = h.hour
+  GROUP BY h.hour
+)
+SELECT * FROM ({body}) ORDER BY type_a, type_b
+""".strip()

@@ -181,3 +181,33 @@ def test_rolling_gaps_partition_independent(ray_session):
     a2 = analytics.event_gaps(_events(rows))
     b2 = analytics.event_gaps(_events(rows).repartition(7))
     assert a2.equals(b2)
+
+
+def test_user_set_ops(ray_session):
+    rows = [
+        (1, 1, "click", "2024-01-01", 0.0),
+        (2, 1, "purchase", "2024-01-01", 0.0),
+        (3, 2, "click", "2024-01-01", 0.0),
+        (4, 3, "purchase", "2024-01-01", 0.0),
+        (5, 4, "view", "2024-01-01", 0.0),
+    ]
+    out = analytics.user_set_ops(_events(rows)).iloc[0]
+    assert out["n_a"] == 2 and out["n_b"] == 2 and out["n_both"] == 1
+    assert out["n_a_only"] == 1 and out["n_b_only"] == 1 and out["n_union"] == 3
+    assert out["jaccard"] == np.floor(1e6 / 3 + 0.5) / 1e6
+
+
+def test_hourly_correlation(ray_session):
+    # a peaks where b peaks (same hours) → r = 1; c anti-correlates
+    rows = []
+    eid = 0
+    for h in range(24):
+        for _ in range(h):
+            rows.append((eid, 1, "a", f"2024-01-01 {h:02d}:00", 0.0)); eid += 1
+            rows.append((eid, 1, "b", f"2024-01-01 {h:02d}:00", 0.0)); eid += 1
+        for _ in range(23 - h):
+            rows.append((eid, 1, "c", f"2024-01-01 {h:02d}:00", 0.0)); eid += 1
+    out = analytics.hourly_correlation(_events(rows), types=("a", "b", "c"))
+    m = {(r["type_a"], r["type_b"]): r["r"] for _, r in out.iterrows()}
+    assert m[("a", "b")] == 1.0
+    assert m[("a", "c")] == -1.0 and m[("b", "c")] == -1.0
