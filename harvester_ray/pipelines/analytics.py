@@ -1071,3 +1071,127 @@ grid AS (
 )
 SELECT * FROM ({body}) ORDER BY type_a, type_b
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# trimmed mean + exact grouped count-distinct
+# --------------------------------------------------------------------------
+
+def trimmed_mean(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trim: float = 0.1,
+) -> pd.DataFrame:
+    """Per-group trimmed mean: drop the lowest and highest
+    ``floor(trim·n)`` rows (by (value, id) order — the unique tie-break
+    keeps the trimmed SET deterministic) and average the integer-micros of
+    the rest. Same grouped exchange as outliers_mad. Returns
+    ``(group, n, n_trimmed, tmean)`` (rounded 6) sorted by group."""
+
+    def tm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], kind="stable")
+        q = _quantize(g[value_col].to_numpy(np.float64))
+        n = q.size
+        k = int(np.floor(trim * n))
+        kept = q[k : n - k] if n - 2 * k > 0 else q[0:0]
+        total = int(kept.sum())
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n": np.array([n], np.int64),
+                "n_trimmed": np.array([2 * k], np.int64),
+                "tmean": [round(total / 1e6 / kept.size, 6) + 0.0 if kept.size else 0.0],
+            }
+        )
+
+    out = ds.groupby(group_col).map_groups(tm, batch_format="pandas").to_pandas()
+    cols = [group_col, "n", "n_trimmed", "tmean"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def trimmed_mean_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    trim: float = 0.1,
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_col},
+         CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT) AS micros,
+         row_number() OVER (PARTITION BY {group_col} ORDER BY {value_col}, {id_col}) AS rn,
+         count(*) OVER (PARTITION BY {group_col}) AS n
+  FROM {table}
+),
+kept AS (
+  SELECT {group_col}, micros, n,
+         CAST(floor({trim} * n) AS BIGINT) AS k
+  FROM ranked WHERE rn > floor({trim} * n) AND rn <= n - floor({trim} * n)
+)
+SELECT {group_col}, CAST(any_value(n) AS BIGINT) AS n,
+       CAST(2 * any_value(k) AS BIGINT) AS n_trimmed,
+       round(sum(micros) / 1e6 / count(*), 6) + 0.0 AS tmean
+FROM kept GROUP BY {group_col} ORDER BY {group_col}
+""".strip()
+
+
+def distinct_users_by_type(
+    ds,
+    *,
+    group_col: str = "event_type",
+    key: str = "user_id",
+) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT key) per group — two-level distinct
+    aggregation: batches emit their local distinct (group, key) pairs
+    (the combiner bounds shuffle volume at true-distinct cardinality),
+    one groupby over the pair stream dedupes globally, a per-group count
+    finishes. The exact sibling of `approx_distinct_by_user`'s HLL.
+    Returns ``(group, n_users)`` sorted by group."""
+    from ray.data.aggregate import Count
+
+    def pairs(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        k = t[key].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gu, gi = np.unique(g, return_inverse=True)
+        code = gi.astype(np.int64) * np.int64(1) << np.int64(40)
+        code = code | k  # keys are < 2^40 by contract (doc'd); unique pairs
+        cu = np.unique(code)
+        return pa.table(
+            {
+                group_col: pa.array(gu[(cu >> np.int64(40)).astype(np.int64)], pa.string()),
+                key: pa.array(cu & ((np.int64(1) << np.int64(40)) - 1), pa.int64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([group_col, key])
+        .aggregate(Count(alias_name="_dup"))
+        .groupby(group_col)
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    cols = [group_col, "n_users"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def distinct_users_by_type_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    key: str = "user_id",
+) -> str:
+    return f"""
+SELECT {group_col}, CAST(count(DISTINCT {key}) AS BIGINT) AS n_users
+FROM {table} GROUP BY {group_col} ORDER BY {group_col}
+""".strip()

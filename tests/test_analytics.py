@@ -211,3 +211,33 @@ def test_hourly_correlation(ray_session):
     m = {(r["type_a"], r["type_b"]): r["r"] for _, r in out.iterrows()}
     assert m[("a", "b")] == 1.0
     assert m[("a", "c")] == -1.0 and m[("b", "c")] == -1.0
+
+
+def test_trimmed_mean(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(v)) for i, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 1000])]
+    out = analytics.trimmed_mean(_events(rows), trim=0.1)
+    r = out.iloc[0]
+    # n=10, k=1: drop 0 and 1000 → mean of 1..8 = 4.5
+    assert r["n"] == 10 and r["n_trimmed"] == 2 and r["tmean"] == 4.5
+    # trim=0 is the plain mean
+    out0 = analytics.trimmed_mean(_events(rows), trim=0.0)
+    assert out0.iloc[0]["tmean"] == round(sum([0, 1, 2, 3, 4, 5, 6, 7, 8, 1000]) / 10, 6)
+
+
+def test_distinct_users_by_type(ray_session):
+    rows = [
+        (1, 1, "a", "2024-01-01", 0.0),
+        (2, 1, "a", "2024-01-01", 0.0),
+        (3, 2, "a", "2024-01-01", 0.0),
+        (4, 1, "b", "2024-01-01", 0.0),
+    ]
+    out = analytics.distinct_users_by_type(_events(rows))
+    m = dict(zip(out["event_type"], out["n_users"]))
+    assert m == {"a": 2, "b": 1}
+
+
+def test_distinct_users_partition_independent(ray_session):
+    rows = [(i, i % 37, "t" + str(i % 4), "2024-01-01", 0.0) for i in range(400)]
+    a = analytics.distinct_users_by_type(_events(rows))
+    b = analytics.distinct_users_by_type(_events(rows).repartition(9))
+    assert a.equals(b)
