@@ -1473,6 +1473,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_hll": _approx_distinct_hll,
         "approx_distinct_by_user": _approx_distinct_by_user,
         "source_jaccard": _source_jaccard,
+        "cms_counts": lambda sf: _sketch.cms_counts(
+            _ev_ds(sf, ("user_id",)), "user_id", width=256, depth=4
+        ),
         "kmv_overlap": lambda sf: _sketch.kmv_overlap(
             _ev_ds(sf, ("user_id", "event_type")),
             key_col="user_id", label_col="event_type",
@@ -1857,6 +1860,7 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
+        "cms_counts": _sketch.cms_counts_sql("events", "user_id", width=256, depth=4),
         "kmv_overlap": _sketch.kmv_overlap_sql(
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,

@@ -439,3 +439,102 @@ SELECT n_kept, n_common,
                  ELSE round(({k} - 1) / (kth / 18446744073709551616.0), 4) END) * 1e4 + 0.5) / 1e4 AS inter_est
 FROM st
 """.strip()
+
+
+def cms_counts(
+    ds,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+):
+    """Count-Min Sketch frequency estimates: build a depth×width counter
+    grid over the ``col`` stream (order-independent integer sums — batches
+    emit nonzero-cell partials, folded once), then answer a point query
+    for every distinct key: ``est = min_d counter[d][pos_d(key)]``. The
+    guaranteed one-sided error (est ≥ exact) is part of the verified
+    output. Positions use the same md5 double hashing as ops/bloom.py, so
+    DuckDB reproduces the grid and the estimates exactly. Returns
+    ``(key, exact, est, overcount)`` sorted by key — all integers, no
+    float parity risk."""
+    import pandas as pd
+
+    from .bloom import _positions
+
+    def partials(t: pa.Table) -> pa.Table:
+        vals = t[col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(vals, return_counts=True)
+        pos = _positions(uniq, width, depth)  # (n, depth)
+        cell = np.arange(depth, dtype=np.int64)[None, :] * width + pos.astype(np.int64)
+        grid = np.bincount(cell.ravel(), weights=np.repeat(counts, depth), minlength=depth * width).astype(np.int64)
+        nz = np.flatnonzero(grid)
+        # also ship per-key exact partials (key-bounded, the test set)
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate([np.zeros(nz.size, np.int8), np.ones(uniq.size, np.int8)])
+                ),
+                "a": pa.array(np.concatenate([nz, uniq]), pa.int64()),
+                "n": pa.array(np.concatenate([grid[nz], counts.astype(np.int64)]), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["key", "exact", "est", "overcount"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby(["kind", "a"], as_index=False)["n"].sum()
+    cells = folded[folded["kind"] == 0]
+    exact = folded[folded["kind"] == 1]
+    grid = np.zeros(depth * width, np.int64)
+    grid[cells["a"].to_numpy(np.int64)] = cells["n"].to_numpy(np.int64)
+    keys = exact["a"].to_numpy(np.int64)
+    pos = _positions(keys, width, depth)
+    cell = np.arange(depth, dtype=np.int64)[None, :] * width + pos.astype(np.int64)
+    est = grid[cell].min(axis=1)
+    out = pd.DataFrame(
+        {
+            "key": keys,
+            "exact": exact["n"].to_numpy(np.int64),
+            "est": est,
+            "overcount": est - exact["n"].to_numpy(np.int64),
+        }
+    )
+    return out.sort_values("key").reset_index(drop=True)
+
+
+def cms_counts_sql(
+    table: str,
+    col: str,
+    *,
+    width: int = 1024,
+    depth: int = 4,
+) -> str:
+    h1 = f"CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 16)) AS UBIGINT) % {width}"
+    h2 = f"CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 17, 16)) AS UBIGINT) % {width}"
+    return f"""
+WITH keys AS (SELECT DISTINCT {col} AS key FROM {table}),
+h AS (SELECT key, {h1} AS h1, {h2} AS h2 FROM keys),
+pos AS (
+  SELECT key, i, (h1 + i * h2) % {width} AS pos
+  FROM h CROSS JOIN range({depth}) t(i)
+),
+counters AS (
+  SELECT p.i, p.pos, CAST(count(*) AS BIGINT) AS c
+  FROM {table} e JOIN pos p ON e.{col} = p.key
+  GROUP BY p.i, p.pos
+),
+est AS (
+  SELECT p.key, min(c.c) AS est
+  FROM pos p JOIN counters c ON c.i = p.i AND c.pos = p.pos
+  GROUP BY p.key
+),
+exact AS (SELECT {col} AS key, CAST(count(*) AS BIGINT) AS exact FROM {table} GROUP BY 1)
+SELECT x.key, x.exact, e.est, e.est - x.exact AS overcount
+FROM exact x JOIN est e USING (key) ORDER BY x.key
+""".strip()

@@ -161,3 +161,35 @@ def test_kmv_overlap_disjoint_and_empty(ray_session):
         _labeled([(1, "x")]), key_col="k", label_col="lab", label_a="a", label_b="b", k=8
     )
     assert empty.iloc[0]["n_kept"] == 0 and empty.iloc[0]["inter_est"] == 0.0
+
+
+def test_cms_counts_one_sided(ray_session):
+    import ray.data as rd
+
+    vals = [i % 50 for i in range(2000)]  # 50 keys × 40 each
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    out = sketch.cms_counts(ds, "v", width=64, depth=4)
+    assert len(out) == 50
+    assert (out["exact"] == 40).all()
+    assert (out["overcount"] >= 0).all()  # CMS never undercounts
+    assert (out["est"] >= out["exact"]).all()
+
+
+def test_cms_exact_when_wide(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({"v": pa.array([1, 1, 2, 3, 3, 3], pa.int64())}))
+    out = sketch.cms_counts(ds, "v", width=4096, depth=4)
+    m = dict(zip(out["key"], out["est"]))
+    assert m == {1: 2, 2: 1, 3: 3}
+    assert (out["overcount"] == 0).all()  # no collisions at this width
+
+
+def test_cms_partition_independent(ray_session):
+    import ray.data as rd
+
+    vals = [(i * 17) % 97 for i in range(3000)]
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    a = sketch.cms_counts(ds, "v", width=128, depth=3)
+    b = sketch.cms_counts(ds.repartition(8), "v", width=128, depth=3)
+    assert a.equals(b)
