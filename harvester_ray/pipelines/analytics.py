@@ -58,9 +58,12 @@ def running_total(
     order_by: tuple[str, str] = ("ts", "event_id"),
     value_col: str = "value",
     id_col: str = "event_id",
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Per-``key`` cumulative sum of ``value_col`` in ``order_by`` order.
-    Returns ``(id_col, key, cum_micros, cum_value)`` sorted by (key, id)."""
+    Returns ``(id_col, key, cum_micros, cum_value)`` sorted by (key, id).
+    Output is input-sized: pass ``collect=False`` to get the streaming
+    Dataset instead (write_parquet it; the driver sort is gate-only)."""
 
     def cum(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(order_by), kind="stable")
@@ -74,7 +77,10 @@ def running_total(
             }
         )
 
-    out = ds.groupby(key).map_groups(cum, batch_format="pandas").to_pandas()
+    res = ds.groupby(key).map_groups(cum, batch_format="pandas")
+    if not collect:
+        return res
+    out = res.to_pandas()
     return out.sort_values([key, id_col]).reset_index(drop=True)
 
 
@@ -625,7 +631,8 @@ def zscore_normalize(
     group_col: str = "event_type",
     value_col: str = "value",
     id_col: str = "event_id",
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Standardize ``value_col`` within each group: z = (v − mean)/std with
     the POPULATION std. Two streaming passes: exact integer moment partials
     (n, Σy, Σy²; y in centi-units) folded to per-group (mean, std), then a
@@ -692,7 +699,10 @@ def zscore_normalize(
             }
         )
 
-    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    res = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    if not collect:
+        return res
+    out = res.to_pandas()
     return out.sort_values(id_col).reset_index(drop=True)[cols]
 
 
@@ -738,7 +748,8 @@ def ntile_buckets(
     value_col: str = "value",
     id_col: str = "event_id",
     n: int = 4,
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Assign every row its n-tile within its group by
     ``(value, id)`` order — DuckDB ``ntile(n) OVER (PARTITION BY group
     ORDER BY value, id)`` semantics (first ``size mod n`` tiles get the
@@ -761,7 +772,10 @@ def ntile_buckets(
             }
         )
 
-    out = ds.groupby(group_col).map_groups(tile, batch_format="pandas").to_pandas()
+    res = ds.groupby(group_col).map_groups(tile, batch_format="pandas")
+    if not collect:
+        return res
+    out = res.to_pandas()
     cols = [id_col, group_col, value_col, "tile"]
     if out.empty:
         return pd.DataFrame(columns=cols)
@@ -796,7 +810,8 @@ def rolling_mean(
     value_col: str = "value",
     id_col: str = "event_id",
     window: int = 4,
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Per-key rolling mean over the trailing ``window`` rows (ROWS BETWEEN
     window-1 PRECEDING AND CURRENT ROW). The frame sum is an exact integer
     (micros) difference of two cumsums; the mean divides by the actual
@@ -819,7 +834,10 @@ def rolling_mean(
             }
         )
 
-    out = ds.groupby(key).map_groups(roll, batch_format="pandas").to_pandas()
+    res = ds.groupby(key).map_groups(roll, batch_format="pandas")
+    if not collect:
+        return res
+    out = res.to_pandas()
     cols = [id_col, key, "roll_mean"]
     if out.empty:
         return pd.DataFrame(columns=cols)
@@ -852,7 +870,8 @@ def event_gaps(
     order_by: tuple[str, str] = ("ts", "event_id"),
     ts_col: str = "ts",
     id_col: str = "event_id",
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Per-key inter-event gap (lag() delta): microseconds since the
     previous event of the same key; -1 for each key's first event (both
     sides use the same sentinel so NULL semantics can't diverge). Returns
@@ -870,7 +889,10 @@ def event_gaps(
             }
         )
 
-    out = ds.groupby(key).map_groups(gaps, batch_format="pandas").to_pandas()
+    res = ds.groupby(key).map_groups(gaps, batch_format="pandas")
+    if not collect:
+        return res
+    out = res.to_pandas()
     cols = [id_col, key, "gap_us"]
     if out.empty:
         return pd.DataFrame(columns=cols)

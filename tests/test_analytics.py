@@ -241,3 +241,14 @@ def test_distinct_users_partition_independent(ray_session):
     a = analytics.distinct_users_by_type(_events(rows))
     b = analytics.distinct_users_by_type(_events(rows).repartition(9))
     assert a.equals(b)
+
+
+def test_collect_false_returns_streaming_dataset(ray_session):
+    import ray.data
+
+    rows = [(i, i % 3, "a", "2024-01-01", 1.0 * i) for i in range(30)]
+    res = analytics.running_total(_events(rows), collect=False)
+    assert isinstance(res, ray.data.Dataset)
+    assert res.count() == 30
+    res2 = analytics.zscore_normalize(_events(rows), collect=False)
+    assert isinstance(res2, ray.data.Dataset)
