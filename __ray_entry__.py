@@ -1943,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k "
             "FROM events ORDER BY event_id"
         ),
-        # transcript_bm25, simhash, simhash_neardup, knn_ivf: rows-only
-        # (synthesized input / probabilistic sketch / approximate index)
+        "simhash": dedup.simhash_sql("documents"),
+        "simhash_neardup": dedup.simhash_neardup_sql("documents", max_hamming=3),
+        # transcript_bm25, knn_ivf: rows-only (synthesized input /
+        # approximate index)
     }

@@ -604,17 +604,18 @@ ORDER BY doc_a, doc_b
 
 
 def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
-    """64-bit SimHash over crc32 token hashes weighted by tf (vectorized
-    bit-count accumulation)."""
+    """64-bit SimHash over md5-64 token hashes weighted by tf (vectorized
+    bit-count accumulation). md5 (not crc32) so the DuckDB oracle
+    reproduces the exact hash values (``simhash_sql``); the per-distinct-
+    token Python md5 loop is vocabulary-bounded per batch, the same bound
+    as ops/sketch.py."""
+    from .sketch import _md5_64
+
     text = analyzer.normalize_text(batch[text_col])
     rows, codes, dictionary = analyzer.tokenize_flat(text)
     n = batch.num_rows
     ids = batch[id_col].combine_chunks().cast(pa.int64())
-    vocab_hashes = np.array(
-        [zlib.crc32(w.encode()) for w in dictionary.to_pylist()], dtype=np.uint64
-    )
-    # widen crc32 to 64 bits deterministically
-    vocab_hashes = vocab_hashes * np.uint64(0x9E3779B97F4A7C15)
+    vocab_hashes = _md5_64(dictionary.to_pylist())
     r, c, tf = analyzer.term_frequencies(rows, codes)
     sums = np.zeros((n, 64), dtype=np.int64)
     if c.size:
@@ -639,6 +640,70 @@ def simhash(ds, *, id_col: str = "doc_id", text_col: str = "text"):
         lambda t: simhash_batch(t, id_col=id_col, text_col=text_col),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def _simhash_cte(table: str, id_col: str, text_col: str) -> str:
+    """Shared CTE chain computing the exact engine SimHash in SQL: md5-64
+    token hashes, tf-weighted ±1 bit votes, sign threshold, 64-bit value
+    assembled as HUGEINT and wrapped to the signed BIGINT the engine
+    emits."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+flat AS (SELECT doc_id, unnest(ts) AS term FROM toks),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY 1, 2),
+th AS (
+  SELECT term, CAST(('0x' || substr(md5(term), 1, 16)) AS UBIGINT) AS h
+  FROM (SELECT DISTINCT term FROM flat)
+),
+votes AS (
+  SELECT tf.doc_id, t.i,
+         sum(tf.tf * (2 * CAST((th.h >> CAST(t.i AS UBIGINT)) & 1 AS BIGINT) - 1)) AS s
+  FROM tf JOIN th USING (term) CROSS JOIN range(64) t(i)
+  GROUP BY tf.doc_id, t.i
+),
+raw AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INTEGER)
+                  ELSE CAST(0 AS HUGEINT) END) AS v
+  FROM votes GROUP BY doc_id
+),
+sim AS (
+  SELECT t.doc_id,
+         CAST(CASE WHEN r.v IS NULL THEN 0
+                   WHEN r.v >= CAST(9223372036854775808 AS HUGEINT)
+                   THEN r.v - CAST(18446744073709551616 AS HUGEINT)
+                   ELSE r.v END AS BIGINT) AS simhash
+  FROM (SELECT DISTINCT doc_id FROM toks) t LEFT JOIN raw r USING (doc_id)
+)"""
+
+
+def simhash_sql(table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text") -> str:
+    return (
+        "WITH " + _simhash_cte(table, id_col, text_col)
+        + "\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    )
+
+
+def simhash_neardup_sql(
+    table: str = "documents",
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Exact all-pairs Hamming filter over the same SimHash values (the
+    engine's 16-bit-chunk blocking is recall-complete for distance ≤ 3,
+    so the candidate union equals the all-pairs answer)."""
+    return (
+        "WITH " + _simhash_cte(table, id_col, text_col)
+        + f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b"""
     )
 
 
