@@ -39,6 +39,7 @@ from harvester_ray.ops import keywords as _keywords
 from harvester_ray.pipelines import analytics as _analytics
 from harvester_ray.ops import bloom as _bloom
 from harvester_ray.ops import embstats as _embstats
+from harvester_ray.ops import chunking as _chunking
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
@@ -1490,6 +1491,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("text",)), k=100
         ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
+        "chunk_documents": lambda sf: _chunking.chunk_documents(
+            _docs_ds(sf), chunk_size=32, stride=16
+        ),
         "running_total": _running_total,
         "funnel": _funnel,
         "value_histogram": _value_histogram,
@@ -1870,6 +1874,9 @@ def oracle_sql() -> dict[str, str]:
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
+        "chunk_documents": _chunking.chunk_documents_sql(
+            "documents", chunk_size=32, stride=16
+        ),
         "running_total": _analytics.running_total_sql("events"),
         "funnel": _analytics.funnel_sql("events"),
         "value_histogram": _analytics.value_histogram_sql("events", nbins=20),
