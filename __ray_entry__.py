@@ -1500,6 +1500,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "cohort_retention": lambda sf: _analytics.cohort_retention(
+            _ev_ds(sf, ("user_id", "event_type", "ts"))
+        ),
+        "chi_square_hour_type": lambda sf: _analytics.chi_square_hour_type(
+            _ev_ds(sf, ("event_type", "ts"))
+        ),
         "trimmed_mean": lambda sf: _analytics.trimmed_mean(
             _ev_ds(sf, ("event_id", "event_type", "value")), trim=0.1
         ),
@@ -1883,6 +1889,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "cohort_retention": _analytics.cohort_retention_sql("events"),
+        "chi_square_hour_type": _analytics.chi_square_hour_type_sql("events"),
         "trimmed_mean": _analytics.trimmed_mean_sql("events", trim=0.1),
         "distinct_users_by_type": _analytics.distinct_users_by_type_sql("events"),
         "user_set_ops": _analytics.user_set_ops_sql("events"),

@@ -1217,3 +1217,161 @@ def distinct_users_by_type_sql(
 SELECT {group_col}, CAST(count(DISTINCT {key}) AS BIGINT) AS n_users
 FROM {table} GROUP BY {group_col} ORDER BY {group_col}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# cohort retention + chi-square independence
+# --------------------------------------------------------------------------
+
+_EPOCH_DAY0 = "2024-01-01"
+
+
+def cohort_retention(
+    ds,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    cohort_type: str = "signup",
+) -> pd.DataFrame:
+    """Weekly cohort retention: users grouped by the week of their FIRST
+    ``cohort_type`` event; for each (cohort_week, active_week ≥ cohort_week)
+    count how many of that cohort had any event that week. One grouped
+    exchange per user (min signup ts + distinct active weeks both reduce
+    inside map_groups to ≤ weeks rows per user), then a tiny pair count.
+    Weeks are days-since-epoch // 7 (epoch {epoch}). Returns
+    ``(cohort_week, active_week, n_users)`` sorted by the pair; users with
+    no cohort event are excluded.""".format(epoch=_EPOCH_DAY0)
+    from ray.data.aggregate import Count
+
+    base_us = int(pd.Timestamp(_EPOCH_DAY0).value // 1_000)
+
+    def weeks(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        wk = (ts_us - base_us) // (7 * 86_400_000_000)
+        et = g[type_col].to_numpy()
+        is_c = et == cohort_type
+        if not is_c.any():
+            return pd.DataFrame({"cohort_week": pd.Series([], dtype=np.int64), "active_week": pd.Series([], dtype=np.int64)})
+        cw = int(wk[is_c].min())
+        aw = np.unique(wk[wk >= cw])
+        return pd.DataFrame(
+            {"cohort_week": np.full(aw.size, cw, np.int64), "active_week": aw}
+        )
+
+    out = (
+        ds.groupby(key)
+        .map_groups(weeks, batch_format="pandas")
+        .groupby(["cohort_week", "active_week"])
+        .aggregate(Count(alias_name="n_users"))
+        .to_pandas()
+    )
+    cols = ["cohort_week", "active_week", "n_users"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values(["cohort_week", "active_week"]).reset_index(drop=True)[cols]
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    cohort_type: str = "signup",
+) -> str:
+    wk = f"date_diff('day', TIMESTAMP '{_EPOCH_DAY0}', {ts_col}) // 7"
+    return f"""
+WITH cohort AS (
+  SELECT {key}, min({wk}) AS cohort_week
+  FROM {table} WHERE {type_col} = '{cohort_type}' GROUP BY {key}
+),
+active AS (
+  SELECT DISTINCT e.{key}, c.cohort_week, {wk.replace(ts_col, 'e.' + ts_col)} AS active_week
+  FROM {table} e JOIN cohort c USING ({key})
+  WHERE {wk.replace(ts_col, 'e.' + ts_col)} >= c.cohort_week
+)
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(active_week AS BIGINT) AS active_week,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM active GROUP BY cohort_week, active_week
+ORDER BY cohort_week, active_week
+""".strip()
+
+
+def chi_square_hour_type(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> pd.DataFrame:
+    """Chi-square independence statistic for the hour-of-day × event-type
+    contingency table (pivot_hourly grid): χ² = Σ (O·N − R·C)² / (N·R·C),
+    each cell's contribution computed from exact integer marginals and
+    nano-quantized before the sum (the fixed-point rule), so the statistic
+    is bit-identical to the oracle. Returns one row
+    ``(n, dof, chi2)``."""
+    grid = pivot_hourly(ds, type_col=type_col, ts_col=ts_col, types=types)
+    obs = grid[[f"n_{t}" for t in types]].to_numpy(np.int64)
+    row_tot = obs.sum(axis=1)
+    col_tot = obs.sum(axis=0)
+    n = int(obs.sum())
+    total = 0
+    for r in range(obs.shape[0]):
+        for c in range(obs.shape[1]):
+            rr, cc = int(row_tot[r]), int(col_tot[c])
+            if rr == 0 or cc == 0:
+                continue
+            num = (int(obs[r, c]) * n - rr * cc) ** 2
+            den = n * rr * cc
+            total += int(np.floor(float(num) / float(den) * 1e9 + 0.5))
+    # dof over the OBSERVED table (rows/cols with data), matching the oracle
+    dof = (int((row_tot > 0).sum()) - 1) * (int((col_tot > 0).sum()) - 1)
+    return pd.DataFrame(
+        {
+            "n": np.array([n], np.int64),
+            "dof": np.array([dof], np.int64),
+            "chi2": [round(total / 1e9, 6) + 0.0],
+        }
+    )
+
+
+def chi_square_hour_type_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> str:
+    tlist = ", ".join(f"'{t}'" for t in types)
+    return f"""
+WITH cells AS (
+  SELECT CAST(extract(hour FROM {ts_col}) AS BIGINT) AS hour, {type_col} AS ty,
+         CAST(count(*) AS BIGINT) AS o
+  FROM {table} WHERE {type_col} IN ({tlist})
+  GROUP BY 1, 2
+),
+rows_t AS (SELECT hour, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY hour),
+cols_t AS (SELECT ty, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY ty),
+n_t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+-- the full grid including zero cells: cross join marginals
+grid AS (
+  SELECT r.hour, c.ty, r.r, c.c, coalesce(cl.o, 0) AS o, n.n
+  FROM rows_t r CROSS JOIN cols_t c CROSS JOIN n_t n
+  LEFT JOIN cells cl ON cl.hour = r.hour AND cl.ty = c.ty
+),
+contrib AS (
+  SELECT CAST(floor(
+           CAST((o * n - r * c) * (o * n - r * c) AS DOUBLE)
+           / CAST(n * r * c AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS nano,
+         n
+  FROM grid WHERE r > 0 AND c > 0
+)
+SELECT any_value(n) AS n,
+       CAST((SELECT count(*) FROM rows_t) - 1 AS BIGINT)
+       * CAST((SELECT count(*) FROM cols_t) - 1 AS BIGINT) AS dof,
+       round(sum(nano) / 1e9, 6) + 0.0 AS chi2
+FROM contrib
+""".strip()

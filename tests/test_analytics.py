@@ -252,3 +252,32 @@ def test_collect_false_returns_streaming_dataset(ray_session):
     assert res.count() == 30
     res2 = analytics.zscore_normalize(_events(rows), collect=False)
     assert isinstance(res2, ray.data.Dataset)
+
+
+def test_cohort_retention(ray_session):
+    rows = [
+        # u1 signs up week 0, active weeks 0 and 1
+        (1, 1, "signup", "2024-01-02", 0.0),
+        (2, 1, "view", "2024-01-10", 0.0),
+        # u2 signs up week 1, active week 1 only
+        (3, 2, "signup", "2024-01-09", 0.0),
+        # u3 never signs up → excluded; pre-signup activity ignored
+        (4, 3, "view", "2024-01-02", 0.0),
+        (5, 1, "view", "2024-01-01", 0.0),  # week 0 activity (same week as signup)
+    ]
+    out = analytics.cohort_retention(_events(rows))
+    m = {(r["cohort_week"], r["active_week"]): r["n_users"] for _, r in out.iterrows()}
+    assert m == {(0, 0): 1, (0, 1): 1, (1, 1): 1}
+
+
+def test_chi_square_independent_uniform(ray_session):
+    # perfectly proportional table → chi2 == 0
+    rows = []
+    eid = 0
+    for h in (1, 2):
+        for t, k in (("a", 2), ("b", 4)):
+            for _ in range(k):
+                rows.append((eid, 1, t, f"2024-01-01 {h:02d}:00", 0.0)); eid += 1
+    out = analytics.chi_square_hour_type(_events(rows), types=("a", "b"))
+    assert out.iloc[0]["chi2"] == 0.0 and out.iloc[0]["dof"] == 1
+    assert out.iloc[0]["n"] == 12
