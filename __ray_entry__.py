@@ -1500,6 +1500,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outliers_mad": _outliers_mad,
         "user_timeline": _user_timeline,
         "regression_by_type": _regression_by_type,
+        "weighted_median": lambda sf: _analytics.weighted_median(
+            _ev_ds(sf, ("event_id", "event_type", "value"))
+        ),
+        "journey_trigrams": lambda sf: _analytics.journey_trigrams(
+            _ev_ds(sf, ("user_id", "event_type", "ts", "event_id")), k=20
+        ),
         "cohort_retention": lambda sf: _analytics.cohort_retention(
             _ev_ds(sf, ("user_id", "event_type", "ts"))
         ),
@@ -1889,6 +1895,8 @@ def oracle_sql() -> dict[str, str]:
         "outliers_mad": _analytics.outliers_mad_sql("events", k=3.0),
         "user_timeline": _analytics.user_timeline_sql("events"),
         "regression_by_type": _analytics.regression_by_group_sql("events"),
+        "weighted_median": _analytics.weighted_median_sql("events"),
+        "journey_trigrams": _analytics.journey_trigrams_sql("events", k=20),
         "cohort_retention": _analytics.cohort_retention_sql("events"),
         "chi_square_hour_type": _analytics.chi_square_hour_type_sql("events"),
         "trimmed_mean": _analytics.trimmed_mean_sql("events", trim=0.1),

@@ -1375,3 +1375,126 @@ SELECT any_value(n) AS n,
        round(sum(nano) / 1e9, 6) + 0.0 AS chi2
 FROM contrib
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# weighted median + journey trigrams
+# --------------------------------------------------------------------------
+
+def weighted_median(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    weight_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-group weighted median: the smallest value (in (value, id) order)
+    whose running weight reaches half the group's total weight. Weights are
+    quantized to integer micros so the ≥ W/2 comparison is exact integer
+    arithmetic on both sides (2·cum ≥ W avoids the half division). Returns
+    ``(group, total_weight_micros, wmedian)`` sorted by group."""
+
+    def wm(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], kind="stable")
+        w = _quantize(g[weight_col].to_numpy(np.float64))
+        total = int(w.sum())
+        cum = np.cumsum(w)
+        idx = int(np.searchsorted(2 * cum, total))  # first 2·cum ≥ total
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "total_weight_micros": np.array([total], np.int64),
+                "wmedian": [float(g[value_col].iloc[idx])],
+            }
+        )
+
+    out = ds.groupby(group_col).map_groups(wm, batch_format="pandas").to_pandas()
+    cols = [group_col, "total_weight_micros", "wmedian"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def weighted_median_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    weight_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    q = f"CAST(floor({weight_col} * 1e6 + 0.5) AS BIGINT)"
+    return f"""
+WITH ranked AS (
+  SELECT {group_col}, {value_col},
+         sum({q}) OVER (PARTITION BY {group_col}
+                        ORDER BY {value_col}, {id_col}) AS cum,
+         sum({q}) OVER (PARTITION BY {group_col}) AS total
+  FROM {table}
+),
+hit AS (
+  SELECT {group_col}, total, {value_col},
+         row_number() OVER (PARTITION BY {group_col} ORDER BY cum) AS rn
+  FROM ranked WHERE 2 * cum >= total
+)
+SELECT {group_col}, CAST(total AS BIGINT) AS total_weight_micros,
+       {value_col} AS wmedian
+FROM hit WHERE rn = 1 ORDER BY {group_col}
+""".strip()
+
+
+def journey_trigrams(
+    ds,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    k: int = 20,
+) -> pd.DataFrame:
+    """Top-``k`` three-step user journeys: counts of consecutive
+    (a → b → c) event-type triples per key in time order — the n=3
+    extension of ``event_transitions``. Returns ``(t1, t2, t3, n)``
+    ranked by (n desc, triple)."""
+
+    def triples(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        et = g[type_col].to_numpy()
+        if et.size < 3:
+            return pd.DataFrame({"t1": [], "t2": [], "t3": [], "n": []}).astype(
+                {"t1": str, "t2": str, "t3": str, "n": np.int64}
+            )
+        df = pd.DataFrame({"t1": et[:-2], "t2": et[1:-1], "t3": et[2:]})
+        out = df.groupby(["t1", "t2", "t3"], sort=False).size().reset_index(name="n")
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = ds.groupby(key).map_groups(triples, batch_format="pandas").to_pandas()
+    cols = ["t1", "t2", "t3", "n"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    folded = parts.groupby(["t1", "t2", "t3"], as_index=False)["n"].sum()
+    folded = folded.sort_values(["n", "t1", "t2", "t3"], ascending=[False, True, True, True], kind="stable")
+    return folded.head(k).reset_index(drop=True)[cols]
+
+
+def journey_trigrams_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    k: int = 20,
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+WITH lagged AS (
+  SELECT lag({type_col}, 2) OVER (PARTITION BY {key} ORDER BY {ob}) AS t1,
+         lag({type_col}, 1) OVER (PARTITION BY {key} ORDER BY {ob}) AS t2,
+         {type_col} AS t3
+  FROM {table}
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM lagged WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT {k}
+""".strip()

@@ -281,3 +281,27 @@ def test_chi_square_independent_uniform(ray_session):
     out = analytics.chi_square_hour_type(_events(rows), types=("a", "b"))
     assert out.iloc[0]["chi2"] == 0.0 and out.iloc[0]["dof"] == 1
     assert out.iloc[0]["n"] == 12
+
+
+def test_weighted_median(ray_session):
+    # weights == values: total=1+2+3+4=10; cum 1,3,6 → first 2·cum ≥ 10 is value 3
+    rows = [(i, 1, "a", "2024-01-01", float(v)) for i, v in enumerate([1, 2, 3, 4])]
+    out = analytics.weighted_median(_events(rows))
+    r = out.iloc[0]
+    assert r["total_weight_micros"] == 10_000_000 and r["wmedian"] == 3.0
+    # a dominant weight pulls the median to it
+    rows2 = [(1, 1, "b", "2024-01-01", 1.0), (2, 1, "b", "2024-01-01", 100.0)]
+    assert analytics.weighted_median(_events(rows2)).iloc[0]["wmedian"] == 100.0
+
+
+def test_journey_trigrams(ray_session):
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00", 0.0),
+        (2, 1, "click", "2024-01-01 10:01", 0.0),
+        (3, 1, "purchase", "2024-01-01 10:02", 0.0),
+        (4, 1, "view", "2024-01-01 10:03", 0.0),
+        (5, 2, "view", "2024-01-01 10:00", 0.0),  # only 1 event → no triple
+    ]
+    out = analytics.journey_trigrams(_events(rows), k=5)
+    m = {(r["t1"], r["t2"], r["t3"]): r["n"] for _, r in out.iterrows()}
+    assert m == {("view", "click", "purchase"): 1, ("click", "purchase", "view"): 1}
