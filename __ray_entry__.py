@@ -1494,6 +1494,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": lambda sf: _chunking.chunk_documents(
             _docs_ds(sf), chunk_size=32, stride=16
         ),
+        "chunk_dedup_stats": lambda sf: _chunking.chunk_dedup_stats(
+            _docs_ds(sf), chunk_size=32, stride=16
+        ),
         "running_total": _running_total,
         "funnel": _funnel,
         "value_histogram": _value_histogram,
@@ -1887,6 +1890,9 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "chunk_documents": _chunking.chunk_documents_sql(
+            "documents", chunk_size=32, stride=16
+        ),
+        "chunk_dedup_stats": _chunking.chunk_dedup_stats_sql(
             "documents", chunk_size=32, stride=16
         ),
         "running_total": _analytics.running_total_sql("events"),

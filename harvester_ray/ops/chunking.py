@@ -115,3 +115,78 @@ SELECT doc_id, chunk_idx,
        array_to_string(ts[chunk_idx * {s} + 1 : chunk_idx * {s} + {c}], ' ') AS chunk_text
 FROM chunks ORDER BY doc_id, chunk_idx
 """.strip()
+
+
+def chunk_dedup_stats(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 16,
+) -> pd.DataFrame:
+    """Composition gate: chunk the corpus, then measure chunk-level
+    duplication (overlapping windows + repeated boilerplate make chunk
+    dedup the step that actually shrinks a training set). Counting
+    distincts streams md5 partials through one groupby — the chunk text
+    itself never shuffles. Returns one row
+    ``(n_chunks, n_distinct, dup_fraction)`` (fraction fixed-point /1e6).
+    """
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    chunks = chunk_documents(
+        ds, id_col=id_col, text_col=text_col,
+        chunk_size=chunk_size, stride=stride, collect=False,
+    )
+
+    def hash_chunks(t: pa.Table) -> pa.Table:
+        texts = t["chunk_text"].combine_chunks().to_pylist()
+        return pa.table(
+            {"h": pa.array([hashlib.md5(x.encode()).hexdigest() for x in texts], pa.string())}
+        )
+
+    hashed = chunks.map_batches(hash_chunks, batch_format="pyarrow", zero_copy_batch=True)
+    per_hash = hashed.groupby("h").aggregate(Count(alias_name="n")).to_pandas()
+    n_distinct = len(per_hash)
+    n_chunks = int(per_hash["n"].sum()) if n_distinct else 0
+    dup = (
+        float(np.floor((n_chunks - n_distinct) * 1e6 / n_chunks + 0.5) / 1e6)
+        if n_chunks
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_chunks": np.array([n_chunks], np.int64),
+            "n_distinct": np.array([n_distinct], np.int64),
+            "dup_fraction": [dup],
+        }
+    )
+
+
+def chunk_dedup_stats_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 16,
+) -> str:
+    inner = chunk_documents_sql(
+        table, id_col=id_col, text_col=text_col,
+        chunk_size=chunk_size, stride=stride,
+    )
+    return f"""
+WITH chunks AS ({inner}),
+c AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(count(DISTINCT md5(chunk_text)) AS BIGINT) AS n_distinct
+  FROM chunks
+)
+SELECT n_chunks, n_distinct,
+       CASE WHEN n_chunks = 0 THEN 0.0
+            ELSE floor((n_chunks - n_distinct) * 1e6 / n_chunks + 0.5) / 1e6
+       END AS dup_fraction
+FROM c
+""".strip()

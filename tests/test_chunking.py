@@ -49,3 +49,12 @@ def test_chunk_streaming_dataset(ray_session):
     res = chunking.chunk_documents(_ds(["a b c d e f"]), chunk_size=3, stride=3, collect=False)
     assert isinstance(res, ray.data.Dataset)
     assert res.count() == 2
+
+
+def test_chunk_dedup_stats(ray_session):
+    # two identical docs of 4 tokens, chunk=4/stride=4 → 2 chunks, 1 distinct
+    out = chunking.chunk_dedup_stats(
+        _ds(["a b c d", "a b c d"]), chunk_size=4, stride=4
+    ).iloc[0]
+    assert out["n_chunks"] == 2 and out["n_distinct"] == 1
+    assert out["dup_fraction"] == 0.5
