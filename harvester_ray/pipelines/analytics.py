@@ -1498,3 +1498,56 @@ SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM lagged WHERE t1 IS NOT NULL AND t2 IS NOT NULL
 GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT {k}
 """.strip()
+
+
+def percent_rank(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    collect: bool = True,
+):
+    """SQL ``percent_rank()`` per group over (value, id) order:
+    (rank − 1) / (n − 1), 0.0 for single-row groups. Rank and n are exact
+    integers; the one float division uses the same expression on both
+    sides (round 6). Returns ``(id, group, value, prank)`` sorted by id;
+    ``collect=False`` returns the streaming Dataset."""
+
+    def pr(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([value_col, id_col], kind="stable")
+        n = len(g)
+        rank = np.arange(1, n + 1, dtype=np.int64)
+        prank = np.round((rank - 1) / max(n - 1, 1), 6) + 0.0
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                group_col: g[group_col].to_numpy(),
+                value_col: g[value_col].to_numpy(),
+                "prank": prank,
+            }
+        )
+
+    res = ds.groupby(group_col).map_groups(pr, batch_format="pandas")
+    if not collect:
+        return res
+    out = res.to_pandas()
+    cols = [id_col, group_col, value_col, "prank"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(id_col).reset_index(drop=True)[cols]
+
+
+def percent_rank_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+SELECT {id_col}, {group_col}, {value_col},
+       round(percent_rank() OVER (PARTITION BY {group_col}
+                                  ORDER BY {value_col}, {id_col}), 6) + 0.0 AS prank
+FROM {table} ORDER BY {id_col}
+""".strip()

@@ -305,3 +305,11 @@ def test_journey_trigrams(ray_session):
     out = analytics.journey_trigrams(_events(rows), k=5)
     m = {(r["t1"], r["t2"], r["t3"]): r["n"] for _, r in out.iterrows()}
     assert m == {("view", "click", "purchase"): 1, ("click", "purchase", "view"): 1}
+
+
+def test_percent_rank(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(v)) for i, v in enumerate([10, 20, 30, 40, 50])]
+    out = analytics.percent_rank(_events(rows))
+    assert list(out["prank"]) == [0.0, 0.25, 0.5, 0.75, 1.0]
+    single = analytics.percent_rank(_events(rows[:1]))
+    assert list(single["prank"]) == [0.0]
