@@ -1533,6 +1533,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": lambda sf: _analytics.event_gaps(
             _ev_ds(sf, ("event_id", "user_id", "ts"))
         ),
+        "key_skew": lambda sf: _analytics.key_skew(_ev_ds(sf, ("user_id",))),
         "percent_rank": lambda sf: _analytics.percent_rank(
             _ev_ds(sf, ("event_id", "event_type", "value"))
         ),
@@ -1914,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         "hourly_correlation": _analytics.hourly_correlation_sql("events"),
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
+        "key_skew": _analytics.key_skew_sql("events"),
         "percent_rank": _analytics.percent_rank_sql("events"),
         "ntile_quartiles": _analytics.ntile_buckets_sql("events", n=4),
         "event_transitions": _analytics.event_transitions_sql("events"),

@@ -1551,3 +1551,70 @@ SELECT {id_col}, {group_col}, {value_col},
                                   ORDER BY {value_col}, {id_col}), 6) + 0.0 AS prank
 FROM {table} ORDER BY {id_col}
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# key-skew diagnostics
+# --------------------------------------------------------------------------
+
+def key_skew(
+    ds,
+    *,
+    key: str = "user_id",
+) -> pd.DataFrame:
+    """Shuffle-planning diagnostics for a prospective partition key: how
+    skewed is the key's row distribution? Reports the exact key count, the
+    heaviest key's share, and the Gini coefficient of per-key row counts
+    (0 = perfectly even, →1 = one key owns everything) — the numbers that
+    decide whether a groupby on this key needs salting (index/stats.py's
+    hot-term salting is the consumer of exactly this signal).
+
+    Per-key counts come from one hash-partitioned groupby (the same
+    exchange any groupby on this key would pay); the count VECTOR is
+    key-bounded and reduced on the driver with exact integer sums:
+    Gini = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over ascending counts.
+    Shares/gini are fixed-point floor(x·1e6+0.5)/1e6. Returns one row
+    ``(n_keys, n_rows, max_count, max_share, gini)``."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(key).aggregate(Count(alias_name="n")).to_pandas()
+    cols = ["n_keys", "n_rows", "max_count", "max_share", "gini"]
+    if counts.empty:
+        return pd.DataFrame(columns=cols)
+    x = np.sort(counts["n"].to_numpy(np.int64))
+    n = int(x.size)
+    total = int(x.sum())
+    i = np.arange(1, n + 1, dtype=np.int64)
+    num = 2 * int(np.dot(i, x)) - (n + 1) * total
+    gini = float(np.floor(num * 1e6 / (n * total) + 0.5) / 1e6) if total else 0.0
+    mx = int(x[-1])
+    share = float(np.floor(mx * 1e6 / total + 0.5) / 1e6) if total else 0.0
+    return pd.DataFrame(
+        {
+            "n_keys": np.array([n], np.int64),
+            "n_rows": np.array([total], np.int64),
+            "max_count": np.array([mx], np.int64),
+            "max_share": [share],
+            "gini": [gini],
+        }
+    )
+
+
+def key_skew_sql(table: str = "events", *, key: str = "user_id") -> str:
+    return f"""
+WITH counts AS (SELECT CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {key}),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n, n) AS i FROM counts
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(sum(n) AS BIGINT) AS n_rows,
+         CAST(max(n) AS BIGINT) AS max_count,
+         CAST(sum(i * n) AS BIGINT) AS si
+  FROM ranked
+)
+SELECT n_keys, n_rows, max_count,
+       floor(max_count * 1e6 / n_rows + 0.5) / 1e6 AS max_share,
+       floor((2 * si - (n_keys + 1) * n_rows) * 1e6 / (n_keys * n_rows) + 0.5) / 1e6 AS gini
+FROM s
+""".strip()

@@ -313,3 +313,15 @@ def test_percent_rank(ray_session):
     assert list(out["prank"]) == [0.0, 0.25, 0.5, 0.75, 1.0]
     single = analytics.percent_rank(_events(rows[:1]))
     assert list(single["prank"]) == [0.0]
+
+
+def test_key_skew(ray_session):
+    # even distribution → gini 0; one dominant key → gini high
+    even = [(i, i % 4, "a", "2024-01-01", 0.0) for i in range(40)]
+    out = analytics.key_skew(_events(even)).iloc[0]
+    assert out["n_keys"] == 4 and out["n_rows"] == 40
+    assert out["gini"] == 0.0 and out["max_share"] == 0.25
+    skew = [(i, 0 if i < 37 else i, "a", "2024-01-01", 0.0) for i in range(40)]
+    s = analytics.key_skew(_events(skew)).iloc[0]
+    assert s["n_keys"] == 4 and s["max_count"] == 37
+    assert s["gini"] > 0.6 and s["max_share"] == 0.925
