@@ -1534,6 +1534,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("event_id", "user_id", "ts"))
         ),
         "key_skew": lambda sf: _analytics.key_skew(_ev_ds(sf, ("user_id",))),
+        "type_entropy": lambda sf: _analytics.type_entropy(
+            _ev_ds(sf, ("event_type",))
+        ),
+        "rate_wilson_ci": lambda sf: _analytics.rate_wilson_ci(
+            _ev_ds(sf, ("event_type",))
+        ),
         "percent_rank": lambda sf: _analytics.percent_rank(
             _ev_ds(sf, ("event_id", "event_type", "value"))
         ),
@@ -1916,6 +1922,8 @@ def oracle_sql() -> dict[str, str]:
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
+        "type_entropy": _analytics.type_entropy_sql("events"),
+        "rate_wilson_ci": _analytics.rate_wilson_ci_sql("events"),
         "percent_rank": _analytics.percent_rank_sql("events"),
         "ntile_quartiles": _analytics.ntile_buckets_sql("events", n=4),
         "event_transitions": _analytics.event_transitions_sql("events"),

@@ -1618,3 +1618,140 @@ SELECT n_keys, n_rows, max_count,
        floor((2 * si - (n_keys + 1) * n_rows) * 1e6 / (n_keys * n_rows) + 0.5) / 1e6 AS gini
 FROM s
 """.strip()
+
+
+# --------------------------------------------------------------------------
+# distribution entropy + Wilson rate intervals
+# --------------------------------------------------------------------------
+
+def type_entropy(
+    ds,
+    *,
+    group_col: str = "event_type",
+) -> pd.DataFrame:
+    """Shannon entropy (nats) of the ``group_col`` label distribution plus
+    the normalized variant H/ln(k) — the class-balance health check a
+    curation pipeline runs on its strata (ops/sampling.py's stratified
+    rates are chosen from exactly this view). Counts are one tiny grouped
+    aggregate; each −p·ln p term is nano-quantized before the sum
+    (fixed-point rule). Returns one row ``(n, k, entropy, normalized)``."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
+    cols = ["n", "k", "entropy", "normalized"]
+    if counts.empty:
+        return pd.DataFrame(columns=cols)
+    x = counts["n"].to_numpy(np.int64)
+    total = int(x.sum())
+    k = int(x.size)
+    nano = 0
+    for c in x:
+        c = int(c)
+        if c == 0:
+            continue
+        term = -(c / total) * float(np.log(c / total))
+        nano += int(np.floor(term * 1e9 + 0.5))
+    h = round(nano / 1e9, 6) + 0.0
+    norm = (
+        float(np.floor(nano / 1e9 / float(np.log(k)) * 1e6 + 0.5) / 1e6)
+        if k > 1
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n": np.array([total], np.int64),
+            "k": np.array([k], np.int64),
+            "entropy": [h],
+            "normalized": [norm],
+        }
+    )
+
+
+def type_entropy_sql(table: str = "events", *, group_col: str = "event_type") -> str:
+    return f"""
+WITH counts AS (SELECT CAST(count(*) AS BIGINT) AS c FROM {table} GROUP BY {group_col}),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM counts),
+terms AS (
+  SELECT CAST(floor(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1e9 + 0.5) AS BIGINT) AS nano,
+         n, k
+  FROM counts CROSS JOIN tot WHERE c > 0
+)
+SELECT any_value(n) AS n, any_value(k) AS k,
+       round(sum(nano) / 1e9, 6) + 0.0 AS entropy,
+       CASE WHEN any_value(k) > 1
+            THEN floor(sum(nano) / 1e9 / ln(any_value(k)) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS normalized
+FROM terms
+""".strip()
+
+
+def rate_wilson_ci(
+    ds,
+    *,
+    group_col: str = "event_type",
+    z: float = 1.96,
+) -> pd.DataFrame:
+    """Per-type rate among all events with a Wilson score interval —
+    the uncertainty-aware version of events_facets' shares (what a
+    monitoring pipeline alerts on). All inputs are exact integers; the
+    Wilson formula is evaluated with one shared expression order and the
+    bounds fixed-point-quantized at 1e6. Returns
+    ``(group, n_type, n_total, rate, lo, hi)`` sorted by group."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).to_pandas()
+    cols = [group_col, "n_type", "n_total", "rate", "lo", "hi"]
+    if counts.empty:
+        return pd.DataFrame(columns=cols)
+    counts = counts.sort_values(group_col).reset_index(drop=True)
+    total = int(counts["n"].sum())
+    rows = []
+    z2 = z * z
+    for g, kk in counts.itertuples(index=False):
+        kk = int(kk)
+        p = kk / total
+        denom = 1.0 + z2 / total
+        center = (p + z2 / (2.0 * total)) / denom
+        half = (
+            z
+            * float(np.sqrt(p * (1.0 - p) / total + z2 / (4.0 * total * total)))
+            / denom
+        )
+        rows.append(
+            (
+                g,
+                kk,
+                total,
+                float(np.floor(p * 1e6 + 0.5) / 1e6),
+                float(np.floor((center - half) * 1e6 + 0.5) / 1e6),
+                float(np.floor((center + half) * 1e6 + 0.5) / 1e6),
+            )
+        )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def rate_wilson_ci_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    z: float = 1.96,
+) -> str:
+    z2 = f"({z} * {z})"
+    return f"""
+WITH counts AS (SELECT {group_col}, CAST(count(*) AS BIGINT) AS k FROM {table} GROUP BY 1),
+tot AS (SELECT CAST(sum(k) AS BIGINT) AS n FROM counts),
+calc AS (
+  SELECT {group_col}, k, n,
+         k * 1.0 / n AS p,
+         1.0 + {z2} / n AS denom,
+         (k * 1.0 / n + {z2} / (2.0 * n)) / (1.0 + {z2} / n) AS center,
+         {z} * sqrt((k * 1.0 / n) * (1.0 - k * 1.0 / n) / n + {z2} / (4.0 * n * n))
+             / (1.0 + {z2} / n) AS half
+  FROM counts CROSS JOIN tot
+)
+SELECT {group_col}, k AS n_type, n AS n_total,
+       floor(p * 1e6 + 0.5) / 1e6 AS rate,
+       floor((center - half) * 1e6 + 0.5) / 1e6 AS lo,
+       floor((center + half) * 1e6 + 0.5) / 1e6 AS hi
+FROM calc ORDER BY {group_col}
+""".strip()

@@ -325,3 +325,24 @@ def test_key_skew(ray_session):
     s = analytics.key_skew(_events(skew)).iloc[0]
     assert s["n_keys"] == 4 and s["max_count"] == 37
     assert s["gini"] > 0.6 and s["max_share"] == 0.925
+
+
+def test_type_entropy(ray_session):
+    # uniform 2 classes → H = ln 2, normalized 1.0
+    rows = [(i, 1, "a" if i % 2 else "b", "2024-01-01", 0.0) for i in range(20)]
+    out = analytics.type_entropy(_events(rows)).iloc[0]
+    assert out["n"] == 20 and out["k"] == 2
+    assert abs(out["entropy"] - np.log(2)) < 1e-6 and out["normalized"] == 1.0
+    # single class → zero entropy
+    one = analytics.type_entropy(_events([(1, 1, "a", "2024-01-01", 0.0)])).iloc[0]
+    assert one["entropy"] == 0.0 and one["normalized"] == 0.0
+
+
+def test_rate_wilson_ci(ray_session):
+    rows = [(i, 1, "hit" if i < 30 else "miss", "2024-01-01", 0.0) for i in range(100)]
+    out = analytics.rate_wilson_ci(_events(rows))
+    hit = out[out["event_type"] == "hit"].iloc[0]
+    assert hit["rate"] == 0.3
+    assert hit["lo"] < 0.3 < hit["hi"]
+    # Wilson at n=100, p=0.3, z=1.96 ≈ [0.219, 0.396]
+    assert abs(hit["lo"] - 0.2189) < 0.005 and abs(hit["hi"] - 0.3961) < 0.005
