@@ -1755,3 +1755,74 @@ SELECT {group_col}, k AS n_type, n AS n_total,
        floor((center + half) * 1e6 + 0.5) / 1e6 AS hi
 FROM calc ORDER BY {group_col}
 """.strip()
+
+
+def equidepth_histogram(
+    ds,
+    *,
+    value_col: str = "value",
+    nbuckets: int = 10,
+) -> pd.DataFrame:
+    """Equi-depth histogram: bucket boundaries are the exact
+    q = i/nbuckets quantiles (linear interpolation ≡ quantile_cont), then
+    one streaming bincount pass assigns each row to the first bucket whose
+    upper boundary is ≥ the value (boundary comparisons on identical
+    float64 on both sides). Demonstrates the two-pass
+    exact-quantile-then-scan shape; counts are ±0 exact, not approximate.
+    Returns ``(bucket, hi, n)`` with hi rounded to 6."""
+    vals = ds.select_columns([value_col])
+    # pass 1: exact quantiles need the column in one place — the documented
+    # tradeoff of exact equi-depth (value_quantiles holds per group; here
+    # corpus-wide). For >memory columns use a mergeable quantile sketch.
+    v = vals.to_pandas()[value_col].to_numpy(np.float64)
+    if v.size == 0:
+        return pd.DataFrame(columns=["bucket", "hi", "n"])
+    qs = np.quantile(v, [i / nbuckets for i in range(1, nbuckets + 1)], method="linear")
+
+    def assign(t: pa.Table) -> pa.Table:
+        x = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(qs, x, side="left")  # first hi >= x
+        b = np.minimum(b, nbuckets - 1)
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(nbuckets, dtype=np.int64), pa.int64()),
+                "n": pa.array(np.bincount(b, minlength=nbuckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = pd.concat(parts, ignore_index=True).groupby("bucket", as_index=False)["n"].sum()
+    folded["hi"] = np.round(qs[folded["bucket"].to_numpy(np.int64)], 6)
+    folded["n"] = folded["n"].astype(np.int64)
+    return folded[["bucket", "hi", "n"]]
+
+
+def equidepth_histogram_sql(
+    table: str = "events",
+    *,
+    value_col: str = "value",
+    nbuckets: int = 10,
+) -> str:
+    qlist = ", ".join(f"quantile_cont({value_col}, {i}.0 / {nbuckets})" for i in range(1, nbuckets + 1))
+    return f"""
+WITH qs AS (SELECT [{qlist}] AS q FROM {table}),
+edges AS (
+  SELECT i - 1 AS bucket, q[i] AS hi
+  FROM qs CROSS JOIN range(1, {nbuckets} + 1) t(i)
+),
+assigned AS (
+  SELECT least(
+           (SELECT CAST(count(*) AS BIGINT) FROM edges e2 WHERE e2.hi < v.{value_col}),
+           {nbuckets} - 1) AS bucket
+  FROM {table} v
+)
+SELECT e.bucket, round(e.hi, 6) AS hi, CAST(coalesce(a.n, 0) AS BIGINT) AS n
+FROM edges e LEFT JOIN (SELECT bucket, count(*) AS n FROM assigned GROUP BY 1) a
+  ON a.bucket = e.bucket
+ORDER BY e.bucket
+""".strip()

@@ -346,3 +346,12 @@ def test_rate_wilson_ci(ray_session):
     assert hit["lo"] < 0.3 < hit["hi"]
     # Wilson at n=100, p=0.3, z=1.96 ≈ [0.219, 0.396]
     assert abs(hit["lo"] - 0.2189) < 0.005 and abs(hit["hi"] - 0.3961) < 0.005
+
+
+def test_equidepth_histogram(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(i)) for i in range(100)]
+    out = analytics.equidepth_histogram(_events(rows), nbuckets=4)
+    # values 0..99: quartile buckets hold ~25 each
+    assert out["n"].sum() == 100 and len(out) == 4
+    assert (out["n"] >= 24).all() and (out["n"] <= 26).all()
+    assert out.iloc[3]["hi"] == 99.0
