@@ -1534,6 +1534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("event_id", "user_id", "ts"))
         ),
         "key_skew": lambda sf: _analytics.key_skew(_ev_ds(sf, ("user_id",))),
+        "geometric_mean": lambda sf: _analytics.geometric_mean(
+            _ev_ds(sf, ("event_type", "value"))
+        ),
         "equidepth_histogram": lambda sf: _analytics.equidepth_histogram(
             _ev_ds(sf, ("value",)), nbuckets=10
         ),
@@ -1925,6 +1928,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
+        "geometric_mean": _analytics.geometric_mean_sql("events"),
         "equidepth_histogram": _analytics.equidepth_histogram_sql("events", nbuckets=10),
         "type_entropy": _analytics.type_entropy_sql("events"),
         "rate_wilson_ci": _analytics.rate_wilson_ci_sql("events"),

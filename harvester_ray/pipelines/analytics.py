@@ -1826,3 +1826,75 @@ FROM edges e LEFT JOIN (SELECT bucket, count(*) AS n FROM assigned GROUP BY 1) a
   ON a.bucket = e.bucket
 ORDER BY e.bucket
 """.strip()
+
+
+def geometric_mean(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-group geometric mean, exp(Σ ln x / n), for positive values —
+    the right average for multiplicative quantities (latency ratios,
+    growth). Each ln term is nano-quantized before the cross-row sum
+    (fixed-point rule) so the engine's partial-fold order can't shift the
+    result; rows with value ≤ 0 are excluded on both sides. One streaming
+    pass of per-batch (group, n, Σln_nano) partials. Returns
+    ``(group, n, gmean)`` (rounded 6) sorted by group."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        v = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = v > 0
+        g, v = g[ok], v[ok]
+        nano = np.floor(np.log(v) * 1e9 + 0.5)
+        gu, gi = np.unique(g, return_inverse=True)
+        return pa.table(
+            {
+                group_col: pa.array(gu, pa.string()),
+                "n": pa.array(np.bincount(gi, minlength=gu.size).astype(np.int64), pa.int64()),
+                "s": pa.array(np.bincount(gi, weights=nano, minlength=gu.size).astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [group_col, "n", "gmean"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(group_col, sort=True, as_index=False)[["n", "s"]]
+        .sum()
+    )
+    folded = folded[folded["n"] > 0]
+    out = pd.DataFrame(
+        {
+            group_col: folded[group_col].to_numpy(),
+            "n": folded["n"].to_numpy(np.int64),
+            "gmean": [
+                round(float(np.exp(s / 1e9 / n)), 6) + 0.0
+                for n, s in zip(folded["n"], folded["s"])
+            ],
+        }
+    )
+    return out.reset_index(drop=True)[cols]
+
+
+def geometric_mean_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    return f"""
+SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
+       round(exp(sum(CAST(floor(ln({value_col}) * 1e9 + 0.5) AS BIGINT)) / 1e9
+                 / count(*)), 6) + 0.0 AS gmean
+FROM {table} WHERE {value_col} > 0
+GROUP BY {group_col} ORDER BY {group_col}
+""".strip()

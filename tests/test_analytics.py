@@ -355,3 +355,13 @@ def test_equidepth_histogram(ray_session):
     assert out["n"].sum() == 100 and len(out) == 4
     assert (out["n"] >= 24).all() and (out["n"] <= 26).all()
     assert out.iloc[3]["hi"] == 99.0
+
+
+def test_geometric_mean(ray_session):
+    rows = [(1, 1, "a", "2024-01-01", 2.0), (2, 1, "a", "2024-01-01", 8.0),
+            (3, 1, "b", "2024-01-01", 5.0), (4, 1, "b", "2024-01-01", -1.0)]
+    out = analytics.geometric_mean(_events(rows))
+    m = dict(zip(out["event_type"], out["gmean"]))
+    assert abs(m["a"] - 4.0) < 1e-6  # sqrt(2·8)
+    assert abs(m["b"] - 5.0) < 1e-6  # negative excluded
+    assert dict(zip(out["event_type"], out["n"]))["b"] == 1
