@@ -1482,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "source_profile": lambda sf: _compare.source_profile(
+            _docs_ds(sf, ("source", "text"))
+        ),
         "source_kl": lambda sf: _compare.source_kl(
             _docs_ds(sf, ("source", "text"))
         ),
@@ -1900,6 +1903,7 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "source_profile": _compare.source_profile_sql("documents"),
         "source_kl": _compare.source_kl_sql("documents"),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),

@@ -269,3 +269,116 @@ SELECT us.src AS source, us.u_s AS n_tokens,
 FROM us LEFT JOIN contrib ON contrib.src = us.src
 GROUP BY us.src, us.u_s ORDER BY us.src
 """.strip()
+
+
+def source_profile(
+    ds,
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Per-source corpus profile: document/token counts, distinct
+    vocabulary size, and mean token length — the at-a-glance table a
+    curation run prints before deciding per-source sampling rates
+    (`ops/sampling.py`). One streaming pass of per-batch partials:
+    distinct (source, term) pairs carry the vocabulary (bounded by true
+    vocab × sources), integer token/char totals carry the rest. Returns
+    ``(source, n_docs, n_tokens, vocab, avg_token_len)`` (len rounded 6),
+    sorted by source."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import analyzer
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        src = batch[key].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        tok_lens = np.char.str_len(terms.astype("U")).astype(np.int64)
+        su, si_all = np.unique(src, return_inverse=True)
+        ns = su.size
+        n_docs = np.bincount(si_all, minlength=ns).astype(np.int64)
+        if rows.size:
+            si = si_all[rows]
+            n_tok = np.bincount(si, minlength=ns).astype(np.int64)
+            n_chars = np.bincount(si, weights=tok_lens[codes], minlength=ns).astype(np.int64)
+            pair = np.unique(si.astype(np.int64) * max(len(terms), 1) + codes)
+            p_src = (pair // max(len(terms), 1)).astype(np.int64)
+            p_term = terms[(pair % max(len(terms), 1)).astype(np.int64)]
+        else:
+            n_tok = np.zeros(ns, np.int64)
+            n_chars = np.zeros(ns, np.int64)
+            p_src = np.empty(0, np.int64)
+            p_term = np.empty(0, object)
+        # two row kinds: per-source totals (term="") + distinct pairs
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([su, su[p_src]]), pa.string()),
+                "term": pa.array(
+                    np.concatenate([np.full(ns, "", object), p_term]), pa.string()
+                ),
+                "n_docs": pa.array(np.concatenate([n_docs, np.zeros(p_src.size, np.int64)]), pa.int64()),
+                "n_tok": pa.array(np.concatenate([n_tok, np.zeros(p_src.size, np.int64)]), pa.int64()),
+                "n_chars": pa.array(np.concatenate([n_chars, np.zeros(p_src.size, np.int64)]), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["source", "n_docs", "n_tokens", "vocab", "avg_token_len"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    df = pd.concat(parts, ignore_index=True)
+    tot = (
+        df[df["term"] == ""]
+        .groupby("src", sort=True, as_index=False)[["n_docs", "n_tok", "n_chars"]]
+        .sum()
+    )
+    vocab = (
+        df[df["term"] != ""][["src", "term"]]
+        .drop_duplicates()
+        .groupby("src", sort=True)
+        .size()
+    )
+    tot["vocab"] = tot["src"].map(vocab).fillna(0).astype(np.int64)
+    tot["avg_token_len"] = [
+        round(c / t, 6) + 0.0 if t else 0.0
+        for c, t in zip(tot["n_chars"], tot["n_tok"])
+    ]
+    out = tot.rename(columns={"src": "source", "n_tok": "n_tokens"})
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_tokens"] = out["n_tokens"].astype(np.int64)
+    return out[cols].reset_index(drop=True)
+
+
+def source_profile_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {key} AS src, {tok} AS ts FROM {table}),
+flat AS (SELECT src, unnest(ts) AS term FROM toks),
+tot AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(len(term)) AS BIGINT) AS n_chars,
+         CAST(count(DISTINCT term) AS BIGINT) AS vocab
+  FROM flat GROUP BY src
+),
+docs AS (SELECT src, CAST(count(*) AS BIGINT) AS n_docs FROM toks GROUP BY src)
+SELECT d.src AS source, d.n_docs,
+       coalesce(t.n_tokens, 0) AS n_tokens,
+       coalesce(t.vocab, 0) AS vocab,
+       CASE WHEN coalesce(t.n_tokens, 0) = 0 THEN 0.0
+            ELSE round(t.n_chars * 1.0 / t.n_tokens, 6) + 0.0 END AS avg_token_len
+FROM docs d LEFT JOIN tot t USING (src) ORDER BY source
+""".strip()

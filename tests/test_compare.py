@@ -1,0 +1,45 @@
+"""Corpus comparison ops (ops/compare.py)."""
+
+import pyarrow as pa
+
+from harvester_ray.ops import compare
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "source": pa.array([r[0] for r in rows]),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+def test_source_profile(ray_session):
+    out = compare.source_profile(_ds([("a", "xx yy xx"), ("a", ""), ("b", "zzz")]))
+    m = {r["source"]: r for _, r in out.iterrows()}
+    assert m["a"]["n_docs"] == 2 and m["a"]["n_tokens"] == 3 and m["a"]["vocab"] == 2
+    assert m["a"]["avg_token_len"] == 2.0
+    assert m["b"]["n_docs"] == 1 and m["b"]["vocab"] == 1 and m["b"]["avg_token_len"] == 3.0
+
+
+def test_source_profile_partition_independent(ray_session):
+    rows = [(f"s{i % 4}", f"tok{i % 9} word common text") for i in range(80)]
+    a = compare.source_profile(_ds(rows))
+    b = compare.source_profile(_ds(rows).repartition(7))
+    assert a.equals(b)
+
+
+def test_source_jaccard_identical_sources(ray_session):
+    rows = [("a", "one two three four five six"), ("b", "one two three four five six")]
+    out = compare.source_jaccard(_ds(rows), shingle_n=3)
+    assert len(out) == 1 and out.iloc[0]["jaccard"] == 1.0
+
+
+def test_source_kl_identical_is_zero(ray_session):
+    rows = [("a", "x y z"), ("b", "x y z")]
+    out = compare.source_kl(_ds(rows))
+    assert (out["kl"] == 0.0).all()
