@@ -1482,6 +1482,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "winsorize": lambda sf: _analytics.winsorize(
+            _ev_ds(sf, ("event_id", "value"))
+        ),
+        "hapax_rate": lambda sf: _compare.hapax_rate(
+            _docs_ds(sf, ("source", "text"))
+        ),
         "source_profile": lambda sf: _compare.source_profile(
             _docs_ds(sf, ("source", "text"))
         ),
@@ -1903,6 +1909,8 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "winsorize": _analytics.winsorize_sql("events"),
+        "hapax_rate": _compare.hapax_rate_sql("documents"),
         "source_profile": _compare.source_profile_sql("documents"),
         "source_kl": _compare.source_kl_sql("documents"),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),

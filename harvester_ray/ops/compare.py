@@ -382,3 +382,92 @@ SELECT d.src AS source, d.n_docs,
             ELSE round(t.n_chars * 1.0 / t.n_tokens, 6) + 0.0 END AS avg_token_len
 FROM docs d LEFT JOIN tot t USING (src) ORDER BY source
 """.strip()
+
+
+def hapax_rate(
+    ds,
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Hapax-legomena rate per source: the share of each source's
+    vocabulary that occurs exactly once — high hapax = fresh/noisy text,
+    low hapax = templated boilerplate (a classic curation signal next to
+    [[repetition]] metrics). Reuses the per-(source, term) cf partial fold
+    of ``source_kl``. Rate is fixed-point /1e6. Returns
+    ``(source, vocab, hapax, rate)`` sorted by source."""
+    import numpy as np
+    import pandas as pd
+
+    from .. import analyzer
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        src = batch[key].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        if rows.size == 0:
+            return pa.table(
+                {"src": pa.array([], pa.string()), "term": pa.array([], pa.string()), "cf": pa.array([], pa.int64())}
+            )
+        su, si = np.unique(src[rows], return_inverse=True)
+        code = si.astype(np.int64) * max(len(dictionary), 1) + codes
+        cu, cn = np.unique(code, return_counts=True)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        return pa.table(
+            {
+                "src": pa.array(su[(cu // max(len(dictionary), 1)).astype(np.int64)], pa.string()),
+                "term": pa.array(terms[(cu % max(len(dictionary), 1)).astype(np.int64)], pa.string()),
+                "cf": pa.array(cn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["source", "vocab", "hapax", "rate"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["src", "term"], sort=False, as_index=False)["cf"]
+        .sum()
+    )
+    g = folded.groupby("src", sort=True)
+    vocab = g.size()
+    hapax = g["cf"].apply(lambda s: int((s == 1).sum()))
+    out = pd.DataFrame(
+        {
+            "source": vocab.index.to_numpy(),
+            "vocab": vocab.to_numpy(np.int64),
+            "hapax": hapax.to_numpy(np.int64),
+        }
+    )
+    out["rate"] = [
+        float(np.floor(h * 1e6 / v + 0.5) / 1e6) if v else 0.0
+        for h, v in zip(out["hapax"], out["vocab"])
+    ]
+    return out[cols].reset_index(drop=True)
+
+
+def hapax_rate_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    text_col: str = "text",
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {key} AS src, {tok} AS ts FROM {table}),
+flat AS (SELECT src, unnest(ts) AS term FROM toks),
+cf AS (SELECT src, term, count(*) AS c FROM flat GROUP BY 1, 2)
+SELECT src AS source,
+       CAST(count(*) AS BIGINT) AS vocab,
+       CAST(count(*) FILTER (c = 1) AS BIGINT) AS hapax,
+       floor(count(*) FILTER (c = 1) * 1e6 / count(*) + 0.5) / 1e6 AS rate
+FROM cf GROUP BY src ORDER BY source
+""".strip()

@@ -1898,3 +1898,63 @@ SELECT {group_col}, CAST(count(*) AS BIGINT) AS n,
 FROM {table} WHERE {value_col} > 0
 GROUP BY {group_col} ORDER BY {group_col}
 """.strip()
+
+
+def winsorize(
+    ds,
+    *,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    collect: bool = True,
+):
+    """Winsorization: clip ``value_col`` to its exact [lo_q, hi_q]
+    quantiles (the outlier treatment that keeps rows instead of dropping
+    them, unlike outliers_mad). Two passes: exact corpus quantiles, then a
+    stateless clip map — the clip bound comparison runs on identical
+    float64 on both sides. Returns ``(id, value, clipped)`` (clipped
+    rounded 6) sorted by id; ``collect=False`` streams."""
+    v = ds.select_columns([value_col]).to_pandas()[value_col].to_numpy(np.float64)
+    cols = [id_col, value_col, "clipped"]
+    if v.size == 0:
+        return pd.DataFrame(columns=cols)
+    lo = float(np.quantile(v, lo_q, method="linear"))
+    hi = float(np.quantile(v, hi_q, method="linear"))
+
+    def clip(t: pa.Table) -> pa.Table:
+        x = t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.round(np.minimum(hi, np.maximum(lo, x)), 6) + 0.0
+        return pa.table(
+            {
+                id_col: t[id_col],
+                value_col: t[value_col],
+                "clipped": pa.array(c, pa.float64()),
+            }
+        )
+
+    res = ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+    if not collect:
+        return res
+    out = res.to_pandas()
+    return out.sort_values(id_col).reset_index(drop=True)[cols]
+
+
+def winsorize_sql(
+    table: str = "events",
+    *,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT quantile_cont({value_col}, {lo_q}) AS lo,
+         quantile_cont({value_col}, {hi_q}) AS hi
+  FROM {table}
+)
+SELECT {id_col}, {value_col},
+       round(least(hi, greatest(lo, {value_col})), 6) + 0.0 AS clipped
+FROM {table} CROSS JOIN b ORDER BY {id_col}
+""".strip()

@@ -365,3 +365,10 @@ def test_geometric_mean(ray_session):
     assert abs(m["a"] - 4.0) < 1e-6  # sqrt(2·8)
     assert abs(m["b"] - 5.0) < 1e-6  # negative excluded
     assert dict(zip(out["event_type"], out["n"]))["b"] == 1
+
+
+def test_winsorize(ray_session):
+    rows = [(i, 1, "a", "2024-01-01", float(v)) for i, v in enumerate([1, 2, 3, 4, 1000])]
+    out = analytics.winsorize(_events(rows), lo_q=0.0, hi_q=0.5)
+    # hi = median = 3.0 → values above clip to 3
+    assert list(out["clipped"]) == [1.0, 2.0, 3.0, 3.0, 3.0]

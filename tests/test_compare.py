@@ -43,3 +43,11 @@ def test_source_kl_identical_is_zero(ray_session):
     rows = [("a", "x y z"), ("b", "x y z")]
     out = compare.source_kl(_ds(rows))
     assert (out["kl"] == 0.0).all()
+
+
+def test_hapax_rate(ray_session):
+    out = compare.hapax_rate(_ds([("a", "x x y"), ("b", "z")]))
+    m = {r["source"]: r for _, r in out.iterrows()}
+    # source a: vocab {x:2, y:1} → 1 hapax of 2
+    assert m["a"]["vocab"] == 2 and m["a"]["hapax"] == 1 and m["a"]["rate"] == 0.5
+    assert m["b"]["vocab"] == 1 and m["b"]["hapax"] == 1 and m["b"]["rate"] == 1.0
