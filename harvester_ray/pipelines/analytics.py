@@ -1958,3 +1958,69 @@ SELECT {id_col}, {value_col},
        round(least(hi, greatest(lo, {value_col})), 6) + 0.0 AS clipped
 FROM {table} CROSS JOIN b ORDER BY {id_col}
 """.strip()
+
+
+def longest_streak(
+    ds,
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+) -> pd.DataFrame:
+    """Gaps-and-islands: each user's longest run of consecutive same-type
+    events in time order. Ties broken by earliest run start. One grouped
+    exchange; run lengths are found with a vectorized boundary diff.
+    Returns ``(key, event_type, streak)`` sorted by key."""
+
+    def streak(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        et = g[type_col].to_numpy()
+        starts = np.ones(et.size, bool)
+        starts[1:] = et[1:] != et[:-1]
+        run_id = np.cumsum(starts) - 1
+        lens = np.bincount(run_id)
+        best = int(np.argmax(lens))  # first max = earliest run
+        first_idx = int(np.flatnonzero(starts)[best])
+        return pd.DataFrame(
+            {
+                key: [g[key].iloc[0]],
+                type_col: [et[first_idx]],
+                "streak": np.array([lens[best]], np.int64),
+            }
+        )
+
+    out = ds.groupby(key).map_groups(streak, batch_format="pandas").to_pandas()
+    cols = [key, type_col, "streak"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(key).reset_index(drop=True)[cols]
+
+
+def longest_streak_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    type_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+) -> str:
+    ob = ", ".join(order_by)
+    return f"""
+WITH numbered AS (
+  SELECT {key}, {type_col}, {order_by[0]}, {order_by[1]},
+         row_number() OVER (PARTITION BY {key} ORDER BY {ob}) AS rn,
+         row_number() OVER (PARTITION BY {key}, {type_col} ORDER BY {ob}) AS rt
+  FROM {table}
+),
+runs AS (
+  SELECT {key}, {type_col}, CAST(count(*) AS BIGINT) AS streak,
+         min(rn) AS start_rn
+  FROM numbered GROUP BY {key}, {type_col}, rn - rt
+),
+best AS (
+  SELECT {key}, {type_col}, streak,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY streak DESC, start_rn) AS pick
+  FROM runs
+)
+SELECT {key}, {type_col}, streak FROM best WHERE pick = 1 ORDER BY {key}
+""".strip()

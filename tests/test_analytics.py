@@ -372,3 +372,21 @@ def test_winsorize(ray_session):
     out = analytics.winsorize(_events(rows), lo_q=0.0, hi_q=0.5)
     # hi = median = 3.0 → values above clip to 3
     assert list(out["clipped"]) == [1.0, 2.0, 3.0, 3.0, 3.0]
+
+
+def test_longest_streak(ray_session):
+    rows = [
+        (1, 1, "a", "2024-01-01 10:00", 0.0),
+        (2, 1, "a", "2024-01-01 10:01", 0.0),
+        (3, 1, "b", "2024-01-01 10:02", 0.0),
+        (4, 1, "a", "2024-01-01 10:03", 0.0),
+        # tie between first aa-run and bb-run → earliest wins
+        (5, 2, "x", "2024-01-01 10:00", 0.0),
+        (6, 2, "x", "2024-01-01 10:01", 0.0),
+        (7, 2, "y", "2024-01-01 10:02", 0.0),
+        (8, 2, "y", "2024-01-01 10:03", 0.0),
+    ]
+    out = analytics.longest_streak(_events(rows))
+    m = {r["user_id"]: (r["event_type"], r["streak"]) for _, r in out.iterrows()}
+    assert m[1] == ("a", 2)
+    assert m[2] == ("x", 2)  # tie → earliest run start
