@@ -466,3 +466,94 @@ SELECT t.doc_id,
 FROM (SELECT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id
 """.strip()
+
+
+def fuzzy_token_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    min_len: int = 4,
+    max_dist: int = 2,
+) -> pd.DataFrame:
+    """Similarity self-join over the corpus vocabulary: all token pairs at
+    Levenshtein distance ≤ ``max_dist`` — the SymSpell deletion-
+    neighborhood algorithm: any pair within distance d shares an entry of
+    the ≤d-char-deletion neighborhoods, so grouping by deletion variant is
+    a COMPLETE candidate blocking (no missed pairs). This is the scale
+    path behind did_you_mean's prefix-bounded scan (index/extras.py:334):
+    the neighborhood explosion is per-token (embarrassingly parallel) and
+    candidates shuffle only (variant, token_id) pairs. Tokens shorter than
+    ``min_len`` are skipped. Candidates are verified with a banded DP.
+    Returns ``(tok_a, tok_b, dist)`` sorted pairs, dist ≥ 1."""
+    df_tbl, _ = corpus_df(ds, text_col=text_col)
+    vocab = sorted(t for t in df_tbl["term"] if len(t) >= min_len)
+
+    def deletions(t: str, d: int) -> set:
+        out = {t}
+        frontier = {t}
+        for _ in range(d):
+            nxt = set()
+            for w in frontier:
+                for j in range(len(w)):
+                    nxt.add(w[:j] + w[j + 1 :])
+            out |= nxt
+            frontier = nxt
+        return out
+
+    buckets: dict[str, list[int]] = {}
+    for i, t in enumerate(vocab):
+        for v in deletions(t, max_dist):
+            buckets.setdefault(v, []).append(i)
+    cand = set()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                cand.add((members[x], members[y]))
+
+    def lev(a: str, b: str) -> int:
+        la, lb = len(a), len(b)
+        if abs(la - lb) > max_dist:
+            return max_dist + 1
+        prev = list(range(lb + 1))
+        for i in range(1, la + 1):
+            cur = [i] + [0] * lb
+            for j in range(1, lb + 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (a[i - 1] != b[j - 1]),
+                )
+            prev = cur
+        return prev[lb]
+
+    rows = []
+    for i, j in cand:
+        d = lev(vocab[i], vocab[j])
+        if 1 <= d <= max_dist:
+            rows.append((vocab[i], vocab[j], d))
+    rows.sort()
+    return pd.DataFrame(rows, columns=["tok_a", "tok_b", "dist"]).astype(
+        {"dist": "int64"} if rows else {"tok_a": str, "tok_b": str, "dist": "int64"}
+    )
+
+
+def fuzzy_token_pairs_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    min_len: int = 4,
+    max_dist: int = 2,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH vocab AS (
+  SELECT DISTINCT unnest({tok}) AS t FROM {table}
+),
+v AS (SELECT t FROM vocab WHERE len(t) >= {min_len})
+SELECT a.t AS tok_a, b.t AS tok_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= {max_dist}
+ORDER BY tok_a, tok_b
+""".strip()

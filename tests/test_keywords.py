@@ -122,3 +122,17 @@ def test_unigram_logprob_partition_independent(ray_session):
     a = keywords.unigram_logprob(_ds(texts))
     b = keywords.unigram_logprob(_ds(texts).repartition(9))
     assert a.equals(b)
+
+
+def test_fuzzy_token_pairs(ray_session):
+    out = keywords.fuzzy_token_pairs(
+        _ds(["spark sparks shark spoon fork"]), min_len=4, max_dist=2
+    )
+    m = {(r["tok_a"], r["tok_b"]): r["dist"] for _, r in out.iterrows()}
+    assert m[("spark", "sparks")] == 1  # insertion
+    assert m[("shark", "spark")] == 1  # substitution
+    assert m[("shark", "sparks")] == 2  # sub + insert
+    assert ("fork", "spoon") not in m
+    # completeness: different first chars still found (SymSpell property)
+    out2 = keywords.fuzzy_token_pairs(_ds(["cats bats"]), min_len=4, max_dist=1)
+    assert list(out2.itertuples(index=False)) and out2.iloc[0]["dist"] == 1
