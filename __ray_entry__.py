@@ -1503,6 +1503,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("text",)), k=100
         ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
+        "cooccurrence_pairs": lambda sf: _keywords.cooccurrence_pairs(
+            _docs_ds(sf, ("text",)), k=50, min_count=5
+        ),
         "fuzzy_token_pairs": lambda sf: _keywords.fuzzy_token_pairs(
             _docs_ds(sf, ("text",)), min_len=4, max_dist=2
         ),
@@ -1924,6 +1927,9 @@ def oracle_sql() -> dict[str, str]:
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
+        "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
+            "documents", k=50, min_count=5
+        ),
         "fuzzy_token_pairs": _keywords.fuzzy_token_pairs_sql("documents", min_len=4, max_dist=2),
         "chunk_documents": _chunking.chunk_documents_sql(
             "documents", chunk_size=32, stride=16

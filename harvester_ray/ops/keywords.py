@@ -557,3 +557,99 @@ SELECT a.t AS tok_a, b.t AS tok_b,
 FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= {max_dist}
 ORDER BY tok_a, tok_b
 """.strip()
+
+
+def cooccurrence_pairs(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    max_doc_terms: int = 512,
+) -> pd.DataFrame:
+    """Document-level term co-occurrence counts: for every document, every
+    unordered pair of DISTINCT terms it contains counts once — the
+    precursor matrix of PMI embeddings / related-term suggestions (the
+    whole-document sibling of ``collocations_pmi``'s adjacency window).
+
+    Per batch the (doc, distinct-term) stream is pair-enumerated with the
+    closed-form triangle decode (`ops/dedup.py:_group_pairs` — no Python
+    per doc), pair partials fold once. Docs with more than
+    ``max_doc_terms`` distinct terms are skipped (quadratic guard, same
+    role as near-dup's ``max_bucket``; both sides apply it). Returns
+    ``(w1, w2, n)`` top-``k`` by (n desc, pair), n ≥ ``min_count``."""
+    from .dedup import _group_pairs
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        r, c, _ = analyzer.term_frequencies(rows, codes)  # distinct per doc
+        if r.size == 0:
+            return pa.table({"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())})
+        # r is grouped by row; within a row codes ascend (term_frequencies
+        # sorts the composite key) → pairs come out with code_i < code_j
+        counts = np.bincount(r.astype(np.int64))
+        counts = counts[counts > 0]
+        emit = counts <= max_doc_terms
+        i, j = _group_pairs(counts, emit)
+        terms = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+        # code order is batch-dictionary order, not lexicographic — emit the
+        # canonical (min,max) STRING pair so folds agree across batches
+        a, b = terms[c[i]], terms[c[j]]
+        swap = a > b
+        lo = np.where(swap, b, a)
+        hi = np.where(swap, a, b)
+        pair = np.char.add(np.char.add(lo, " "), hi)
+        pu, pn = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                "pair": pa.array(pu.astype(object), pa.string()),
+                "n": pa.array(pn.astype(np.int64), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["w1", "w2", "n"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby("pair", as_index=False)["n"].sum()
+    folded = folded[folded["n"] >= min_count]
+    if folded.empty:
+        return pd.DataFrame(columns=cols)
+    split = folded["pair"].str.split(" ", n=1, expand=True)
+    out = pd.DataFrame({"w1": split[0], "w2": split[1], "n": folded["n"].astype(np.int64)})
+    out = out.sort_values(["n", "w1", "w2"], ascending=[False, True, True], kind="stable")
+    return out.head(k).reset_index(drop=True)[cols]
+
+
+def cooccurrence_pairs_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    k: int = 50,
+    min_count: int = 5,
+    max_doc_terms: int = 512,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT row_number() OVER () AS rid, {tok} AS ts FROM {table}),
+dt AS (SELECT DISTINCT rid, unnest(ts) AS term FROM toks),
+sized AS (
+  SELECT rid FROM dt GROUP BY rid HAVING count(*) <= {max_doc_terms}
+),
+pairs AS (
+  SELECT a.term AS w1, b.term AS w2
+  FROM dt a JOIN dt b ON a.rid = b.rid AND a.term < b.term
+  JOIN sized s ON s.rid = a.rid
+),
+counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n
+  FROM pairs GROUP BY w1, w2 HAVING count(*) >= {min_count}
+)
+SELECT w1, w2, n FROM counts ORDER BY n DESC, w1, w2 LIMIT {k}
+""".strip()

@@ -136,3 +136,21 @@ def test_fuzzy_token_pairs(ray_session):
     # completeness: different first chars still found (SymSpell property)
     out2 = keywords.fuzzy_token_pairs(_ds(["cats bats"]), min_len=4, max_dist=1)
     assert list(out2.itertuples(index=False)) and out2.iloc[0]["dist"] == 1
+
+
+def test_cooccurrence_pairs(ray_session):
+    texts = ["alpha beta gamma"] * 6 + ["alpha beta"] * 3
+    out = keywords.cooccurrence_pairs(_ds(texts), k=10, min_count=2)
+    m = {(r["w1"], r["w2"]): r["n"] for _, r in out.iterrows()}
+    assert m[("alpha", "beta")] == 9
+    assert m[("alpha", "gamma")] == 6 and m[("beta", "gamma")] == 6
+    # repeated term within a doc counts once per doc (distinct-pair rule)
+    out2 = keywords.cooccurrence_pairs(_ds(["x x y"] * 4), k=5, min_count=2)
+    assert {(r["w1"], r["w2"]): r["n"] for _, r in out2.iterrows()} == {("x", "y"): 4}
+
+
+def test_cooccurrence_partition_independent(ray_session):
+    texts = [f"common tok{i % 7} other{i % 3}" for i in range(60)]
+    a = keywords.cooccurrence_pairs(_ds(texts), k=20, min_count=2)
+    b = keywords.cooccurrence_pairs(_ds(texts).repartition(8), k=20, min_count=2)
+    assert a.equals(b)
