@@ -1482,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "mann_whitney_u": lambda sf: _analytics.mann_whitney_u(
+            _ev_ds(sf, ("event_type", "value"))
+        ),
         "longest_streak": lambda sf: _analytics.longest_streak(
             _ev_ds(sf, ("user_id", "event_type", "ts", "event_id"))
         ),
@@ -1918,6 +1921,7 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),
         "winsorize": _analytics.winsorize_sql("events"),
         "hapax_rate": _compare.hapax_rate_sql("documents"),

@@ -2024,3 +2024,89 @@ best AS (
 )
 SELECT {key}, {type_col}, streak FROM best WHERE pick = 1 ORDER BY {key}
 """.strip()
+
+
+def mann_whitney_u(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    label_a: str = "purchase",
+    label_b: str = "click",
+) -> pd.DataFrame:
+    """Mann–Whitney U between two groups' value distributions — the
+    nonparametric two-sample test (is one group's value stochastically
+    larger?). All rank arithmetic is exact integers: doubled average
+    ranks (2·minrank + ties − 1) are whole numbers, so R·2 and U·2 are
+    BIGINTs on both sides; the AUC effect size U/(n_a·n_b) is fixed-point
+    /1e6. Needs the two groups' values in one ranking — a filtered
+    column pull (two-label subset), the same bound as value_quantiles.
+    Returns one row ``(n_a, n_b, u2_a, auc)``."""
+    vals = (
+        ds.filter(expr=f"{group_col} == '{label_a}' or {group_col} == '{label_b}'")
+        .select_columns([group_col, value_col])
+        .to_pandas()
+    )
+    cols = ["n_a", "n_b", "u2_a", "auc"]
+    if vals.empty:
+        return pd.DataFrame(columns=cols)
+    v = vals[value_col].to_numpy(np.float64)
+    is_a = (vals[group_col] == label_a).to_numpy()
+    order = np.argsort(v, kind="stable")
+    v_s, a_s = v[order], is_a[order]
+    starts = np.ones(v_s.size, bool)
+    starts[1:] = v_s[1:] != v_s[:-1]
+    run_id = np.cumsum(starts) - 1
+    run_len = np.bincount(run_id)
+    run_min_rank = np.concatenate(([0], np.cumsum(run_len)[:-1])) + 1
+    rank2 = 2 * run_min_rank[run_id] + run_len[run_id] - 1  # doubled avg rank
+    n_a = int(a_s.sum())
+    n_b = int(v_s.size - n_a)
+    r2_a = int(rank2[a_s].sum())
+    u2_a = r2_a - n_a * (n_a + 1)
+    auc = (
+        float(np.floor(u2_a * 1e6 / (2 * n_a * n_b) + 0.5) / 1e6)
+        if n_a and n_b
+        else 0.0
+    )
+    return pd.DataFrame(
+        {
+            "n_a": np.array([n_a], np.int64),
+            "n_b": np.array([n_b], np.int64),
+            "u2_a": np.array([u2_a], np.int64),
+            "auc": [auc],
+        }
+    )
+
+
+def mann_whitney_u_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    label_a: str = "purchase",
+    label_b: str = "click",
+) -> str:
+    return f"""
+WITH sub AS (
+  SELECT {group_col} AS g, {value_col} AS v FROM {table}
+  WHERE {group_col} IN ('{label_a}', '{label_b}')
+),
+ranked AS (
+  SELECT g,
+         2 * rank() OVER (ORDER BY v) + count(*) OVER (PARTITION BY v) - 1 AS rank2
+  FROM sub
+),
+agg AS (
+  SELECT CAST(count(*) FILTER (g = '{label_a}') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (g = '{label_b}') AS BIGINT) AS n_b,
+         CAST(sum(rank2) FILTER (g = '{label_a}') AS BIGINT) AS r2_a
+  FROM ranked
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+            ELSE floor((r2_a - n_a * (n_a + 1)) * 1e6 / (2 * n_a * n_b) + 0.5) / 1e6
+       END AS auc
+FROM agg
+""".strip()

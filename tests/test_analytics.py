@@ -390,3 +390,17 @@ def test_longest_streak(ray_session):
     m = {r["user_id"]: (r["event_type"], r["streak"]) for _, r in out.iterrows()}
     assert m[1] == ("a", 2)
     assert m[2] == ("x", 2)  # tie → earliest run start
+
+
+def test_mann_whitney_u(ray_session):
+    # a-values all above b-values → AUC = 1; reversed → 0
+    rows = [(i, 1, "purchase", "2024-01-01", 100.0 + i) for i in range(5)]
+    rows += [(10 + i, 1, "click", "2024-01-01", 1.0 + i) for i in range(4)]
+    out = analytics.mann_whitney_u(_events(rows)).iloc[0]
+    assert out["n_a"] == 5 and out["n_b"] == 4
+    assert out["auc"] == 1.0 and out["u2_a"] == 2 * 5 * 4
+    # ties split evenly: identical distributions → AUC = 0.5
+    rows2 = [(i, 1, "purchase", "2024-01-01", 7.0) for i in range(3)]
+    rows2 += [(10 + i, 1, "click", "2024-01-01", 7.0) for i in range(3)]
+    out2 = analytics.mann_whitney_u(_events(rows2)).iloc[0]
+    assert out2["auc"] == 0.5
