@@ -2110,3 +2110,93 @@ SELECT n_a, n_b,
        END AS auc
 FROM agg
 """.strip()
+
+
+def spearman_by_group(
+    ds,
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Per-group Spearman rank correlation between time order and value —
+    the monotone-trend test (robust sibling of regression_by_group's OLS
+    slope). Ranks use doubled average-rank integers (ties exact); the
+    Pearson formula then runs on exact integer sums with float entering
+    once. Same grouped exchange as value_quantiles. Returns
+    ``(group, n, rho)`` (rounded 6) sorted by group; rho is NULL for
+    groups where either ranking is constant."""
+
+    def _rank2(x: np.ndarray, tiebreak: np.ndarray | None = None) -> np.ndarray:
+        # doubled average ranks; ties on x only (tiebreak orders storage)
+        order = np.argsort(x, kind="stable") if tiebreak is None else np.lexsort((tiebreak, x))
+        xs = x[order]
+        starts = np.ones(xs.size, bool)
+        starts[1:] = xs[1:] != xs[:-1]
+        run_id = np.cumsum(starts) - 1
+        run_len = np.bincount(run_id)
+        run_min = np.concatenate(([0], np.cumsum(run_len)[:-1])) + 1
+        r2_sorted = 2 * run_min[run_id] + run_len[run_id] - 1
+        out = np.empty(xs.size, np.int64)
+        out[order] = r2_sorted
+        return out
+
+    def rho(g: pd.DataFrame) -> pd.DataFrame:
+        ts_us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy(np.float64)
+        ids = g[id_col].to_numpy(np.int64)
+        rx = _rank2(ts_us, ids)
+        ry = _rank2(v, ids)
+        n = int(rx.size)
+        sx, sy = int(rx.sum()), int(ry.sum())
+        sxy = int(np.dot(rx.astype(np.float64), ry.astype(np.float64)))
+        sxx = int(np.dot(rx.astype(np.float64), rx.astype(np.float64)))
+        syy = int(np.dot(ry.astype(np.float64), ry.astype(np.float64)))
+        num = n * sxy - sx * sy
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        if da == 0 or db == 0:
+            r = None
+        else:
+            r = round(float(num) / (float(np.sqrt(float(da))) * float(np.sqrt(float(db)))), 6) + 0.0
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "n": np.array([n], np.int64), "rho": [r]})
+
+    out = ds.groupby(group_col).map_groups(rho, batch_format="pandas").to_pandas()
+    cols = [group_col, "n", "rho"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def spearman_by_group_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH ranked AS (
+  SELECT {group_col},
+         CAST(2 * rank() OVER (PARTITION BY {group_col} ORDER BY {ts_col})
+              + count(*) OVER (PARTITION BY {group_col}, {ts_col}) - 1 AS HUGEINT) AS rx,
+         CAST(2 * rank() OVER (PARTITION BY {group_col} ORDER BY {value_col})
+              + count(*) OVER (PARTITION BY {group_col}, {value_col}) - 1 AS HUGEINT) AS ry
+  FROM {table}
+),
+agg AS (
+  SELECT {group_col},
+         CAST(count(*) AS HUGEINT) AS n,
+         sum(rx) AS sx, sum(ry) AS sy,
+         sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+  FROM ranked GROUP BY {group_col}
+)
+SELECT {group_col}, CAST(n AS BIGINT) AS n,
+       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+       END AS rho
+FROM agg ORDER BY {group_col}
+""".strip()

@@ -404,3 +404,16 @@ def test_mann_whitney_u(ray_session):
     rows2 += [(10 + i, 1, "click", "2024-01-01", 7.0) for i in range(3)]
     out2 = analytics.mann_whitney_u(_events(rows2)).iloc[0]
     assert out2["auc"] == 0.5
+
+
+def test_spearman(ray_session):
+    # perfectly increasing values over time → rho = 1; decreasing → -1
+    rows = [(i, 1, "up", f"2024-01-01 00:{i:02d}", float(i)) for i in range(10)]
+    rows += [(20 + i, 1, "down", f"2024-01-01 00:{i:02d}", float(-i)) for i in range(10)]
+    out = analytics.spearman_by_group(_events(rows))
+    m = dict(zip(out["event_type"], out["rho"]))
+    assert m["up"] == 1.0 and m["down"] == -1.0
+    # constant values → NULL rho
+    rows2 = [(i, 1, "flat", f"2024-01-01 00:{i:02d}", 5.0) for i in range(5)]
+    out2 = analytics.spearman_by_group(_events(rows2))
+    assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
