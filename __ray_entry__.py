@@ -1497,6 +1497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hapax_rate": lambda sf: _compare.hapax_rate(
             _docs_ds(sf, ("source", "text"))
         ),
+        "ks_doclen": lambda sf: _compare.ks_statistic(
+            _docs_ds(sf, ("source", "n_chars"))
+        ),
         "source_profile": lambda sf: _compare.source_profile(
             _docs_ds(sf, ("source", "text"))
         ),
@@ -1929,6 +1932,7 @@ def oracle_sql() -> dict[str, str]:
         "longest_streak": _analytics.longest_streak_sql("events"),
         "winsorize": _analytics.winsorize_sql("events"),
         "hapax_rate": _compare.hapax_rate_sql("documents"),
+        "ks_doclen": _compare.ks_statistic_sql("documents"),
         "source_profile": _compare.source_profile_sql("documents"),
         "source_kl": _compare.source_kl_sql("documents"),
         "tfidf_keywords": _keywords.tfidf_keywords_sql("documents", k=5),

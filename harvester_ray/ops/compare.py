@@ -471,3 +471,97 @@ SELECT src AS source,
        floor(count(*) FILTER (c = 1) * 1e6 / count(*) + 0.5) / 1e6 AS rate
 FROM cf GROUP BY src ORDER BY source
 """.strip()
+
+
+def ks_statistic(
+    ds,
+    *,
+    key: str = "source",
+    value_col: str = "n_chars",
+    label_a: str = "src0",
+    label_b: str = "src1",
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between two sources'
+    ``value_col`` distributions — the distribution-drift test that
+    completes the corpus-comparison family (source_jaccard: set overlap;
+    source_kl: unigram drift; this: numeric-column drift).
+
+    D = max over observed values of |ECDF_a − ECDF_b|. ECDFs are exact
+    integer step functions (cum counts over the merged sorted values), so
+    D is an exact rational cumA·nB − cumB·nA over nA·nB — compared and
+    emitted in integer space; only the final ratio is fixed-point /1e6.
+    The two samples are a filtered two-group column pull (same bound as
+    mann_whitney_u). Returns one row ``(n_a, n_b, d_num, ks)`` where
+    ``d_num = max|cumA·nB − cumB·nA|`` (exact integer) and
+    ks = d_num/(nA·nB)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = (
+        ds.filter(expr=f"{key} == '{label_a}' or {key} == '{label_b}'")
+        .select_columns([key, value_col])
+        .to_pandas()
+    )
+    cols = ["n_a", "n_b", "d_num", "ks"]
+    if vals.empty:
+        return pd.DataFrame(columns=cols)
+    v = vals[value_col].to_numpy(np.int64)
+    is_a = (vals[key] == label_a).to_numpy()
+    order = np.argsort(v, kind="stable")
+    v_s, a_s = v[order], is_a[order]
+    cum_a = np.cumsum(a_s.astype(np.int64))
+    cum_b = np.cumsum((~a_s).astype(np.int64))
+    # evaluate at run ends (last index of each distinct value)
+    last = np.ones(v_s.size, bool)
+    last[:-1] = v_s[1:] != v_s[:-1]
+    n_a, n_b = int(cum_a[-1]), int(cum_b[-1])
+    d_num = int(np.abs(cum_a[last] * n_b - cum_b[last] * n_a).max()) if n_a and n_b else 0
+    ks = float(np.floor(d_num * 1e6 / (n_a * n_b) + 0.5) / 1e6) if n_a and n_b else 0.0
+    return pd.DataFrame(
+        {
+            "n_a": np.array([n_a], np.int64),
+            "n_b": np.array([n_b], np.int64),
+            "d_num": np.array([d_num], np.int64),
+            "ks": [ks],
+        }
+    )
+
+
+def ks_statistic_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    value_col: str = "n_chars",
+    label_a: str = "src0",
+    label_b: str = "src1",
+) -> str:
+    return f"""
+WITH sub AS (
+  SELECT {key} AS g, {value_col} AS v FROM {table}
+  WHERE {key} IN ('{label_a}', '{label_b}')
+),
+tot AS (
+  SELECT CAST(count(*) FILTER (g = '{label_a}') AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (g = '{label_b}') AS BIGINT) AS n_b
+  FROM sub
+),
+steps AS (
+  SELECT v,
+         CAST(count(*) FILTER (g = '{label_a}') AS BIGINT) AS ca,
+         CAST(count(*) FILTER (g = '{label_b}') AS BIGINT) AS cb
+  FROM sub GROUP BY v
+),
+ecdf AS (
+  SELECT sum(ca) OVER (ORDER BY v) AS cum_a,
+         sum(cb) OVER (ORDER BY v) AS cum_b
+  FROM steps
+),
+d AS (
+  SELECT CAST(max(abs(cum_a * t.n_b - cum_b * t.n_a)) AS BIGINT) AS d_num
+  FROM ecdf CROSS JOIN tot t
+)
+SELECT t.n_a, t.n_b, d.d_num,
+       CASE WHEN t.n_a = 0 OR t.n_b = 0 THEN 0.0
+            ELSE floor(d.d_num * 1e6 / (t.n_a * t.n_b) + 0.5) / 1e6 END AS ks
+FROM d CROSS JOIN tot t
+""".strip()

@@ -51,3 +51,28 @@ def test_hapax_rate(ray_session):
     # source a: vocab {x:2, y:1} → 1 hapax of 2
     assert m["a"]["vocab"] == 2 and m["a"]["hapax"] == 1 and m["a"]["rate"] == 0.5
     assert m["b"]["vocab"] == 1 and m["b"]["hapax"] == 1 and m["b"]["rate"] == 1.0
+
+
+def test_ks_statistic(ray_session):
+    import ray.data as rd
+
+    def mk(rows):
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "source": pa.array([r[0] for r in rows]),
+                    "n_chars": pa.array([r[1] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    # disjoint distributions → KS = 1
+    rows = [("src0", v) for v in (1, 2, 3)] + [("src1", v) for v in (10, 11, 12)]
+    out = compare.ks_statistic(mk(rows)).iloc[0]
+    assert out["ks"] == 1.0 and out["n_a"] == 3 and out["n_b"] == 3
+    # identical distributions → KS = 0
+    rows2 = [("src0", v) for v in (5, 6)] + [("src1", v) for v in (5, 6)]
+    assert compare.ks_statistic(mk(rows2)).iloc[0]["ks"] == 0.0
+    # half-overlap: a={1,2}, b={2,3} → D = 1/2
+    rows3 = [("src0", 1), ("src0", 2), ("src1", 2), ("src1", 3)]
+    assert compare.ks_statistic(mk(rows3)).iloc[0]["ks"] == 0.5
