@@ -1482,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "autocorr_lag1": lambda sf: _analytics.autocorr_lag1(
+            _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
+        ),
         "spearman_by_type": lambda sf: _analytics.spearman_by_group(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -1927,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "autocorr_lag1": _analytics.autocorr_lag1_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),

@@ -2200,3 +2200,79 @@ SELECT {group_col}, CAST(n AS BIGINT) AS n,
        END AS rho
 FROM agg ORDER BY {group_col}
 """.strip()
+
+
+def autocorr_lag1(
+    ds,
+    *,
+    group_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """Per-group lag-1 autocorrelation of values in event order: Pearson r
+    between consecutive (yₜ, yₜ₊₁) pairs — the is-this-series-random probe
+    (a near-zero value justifies treating values as i.i.d. for sampling).
+    Values are quantized to integer centi-units; all sums are exact ints,
+    float enters once. Same grouped exchange as running_total. Returns
+    ``(group, n_pairs, r)`` (rounded 6) sorted by group; NULL when either
+    side is constant."""
+
+    def ac(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_by), kind="stable")
+        y = _quantize_centi(g[value_col].to_numpy(np.float64))
+        a, b = y[:-1], y[1:]
+        n = int(a.size)
+        if n == 0:
+            return pd.DataFrame({group_col: [g[group_col].iloc[0]], "n_pairs": np.array([0], np.int64), "r": [None]})
+        sx, sy = int(a.sum()), int(b.sum())
+        sxy = int(np.dot(a, b))
+        sxx, syy = int(np.dot(a, a)), int(np.dot(b, b))
+        num = n * sxy - sx * sy
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        r = (
+            round(float(num) / (float(np.sqrt(float(da))) * float(np.sqrt(float(db)))), 6) + 0.0
+            if da and db
+            else None
+        )
+        return pd.DataFrame({group_col: [g[group_col].iloc[0]], "n_pairs": np.array([n], np.int64), "r": [r]})
+
+    out = ds.groupby(group_col).map_groups(ac, batch_format="pandas").to_pandas()
+    cols = [group_col, "n_pairs", "r"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def autocorr_lag1_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    order_by: tuple[str, str] = ("ts", "event_id"),
+    value_col: str = "value",
+) -> str:
+    ob = ", ".join(order_by)
+    q = f"CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)"
+    return f"""
+WITH lagged AS (
+  SELECT {group_col},
+         lag({q}) OVER (PARTITION BY {group_col} ORDER BY {ob}) AS a,
+         {q} AS b
+  FROM {table}
+),
+pairs AS (SELECT {group_col}, a, b FROM lagged WHERE a IS NOT NULL),
+agg AS (
+  SELECT {group_col}, CAST(count(*) AS HUGEINT) AS n,
+         sum(a) AS sx, sum(b) AS sy,
+         sum(a * b) AS sxy, sum(a * a) AS sxx, sum(b * b) AS syy
+  FROM pairs GROUP BY {group_col}
+)
+SELECT g.{group_col}, CAST(coalesce(a.n, 0) AS BIGINT) AS n_pairs,
+       CASE WHEN a.n IS NULL OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) + 0.0
+       END AS r
+FROM (SELECT DISTINCT {group_col} FROM {table}) g
+LEFT JOIN agg a USING ({group_col})
+ORDER BY g.{group_col}
+""".strip()

@@ -417,3 +417,18 @@ def test_spearman(ray_session):
     rows2 = [(i, 1, "flat", f"2024-01-01 00:{i:02d}", 5.0) for i in range(5)]
     out2 = analytics.spearman_by_group(_events(rows2))
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
+
+
+def test_autocorr_lag1(ray_session):
+    # strictly increasing series → strong positive lag-1 correlation
+    rows = [(i, 1, "up", f"2024-01-01 00:{i:02d}", float(i)) for i in range(20)]
+    # alternating series → negative lag-1 correlation
+    rows += [(40 + i, 1, "alt", f"2024-01-01 00:{i:02d}", float(i % 2)) for i in range(20)]
+    out = analytics.autocorr_lag1(_events(rows))
+    m = dict(zip(out["event_type"], out["r"]))
+    assert m["up"] > 0.9
+    assert m["alt"] < -0.9
+    # constant series → NULL
+    flat = [(i, 1, "flat", f"2024-01-01 00:{i:02d}", 3.0) for i in range(5)]
+    o2 = analytics.autocorr_lag1(_events(flat))
+    assert pd.isna(o2.iloc[0]["r"]) or o2.iloc[0]["r"] is None
