@@ -1515,6 +1515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("text",)), k=100
         ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
+        "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
         "cooccurrence_pairs": lambda sf: _keywords.cooccurrence_pairs(
             _docs_ds(sf, ("text",)), k=50, min_count=5
         ),
@@ -1943,6 +1944,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
+        "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5
         ),

@@ -653,3 +653,99 @@ counts AS (
 )
 SELECT w1, w2, n FROM counts ORDER BY n DESC, w1, w2 LIMIT {k}
 """.strip()
+
+
+def zipf_slope(
+    ds,
+    *,
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Zipf-law fit over the corpus vocabulary: OLS slope of ln(frequency)
+    against ln(rank) (rank 1 = most frequent; ties broken by term so the
+    ranking is total) — natural language sits near −1; templated or
+    synthetic text drifts off. Frequencies come from the usual vocabulary
+    partial fold; each ln is nano-quantized BEFORE the sums, numerator and
+    denominator are exact Python ints (DuckDB: HUGEINT). Returns one row
+    ``(n_vocab, slope, intercept)`` (rounded 6)."""
+    df_tbl = corpus_cf(ds, text_col=text_col)
+    cols = ["n_vocab", "slope", "intercept"]
+    if df_tbl.empty:
+        return pd.DataFrame(columns=cols)
+    srt = df_tbl.sort_values(["n", "term"], ascending=[False, True], kind="stable")
+    cf = srt["n"].to_numpy(np.int64)
+    n = int(cf.size)
+    rank = np.arange(1, n + 1, dtype=np.int64)
+    x = np.floor(np.log(rank.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cf.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int(np.dot(x.astype(np.float64), y.astype(np.float64)))
+    sxx = int(np.dot(x.astype(np.float64), x.astype(np.float64)))
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    if den == 0:
+        return pd.DataFrame({"n_vocab": [n], "slope": [None], "intercept": [None]})
+    slope = float(num) / float(den)
+    intercept = (float(sy) / 1e9 - slope * (float(sx) / 1e9)) / n
+    return pd.DataFrame(
+        {
+            "n_vocab": np.array([n], np.int64),
+            "slope": [round(slope, 6) + 0.0],
+            "intercept": [round(intercept, 6) + 0.0],
+        }
+    )
+
+
+def corpus_cf(ds, *, text_col: str = "text") -> pd.DataFrame:
+    """(term → collection frequency) via the standard partial fold."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        _, codes, dictionary = analyzer.tokenize_flat(text)
+        cf = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = cf > 0
+        return pa.table(
+            {
+                "term": pa.array(terms[keep], pa.string()),
+                "n": pa.array(cf[keep], pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    return _fold_partials(parts)
+
+
+def zipf_slope_sql(table: str = "documents", *, text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(ts) AS term FROM (SELECT {tok} AS ts FROM {table}))
+  GROUP BY term
+),
+ranked AS (
+  SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY n DESC, term) AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(n AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS y
+  FROM cf
+),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+       END AS slope,
+       CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((CAST(sy AS DOUBLE) / 1e9
+                        - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / 1e9))
+                       / CAST(n AS DOUBLE), 6) + 0.0
+       END AS intercept
+FROM agg
+""".strip()

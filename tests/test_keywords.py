@@ -154,3 +154,14 @@ def test_cooccurrence_partition_independent(ray_session):
     a = keywords.cooccurrence_pairs(_ds(texts), k=20, min_count=2)
     b = keywords.cooccurrence_pairs(_ds(texts).repartition(8), k=20, min_count=2)
     assert a.equals(b)
+
+
+def test_zipf_slope(ray_session):
+    # construct an exact Zipf corpus: term i appears round(100/rank) times
+    words = []
+    for rank, t in enumerate(["alpha", "beta", "gamma", "delta"], start=1):
+        words += [t] * (100 // rank)
+    out = keywords.zipf_slope(_ds([" ".join(words)]))
+    r = out.iloc[0]
+    assert r["n_vocab"] == 4
+    assert -1.15 < r["slope"] < -0.85  # near the Zipf exponent −1
