@@ -1516,6 +1516,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
+        "vocab_coverage": lambda sf: _keywords.vocab_coverage(
+            _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
+        ),
         "cooccurrence_pairs": lambda sf: _keywords.cooccurrence_pairs(
             _docs_ds(sf, ("text",)), k=50, min_count=5
         ),
@@ -1945,6 +1948,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
+        "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5
         ),

@@ -749,3 +749,74 @@ SELECT CAST(n AS BIGINT) AS n_vocab,
        END AS intercept
 FROM agg
 """.strip()
+
+
+def vocab_coverage(
+    ds,
+    *,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000, 10000),
+) -> pd.DataFrame:
+    """Vocabulary coverage curve: the fraction of all corpus tokens covered
+    by the top-k most frequent terms, for each k — the number that sizes a
+    tokenizer/stopword list (how big must the vocab be to cover 99%?).
+    One cf partial fold; coverage is an exact integer ratio fixed-pointed
+    at 1e6. Top-k ties at the boundary are broken by term ascending on
+    both sides. Returns ``(k, n_terms, covered, total, coverage)``."""
+    cf_tbl = corpus_cf(ds, text_col=text_col)
+    cols = ["k", "n_terms", "covered", "total", "coverage"]
+    if cf_tbl.empty:
+        return pd.DataFrame(columns=cols)
+    srt = cf_tbl.sort_values(["n", "term"], ascending=[False, True], kind="stable")
+    cf = srt["n"].to_numpy(np.int64)
+    total = int(cf.sum())
+    cum = np.cumsum(cf)
+    rows = []
+    for k in ks:
+        kk = min(k, cf.size)
+        covered = int(cum[kk - 1]) if kk else 0
+        rows.append(
+            (
+                int(k),
+                int(kk),
+                covered,
+                total,
+                float(np.floor(covered * 1e6 / total + 0.5) / 1e6) if total else 0.0,
+            )
+        )
+    out = pd.DataFrame(rows, columns=cols)
+    for c in ("k", "n_terms", "covered", "total"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def vocab_coverage_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    ks: tuple[int, ...] = (10, 100, 1000, 10000),
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    klist = ", ".join(str(k) for k in ks)
+    return f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(ts) AS term FROM (SELECT {tok} AS ts FROM {table}))
+  GROUP BY term
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, term) AS rn,
+         sum(n) OVER (ORDER BY n DESC, term) AS cum
+  FROM cf
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS nv FROM cf),
+ks AS (SELECT unnest([{klist}]) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       CAST(least(ks.k, t.nv) AS BIGINT) AS n_terms,
+       CAST(coalesce((SELECT max(cum) FROM ranked r WHERE r.rn <= ks.k), 0) AS BIGINT) AS covered,
+       t.total,
+       CASE WHEN t.total = 0 THEN 0.0
+            ELSE floor(coalesce((SELECT max(cum) FROM ranked r WHERE r.rn <= ks.k), 0)
+                       * 1e6 / t.total + 0.5) / 1e6 END AS coverage
+FROM ks CROSS JOIN tot t ORDER BY k
+""".strip()

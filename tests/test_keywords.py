@@ -165,3 +165,12 @@ def test_zipf_slope(ray_session):
     r = out.iloc[0]
     assert r["n_vocab"] == 4
     assert -1.15 < r["slope"] < -0.85  # near the Zipf exponent −1
+
+
+def test_vocab_coverage(ray_session):
+    words = ["big"] * 6 + ["mid"] * 3 + ["rare"]  # total 10 tokens
+    out = keywords.vocab_coverage(_ds([" ".join(words)]), ks=(1, 2, 99))
+    m = {r["k"]: r for _, r in out.iterrows()}
+    assert m[1]["covered"] == 6 and m[1]["coverage"] == 0.6
+    assert m[2]["covered"] == 9 and m[2]["coverage"] == 0.9
+    assert m[99]["n_terms"] == 3 and m[99]["coverage"] == 1.0
