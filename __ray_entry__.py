@@ -1482,6 +1482,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "rfm_scores": lambda sf: _analytics.rfm_scores(
+            _ev_ds(sf, ("user_id", "ts", "value"))
+        ),
         "autocorr_lag1": lambda sf: _analytics.autocorr_lag1(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -1934,6 +1937,7 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "rfm_scores": _analytics.rfm_scores_sql("events"),
         "autocorr_lag1": _analytics.autocorr_lag1_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),

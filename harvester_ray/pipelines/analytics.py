@@ -2276,3 +2276,95 @@ FROM (SELECT DISTINCT {group_col} FROM {table}) g
 LEFT JOIN agg a USING ({group_col})
 ORDER BY g.{group_col}
 """.strip()
+
+
+def rfm_scores(
+    ds,
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> pd.DataFrame:
+    """RFM scoring: per key, quintiles of Recency (latest event time,
+    later = better), Frequency (event count) and Monetary (integer-micros
+    value total), combined into the classic 3-digit segment code. One
+    grouped reduce to a key-bounded (key, last_ts, n, total) table, then
+    three ntile assignments with (metric, key) tie-breaks so every tile is
+    deterministic. Returns ``(key, r, f, m, rfm)`` sorted by key."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts_us = t[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        return pa.table(
+            {
+                key: t[key],
+                "ts_us": ts_us,
+                "micros": pa.array(
+                    _quantize(t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_key = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(
+            Max("ts_us", alias_name="last_ts"),
+            Count(alias_name="n"),
+            Sum("micros", alias_name="total"),
+        )
+        .to_pandas()
+    )
+    cols = [key, "r", "f", "m", "rfm"]
+    if per_key.empty:
+        return pd.DataFrame(columns=cols)
+
+    def tile(metric: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        order = np.lexsort((keys, metric))  # ascending; tile n = best
+        sz = order.size
+        base, rem = divmod(sz, n_tiles)
+        sizes = np.full(n_tiles, base, np.int64)
+        sizes[:rem] += 1
+        t = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64), sizes)
+        out = np.empty(sz, np.int64)
+        out[order] = t
+        return out
+
+    ks = per_key[key].to_numpy(np.int64)
+    r = tile(per_key["last_ts"].to_numpy(np.int64), ks)
+    f = tile(per_key["n"].to_numpy(np.int64), ks)
+    m = tile(per_key["total"].to_numpy(np.int64), ks)
+    out = pd.DataFrame(
+        {key: ks, "r": r, "f": f, "m": m, "rfm": r * 100 + f * 10 + m}
+    )
+    return out.sort_values(key).reset_index(drop=True)[cols]
+
+
+def rfm_scores_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 5,
+) -> str:
+    return f"""
+WITH per_key AS (
+  SELECT {key},
+         max({ts_col}) AS last_ts,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)) AS total
+  FROM {table} GROUP BY {key}
+),
+tiles AS (
+  SELECT {key},
+         CAST(ntile({n_tiles}) OVER (ORDER BY last_ts, {key}) AS BIGINT) AS r,
+         CAST(ntile({n_tiles}) OVER (ORDER BY n, {key}) AS BIGINT) AS f,
+         CAST(ntile({n_tiles}) OVER (ORDER BY total, {key}) AS BIGINT) AS m
+  FROM per_key
+)
+SELECT {key}, r, f, m, r * 100 + f * 10 + m AS rfm
+FROM tiles ORDER BY {key}
+""".strip()

@@ -432,3 +432,17 @@ def test_autocorr_lag1(ray_session):
     flat = [(i, 1, "flat", f"2024-01-01 00:{i:02d}", 3.0) for i in range(5)]
     o2 = analytics.autocorr_lag1(_events(flat))
     assert pd.isna(o2.iloc[0]["r"]) or o2.iloc[0]["r"] is None
+
+
+def test_rfm_scores(ray_session):
+    rows = []
+    # user u: u events, each value u, latest ts grows with u
+    for u in range(1, 6):
+        for e in range(u):
+            rows.append((u * 10 + e, u, "view", f"2024-01-0{u} 10:0{e}", float(u)))
+    out = analytics.rfm_scores(_events(rows), n_tiles=5)
+    # user 5 is best on every axis, user 1 worst
+    top = out[out["user_id"] == 5].iloc[0]
+    bot = out[out["user_id"] == 1].iloc[0]
+    assert (top["r"], top["f"], top["m"]) == (5, 5, 5) and top["rfm"] == 555
+    assert (bot["r"], bot["f"], bot["m"]) == (1, 1, 1) and bot["rfm"] == 111
