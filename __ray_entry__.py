@@ -1482,6 +1482,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "abc_classification": lambda sf: _analytics.abc_classification(
+            _ev_ds(sf, ("user_id", "value"))
+        ),
+        "extreme_events": lambda sf: _analytics.extreme_events(
+            _ev_ds(sf, ("event_id", "event_type", "value"))
+        ),
         "rfm_scores": lambda sf: _analytics.rfm_scores(
             _ev_ds(sf, ("user_id", "ts", "value"))
         ),
@@ -1937,6 +1943,8 @@ def oracle_sql() -> dict[str, str]:
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "abc_classification": _analytics.abc_classification_sql("events"),
+        "extreme_events": _analytics.extreme_events_sql("events"),
         "rfm_scores": _analytics.rfm_scores_sql("events"),
         "autocorr_lag1": _analytics.autocorr_lag1_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),

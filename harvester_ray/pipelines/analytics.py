@@ -2368,3 +2368,162 @@ tiles AS (
 SELECT {key}, r, f, m, r * 100 + f * 10 + m AS rfm
 FROM tiles ORDER BY {key}
 """.strip()
+
+
+def abc_classification(
+    ds,
+    *,
+    key: str = "user_id",
+    value_col: str = "value",
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> pd.DataFrame:
+    """Pareto / ABC analysis: rank keys by total value (integer micros)
+    descending and classify by cumulative share — A up to ``a_share`` of
+    total value, B up to ``b_share``, C the tail. The cumulative-share
+    comparison is exact integer cross-multiplication (cum·1e6 ≤ share·1e6
+    ·total), no float boundaries. Returns per-class summary
+    ``(class, n_keys, value_micros)`` (3 rows, classes always present)."""
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                key: t[key],
+                "micros": pa.array(
+                    _quantize(t[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    per_key = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key)
+        .aggregate(Sum("micros", alias_name="total"))
+        .to_pandas()
+    )
+    cols = ["class", "n_keys", "value_micros"]
+    if per_key.empty:
+        return pd.DataFrame(columns=cols)
+    per_key = per_key.sort_values(["total", key], ascending=[False, True], kind="stable")
+    tot = per_key["total"].to_numpy(np.int64)
+    grand = int(tot.sum())
+    cum = np.cumsum(tot)
+    a_cut = int(round(a_share * 1e6))
+    b_cut = int(round(b_share * 1e6))
+    # integer cross-multiply: cum/grand <= cut/1e6  ⇔  cum*1e6 <= cut*grand
+    # (Python ints — cum*1e6 overflows int64 at large totals; SQL: HUGEINT)
+    a_lim, b_lim = a_cut * grand, b_cut * grand
+    cls = np.array(
+        ["A" if int(c) * 1_000_000 <= a_lim else ("B" if int(c) * 1_000_000 <= b_lim else "C") for c in cum],
+        dtype=object,
+    )
+    out = (
+        pd.DataFrame({"class": cls, "n": 1, "v": tot})
+        .groupby("class", as_index=False)
+        .agg(n_keys=("n", "sum"), value_micros=("v", "sum"))
+    )
+    base = pd.DataFrame({"class": ["A", "B", "C"]})
+    out = base.merge(out, on="class", how="left").fillna(0)
+    out["n_keys"] = out["n_keys"].astype(np.int64)
+    out["value_micros"] = out["value_micros"].astype(np.int64)
+    return out[cols]
+
+
+def abc_classification_sql(
+    table: str = "events",
+    *,
+    key: str = "user_id",
+    value_col: str = "value",
+    a_share: float = 0.8,
+    b_share: float = 0.95,
+) -> str:
+    a_cut = int(round(a_share * 1e6))
+    b_cut = int(round(b_share * 1e6))
+    return f"""
+WITH per_key AS (
+  SELECT {key}, sum(CAST(floor({value_col} * 1e6 + 0.5) AS BIGINT)) AS total
+  FROM {table} GROUP BY {key}
+),
+ranked AS (
+  SELECT total,
+         sum(total) OVER (ORDER BY total DESC, {key}) AS cum,
+         sum(total) OVER () AS grand
+  FROM per_key
+),
+classed AS (
+  SELECT CASE WHEN CAST(cum AS HUGEINT) * 1000000 <= CAST({a_cut} AS HUGEINT) * grand THEN 'A'
+              WHEN CAST(cum AS HUGEINT) * 1000000 <= CAST({b_cut} AS HUGEINT) * grand THEN 'B'
+              ELSE 'C' END AS class,
+         total
+  FROM ranked
+),
+base AS (SELECT unnest(['A', 'B', 'C']) AS class)
+SELECT b.class,
+       CAST(coalesce(count(c.total), 0) AS BIGINT) AS n_keys,
+       CAST(coalesce(sum(c.total), 0) AS BIGINT) AS value_micros
+FROM base b LEFT JOIN classed c ON c.class = b.class
+GROUP BY b.class ORDER BY b.class
+""".strip()
+
+
+def extreme_events(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> pd.DataFrame:
+    """Deterministic argmin/argmax per group: the event ids holding each
+    group's max and min value, ties broken by smallest id (SQL arg_max's
+    tie behavior is unspecified, so both sides use an explicit
+    row_number rule). Returns ``(group, max_id, max_value, min_id,
+    min_value)`` sorted by group."""
+
+    def ext(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[value_col].to_numpy(np.float64)
+        ids = g[id_col].to_numpy(np.int64)
+        mx_order = np.lexsort((ids, -v))[0]
+        mn_order = np.lexsort((ids, v))[0]
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "max_id": np.array([ids[mx_order]], np.int64),
+                "max_value": [float(v[mx_order])],
+                "min_id": np.array([ids[mn_order]], np.int64),
+                "min_value": [float(v[mn_order])],
+            }
+        )
+
+    out = ds.groupby(group_col).map_groups(ext, batch_format="pandas").to_pandas()
+    cols = [group_col, "max_id", "max_value", "min_id", "min_value"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values(group_col).reset_index(drop=True)[cols]
+
+
+def extreme_events_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> str:
+    return f"""
+WITH mx AS (
+  SELECT {group_col}, {id_col} AS max_id, {value_col} AS max_value,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_col} DESC, {id_col}) AS rn
+  FROM {table}
+),
+mn AS (
+  SELECT {group_col}, {id_col} AS min_id, {value_col} AS min_value,
+         row_number() OVER (PARTITION BY {group_col}
+                            ORDER BY {value_col}, {id_col}) AS rn
+  FROM {table}
+)
+SELECT mx.{group_col}, mx.max_id, mx.max_value, mn.min_id, mn.min_value
+FROM mx JOIN mn ON mx.{group_col} = mn.{group_col} AND mx.rn = 1 AND mn.rn = 1
+ORDER BY mx.{group_col}
+""".strip()

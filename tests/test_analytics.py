@@ -446,3 +446,26 @@ def test_rfm_scores(ray_session):
     bot = out[out["user_id"] == 1].iloc[0]
     assert (top["r"], top["f"], top["m"]) == (5, 5, 5) and top["rfm"] == 555
     assert (bot["r"], bot["f"], bot["m"]) == (1, 1, 1) and bot["rfm"] == 111
+
+
+def test_abc_classification(ray_session):
+    # user 1 owns 80%, user 2 next 15%, user 3 the last 5%
+    rows = [(1, 1, "v", "2024-01-01", 80.0), (2, 2, "v", "2024-01-01", 15.0), (3, 3, "v", "2024-01-01", 5.0)]
+    out = analytics.abc_classification(_events(rows))
+    m = {r["class"]: (r["n_keys"], r["value_micros"]) for _, r in out.iterrows()}
+    assert m["A"] == (1, 80_000_000)
+    assert m["B"] == (1, 15_000_000)
+    assert m["C"] == (1, 5_000_000)
+    assert list(out["class"]) == ["A", "B", "C"]
+
+
+def test_extreme_events(ray_session):
+    rows = [
+        (1, 1, "a", "2024-01-01", 5.0),
+        (2, 1, "a", "2024-01-01", 9.0),
+        (3, 1, "a", "2024-01-01", 9.0),  # tie on max → smaller id wins
+        (4, 1, "a", "2024-01-01", 1.0),
+    ]
+    out = analytics.extreme_events(_events(rows)).iloc[0]
+    assert out["max_id"] == 2 and out["max_value"] == 9.0
+    assert out["min_id"] == 4 and out["min_value"] == 1.0
