@@ -1482,6 +1482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
             key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
         ),
+        "schema_profile": lambda sf: _analytics.schema_profile(
+            _ev_ds(sf, ("event_id", "user_id", "event_type", "value", "ts")),
+            columns=("event_id", "user_id", "event_type", "value", "ts"),
+        ),
         "abc_classification": lambda sf: _analytics.abc_classification(
             _ev_ds(sf, ("user_id", "value"))
         ),
@@ -1942,6 +1946,9 @@ def oracle_sql() -> dict[str, str]:
         "kmv_overlap": _sketch.kmv_overlap_sql(
             "events", key_col="user_id", label_col="event_type",
             label_a="click", label_b="purchase", k=64,
+        ),
+        "schema_profile": _analytics.schema_profile_sql(
+            "events", columns=("event_id", "user_id", "event_type", "value", "ts")
         ),
         "abc_classification": _analytics.abc_classification_sql("events"),
         "extreme_events": _analytics.extreme_events_sql("events"),

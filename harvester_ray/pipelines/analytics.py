@@ -2527,3 +2527,69 @@ SELECT mx.{group_col}, mx.max_id, mx.max_value, mn.min_id, mn.min_value
 FROM mx JOIN mn ON mx.{group_col} = mn.{group_col} AND mx.rn = 1 AND mn.rn = 1
 ORDER BY mx.{group_col}
 """.strip()
+
+
+def schema_profile(
+    ds,
+    *,
+    columns: tuple[str, ...],
+) -> pd.DataFrame:
+    """Data-quality profile (the Deequ/Great-Expectations staple): per
+    column, total rows, null count and exact distinct count. One streaming
+    pass: each batch emits its null-count integers plus its local distinct
+    VALUES per column (stringified — the distinct sets fold exactly, and
+    their size is bounded by true column cardinality). Returns
+    ``(column, n_total, n_null, n_distinct)`` in the given column order."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        names, kinds, vals = [], [], []
+        for col in columns:
+            arr = t[col].combine_chunks()
+            n_null = arr.null_count
+            uniq = arr.drop_null().cast(pa.string()).unique().to_pylist()
+            names += [col] * (2 + len(uniq))
+            kinds += ["total", "null"] + ["v"] * len(uniq)
+            vals += [str(len(t)), str(n_null)] + uniq
+        return pa.table(
+            {
+                "column": pa.array(names, pa.string()),
+                "kind": pa.array(kinds, pa.string()),
+                "v": pa.array(vals, pa.string()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["column", "n_total", "n_null", "n_distinct"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    df = pd.concat(parts, ignore_index=True)
+    rows = []
+    for col in columns:
+        sub = df[df["column"] == col]
+        n_total = int(sub.loc[sub["kind"] == "total", "v"].astype(np.int64).sum())
+        n_null = int(sub.loc[sub["kind"] == "null", "v"].astype(np.int64).sum())
+        n_distinct = int(sub.loc[sub["kind"] == "v", "v"].nunique())
+        rows.append((col, n_total, n_null, n_distinct))
+    return pd.DataFrame(rows, columns=cols)
+
+
+def schema_profile_sql(table: str = "events", *, columns: tuple[str, ...]) -> str:
+    selects = []
+    for col in columns:
+        selects.append(
+            f'''SELECT '{col}' AS "column",
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER ({col} IS NULL) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT CAST({col} AS VARCHAR)) AS BIGINT) AS n_distinct
+FROM {table}'''
+        )
+    order = ", ".join(f"'{c}'" for c in columns)
+    return (
+        "SELECT * FROM (" + " UNION ALL ".join(selects)
+        + f') ORDER BY list_position([{order}], "column")'
+    )

@@ -469,3 +469,20 @@ def test_extreme_events(ray_session):
     out = analytics.extreme_events(_events(rows)).iloc[0]
     assert out["max_id"] == 2 and out["max_value"] == 9.0
     assert out["min_id"] == 4 and out["min_value"] == 1.0
+
+
+def test_schema_profile(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 1, 2, None], pa.int64()),
+            "b": pa.array(["x", "y", "y", "y"]),
+        }
+    )
+    out = analytics.schema_profile(rd.from_arrow(t).repartition(3), columns=("a", "b"))
+    m = {r["column"]: r for _, r in out.iterrows()}
+    assert m["a"]["n_total"] == 4 and m["a"]["n_null"] == 1 and m["a"]["n_distinct"] == 2
+    assert m["b"]["n_null"] == 0 and m["b"]["n_distinct"] == 2
+    assert list(out["column"]) == ["a", "b"]  # declared order preserved
