@@ -43,6 +43,7 @@ from harvester_ray.ops import chunking as _chunking
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
+from harvester_ray.pipelines import transcripts as _transcripts_mod
 
 _SCRATCH = "/tmp/harvester_ray_entry"
 
@@ -197,10 +198,19 @@ def _term_df_shuffle(sf_dir: str) -> pd.DataFrame:
     return out[["term", "df", "cf"]].reset_index(drop=True)
 
 
+def _transcripts_dir() -> str:
+    """Deterministic tiny transcript corpus (FIXTURES.md §1) shared by every
+    transcript-family gate entry AND its oracle: oracle_sql() calls this too,
+    so the Parquet the SQL reads always exists (generation is pure pyarrow —
+    no Ray needed)."""
+    return synth.transcripts_parquet(_SCRATCH, n_convs=200, seed=42, shards=4)
+
+
 def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
-    """Flagship transcript path (rows-only check: transcripts are synthesized,
-    not among the driver's pre-registered views)."""
-    data_dir = synth.transcripts_parquet(_SCRATCH, n_convs=200, seed=42, shards=4)
+    """Flagship transcript path. Value-checked: the oracle reproduces the
+    corpus doc ids in SQL (conv_base prefix-sum over conv_id order +
+    turn_idx — corpus.assign_doc_ids) and BM25-scores the same Parquet."""
+    data_dir = _transcripts_dir()
     root = os.path.join(_SCRATCH, "transcript-index")
     from harvester_ray.index import manifest as mf
 
@@ -209,6 +219,27 @@ def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
     out = flagship.search_transcripts(root, "gaji hopotenu", k=10).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def _tds(sf_dir: str):
+    """Transcript corpus as a Dataset (fixed-scale synthetic input — the
+    north-rule transcript shape is not among the driver's sf tables)."""
+    import ray.data as rd
+
+    return rd.read_parquet(_transcripts_dir())
+
+
+def _transcript_doc_sql_head(glob: str) -> str:
+    """CTE chain reproducing corpus.assign_doc_ids in SQL: doc_id =
+    (exclusive prefix sum of per-conversation turn counts in conv_id order)
+    + turn_idx."""
+    return (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')), "
+        "tcnt AS (SELECT conv_id, count(*) AS n FROM tsrc GROUP BY conv_id), "
+        "tbase AS (SELECT conv_id, CAST(sum(n) OVER (ORDER BY conv_id) - n AS BIGINT) AS base FROM tcnt), "
+        "tdoc AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text "
+        "FROM tsrc s JOIN tbase b USING (conv_id))"
+    )
 
 
 def _set_integrity(sf_dir: str) -> pd.DataFrame:
@@ -1441,6 +1472,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ordered": _search_ordered,
         "did_you_mean": _did_you_mean,
         "transcript_bm25": _transcript_bm25,
+        # --- transcript-table analytics (north-rule input shape) ----------
+        "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
+        "conv_stats": lambda sf: _transcripts_mod.conv_stats(_tds(sf)),
+        "role_stats": lambda sf: _transcripts_mod.role_stats(_tds(sf)),
+        "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
+        "conv_tail": lambda sf: _transcripts_mod.conv_tail(_tds(sf)),
+        "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -1627,6 +1665,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # materialize the deterministic transcript corpus (cached, pure pyarrow)
+    # so the transcript-family SQL below can always read it
+    _tglob = os.path.join(_transcripts_dir(), "*.parquet")
+    _tsrc = _transcripts_mod.transcript_view_sql(_tglob)
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -2063,6 +2105,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash": dedup.simhash_sql("documents"),
         "simhash_neardup": dedup.simhash_neardup_sql("documents", max_hamming=3),
-        # transcript_bm25, knn_ivf: rows-only (synthesized input /
-        # approximate index)
+        # --- transcript family: oracle reads the same deterministic synth
+        # Parquet the engine reads (_transcripts_dir() above guarantees it
+        # exists before these strings are ever executed) ------------------
+        "transcript_bm25": index_oracle.bm25_sql(
+            "tdoc", "gaji hopotenu", 10, mode="and"
+        ).replace("WITH ", _transcript_doc_sql_head(_tglob) + ", ", 1),
+        "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
+        "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),
+        "role_stats": _transcripts_mod.role_stats_sql(_tsrc),
+        "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),
+        "conv_tail": _transcripts_mod.conv_tail_sql(_tsrc),
+        "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
+        # knn_ivf: rows-only (approximate index)
     }

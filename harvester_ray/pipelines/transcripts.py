@@ -1,0 +1,427 @@
+"""Transcript-table analytics: conversation-level operators over the
+``(conv_id, turn_idx, role, text, tool, ts)`` transcript shape (the
+north-rule input), each with a DuckDB oracle over the same Parquet.
+
+The reference models a harvested record as a document with per-phase
+derived metadata (harvester/core/models/datatypes/document.py:58-108);
+for conversational transcripts the analogous derivations are per-
+conversation: flattening turns into one training text, role/tool usage
+profiles, turn-order transitions, last-K context windows. Everything here
+follows the repo's two shuffle shapes:
+
+- **order-free aggregations** (conv_stats, role_stats, tool_usage) are
+  per-batch Arrow ``group_by`` partials folded on the driver — one
+  streaming pass, no all-to-all; driver fold is bounded by the group
+  cardinality (conversations / roles / tools), with the same hierarchical
+  range-sharding extension corpus.assign_doc_ids documents for >10^7
+  conversations.
+- **order-dependent per-conversation ops** (conv_flatten, conv_tail,
+  role_transitions) hash-bucket conversations into ``n_buckets`` groups
+  and process each bucket as one vectorized Arrow table (sort by
+  (conv_id, turn_idx) inside the bucket, run-length boundaries across
+  conversations) — per-group Python overhead is paid per *bucket*, not
+  per conversation, and a conversation never splits across buckets.
+
+Float outputs follow the repo parity rule: derive every ratio from an
+integer pair and quantize with floor(x*1e6+0.5)/1e6 on BOTH sides (never
+``round``, whose half-rule differs between numpy and DuckDB).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .. import analyzer
+
+__all__ = [
+    "conv_flatten", "conv_stats", "role_stats", "tool_usage",
+    "conv_tail", "role_transitions",
+    "conv_flatten_sql", "conv_stats_sql", "role_stats_sql",
+    "tool_usage_sql", "conv_tail_sql", "role_transitions_sql",
+    "transcript_view_sql",
+]
+
+
+def _q6(x: np.ndarray | float):
+    """floor(x*1e6+0.5)/1e6 — the only rounding rule both numpy and DuckDB
+    agree on bit-for-bit (see CLAUDE.md parity traps)."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 1e6 + 0.5) / 1e6
+
+
+_Q6_SQL = "floor(({}) * 1e6 + 0.5) / 1e6"
+
+
+def transcript_view_sql(parquet_glob: str) -> str:
+    """FROM-able source for the transcript oracle SQL."""
+    return f"read_parquet('{parquet_glob}')"
+
+
+# ---------------------------------------------------------------------------
+# bucketed per-conversation processing (order-dependent ops)
+# ---------------------------------------------------------------------------
+
+def _with_conv_bucket(ds, n_buckets: int):
+    """Add ``bucket = crc32(conv_id) % n_buckets``. Hashing is per batch-
+    local dictionary (unique conv ids), not per row — a 10^4-row batch of
+    10-turn conversations hashes ~10^3 strings."""
+
+    def add(t: pa.Table) -> pa.Table:
+        enc = t["conv_id"].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(u.encode()) % n_buckets for u in uniq),
+            dtype=np.int32, count=len(uniq),
+        )
+        codes = np.asarray(enc.indices)
+        return t.append_column("bucket", pa.array(h[codes], pa.int32()))
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _conv_offsets(tbl: pa.Table) -> tuple[pa.Table, np.ndarray]:
+    """Sort one bucket by (conv_id, turn_idx); return run offsets where the
+    conversation changes (offsets[i]..offsets[i+1] = conversation i)."""
+    tbl = tbl.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+    conv = tbl["conv_id"].combine_chunks()
+    n = len(conv)
+    if n == 0:
+        return tbl, np.zeros(1, np.int64)
+    neq = pc.not_equal(conv.slice(1), conv.slice(0, n - 1))
+    starts = np.flatnonzero(np.asarray(neq.fill_null(True))) + 1
+    offsets = np.concatenate(([0], starts, [n])).astype(np.int64)
+    return tbl, offsets
+
+
+def conv_flatten(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Per conversation: flatten turns (sorted by turn_idx) into one
+    ``role: text`` newline-joined training document; emit its length and
+    md5 (the assembled text itself stays inside the tasks — only one
+    bounded row per conversation reaches the driver)."""
+
+    def flatten(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n_turns": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "conv_md5": pa.array([], pa.string()),
+            })
+        line = pc.binary_join_element_wise(
+            tbl["role"].combine_chunks(), tbl["text"].combine_chunks(), ": "
+        )
+        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), line)
+        flat = pc.binary_join(lists, "\n")
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "n_turns": pa.array(np.diff(off), pa.int64()),
+            "n_chars": pc.utf8_length(flat).cast(pa.int64()),
+            "conv_md5": pa.array(md5, pa.string()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(flatten, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_flatten_sql(src: str) -> str:
+    return f"""
+WITH flat AS (
+  SELECT conv_id, count(*) AS n_turns,
+         string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS flat
+  FROM {src} GROUP BY conv_id
+)
+SELECT conv_id, CAST(n_turns AS BIGINT) AS n_turns,
+       CAST(length(flat) AS BIGINT) AS n_chars, md5(flat) AS conv_md5
+FROM flat ORDER BY conv_id
+""".strip()
+
+
+def conv_tail(ds, *, k: int = 3, n_buckets: int = 64) -> pd.DataFrame:
+    """Last ``k`` turns of every conversation (context-window truncation:
+    keep the most recent turns, the shape used to cap prompt length when
+    assembling training examples)."""
+
+    def tail(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "text_md5": pa.array([], pa.string()),
+            })
+        lens = np.diff(off)
+        take = np.minimum(lens, k)
+        # indices of each conversation's last `take` rows, vectorized
+        reps = np.repeat(off[1:] - take, take)
+        local = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(take) - take, take
+        )
+        idx = pa.array(reps + local, pa.int64())
+        sub = tbl.take(idx)
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in sub["text"].to_pylist()]
+        return pa.table({
+            "conv_id": sub["conv_id"].combine_chunks(),
+            "turn_idx": sub["turn_idx"].combine_chunks(),
+            "role": sub["role"].combine_chunks(),
+            "text_md5": pa.array(md5, pa.string()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(tail, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def conv_tail_sql(src: str, *, k: int = 3) -> str:
+    return f"""
+SELECT conv_id, turn_idx, role, md5(text) AS text_md5 FROM (
+  SELECT conv_id, turn_idx, role, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) AS rn
+  FROM {src}
+) WHERE rn <= {k}
+ORDER BY conv_id, turn_idx
+""".strip()
+
+
+def role_transitions(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """(prev_role → role) turn-taking transition counts within
+    conversations (who speaks after whom — the conversational analog of
+    the events-table ``event_transitions``). Partial counts per bucket,
+    16-cell fold on the driver."""
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        n = tbl.num_rows
+        if n == 0:
+            return pa.table({
+                "prev_role": pa.array([], pa.string()),
+                "role": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            })
+        enc = tbl["role"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        nd = len(enc.dictionary)
+        valid = np.ones(n, bool)
+        valid[off[:-1]] = False  # first turn of each conversation has no prev
+        key = codes[np.flatnonzero(valid) - 1] * nd + codes[valid]
+        cnt = np.bincount(key, minlength=nd * nd)
+        nz = np.flatnonzero(cnt)
+        roles = enc.dictionary.to_pylist()
+        return pa.table({
+            "prev_role": pa.array([roles[k // nd] for k in nz], pa.string()),
+            "role": pa.array([roles[k % nd] for k in nz], pa.string()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:  # Dataset.to_pandas() on an empty result has NO columns
+        return pd.DataFrame({"prev_role": pd.Series([], dtype=str),
+                             "role": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["prev_role", "role"], sort=True, as_index=False)["n"].sum()
+    return out.reset_index(drop=True)
+
+
+def role_transitions_sql(src: str) -> str:
+    return f"""
+WITH lagd AS (
+  SELECT role, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM {src}
+)
+SELECT prev_role, role, count(*) AS n
+FROM lagd WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role ORDER BY prev_role, role
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# order-free aggregations (partial-fold, no shuffle)
+# ---------------------------------------------------------------------------
+
+def conv_stats(ds) -> pd.DataFrame:
+    """Per conversation: turn count, distinct roles, tool calls, total
+    tokens (shared analyzer-v1 tokenizer) and duration (µs between first
+    and last turn). One streaming pass of per-batch numpy ``reduceat``
+    partials (sum / min / max / bitwise-OR role mask — all associative, so
+    the driver fold over per-batch rows is exact)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        dl = np.asarray(
+            analyzer.doc_token_counts(analyzer.normalize_text(t["text"])), np.int64
+        )
+        ts = np.asarray(
+            t["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        is_tool = np.asarray(
+            pc.equal(t["role"].combine_chunks(), "tool").cast(pa.int64())
+        )
+        renc = t["role"].combine_chunks().dictionary_encode()
+        bit = np.array(
+            [np.int64(1) << _role_bit(r) for r in renc.dictionary.to_pylist()],
+            np.int64,
+        )
+        mask = bit[np.asarray(renc.indices)]
+        cenc = t["conv_id"].combine_chunks().dictionary_encode()
+        codes = np.asarray(cenc.indices).astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        sc = codes[order]
+        starts = np.concatenate(([0], np.flatnonzero(np.diff(sc)) + 1))
+        ones = np.ones(t.num_rows, np.int64)
+        return pa.table({
+            "conv_id": cenc.dictionary.take(pa.array(sc[starts], pa.int64())),
+            "n": pa.array(np.add.reduceat(ones, starts), pa.int64()),
+            "n_tool_calls": pa.array(np.add.reduceat(is_tool[order], starts), pa.int64()),
+            "total_tokens": pa.array(np.add.reduceat(dl[order], starts), pa.int64()),
+            "ts_min": pa.array(np.minimum.reduceat(ts[order], starts), pa.int64()),
+            "ts_max": pa.array(np.maximum.reduceat(ts[order], starts), pa.int64()),
+            "role_mask": pa.array(np.bitwise_or.reduceat(mask[order], starts), pa.int64()),
+        })
+
+    main = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = main.groupby("conv_id", sort=True).agg(
+        n_turns=("n", "sum"),
+        n_tool_calls=("n_tool_calls", "sum"),
+        total_tokens=("total_tokens", "sum"),
+        ts_min=("ts_min", "min"),
+        ts_max=("ts_max", "max"),
+        role_mask=("role_mask", lambda s: int(np.bitwise_or.reduce(s.to_numpy()))),
+    )
+    out = agg.reset_index()
+    out["n_roles"] = out["role_mask"].map(lambda m: bin(int(m)).count("1")).astype(np.int64)
+    out["duration_us"] = out["ts_max"] - out["ts_min"]
+    return out[
+        ["conv_id", "n_turns", "n_roles", "n_tool_calls", "total_tokens", "duration_us"]
+    ].reset_index(drop=True)
+
+
+_ROLE_BITS = {"assistant": 0, "system": 1, "tool": 2, "user": 3}
+
+
+def _role_bit(r: str) -> int:
+    b = _ROLE_BITS.get(r)
+    if b is None:  # unseen role name: stable fallback bit from its hash
+        b = 4 + (zlib.crc32(r.encode()) % 56)
+    return b
+
+
+def conv_stats_sql(src: str) -> str:
+    tok = analyzer.sql_tokenize_expr("text")
+    return f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       CAST(count(DISTINCT role) AS BIGINT) AS n_roles,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       CAST(sum(len({tok})) AS BIGINT) AS total_tokens,
+       date_diff('microsecond', min(ts), max(ts)) AS duration_us
+FROM {src} GROUP BY conv_id ORDER BY conv_id
+""".strip()
+
+
+def role_stats(ds) -> pd.DataFrame:
+    """Per role: turns, conversations touched, chars/tokens and mean turn
+    length. Distinct (role, conv) pairs are pre-deduplicated per batch so
+    the driver fold sees at most roles × conversations rows."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        dl = analyzer.doc_token_counts(analyzer.normalize_text(t["text"]))
+        return pa.table({
+            "role": t["role"].combine_chunks(),
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "total_chars": pc.utf8_length(t["text"].combine_chunks()).cast(pa.int64()),
+            "total_tokens": pa.array(dl, pa.int64()),
+        }).group_by("role").aggregate([
+            ("n", "sum"), ("total_chars", "sum"), ("total_tokens", "sum")
+        ])
+
+    def partial_pairs(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "role": t["role"].combine_chunks(),
+            "conv_id": t["conv_id"].combine_chunks(),
+        }).group_by(["role", "conv_id"]).aggregate([])
+
+    main = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    pairs = ds.map_batches(partial_pairs, batch_format="pyarrow").to_pandas()
+
+    agg = main.groupby("role", sort=True).agg(
+        n_turns=("n_sum", "sum"),
+        total_chars=("total_chars_sum", "sum"),
+        total_tokens=("total_tokens_sum", "sum"),
+    )
+    nconvs = pairs.drop_duplicates().groupby("role", sort=True)["conv_id"].nunique()
+    out = agg.reset_index()
+    out["n_convs"] = nconvs.reindex(agg.index).to_numpy().astype(np.int64)
+    out["avg_chars"] = _q6(out["total_chars"].to_numpy() / out["n_turns"].to_numpy())
+    return out[
+        ["role", "n_turns", "n_convs", "total_chars", "total_tokens", "avg_chars"]
+    ].reset_index(drop=True)
+
+
+def role_stats_sql(src: str) -> str:
+    tok = analyzer.sql_tokenize_expr("text")
+    avg = _Q6_SQL.format("CAST(sum(length(text)) AS DOUBLE) / count(*)")
+    return f"""
+SELECT role,
+       count(*) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+       CAST(sum(len({tok})) AS BIGINT) AS total_tokens,
+       {avg} AS avg_chars
+FROM {src} GROUP BY role ORDER BY role
+""".strip()
+
+
+def tool_usage(ds) -> pd.DataFrame:
+    """Per tool: call count and conversations using it (tool rows only)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        sel = t.filter(pc.equal(t["role"], "tool"))
+        return pa.table({
+            "tool": sel["tool"].combine_chunks(),
+            "conv_id": sel["conv_id"].combine_chunks(),
+        }).group_by(["tool", "conv_id"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # no tool-role rows at all: keep the schema
+        return pd.DataFrame({"tool": pd.Series([], dtype=str),
+                             "n_calls": pd.Series([], dtype=np.int64),
+                             "n_convs": pd.Series([], dtype=np.int64)})
+    folded = parts.groupby(["tool", "conv_id"], sort=False, as_index=False)[
+        "count_all"
+    ].sum()
+    out = folded.groupby("tool", sort=True).agg(
+        n_calls=("count_all", "sum"), n_convs=("conv_id", "nunique")
+    ).reset_index()
+    out["n_calls"] = out["n_calls"].astype(np.int64)
+    out["n_convs"] = out["n_convs"].astype(np.int64)
+    return out
+
+
+def tool_usage_sql(src: str) -> str:
+    return f"""
+SELECT tool, count(*) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+FROM {src} WHERE role = 'tool'
+GROUP BY tool ORDER BY tool
+""".strip()

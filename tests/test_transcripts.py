@@ -155,3 +155,61 @@ def test_rebuild_same_input_identical_results(transcripts_dir, tmp_path_factory)
         b = query.IndexReader(r2).search(q, k=20).to_pandas()
         assert list(a["doc_id"]) == list(b["doc_id"])
         np.testing.assert_allclose(a["score"], b["score"], rtol=0)
+
+
+# --- conversation-analytics family vs DuckDB oracles -----------------------
+
+from harvester_ray.pipelines import transcripts as tmod
+
+
+def _oracle_df(sql: str) -> pd.DataFrame:
+    return duckdb.sql(sql).fetchdf()
+
+
+@pytest.mark.parametrize(
+    "fn,sql_fn,sort_cols",
+    [
+        (tmod.conv_flatten, tmod.conv_flatten_sql, ["conv_id"]),
+        (tmod.conv_stats, tmod.conv_stats_sql, ["conv_id"]),
+        (tmod.role_stats, tmod.role_stats_sql, ["role"]),
+        (tmod.tool_usage, tmod.tool_usage_sql, ["tool"]),
+        (tmod.conv_tail, tmod.conv_tail_sql, ["conv_id", "turn_idx"]),
+        (tmod.role_transitions, tmod.role_transitions_sql, ["prev_role", "role"]),
+    ],
+    ids=["flatten", "stats", "roles", "tools", "tail", "transitions"],
+)
+def test_transcript_analytics_vs_oracle(transcripts_dir, fn, sql_fn, sort_cols):
+    ds = rd.read_parquet(transcripts_dir)
+    got = fn(ds).sort_values(sort_cols).reset_index(drop=True)
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = _oracle_df(sql_fn(src)).sort_values(sort_cols).reset_index(drop=True)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        if np.issubdtype(a.dtype, np.floating):
+            assert np.allclose(a.to_numpy(np.float64), b.to_numpy(np.float64),
+                               rtol=1e-9, atol=1e-9), c
+        else:
+            assert a.astype(str).tolist() == b.astype(str).tolist(), c
+
+
+def test_conv_tail_small_convs(transcripts_dir):
+    """Conversations shorter than k return all their turns (edge: the
+    single-turn conversation synth pins at index 2)."""
+    ds = rd.read_parquet(transcripts_dir)
+    out = tmod.conv_tail(ds, k=3)
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    lens = pdf.groupby("conv_id").size()
+    per_conv = out.groupby("conv_id").size()
+    assert (per_conv == lens.clip(upper=3).reindex(per_conv.index)).all()
+
+
+def test_conv_flatten_md5_matches_manual(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    out = tmod.conv_flatten(ds).set_index("conv_id")
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    one = pdf[pdf["conv_id"] == pdf["conv_id"].iloc[0]].sort_values("turn_idx")
+    flat = "\n".join(r + ": " + t for r, t in zip(one["role"], one["text"]))
+    assert out.loc[one["conv_id"].iloc[0], "conv_md5"] == hashlib.md5(flat.encode()).hexdigest()
+    assert int(out.loc[one["conv_id"].iloc[0], "n_chars"]) == len(flat)
