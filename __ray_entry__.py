@@ -51,6 +51,9 @@ _SCRATCH = "/tmp/harvester_ray_entry"
 BM25_QUERY_AND = "spark window"
 BM25_QUERY_AND2 = "vector stream sort"
 BM25_QUERY_OR = "customer query big"
+BM25_MUST_NOT = "sort"
+BM25_MSM_QUERY = "dup the fast"  # rare terms: msm=2 visibly prunes single-term matches
+BM25_PREFIX = "s"
 
 
 def _documents_index(sf_dir: str) -> str:
@@ -73,6 +76,40 @@ def _documents_index(sf_dir: str) -> str:
 def _bm25(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     root = _documents_index(sf_dir)
     out = index_query.IndexReader(root).search(q, k=k, mode=mode).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _bm25_not(sf_dir: str) -> pd.DataFrame:
+    """Negated-clause search (simple_query_string ``-term``): AND query with
+    docs containing the negated term excluded per segment."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root)
+        .search(BM25_QUERY_AND, k=10, mode="and", must_not=BM25_MUST_NOT)
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _bm25_msm(sf_dir: str) -> pd.DataFrame:
+    """OR query with minimum_should_match=2 (ES bool-should semantics)."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root)
+        .search(BM25_MSM_QUERY, k=10, mode="or", min_should_match=2)
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _bm25_prefix(sf_dir: str) -> pd.DataFrame:
+    """Prefix wildcard search (``s*``): dictionary expansion capped at 50
+    terms, scored as a disjunction."""
+    root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search_prefix(BM25_PREFIX, k=10).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
 
@@ -1462,6 +1499,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
+        "bm25_not": _bm25_not,
+        "bm25_msm": _bm25_msm,
+        "bm25_prefix": _bm25_prefix,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -1913,6 +1953,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
+        "bm25_not": index_oracle.bm25_sql(
+            "documents", BM25_QUERY_AND, 10, mode="and", must_not=BM25_MUST_NOT
+        ),
+        "bm25_msm": index_oracle.bm25_sql(
+            "documents", BM25_MSM_QUERY, 10, mode="or", min_should_match=2
+        ),
+        "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),

@@ -26,13 +26,32 @@ def bm25_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 4,
+    must_not: str | None = None,
+    min_should_match: int | None = None,
 ) -> str:
+    """``must_not`` excludes docs containing ANY of its (tokenized) terms;
+    ``min_should_match`` (OR mode) keeps docs matching at least that many
+    distinct query terms — mirrors IndexReader.search."""
     terms = sorted(set(analyzer.tokenize_query(query_text)))
     if not terms:
         return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
     term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     tok = analyzer.sql_tokenize_expr(text_col)
-    and_filter = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    if mode == "and":
+        having = f"HAVING count(*) = {len(terms)}"
+    elif min_should_match is not None:
+        having = f"HAVING count(*) >= {min_should_match}"
+    else:
+        having = ""
+    neg_cte = neg_filter = ""
+    if must_not:
+        neg_terms = sorted(set(analyzer.tokenize_query(must_not)))
+        neg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in neg_terms)
+        neg_cte = f"""neg AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_list})
+),
+"""
+        neg_filter = "WHERE tf.doc_id NOT IN (SELECT doc_id FROM neg)"
     return f"""
 WITH doclen AS (
   SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
@@ -43,7 +62,7 @@ stats AS (
 toks AS (
   SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
 ),
-tf AS (
+{neg_cte}tf AS (
   SELECT doc_id, term, count(*) AS tf FROM toks
   WHERE term IN ({term_list}) GROUP BY doc_id, term
 ),
@@ -59,8 +78,67 @@ scored AS (
   JOIN df USING (term)
   JOIN doclen d ON tf.doc_id = d.doc_id
   CROSS JOIN stats s
+  {neg_filter}
   GROUP BY tf.doc_id
-  {and_filter}
+  {having}
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def bm25_prefix_sql(
+    table: str,
+    prefix: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Prefix-expansion disjunction oracle (IndexReader.search_prefix):
+    distinct matching terms in lexicographic order capped at
+    ``max_expansions``, each scored with its own idf."""
+    pfx = analyzer.tokenize_query(prefix)
+    assert len(pfx) == 1, "prefix must normalize to one token"
+    esc = pfx[0].replace("'", "''")
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+allm AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term LIKE '{esc}%' GROUP BY doc_id, term
+),
+sel AS (
+  SELECT DISTINCT term FROM allm ORDER BY term LIMIT {max_expansions}
+),
+tf AS (
+  SELECT * FROM allm WHERE term IN (SELECT term FROM sel)
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
 )
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM scored

@@ -164,6 +164,31 @@ class SegmentReader:
             tf_parts.append(t)
         return np.concatenate(docs_parts), np.concatenate(tf_parts)
 
+    def terms_with_prefix(self, prefix: str, limit: int | None = None) -> list[str]:
+        """Terms of this segment's dictionary starting with ``prefix``
+        (dictionary is lexicographically sorted at build time —
+        build.py:257-259 — so this is two binary searches + one slice; the
+        wildcard/prefix expansion path of simple_query_string)."""
+        import bisect
+
+        arr = self._term_strings
+        n = len(arr)
+
+        class _View:
+            def __getitem__(self, i):
+                return arr[i].as_py()
+
+            def __len__(self):
+                return n
+
+        v = _View()
+        lo = bisect.bisect_left(v, prefix)
+        # tokens are [a-z0-9]+ so chr(0x7f) upper-bounds every extension
+        hi = bisect.bisect_left(v, prefix + "\x7f", lo=lo)
+        if limit is not None:
+            hi = min(hi, lo + limit)
+        return arr.slice(lo, hi - lo).to_pylist()
+
     def all_postings(self) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
         """Decode the ENTIRE segment in two vectorized varbyte passes.
 
@@ -294,12 +319,16 @@ def search_segment(
     exclude: np.ndarray | None = None,
     include: np.ndarray | None = None,
     recency: dict | None = None,
+    min_should_match: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Local top-k for one segment. ``threshold`` lets callers pass a current
     global k-th score so OR/WAND mode can prune harder; ``exclude`` is the
     segment's tombstoned doc-id set and ``include`` the facet-filter allowed
     set, both applied BEFORE top-k selection so dead/filtered docs never
-    crowd out live ones; ``recency`` adds the distance_feature date boost."""
+    crowd out live ones; ``recency`` adds the distance_feature date boost.
+    ``min_should_match`` (OR mode) keeps only docs matching at least that
+    many distinct query terms — it invalidates block-max upper bounds, so
+    such queries always take the exhaustive path."""
     entries = {}
     for t in terms:
         row = seg.entry(t)
@@ -351,9 +380,15 @@ def search_segment(
     # filters/recency change per-doc scores, which would invalidate block-max
     # upper bounds → those queries always take the exhaustive path
     local_postings = sum(e["df"] for e in entries.values())
-    if include is not None or recency is not None or local_postings <= OR_EXHAUSTIVE_THRESHOLD:
+    if (
+        include is not None
+        or recency is not None
+        or min_should_match is not None
+        or local_postings <= OR_EXHAUSTIVE_THRESHOLD
+    ):
         return or_exhaustive(
-            seg, entries, idf_map, avgdl, k, exclude=exclude, include=include, recency=recency
+            seg, entries, idf_map, avgdl, k, exclude=exclude, include=include,
+            recency=recency, min_should_match=min_should_match,
         )
     return block_max_union(seg, entries, idf_map, avgdl, k, threshold, exclude=exclude)
 
@@ -371,6 +406,7 @@ def or_exhaustive(
     exclude: np.ndarray | None = None,
     include: np.ndarray | None = None,
     recency: dict | None = None,
+    min_should_match: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Exact disjunctive top-k by full vectorized decode + sort/reduceat
     score aggregation. Accumulation is in sorted-term order per doc (stable
@@ -388,6 +424,11 @@ def or_exhaustive(
     alld, alls = alld[order], alls[order]
     uniq, starts = np.unique(alld, return_index=True)
     sums = np.add.reduceat(alls, starts)
+    if min_should_match is not None and min_should_match > 1 and uniq.size:
+        # a doc appears once per matched term in the concatenated stream
+        n_matched = np.diff(np.append(starts, alld.size))
+        keep = n_matched >= min_should_match
+        uniq, sums = uniq[keep], sums[keep]
     if exclude is not None and exclude.size and uniq.size:
         keep = ~np.isin(uniq, exclude)
         uniq, sums = uniq[keep], sums[keep]
@@ -639,13 +680,53 @@ class IndexReader:
         mode: str = "and",
         filters: dict[str, list] | None = None,
         recency: dict | None = None,
+        must_not: str | None = None,
+        min_should_match: int | None = None,
     ) -> pa.Table:
         """Top-k BM25. ``mode="and"`` = intersection semantics
         (simple_query_string default_operator:and parity); ``mode="or"`` =
         disjunctive block-max pruned scoring. ``filters`` are facet filters
         (OR within field, AND across fields, filter-context scoring);
-        ``recency`` is the distance_feature date boost (see recency_boost)."""
+        ``recency`` is the distance_feature date boost (see recency_boost).
+        ``must_not`` is negated text (simple_query_string ``-term`` clauses,
+        core/models/search/query.py analog): docs containing ANY of its
+        terms are excluded before top-k, per segment, via the same exclude
+        mask tombstones use. ``min_should_match`` (OR mode) keeps only docs
+        matching at least that many distinct query terms."""
         terms = sorted(set(analyzer.tokenize_query(query_text)))
+        neg_terms = sorted(set(analyzer.tokenize_query(must_not))) if must_not else []
+        return self._search_terms(
+            terms, k, mode, filters=filters, recency=recency,
+            neg_terms=neg_terms, min_should_match=min_should_match,
+        )
+
+    def search_prefix(self, prefix: str, k: int = 10, max_expansions: int = 50) -> pa.Table:
+        """Prefix (wildcard ``pre*``) top-k: expand against the segment
+        dictionaries (sorted — two binary searches each), take the first
+        ``max_expansions`` distinct terms in lexicographic order (Lucene
+        MultiTermQuery rewrite cap), then score as a disjunction where each
+        expanded term keeps its own idf."""
+        pfx = analyzer.tokenize_query(prefix)
+        if len(pfx) != 1:
+            raise ValueError("prefix must normalize to exactly one token")
+        expanded: set[str] = set()
+        for seg_meta in self.manifest["segments"]:
+            expanded.update(self._segment(seg_meta).terms_with_prefix(pfx[0]))
+        terms = sorted(expanded)[:max_expansions]
+        if not terms:
+            return _empty_result()
+        return self._search_terms(terms, k, "or")
+
+    def _search_terms(
+        self,
+        terms: list[str],
+        k: int,
+        mode: str,
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+        neg_terms: list[str] | None = None,
+        min_should_match: int | None = None,
+    ) -> pa.Table:
         if not terms:
             return _empty_result()
         dfs = self.df(terms)
@@ -663,9 +744,18 @@ class IndexReader:
                 self._tomb_ids, self._tomb_vers,
                 seg_meta.get("created_version", self.manifest["_version"]),
             )
+            if neg_terms:
+                neg_parts = [exclude] if exclude.size else []
+                for nt in neg_terms:
+                    p = seg.postings(nt)
+                    if p is not None and p[0].size:
+                        neg_parts.append(p[0])
+                if neg_parts:
+                    exclude = np.unique(np.concatenate(neg_parts))
             d, s = search_segment(
                 seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
                 exclude=exclude, include=seg.allowed_docs(filters), recency=recency,
+                min_should_match=min_should_match,
             )
             parts.append((d, s))
             if s.size >= k and recency is None:

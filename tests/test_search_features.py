@@ -133,3 +133,60 @@ def test_query_service_filters(attr_index):
     a = svc.search("table", k=15, filters=f).to_pandas()
     b = reader.search("table", k=15, filters=f).to_pandas()
     assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+# --- negated clauses / minimum_should_match / prefix expansion -------------
+
+def test_must_not_matches_oracle(attr_index, con):
+    got = (
+        query.IndexReader(attr_index)
+        .search("table", k=15, mode="and", must_not="sort")
+        .to_pandas()
+    )
+    exp = con.execute(
+        oracle.bm25_sql("documents", "table", 15, mode="and",
+                        must_not="sort", round_digits=12)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+    # excluded docs really don't contain the negated term
+    bad = con.execute(
+        "SELECT doc_id FROM documents WHERE lower(text) LIKE '% sort %'"
+    ).fetchdf()
+    assert not set(got["doc_id"]) & set(bad["doc_id"])
+
+
+def test_min_should_match_matches_oracle(attr_index, con):
+    q = "dup the fast"
+    got = (
+        query.IndexReader(attr_index)
+        .search(q, k=15, mode="or", min_should_match=2)
+        .to_pandas()
+    )
+    exp = con.execute(
+        oracle.bm25_sql("documents", q, 15, mode="or",
+                        min_should_match=2, round_digits=12)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def test_prefix_search_matches_oracle(attr_index, con):
+    got = query.IndexReader(attr_index).search_prefix("s", k=15).to_pandas()
+    exp = con.execute(
+        oracle.bm25_prefix_sql("documents", "s", 15, round_digits=12)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def test_prefix_expansion_cap(attr_index):
+    r = query.IndexReader(attr_index)
+    capped = r.search_prefix("s", k=15, max_expansions=1)
+    # cap=1 keeps only the lexicographically first s-term
+    segs = set()
+    for m in r.manifest["segments"]:
+        segs.update(r._segment(m).terms_with_prefix("s"))
+    first = sorted(segs)[0]
+    uncapped = r._search_terms([first], 15, "or").to_pandas()
+    assert list(capped.to_pandas()["doc_id"]) == list(uncapped["doc_id"])
