@@ -279,6 +279,66 @@ def _transcript_doc_sql_head(glob: str) -> str:
     )
 
 
+def _index_diff(sf_dir: str) -> pd.DataFrame:
+    """Version-diff audit: apply a deterministic delta (update doc_id%7==0,
+    delete doc_id%11==0 unless updated, append 20 new docs) and read the
+    added/changed/removed rows back from the index's OWN structures
+    (segment doc tables + created_version + tombstones — index/diff.py).
+    The oracle derives the same rows from the delta rule alone."""
+    import shutil
+
+    import ray.data as rd
+
+    from harvester_ray.index import diff as index_diff_mod
+    from harvester_ray.index import incremental
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"diff-{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    docs = os.path.join(sf_dir, "documents.parquet")
+    index_build.build_index(
+        rd.read_parquet(docs, columns=["doc_id", "text"]), root, input_desc=docs
+    )
+    base = rd.read_parquet(docs, columns=["doc_id", "text"]).to_pandas()
+    mx = int(base["doc_id"].max())
+    changed = base[base["doc_id"] % 7 == 0].copy()
+    changed["text"] = changed["text"] + " updatedmarker"
+    changed["state"] = "active"
+    deleted = base[(base["doc_id"] % 11 == 0) & (base["doc_id"] % 7 != 0)].copy()
+    deleted["text"] = ""
+    deleted["state"] = "deleted"
+    added = pd.DataFrame(
+        {
+            "doc_id": np.arange(mx + 1, mx + 21, dtype=np.int64),
+            "text": [f"brand new document number {i} spark" for i in range(20)],
+            "state": "active",
+        }
+    )
+    delta = pd.concat([changed, deleted, added], ignore_index=True)
+    incremental.build_incremental(root, rd.from_pandas(delta), input_desc="diff-delta")
+    return index_diff_mod.index_diff(root)
+
+
+def _index_diff_sql(table: str = "documents") -> str:
+    return f"""
+WITH mx AS (SELECT max(doc_id) AS m FROM {table}),
+added AS (
+  SELECT CAST(mx.m + gs.generate_series AS BIGINT) AS doc_id, 'added' AS change
+  FROM mx, generate_series(1, 20) gs
+),
+changed AS (
+  SELECT doc_id, 'changed' AS change FROM {table} WHERE doc_id % 7 = 0
+),
+removed AS (
+  SELECT doc_id, 'removed' AS change FROM {table}
+  WHERE doc_id % 11 = 0 AND doc_id % 7 <> 0
+)
+SELECT doc_id, change FROM (
+  SELECT * FROM added UNION ALL SELECT * FROM changed UNION ALL SELECT * FROM removed
+) ORDER BY doc_id, change
+""".strip()
+
+
 def _set_integrity(sf_dir: str) -> pd.DataFrame:
     """Set-integrity guard scenario (reference check_set_integrity,
     core/tasks/harvest/set.py:99-126): a delta deleting every even doc_id
@@ -1493,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": _doc_stats,
         "corpus_stats": _corpus_stats,
         "index_stats": _index_stats,
+        "index_diff": _index_diff,
         "set_integrity": _set_integrity,
         "term_df_top50": _term_df_top50,
         "term_df_shuffle": _term_df_shuffle,
@@ -1940,6 +2001,7 @@ def oracle_sql() -> dict[str, str]:
             FROM td
         """,
         "set_integrity": _set_integrity_sql("documents"),
+        "index_diff": _index_diff_sql("documents"),
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),

@@ -159,3 +159,26 @@ def test_set_integrity_guard_blocks_bad_delta(tmp_path):
         root, rd.from_pandas(bad), input_desc="forced", integrity_check=False
     )
     assert mf.current_version(root) == man3["version"]
+
+
+def test_index_diff_labels(tmp_path):
+    """index_diff reads added/changed/removed back from segment doc tables
+    + created_version + tombstones, not from the delta input."""
+    from harvester_ray.index import diff as diff_mod
+
+    root = str(tmp_path / "diffidx")
+    base = pd.DataFrame({
+        "doc_id": np.arange(10, dtype=np.int64),
+        "text": [f"alpha beta doc {i}" for i in range(10)],
+    })
+    build.build_index(rd.from_pandas(base), root, concurrency=2)
+    delta = pd.DataFrame({
+        "doc_id": np.array([1, 2, 50, 51], dtype=np.int64),
+        "text": ["alpha updated", "", "new fifty", "new fiftyone"],
+        "state": ["active", "deleted", "active", "active"],
+    })
+    incremental.build_incremental(root, rd.from_pandas(delta),
+                                  integrity_check=False)
+    out = diff_mod.index_diff(root)
+    got = dict(zip(out["doc_id"], out["change"]))
+    assert got == {1: "changed", 2: "removed", 50: "added", 51: "added"}
