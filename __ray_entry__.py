@@ -54,6 +54,10 @@ BM25_QUERY_OR = "customer query big"
 BM25_MUST_NOT = "sort"
 BM25_MSM_QUERY = "dup the fast"  # rare terms: msm=2 visibly prunes single-term matches
 BM25_PREFIX = "s"
+# rare terms at conversation granularity: flattening makes common-term
+# scores tie at 4 decimals across all 200 convs, so the gate query must
+# have discriminative df/tf (OR over two df=4 terms)
+CONV_QUERY = "bafepale baru"
 
 
 def _documents_index(sf_dir: str) -> str:
@@ -254,6 +258,39 @@ def _transcript_bm25(sf_dir: str) -> pd.DataFrame:
     if mf.current_version(root) is None:
         flagship.build_transcript_index(data_dir, root)
     out = flagship.search_transcripts(root, "gaji hopotenu", k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _conv_bm25(sf_dir: str) -> pd.DataFrame:
+    """Conversation-granularity retrieval: flatten each conversation to one
+    role-prefixed document (streaming, assembled text never on the driver),
+    index it, BM25-search it. doc_id = conversation rank in sorted conv_id
+    order; the oracle reproduces both the flattening and the ranks in SQL."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+    from harvester_ray.index import manifest as mf
+
+    data_dir = _transcripts_dir()
+    root = os.path.join(_SCRATCH, "conv-index")
+    if mf.current_version(root) is None:
+        paths = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        counts = _corpus.conv_counts_from_files(paths)
+        ds = rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "role", "text"])
+        flat = _transcripts_mod.flatten_text_ds(
+            ds, counts["conv_id"].to_numpy(dtype=np.str_)
+        )
+        index_build.build_index(flat, root, input_desc=data_dir)
+    out = (
+        index_query.IndexReader(root)
+        .search(CONV_QUERY, k=10, mode="or")
+        .to_pandas()
+    )
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
 
@@ -1573,6 +1610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ordered": _search_ordered,
         "did_you_mean": _did_you_mean,
         "transcript_bm25": _transcript_bm25,
+        "conv_bm25": _conv_bm25,
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_stats": lambda sf: _transcripts_mod.conv_stats(_tds(sf)),
@@ -2220,6 +2258,9 @@ def oracle_sql() -> dict[str, str]:
         "transcript_bm25": index_oracle.bm25_sql(
             "tdoc", "gaji hopotenu", 10, mode="and"
         ).replace("WITH ", _transcript_doc_sql_head(_tglob) + ", ", 1),
+        "conv_bm25": index_oracle.bm25_sql(
+            "cdoc", CONV_QUERY, 10, mode="or"
+        ).replace("WITH ", _transcripts_mod.conv_doc_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),
         "role_stats": _transcripts_mod.role_stats_sql(_tsrc),

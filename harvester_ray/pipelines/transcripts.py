@@ -256,6 +256,61 @@ GROUP BY prev_role, role ORDER BY prev_role, role
 """.strip()
 
 
+def flatten_text_ds(ds, conv_sorted: np.ndarray, *, n_buckets: int = 64):
+    """Conversation-granularity corpus: one ``(doc_id, text)`` row per
+    conversation, text = the role-prefixed newline join of its turns, and
+    ``doc_id`` = the conversation's rank in sorted conv_id order
+    (``conv_sorted`` — from :func:`harvester_ray.corpus.conv_counts_from_files`
+    or any per-conversation count pass; broadcast once, searchsorted per
+    bucket). Returns a streaming Dataset feeding an index build — the
+    flattened text never reaches the driver."""
+    import ray
+
+    ref = ray.put(np.asarray(conv_sorted, dtype=np.str_))
+    cache: dict[str, np.ndarray] = {}
+
+    def flatten(tbl: pa.Table) -> pa.Table:
+        if "c" not in cache:
+            cache["c"] = ray.get(ref)
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            })
+        line = pc.binary_join_element_wise(
+            tbl["role"].combine_chunks(), tbl["text"].combine_chunks(), ": "
+        )
+        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), line)
+        flat = pc.binary_join(lists, "\n")
+        convs = np.asarray(
+            tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64())).to_pandas(),
+            dtype=np.str_,
+        )
+        doc_id = np.searchsorted(cache["c"], convs)
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "text": flat,
+        })
+
+    return (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(flatten, batch_format="pyarrow")
+    )
+
+
+def conv_doc_sql_head(glob: str) -> str:
+    """CTE chain mirroring :func:`flatten_text_ds` — conversation docs with
+    rank-in-sorted-order ids — for splicing under a BM25 oracle."""
+    return (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cflat AS (SELECT conv_id, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text "
+        "FROM tsrc GROUP BY conv_id), "
+        "cdoc AS (SELECT CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id, text FROM cflat)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # order-free aggregations (partial-fold, no shuffle)
 # ---------------------------------------------------------------------------

@@ -213,3 +213,38 @@ def test_conv_flatten_md5_matches_manual(transcripts_dir):
     flat = "\n".join(r + ": " + t for r, t in zip(one["role"], one["text"]))
     assert out.loc[one["conv_id"].iloc[0], "conv_md5"] == hashlib.md5(flat.encode()).hexdigest()
     assert int(out.loc[one["conv_id"].iloc[0], "n_chars"]) == len(flat)
+
+
+def test_conv_granularity_bm25_vs_oracle(transcripts_dir, tmp_path_factory):
+    """Flatten conversations to docs (rank-in-sorted-order ids), index,
+    search — rank-identical to the SQL oracle over the same Parquet."""
+    from harvester_ray.index import build as ibuild
+    from harvester_ray.index import oracle as ioracle
+    from harvester_ray.index import query as iquery
+
+    root = str(tmp_path_factory.mktemp("convidx"))
+    paths = sorted(
+        os.path.join(transcripts_dir, f)
+        for f in os.listdir(transcripts_dir)
+        if f.endswith(".parquet")
+    )
+    counts = corpus.conv_counts_from_files(paths)
+    ds = rd.read_parquet(transcripts_dir, columns=["conv_id", "turn_idx", "role", "text"])
+    flat = tmod.flatten_text_ds(ds, counts["conv_id"].to_numpy(dtype=np.str_))
+    ibuild.build_index(flat, root, concurrency=2)
+    # rank ids are dense 0..n_convs-1
+    r = iquery.IndexReader(root)
+    assert r.n_docs == len(counts)
+    # pick a rare term from the corpus for a discriminative query
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    vocab = pd.Series(" ".join(pdf["text"].head(200)).split()).value_counts()
+    rare = vocab[vocab <= 2].index[0]
+    got = r.search(rare, k=10, mode="or").to_pandas()
+    sql = ioracle.bm25_sql("cdoc", rare, 10, mode="or", round_digits=12).replace(
+        "WITH ",
+        tmod.conv_doc_sql_head(os.path.join(transcripts_dir, "*.parquet")) + ", ",
+        1,
+    )
+    exp = duckdb.sql(sql).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
