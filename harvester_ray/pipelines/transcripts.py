@@ -311,6 +311,99 @@ def conv_doc_sql_head(glob: str) -> str:
     )
 
 
+def conv_windows(ds, *, k: int = 4, stride: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Sliding turn-windows per conversation (training-example assembly:
+    window ``w`` covers turns ``[w*stride, w*stride+k)``; the last window
+    may be partial; conversations shorter than ``k`` yield one window).
+    Emits one bounded row per window — (conv_id, window_idx, start_turn,
+    end_turn, n_turns, window_md5 of the newline-joined turn text)."""
+
+    def windows(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "window_idx": pa.array([], pa.int64()),
+            "start_turn": pa.array([], pa.int64()),
+            "end_turn": pa.array([], pa.int64()),
+            "n_turns": pa.array([], pa.int64()),
+            "window_md5": pa.array([], pa.string()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        lens = np.diff(off)
+        # windows per conversation: ceil((n-k)/stride) + 1, floored at 1
+        n_w = (np.maximum(np.ceil((lens - k) / stride), 0) + 1).astype(np.int64)
+        total = int(n_w.sum())
+        if total == 0:
+            return empty
+        conv_of_w = np.repeat(np.arange(lens.size), n_w)
+        widx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(n_w) - n_w, n_w
+        )
+        w_start = widx * stride
+        w_len = np.minimum(k, lens[conv_of_w] - w_start)
+        # flat row indices of every window member
+        reps = np.repeat(off[:-1][conv_of_w] + w_start, w_len)
+        local = np.arange(int(w_len.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(w_len) - w_len, w_len
+        )
+        texts = tbl["text"].combine_chunks().take(pa.array(reps + local, pa.int64()))
+        w_off = np.concatenate(([0], np.cumsum(w_len))).astype(np.int64)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(w_off, pa.int32()), texts), "\n"
+        )
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in joined.to_pylist()]
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1][conv_of_w], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "window_idx": pa.array(widx, pa.int64()),
+            "start_turn": pa.array(w_start, pa.int64()),
+            "end_turn": pa.array(w_start + w_len - 1, pa.int64()),
+            "n_turns": pa.array(w_len, pa.int64()),
+            "window_md5": pa.array(md5, pa.string()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(windows, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "window_idx"]).reset_index(drop=True)
+
+
+def conv_windows_sql(src: str, *, k: int = 4, stride: int = 2) -> str:
+    return f"""
+WITH n AS (
+  SELECT conv_id, count(*) AS n FROM {src} GROUP BY conv_id
+),
+gs AS (
+  -- the table-function form of generate_series only takes constants in
+  -- DuckDB; the scalar form returns a LIST and accepts expressions —
+  -- build 0..global-max once and theta-join per conversation
+  SELECT unnest(generate_series(0, (
+    SELECT CAST(greatest(max(ceil((n - {k}) * 1.0 / {stride})), 0) AS BIGINT) FROM n
+  ))) AS window_idx
+),
+w AS (
+  SELECT n.conv_id, gs.window_idx
+  FROM n JOIN gs
+    ON gs.window_idx <= greatest(ceil((n.n - {k}) * 1.0 / {stride}), 0)
+)
+SELECT w.conv_id, w.window_idx,
+       CAST(min(t.turn_idx) AS BIGINT) AS start_turn,
+       CAST(max(t.turn_idx) AS BIGINT) AS end_turn,
+       count(*) AS n_turns,
+       md5(string_agg(t.text, chr(10) ORDER BY t.turn_idx)) AS window_md5
+FROM w JOIN {src} t
+  ON t.conv_id = w.conv_id
+ AND t.turn_idx >= w.window_idx * {stride}
+ AND t.turn_idx <  w.window_idx * {stride} + {k}
+GROUP BY w.conv_id, w.window_idx
+ORDER BY w.conv_id, w.window_idx
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # order-free aggregations (partial-fold, no shuffle)
 # ---------------------------------------------------------------------------

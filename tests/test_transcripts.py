@@ -248,3 +248,31 @@ def test_conv_granularity_bm25_vs_oracle(transcripts_dir, tmp_path_factory):
     exp = duckdb.sql(sql).fetchdf()
     assert list(got["doc_id"]) == list(exp["doc_id"])
     np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def test_conv_windows_vs_oracle(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.conv_windows(ds, k=4, stride=2)
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = duckdb.sql(tmod.conv_windows_sql(src, k=4, stride=2)).fetchdf()
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+    # short conversations yield exactly one (full) window
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    lens = pdf.groupby("conv_id").size()
+    short = lens[lens <= 4].index
+    for cid in short[:3]:
+        rows = got[got["conv_id"] == cid]
+        assert len(rows) == 1 and int(rows["n_turns"].iloc[0]) == lens[cid]
+
+
+def test_conv_windows_stride_covers_all_turns(transcripts_dir):
+    """Every turn of every conversation appears in >=1 window when
+    stride <= k (no gaps in training coverage)."""
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.conv_windows(ds, k=5, stride=3)
+    pdf = rd.read_parquet(transcripts_dir).to_pandas()
+    lens = pdf.groupby("conv_id").size()
+    last_end = got.groupby("conv_id")["end_turn"].max()
+    assert (last_end == lens.reindex(last_end.index) - 1).all()
