@@ -1619,6 +1619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_tail": lambda sf: _transcripts_mod.conv_tail(_tds(sf)),
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
+        "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -2269,5 +2270,6 @@ def oracle_sql() -> dict[str, str]:
         "conv_tail": _transcripts_mod.conv_tail_sql(_tsrc),
         "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
+        "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
         # knn_ivf: rows-only (approximate index)
     }

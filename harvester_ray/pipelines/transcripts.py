@@ -404,6 +404,109 @@ ORDER BY w.conv_id, w.window_idx
 """.strip()
 
 
+def turn_overlap(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Self-repetition signal for agent transcripts: token-set overlap of
+    every adjacent turn pair within a conversation (an assistant that
+    repeats itself produces high adjacent-turn Jaccard — the conversational
+    analog of the Gopher repetition filters). Integer-only output per
+    conversation — (n_pairs, inter_sum, union_sum) — so engine/oracle parity
+    is exact with no float division anywhere; consumers derive
+    inter_sum/union_sum as the repetition ratio.
+
+    Fully vectorized per bucket: distinct (row, code) keys once, then one
+    ``intersect1d`` of pair-tagged keys (left = turn j tagged pair j,
+    right = turn j+1 tagged pair j) and bincounts — no per-pair loop."""
+
+    def overlap(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "n_pairs": pa.array([], pa.int64()),
+            "inter_sum": pa.array([], pa.int64()),
+            "union_sum": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        n = tbl.num_rows
+        if n < 2:
+            return empty
+        row_ids, codes, _ = analyzer.tokenize_flat(
+            analyzer.normalize_text(tbl["text"])
+        )
+        keys = np.unique(
+            (row_ids.astype(np.int64) << 32) | codes.astype(np.int64)
+        )
+        rows = (keys >> 32).astype(np.int64)
+        sizes = np.bincount(rows, minlength=n)
+        valid_pair = np.ones(n - 1, bool)
+        valid_pair[off[1:-1] - 1] = False  # pairs spanning two conversations
+        if not valid_pair.any():
+            return empty
+        lmask = np.zeros(n, bool)
+        lmask[: n - 1] = valid_pair
+        rmask = np.zeros(n, bool)
+        rmask[1:] = valid_pair
+        lsel = lmask[rows]
+        rsel = rmask[rows]
+        left = (rows[lsel] << 32) | (keys[lsel] & 0xFFFFFFFF)
+        right = ((rows[rsel] - 1) << 32) | (keys[rsel] & 0xFFFFFFFF)
+        inter_keys = np.intersect1d(left, right, assume_unique=True)
+        inter = np.bincount((inter_keys >> 32).astype(np.int64), minlength=n - 1)
+        union = sizes[:-1] + sizes[1:] - inter
+        lens = np.diff(off)
+        # conv index of pair j is the conv of row j; rows are conv-contiguous
+        pj = np.flatnonzero(valid_pair)
+        conv_idx = np.searchsorted(off, pj, side="right") - 1
+        n_pairs = np.bincount(conv_idx, minlength=lens.size)
+        inter_sum = np.bincount(conv_idx, weights=inter[pj], minlength=lens.size).astype(np.int64)
+        union_sum = np.bincount(conv_idx, weights=union[pj], minlength=lens.size).astype(np.int64)
+        nz = np.flatnonzero(n_pairs)
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1][nz], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "n_pairs": pa.array(n_pairs[nz], pa.int64()),
+            "inter_sum": pa.array(inter_sum[nz], pa.int64()),
+            "union_sum": pa.array(union_sum[nz], pa.int64()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(overlap, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype=str),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "inter_sum": pd.Series([], dtype=np.int64),
+            "union_sum": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def turn_overlap_sql(src: str) -> str:
+    tok = analyzer.sql_tokenize_expr("text")
+    return f"""
+WITH toksd AS (
+  SELECT conv_id, turn_idx, list_distinct({tok}) AS s FROM {src}
+),
+lagd AS (
+  SELECT conv_id, s,
+         lag(s) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM toksd
+),
+pairs AS (
+  SELECT conv_id,
+         len(list_intersect(s, prev)) AS inter,
+         len(s) + len(prev) - len(list_intersect(s, prev)) AS uni
+  FROM lagd WHERE prev IS NOT NULL
+)
+SELECT conv_id, count(*) AS n_pairs,
+       CAST(sum(inter) AS BIGINT) AS inter_sum,
+       CAST(sum(uni) AS BIGINT) AS union_sum
+FROM pairs GROUP BY conv_id ORDER BY conv_id
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # order-free aggregations (partial-fold, no shuffle)
 # ---------------------------------------------------------------------------

@@ -276,3 +276,35 @@ def test_conv_windows_stride_covers_all_turns(transcripts_dir):
     lens = pdf.groupby("conv_id").size()
     last_end = got.groupby("conv_id")["end_turn"].max()
     assert (last_end == lens.reindex(last_end.index) - 1).all()
+
+
+def test_turn_overlap_vs_oracle(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.turn_overlap(ds)
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = duckdb.sql(tmod.turn_overlap_sql(src)).fetchdf()
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+
+
+def test_turn_overlap_detects_repetition():
+    """A conversation that repeats itself verbatim scores inter == union
+    on every pair; an all-distinct one scores inter == 0."""
+    t = pa.table({
+        "conv_id": pa.array(["rep"] * 3 + ["uniq"] * 3, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 2], pa.int32()),
+        "role": pa.array(["user"] * 6, pa.string()),
+        "text": pa.array(
+            ["same words here", "same words here", "same words here",
+             "alpha bravo", "charlie delta", "echo foxtrot"],
+            pa.string(),
+        ),
+        "tool": pa.array([None] * 6, pa.string()),
+        "ts": pa.array([1, 2, 3, 4, 5, 6], pa.timestamp("us")),
+    })
+    out = tmod.turn_overlap(rd.from_arrow(t)).set_index("conv_id")
+    assert int(out.loc["rep", "inter_sum"]) == int(out.loc["rep", "union_sum"]) == 6
+    assert int(out.loc["uniq", "inter_sum"]) == 0
+    assert int(out.loc["uniq", "union_sum"]) == 8
+    assert int(out.loc["rep", "n_pairs"]) == int(out.loc["uniq", "n_pairs"]) == 2
