@@ -1620,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
+        "tool_chains": lambda sf: _transcripts_mod.tool_chains(_tds(sf)),
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -2271,5 +2272,6 @@ def oracle_sql() -> dict[str, str]:
         "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
+        "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
         # knn_ivf: rows-only (approximate index)
     }

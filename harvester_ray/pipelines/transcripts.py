@@ -244,6 +244,72 @@ def role_transitions(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def tool_chains(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """(prev_tool → tool) transition counts over the tool-role turns of each
+    conversation in turn order (which tool gets called after which — the
+    agent-workflow analog of event_transitions). Non-tool turns between two
+    calls don't break the chain."""
+
+    def pairs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "prev_tool": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        is_tool = np.asarray(pc.equal(tbl["role"].combine_chunks(), "tool"))
+        sel = np.flatnonzero(is_tool)
+        if sel.size < 2:
+            return empty
+        conv_idx = np.searchsorted(off, sel, side="right") - 1
+        enc = tbl["tool"].combine_chunks().take(pa.array(sel, pa.int64())).dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        same_conv = conv_idx[1:] == conv_idx[:-1]
+        nd = len(enc.dictionary)
+        key = codes[:-1][same_conv] * nd + codes[1:][same_conv]
+        if key.size == 0:
+            return empty
+        cnt = np.bincount(key, minlength=nd * nd)
+        nz = np.flatnonzero(cnt)
+        tools = enc.dictionary.to_pylist()
+        return pa.table({
+            "prev_tool": pa.array([tools[k // nd] for k in nz], pa.string()),
+            "tool": pa.array([tools[k % nd] for k in nz], pa.string()),
+            "n": pa.array(cnt[nz], pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"prev_tool": pd.Series([], dtype=str),
+                             "tool": pd.Series([], dtype=str),
+                             "n": pd.Series([], dtype=np.int64)})
+    out = parts.groupby(["prev_tool", "tool"], sort=True, as_index=False)["n"].sum()
+    return out.reset_index(drop=True)
+
+
+def tool_chains_sql(src: str) -> str:
+    return f"""
+WITH calls AS (
+  SELECT conv_id, turn_idx, tool FROM {src} WHERE role = 'tool'
+),
+lagd AS (
+  SELECT tool, lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+  FROM calls
+)
+SELECT prev_tool, tool, count(*) AS n
+FROM lagd WHERE prev_tool IS NOT NULL
+GROUP BY prev_tool, tool ORDER BY prev_tool, tool
+""".strip()
+
+
 def role_transitions_sql(src: str) -> str:
     return f"""
 WITH lagd AS (

@@ -308,3 +308,27 @@ def test_turn_overlap_detects_repetition():
     assert int(out.loc["uniq", "inter_sum"]) == 0
     assert int(out.loc["uniq", "union_sum"]) == 8
     assert int(out.loc["rep", "n_pairs"]) == int(out.loc["uniq", "n_pairs"]) == 2
+
+
+def test_tool_chains_vs_oracle(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.tool_chains(ds)
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = duckdb.sql(tmod.tool_chains_sql(src)).fetchdf()
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+
+
+def test_tool_chains_skip_non_tool_turns():
+    """Intervening user/assistant turns do not break a tool chain."""
+    t = pa.table({
+        "conv_id": pa.array(["c"] * 4, pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "role": pa.array(["tool", "assistant", "user", "tool"], pa.string()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        "tool": pa.array(["t1", None, None, "t2"], pa.string()),
+        "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+    })
+    out = tmod.tool_chains(rd.from_arrow(t))
+    assert out.to_dict("records") == [{"prev_tool": "t1", "tool": "t2", "n": 1}]
