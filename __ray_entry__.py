@@ -1621,6 +1621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
         "tool_chains": lambda sf: _transcripts_mod.tool_chains(_tds(sf)),
+        "curate_conversations": lambda sf: _transcripts_mod.curate_conversations(_tds(sf)),
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "lang_id": lambda sf: text_analysis.lang_id(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -2273,5 +2274,6 @@ def oracle_sql() -> dict[str, str]:
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
         "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
+        "curate_conversations": _transcripts_mod.curate_conversations_sql(_tsrc),
         # knn_ivf: rows-only (approximate index)
     }

@@ -709,6 +709,72 @@ FROM {src} GROUP BY role ORDER BY role
 """.strip()
 
 
+def curate_conversations(
+    ds,
+    *,
+    min_turns: int = 2,
+    max_overlap_pct: int = 10,
+    max_tokens: int = 600,
+) -> pd.DataFrame:
+    """Conversation-level curation verdicts composing the quality signals:
+    drop too-short conversations, self-repetitive ones (adjacent-turn
+    overlap above ``max_overlap_pct`` — integer cross-multiply, no
+    division) and over-long ones, with the first failing rule as the
+    recorded reason (the transcript analog of pipelines/curate.py's
+    document filters). Two streaming passes (stats + overlap), verdicts on
+    the bounded per-conversation frames."""
+    cs = conv_stats(ds).set_index("conv_id")
+    ov = turn_overlap(ds).set_index("conv_id")
+    j = cs.join(ov[["inter_sum", "union_sum"]], how="left").fillna(0)
+    i = j["inter_sum"].astype(np.int64)
+    u = j["union_sum"].astype(np.int64)
+    reason = np.where(
+        j["n_turns"] < min_turns, "short",
+        np.where(
+            i * 100 > u * max_overlap_pct, "repetitive",
+            np.where(j["total_tokens"] > max_tokens, "too_long", "ok"),
+        ),
+    )
+    out = pd.DataFrame({
+        "conv_id": j.index,
+        "n_turns": j["n_turns"].astype(np.int64).to_numpy(),
+        "total_tokens": j["total_tokens"].astype(np.int64).to_numpy(),
+        "inter_sum": i.to_numpy(),
+        "union_sum": u.to_numpy(),
+        "reason": reason,
+        "keep": reason == "ok",
+    })
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def curate_conversations_sql(
+    src: str,
+    *,
+    min_turns: int = 2,
+    max_overlap_pct: int = 10,
+    max_tokens: int = 600,
+) -> str:
+    case = (
+        f"CASE WHEN n_turns < {min_turns} THEN 'short' "
+        f"WHEN inter_sum * 100 > union_sum * {max_overlap_pct} THEN 'repetitive' "
+        f"WHEN total_tokens > {max_tokens} THEN 'too_long' ELSE 'ok' END"
+    )
+    return f"""
+WITH cs AS ({conv_stats_sql(src)}),
+ov AS ({turn_overlap_sql(src)}),
+j AS (
+  SELECT cs.conv_id, cs.n_turns, cs.total_tokens,
+         CAST(coalesce(ov.inter_sum, 0) AS BIGINT) AS inter_sum,
+         CAST(coalesce(ov.union_sum, 0) AS BIGINT) AS union_sum
+  FROM cs LEFT JOIN ov ON cs.conv_id = ov.conv_id
+)
+SELECT conv_id, n_turns, total_tokens, inter_sum, union_sum,
+       {case} AS reason,
+       ({case}) = 'ok' AS keep
+FROM j ORDER BY conv_id
+""".strip()
+
+
 def tool_usage(ds) -> pd.DataFrame:
     """Per tool: call count and conversations using it (tool rows only)."""
 

@@ -332,3 +332,16 @@ def test_tool_chains_skip_non_tool_turns():
     })
     out = tmod.tool_chains(rd.from_arrow(t))
     assert out.to_dict("records") == [{"prev_tool": "t1", "tool": "t2", "n": 1}]
+
+
+def test_curate_conversations_vs_oracle(transcripts_dir):
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.curate_conversations(ds)
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = duckdb.sql(tmod.curate_conversations_sql(src)).fetchdf()
+    assert len(got) == len(exp)
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+    # verdicts are non-degenerate on the synth corpus: at least two reasons
+    assert got["reason"].nunique() >= 2
+    assert got["keep"].any() and not got["keep"].all()
