@@ -1785,6 +1785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_normalize": _zscore,
         "bloom_semijoin": _bloom_semijoin,
         "anti_join_orders": relational.orders_without_lineitems,
+        "full_outer_join": relational.events_customers_full_outer,
         "global_sort_page": relational.global_sort_page,
         "centroid_cosine": lambda sf: _embstats.centroid_cosine(_emb_ds(sf)),
         "embedding_quantize": lambda sf: _embstats.quantize_embeddings_int8(_emb_ds(sf)),
@@ -2204,6 +2205,7 @@ def oracle_sql() -> dict[str, str]:
             build_key="o_orderkey",
         ),
         "anti_join_orders": relational.ORDERS_WITHOUT_LINEITEMS_SQL,
+        "full_outer_join": relational.FULL_OUTER_EVENTS_CUSTOMERS_SQL,
         "global_sort_page": relational.GLOBAL_SORT_PAGE_SQL,
         "centroid_cosine": _embstats.centroid_cosine_sql("embeddings"),
         "embedding_quantize": _embstats.quantize_embeddings_int8_sql("embeddings"),

@@ -749,3 +749,95 @@ GLOBAL_SORT_PAGE_SQL = """
 SELECT event_id, event_type, value
 FROM events ORDER BY value DESC, event_id LIMIT 10 OFFSET 1000
 """.strip()
+
+
+FULL_OUTER_EVENTS_CUSTOMERS_SQL = """
+WITH e AS (
+  SELECT user_id AS key, CAST(count(*) AS DOUBLE) AS n_events
+  FROM events GROUP BY user_id
+),
+c AS (
+  SELECT CAST(c_custkey AS BIGINT) AS key, c_acctbal
+  FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT coalesce(e.key, c.key) AS key, e.n_events, c.c_acctbal
+FROM e FULL OUTER JOIN c ON e.key = c.key
+ORDER BY key
+""".strip()
+
+
+def events_customers_full_outer(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER JOIN as a broadcast composition (small-side aggregated
+    left ⟗ streaming right): inner matches + right-anti rows stream out of
+    one map pass over the right side; left-anti rows come from the
+    broadcast key set minus the (bounded) matched-key fold — the right
+    table is never materialized on the driver. Mirrors the reference's
+    set-reconciliation shape (carried ∖ incoming plus incoming ∖ carried,
+    core/models/datatypes/set.py:69-85) generalized to keep both sides'
+    payloads. Valid while the LEFT side's aggregate fits a worker
+    (user-cardinality); two large sides instead hash-partition on the key
+    and run the same union of inner/anti pieces per bucket
+    (join_shuffle_fallback's exchange)."""
+    import numpy as np
+    import ray
+
+    ev = _read(sf_dir, "events", columns=["user_id"])
+
+    def user_counts(t: pa.Table) -> pa.Table:
+        return (
+            t.group_by("user_id").aggregate([([], "count_all")])
+            .rename_columns(["key", "n"])
+        )
+
+    parts = ev.map_batches(user_counts, batch_format="pyarrow").to_pandas()
+    left = parts.groupby("key", sort=True)["n"].sum()
+    lkeys = left.index.to_numpy(np.int64)
+    lvals = left.to_numpy(np.float64)
+    ref = ray.put((lkeys, lvals))
+    cache: dict[str, tuple] = {}
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def right_rows(t: pa.Table) -> pa.Table:
+        if "b" not in cache:
+            cache["b"] = ray.get(ref)
+        ks, vs = cache["b"]
+        ck = t["c_custkey"].combine_chunks().cast(pa.int64())
+        ckn = np.asarray(ck)
+        keep = ckn % 3 == 0
+        ckn = ckn[keep]
+        bal = np.asarray(t["c_acctbal"].combine_chunks())[keep]
+        pos = np.searchsorted(ks, ckn)
+        posc = np.clip(pos, 0, max(ks.size - 1, 0))
+        hit = (ks.size > 0) & (ks[posc] == ckn) if ks.size else np.zeros(ckn.size, bool)
+        n_ev = np.where(hit, vs[posc], np.nan)
+        return pa.table({
+            "key": pa.array(ckn, pa.int64()),
+            "n_events": pa.array(n_ev, pa.float64()),
+            "c_acctbal": pa.array(bal, pa.float64()),
+        })
+
+    right = cust.map_batches(right_rows, batch_format="pyarrow").to_pandas()
+
+    def matched_keys(t: pa.Table) -> pa.Table:
+        if "b" not in cache:
+            cache["b"] = ray.get(ref)
+        ks, _ = cache["b"]
+        ckn = np.asarray(t["c_custkey"].combine_chunks().cast(pa.int64()))
+        ckn = ckn[ckn % 3 == 0]
+        return pa.table({"key": pa.array(np.intersect1d(ks, ckn), pa.int64())})
+
+    mparts = cust.map_batches(matched_keys, batch_format="pyarrow").to_pandas()
+    matched = (
+        np.unique(mparts["key"].to_numpy(np.int64))
+        if len(mparts)
+        else np.empty(0, np.int64)
+    )
+    lonly = np.setdiff1d(lkeys, matched, assume_unique=True)
+    left_rows = pd.DataFrame({
+        "key": lonly,
+        "n_events": lvals[np.searchsorted(lkeys, lonly)],
+        "c_acctbal": np.full(lonly.size, np.nan),
+    })
+    out = pd.concat([right, left_rows], ignore_index=True)
+    return out.sort_values("key").reset_index(drop=True)

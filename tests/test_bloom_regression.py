@@ -167,3 +167,32 @@ def test_embedding_quantize_partition_independent(ray_session):
     a = embstats.quantize_embeddings_int8(ds)
     b = embstats.quantize_embeddings_int8(ds.repartition(7))
     assert a.equals(b)
+
+
+def test_full_outer_join_vs_oracle():
+    """Broadcast full-outer composition: inner + right-anti stream out of
+    the map pass, left-anti from the broadcast minus matched fold."""
+    import duckdb
+    import numpy as np
+
+    from harvester_ray.pipelines import relational
+
+    sf = "/root/testdata/sf0.001"
+    got = relational.events_customers_full_outer(sf)
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    exp = con.execute(relational.FULL_OUTER_EVENTS_CUSTOMERS_SQL).fetchdf()
+    assert len(got) == len(exp)
+    assert list(got["key"]) == list(exp["key"])
+    for c in ("n_events", "c_acctbal"):
+        np.testing.assert_allclose(
+            got[c].to_numpy(np.float64), exp[c].to_numpy(np.float64),
+            rtol=1e-9, equal_nan=True,
+        )
+    # all three row classes are present
+    assert got["n_events"].isna().any(), "no right-only rows"
+    assert got["c_acctbal"].isna().any(), "no left-only rows"
+    assert (got["n_events"].notna() & got["c_acctbal"].notna()).any(), "no inner rows"
