@@ -52,6 +52,7 @@ BM25_QUERY_AND = "spark window"
 BM25_QUERY_AND2 = "vector stream sort"
 BM25_QUERY_OR = "customer query big"
 BM25_MUST_NOT = "sort"
+FUZZY_QUERY = "spork"  # 1 edit from 'spark'; no exact match in the corpus
 BM25_MSM_QUERY = "dup the fast"  # rare terms: msm=2 visibly prunes single-term matches
 BM25_PREFIX = "s"
 # rare terms at conversation granularity: flattening makes common-term
@@ -114,6 +115,38 @@ def _bm25_prefix(sf_dir: str) -> pd.DataFrame:
     terms, scored as a disjunction."""
     root = _documents_index(sf_dir)
     out = index_query.IndexReader(root).search_prefix(BM25_PREFIX, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _search_cursor(sf_dir: str) -> pd.DataFrame:
+    """Cursor pagination (search_after): page 2 fetched via the (score,
+    doc_id) cursor of page 1's last row ≡ OFFSET page_size of the total
+    order, which is exactly what the oracle computes."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    r = index_query.IndexReader(root)
+    p1 = _extras.search_after(r, BM25_QUERY_OR, k=10, mode="or")
+    cur = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    out = _extras.search_after(r, BM25_QUERY_OR, after=cur, k=10, mode="or")
+    return out[["doc_id", "score"]]
+
+
+def _search_stats(sf_dir: str) -> pd.DataFrame:
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_stats(
+        index_query.IndexReader(root), BM25_QUERY_AND, by="source", mode="and"
+    )
+
+
+def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    out = _extras.fuzzy_search(index_query.IndexReader(root), FUZZY_QUERY, k=10)
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
 
@@ -1600,6 +1633,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not": _bm25_not,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
+        "search_cursor": _search_cursor,
+        "search_stats": _search_stats,
+        "fuzzy_search": _fuzzy_search,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2065,6 +2101,40 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_MSM_QUERY, 10, mode="or", min_should_match=2
         ),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
+        # cursor page 2 == rows 11-20 of the rounded-score total order
+        "search_cursor": (
+            "SELECT doc_id, score FROM ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 100000, mode="or")
+            + ") ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"
+        ),
+        "search_stats": """
+            WITH doclen AS (
+              SELECT doc_id, len(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS dl
+              FROM documents
+            ),
+            toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id FROM toks WHERE term IN ('spark', 'window')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            )
+            SELECT d.source,
+                   count(*) AS n_matches,
+                   CAST(sum(dl.dl) AS BIGINT) AS dl_sum,
+                   floor(CAST(sum(dl.dl) AS BIGINT) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS avg_dl
+            FROM m JOIN doclen dl USING (doc_id) JOIN documents d USING (doc_id)
+            GROUP BY d.source ORDER BY d.source
+        """,
+        "fuzzy_search": index_oracle.bm25_expansion_sql(
+            "documents",
+            "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "
+            "AND levenshtein(term, 'NEWFUZZTOK') <= 1",
+            10,
+        ).replace("NEWFUZZPFX", FUZZY_QUERY[0]).replace(
+            "NEWFUZZLEN", str(len(FUZZY_QUERY))
+        ).replace("NEWFUZZTOK", FUZZY_QUERY),
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),

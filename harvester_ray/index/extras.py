@@ -369,3 +369,136 @@ def did_you_mean(
                     vocab[t] = vocab.get(t, 0) + int(d)
         out.append((tok, _best_suggestion(tok, vocab, max_edits)))
     return pd.DataFrame(out, columns=["token", "suggestion"])
+
+
+def search_after(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    after: tuple[float, int] | None = None,
+    k: int = 10,
+    mode: str = "and",
+    round_digits: int = 4,
+) -> pd.DataFrame:
+    """Cursor pagination (ES ``search_after`` semantics): return the next
+    ``k`` results strictly after the ``(score, doc_id)`` cursor in the
+    total order (rounded score desc, doc_id asc). The cursor compares
+    ROUNDED scores so a page boundary is stable across processes (the same
+    rounding the API response carries). Deep cursors score each segment's
+    full match set — the per-shard cost ES pays on deep pagination too —
+    rather than inflating a top-k heap by the cursor depth."""
+    from . import bm25
+    from .query import match_one_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    idf = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    doc_parts, score_parts = [], []
+    for seg, matched in _segment_matches(reader, live, mode, None):
+        dl = seg.doc_lengths(matched).astype(np.float64)
+        s = np.zeros(matched.size, np.float64)
+        for t in sorted(live):
+            d, f = seg.postings(t)
+            pos = np.searchsorted(d, matched)
+            posc = np.clip(pos, 0, max(d.size - 1, 0))
+            hit = (d.size > 0) & (d[posc] == matched) if d.size else np.zeros(matched.size, bool)
+            tf = np.where(hit, f[posc], 0).astype(np.float64)
+            s += bm25.score(tf, dl, idf[t], reader.avgdl)
+        doc_parts.append(matched)
+        score_parts.append(s)
+    docs = np.concatenate(doc_parts)
+    scores = np.round(np.concatenate(score_parts), round_digits)
+    if after is not None:
+        cs, cd = float(after[0]), int(after[1])
+        keep = (scores < cs) | ((scores == cs) & (docs > cd))
+        docs, scores = docs[keep], scores[keep]
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
+def search_stats(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    by: str = "source",
+    mode: str = "and",
+) -> pd.DataFrame:
+    """Numeric stats aggregation over the match set (the ES ``stats`` agg
+    next to the facet counts): per ``by``-field value, match count and
+    token-length sum/mean of the matching docs. dl comes from the doc-table
+    sidecars already in memory — no text is touched."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return pd.DataFrame({by: pd.Series(dtype=object),
+                             "n_matches": pd.Series(dtype=np.int64),
+                             "dl_sum": pd.Series(dtype=np.int64),
+                             "avg_dl": pd.Series(dtype=np.float64)})
+    acc: dict[str, list[int]] = {}
+    for seg, matched in _segment_matches(reader, live, mode, None):
+        vals = seg.attr_values(by, matched)
+        dl = seg.doc_lengths(matched)
+        svals = np.asarray(vals, dtype=object)
+        uniq, inv = np.unique(svals, return_inverse=True)
+        n = np.bincount(inv)
+        s = np.bincount(inv, weights=dl.astype(np.float64)).astype(np.int64)
+        for v, c, ds in zip(uniq, n, s):
+            cur = acc.setdefault(str(v), [0, 0])
+            cur[0] += int(c)
+            cur[1] += int(ds)
+    rows = sorted(acc.items())
+    dl_sum = np.array([v[1] for _, v in rows], np.int64)
+    n_m = np.array([v[0] for _, v in rows], np.int64)
+    avg = np.floor(dl_sum / np.maximum(n_m, 1) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame({
+        by: [k for k, _ in rows],
+        "n_matches": n_m,
+        "dl_sum": dl_sum,
+        "avg_dl": avg,
+    })
+
+
+def fuzzy_search(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+) -> pd.DataFrame:
+    """Fuzzy term search (ES ``fuzziness`` on a term query): expand the
+    (single) query token to dictionary terms within ``max_edits``
+    Levenshtein edits sharing the first ``prefix_length`` chars — the same
+    prefix-bounded candidate walk did_you_mean uses — then score the
+    expansion as a disjunction, each term with its own idf."""
+    from .query import _term_prefix_range
+
+    toks = analyzer.tokenize_query(query_text)
+    if len(toks) != 1:
+        raise ValueError("fuzzy_search takes exactly one token")
+    tok = toks[0]
+    prefix = tok[:prefix_length]
+    cands: set[str] = set()
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        lo, hi = _term_prefix_range(seg, prefix)
+        if hi > lo:
+            cands.update(seg._term_strings.slice(lo, hi - lo).to_pylist())
+    cand_list = sorted(c for c in cands if abs(len(c) - len(tok)) <= max_edits)
+    if not cand_list:
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int32),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    dists = _levenshtein_batch(tok, cand_list)
+    terms = [c for c, d in zip(cand_list, dists) if d <= max_edits][:max_expansions]
+    if not terms:
+        return pd.DataFrame({"rank": pd.Series(dtype=np.int32),
+                             "doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    return reader._search_terms(terms, k, "or").to_pandas()

@@ -327,3 +327,59 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def bm25_expansion_sql(
+    table: str,
+    term_predicate: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Disjunction over a dynamically-matched term set (fuzzy/wildcard
+    rewrites): ``term_predicate`` is a SQL boolean over ``term``; matching
+    distinct terms are capped at ``max_expansions`` in lexicographic order
+    and scored with per-term idf (mirrors IndexReader expansion paths)."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+allm AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE {term_predicate} GROUP BY doc_id, term
+),
+sel AS (
+  SELECT DISTINCT term FROM allm ORDER BY term LIMIT {max_expansions}
+),
+tf AS (
+  SELECT * FROM allm WHERE term IN (SELECT term FROM sel)
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

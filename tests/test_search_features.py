@@ -190,3 +190,62 @@ def test_prefix_expansion_cap(attr_index):
     first = sorted(segs)[0]
     uncapped = r._search_terms([first], 15, "or").to_pandas()
     assert list(capped.to_pandas()["doc_id"]) == list(uncapped["doc_id"])
+
+
+def test_search_after_cursor_equals_offset(attr_index, con):
+    """Cursor page2 == OFFSET page_size of the rounded-score total order."""
+    from harvester_ray.index import extras
+
+    r = query.IndexReader(attr_index)
+    p1 = extras.search_after(r, "table", k=5, mode="or")
+    cur = (float(p1["score"].iloc[-1]), int(p1["doc_id"].iloc[-1]))
+    p2 = extras.search_after(r, "table", after=cur, k=5, mode="or")
+    exp = con.execute(
+        "SELECT doc_id, score FROM ("
+        + oracle.bm25_sql("documents", "table", 100000, mode="or")
+        + ") ORDER BY score DESC, doc_id LIMIT 5 OFFSET 5"
+    ).fetchdf()
+    assert list(p2["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(p2["score"], exp["score"], atol=1e-9)
+    assert not set(p1["doc_id"]) & set(p2["doc_id"])
+
+
+def test_search_stats_matches_oracle(attr_index, con):
+    from harvester_ray.index import extras
+
+    r = query.IndexReader(attr_index)
+    got = extras.search_stats(r, "table", by="source", mode="and")
+    exp = con.execute("""
+        WITH doclen AS (
+          SELECT doc_id, len(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS dl
+          FROM documents
+        ),
+        toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term
+          FROM documents
+        ),
+        m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'table')
+        SELECT d.source, count(*) AS n_matches,
+               CAST(sum(dl.dl) AS BIGINT) AS dl_sum,
+               floor(CAST(sum(dl.dl) AS BIGINT) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS avg_dl
+        FROM m JOIN doclen dl USING (doc_id) JOIN documents d USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """).fetchdf()
+    assert list(got["source"]) == list(exp["source"])
+    assert list(got["n_matches"]) == list(exp["n_matches"])
+    assert list(got["dl_sum"]) == list(exp["dl_sum"])
+    np.testing.assert_allclose(got["avg_dl"], exp["avg_dl"], atol=0)
+
+
+def test_fuzzy_search_matches_oracle(attr_index, con):
+    from harvester_ray.index import extras
+
+    r = query.IndexReader(attr_index)
+    got = extras.fuzzy_search(r, "tabel", k=10)  # 1 edit from 'table'
+    pred = ("substr(term,1,1) = 't' AND abs(length(term) - 5) <= 1 "
+            "AND levenshtein(term, 'tabel') <= 1")
+    exp = con.execute(
+        oracle.bm25_expansion_sql("documents", pred, 10, round_digits=12)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
