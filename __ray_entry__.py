@@ -1516,6 +1516,8 @@ def _matches_by_source(sf_dir: str) -> pd.DataFrame:
 
 PHRASE_QUERY = "part filter"
 PHRASE_QUERY3 = "part filter scan"
+PROX_SLOP = 2
+PROX_SLOP3 = 4
 
 
 def _phrase(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
@@ -1523,6 +1525,18 @@ def _phrase(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
     (simple_query_string quoted-phrase parity)."""
     root = _documents_index(sf_dir)
     out = index_query.IndexReader(root).search_phrase(phrase, k=k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _proximity(sf_dir: str, phrase: str, slop: int, k: int = 10) -> pd.DataFrame:
+    """Ordered-proximity BM25 top-k (ES match_phrase with slop): terms in
+    order within a window of len(terms)+slop positions, span frequency as
+    tf (greedy-chain count ≡ the oracle's exists-chain count)."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root).search_proximity(phrase, k=k, slop=slop).to_pandas()
+    )
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
 
@@ -1639,6 +1653,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
+        "proximity_search": lambda sf: _proximity(sf, PHRASE_QUERY, PROX_SLOP),
+        "proximity_search_3": lambda sf: _proximity(sf, PHRASE_QUERY3, PROX_SLOP3),
         "bm25f_fields": _bm25f,
         "decompound_search": _decompound_search,
         "synonym_search": _synonym_search,
@@ -2138,6 +2154,12 @@ def oracle_sql() -> dict[str, str]:
         "bm25_brute_force": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "phrase_search": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY, 10),
         "phrase_search_3": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY3, 10),
+        "proximity_search": index_oracle.proximity_bm25_sql(
+            "documents", PHRASE_QUERY, PROX_SLOP, 10
+        ),
+        "proximity_search_3": index_oracle.proximity_bm25_sql(
+            "documents", PHRASE_QUERY3, PROX_SLOP3, 10
+        ),
         "bm25f_fields": _bm25f_oracle.bm25f_sql(
             "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10
         ),

@@ -329,6 +329,74 @@ LIMIT {k}
 """.strip()
 
 
+def proximity_bm25_sql(
+    table: str,
+    phrase: str,
+    slop: int,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Ordered-proximity BM25 oracle (ES match_phrase with slop, ordered
+    spans): a start position matches if SOME in-order chain of the remaining
+    terms completes within ``len(terms) + slop`` positions; tf = distinct
+    matching starts (mirrors IndexReader.search_proximity's greedy-chain
+    count, which is equivalent to this exists-chain count). Each join also
+    carries the redundant window upper bound so DuckDB prunes the pair
+    blow-up before the final span predicate."""
+    terms = analyzer.tokenize_query(phrase)
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    quoted = ["'" + t.replace("'", "''") + "'" for t in terms]
+    window = len(terms) - 1 + slop
+    joins = "\n  ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i > p{i-1}.i"
+        f" AND p{i}.i <= p0.i + {window}"
+        for i in range(1, len(terms))
+    )
+    preds = " AND ".join(f"p{i}.term = {q}" for i, q in enumerate(quoted))
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+m AS (
+  SELECT p0.doc_id, count(DISTINCT p0.i) AS ptf
+  FROM pos p0
+  {joins}
+  WHERE {preds}
+  GROUP BY p0.doc_id
+),
+dfv AS (
+  SELECT count(*) AS df FROM m
+),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m
+  CROSS JOIN dfv
+  CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def bm25_expansion_sql(
     table: str,
     term_predicate: str,

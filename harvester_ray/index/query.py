@@ -811,6 +811,105 @@ class IndexReader:
         ]
         return merge_topk(parts, k)
 
+    def search_proximity(
+        self,
+        phrase: str,
+        k: int = 10,
+        *,
+        slop: int = 0,
+        filters: dict[str, list] | None = None,
+    ) -> pa.Table:
+        """Ordered proximity top-k (ES ``match_phrase`` with ``slop``,
+        ordered-span semantics): a doc matches where the query terms occur
+        IN ORDER within a window of at most ``len(terms) + slop`` token
+        positions. tf = number of distinct start positions that open at
+        least one valid window (the minimal-completion chain — greedy next
+        occurrence per term — is valid iff ANY chain is, so this equals
+        the oracle's exists-chain count). Scored like ``search_phrase``:
+        BM25 with span frequency as tf and span document frequency as df.
+        Requires ``store_positions=True``."""
+        terms = analyzer.tokenize_query(phrase)
+        if not terms:
+            return _empty_result()
+        matches: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+        df = 0
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            if not seg.has_positions:
+                raise ValueError(
+                    "proximity search needs positions — build_index(store_positions=True)"
+                )
+            docs, ptf = proximity_match_segment(seg, terms, slop)
+            if docs.size == 0:
+                continue
+            exclude = tombstones_for_segment(
+                self._tomb_ids, self._tomb_vers,
+                seg_meta.get("created_version", self.manifest["_version"]),
+            )
+            if exclude.size:
+                keep = ~np.isin(docs, exclude)
+                docs, ptf = docs[keep], ptf[keep]
+            df += int(docs.size)
+            include = seg.allowed_docs(filters)
+            if include is not None:
+                keep = np.isin(docs, include)
+                docs, ptf = docs[keep], ptf[keep]
+            if docs.size:
+                matches.append((docs, ptf, seg.doc_lengths(docs)))
+        if not matches or df == 0:
+            return _empty_result()
+        term_idf = float(bm25.idf(self.n_docs, df))
+        parts = [
+            (docs, bm25.score(ptf, dl, term_idf, self.avgdl))
+            for docs, ptf, dl in matches
+        ]
+        return merge_topk(parts, k)
+
+
+def proximity_match_segment(
+    seg: SegmentReader, terms: list[str], slop: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Docs of one segment containing ``terms`` in order within a span of
+    ``len(terms) + slop`` positions, with the span frequency (distinct valid
+    start positions). Fully vectorized greedy chain over packed
+    ``(local_doc << 31) | pos`` keys: for each candidate start, the minimal
+    next-occurrence of each subsequent term is found with one searchsorted
+    per term; the greedy chain minimizes the final position for a given
+    start, so its span test is equivalent to the exists-any-chain test."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    mask = (np.int64(1) << 31) - 1
+
+    def packed(t: str) -> np.ndarray | None:
+        res = seg.positions(t)
+        if res is None:
+            return None
+        docs, tfs, pos = res
+        local = np.searchsorted(seg.doc_ids, docs)
+        return (np.repeat(local, tfs).astype(np.int64) << 31) | pos
+
+    starts = packed(terms[0])
+    if starts is None or starts.size == 0:
+        return empty
+    chain = starts
+    for t in terms[1:]:
+        keys = packed(t)
+        if keys is None or keys.size == 0:
+            return empty
+        idx = np.searchsorted(keys, chain, side="right")
+        ok = idx < keys.size
+        nxt = keys[np.minimum(idx, keys.size - 1)]
+        ok &= (nxt >> 31) == (chain >> 31)  # same doc
+        starts, chain = starts[ok], nxt[ok]
+        if starts.size == 0:
+            return empty
+    span = (chain & mask) - (starts & mask)  # >= n-1 by construction
+    ok = span <= (len(terms) - 1 + slop)
+    starts = starts[ok]
+    if starts.size == 0:
+        return empty
+    uniq, ptf = np.unique(starts >> 31, return_counts=True)
+    return seg.doc_ids[uniq], ptf.astype(np.int64)
+
 
 def phrase_match_segment(
     seg: SegmentReader, terms: list[str]

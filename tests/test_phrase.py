@@ -71,6 +71,49 @@ def test_phrase_search_matches_duckdb(pos_index):
         ), phrase
 
 
+def test_proximity_search_matches_duckdb(pos_index):
+    import duckdb
+
+    from harvester_ray.index import oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')"
+    )
+    for phrase, slop in (
+        ("order fast", 2),
+        ("part filter", 0),
+        ("big order scan", 4),
+        ("the the", 3),
+    ):
+        got = (
+            reader.search_proximity(phrase, k=10, slop=slop)
+            .to_pandas()[["doc_id", "score"]]
+        )
+        got["score"] = got["score"].round(4)
+        exp = con.execute(
+            oracle.proximity_bm25_sql("documents", phrase, slop, 10)
+        ).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True), check_dtype=False
+        ), (phrase, slop)
+
+
+def test_proximity_widens_phrase(pos_index):
+    """slop=0 ≡ exact phrase; growing slop must only grow the match set."""
+    reader = iq.IndexReader(pos_index)
+    phrase = "order fast"
+    exact = reader.search_phrase(phrase, k=1000).to_pandas()
+    prox0 = reader.search_proximity(phrase, k=1000, slop=0).to_pandas()
+    pd.testing.assert_frame_equal(exact, prox0)
+    sizes = [
+        len(reader.search_proximity(phrase, k=10**6, slop=s)) for s in (0, 2, 8, 64)
+    ]
+    assert sizes == sorted(sizes)
+    assert sizes[-1] > sizes[0]  # the window does widen on this corpus
+
+
 def test_phrase_absent_and_empty(pos_index):
     reader = iq.IndexReader(pos_index)
     assert reader.search_phrase("zzzz qqqq", k=5).num_rows == 0
