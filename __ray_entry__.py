@@ -151,6 +151,14 @@ def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _explain_score(sf_dir: str) -> pd.DataFrame:
+    """Per-term BM25 score breakdown (ES _explain) for the top-1 AND hit."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
+
+
 def _bm25_brute(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1650,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cursor": _search_cursor,
         "search_stats": _search_stats,
         "fuzzy_search": _fuzzy_search,
+        "explain_score": _explain_score,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2143,6 +2152,7 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN doclen dl USING (doc_id) JOIN documents d USING (doc_id)
             GROUP BY d.source ORDER BY d.source
         """,
+        "explain_score": index_oracle.explain_sql("documents", BM25_QUERY_AND),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

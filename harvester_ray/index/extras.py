@@ -502,3 +502,55 @@ def fuzzy_search(
                              "doc_id": pd.Series(dtype=np.int64),
                              "score": pd.Series(dtype=np.float64)})
     return reader._search_terms(terms, k, "or").to_pandas()
+
+
+def explain(reader: IndexReader, query_text: str, doc_id: int | None = None) -> pd.DataFrame:
+    """Per-term BM25 score breakdown for one document (the ES ``_explain``
+    API, which the reference exposes indirectly through OpenSearch's
+    explain=true search flag): for each query term matched by the doc,
+    the term's tf in the doc, corpus df, and its BM25 contribution.
+
+    ``doc_id=None`` explains the top-1 AND-mode hit (self-contained for
+    the driver gate). Touches only the ONE segment containing the doc
+    (binary search over segment doc tables) and decodes only the query
+    terms' posting lists."""
+    empty = pd.DataFrame({
+        "term": pd.Series(dtype=object),
+        "tf": pd.Series(dtype=np.int64),
+        "df": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    if doc_id is None:
+        top = reader.search(query_text, k=1, mode="and")
+        if top.num_rows == 0:
+            return empty
+        doc_id = int(top["doc_id"][0].as_py())
+    dfs = reader.df(terms)
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        pos = np.searchsorted(seg.doc_ids, doc_id)
+        if pos >= seg.doc_ids.size or seg.doc_ids[pos] != doc_id:
+            continue
+        dl = float(seg.doc_lengths(np.array([doc_id], dtype=np.int64))[0])
+        rows = []
+        for t in terms:
+            p = seg.postings(t)
+            if p is None:
+                continue
+            docs, tfs = p[0], p[1]
+            i = np.searchsorted(docs, doc_id)
+            if i >= docs.size or docs[i] != doc_id:
+                continue
+            tf = int(tfs[i])
+            idf = float(bm25.idf(reader.n_docs, dfs[t]))
+            s = float(bm25.score(np.array([tf], dtype=np.int64),
+                                 np.array([dl]), idf, reader.avgdl)[0])
+            rows.append((t, tf, int(dfs[t]), round(s, 4)))
+        if not rows:
+            return empty
+        out = pd.DataFrame(rows, columns=["term", "tf", "df", "score"])
+        return out.sort_values("term").reset_index(drop=True)
+    return empty

@@ -451,3 +451,70 @@ FROM scored
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def explain_sql(
+    table: str,
+    query_text: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Per-term BM25 breakdown (ES _explain analog) for the top-1 AND-mode
+    hit of ``query_text`` — fully self-contained: the target doc is chosen
+    inside the statement with the same (score DESC, doc_id ASC) tie-break
+    IndexReader.search uses. df per term is corpus-wide (termstats parity);
+    only terms present in the target doc emit a row."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return ("SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS tf, "
+                "CAST(NULL AS BIGINT) AS df, CAST(NULL AS DOUBLE) AS score WHERE 1=0")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  HAVING count(*) = {len(terms)}
+),
+target AS (
+  SELECT doc_id FROM scored ORDER BY score DESC, doc_id ASC LIMIT 1
+)
+SELECT tf.term,
+       tf.tf,
+       df.df,
+       round( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)),
+              {round_digits}) AS score
+FROM tf
+JOIN target USING (doc_id)
+JOIN df USING (term)
+JOIN doclen d ON tf.doc_id = d.doc_id
+CROSS JOIN stats s
+ORDER BY tf.term
+""".strip()

@@ -131,3 +131,46 @@ def test_ndcg_unit():
     worse = ndcg_at_k(np.array([1.0, 2.0, 3.0]))
     assert 0 < worse < 1.0
     assert ndcg_at_k(np.array([0.0, 0.0])) == 0.0  # no relevant docs
+
+
+def test_explain_matches_oracle(idx, con):
+    import pandas as pd
+
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for q in ("spark window", "the part", "order fast scan"):
+        got = extras.explain(reader, q)
+        exp = con.execute(oracle.explain_sql("documents", q)).fetchdf()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), q
+
+
+def test_explain_specific_doc_vs_text(idx):
+    """tf/df in the breakdown must equal counts recomputed from raw text."""
+    import pandas as pd
+
+    from harvester_ray import analyzer
+
+    reader = query.IndexReader(idx)
+    top = reader.search("spark window", k=1, mode="and").to_pandas()
+    doc = int(top["doc_id"].iloc[0])
+    got = extras.explain(reader, "spark window", doc_id=doc)
+    docs_pd = pd.read_parquet(DOCS, columns=["doc_id", "text"])
+    toks = analyzer.tokenize_query(docs_pd.set_index("doc_id").loc[doc, "text"])
+    for _, row in got.iterrows():
+        assert row["tf"] == toks.count(row["term"])
+        df_true = sum(
+            row["term"] in analyzer.tokenize_query(t) for t in docs_pd["text"]
+        )
+        assert row["df"] == df_true
+    # contributions sum to the search score (both rounded at 4)
+    assert abs(got["score"].sum() - top["score"].iloc[0]) < 5e-4
+
+
+def test_explain_edges(idx):
+    reader = query.IndexReader(idx)
+    assert extras.explain(reader, "").empty
+    assert extras.explain(reader, "zzzznonexistent qqqq").empty
+    # doc that lacks one query term: only present terms emit rows
+    out = extras.explain(reader, "spark zzzznonexistent", doc_id=0)
+    assert set(out["term"]).issubset({"spark"})
