@@ -41,6 +41,7 @@ from harvester_ray.ops import bloom as _bloom
 from harvester_ray.ops import embstats as _embstats
 from harvester_ray.ops import chunking as _chunking
 from harvester_ray.ops import dedup, similarity, text_analysis
+from harvester_ray.ops import percolate as _percolate_mod
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
 from harvester_ray.pipelines import transcripts as _transcripts_mod
@@ -149,6 +150,28 @@ def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
     out = _extras.fuzzy_search(index_query.IndexReader(root), FUZZY_QUERY, k=10)
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+PERC_QUERIES = [
+    (1, "spark window"),
+    (2, "part filter scan"),
+    (3, "dup batch"),
+    (4, "customer query"),
+    (5, "zzznope spark"),  # unsatisfiable: term absent from the corpus
+]
+
+
+def _percolate(sf_dir: str) -> pd.DataFrame:
+    """Reverse search: stream the documents table against the stored query
+    set (broadcast small side, one map_batches pass, no shuffle)."""
+    import ray.data as rd
+
+    from harvester_ray.ops import percolate as _perc
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _perc.percolate(ds, PERC_QUERIES)
 
 
 def _explain_score(sf_dir: str) -> pd.DataFrame:
@@ -1659,6 +1682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_stats": _search_stats,
         "fuzzy_search": _fuzzy_search,
         "explain_score": _explain_score,
+        "percolate": _percolate,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2153,6 +2177,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY d.source ORDER BY d.source
         """,
         "explain_score": index_oracle.explain_sql("documents", BM25_QUERY_AND),
+        "percolate": _percolate_mod.percolate_sql("documents", PERC_QUERIES),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

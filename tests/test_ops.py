@@ -244,3 +244,29 @@ def test_repetition_metrics_edge_cases(ray_session):
     assert out.loc[2, ["n_tokens", "distinct_ratio", "top_bigram_frac"]].tolist() == [0, 0.0, 0.0]
     assert not bool(out.loc[2, "repetitive"])
     assert out.loc[3, "n_tokens"] == 6 and out.loc[3, "top_bigram_frac"] == 0.4
+
+
+def test_percolate_matches_oracle_and_edges():
+    import duckdb
+
+    from harvester_ray.ops import percolate as perc
+
+    queries = [(1, "spark window"), (2, "the"), (3, "zzznope"), (4, "")]
+    got = perc.percolate(_docs(), queries)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    exp = con.execute(perc.percolate_sql("documents", queries)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["query_id"]) <= {1, 2}  # absent term and empty query never match
+    # streaming (collect=False) returns the same pairs as a Dataset
+    stream = perc.percolate(_docs(), queries, collect=False).to_pandas()
+    stream = stream.sort_values(["doc_id", "query_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(stream, got)
+
+
+def test_percolate_tiny_corpus():
+    from harvester_ray.ops import percolate as perc
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha beta", "beta", ""]})
+    out = perc.percolate(rd.from_pandas(df), [(7, "alpha beta"), (8, "beta")])
+    assert list(map(tuple, out.itertuples(index=False))) == [(1, 7), (1, 8), (2, 8)]
