@@ -182,6 +182,16 @@ def _explain_score(sf_dir: str) -> pd.DataFrame:
     return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
 
 
+def _search_collapse(sf_dir: str) -> pd.DataFrame:
+    """Field-collapsed top-k (ES collapse): one best hit per source."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_collapse(
+        index_query.IndexReader(root), BM25_QUERY_OR, field="source", k=10, mode="or"
+    )
+
+
 def _bm25_brute(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     import ray.data as rd
 
@@ -1683,6 +1693,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_search": _fuzzy_search,
         "explain_score": _explain_score,
         "percolate": _percolate,
+        "search_collapse": _search_collapse,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2178,6 +2189,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "explain_score": index_oracle.explain_sql("documents", BM25_QUERY_AND),
         "percolate": _percolate_mod.percolate_sql("documents", PERC_QUERIES),
+        "search_collapse": index_oracle.collapse_sql(
+            "documents", BM25_QUERY_OR, field="source", k=10, mode="or"
+        ),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

@@ -554,3 +554,84 @@ def explain(reader: IndexReader, query_text: str, doc_id: int | None = None) -> 
         out = pd.DataFrame(rows, columns=["term", "tf", "df", "score"])
         return out.sort_values("term").reset_index(drop=True)
     return empty
+
+
+def search_collapse(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    k: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """Field-collapsed top-k (the ES ``collapse`` search option the
+    reference's search views rely on for per-provider result folding):
+    at most ONE hit per distinct ``field`` value — each group keeps its
+    best doc by (score desc, doc_id asc) — then the groups' best docs are
+    ranked globally and cut at k.
+
+    Per segment the matched set is scored exhaustively (global-df idf) and
+    reduced to ONE row per field value before leaving the segment, so the
+    merge fan-in is O(segments × distinct values), never O(matches).
+    Scores are rounded to 4 decimals BEFORE group selection on both engine
+    and oracle sides, so representative choice is byte-identical."""
+    from .query import or_exhaustive
+
+    empty = pd.DataFrame({
+        field: pd.Series(dtype=object),
+        "doc_id": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    dfs = reader.df(terms)
+    if mode == "and" and any(dfs[t] == 0 for t in terms):
+        return empty
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    msm = len(live) if mode == "and" else None
+    vals_parts, docs_parts, score_parts = [], [], []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries or (mode == "and" and len(entries) < len(live)):
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31,
+            exclude=exclude, min_should_match=msm,
+        )
+        if docs.size == 0:
+            continue
+        scores = np.round(scores, 4)
+        vals = seg.attr_values(field, docs)
+        # one row per field value leaves the segment
+        order = np.lexsort((docs, -scores, vals))
+        vals, docs, scores = vals[order], docs[order], scores[order]
+        first = np.empty(vals.size, dtype=bool)
+        first[0] = True
+        first[1:] = vals[1:] != vals[:-1]
+        vals_parts.append(vals[first])
+        docs_parts.append(docs[first])
+        score_parts.append(scores[first])
+    if not vals_parts:
+        return empty
+    vals = np.concatenate(vals_parts)
+    docs = np.concatenate(docs_parts)
+    scores = np.concatenate(score_parts)
+    order = np.lexsort((docs, -scores, vals))
+    vals, docs, scores = vals[order], docs[order], scores[order]
+    first = np.empty(vals.size, dtype=bool)
+    first[0] = True
+    first[1:] = vals[1:] != vals[:-1]
+    vals, docs, scores = vals[first], docs[first], scores[first]
+    order = np.lexsort((docs, -scores))
+    vals, docs, scores = vals[order][:k], docs[order][:k], scores[order][:k]
+    return pd.DataFrame({field: vals, "doc_id": docs, "score": scores})

@@ -518,3 +518,38 @@ JOIN doclen d ON tf.doc_id = d.doc_id
 CROSS JOIN stats s
 ORDER BY tf.term
 """.strip()
+
+
+def collapse_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    k: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Field-collapse oracle (extras.search_collapse): one best doc per
+    ``field`` value by (rounded score desc, doc_id asc), groups ranked
+    globally the same way. Scores round at 4 BEFORE group selection on
+    both sides."""
+    base = bm25_sql(table, query_text, 2147483647, mode=mode,
+                    id_col=id_col, text_col=text_col)
+    return f"""
+WITH res AS (
+{base}
+),
+r AS (
+  SELECT d.{field} AS {field}, res.doc_id, res.score,
+         row_number() OVER (
+           PARTITION BY d.{field}
+           ORDER BY res.score DESC, res.doc_id ASC
+         ) AS rn
+  FROM res JOIN {table} d ON d.{id_col} = res.doc_id
+)
+SELECT {field}, doc_id, score
+FROM r WHERE rn = 1
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -174,3 +174,26 @@ def test_explain_edges(idx):
     # doc that lacks one query term: only present terms emit rows
     out = extras.explain(reader, "spark zzzznonexistent", doc_id=0)
     assert set(out["term"]).issubset({"spark"})
+
+
+def test_search_collapse_matches_oracle(idx, con):
+    import pandas as pd
+
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for q, mode in (("customer query big", "or"), ("spark window", "and"), ("the", "or")):
+        got = extras.search_collapse(reader, q, field="source", k=10, mode=mode)
+        exp = con.execute(
+            oracle.collapse_sql("documents", q, field="source", k=10, mode=mode)
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), (q, mode)
+
+
+def test_search_collapse_one_per_group(idx):
+    reader = query.IndexReader(idx)
+    got = extras.search_collapse(reader, "the", field="lang", k=100, mode="or")
+    assert got["lang"].is_unique
+    assert (got["score"].diff().dropna() <= 1e-12).all()  # ranked desc
+    assert extras.search_collapse(reader, "", field="source").empty
+    assert extras.search_collapse(reader, "zzzznope", field="source").empty
