@@ -182,6 +182,16 @@ def _explain_score(sf_dir: str) -> pd.DataFrame:
     return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
 
 
+def _significant_terms(sf_dir: str) -> pd.DataFrame:
+    """ES significant_terms: exact-integer foreground-vs-corpus df shares."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.significant_terms(
+        index_query.IndexReader(root), BM25_QUERY_AND, n=20, mode="and"
+    )
+
+
 def _search_collapse(sf_dir: str) -> pd.DataFrame:
     """Field-collapsed top-k (ES collapse): one best hit per source."""
     from harvester_ray.index import extras as _extras
@@ -1694,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "explain_score": _explain_score,
         "percolate": _percolate,
         "search_collapse": _search_collapse,
+        "significant_terms": _significant_terms,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2191,6 +2202,9 @@ def oracle_sql() -> dict[str, str]:
         "percolate": _percolate_mod.percolate_sql("documents", PERC_QUERIES),
         "search_collapse": index_oracle.collapse_sql(
             "documents", BM25_QUERY_OR, field="source", k=10, mode="or"
+        ),
+        "significant_terms": index_oracle.significant_terms_sql(
+            "documents", BM25_QUERY_AND, n=20, mode="and"
         ),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",

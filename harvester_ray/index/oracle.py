@@ -553,3 +553,60 @@ FROM r WHERE rn = 1
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def significant_terms_sql(
+    table: str,
+    query_text: str,
+    *,
+    n: int = 20,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.significant_terms: exact-integer share difference
+    ``fg_df·n_docs − bg_df·fg_size``, positive scores only, (score desc,
+    term asc) order."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return ("SELECT CAST(NULL AS VARCHAR) AS term, CAST(NULL AS BIGINT) AS fg_df, "
+                "CAST(NULL AS BIGINT) AS bg_df, CAST(NULL AS BIGINT) AS score WHERE 1=0")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    fg_having = (
+        f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+n AS (
+  SELECT count(*) AS n_docs FROM {table}
+),
+fg AS (
+  SELECT doc_id FROM toks WHERE term IN ({term_list})
+  GROUP BY doc_id {fg_having}
+),
+fgn AS (
+  SELECT count(*) AS fg_size FROM fg
+),
+fgdf AS (
+  SELECT t.term, count(*) AS fg_df
+  FROM toks t JOIN fg USING (doc_id)
+  GROUP BY t.term
+),
+bgdf AS (
+  SELECT term, count(*) AS bg_df FROM toks
+  WHERE term IN (SELECT term FROM fgdf)
+  GROUP BY term
+)
+SELECT f.term, f.fg_df, b.bg_df,
+       f.fg_df * n.n_docs - b.bg_df * fgn.fg_size AS score
+FROM fgdf f
+JOIN bgdf b USING (term)
+CROSS JOIN n
+CROSS JOIN fgn
+WHERE f.fg_df * n.n_docs - b.bg_df * fgn.fg_size > 0
+ORDER BY score DESC, f.term ASC
+LIMIT {n}
+""".strip()

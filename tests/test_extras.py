@@ -197,3 +197,28 @@ def test_search_collapse_one_per_group(idx):
     assert (got["score"].diff().dropna() <= 1e-12).all()  # ranked desc
     assert extras.search_collapse(reader, "", field="source").empty
     assert extras.search_collapse(reader, "zzzznope", field="source").empty
+
+
+def test_significant_terms_matches_oracle(idx, con):
+    import pandas as pd
+
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for q, mode in (("spark window", "and"), ("dup", "and"), ("customer query big", "or")):
+        got = extras.significant_terms(reader, q, n=25, mode=mode)
+        exp = con.execute(
+            oracle.significant_terms_sql("documents", q, n=25, mode=mode)
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), (q, mode)
+
+
+def test_significant_terms_properties(idx):
+    reader = query.IndexReader(idx)
+    got = extras.significant_terms(reader, "spark window", n=10)
+    # query terms themselves are maximally foreground-concentrated: present
+    assert {"spark", "window"} <= set(got["term"])
+    assert (got["fg_df"] <= got["bg_df"]).all()
+    assert (got["score"] > 0).all()
+    assert extras.significant_terms(reader, "").empty
+    assert extras.significant_terms(reader, "zzzznope").empty
