@@ -182,6 +182,16 @@ def _explain_score(sf_dir: str) -> pd.DataFrame:
     return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
 
 
+def _rescore(sf_dir: str) -> pd.DataFrame:
+    """Two-phase ranking: BM25-OR top-window + 2× proximity boost re-rank."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.rescore(
+        index_query.IndexReader(root), PHRASE_QUERY, window=25, k=10, slop=PROX_SLOP
+    )
+
+
 def _significant_terms(sf_dir: str) -> pd.DataFrame:
     """ES significant_terms: exact-integer foreground-vs-corpus df shares."""
     from harvester_ray.index import extras as _extras
@@ -1705,6 +1715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": _percolate,
         "search_collapse": _search_collapse,
         "significant_terms": _significant_terms,
+        "rescore_topk": _rescore,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2205,6 +2216,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "significant_terms": index_oracle.significant_terms_sql(
             "documents", BM25_QUERY_AND, n=20, mode="and"
+        ),
+        "rescore_topk": index_oracle.rescore_sql(
+            "documents", PHRASE_QUERY, window=25, k=10, slop=PROX_SLOP
         ),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",

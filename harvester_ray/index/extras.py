@@ -706,3 +706,44 @@ def significant_terms(
         ["score", "term"], ascending=[False, True]
     )
     return out.head(n).reset_index(drop=True)[["term", "fg_df", "bg_df", "score"]]
+
+
+def rescore(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    window: int = 25,
+    k: int = 10,
+    slop: int = 2,
+    weight: float = 2.0,
+) -> pd.DataFrame:
+    """Two-phase ranking (the ES ``rescore`` request block): take the
+    top-``window`` BM25-OR hits, add ``weight ×`` their ordered-proximity
+    phrase score (slop-windowed), re-rank, cut at ``k``. The cheap broad
+    query recalls, the expensive positional query re-orders only the window
+    — the standard serving-cost shape the reference's stack uses.
+
+    Window membership and the final order both use 4-decimal-rounded
+    component scores with doc_id tie-break, so the oracle's LIMIT-based cut
+    selects the identical window. Needs ``store_positions=True``."""
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    prim = reader.search(query_text, k=2**31, mode="or").to_pandas()
+    if prim.empty:
+        return empty
+    prim["score"] = prim["score"].round(4)
+    prim = prim.sort_values(
+        ["score", "doc_id"], ascending=[False, True]
+    ).head(window)[["doc_id", "score"]]
+    prox = reader.search_proximity(query_text, k=2**31, slop=slop).to_pandas()
+    if prox.empty:
+        prim = prim.copy()
+        boost = np.zeros(len(prim))
+    else:
+        prox["score"] = prox["score"].round(4)
+        boost = (
+            prim["doc_id"].map(prox.set_index("doc_id")["score"]).fillna(0.0).to_numpy()
+        )
+    prim["score"] = prim["score"].to_numpy() + weight * boost
+    out = prim.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)

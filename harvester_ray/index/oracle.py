@@ -610,3 +610,37 @@ WHERE f.fg_df * n.n_docs - b.bg_df * fgn.fg_size > 0
 ORDER BY score DESC, f.term ASC
 LIMIT {n}
 """.strip()
+
+
+def rescore_sql(
+    table: str,
+    query_text: str,
+    *,
+    window: int = 25,
+    k: int = 10,
+    slop: int = 2,
+    weight: float = 2.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.rescore: BM25-OR top-``window`` (rounded score +
+    doc_id tie-break cut) LEFT JOINed with the proximity scores, final
+    order by the combined score. Both component scores are 4-decimal
+    rounded before combining, exactly like the engine."""
+    prim = bm25_sql(table, query_text, window, mode="or",
+                    id_col=id_col, text_col=text_col)
+    prox = proximity_bm25_sql(table, query_text, slop, 2147483647,
+                              id_col=id_col, text_col=text_col)
+    return f"""
+WITH prim AS (
+{prim}
+),
+prox AS (
+{prox}
+)
+SELECT p.doc_id, p.score + {weight} * coalesce(x.score, 0.0) AS score
+FROM prim p
+LEFT JOIN prox x USING (doc_id)
+ORDER BY score DESC, p.doc_id ASC
+LIMIT {k}
+""".strip()

@@ -171,3 +171,35 @@ def test_query_service_phrase_parity(pos_index):
         a = svc.search_phrase(phrase, k=10).to_pandas()
         b = reader.search_phrase(phrase, k=10).to_pandas()
         pd.testing.assert_frame_equal(a, b), phrase
+
+
+def test_rescore_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    for q, slop in (("order fast", 2), ("part filter", 0), ("big order scan", 3)):
+        got = extras.rescore(reader, q, window=20, k=10, slop=slop)
+        exp = con.execute(
+            oracle.rescore_sql("documents", q, window=20, k=10, slop=slop)
+        ).fetchdf()
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False), (q, slop)
+
+
+def test_rescore_boosts_proximity_docs(pos_index):
+    """A doc with the terms in close order must outrank equal-BM25 docs
+    after rescoring whenever any proximity match exists in the window."""
+    from harvester_ray.index import extras
+
+    reader = iq.IndexReader(pos_index)
+    q = "order fast"
+    base = reader.search(q, k=10, mode="or").to_pandas()
+    res = extras.rescore(reader, q, window=25, k=10, slop=2)
+    prox = reader.search_proximity(q, k=10**6, slop=2).to_pandas()
+    if not prox.empty:
+        assert res["score"].iloc[0] > base["score"].iloc[0] - 1e-9
+        assert res["doc_id"].iloc[0] in set(prox["doc_id"]) | set(base["doc_id"])
+    assert extras.rescore(reader, "zzzznope", k=5).empty
