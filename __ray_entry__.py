@@ -397,6 +397,68 @@ def _tds(sf_dir: str):
     return rd.read_parquet(_transcripts_dir())
 
 
+def _conv_neardup(sf_dir: str) -> pd.DataFrame:
+    """Conversation near-dup detection with PLANTED duplicates: every 10th
+    conversation (rank order) is re-added under ``<conv_id>~d`` with its
+    last turn dropped — a truncated re-crawl of the same dialogue — then
+    the flattened corpus goes through MinHash-LSH + distributed Jaccard
+    verification. The oracle reproduces the planting, flattening and exact
+    all-pairs Jaccard in SQL."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    counts = _corpus.conv_counts_from_files(paths)
+    convs = counts["conv_id"].to_numpy(dtype=np.str_)  # sorted
+    ns = counts["n"].to_numpy(dtype=np.int64)
+    sel, sel_n = convs[::10], ns[::10]
+    keep = sel_n > 1  # a 1-turn conversation truncates to nothing
+    sel, sel_n = sel[keep], sel_n[keep]
+
+    def dup_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        hit &= df["turn_idx"].to_numpy() < sel_n[idx] - 1
+        out = df.loc[hit].copy()
+        out["conv_id"] = out["conv_id"] + "~d"
+        return out
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    dups = rd.read_parquet(data_dir, columns=cols).map_batches(
+        dup_rows, batch_format="pandas"
+    )
+    union_convs = np.sort(np.concatenate([convs, np.char.add(sel, "~d")]))
+    flat = _transcripts_mod.flatten_text_ds(base.union(dups), union_convs)
+    out = dedup.near_dup_minhash(flat, threshold=0.5)
+    return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _conv_neardup_sql_head() -> str:
+    """CTE chain mirroring _conv_neardup's planting + flattening."""
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    return (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, count(*) AS n, "
+        "row_number() OVER (ORDER BY conv_id) - 1 AS r FROM tsrc GROUP BY conv_id), "
+        "dup AS (SELECT t.conv_id || '~d' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) "
+        "WHERE c.r % 10 = 0 AND t.turn_idx < c.n - 1), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM dup), "
+        "cflat AS (SELECT conv_id, string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS text "
+        "FROM uni GROUP BY conv_id), "
+        "cdoc AS (SELECT CAST(row_number() OVER (ORDER BY conv_id) - 1 AS BIGINT) AS doc_id, text FROM cflat)"
+    )
+
+
 def _transcript_doc_sql_head(glob: str) -> str:
     """CTE chain reproducing corpus.assign_doc_ids in SQL: doc_id =
     (exclusive prefix sum of per-conversation turn counts in conv_id order)
@@ -1739,6 +1801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
         "tool_chains": lambda sf: _transcripts_mod.tool_chains(_tds(sf)),
+        "role_violations": lambda sf: _transcripts_mod.role_violations(_tds(sf)),
+        "conv_neardup": _conv_neardup,
         "curate_conversations": lambda sf: _transcripts_mod.curate_conversations(_tds(sf)),
         # --- text analysis ------------------------------------------------
         "text_quality": lambda sf: text_analysis.analyze(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -2445,6 +2509,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
         "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
+        "role_violations": _transcripts_mod.role_violations_sql(_tsrc),
+        "conv_neardup": dedup.ngram_jaccard_sql("cdoc", threshold=0.5).replace(
+            "WITH ", _conv_neardup_sql_head() + ", ", 1
+        ),
         "curate_conversations": _transcripts_mod.curate_conversations_sql(_tsrc),
         # knn_ivf: rows-only (approximate index)
     }

@@ -808,3 +808,69 @@ SELECT tool, count(*) AS n_calls,
 FROM {src} WHERE role = 'tool'
 GROUP BY tool ORDER BY tool
 """.strip()
+
+
+def role_violations(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Per-conversation protocol validation (the training-data analog of the
+    reference's validation→inactive filter, SURVEY §2.2): count adjacent
+    same-role turn pairs (``n_repeats`` — a speaker never follows themself
+    in a well-formed chat transcript) and flag conversations whose first
+    turn is not ``user`` (``bad_start``). One bucketed pass; per-conv sums
+    via reduceat, no per-conversation Python."""
+
+    def check(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "n_repeats": pa.array([], pa.int64()),
+            "bad_start": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        enc = tbl["role"].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices).astype(np.int64)
+        same = np.zeros(n, dtype=np.int64)
+        same[1:] = codes[1:] == codes[:-1]
+        same[off[:-1]] = 0  # conversation boundaries never pair
+        n_repeats = np.add.reduceat(same, off[:-1])
+        first_roles = enc.dictionary.take(
+            pa.array(codes[off[:-1]], pa.int64())
+        )
+        bad_start = (
+            ~np.asarray(pc.equal(first_roles, "user"))
+        ).astype(np.int64)
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "n_repeats": pa.array(n_repeats, pa.int64()),
+            "bad_start": pa.array(bad_start, pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(check, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"conv_id": pd.Series([], dtype=str),
+                             "n_repeats": pd.Series([], dtype=np.int64),
+                             "bad_start": pd.Series([], dtype=np.int64)})
+    return parts.sort_values("conv_id").reset_index(drop=True)
+
+
+def role_violations_sql(src: str) -> str:
+    return f"""
+WITH lagd AS (
+  SELECT conv_id, role,
+         lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM {src}
+)
+SELECT conv_id,
+       CAST(sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END) AS BIGINT) AS n_repeats,
+       CAST(max(CASE WHEN prev_role IS NULL AND role <> 'user' THEN 1 ELSE 0 END) AS BIGINT) AS bad_start
+FROM lagd
+GROUP BY conv_id
+ORDER BY conv_id
+""".strip()

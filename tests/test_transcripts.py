@@ -345,3 +345,32 @@ def test_curate_conversations_vs_oracle(transcripts_dir):
     # verdicts are non-degenerate on the synth corpus: at least two reasons
     assert got["reason"].nunique() >= 2
     assert got["keep"].any() and not got["keep"].all()
+
+
+def test_role_violations_matches_oracle(transcripts_dir):
+    from harvester_ray.pipelines import transcripts as tmod
+
+    ds = rd.read_parquet(transcripts_dir)
+    got = tmod.role_violations(ds)
+    con = duckdb.connect()
+    src = tmod.transcript_view_sql(os.path.join(transcripts_dir, "*.parquet"))
+    exp = con.execute(tmod.role_violations_sql(src)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_role_violations_planted():
+    from harvester_ray.pipelines import transcripts as tmod
+
+    df = pd.DataFrame({
+        "conv_id": ["a"] * 3 + ["b"] * 3,
+        "turn_idx": [0, 1, 2] * 2,
+        "role": ["user", "user", "assistant", "assistant", "user", "user"],
+        "text": ["x"] * 6,
+        "tool": [""] * 6,
+        "ts": pd.to_datetime(["2026-01-01"] * 6),
+    })
+    out = tmod.role_violations(rd.from_pandas(df))
+    assert out.set_index("conv_id").loc["a", "n_repeats"] == 1
+    assert out.set_index("conv_id").loc["a", "bad_start"] == 0
+    assert out.set_index("conv_id").loc["b", "n_repeats"] == 1
+    assert out.set_index("conv_id").loc["b", "bad_start"] == 1
