@@ -182,6 +182,57 @@ def _explain_score(sf_dir: str) -> pd.DataFrame:
     return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
 
 
+def _federated_search(sf_dir: str) -> pd.DataFrame:
+    """Federated BM25 across two disjoint half-corpus indexes with exact
+    combined global stats — score-identical to one union index, which is
+    exactly what the whole-table oracle asserts."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from harvester_ray.index import federated as _fed
+    from harvester_ray.index import manifest as mf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    docs = os.path.join(sf_dir, "documents.parquet")
+    roots = []
+    for half in (0, 1):
+        root = os.path.join(_SCRATCH, f"fedidx-{tag}-{half}")
+        if mf.current_version(root) is None:
+            ds = rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+                lambda t, h=half: t.filter(
+                    _pc.equal(_pc.bit_wise_and(t["doc_id"], 1), h)
+                ),
+                batch_format="pyarrow",
+            )
+            index_build.build_index(ds, root, input_desc=f"{docs}#half{half}")
+        roots.append(root)
+    out = _fed.FederatedReader(roots).search(BM25_QUERY_AND, k=10, mode="and").to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+WILDCARD_PATTERN = "*art*"
+
+
+def _wildcard(sf_dir: str) -> pd.DataFrame:
+    """Infix wildcard search (*art*): vectorized dictionary match_like
+    expansion capped at 50 terms, scored as a disjunction."""
+    root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search_wildcard(WILDCARD_PATTERN, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _search_random(sf_dir: str) -> pd.DataFrame:
+    """Seeded random sampling of AND-matches (function_score random_score)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_random(
+        index_query.IndexReader(root), BM25_QUERY_AND, seed=7, k=10, mode="and"
+    )
+
+
 def _rescore(sf_dir: str) -> pd.DataFrame:
     """Two-phase ranking: BM25-OR top-window + 2× proximity boost re-rank."""
     from harvester_ray.index import extras as _extras
@@ -1778,6 +1829,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_collapse": _search_collapse,
         "significant_terms": _significant_terms,
         "rescore_topk": _rescore,
+        "wildcard_search": _wildcard,
+        "random_sample_search": _search_random,
+        "federated_search": _federated_search,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2284,6 +2338,13 @@ def oracle_sql() -> dict[str, str]:
         "rescore_topk": index_oracle.rescore_sql(
             "documents", PHRASE_QUERY, window=25, k=10, slop=PROX_SLOP
         ),
+        "wildcard_search": index_oracle.bm25_expansion_sql(
+            "documents", "term LIKE '%art%'", 10
+        ),
+        "random_sample_search": index_oracle.search_random_sql(
+            "documents", BM25_QUERY_AND, seed=7, k=10, mode="and"
+        ),
+        "federated_search": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

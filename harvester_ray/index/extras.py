@@ -747,3 +747,50 @@ def rescore(
     prim["score"] = prim["score"].to_numpy() + weight * boost
     out = prim.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+def search_random(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    seed: int = 7,
+    k: int = 10,
+    mode: str = "and",
+) -> pd.DataFrame:
+    """Seeded random-order sampling of matches (ES ``function_score`` with
+    ``random_score`` + seed — used for unbiased result audits): every doc
+    matching the query gets a deterministic Knuth-multiplicative hash key
+    ``h = (doc_id·2654435761 + seed) mod 2³²`` and the k smallest keys win.
+    Fully vectorized and exact-integer (the same shared hash
+    ops/sampling.py uses), so engine and oracle agree byte-identically.
+    Each segment contributes only its local k smallest keys to the merge."""
+    from ..ops.sampling import _KNUTH, _MOD
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "h": pd.Series(dtype=np.int64)})
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    docs_parts, h_parts = [], []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        matched = match_one_segment(seg, terms, mode, exclude, None)
+        if matched.size == 0:
+            continue
+        h = (matched * _KNUTH + seed) % _MOD
+        if matched.size > k:  # local top-k: only k keys leave the segment
+            part = np.argpartition(h, k)[:k]
+            matched, h = matched[part], h[part]
+        docs_parts.append(matched)
+        h_parts.append(h)
+    if not docs_parts:
+        return empty
+    docs = np.concatenate(docs_parts)
+    hs = np.concatenate(h_parts)
+    order = np.lexsort((docs, hs))[:k]
+    return pd.DataFrame({"doc_id": docs[order], "h": hs[order].astype(np.int64)})

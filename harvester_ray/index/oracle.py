@@ -644,3 +644,37 @@ LEFT JOIN prox x USING (doc_id)
 ORDER BY score DESC, p.doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def search_random_sql(
+    table: str,
+    query_text: str,
+    *,
+    seed: int = 7,
+    k: int = 10,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.search_random: matched docs keyed by the shared
+    Knuth hash, k smallest (h, doc_id) win."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS BIGINT) AS h WHERE 1=0")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+m AS (
+  SELECT doc_id FROM toks WHERE term IN ({term_list})
+  GROUP BY doc_id {having}
+)
+SELECT doc_id, (doc_id * 2654435761 + {seed}) % 4294967296 AS h
+FROM m
+ORDER BY h ASC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -284,14 +284,29 @@ class SegmentReader:
         return self.doc_ids[mask]
 
 
+# pruning-threshold safety margin: candidates within half a 4th-decimal ulp
+# of the current k-th score can still round-tie with it and win the doc_id
+# tie-break, so thresholds are slackened by one rounding quantum
+ROUND_MARGIN = 1e-4
+
+
 def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
-    """Deterministic top-k: score desc, doc_id asc."""
+    """Deterministic top-k on the ORACLE's ordering key: 4-decimal-rounded
+    score desc, doc_id asc. Selecting on the rounded score (scores are
+    compared rounded everywhere downstream) makes k-boundary ties resolve
+    identically to SQL's ``ORDER BY round(score,4) DESC, doc_id ASC`` —
+    full-precision selection picks the larger raw score where two docs tie
+    at 4 decimals, which is order-of-summation noise, not ranking signal.
+    The pre-cut keeps the ENTIRE boundary tie class (everything rounding
+    ≥ the rounded k-th), so the doc_id tie-break sees all contenders."""
     if docs.size == 0:
         return docs, scores
-    if docs.size > k * 4 and k < docs.size:
-        part = np.argpartition(-scores, min(k * 2, docs.size - 1))[: k * 2]
-        docs, scores = docs[part], scores[part]
-    order = np.lexsort((docs, -scores))[:k]
+    r = np.round(scores, 4)
+    if k < docs.size:
+        kth = -np.partition(-r, k - 1)[k - 1]
+        keep = r >= kth
+        docs, scores, r = docs[keep], scores[keep], r[keep]
+    order = np.lexsort((docs, -r))[:k]
     return docs[order], scores[order]
 
 
@@ -548,7 +563,7 @@ def block_max_union(
             heap_docs, heap_scores = _topk(heap_docs, heap_scores, k)
         if heap_docs.size >= k:
             kth = np.partition(heap_scores, heap_scores.size - k)[heap_scores.size - k] if heap_scores.size > k else heap_scores.min()
-            theta = max(theta, kth)
+            theta = max(theta, kth - ROUND_MARGIN)
     return _topk(heap_docs, heap_scores, k)
 
 
@@ -717,6 +732,32 @@ class IndexReader:
             return _empty_result()
         return self._search_terms(terms, k, "or")
 
+    def search_wildcard(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> pa.Table:
+        """General wildcard top-k (ES ``wildcard`` query: ``*mid*``,
+        ``*tail``, ``head*tail``): expand the pattern against the segment
+        dictionaries with ONE vectorized Arrow kernel per segment
+        (match_like over the term strings — no per-term Python), take the
+        first ``max_expansions`` distinct terms lexicographically (Lucene
+        MultiTermQuery rewrite cap), score as a disjunction with per-term
+        idf. ``*`` is the only wildcard; the rest of the pattern is
+        analyzed like a term."""
+        raw = pattern.strip().lower()
+        if not raw or raw.replace("*", "") == "":
+            return _empty_result()
+        # escape SQL-LIKE metacharacters, then map * → %
+        like = raw.replace("%", "\\%").replace("_", "\\_").replace("*", "%")
+        expanded: set[str] = set()
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            hit = pc.match_like(seg._term_strings, like)
+            expanded.update(seg._term_strings.filter(hit).to_pylist())
+        terms = sorted(expanded)[:max_expansions]
+        if not terms:
+            return _empty_result()
+        return self._search_terms(terms, k, "or")
+
     def _search_terms(
         self,
         terms: list[str],
@@ -760,7 +801,7 @@ class IndexReader:
             parts.append((d, s))
             if s.size >= k and recency is None:
                 kth = np.sort(s)[-k]
-                theta = max(theta, kth)
+                theta = max(theta, kth - ROUND_MARGIN)
         return merge_topk(parts, k)
 
     def search_phrase(
@@ -1011,7 +1052,7 @@ class QuerySegmentActor:
             # round-trip per query)
             if s.size >= k and recency is None:
                 kth = np.sort(s)[-k]
-                theta = max(theta, kth)
+                theta = max(theta, kth - ROUND_MARGIN)
         docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
         return _topk(docs, scores, k)
