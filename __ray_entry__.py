@@ -42,6 +42,7 @@ from harvester_ray.ops import embstats as _embstats
 from harvester_ray.ops import chunking as _chunking
 from harvester_ray.ops import dedup, similarity, text_analysis
 from harvester_ray.ops import percolate as _percolate_mod
+from harvester_ray.ops import quality_model as _qm_mod
 from harvester_ray.pipelines import curate as _curate
 from harvester_ray.pipelines import flagship, relational, windows
 from harvester_ray.pipelines import transcripts as _transcripts_mod
@@ -180,6 +181,19 @@ def _explain_score(sf_dir: str) -> pd.DataFrame:
 
     root = _documents_index(sf_dir)
     return _extras.explain(index_query.IndexReader(root), BM25_QUERY_AND)
+
+
+def _quality_scores(sf_dir: str) -> pd.DataFrame:
+    """Linear hashed-feature quality classifier (fastText-style filter):
+    weight table built once per actor, exact-integer scores."""
+    import ray.data as rd
+
+    from harvester_ray.ops import quality_model as _qm
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return _qm.quality_scores(ds, salt=97, concurrency=4)
 
 
 def _federated_search(sf_dir: str) -> pd.DataFrame:
@@ -1832,6 +1846,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wildcard_search": _wildcard,
         "random_sample_search": _search_random,
         "federated_search": _federated_search,
+        "quality_model_scores": _quality_scores,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2345,6 +2360,7 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_AND, seed=7, k=10, mode="and"
         ),
         "federated_search": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10),
+        "quality_model_scores": _qm_mod.quality_scores_sql("documents", salt=97),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

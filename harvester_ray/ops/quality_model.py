@@ -71,15 +71,17 @@ def quality_scores(
     ds,
     *,
     salt: int = 97,
-    concurrency: int | None = None,
+    concurrency: int = 2,
     collect: bool = True,
 ):
-    """Score every document with the linear quality model (actor pool when
-    ``concurrency`` is set, plain tasks otherwise)."""
-    kwargs = {"batch_format": "pyarrow", "fn_constructor_kwargs": {"salt": salt}}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
-    res = ds.map_batches(QualityModelStage, **kwargs)
+    """Score every document with the linear quality model (actor pool of
+    ``concurrency`` workers — weights built once per actor)."""
+    res = ds.map_batches(
+        QualityModelStage,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"salt": salt},
+        concurrency=concurrency,
+    )
     if not collect:
         return res
     out = res.to_pandas()

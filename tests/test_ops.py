@@ -270,3 +270,24 @@ def test_percolate_tiny_corpus():
     df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["alpha beta", "beta", ""]})
     out = perc.percolate(rd.from_pandas(df), [(7, "alpha beta"), (8, "beta")])
     assert list(map(tuple, out.itertuples(index=False))) == [(1, 7), (1, 8), (2, 8)]
+
+
+def test_quality_model_matches_oracle_and_edges():
+    import duckdb
+
+    from harvester_ray.ops import quality_model as qm
+
+    got = qm.quality_scores(_docs(), salt=123)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    exp = con.execute(qm.quality_scores_sql("documents", salt=123)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(got["label"]) <= {"keep", "drop"}
+    # empty-text doc scores (0, 0, drop)
+    df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "spark window"]})
+    out = qm.quality_scores(rd.from_pandas(df), salt=123)
+    assert out.loc[out.doc_id == 1, ["n_tokens", "w_sum"]].values.tolist() == [[0, 0]]
+    assert out.loc[out.doc_id == 1, "label"].iloc[0] == "drop"
+    # different salt → different model → different scores somewhere
+    alt = qm.quality_scores(_docs(), salt=124)
+    assert (got["w_sum"] != alt["w_sum"]).any()
