@@ -121,6 +121,23 @@ def _bm25_prefix(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+MSEARCH_QUERIES = [BM25_QUERY_AND, BM25_QUERY_AND2, BM25_QUERY_OR]
+
+
+def _msearch(sf_dir: str) -> pd.DataFrame:
+    """Batched multi-query search (ES _msearch): one segment sweep answers
+    all queries — df lookup once for the term union, shared terms decoded
+    once per segment, per-query early-θ carried across segments."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root)
+        .msearch(MSEARCH_QUERIES, k=10, mode="or")
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["query", "rank", "doc_id", "score"]]
+
+
 def _search_cursor(sf_dir: str) -> pd.DataFrame:
     """Cursor pagination (search_after): page 2 fetched via the (score,
     doc_id) cursor of page 1's last row ≡ OFFSET page_size of the total
@@ -1847,6 +1864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_sample_search": _search_random,
         "federated_search": _federated_search,
         "quality_model_scores": _quality_scores,
+        "msearch": _msearch,
         "bm25_brute_force": lambda sf: _bm25_brute(sf, BM25_QUERY_AND, "and"),
         "phrase_search": lambda sf: _phrase(sf, PHRASE_QUERY),
         "phrase_search_3": lambda sf: _phrase(sf, PHRASE_QUERY3),
@@ -2361,6 +2379,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "federated_search": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10),
         "quality_model_scores": _qm_mod.quality_scores_sql("documents", salt=97),
+        "msearch": index_oracle.msearch_sql(
+            "documents", MSEARCH_QUERIES, 10, mode="or"
+        ),
         "fuzzy_search": index_oracle.bm25_expansion_sql(
             "documents",
             "substr(term, 1, 1) = 'NEWFUZZPFX' AND abs(length(term) - NEWFUZZLEN) <= 1 "

@@ -89,6 +89,35 @@ LIMIT {k}
 """.strip()
 
 
+def msearch_sql(
+    table: str,
+    queries: list[str],
+    k: int = 10,
+    *,
+    mode: str = "and",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Batched multi-query oracle (IndexReader.msearch): each query's
+    independent top-k, stacked with the query string as the key — msearch
+    MUST equal Q separate searches, so the oracle is exactly that union."""
+    parts = []
+    for q in dict.fromkeys(queries):
+        inner = bm25_sql(
+            table, q, k, mode=mode, id_col=id_col, text_col=text_col,
+            round_digits=round_digits,
+        )
+        qlit = q.replace("'", "''")
+        parts.append(
+            f"SELECT '{qlit}' AS query, "
+            "CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank, "
+            f"doc_id, score FROM (\n{inner}\n)"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY query, rank"
+
+
 def bm25_prefix_sql(
     table: str,
     prefix: str,

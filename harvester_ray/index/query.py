@@ -758,6 +758,83 @@ class IndexReader:
             return _empty_result()
         return self._search_terms(terms, k, "or")
 
+    def msearch(
+        self,
+        queries: list[str],
+        k: int = 10,
+        mode: str = "and",
+    ) -> pa.Table:
+        """Batched multi-query top-k (ES ``_msearch`` analog — the reference
+        fires one bulk request per sync cycle, search/views/document.py).
+
+        The point is AMORTIZATION, which is what makes offline query
+        workloads (ranking evals, decontamination-by-search, percolation
+        sweeps) viable at scale: the segment list is swept ONCE for all Q
+        queries — each segment is opened once, the df lookup for the union
+        of all query terms is ONE TermStats call (one bucket-file touch per
+        hash bucket instead of per query), and a term shared by several
+        queries is decoded once into the segment's postings LRU and reused.
+        Per-query early-termination thresholds (θ) carry across segments
+        exactly as in ``search``, so results are identical to Q independent
+        ``search`` calls — asserted in tests.
+
+        Returns one table (query, doc_id, score): each query's top-k stacked
+        in input order. Duplicate query strings are evaluated once."""
+        uniq_queries = list(dict.fromkeys(queries))
+        qterms = {q: sorted(set(analyzer.tokenize_query(q))) for q in uniq_queries}
+        union_terms = sorted({t for ts in qterms.values() for t in ts})
+        dfs = self.df(union_terms) if union_terms else {}
+        idf_map = {
+            t: float(bm25.idf(self.n_docs, dfs[t]))
+            for t in union_terms
+            if dfs[t] > 0
+        }
+        live: dict[str, list[str] | None] = {}
+        for q, ts in qterms.items():
+            if not ts or (mode == "and" and any(dfs[t] == 0 for t in ts)):
+                live[q] = None
+                continue
+            lt = [t for t in ts if dfs[t] > 0]
+            live[q] = lt or None
+        parts: dict[str, list] = {q: [] for q in uniq_queries}
+        theta = {q: -np.inf for q in uniq_queries}
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            exclude = tombstones_for_segment(
+                self._tomb_ids, self._tomb_vers,
+                seg_meta.get("created_version", self.manifest["_version"]),
+            )
+            for q in uniq_queries:
+                lt = live[q]
+                if lt is None:
+                    continue
+                d, s = search_segment(
+                    seg, lt, idf_map, self.avgdl, k,
+                    mode=mode, threshold=theta[q], exclude=exclude,
+                )
+                parts[q].append((d, s))
+                if s.size >= k:
+                    kth = np.sort(s)[-k]
+                    theta[q] = max(theta[q], kth - ROUND_MARGIN)
+        empty = pa.table({
+            "query": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        })
+        out = [empty]
+        for q in uniq_queries:
+            res = merge_topk(parts[q], k) if live[q] is not None else _empty_result()
+            out.append(
+                pa.table({
+                    "query": pa.array([q] * res.num_rows, pa.string()),
+                    "rank": res["rank"],
+                    "doc_id": res["doc_id"],
+                    "score": res["score"],
+                })
+            )
+        return pa.concat_tables(out)
+
     def _search_terms(
         self,
         terms: list[str],

@@ -222,3 +222,36 @@ def test_significant_terms_properties(idx):
     assert (got["score"] > 0).all()
     assert extras.significant_terms(reader, "").empty
     assert extras.significant_terms(reader, "zzzznope").empty
+
+
+def test_msearch_equals_independent_searches_and_oracle(idx, con):
+    import pandas as pd
+
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    qs = ["spark window", "vector stream sort", "customer query big"]
+    for mode in ("and", "or"):
+        got = reader.msearch(qs, k=10, mode=mode).to_pandas()
+        # identical to Q independent search() calls, stacked in input order
+        singles = []
+        for q in qs:
+            one = reader.search(q, k=10, mode=mode).to_pandas()
+            one.insert(0, "query", q)
+            singles.append(one)
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), pd.concat(singles, ignore_index=True)
+        )
+        # value-identical to the oracle at 4 decimals
+        got["score"] = got["score"].round(4)
+        exp = con.execute(oracle.msearch_sql("documents", qs, 10, mode=mode)).fetchdf()
+        key = ["query", "rank", "score", "doc_id"]
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True),
+            exp[got.columns].sort_values(key).reset_index(drop=True),
+            check_dtype=False,
+        )
+    # edges: empty list, no-token query, duplicate queries evaluated once
+    assert reader.msearch([], k=5).num_rows == 0
+    empt = reader.msearch(["???", "spark window", "spark window"], k=5).to_pandas()
+    assert (empt["query"] == "spark window").all()
