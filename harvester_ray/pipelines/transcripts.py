@@ -874,3 +874,110 @@ FROM lagd
 GROUP BY conv_id
 ORDER BY conv_id
 """.strip()
+
+
+def conv_branches(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Retry/branch detection: conversations that share an identical first-k
+    -turn prefix (role + text, in turn order) are resampled generations or
+    abandoned retries of the same dialogue — a conversation-level duplication
+    signal exact-text dedup misses (the continuations differ).
+
+    Two bucketed stages, both all-to-all on BOUNDED rows:
+      1. conv-bucketed (order-dependent): per conversation, md5 of its first
+         ``min(k, n_turns)`` turns flattened as ``role: text`` newline-joined
+         — one bounded row per conversation leaves the stage, never text.
+      2. prefix-bucketed (``crc32(prefix_md5) % n_buckets``): group rows by
+         prefix hash, keep groups with >1 conversation. A hot prefix (one
+         prompt retried millions of times) lands in ONE bucket but costs
+         only its group's row count — the aggregate is count + min, never
+         pairwise.
+
+    Returns one row per duplicate-prefix group:
+    ``(prefix_md5, n_convs, first_conv, prefix_turns)``."""
+
+    def prefix_hash(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "prefix_md5": pa.array([], pa.string()),
+            "prefix_turns": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        lens = np.diff(off)
+        take = np.minimum(lens, k)
+        reps = np.repeat(off[:-1], take)
+        local = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(take) - take, take
+        )
+        sub = tbl.take(pa.array(reps + local, pa.int64()))
+        line = pc.binary_join_element_wise(
+            sub["role"].combine_chunks(), sub["text"].combine_chunks(), ": "
+        )
+        poff = np.concatenate(([0], np.cumsum(take)))
+        lists = pa.ListArray.from_arrays(pa.array(poff, pa.int32()), line)
+        flat = pc.binary_join(lists, "\n")
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "prefix_md5": pa.array(md5, pa.string()),
+            "prefix_turns": pa.array(take, pa.int64()),
+        })
+
+    def add_hbucket(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in t["prefix_md5"].to_pylist()),
+            dtype=np.int32, count=t.num_rows,
+        )
+        return t.append_column("hbucket", pa.array(h, pa.int32()))
+
+    def groups(t: pa.Table) -> pa.Table:
+        agg = (
+            t.group_by("prefix_md5")
+            .aggregate([
+                ("conv_id", "count"),
+                ("conv_id", "min"),
+                ("prefix_turns", "min"),
+            ])
+            .rename_columns(["prefix_md5", "n_convs", "first_conv", "prefix_turns"])
+        )
+        agg = agg.filter(pc.greater(agg["n_convs"], 1))
+        return pa.table({
+            "prefix_md5": agg["prefix_md5"],
+            "n_convs": agg["n_convs"].cast(pa.int64()),
+            "first_conv": agg["first_conv"],
+            "prefix_turns": agg["prefix_turns"],
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(prefix_hash, batch_format="pyarrow")
+        .map_batches(add_hbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(groups, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "prefix_md5": pd.Series([], dtype=str),
+            "n_convs": pd.Series([], dtype=np.int64),
+            "first_conv": pd.Series([], dtype=str),
+            "prefix_turns": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values("prefix_md5").reset_index(drop=True)
+
+
+def conv_branches_sql(src: str, *, k: int = 2) -> str:
+    return f"""
+WITH pref AS (
+  SELECT conv_id, count(*) AS pn,
+         md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS prefix_md5
+  FROM {src} WHERE turn_idx < {k} GROUP BY conv_id
+)
+SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS first_conv, CAST(min(pn) AS BIGINT) AS prefix_turns
+FROM pref GROUP BY prefix_md5 HAVING count(*) > 1
+ORDER BY prefix_md5
+""".strip()

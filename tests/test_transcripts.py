@@ -374,3 +374,32 @@ def test_role_violations_planted():
     assert out.set_index("conv_id").loc["a", "bad_start"] == 0
     assert out.set_index("conv_id").loc["b", "n_repeats"] == 1
     assert out.set_index("conv_id").loc["b", "bad_start"] == 1
+
+
+def test_conv_branches_detects_planted_retries(transcripts_dir):
+    """Tiny hand corpus: two convs share the first 2 turns (branch), one is
+    unrelated, one is a single-turn conv whose full text IS its prefix."""
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b", "b", "c", "c", "d"],
+        "turn_idx": [0, 1, 2, 0, 1, 2, 0, 1, 0],
+        "role": ["user", "assistant", "user"] * 2 + ["user", "assistant", "user"],
+        "text": ["hi", "yo", "branch-A", "hi", "yo", "branch-B",
+                 "other", "talk", "hi"],
+    })
+    out = tmod.conv_branches(rd.from_pandas(df), k=2)
+    # only (a, b) share the first-2-turn prefix; d's 1-turn prefix "user: hi"
+    # differs from a/b's 2-turn prefix
+    assert len(out) == 1
+    assert out.loc[0, "n_convs"] == 2
+    assert out.loc[0, "first_conv"] == "a"
+    assert out.loc[0, "prefix_turns"] == 2
+    # oracle parity on the same frame via a DuckDB temp view
+    con = duckdb.connect()
+    con.register("tiny", df)
+    exp = con.execute(tmod.conv_branches_sql("tiny", k=2)).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # no duplicate prefixes in the raw synth corpus → empty, typed frame
+    ds = rd.read_parquet(transcripts_dir)
+    none = tmod.conv_branches(ds, k=2)
+    assert none.empty
+    assert list(none.columns) == ["prefix_md5", "n_convs", "first_conv", "prefix_turns"]
