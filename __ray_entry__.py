@@ -1319,6 +1319,15 @@ def _hybrid_search(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _rrf_search(sf_dir: str) -> pd.DataFrame:
+    """Reciprocal-rank fusion (the ES/OpenSearch default hybrid combiner):
+    BM25 top-50 ∪ cosine-kNN top-50 fused by 1/(60+rank) sums."""
+    reader = index_query.IndexReader(_documents_index(sf_dir))
+    return similarity.rrf_fusion(
+        reader, _emb_ds(sf_dir), BM25_QUERY_AND, query_vec_id=0, k=10, k_cand=50
+    )
+
+
 def _pack_sequences(sf_dir: str) -> pd.DataFrame:
     """Virtual-concatenation sequence packing (capacity 512 tokens) via a
     two-phase distributed prefix scan (ops/packing.py)."""
@@ -2115,6 +2124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search -------------------------------------------
         "knn_cosine": _knn,
         "hybrid_search": _hybrid_search,
+        "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
@@ -2295,6 +2305,12 @@ def oracle_sql() -> dict[str, str]:
             index_oracle.bm25_sql("documents", BM25_QUERY_AND, 50, mode="and"),
             query_vec_id=0,
             k=10,
+        ),
+        "rrf_search": similarity.rrf_fusion_sql(
+            index_oracle.bm25_sql("documents", BM25_QUERY_AND, 50, mode="and"),
+            query_vec_id=0,
+            k=10,
+            k_cand=50,
         ),
         "last_event_per_user": """
             SELECT user_id, event_id, ts, event_type FROM (

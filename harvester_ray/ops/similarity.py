@@ -405,3 +405,97 @@ FROM {table} e CROSS JOIN q
 ORDER BY {cos} DESC, e.{id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def rrf_fusion(
+    reader,
+    emb_ds,
+    query_text: str,
+    *,
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Reciprocal-rank fusion of the lexical (BM25) and dense (cosine kNN)
+    rankings — the OpenSearch/Elasticsearch default hybrid combiner
+    (``rrf``): score(d) = Σ_lists 1/(rrf_k + rank_list(d)), rank-only, so no
+    score normalization across heterogeneous signals is needed (the
+    weakness of hybrid_search's linear fusion).
+
+    Distributed shape: the lexical list is the normal index top-k_cand; the
+    dense list is knn_brute's streaming per-batch top-k merge — fusion
+    itself is O(k_cand) driver work on two bounded rank lists. Ranks come
+    from each list's own deterministic order (lexical: rounded-score desc,
+    doc_id asc; dense: cosine desc, vec_id asc — exactly the two gates'
+    orders), and the fused score is quantized floor(x*1e6+0.5)/1e6 on both
+    sides."""
+    import pandas as pd
+
+    lex = reader.search(query_text, k=k_cand, mode="and").to_pandas()
+    lex = lex.rename(columns={"rank": "r_lex"})[["doc_id", "r_lex"]]
+
+    qdf = emb_ds.filter(expr=f"{id_col} == {query_vec_id}").to_pandas()
+    qv = np.asarray(qdf[vec_col].iloc[0], dtype=np.float64)
+    dense = knn_brute(emb_ds, qv, k=k_cand, id_col=id_col, vec_col=vec_col).to_pandas()
+    dense = dense.rename(columns={"vec_id": "doc_id"})
+    dense["r_dense"] = np.arange(1, len(dense) + 1, dtype=np.int64)
+    dense = dense[["doc_id", "r_dense"]]
+
+    m = lex.merge(dense, on="doc_id", how="outer").sort_values("doc_id")
+    contrib_l = np.where(
+        m["r_lex"].notna(), 1.0 / (rrf_k + m["r_lex"].fillna(0).to_numpy(np.float64)), 0.0
+    )
+    contrib_d = np.where(
+        m["r_dense"].notna(), 1.0 / (rrf_k + m["r_dense"].fillna(0).to_numpy(np.float64)), 0.0
+    )
+    m["rrf"] = np.floor((contrib_l + contrib_d) * 1e6 + 0.5) / 1e6
+    m = m.sort_values(["rrf", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+    out = m[["doc_id", "rrf"]].reset_index(drop=True)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out
+
+
+def rrf_fusion_sql(
+    bm25_candidates_sql: str,
+    *,
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    k_cand: int = 50,
+    rrf_k: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle: identical two-list RRF. Dense selection + rank use RAW cosine
+    order (mirrors knn_brute's merge, same as knn_sql); lexical ranks are
+    row_number over the candidate CTE's (rounded score, doc_id) order."""
+    cos = f"list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH res AS (
+{bm25_candidates_sql}
+),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r_lex FROM res
+),
+q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id}),
+dense AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r_dense FROM (
+    SELECT e.{id_col} AS doc_id, {cos} AS c
+    FROM {table} e CROSS JOIN q
+    ORDER BY c DESC, e.{id_col} ASC
+    LIMIT {k_cand}
+  )
+),
+fused AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         floor((coalesce(1.0/({rrf_k} + l.r_lex), 0)
+              + coalesce(1.0/({rrf_k} + d.r_dense), 0)) * 1e6 + 0.5) / 1e6 AS rrf
+  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -153,3 +153,37 @@ def test_compression_ratio_deterministic(ray_session):
     pd.testing.assert_frame_equal(a, b)
     # repetitive text compresses far better than high-entropy text
     assert a.loc[0, "compression_ratio"] < a.loc[3, "compression_ratio"]
+
+
+def test_rrf_fusion_rank_semantics(ray_session):
+    import tempfile
+
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import query as iq
+    from harvester_ray.ops import similarity
+
+    docs = ["spark window table", "window spark spark", "spark window window win",
+            "nothing relevant here"]
+    t = pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()), "text": pa.array(docs)})
+    vecs = pa.array(
+        [[1.0, 0.0], [0.0, 1.0], [0.7, 0.7], [0.99, 0.01]], pa.list_(pa.float32())
+    )
+    emb = pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()), "embedding": vecs})
+    root = tempfile.mkdtemp(prefix="rrftest-", dir="/tmp")
+    ib.build_index(rd.from_arrow(t), root, input_desc="rrftest")
+    out = similarity.rrf_fusion(
+        iq.IndexReader(root), rd.from_arrow(emb), "spark window",
+        query_vec_id=0, k=4, k_cand=3,
+    )
+    assert list(out.columns) == ["doc_id", "rrf"]
+    # doc 3 matches no query term (lexical miss) but is dense rank 2:
+    # present with exactly the single-list contribution 1/(60+2)
+    rrf3 = out.set_index("doc_id").loc[3, "rrf"]
+    assert rrf3 == np.floor(1.0 / 62 * 1e6 + 0.5) / 1e6
+    # fused order monotone; a doc in both lists beats any single-list doc here
+    assert list(out["rrf"]) == sorted(out["rrf"], reverse=True)
+    assert out["doc_id"].iloc[-1] == 3
