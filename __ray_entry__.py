@@ -471,6 +471,39 @@ def _conv_bm25(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+HAS_CHILD_QUERY = "lifugife tevawahu"  # mid-df: ~58 convs each, multi-turn hits
+
+
+def _conv_has_child(sf_dir: str) -> pd.DataFrame:
+    """Parent-child retrieval (ES has_child, score_mode=sum): BM25 over the
+    TURN-level index, conversations ranked by the integer-quantized sum of
+    their matching turns' scores. The parent key rides as an attribute
+    column, so the same turn index answers both granularities."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+    from harvester_ray.index import extras as _extras
+    from harvester_ray.index import manifest as mf
+
+    data_dir = _transcripts_dir()
+    root = os.path.join(_SCRATCH, "turnattr-index")
+    if mf.current_version(root) is None:
+        paths = sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        ds = rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "text"])
+        ds = _corpus.assign_doc_ids(ds, counts=_corpus.conv_counts_from_files(paths))
+        index_build.build_index(
+            ds, root, input_desc=data_dir, attr_cols=["conv_id"]
+        )
+    return _extras.search_parents(
+        index_query.IndexReader(root), HAS_CHILD_QUERY,
+        parent_field="conv_id", k=10, mode="or", score_mode="sum",
+    )
+
+
 def _tds(sf_dir: str):
     """Transcript corpus as a Dataset (fixed-scale synthetic input — the
     north-rule transcript shape is not among the driver's sf tables)."""
@@ -602,6 +635,18 @@ def _transcript_doc_sql_head(glob: str) -> str:
         "tcnt AS (SELECT conv_id, count(*) AS n FROM tsrc GROUP BY conv_id), "
         "tbase AS (SELECT conv_id, CAST(sum(n) OVER (ORDER BY conv_id) - n AS BIGINT) AS base FROM tcnt), "
         "tdoc AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text "
+        "FROM tsrc s JOIN tbase b USING (conv_id))"
+    )
+
+
+def _transcript_docp_sql_head(glob: str) -> str:
+    """Like _transcript_doc_sql_head but the doc table keeps the parent key
+    (conv_id) — the has_child oracle groups by it."""
+    return (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')), "
+        "tcnt AS (SELECT conv_id, count(*) AS n FROM tsrc GROUP BY conv_id), "
+        "tbase AS (SELECT conv_id, CAST(sum(n) OVER (ORDER BY conv_id) - n AS BIGINT) AS base FROM tcnt), "
+        "tdocp AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text, s.conv_id "
         "FROM tsrc s JOIN tbase b USING (conv_id))"
     )
 
@@ -1939,6 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "did_you_mean": _did_you_mean,
         "transcript_bm25": _transcript_bm25,
         "conv_bm25": _conv_bm25,
+        "conv_has_child": _conv_has_child,
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_branches": _conv_branches,
@@ -2667,6 +2713,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_bm25": index_oracle.bm25_sql(
             "cdoc", CONV_QUERY, 10, mode="or"
         ).replace("WITH ", _transcripts_mod.conv_doc_sql_head(_tglob) + ", ", 1),
+        "conv_has_child": index_oracle.has_child_sql(
+            "tdocp", HAS_CHILD_QUERY, parent_col="conv_id", k=10,
+            mode="or", score_mode="sum",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
         "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),

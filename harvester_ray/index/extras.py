@@ -637,6 +637,101 @@ def search_collapse(
     return pd.DataFrame({field: vals, "doc_id": docs, "score": scores})
 
 
+def search_parents(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    parent_field: str = "conv_id",
+    k: int = 10,
+    mode: str = "or",
+    score_mode: str = "sum",
+) -> pd.DataFrame:
+    """Parent-child search (ES ``has_child`` query): match and score CHILD
+    documents (turns), rank PARENTS (conversations). The reference's search
+    stack exposes per-document hits only; ES's join field + has_child with
+    ``score_mode`` is the canonical way to answer "which conversations talk
+    about X" from a turn-level index without re-indexing at conversation
+    granularity (which `conv_bm25` covers separately and which freezes the
+    granularity at build time).
+
+    The parent key is an ordinary attribute column (``attr_cols`` at build
+    time), so one turn-level index serves both per-turn and per-conversation
+    retrieval.
+
+    ``score_mode``: ``sum`` (total of child scores — rewards conversations
+    with many on-topic turns) or ``max`` (best single turn). Parity: per-child
+    scores are quantized to 1e-4 fixed-point integers (floor(s·1e4 + 0.5))
+    BEFORE aggregation, so the cross-row SUM is an integer sum — immune to
+    float accumulation order — and ties rank by parent key ascending.
+
+    Scale shape: per segment ONE exhaustive vectorized score pass, then a
+    sort+reduceat fold to one row per (segment, parent-with-hits) — partials
+    leaving a segment are bounded by its distinct parents, never its matches.
+    Driver merge is O(segments × parents-with-hits); at 100 TB that merge
+    becomes one small Dataset groupby over the partial rows, same combiner.
+    """
+    from .query import or_exhaustive
+
+    empty = pd.DataFrame({
+        parent_field: pd.Series(dtype=object),
+        "score": pd.Series(dtype=np.float64),
+        "n_hits": pd.Series(dtype=np.int64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    dfs = reader.df(terms)
+    if mode == "and" and any(dfs[t] == 0 for t in terms):
+        return empty
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    msm = len(live) if mode == "and" else None
+    partials: list[pd.DataFrame] = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries or (mode == "and" and len(entries) < len(live)):
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31,
+            exclude=exclude, min_should_match=msm,
+        )
+        if docs.size == 0:
+            continue
+        fp = np.floor(scores * 1e4 + 0.5).astype(np.int64)
+        parents = seg.attr_values(parent_field, docs)
+        order = np.argsort(parents, kind="mergesort")
+        parents, fp = parents[order], fp[order]
+        first = np.empty(parents.size, dtype=bool)
+        first[0] = True
+        first[1:] = parents[1:] != parents[:-1]
+        starts = np.flatnonzero(first)
+        agg = (np.add if score_mode == "sum" else np.maximum).reduceat(fp, starts)
+        counts = np.diff(np.append(starts, parents.size))
+        partials.append(pd.DataFrame({
+            parent_field: parents[starts], "fp": agg, "n_hits": counts,
+        }))
+    if not partials:
+        return empty
+    merged = pd.concat(partials).groupby(parent_field, as_index=False).agg(
+        fp=("fp", "sum" if score_mode == "sum" else "max"),
+        n_hits=("n_hits", "sum"),
+    )
+    merged = merged.sort_values(
+        ["fp", parent_field], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    merged["score"] = np.round(merged["fp"].to_numpy() / 1e4, 4)
+    merged["n_hits"] = merged["n_hits"].astype(np.int64)
+    return merged[[parent_field, "score", "n_hits"]].reset_index(drop=True)
+
+
 def significant_terms(
     reader: IndexReader,
     query_text: str,

@@ -584,6 +584,41 @@ LIMIT {k}
 """.strip()
 
 
+def has_child_sql(
+    table: str,
+    query_text: str,
+    *,
+    parent_col: str = "conv_id",
+    k: int = 10,
+    mode: str = "or",
+    score_mode: str = "sum",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Parent-child oracle (extras.search_parents): BM25 over child docs,
+    then the parent aggregate. Per-child scores are quantized to 1e-4
+    fixed-point BIGINTs before SUM/MAX so the cross-row aggregate is exact
+    integer arithmetic on both sides; ties rank by parent key ascending."""
+    base = bm25_sql(table, query_text, 2147483647, mode=mode,
+                    id_col=id_col, text_col=text_col)
+    agg = "sum(fp)" if score_mode == "sum" else "max(fp)"
+    return f"""
+WITH res AS (
+{base}
+),
+p AS (
+  SELECT d.{parent_col} AS {parent_col},
+         CAST(floor(res.score * 10000 + 0.5) AS BIGINT) AS fp
+  FROM res JOIN {table} d ON d.{id_col} = res.doc_id
+)
+SELECT {parent_col}, round({agg} / 10000.0, 4) AS score,
+       CAST(count(*) AS BIGINT) AS n_hits
+FROM p GROUP BY {parent_col}
+ORDER BY {agg} DESC, {parent_col} ASC
+LIMIT {k}
+""".strip()
+
+
 def significant_terms_sql(
     table: str,
     query_text: str,

@@ -255,3 +255,45 @@ def test_msearch_equals_independent_searches_and_oracle(idx, con):
     assert reader.msearch([], k=5).num_rows == 0
     empt = reader.msearch(["???", "spark window", "spark window"], k=5).to_pandas()
     assert (empt["query"] == "spark window").all()
+
+
+def test_search_parents_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for mode, score_mode in [("or", "sum"), ("and", "sum"), ("or", "max")]:
+        got = extras.search_parents(
+            reader, "spark window", parent_field="source", k=10,
+            mode=mode, score_mode=score_mode,
+        )
+        exp = con.execute(
+            oracle.has_child_sql(
+                "documents", "spark window", parent_col="source", k=10,
+                mode=mode, score_mode=score_mode,
+            )
+        ).fetchdf()
+        assert list(got["source"]) == list(exp["source"]), (mode, score_mode)
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), exp["score"].to_numpy(), atol=1e-9
+        )
+        np.testing.assert_array_equal(
+            got["n_hits"].to_numpy(), exp["n_hits"].to_numpy()
+        )
+
+
+def test_search_parents_modes(idx):
+    reader = query.IndexReader(idx)
+    s = extras.search_parents(reader, "spark window", parent_field="source",
+                              k=100, score_mode="sum")
+    m = extras.search_parents(reader, "spark window", parent_field="source",
+                              k=100, score_mode="max")
+    assert set(s["source"]) == set(m["source"])  # same matched parents
+    sm = s.set_index("source")
+    mm = m.set_index("source")
+    # sum >= max per parent; equal iff a single hit
+    for p in sm.index:
+        assert sm.loc[p, "score"] >= mm.loc[p, "score"] - 1e-9
+        if sm.loc[p, "n_hits"] == 1:
+            assert abs(sm.loc[p, "score"] - mm.loc[p, "score"]) < 1e-9
+    assert extras.search_parents(reader, "", parent_field="source").empty
+    assert extras.search_parents(reader, "zzzznope", parent_field="source").empty
