@@ -1516,6 +1516,20 @@ def _bm25f(sf_dir: str) -> pd.DataFrame:
     return bm25f.search_weighted_fields(readers, BM25F_WEIGHTS, BM25F_QUERY, k=10)
 
 
+def _bm25f_dismax(sf_dir: str) -> pd.DataFrame:
+    """dis_max / best_fields multi_match (tie_breaker=0.3): best single
+    field + 0.3 × the rest, exact-integer ranking key on both sides."""
+    from harvester_ray.index import bm25f
+
+    readers = {
+        "text": index_query.IndexReader(_documents_index(sf_dir)),
+        "source": index_query.IndexReader(_field_index(sf_dir, "source")),
+    }
+    return bm25f.search_dis_max(
+        readers, BM25F_WEIGHTS, BM25F_QUERY, k=10, tie_breaker=0.3
+    )
+
+
 def _pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII redaction (emails/phones/IPv4 → placeholder tokens) with audit
     counts. The synthetic corpus has no PII, so both sides inject identical
@@ -1977,6 +1991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": lambda sf: _proximity(sf, PHRASE_QUERY, PROX_SLOP),
         "proximity_search_3": lambda sf: _proximity(sf, PHRASE_QUERY3, PROX_SLOP3),
         "bm25f_fields": _bm25f,
+        "bm25f_dismax": _bm25f_dismax,
         "decompound_search": _decompound_search,
         "synonym_search": _synonym_search,
         "search_paged": _search_paged,
@@ -2516,6 +2531,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25f_fields": _bm25f_oracle.bm25f_sql(
             "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10
+        ),
+        "bm25f_dismax": _bm25f_oracle.dis_max_sql(
+            "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10, tie_breaker=0.3
         ),
         # expansion is deterministic driver-side string work; the oracle
         # runs BM25 over the *expected* expanded term set, so a wrong

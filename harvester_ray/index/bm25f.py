@@ -115,3 +115,89 @@ FROM comb
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def search_dis_max(
+    readers: dict[str, "IndexReader"],
+    weights: dict[str, float],
+    query_text: str,
+    k: int = 10,
+    *,
+    tie_breaker: float = 0.0,
+    round_digits: int = 4,
+) -> pd.DataFrame:
+    """ES ``dis_max`` / ``multi_match type=best_fields``: a doc's score is
+    its BEST single field plus ``tie_breaker`` × the other fields' sum —
+    the combiner OpenSearch actually uses for the reference's field lists
+    unless a query opts into cross-field sums (which
+    ``search_weighted_fields`` covers).
+
+    Parity: per-field weighted scores quantize to 1e-4 fixed-point BIGINTs;
+    ``tie_breaker`` must be a multiple of 0.1 so the combined ranking key
+    ``10·max + (10·tie)·(sum − max)`` is exact integer arithmetic on both
+    engine and oracle — no float-order ambiguity can flip a rank. Ties rank
+    by doc_id ascending. Output score = key / 1e5.
+    """
+    tn = round(tie_breaker * 10)
+    if abs(tn / 10.0 - tie_breaker) > 1e-9:
+        raise ValueError("tie_breaker must be a multiple of 0.1 for exact ranking")
+    all_docs, all_fp = [], []
+    for field in sorted(readers):
+        reader = readers[field]
+        w = float(weights.get(field, 1.0))
+        res = reader.search(query_text, k=max(reader.n_docs, 1), mode="or")
+        sc = np.asarray(res["score"], dtype=np.float64) * w
+        all_docs.append(np.asarray(res["doc_id"], dtype=np.int64))
+        all_fp.append(np.floor(sc * 1e4 + 0.5).astype(np.int64))
+    docs = np.concatenate(all_docs) if all_docs else np.empty(0, np.int64)
+    fp = np.concatenate(all_fp) if all_fp else np.empty(0, np.int64)
+    if not docs.size:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "score": []})
+    order = np.argsort(docs, kind="stable")
+    docs, fp = docs[order], fp[order]
+    uniq, starts = np.unique(docs, return_index=True)
+    mx = np.maximum.reduceat(fp, starts)
+    sm = np.add.reduceat(fp, starts)
+    key = 10 * mx + tn * (sm - mx)
+    order = np.lexsort((uniq, -key))[:k]
+    return pd.DataFrame({
+        "doc_id": uniq[order],
+        "score": np.round(key[order] / 1e5, round_digits),
+    })
+
+
+def dis_max_sql(
+    table: str,
+    query_text: str,
+    fields: dict[str, float],
+    k: int = 10,
+    *,
+    tie_breaker: float = 0.0,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for ``search_dis_max``: same per-field CTEs as ``bm25f_sql``,
+    fixed-point quantization before MAX/SUM, exact-integer ranking key."""
+    tn = round(tie_breaker * 10)
+    base = bm25f_sql(table, query_text, fields, k, id_col=id_col)
+    if base.startswith("SELECT"):  # empty-query degenerate form
+        return base
+    # reuse everything up to the per-field UNION; rebuild the combiner
+    head, _, _ = base.partition("\nallf AS (")
+    union = base.partition("allf AS (")[2].partition(")")[0]
+    fp_union = " UNION ALL ".join(
+        f"SELECT doc_id, CAST(floor(ws * 10000 + 0.5) AS BIGINT) AS fp FROM ({leg.strip()})"
+        for leg in union.split(" UNION ALL ")
+    )
+    return f"""
+{head}
+allfp AS ({fp_union}),
+comb AS (
+  SELECT doc_id, 10 * max(fp) + {tn} * (sum(fp) - max(fp)) AS key
+  FROM allfp GROUP BY doc_id
+)
+SELECT doc_id, round(key / 100000.0, {round_digits}) AS score
+FROM comb
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+""".strip()

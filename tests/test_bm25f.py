@@ -73,3 +73,33 @@ def test_empty_query_returns_empty(ray_session, tmp_path):
         {"title": iq.IndexReader(root)}, {"title": 1.0}, "zzznope", k=5
     )
     assert len(out) == 0
+
+
+def test_dis_max_matches_sql_oracle(ray_session, tmp_path):
+    import ray.data as rd
+
+    path = _corpus(str(tmp_path))
+    readers = {}
+    for col in ("title", "body"):
+        root = os.path.join(str(tmp_path), f"dmidx-{col}")
+        ib.build_index(
+            rd.read_parquet(path, columns=["doc_id", col]), root, text_col=col
+        )
+        readers[col] = iq.IndexReader(root)
+    weights = {"title": 2.0, "body": 1.0}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW corpus AS SELECT * FROM read_parquet('{path}')")
+    for tie in (0.0, 0.3, 1.0):
+        got = bm25f.search_dis_max(
+            readers, weights, "alpha beta", k=8, tie_breaker=tie
+        )
+        exp = con.execute(
+            bm25f.dis_max_sql("corpus", "alpha beta", weights, 8, tie_breaker=tie)
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), tie
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # tie_breaker=1.0 must equal the weighted-sum combiner's ranking
+    full = bm25f.search_weighted_fields(readers, weights, "alpha beta", k=8)
+    dm1 = bm25f.search_dis_max(readers, weights, "alpha beta", k=8, tie_breaker=1.0)
+    assert list(full["doc_id"]) == list(dm1["doc_id"])
+    np.testing.assert_allclose(full["score"], dm1["score"], atol=2e-4)
