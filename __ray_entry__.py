@@ -100,6 +100,18 @@ def _bm25_not(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _bm25_boosting(sf_dir: str) -> pd.DataFrame:
+    """ES ``boosting`` query: docs matching the negative clause demoted by
+    negative_boost=0.3, not dropped (the soft sibling of bm25_not)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_boosting(
+        index_query.IndexReader(root), BM25_QUERY_OR, BM25_MUST_NOT,
+        negative_boost=0.3, k=10,
+    )
+
+
 def _bm25_msm(sf_dir: str) -> pd.DataFrame:
     """OR query with minimum_should_match=2 (ES bool-should semantics)."""
     root = _documents_index(sf_dir)
@@ -1970,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_not": _bm25_not,
+        "bm25_boosting": _bm25_boosting,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
@@ -2462,6 +2475,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_msm": index_oracle.bm25_sql(
             "documents", BM25_MSM_QUERY, 10, mode="or", min_should_match=2
+        ),
+        "bm25_boosting": index_oracle.boosting_sql(
+            "documents", BM25_QUERY_OR, BM25_MUST_NOT, negative_boost=0.3, k=10
         ),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         # cursor page 2 == rows 11-20 of the rounded-score total order

@@ -637,6 +637,87 @@ def search_collapse(
     return pd.DataFrame({field: vals, "doc_id": docs, "score": scores})
 
 
+def search_boosting(
+    reader: IndexReader,
+    positive: str,
+    negative: str,
+    *,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``boosting`` query: docs matching ``negative`` stay in the result
+    set but their positive score is multiplied by ``negative_boost`` — the
+    soft counterpart of ``must_not`` (which `search(must_not=...)` covers).
+    The reference's search bodies use this shape to demote, not drop,
+    low-priority providers.
+
+    Parity: positive scores quantize to 1e-4 fixed-point; ``negative_boost``
+    must be a multiple of 0.1 so the ranking key — ``fp·10`` kept,
+    ``fp·(10·boost)`` demoted — is exact integer arithmetic on both sides.
+    Per segment the negative set is one unscored match enumeration; the
+    demotion mask is a sorted membership test, so the negative query adds
+    posting decode but no extra exchange."""
+    from .query import match_one_segment, or_exhaustive
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    nbn = round(negative_boost * 10)
+    if abs(nbn / 10.0 - negative_boost) > 1e-9:
+        raise ValueError("negative_boost must be a multiple of 0.1 for exact ranking")
+    terms = sorted(set(analyzer.tokenize_query(positive)))
+    neg_terms = sorted(set(analyzer.tokenize_query(negative)))
+    if not terms:
+        return empty
+    dfs = reader.df(terms)
+    if mode == "and" and any(dfs[t] == 0 for t in terms):
+        return empty
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    msm = len(live) if mode == "and" else None
+    docs_parts, key_parts = [], []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries or (mode == "and" and len(entries) < len(live)):
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31,
+            exclude=exclude, min_should_match=msm,
+        )
+        if docs.size == 0:
+            continue
+        fp = np.floor(scores * 1e4 + 0.5).astype(np.int64)
+        key = fp * 10
+        if neg_terms:
+            neg = match_one_segment(seg, neg_terms, "or", exclude, None)
+            if neg.size:
+                pos = np.searchsorted(neg, docs)
+                np.clip(pos, 0, neg.size - 1, out=pos)
+                demote = neg[pos] == docs
+                key[demote] = fp[demote] * nbn
+        docs_parts.append(docs)
+        key_parts.append(key)
+    if not docs_parts:
+        return empty
+    docs = np.concatenate(docs_parts)
+    keys = np.concatenate(key_parts)
+    order = np.lexsort((docs, -keys))[:k]
+    return pd.DataFrame({
+        "doc_id": docs[order],
+        "score": np.round(keys[order] / 1e5, 4),
+    })
+
+
 def search_parents(
     reader: IndexReader,
     query_text: str,

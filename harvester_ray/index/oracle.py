@@ -584,6 +584,49 @@ LIMIT {k}
 """.strip()
 
 
+def boosting_sql(
+    table: str,
+    positive: str,
+    negative: str,
+    *,
+    negative_boost: float = 0.5,
+    k: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.search_boosting: full positive BM25, docs matching
+    the negative query demoted via the exact-integer key fp·(10·boost)."""
+    nbn = round(negative_boost * 10)
+    base = bm25_sql(table, positive, 2147483647, mode=mode,
+                    id_col=id_col, text_col=text_col)
+    neg_terms = sorted(set(analyzer.tokenize_query(negative)))
+    neg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in neg_terms)
+    neg_where = f"term IN ({neg_list})" if neg_terms else "1=0"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH res AS (
+{base}
+),
+negm AS (
+  SELECT DISTINCT {id_col} AS doc_id
+  FROM (SELECT {id_col}, unnest({tok}) AS term FROM {table})
+  WHERE {neg_where}
+),
+keyed AS (
+  SELECT res.doc_id,
+         CAST(floor(res.score * 10000 + 0.5) AS BIGINT)
+           * (CASE WHEN res.doc_id IN (SELECT doc_id FROM negm)
+                   THEN {nbn} ELSE 10 END) AS key
+  FROM res
+)
+SELECT doc_id, round(key / 100000.0, 4) AS score
+FROM keyed
+ORDER BY key DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def has_child_sql(
     table: str,
     query_text: str,

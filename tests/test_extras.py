@@ -297,3 +297,30 @@ def test_search_parents_modes(idx):
             assert abs(sm.loc[p, "score"] - mm.loc[p, "score"]) < 1e-9
     assert extras.search_parents(reader, "", parent_field="source").empty
     assert extras.search_parents(reader, "zzzznope", parent_field="source").empty
+
+
+def test_search_boosting_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for nb in (0.1, 0.5):
+        got = extras.search_boosting(
+            reader, "customer query big", "sort", negative_boost=nb, k=10
+        )
+        exp = con.execute(
+            oracle.boosting_sql(
+                "documents", "customer query big", "sort", negative_boost=nb, k=10
+            )
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), nb
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # empty negative ≡ plain search ranking
+    plain = extras.search_boosting(reader, "spark window", "", k=10)
+    base = query.IndexReader(idx).search("spark window", k=10, mode="or").to_pandas()
+    assert list(plain["doc_id"]) == list(base["doc_id"])
+    # demoted docs are demoted, not dropped
+    all_pos = query.IndexReader(idx).search(
+        "customer query big", k=10**9, mode="or").to_pandas()
+    all_boost = extras.search_boosting(
+        reader, "customer query big", "sort", negative_boost=0.1, k=10**9)
+    assert len(all_pos) == len(all_boost)
