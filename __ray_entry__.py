@@ -112,6 +112,27 @@ def _bm25_boosting(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _snapshot_restore(sf_dir: str) -> pd.DataFrame:
+    """Snapshot → restore → search: the restored index must rank exactly
+    like the oracle over the raw table (i.e. like the source index). The
+    snapshot repo is content-addressed by immutable relpath, so re-running
+    reuses every file (incremental-snapshot semantics, index/snapshot.py)."""
+    from harvester_ray.index import snapshot as _snap
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    repo = os.path.join(_SCRATCH, f"snap-repo-{tag}")
+    dest = os.path.join(_SCRATCH, f"snap-restored-{tag}")
+    rec = _snap.snapshot(_documents_index(sf_dir), repo)
+    _snap.restore(repo, rec["name"], dest)
+    out = (
+        index_query.IndexReader(dest)
+        .search(BM25_QUERY_AND, k=10, mode="and")
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _bm25_msm(sf_dir: str) -> pd.DataFrame:
     """OR query with minimum_should_match=2 (ES bool-should semantics)."""
     root = _documents_index(sf_dir)
@@ -1983,6 +2004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_not": _bm25_not,
         "bm25_boosting": _bm25_boosting,
+        "snapshot_restore": _snapshot_restore,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
@@ -2478,6 +2500,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_boosting": index_oracle.boosting_sql(
             "documents", BM25_QUERY_OR, BM25_MUST_NOT, negative_boost=0.3, k=10
+        ),
+        "snapshot_restore": index_oracle.bm25_sql(
+            "documents", BM25_QUERY_AND, 10, mode="and"
         ),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         # cursor page 2 == rows 11-20 of the rounded-score total order

@@ -1,0 +1,113 @@
+"""Snapshot / restore of index versions into a repository directory.
+
+The reference operates OpenSearch, whose snapshot API is the standard
+backup/migration path for its indices (alias flips after restore mirror the
+promote flow in harvester/search/models/index.py:113-156). Here the same
+semantics over the version-manifest layout:
+
+- A snapshot captures the FILE CLOSURE of one version's manifest: the
+  manifest itself, its termstats directory, and every referenced segment
+  file (``.terms.parquet``/``.docs.parquet``/``.bin``/``.pos``). Incremental
+  versions reference carried-forward segments inside OLDER version
+  directories — the closure walks the manifest, not the directory tree, so
+  exactly the live files ship.
+- Snapshots are INCREMENTAL the way ES's are: segment files are immutable
+  and their root-relative path is unique (a rewrite lands in a new version
+  directory), so the relpath is a content address — files already present
+  in the repository are skipped, and a daily snapshot of a lightly-changed
+  index copies only the delta.
+- Restore materializes the closure into a destination root (preserving
+  relative paths, so cross-version segment pointers keep resolving) and
+  atomically flips CURRENT — the alias-flip analog; a reader never observes
+  a half-restored index.
+
+Scale: snapshot/restore is pure file I/O proportional to the delta, never
+to corpus row count, and each file copy is independent — at cluster scale
+the copy loop fans out as Ray tasks against shared storage; single-node it
+is sequential shutil, which the tests exercise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from . import manifest as mf
+
+
+def _closure(index_root: str, man: dict) -> list[str]:
+    """Root-relative paths of every file the manifest's version needs."""
+    files = [os.path.join(f"v{man['_version']}", "manifest.json")]
+    ts_dir = os.path.join(index_root, man["termstats"])
+    for f in sorted(os.listdir(ts_dir)):
+        files.append(os.path.join(man["termstats"], f))
+    for seg in man["segments"]:
+        base = seg["path"]
+        for ext in (".terms.parquet", ".docs.parquet", ".bin", ".pos"):
+            if os.path.exists(os.path.join(index_root, base + ext)):
+                files.append(base + ext)
+    return files
+
+
+def snapshot(index_root: str, repo_dir: str, *, version: int | None = None,
+             name: str | None = None) -> dict:
+    """Copy one version's file closure into ``repo_dir`` (skipping files the
+    repository already holds) and register a snapshot record. Returns the
+    record: {name, version, files, copied, reused}."""
+    man = mf.read_manifest(index_root, version)
+    ver = int(man["_version"])
+    name = name or f"snap-v{ver}"
+    files_dir = os.path.join(repo_dir, "files")
+    snaps_dir = os.path.join(repo_dir, "snapshots")
+    os.makedirs(files_dir, exist_ok=True)
+    os.makedirs(snaps_dir, exist_ok=True)
+    files = _closure(index_root, man)
+    copied = reused = 0
+    for rel in files:
+        dst = os.path.join(files_dir, rel)
+        if os.path.exists(dst):
+            reused += 1
+            continue
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".tmp"
+        shutil.copyfile(os.path.join(index_root, rel), tmp)
+        os.replace(tmp, dst)
+        copied += 1
+    rec = {"name": name, "version": ver, "files": files,
+           "copied": copied, "reused": reused}
+    tmp = os.path.join(snaps_dir, name + ".json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(rec, f)
+    os.replace(tmp, os.path.join(snaps_dir, name + ".json"))
+    return rec
+
+
+def list_snapshots(repo_dir: str) -> list[dict]:
+    snaps_dir = os.path.join(repo_dir, "snapshots")
+    if not os.path.isdir(snaps_dir):
+        return []
+    out = []
+    for f in sorted(os.listdir(snaps_dir)):
+        if f.endswith(".json"):
+            with open(os.path.join(snaps_dir, f)) as fh:
+                out.append(json.load(fh))
+    return out
+
+
+def restore(repo_dir: str, name: str, dest_root: str) -> dict:
+    """Materialize a snapshot into ``dest_root`` and atomically promote its
+    version. Files already present (e.g. a partial earlier restore) are
+    overwritten via temp+rename, so a crashed restore is re-runnable and
+    CURRENT only flips after every file landed."""
+    with open(os.path.join(repo_dir, "snapshots", name + ".json")) as f:
+        rec = json.load(f)
+    files_dir = os.path.join(repo_dir, "files")
+    for rel in rec["files"]:
+        dst = os.path.join(dest_root, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        tmp = dst + ".tmp"
+        shutil.copyfile(os.path.join(files_dir, rel), tmp)
+        os.replace(tmp, dst)
+    mf.promote(dest_root, rec["version"])
+    return rec

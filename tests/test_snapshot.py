@@ -1,0 +1,69 @@
+"""Snapshot/restore (index/snapshot.py): closure capture, incremental
+repository reuse, atomic restore, result-identical reads."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from harvester_ray.index import build, incremental, manifest as mf, query, snapshot
+
+
+def _corpus(n=120, seed=7):
+    rng = np.random.default_rng(seed)
+    vocab = ["spark", "window", "batch", "stream", "query", "sort", "join",
+             "scan", "table", "vector"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in range(n)
+    ]
+    return pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+
+
+def _search(root, q="spark window"):
+    return query.IndexReader(root).search(q, k=20, mode="or").to_pandas()
+
+
+@pytest.fixture(scope="module")
+def roots(tmp_path_factory, ray_session):
+    src = str(tmp_path_factory.mktemp("snap-src"))
+    repo = str(tmp_path_factory.mktemp("snap-repo"))
+    base = _corpus()
+    build.build_index(rd.from_pandas(base), src, concurrency=2, input_desc="base")
+    return src, repo, base
+
+
+def test_snapshot_restore_identical(roots, tmp_path_factory):
+    src, repo, _ = roots
+    rec = snapshot.snapshot(src, repo)
+    assert rec["copied"] > 0 and rec["reused"] == 0
+    dest = str(tmp_path_factory.mktemp("snap-dest"))
+    snapshot.restore(repo, rec["name"], dest)
+    a, b = _search(src), _search(dest)
+    pd.testing.assert_frame_equal(a, b)
+    assert mf.current_version(dest) == mf.current_version(src)
+
+
+def test_incremental_snapshot_reuses_files(roots, tmp_path_factory):
+    src, repo, base = roots
+    snapshot.snapshot(src, repo)
+    delta = pd.DataFrame({
+        "doc_id": np.array([0, 1, 200], dtype=np.int64),
+        "text": ["updated spark text", "", "brand new stream doc"],
+        "state": ["active", "deleted", "active"],
+    })
+    incremental.build_incremental(
+        src, rd.from_pandas(delta), input_desc="delta", integrity_check=False
+    )
+    rec2 = snapshot.snapshot(src, repo)
+    # carried-forward segments were already in the repo
+    assert rec2["reused"] > 0
+    assert rec2["copied"] > 0  # the delta segment + new manifest/termstats
+    dest = str(tmp_path_factory.mktemp("snap-dest2"))
+    snapshot.restore(repo, rec2["name"], dest)
+    pd.testing.assert_frame_equal(_search(src), _search(dest))
+    pd.testing.assert_frame_equal(_search(src, "stream"), _search(dest, "stream"))
+    names = [r["name"] for r in snapshot.list_snapshots(repo)]
+    assert rec2["name"] in names and len(names) == 2
