@@ -112,6 +112,17 @@ def _bm25_boosting(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _terms_agg(sf_dir: str) -> pd.DataFrame:
+    """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
+    The shard_size approximation contract is unit-tested (test_extras)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.terms_agg(
+        index_query.IndexReader(_documents_index(sf_dir)),
+        BM25_QUERY_OR, field="source", size=20, mode="or",
+    )
+
+
 def _snapshot_restore(sf_dir: str) -> pd.DataFrame:
     """Snapshot → restore → search: the restored index must rank exactly
     like the oracle over the raw table (i.e. like the source index). The
@@ -2005,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_not": _bm25_not,
         "bm25_boosting": _bm25_boosting,
         "snapshot_restore": _snapshot_restore,
+        "terms_agg": _terms_agg,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
@@ -2503,6 +2515,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "snapshot_restore": index_oracle.bm25_sql(
             "documents", BM25_QUERY_AND, 10, mode="and"
+        ),
+        "terms_agg": index_oracle.terms_agg_sql(
+            "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         # cursor page 2 == rows 11-20 of the rounded-score total order

@@ -637,6 +637,89 @@ def search_collapse(
     return pd.DataFrame({field: vals, "doc_id": docs, "score": scores})
 
 
+def terms_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    size: int = 10,
+    shard_size: int | None = None,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``terms`` aggregation with its distributed-approximation contract:
+    each shard (segment) reports only its top ``shard_size`` values by local
+    doc count, the coordinator sums what was reported, and every returned
+    bucket carries ``doc_count_error_upper_bound`` — the worst-case count
+    mass a non-reporting shard could have hidden (the sum, over shards that
+    did not report the value, of that shard's smallest reported count; a
+    shard that returned ALL its values contributes 0). ES semantics exactly:
+    ``true_count ≤ doc_count + doc_count_error_upper_bound`` and, with
+    ``shard_size`` ≥ per-shard distinct values, counts are exact and every
+    bound is 0.
+
+    This is the facet path that stays cheap at 100 TB: per segment one
+    unscored match enumeration + one sort/reduceat count fold, and only
+    ``shard_size`` rows leave each segment regardless of match count.
+    ``shard_size=None`` keeps everything (exact mode, bounds ≡ 0)."""
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({
+        field: pd.Series(dtype=object),
+        "doc_count": pd.Series(dtype=np.int64),
+        "doc_count_error_upper_bound": pd.Series(dtype=np.int64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    seg_reports: list[pd.DataFrame] = []
+    seg_worst: list[int] = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        vals = seg.attr_values(field, docs)
+        order = np.argsort(vals, kind="mergesort")
+        vals = vals[order]
+        first = np.empty(vals.size, dtype=bool)
+        first[0] = True
+        first[1:] = vals[1:] != vals[:-1]
+        starts = np.flatnonzero(first)
+        counts = np.diff(np.append(starts, vals.size))
+        uvals = vals[starts]
+        order = np.lexsort((uvals, -counts))
+        uvals, counts = uvals[order], counts[order]
+        if shard_size is not None and uvals.size > shard_size:
+            uvals, counts = uvals[:shard_size], counts[:shard_size]
+            seg_worst.append(int(counts[-1]))  # smallest reported count
+        else:
+            seg_worst.append(0)
+        seg_reports.append(pd.DataFrame({field: uvals, "doc_count": counts}))
+    if not seg_reports:
+        return empty
+    merged = (
+        pd.concat(seg_reports)
+        .groupby(field, as_index=False)["doc_count"].sum()
+    )
+    bounds = np.zeros(len(merged), dtype=np.int64)
+    for rep, worst in zip(seg_reports, seg_worst):
+        if worst:
+            missing = ~merged[field].isin(rep[field]).to_numpy()
+            bounds[missing] += worst
+    merged["doc_count_error_upper_bound"] = bounds
+    merged = merged.sort_values(
+        [ "doc_count", field], ascending=[False, True], kind="mergesort"
+    ).head(size)
+    merged["doc_count"] = merged["doc_count"].astype(np.int64)
+    return merged.reset_index(drop=True)[
+        [field, "doc_count", "doc_count_error_upper_bound"]
+    ]
+
+
 def search_boosting(
     reader: IndexReader,
     positive: str,

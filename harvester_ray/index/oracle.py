@@ -584,6 +584,37 @@ LIMIT {k}
 """.strip()
 
 
+def terms_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    size: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.terms_agg in the EXACT regime (shard_size ≥ every
+    segment's distinct values): plain grouped counts over the match set,
+    every error bound 0. The approximation contract itself (bounds under
+    truncation) is segment-layout-dependent and covered by unit tests."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having})
+SELECT d.{field} AS {field}, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(0 AS BIGINT) AS doc_count_error_upper_bound
+FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+GROUP BY d.{field}
+ORDER BY doc_count DESC, {field} ASC
+LIMIT {size}
+""".strip()
+
+
 def boosting_sql(
     table: str,
     positive: str,

@@ -324,3 +324,62 @@ def test_search_boosting_matches_oracle(idx, con):
     all_boost = extras.search_boosting(
         reader, "customer query big", "sort", negative_boost=0.1, k=10**9)
     assert len(all_pos) == len(all_boost)
+
+
+def test_terms_agg_exact_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for mode in ("or", "and"):
+        got = extras.terms_agg(
+            reader, "spark window", field="source", size=20, mode=mode
+        )
+        exp = con.execute(
+            oracle.terms_agg_sql(
+                "documents", "spark window", field="source", size=20, mode=mode
+            )
+        ).fetchdf()
+        assert list(got["source"]) == list(exp["source"]), mode
+        np.testing.assert_array_equal(got["doc_count"], exp["doc_count"])
+        assert (got["doc_count_error_upper_bound"] == 0).all()
+
+
+def test_terms_agg_error_bound_holds(tmp_path, ray_session):
+    """Under shard_size truncation, true_count <= doc_count + bound, and
+    reported counts never exceed the truth."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+
+    rng = np.random.default_rng(3)
+    n = 600
+    # skewed values so per-segment top-2 truncation actually hides mass
+    vals = rng.choice([f"v{i}" for i in range(12)],
+                      p=np.array([20, 12, 9, 8, 7, 6, 6, 6, 6, 6, 7, 7]) / 100,
+                      size=n)
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["alpha common"] * n,
+        "val": vals,
+    })
+    root = os.path.join(str(tmp_path), "ta-idx")
+    ib.build_index(
+        rd.from_pandas(df).repartition(6), root, attr_cols=["val"],
+        concurrency=2,
+    )
+    reader = query.IndexReader(root)
+    truth = df.groupby("val").size()
+    approx = extras.terms_agg(
+        reader, "alpha", field="val", size=12, shard_size=2
+    )
+    assert len(approx) > 0
+    for _, row in approx.iterrows():
+        t = int(truth[row["val"]])
+        assert row["doc_count"] <= t
+        assert t <= row["doc_count"] + row["doc_count_error_upper_bound"]
+    # exact mode on the same index reproduces the truth
+    exact = extras.terms_agg(reader, "alpha", field="val", size=12)
+    got = dict(zip(exact["val"], exact["doc_count"]))
+    assert got == truth.to_dict()
+    assert (exact["doc_count_error_upper_bound"] == 0).all()
