@@ -112,6 +112,26 @@ def _bm25_boosting(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PHRASE_SUGGEST_QUERY = "spork windov"  # both tokens misspelled by one edit
+
+
+def _phrase_suggest_sql_entry() -> str:
+    from harvester_ray.index import extras as _extras
+
+    return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
+
+
+def _phrase_suggest(sf_dir: str) -> pd.DataFrame:
+    """ES phrase suggester: whole-query corrections ranked by the exact
+    integer Laplace unigram likelihood Π(df+1)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.suggest_phrases(
+        index_query.IndexReader(_documents_index(sf_dir)),
+        PHRASE_SUGGEST_QUERY, n=5,
+    )
+
+
 def _terms_agg(sf_dir: str) -> pd.DataFrame:
     """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
     The shard_size approximation contract is unit-tested (test_extras)."""
@@ -2017,6 +2037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": _bm25_boosting,
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
+        "phrase_suggest": _phrase_suggest,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
@@ -2519,6 +2540,7 @@ def oracle_sql() -> dict[str, str]:
         "terms_agg": index_oracle.terms_agg_sql(
             "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
+        "phrase_suggest": _phrase_suggest_sql_entry(),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         # cursor page 2 == rows 11-20 of the rounded-score total order
         "search_cursor": (

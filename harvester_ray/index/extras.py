@@ -371,6 +371,123 @@ def did_you_mean(
     return pd.DataFrame(out, columns=["token", "suggestion"])
 
 
+def suggest_phrases(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    max_edits: int = 2,
+    per_token: int = 3,
+    n: int = 5,
+) -> pd.DataFrame:
+    """ES ``phrase`` suggester (unigram-smoothing configuration): correct
+    the WHOLE query, not tokens in isolation. Per token, the top
+    ``per_token`` dictionary candidates within ``max_edits`` Levenshtein
+    edits (same first char + length window — the same prefix-bounded
+    dictionary walk did_you_mean uses, so cost is a range probe per
+    segment, never a vocabulary scan), ranked (distance asc, df desc, term
+    asc). Candidate phrases are the cross product; a phrase's score is the
+    EXACT integer ``Π (df_i + 1)`` (Laplace-smoothed unigram likelihood up
+    to a constant factor — monotone-identical ranking with no float logs),
+    ties broken by phrase ascending.
+
+    A token with no in-vocabulary candidate passes through unchanged with
+    df 0 (the SQL oracle assumes every token has candidates; gate queries
+    satisfy that)."""
+    import itertools
+
+    from .query import _term_prefix_range
+
+    toks = analyzer.tokenize_query(query_text)
+    empty = pd.DataFrame({"phrase": pd.Series(dtype=object),
+                          "score": pd.Series(dtype=np.int64)})
+    if not toks:
+        return empty
+    cand_lists: list[list[tuple[str, int]]] = []
+    for tok in toks:
+        vocab: dict[str, int] = {}
+        prefix = tok[:1]
+        for seg_meta in reader.manifest["segments"]:
+            seg = reader._segment(seg_meta)
+            lo, hi = _term_prefix_range(seg, prefix)
+            if hi > lo:
+                for t, d in zip(
+                    seg._term_strings.slice(lo, hi - lo).to_pylist(),
+                    seg._df[lo:hi],
+                ):
+                    vocab[t] = vocab.get(t, 0) + int(d)
+        names = sorted(
+            t for t in vocab if abs(len(t) - len(tok)) <= max_edits
+        )
+        if names:
+            dists = _levenshtein_batch(tok, names)
+            ranked = sorted(
+                (
+                    (int(d), -vocab[t], t)
+                    for t, d in zip(names, dists)
+                    if d <= max_edits
+                ),
+            )[:per_token]
+            cands = [(t, -negdf) for _, negdf, t in ranked]
+        else:
+            cands = []
+        cand_lists.append(cands if cands else [(tok, 0)])
+    rows = []
+    for combo in itertools.product(*cand_lists):
+        phrase = " ".join(t for t, _ in combo)
+        score = 1
+        for _, df in combo:
+            score *= df + 1
+        rows.append((phrase, score))
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    out = pd.DataFrame(rows[:n], columns=["phrase", "score"])
+    out["score"] = out["score"].astype(np.int64)
+    return out
+
+
+def phrase_suggest_sql(
+    table: str,
+    query_text: str,
+    *,
+    max_edits: int = 2,
+    per_token: int = 3,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``suggest_phrases``: per-token candidate CTEs with the
+    same prefix/length/edit constraints and (distance, df desc, term)
+    ranking, cross-joined, scored ``Π (df+1)`` as BIGINT."""
+    toks = analyzer.tokenize_query(query_text)
+    tok_expr = analyzer.sql_tokenize_expr(text_col)
+    ctes = [
+        f"tokd AS (SELECT {id_col} AS doc_id, unnest({tok_expr}) AS t FROM {table})",
+        "vocab AS (SELECT t AS term, count(DISTINCT doc_id) AS df FROM tokd GROUP BY t)",
+    ]
+    for i, tok in enumerate(toks):
+        lit = tok.replace("'", "''")
+        ctes.append(
+            f"""c{i} AS (
+  SELECT term, df FROM vocab
+  WHERE substr(term, 1, 1) = substr('{lit}', 1, 1)
+    AND abs(length(term) - length('{lit}')) <= {max_edits}
+    AND levenshtein(term, '{lit}') <= {max_edits}
+  QUALIFY row_number() OVER (
+    ORDER BY levenshtein(term, '{lit}') ASC, df DESC, term ASC
+  ) <= {per_token}
+)"""
+        )
+    phrase = " || ' ' || ".join(f"c{i}.term" for i in range(len(toks)))
+    score = " * ".join(f"(c{i}.df + 1)" for i in range(len(toks)))
+    froms = " CROSS JOIN ".join(f"c{i}" for i in range(len(toks)))
+    return f"""
+WITH {", ".join(ctes)}
+SELECT {phrase} AS phrase, CAST({score} AS BIGINT) AS score
+FROM {froms}
+ORDER BY score DESC, phrase ASC
+LIMIT {n}
+""".strip()
+
+
 def search_after(
     reader: IndexReader,
     query_text: str,

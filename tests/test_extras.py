@@ -383,3 +383,17 @@ def test_terms_agg_error_bound_holds(tmp_path, ray_session):
     got = dict(zip(exact["val"], exact["doc_count"]))
     assert got == truth.to_dict()
     assert (exact["doc_count_error_upper_bound"] == 0).all()
+
+
+def test_suggest_phrases_matches_oracle(idx, con):
+    reader = query.IndexReader(idx)
+    for q in ("spork windov", "spark windov big", "customer"):
+        got = extras.suggest_phrases(reader, q, n=5)
+        exp = con.execute(
+            extras.phrase_suggest_sql("documents", q, n=5)
+        ).fetchdf()
+        assert list(got["phrase"]) == list(exp["phrase"]), q
+        np.testing.assert_array_equal(got["score"], exp["score"])
+    # the top correction of a clean query is the query itself
+    top = extras.suggest_phrases(reader, "spark window", n=1)
+    assert top["phrase"][0] == "spark window"
