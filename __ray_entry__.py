@@ -121,6 +121,26 @@ def _phrase_suggest_sql_entry() -> str:
     return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
 
 
+# (query → known-positive doc ids) fixture; ids are the sf0.01 top-2 hits so
+# the anti-join visibly reshapes the result at the gate scale (at other sfs
+# the ids are arbitrary labels — both sides exclude the same set either way)
+HARD_NEG_PAIRS = {
+    "spark window": [104, 174],
+    "customer query big": [385, 224],
+}
+
+
+def _hard_negatives(sf_dir: str) -> pd.DataFrame:
+    """Hard-negative mining (DPR-style): per training query, top BM25
+    matches that are not known positives, via one msearch sweep."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.mine_hard_negatives(
+        index_query.IndexReader(_documents_index(sf_dir)),
+        HARD_NEG_PAIRS, k=5, mode="or",
+    )
+
+
 def _phrase_suggest(sf_dir: str) -> pd.DataFrame:
     """ES phrase suggester: whole-query corrections ranked by the exact
     integer Laplace unigram likelihood Π(df+1)."""
@@ -2038,6 +2058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
         "phrase_suggest": _phrase_suggest,
+        "hard_negatives": _hard_negatives,
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
@@ -2541,6 +2562,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
         "phrase_suggest": _phrase_suggest_sql_entry(),
+        "hard_negatives": index_oracle.hard_negatives_sql(
+            "documents", HARD_NEG_PAIRS, k=5, mode="or"
+        ),
         "bm25_prefix": index_oracle.bm25_prefix_sql("documents", BM25_PREFIX, 10),
         # cursor page 2 == rows 11-20 of the rounded-score total order
         "search_cursor": (

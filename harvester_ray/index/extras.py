@@ -371,6 +371,48 @@ def did_you_mean(
     return pd.DataFrame(out, columns=["token", "suggestion"])
 
 
+def mine_hard_negatives(
+    reader: IndexReader,
+    pairs: dict[str, list[int]],
+    *,
+    k: int = 5,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    (query → known-positive doc ids) pair, the top lexical matches that are
+    NOT positives — the BM25-confusable documents a dual encoder most needs
+    as negatives (the standard DPR/sentence-transformers mining recipe,
+    run against this engine instead of a serving cluster).
+
+    One ``msearch`` sweep evaluates every query (segments opened once,
+    shared postings decode), over-fetching ``k + |positives|`` per query so
+    the post-hoc anti-join can never starve the result; ranks are
+    renumbered 1..k after exclusion. Returns (query, rank, doc_id, score),
+    scores rounded to 4."""
+    queries = list(pairs)
+    empty = pd.DataFrame({
+        "query": pd.Series(dtype=object),
+        "rank": pd.Series(dtype=np.int32),
+        "doc_id": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    if not queries:
+        return empty
+    p_max = max(len(v) for v in pairs.values())
+    res = reader.msearch(queries, k=k + p_max, mode=mode).to_pandas()
+    if res.empty:
+        return empty
+    res["score"] = res["score"].round(4)
+    outs = []
+    for q in queries:
+        part = res[res["query"] == q]
+        part = part[~part["doc_id"].isin(pairs[q])].head(k).copy()
+        part["rank"] = np.arange(1, len(part) + 1, dtype=np.int32)
+        outs.append(part)
+    out = pd.concat(outs, ignore_index=True)
+    return out[["query", "rank", "doc_id", "score"]]
+
+
 def suggest_phrases(
     reader: IndexReader,
     query_text: str,

@@ -118,6 +118,35 @@ def msearch_sql(
     return f"SELECT * FROM (\n{union}\n) ORDER BY query, rank"
 
 
+def hard_negatives_sql(
+    table: str,
+    pairs: dict[str, list[int]],
+    k: int = 5,
+    *,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.mine_hard_negatives: per query, the full BM25
+    ranking minus that query's positive ids, renumbered 1..k."""
+    parts = []
+    for q, pos in pairs.items():
+        inner = bm25_sql(
+            table, q, k + len(pos), mode=mode, id_col=id_col, text_col=text_col
+        )
+        qlit = q.replace("'", "''")
+        pos_list = ", ".join(str(int(p)) for p in pos) or "NULL"
+        parts.append(
+            f"""SELECT '{qlit}' AS query,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank,
+       doc_id, score
+FROM (SELECT * FROM (\n{inner}\n) WHERE doc_id NOT IN ({pos_list}))
+QUALIFY rank <= {k}"""
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY query, rank"
+
+
 def bm25_prefix_sql(
     table: str,
     prefix: str,

@@ -397,3 +397,23 @@ def test_suggest_phrases_matches_oracle(idx, con):
     # the top correction of a clean query is the query itself
     top = extras.suggest_phrases(reader, "spark window", n=1)
     assert top["phrase"][0] == "spark window"
+
+
+def test_mine_hard_negatives_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    # positives = the engine's own top-2, so the anti-join must bite
+    top2 = {
+        q: list(reader.search(q, k=2, mode="or").to_pandas()["doc_id"])
+        for q in ("spark window", "customer query big")
+    }
+    got = extras.mine_hard_negatives(reader, top2, k=5, mode="or")
+    exp = con.execute(oracle.hard_negatives_sql("documents", top2, 5)).fetchdf()
+    got_s = got.sort_values(["query", "rank"]).reset_index(drop=True)
+    exp_s = exp.sort_values(["query", "rank"]).reset_index(drop=True)
+    assert list(got_s["doc_id"]) == list(exp_s["doc_id"])
+    np.testing.assert_allclose(got_s["score"], exp_s["score"], atol=1e-9)
+    # no positive leaks into its own negatives
+    for q, pos in top2.items():
+        assert not set(got[got["query"] == q]["doc_id"]) & set(pos)
