@@ -2096,6 +2096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_stats": lambda sf: _transcripts_mod.role_stats(_tds(sf)),
         "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
         "conv_tail": lambda sf: _transcripts_mod.conv_tail(_tds(sf)),
+        "sft_examples": lambda sf: _transcripts_mod.sft_examples(_tds(sf)),
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -2843,6 +2844,7 @@ def oracle_sql() -> dict[str, str]:
         "role_stats": _transcripts_mod.role_stats_sql(_tsrc),
         "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),
         "conv_tail": _transcripts_mod.conv_tail_sql(_tsrc),
+        "sft_examples": _transcripts_mod.sft_examples_sql(_tsrc),
         "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),

@@ -149,6 +149,91 @@ FROM flat ORDER BY conv_id
 """.strip()
 
 
+def sft_examples(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Supervised-fine-tuning example assembly: one training example per
+    ASSISTANT turn — prompt = every prior turn flattened ``role: text`` and
+    newline-joined, completion = that turn's text. The canonical
+    transcript→SFT emission (each assistant reply supervised on its full
+    left context).
+
+    Assembled prompt text never leaves the tasks: each example row carries
+    (prompt_chars, prompt_md5, completion_chars, completion_md5) only.
+    Prefix assembly is sequential per conversation by nature; the Python
+    cost is O(total prompt chars) per bucket, paid inside the bucketed
+    map_groups like every order-dependent op here. Assistant turns at
+    turn_idx 0 have no context and are skipped (parity: SQL's window frame
+    yields NULL there)."""
+
+    def emit(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "turn_idx": pa.array([], pa.int64()),
+            "prompt_chars": pa.array([], pa.int64()),
+            "prompt_md5": pa.array([], pa.string()),
+            "completion_chars": pa.array([], pa.int64()),
+            "completion_md5": pa.array([], pa.string()),
+        })
+        if tbl.num_rows == 0:
+            return empty
+        lines = pc.binary_join_element_wise(
+            tbl["role"].combine_chunks(), tbl["text"].combine_chunks(), ": "
+        ).to_pylist()
+        roles = tbl["role"].combine_chunks().to_pylist()
+        texts = tbl["text"].combine_chunks().to_pylist()
+        convs = tbl["conv_id"].combine_chunks().to_pylist()
+        tidx = np.asarray(tbl["turn_idx"].combine_chunks())
+        rows_c, rows_t, rows_pc_, rows_pm, rows_cc, rows_cm = [], [], [], [], [], []
+        for s, e in zip(off[:-1], off[1:]):
+            prompt = ""
+            for i in range(s, e):
+                if roles[i] == "assistant" and prompt:
+                    rows_c.append(convs[i])
+                    rows_t.append(int(tidx[i]))
+                    rows_pc_.append(len(prompt))
+                    rows_pm.append(hashlib.md5(prompt.encode()).hexdigest())
+                    rows_cc.append(len(texts[i]))
+                    rows_cm.append(hashlib.md5(texts[i].encode()).hexdigest())
+                prompt = prompt + ("\n" if prompt else "") + lines[i]
+        if not rows_c:
+            return empty
+        return pa.table({
+            "conv_id": pa.array(rows_c, pa.string()),
+            "turn_idx": pa.array(rows_t, pa.int64()),
+            "prompt_chars": pa.array(rows_pc_, pa.int64()),
+            "prompt_md5": pa.array(rows_pm, pa.string()),
+            "completion_chars": pa.array(rows_cc, pa.int64()),
+            "completion_md5": pa.array(rows_cm, pa.string()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(emit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def sft_examples_sql(src: str) -> str:
+    return f"""
+WITH pre AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(role || ': ' || text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prompt
+  FROM {src}
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+       CAST(length(prompt) AS BIGINT) AS prompt_chars, md5(prompt) AS prompt_md5,
+       CAST(length(text) AS BIGINT) AS completion_chars, md5(text) AS completion_md5
+FROM pre
+WHERE role = 'assistant' AND prompt IS NOT NULL
+ORDER BY conv_id, turn_idx
+""".strip()
+
+
 def conv_tail(ds, *, k: int = 3, n_buckets: int = 64) -> pd.DataFrame:
     """Last ``k`` turns of every conversation (context-window truncation:
     keep the most recent turns, the shape used to cap prompt length when

@@ -175,8 +175,9 @@ def _oracle_df(sql: str) -> pd.DataFrame:
         (tmod.tool_usage, tmod.tool_usage_sql, ["tool"]),
         (tmod.conv_tail, tmod.conv_tail_sql, ["conv_id", "turn_idx"]),
         (tmod.role_transitions, tmod.role_transitions_sql, ["prev_role", "role"]),
+        (tmod.sft_examples, tmod.sft_examples_sql, ["conv_id", "turn_idx"]),
     ],
-    ids=["flatten", "stats", "roles", "tools", "tail", "transitions"],
+    ids=["flatten", "stats", "roles", "tools", "tail", "transitions", "sft"],
 )
 def test_transcript_analytics_vs_oracle(transcripts_dir, fn, sql_fn, sort_cols):
     ds = rd.read_parquet(transcripts_dir)
