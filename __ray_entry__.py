@@ -2097,6 +2097,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
         "conv_tail": lambda sf: _transcripts_mod.conv_tail(_tds(sf)),
         "sft_examples": lambda sf: _transcripts_mod.sft_examples(_tds(sf)),
+        "conv_fit_context": lambda sf: _transcripts_mod.conv_fit_context(_tds(sf)),
+        "merge_turns": lambda sf: _transcripts_mod.merge_consecutive_turns(_tds(sf)),
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -2845,6 +2847,8 @@ def oracle_sql() -> dict[str, str]:
         "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),
         "conv_tail": _transcripts_mod.conv_tail_sql(_tsrc),
         "sft_examples": _transcripts_mod.sft_examples_sql(_tsrc),
+        "conv_fit_context": _transcripts_mod.conv_fit_context_sql(_tsrc),
+        "merge_turns": _transcripts_mod.merge_consecutive_turns_sql(_tsrc),
         "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),

@@ -285,6 +285,153 @@ ORDER BY conv_id, turn_idx
 """.strip()
 
 
+def conv_fit_context(ds, *, budget: int = 48, n_buckets: int = 64) -> pd.DataFrame:
+    """Token-budget context fitting: each conversation's maximal SUFFIX of
+    turns whose total token count stays within ``budget`` — the
+    budget-aware sibling of ``conv_tail`` (count-based) and the rule prompt
+    assembly actually needs when turns vary in length. Token counts use the
+    shared analyzer, so the engine and oracle count identically.
+
+    The keep-set is provably a suffix (suffix sums are non-increasing in
+    turn order), so the whole op is one vectorized pass per bucket: token
+    counts → global cumsum → per-conversation suffix sums → mask. A
+    conversation whose last turn alone busts the budget contributes no
+    rows (both sides)."""
+
+    def fit(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+            })
+        ntok = analyzer.doc_token_counts(tbl["text"])
+        cs = np.cumsum(ntok)
+        lens = np.diff(off)
+        end_cs = np.repeat(cs[off[1:] - 1], lens)
+        suffix = end_cs - (cs - ntok)
+        keep = suffix <= budget
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        sub = tbl.take(idx)
+        return pa.table({
+            "conv_id": sub["conv_id"].combine_chunks(),
+            "turn_idx": sub["turn_idx"].combine_chunks().cast(pa.int64()),
+            "role": sub["role"].combine_chunks(),
+            "n_tokens": pa.array(ntok[keep], pa.int64()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(fit, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def conv_fit_context_sql(src: str, *, budget: int = 48) -> str:
+    tok = analyzer.sql_tokenize_expr("text")
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, len({tok}) AS n_tokens FROM {src}
+),
+s AS (
+  SELECT *, sum(n_tokens) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx DESC ROWS UNBOUNDED PRECEDING
+  ) AS sfx FROM t
+)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CAST(n_tokens AS BIGINT) AS n_tokens
+FROM s WHERE sfx <= {budget}
+ORDER BY conv_id, turn_idx
+""".strip()
+
+
+def merge_consecutive_turns(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Role-alternation repair: collapse each run of consecutive same-role
+    turns into one merged turn (texts newline-joined in turn order) — the
+    normalization chat-template training needs before strict user/assistant
+    alternation can be assumed. Emits one row per run: (conv_id, run_idx,
+    role, n_merged, n_chars, text_md5); merged text stays inside the tasks.
+
+    Vectorized per bucket: one (conv, role)-change boundary diff defines
+    the runs, one Arrow list-gather + binary_join builds every merged text,
+    run_idx is an arange minus per-conversation offsets."""
+
+    def merge(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "run_idx": pa.array([], pa.int64()),
+                "role": pa.array([], pa.string()),
+                "n_merged": pa.array([], pa.int64()),
+                "n_chars": pa.array([], pa.int64()),
+                "text_md5": pa.array([], pa.string()),
+            })
+        n = tbl.num_rows
+        roles = np.asarray(tbl["role"].combine_chunks().to_pylist(), dtype=object)
+        change = np.zeros(n, dtype=bool)
+        change[off[:-1]] = True  # conversation starts
+        change[1:] |= roles[1:] != roles[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], n)
+        text = tbl["text"].combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.append(starts, n), pa.int32()), text
+        )
+        joined = pc.binary_join(lists, "\n")
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in joined.to_pylist()]
+        run_conv = tbl["conv_id"].combine_chunks().take(pa.array(starts, pa.int64()))
+        # run_idx: position of the run within its conversation
+        conv_first_run = np.searchsorted(starts, off[:-1])
+        n_runs_per_conv = np.diff(np.append(conv_first_run, starts.size))
+        run_idx = np.arange(starts.size, dtype=np.int64) - np.repeat(
+            conv_first_run, n_runs_per_conv
+        )
+        return pa.table({
+            "conv_id": run_conv,
+            "run_idx": pa.array(run_idx, pa.int64()),
+            "role": pa.array(roles[starts], pa.string()),
+            "n_merged": pa.array(ends - starts, pa.int64()),
+            "n_chars": pc.utf8_length(joined).cast(pa.int64()),
+            "text_md5": pa.array(md5, pa.string()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(merge, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return out.sort_values(["conv_id", "run_idx"]).reset_index(drop=True)
+
+
+def merge_consecutive_turns_sql(src: str) -> str:
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn,
+         row_number() OVER (PARTITION BY conv_id, role ORDER BY turn_idx) AS rr
+  FROM {src}
+),
+g AS (
+  SELECT conv_id, role, rn - rr AS grp, min(rn) AS first_rn,
+         count(*) AS n_merged,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS joined
+  FROM t GROUP BY conv_id, role, rn - rr
+)
+SELECT conv_id,
+       CAST(row_number() OVER (PARTITION BY conv_id ORDER BY first_rn) - 1
+            AS BIGINT) AS run_idx,
+       role, CAST(n_merged AS BIGINT) AS n_merged,
+       CAST(length(joined) AS BIGINT) AS n_chars, md5(joined) AS text_md5
+FROM g ORDER BY conv_id, run_idx
+""".strip()
+
+
 def role_transitions(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     """(prev_role → role) turn-taking transition counts within
     conversations (who speaks after whom — the conversational analog of

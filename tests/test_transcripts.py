@@ -176,8 +176,12 @@ def _oracle_df(sql: str) -> pd.DataFrame:
         (tmod.conv_tail, tmod.conv_tail_sql, ["conv_id", "turn_idx"]),
         (tmod.role_transitions, tmod.role_transitions_sql, ["prev_role", "role"]),
         (tmod.sft_examples, tmod.sft_examples_sql, ["conv_id", "turn_idx"]),
+        (tmod.conv_fit_context, tmod.conv_fit_context_sql, ["conv_id", "turn_idx"]),
+        (tmod.merge_consecutive_turns, tmod.merge_consecutive_turns_sql,
+         ["conv_id", "run_idx"]),
     ],
-    ids=["flatten", "stats", "roles", "tools", "tail", "transitions", "sft"],
+    ids=["flatten", "stats", "roles", "tools", "tail", "transitions", "sft",
+         "fitctx", "mergeturns"],
 )
 def test_transcript_analytics_vs_oracle(transcripts_dir, fn, sql_fn, sort_cols):
     ds = rd.read_parquet(transcripts_dir)
