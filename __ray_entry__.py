@@ -338,6 +338,17 @@ def _wildcard(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+REGEXP_PATTERN = "s.*k|wind.w"  # RE2, fully anchored per Lucene regexp rules
+
+
+def _regexp_search(sf_dir: str) -> pd.DataFrame:
+    """ES regexp query: anchored RE2 dictionary expansion, OR-scored."""
+    root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search_regexp(REGEXP_PATTERN, k=10).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _search_random(sf_dir: str) -> pd.DataFrame:
     """Seeded random sampling of AND-matches (function_score random_score)."""
     from harvester_ray.index import extras as _extras
@@ -2070,6 +2081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "significant_terms": _significant_terms,
         "rescore_topk": _rescore,
         "wildcard_search": _wildcard,
+        "regexp_search": _regexp_search,
         "random_sample_search": _search_random,
         "federated_search": _federated_search,
         "quality_model_scores": _quality_scores,
@@ -2608,6 +2620,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "wildcard_search": index_oracle.bm25_expansion_sql(
             "documents", "term LIKE '%art%'", 10
+        ),
+        "regexp_search": index_oracle.bm25_expansion_sql(
+            "documents", f"regexp_full_match(term, '{REGEXP_PATTERN}')", 10
         ),
         "random_sample_search": index_oracle.search_random_sql(
             "documents", BM25_QUERY_AND, seed=7, k=10, mode="and"

@@ -758,6 +758,30 @@ class IndexReader:
             return _empty_result()
         return self._search_terms(terms, k, "or")
 
+    def search_regexp(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> pa.Table:
+        """ES ``regexp`` query: the pattern is FULLY ANCHORED against each
+        dictionary term (Lucene regexp semantics), expanded with one
+        vectorized RE2 kernel per segment, capped at ``max_expansions``
+        distinct terms lexicographically, scored as a disjunction with
+        per-term idf. Both Arrow and DuckDB run RE2, so the oracle
+        (``regexp_full_match``) sees the identical term set for any RE2
+        pattern."""
+        raw = pattern.strip().lower()
+        if not raw:
+            return _empty_result()
+        anchored = f"^(?:{raw})$"
+        expanded: set[str] = set()
+        for seg_meta in self.manifest["segments"]:
+            seg = self._segment(seg_meta)
+            hit = pc.match_substring_regex(seg._term_strings, anchored)
+            expanded.update(seg._term_strings.filter(hit).to_pylist())
+        terms = sorted(expanded)[:max_expansions]
+        if not terms:
+            return _empty_result()
+        return self._search_terms(terms, k, "or")
+
     def msearch(
         self,
         queries: list[str],

@@ -249,3 +249,23 @@ def test_fuzzy_search_matches_oracle(attr_index, con):
     ).fetchdf()
     assert list(got["doc_id"]) == list(exp["doc_id"])
     np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+
+
+def test_regexp_search_matches_oracle(attr_index, con):
+    got = (
+        query.IndexReader(attr_index)
+        .search_regexp("s.*k|wind.w", k=15)
+        .to_pandas()
+    )
+    exp = con.execute(
+        oracle.bm25_expansion_sql(
+            "documents", "regexp_full_match(term, 's.*k|wind.w')", 15,
+            round_digits=12,
+        )
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], rtol=1e-9)
+    # anchored: 'par' must NOT match 'spark' (substring would)
+    r = query.IndexReader(attr_index)
+    assert r.search_regexp("par", k=5).num_rows == 0
+    assert r.search_regexp("", k=5).num_rows == 0
