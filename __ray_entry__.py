@@ -121,6 +121,14 @@ def _phrase_suggest_sql_entry() -> str:
     return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
 
 
+def _match_fuzzy_sql_entry() -> str:
+    from harvester_ray.index import extras as _extras
+
+    return index_oracle.bm25_expansion_sql(
+        "documents", _extras.match_fuzzy_predicate_sql(MATCH_FUZZY_QUERY), 10
+    )
+
+
 # (query → known-positive doc ids) fixture; ids are the sf0.01 top-2 hits so
 # the anti-join visibly reshapes the result at the gate scale (at other sfs
 # the ids are arbitrary labels — both sides exclude the same set either way)
@@ -339,6 +347,17 @@ def _wildcard(sf_dir: str) -> pd.DataFrame:
 
 
 REGEXP_PATTERN = "s.*k|wind.w"  # RE2, fully anchored per Lucene regexp rules
+MATCH_FUZZY_QUERY = "spork windov"  # both tokens one edit off the vocabulary
+
+
+def _match_fuzzy(sf_dir: str) -> pd.DataFrame:
+    """Multi-token fuzzy match (ES match + fuzziness): per-token edit
+    expansion, union capped at 50, OR-scored with per-term idf."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.match_fuzzy(
+        index_query.IndexReader(_documents_index(sf_dir)), MATCH_FUZZY_QUERY, k=10
+    )
 
 
 def _regexp_search(sf_dir: str) -> pd.DataFrame:
@@ -2082,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rescore_topk": _rescore,
         "wildcard_search": _wildcard,
         "regexp_search": _regexp_search,
+        "match_fuzzy": _match_fuzzy,
         "random_sample_search": _search_random,
         "federated_search": _federated_search,
         "quality_model_scores": _quality_scores,
@@ -2624,6 +2644,7 @@ def oracle_sql() -> dict[str, str]:
         "regexp_search": index_oracle.bm25_expansion_sql(
             "documents", f"regexp_full_match(term, '{REGEXP_PATTERN}')", 10
         ),
+        "match_fuzzy": _match_fuzzy_sql_entry(),
         "random_sample_search": index_oracle.search_random_sql(
             "documents", BM25_QUERY_AND, seed=7, k=10, mode="and"
         ),

@@ -663,6 +663,76 @@ def fuzzy_search(
     return reader._search_terms(terms, k, "or").to_pandas()
 
 
+def match_fuzzy(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    k: int = 10,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+) -> pd.DataFrame:
+    """Multi-token fuzzy match (ES ``match`` with ``fuzziness``): every
+    query token expands to the dictionary terms within ``max_edits``
+    Levenshtein edits (same prefix-bounded candidate walk as
+    ``fuzzy_search``; an exact-vocabulary token contributes at least
+    itself), the UNION of expansions is capped at ``max_expansions``
+    lexicographically (Lucene rewrite cap) and scored as one disjunction
+    with per-term idf — so a typo'd token still contributes its neighbors'
+    postings next to the clean tokens'."""
+    from .query import _term_prefix_range
+
+    toks = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not toks:
+        return empty
+    union: set[str] = set()
+    for tok in toks:
+        if len(tok) < prefix_length:
+            continue
+        prefix = tok[:prefix_length]
+        cands: set[str] = set()
+        for seg_meta in reader.manifest["segments"]:
+            seg = reader._segment(seg_meta)
+            lo, hi = _term_prefix_range(seg, prefix)
+            if hi > lo:
+                cands.update(seg._term_strings.slice(lo, hi - lo).to_pylist())
+        cand_list = sorted(c for c in cands if abs(len(c) - len(tok)) <= max_edits)
+        if not cand_list:
+            continue
+        dists = _levenshtein_batch(tok, cand_list)
+        union.update(c for c, d in zip(cand_list, dists) if d <= max_edits)
+    terms = sorted(union)[:max_expansions]
+    if not terms:
+        return empty
+    out = reader._search_terms(terms, k, "or").to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def match_fuzzy_predicate_sql(
+    query_text: str,
+    *,
+    max_edits: int = 1,
+    prefix_length: int = 1,
+) -> str:
+    """The term predicate for oracle.bm25_expansion_sql matching
+    ``match_fuzzy``'s per-token candidate rules."""
+    toks = sorted(set(analyzer.tokenize_query(query_text)))
+    parts = []
+    for tok in toks:
+        if len(tok) < prefix_length:
+            continue
+        lit = tok.replace("'", "''")
+        parts.append(
+            f"(substr(term, 1, {prefix_length}) = substr('{lit}', 1, {prefix_length}) "
+            f"AND abs(length(term) - length('{lit}')) <= {max_edits} "
+            f"AND levenshtein(term, '{lit}') <= {max_edits})"
+        )
+    return " OR ".join(parts) if parts else "1=0"
+
+
 def explain(reader: IndexReader, query_text: str, doc_id: int | None = None) -> pd.DataFrame:
     """Per-term BM25 score breakdown for one document (the ES ``_explain``
     API, which the reference exposes indirectly through OpenSearch's

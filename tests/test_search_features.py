@@ -269,3 +269,23 @@ def test_regexp_search_matches_oracle(attr_index, con):
     r = query.IndexReader(attr_index)
     assert r.search_regexp("par", k=5).num_rows == 0
     assert r.search_regexp("", k=5).num_rows == 0
+
+
+def test_match_fuzzy_matches_oracle(attr_index, con):
+    from harvester_ray.index import extras
+
+    got = extras.match_fuzzy(
+        query.IndexReader(attr_index), "spork windov", k=15
+    )
+    pred = extras.match_fuzzy_predicate_sql("spork windov")
+    exp = con.execute(
+        oracle.bm25_expansion_sql("documents", pred, 15)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # clean query: expansions include the exact terms, so every exact-AND
+    # hit is present in the fuzzy result set
+    r = query.IndexReader(attr_index)
+    fz = extras.match_fuzzy(r, "spark window", k=10**6)
+    exact = r.search("spark window", k=10**6, mode="and").to_pandas()
+    assert set(exact["doc_id"]).issubset(set(fz["doc_id"]))
