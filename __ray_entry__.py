@@ -593,28 +593,48 @@ def _conv_has_child(sf_dir: str) -> pd.DataFrame:
     TURN-level index, conversations ranked by the integer-quantized sum of
     their matching turns' scores. The parent key rides as an attribute
     column, so the same turn index answers both granularities."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_parents(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        parent_field="conv_id", k=10, mode="or", score_mode="sum",
+    )
+
+
+def _turnattr_index() -> str:
+    """Turn-level index with (conv_id, ts) attribute columns — shared by
+    the parent-child and date-histogram gates."""
     import ray.data as rd
 
     from harvester_ray import corpus as _corpus
-    from harvester_ray.index import extras as _extras
     from harvester_ray.index import manifest as mf
 
     data_dir = _transcripts_dir()
-    root = os.path.join(_SCRATCH, "turnattr-index")
+    root = os.path.join(_SCRATCH, "turnattr2-index")
     if mf.current_version(root) is None:
         paths = sorted(
             os.path.join(data_dir, f)
             for f in os.listdir(data_dir)
             if f.endswith(".parquet")
         )
-        ds = rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "text"])
+        ds = rd.read_parquet(
+            data_dir, columns=["conv_id", "turn_idx", "text", "ts"]
+        )
         ds = _corpus.assign_doc_ids(ds, counts=_corpus.conv_counts_from_files(paths))
         index_build.build_index(
-            ds, root, input_desc=data_dir, attr_cols=["conv_id"]
+            ds, root, input_desc=data_dir, attr_cols=["conv_id", "ts"]
         )
-    return _extras.search_parents(
-        index_query.IndexReader(root), HAS_CHILD_QUERY,
-        parent_field="conv_id", k=10, mode="or", score_mode="sum",
+    return root
+
+
+def _date_histogram(sf_dir: str) -> pd.DataFrame:
+    """ES date_histogram over the match set: hourly buckets of matching
+    turns from the ts attribute column."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.date_histogram(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", interval_us=3_600_000_000, mode="or",
     )
 
 
@@ -757,10 +777,10 @@ def _transcript_docp_sql_head(glob: str) -> str:
     """Like _transcript_doc_sql_head but the doc table keeps the parent key
     (conv_id) — the has_child oracle groups by it."""
     return (
-        f"WITH tsrc AS (SELECT conv_id, turn_idx, text FROM read_parquet('{glob}')), "
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, text, ts FROM read_parquet('{glob}')), "
         "tcnt AS (SELECT conv_id, count(*) AS n FROM tsrc GROUP BY conv_id), "
         "tbase AS (SELECT conv_id, CAST(sum(n) OVER (ORDER BY conv_id) - n AS BIGINT) AS base FROM tcnt), "
-        "tdocp AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text, s.conv_id "
+        "tdocp AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text, s.conv_id, s.ts "
         "FROM tsrc s JOIN tbase b USING (conv_id))"
     )
 
@@ -2131,6 +2151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_examples": lambda sf: _transcripts_mod.sft_examples(_tds(sf)),
         "conv_fit_context": lambda sf: _transcripts_mod.conv_fit_context(_tds(sf)),
         "merge_turns": lambda sf: _transcripts_mod.merge_consecutive_turns(_tds(sf)),
+        "date_histogram": _date_histogram,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -2875,6 +2896,10 @@ def oracle_sql() -> dict[str, str]:
         "conv_has_child": index_oracle.has_child_sql(
             "tdocp", HAS_CHILD_QUERY, parent_col="conv_id", k=10,
             mode="or", score_mode="sum",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "date_histogram": index_oracle.date_histogram_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts",
+            interval_us=3_600_000_000, mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),

@@ -949,6 +949,58 @@ def terms_agg(
     ]
 
 
+def date_histogram(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``date_histogram`` aggregation over the match set: fixed-interval
+    time buckets of matching docs, from the timestamp attribute column (no
+    text touched). Per segment one unscored match enumeration + one
+    floor-div bincount; only (bucket, count) partials leave a segment, so
+    the merge is bounded by the time range, never the match count. Bucket
+    keys are epoch-microsecond integers (``(epoch_us // interval) ·
+    interval``) — exact on both sides."""
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({
+        "bucket_us": pd.Series(dtype=np.int64),
+        "doc_count": pd.Series(dtype=np.int64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    partials: list[pd.DataFrame] = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        ts = seg.attr_values(ts_field, docs)
+        ts_int = ts.astype("datetime64[us]").astype(np.int64)
+        bucket = (ts_int // interval_us) * interval_us
+        uniq, counts = np.unique(bucket, return_counts=True)
+        partials.append(pd.DataFrame({"bucket_us": uniq, "doc_count": counts}))
+    if not partials:
+        return empty
+    out = (
+        pd.concat(partials)
+        .groupby("bucket_us", as_index=False)["doc_count"].sum()
+        .sort_values("bucket_us")
+        .reset_index(drop=True)
+    )
+    out["bucket_us"] = out["bucket_us"].astype(np.int64)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
 def search_boosting(
     reader: IndexReader,
     positive: str,

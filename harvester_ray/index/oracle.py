@@ -613,6 +613,34 @@ LIMIT {k}
 """.strip()
 
 
+def date_histogram_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.date_histogram: epoch-µs floor-div buckets over
+    the match set, exact integer keys and counts."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having})
+SELECT (epoch_us(d.{ts_col}) // {interval_us}) * {interval_us} AS bucket_us,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+GROUP BY bucket_us
+ORDER BY bucket_us
+""".strip()
+
+
 def terms_agg_sql(
     table: str,
     query_text: str,

@@ -289,3 +289,32 @@ def test_match_fuzzy_matches_oracle(attr_index, con):
     fz = extras.match_fuzzy(r, "spark window", k=10**6)
     exact = r.search("spark window", k=10**6, mode="and").to_pandas()
     assert set(exact["doc_id"]).issubset(set(fz["doc_id"]))
+
+
+def test_date_histogram_matches_oracle(tmp_path_factory, con):
+    import pandas as pd
+
+    from harvester_ray.index import extras, oracle
+
+    root = str(tmp_path_factory.mktemp("dh_idx"))
+    base = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": ["alpha beta"] * 6 + ["gamma only"] * 2,
+        "ts": pd.to_datetime([
+            "2024-01-01 00:10", "2024-01-01 00:50", "2024-01-01 01:05",
+            "2024-01-01 03:59", "2024-01-02 00:00", "2024-01-01 00:30",
+            "2024-01-01 02:00", "2024-01-01 02:30",
+        ]),
+    })
+    build.build_index(rd.from_pandas(base), root, concurrency=2, attr_cols=["ts"])
+    got = extras.date_histogram(
+        query.IndexReader(root), "alpha", interval_us=3_600_000_000
+    )
+    c = duckdb.connect()
+    c.register("dhsrc", base)
+    exp = c.execute(
+        oracle.date_histogram_sql("dhsrc", "alpha", interval_us=3_600_000_000)
+    ).fetchdf()
+    assert list(got["bucket_us"]) == list(exp["bucket_us"])
+    np.testing.assert_array_equal(got["doc_count"], exp["doc_count"])
+    assert got["doc_count"].sum() == 6  # only the alpha docs
