@@ -160,6 +160,17 @@ def _phrase_suggest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _top_hits(sf_dir: str) -> pd.DataFrame:
+    """ES top_hits aggregation: groups ranked by best hit, top-3 docs per
+    group (the N-per-group generalization of collapse)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.top_hits(
+        index_query.IndexReader(_documents_index(sf_dir)),
+        BM25_QUERY_OR, field="source", per_group=3, n_groups=5, mode="or",
+    )
+
+
 def _terms_agg(sf_dir: str) -> pd.DataFrame:
     """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
     The shard_size approximation contract is unit-tested (test_extras)."""
@@ -2107,6 +2118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": _bm25_boosting,
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
+        "top_hits": _top_hits,
         "phrase_suggest": _phrase_suggest,
         "hard_negatives": _hard_negatives,
         "bm25_msm": _bm25_msm,
@@ -2618,6 +2630,10 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
         "phrase_suggest": _phrase_suggest_sql_entry(),
+        "top_hits": index_oracle.top_hits_sql(
+            "documents", BM25_QUERY_OR, field="source", per_group=3,
+            n_groups=5, mode="or",
+        ),
         "hard_negatives": index_oracle.hard_negatives_sql(
             "documents", HARD_NEG_PAIRS, k=5, mode="or"
         ),

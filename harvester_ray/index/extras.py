@@ -1177,6 +1177,111 @@ def search_parents(
     return merged[[parent_field, "score", "n_hits"]].reset_index(drop=True)
 
 
+def top_hits(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    per_group: int = 3,
+    n_groups: int = 5,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``top_hits`` aggregation (the N-per-group generalization of
+    ``collapse``): groups ranked by their best hit, each carrying its own
+    top ``per_group`` docs. Per segment the match set reduces to at most
+    ``per_group`` rows per group before leaving (sort + run-position mask),
+    so the merge fan-in is O(segments × groups × per_group). Scores round
+    to 4 before any selection, ties by doc_id asc — identical on both
+    sides."""
+    from .query import or_exhaustive
+
+    empty = pd.DataFrame({
+        field: pd.Series(dtype=object),
+        "group_rank": pd.Series(dtype=np.int64),
+        "hit_rank": pd.Series(dtype=np.int64),
+        "doc_id": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    dfs = reader.df(terms)
+    if mode == "and" and any(dfs[t] == 0 for t in terms):
+        return empty
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    msm = len(live) if mode == "and" else None
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries or (mode == "and" and len(entries) < len(live)):
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31,
+            exclude=exclude, min_should_match=msm,
+        )
+        if docs.size == 0:
+            continue
+        scores = np.round(scores, 4)
+        vals = seg.attr_values(field, docs)
+        order = np.lexsort((docs, -scores, vals))
+        vals, docs, scores = vals[order], docs[order], scores[order]
+        first = np.empty(vals.size, dtype=bool)
+        first[0] = True
+        first[1:] = vals[1:] != vals[:-1]
+        run_first = np.zeros(vals.size, dtype=np.int64)
+        starts = np.flatnonzero(first)
+        run_first[starts] = starts
+        np.maximum.accumulate(run_first, out=run_first)
+        pos = np.arange(vals.size, dtype=np.int64) - run_first
+        keep = pos < per_group
+        parts.append((vals[keep], docs[keep], scores[keep]))
+    if not parts:
+        return empty
+    vals = np.concatenate([p[0] for p in parts])
+    docs = np.concatenate([p[1] for p in parts])
+    scores = np.concatenate([p[2] for p in parts])
+    order = np.lexsort((docs, -scores, vals))
+    vals, docs, scores = vals[order], docs[order], scores[order]
+    first = np.empty(vals.size, dtype=bool)
+    first[0] = True
+    first[1:] = vals[1:] != vals[:-1]
+    starts = np.flatnonzero(first)
+    run_first = np.zeros(vals.size, dtype=np.int64)
+    run_first[starts] = starts
+    np.maximum.accumulate(run_first, out=run_first)
+    hit_rank = np.arange(vals.size, dtype=np.int64) - run_first + 1
+    keep = hit_rank <= per_group
+    vals, docs, scores, hit_rank = vals[keep], docs[keep], scores[keep], hit_rank[keep]
+    # group rank = order of each group's best (score desc, doc asc)
+    first = np.empty(vals.size, dtype=bool)
+    first[0] = True
+    first[1:] = vals[1:] != vals[:-1]
+    gstarts = np.flatnonzero(first)
+    border = np.lexsort((docs[gstarts], -scores[gstarts]))
+    grank_of_group = np.empty(border.size, dtype=np.int64)
+    grank_of_group[border] = np.arange(1, border.size + 1)
+    group_idx = np.cumsum(first) - 1
+    grank = grank_of_group[group_idx]
+    keep = grank <= n_groups
+    out = pd.DataFrame({
+        field: vals[keep],
+        "group_rank": grank[keep],
+        "hit_rank": hit_rank[keep],
+        "doc_id": docs[keep],
+        "score": scores[keep],
+    })
+    return out.sort_values(["group_rank", "hit_rank"]).reset_index(drop=True)
+
+
 def significant_terms(
     reader: IndexReader,
     query_text: str,

@@ -750,6 +750,46 @@ LIMIT {k}
 """.strip()
 
 
+def top_hits_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    per_group: int = 3,
+    n_groups: int = 5,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.top_hits: per-group row_number over the rounded
+    full ranking, groups ranked by their best hit."""
+    base = bm25_sql(table, query_text, 2147483647, mode=mode,
+                    id_col=id_col, text_col=text_col)
+    return f"""
+WITH res AS (
+{base}
+),
+r AS (
+  SELECT d.{field} AS {field}, res.doc_id, res.score,
+         CAST(row_number() OVER (
+           PARTITION BY d.{field}
+           ORDER BY res.score DESC, res.doc_id ASC
+         ) AS BIGINT) AS hit_rank
+  FROM res JOIN {table} d ON d.{id_col} = res.doc_id
+),
+g AS (
+  SELECT {field},
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+           AS group_rank
+  FROM r WHERE hit_rank = 1
+)
+SELECT r.{field}, g.group_rank, r.hit_rank, r.doc_id, r.score
+FROM r JOIN g USING ({field})
+WHERE g.group_rank <= {n_groups} AND r.hit_rank <= {per_group}
+ORDER BY g.group_rank, r.hit_rank
+""".strip()
+
+
 def significant_terms_sql(
     table: str,
     query_text: str,

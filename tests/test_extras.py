@@ -417,3 +417,28 @@ def test_mine_hard_negatives_matches_oracle(idx, con):
     # no positive leaks into its own negatives
     for q, pos in top2.items():
         assert not set(got[got["query"] == q]["doc_id"]) & set(pos)
+
+
+def test_top_hits_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for mode in ("or", "and"):
+        got = extras.top_hits(
+            reader, "spark window", field="source", per_group=3,
+            n_groups=5, mode=mode,
+        )
+        exp = con.execute(
+            oracle.top_hits_sql(
+                "documents", "spark window", field="source", per_group=3,
+                n_groups=5, mode=mode,
+            )
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), mode
+        np.testing.assert_array_equal(got["group_rank"], exp["group_rank"])
+        np.testing.assert_array_equal(got["hit_rank"], exp["hit_rank"])
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # group_rank 1's hit_rank 1 is the global best hit (collapse parity)
+    col = extras.search_collapse(reader, "spark window", field="source", k=1)
+    top = got[(got["group_rank"] == 1) & (got["hit_rank"] == 1)]
+    assert top["doc_id"].iloc[0] == col["doc_id"].iloc[0]
