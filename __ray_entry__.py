@@ -638,6 +638,30 @@ def _turnattr_index() -> str:
     return root
 
 
+RANGE_GTE = "2023-11-16 00:00:00"
+RANGE_LT = "2023-11-20 00:00:00"
+
+
+def _bm25_range(sf_dir: str) -> pd.DataFrame:
+    """Range query in filter context (ES ``range`` on a date field): BM25
+    ranking restricted to turns inside [gte, lt); scoring stats unchanged
+    (filter-context parity, like bm25_filtered)."""
+    import pandas as pd_
+
+    out = (
+        index_query.IndexReader(_turnattr_index())
+        .search(
+            HAS_CHILD_QUERY, k=10, mode="or",
+            filters={"ts": {
+                "gte": pd_.Timestamp(RANGE_GTE), "lt": pd_.Timestamp(RANGE_LT),
+            }},
+        )
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _date_histogram(sf_dir: str) -> pd.DataFrame:
     """ES date_histogram over the match set: hourly buckets of matching
     turns from the ts attribute column."""
@@ -2164,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_fit_context": lambda sf: _transcripts_mod.conv_fit_context(_tds(sf)),
         "merge_turns": lambda sf: _transcripts_mod.merge_consecutive_turns(_tds(sf)),
         "date_histogram": _date_histogram,
+        "bm25_range": _bm25_range,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -2916,6 +2941,14 @@ def oracle_sql() -> dict[str, str]:
         "date_histogram": index_oracle.date_histogram_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts",
             interval_us=3_600_000_000, mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "bm25_range": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("tdocp", HAS_CHILD_QUERY, 100000, mode="or")
+            + ") SELECT r.doc_id, r.score FROM ranked r "
+            "JOIN tdocp d ON d.doc_id = r.doc_id "
+            f"WHERE d.ts >= TIMESTAMP '{RANGE_GTE}' AND d.ts < TIMESTAMP '{RANGE_LT}' "
+            "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),

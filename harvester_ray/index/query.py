@@ -266,20 +266,35 @@ class SegmentReader:
         idx = np.searchsorted(self.doc_ids, docs)
         return np.asarray(self.attrs[col].take(pa.array(idx)))
 
-    def allowed_docs(self, filters: dict[str, list] | None) -> np.ndarray | None:
+    def allowed_docs(self, filters: dict | None) -> np.ndarray | None:
         """Facet filters → sorted allowed doc-id array. Semantics mirror the
         reference API: OR within a field's value list, AND across fields
-        (search/views/document.py:70-94). Filters do not affect scoring
-        stats (OpenSearch filter-context parity)."""
+        (search/views/document.py:70-94). A field's spec may instead be a
+        RANGE dict with ``gte``/``gt``/``lte``/``lt`` bounds (the ES
+        ``range`` query in filter context), AND-combined. Filters do not
+        affect scoring stats (OpenSearch filter-context parity)."""
         if not filters:
             return None
+        _RANGE_OPS = {
+            "gte": pc.greater_equal, "gt": pc.greater,
+            "lte": pc.less_equal, "lt": pc.less,
+        }
         mask = np.ones(self.doc_ids.size, dtype=bool)
-        for col, values in filters.items():
+        for col, spec in filters.items():
             if col not in self.attrs:
                 raise KeyError(
                     f"filter field {col!r} not stored — build with attr_cols=[{col!r}]"
                 )
-            ok = pc.is_in(self.attrs[col], value_set=pa.array(values))
+            arr = self.attrs[col]
+            if isinstance(spec, dict):
+                ok = None
+                for op, val in spec.items():
+                    cmp = _RANGE_OPS[op](arr, pa.scalar(val, type=arr.type))
+                    ok = cmp if ok is None else pc.and_(ok, cmp)
+                if ok is None:
+                    continue
+            else:
+                ok = pc.is_in(arr, value_set=pa.array(spec))
             mask &= np.asarray(pc.fill_null(ok, False))
         return self.doc_ids[mask]
 

@@ -318,3 +318,32 @@ def test_date_histogram_matches_oracle(tmp_path_factory, con):
     assert list(got["bucket_us"]) == list(exp["bucket_us"])
     np.testing.assert_array_equal(got["doc_count"], exp["doc_count"])
     assert got["doc_count"].sum() == 6  # only the alpha docs
+
+
+def test_range_filter_matches_oracle(attr_index, con):
+    """Numeric/string range filter in filter context vs full-rank-then-
+    filter SQL (scoring stats unchanged by the filter)."""
+    got = (
+        query.IndexReader(attr_index)
+        .search("table", k=10, mode="and",
+                filters={"source": {"gte": "src2", "lt": "src6"}})
+        .to_pandas()
+    )
+    inner = oracle.bm25_sql("documents", "table", 100000, mode="and")
+    exp = con.execute(
+        f"WITH ranked AS ({inner}) "
+        "SELECT r.doc_id, r.score FROM ranked r "
+        "JOIN documents d ON d.doc_id = r.doc_id "
+        "WHERE d.source >= 'src2' AND d.source < 'src6' "
+        "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"].round(4), exp["score"], atol=1e-9)
+    # list filters still work combined with a range on another field
+    both = (
+        query.IndexReader(attr_index)
+        .search("table", k=10, mode="and",
+                filters={"lang": ["en"], "source": {"gte": "src2"}})
+        .to_pandas()
+    )
+    assert len(both) > 0
