@@ -171,6 +171,22 @@ def _top_hits(sf_dir: str) -> pd.DataFrame:
     )
 
 
+MGET_IDS = [5, 17, 999999]  # last id missing → found=False row
+
+
+def _mget_docs(sf_dir: str) -> pd.DataFrame:
+    """ES _mget: batched stored-field fetch, one pass per segment doc
+    table for the whole id batch; missing ids keep a found=False row."""
+    from harvester_ray.index import readback as _readback
+
+    out = _readback.mget(
+        _documents_index(sf_dir), MGET_IDS, columns=["dl", "source", "lang"]
+    )
+    out["created_version"] = out["created_version"].astype(np.int64)
+    out["dl"] = out["dl"].astype(np.int64)
+    return out
+
+
 def _terms_agg(sf_dir: str) -> pd.DataFrame:
     """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
     The shard_size approximation contract is unit-tested (test_extras)."""
@@ -2143,6 +2159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
         "top_hits": _top_hits,
+        "mget_docs": _mget_docs,
         "phrase_suggest": _phrase_suggest,
         "hard_negatives": _hard_negatives,
         "bm25_msm": _bm25_msm,
@@ -2658,6 +2675,18 @@ def oracle_sql() -> dict[str, str]:
         "top_hits": index_oracle.top_hits_sql(
             "documents", BM25_QUERY_OR, field="source", per_group=3,
             n_groups=5, mode="or",
+        ),
+        "mget_docs": (
+            "WITH ids(doc_id) AS (VALUES "
+            + ", ".join(f"({i})" for i in MGET_IDS)
+            + "), doclen AS (SELECT doc_id, len("
+            + _analyzer.sql_tokenize_expr("text")
+            + ") AS dl, source, lang FROM documents) "
+            "SELECT i.doc_id, CAST(coalesce(d.dl, -1) AS BIGINT) AS dl, "
+            "coalesce(d.source, '') AS source, coalesce(d.lang, '') AS lang, "
+            "CAST(CASE WHEN d.doc_id IS NULL THEN -1 ELSE 1 END AS BIGINT) "
+            "AS created_version, d.doc_id IS NOT NULL AS found "
+            "FROM ids i LEFT JOIN doclen d USING (doc_id) ORDER BY i.doc_id"
         ),
         "hard_negatives": index_oracle.hard_negatives_sql(
             "documents", HARD_NEG_PAIRS, k=5, mode="or"

@@ -93,3 +93,64 @@ def get_document(index_root: str, doc_id: int, *, version: int | None = None) ->
             row["created_version"] = cv
             best, best_cv = row, cv
     return best
+
+
+def mget(
+    index_root: str,
+    doc_ids: list[int],
+    *,
+    version: int | None = None,
+    columns: list[str] | None = None,
+):
+    """ES ``_mget``: batched document fetch. One pass over the segment doc
+    tables — each segment is read ONCE for the whole id batch (sorted
+    searchsorted membership, not per-id probes), tombstones respected,
+    newest segment wins for re-added docs. Returns a pandas DataFrame with
+    one row per requested id in input order: requested columns (or every
+    stored column), ``created_version``, and ``found`` (missing/deleted ids
+    keep their row with found=False and empty/-1 fields — the _mget
+    response shape).
+
+    At serving scale this is the batch shape the query actors already use;
+    driver-side it is segment-count bounded I/O, independent of corpus
+    size."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    man = mf.read_manifest(index_root, version)
+    cur = man.get("_version", man.get("version", 0))
+    tomb_ids, tomb_vers = parse_tombstones(man)
+    want = np.asarray(sorted(set(int(d) for d in doc_ids)), dtype=np.int64)
+    found: dict[int, tuple[int, dict]] = {}
+    for s in man["segments"]:
+        cv = s.get("created_version", cur)
+        dead = tombstones_for_segment(tomb_ids, tomb_vers, cv)
+        tbl = pq.read_table(os.path.join(index_root, s["path"]) + ".docs.parquet")
+        docs = np.asarray(tbl["doc_id"].combine_chunks().cast(pa.int64()))
+        pos = np.searchsorted(docs, want)
+        posc = np.clip(pos, 0, max(docs.size - 1, 0))
+        hit = (docs.size > 0) & (docs[posc] == want)
+        if dead.size:
+            hit &= ~np.isin(want, dead)
+        for w, p in zip(want[hit], posc[hit]):
+            prev = found.get(int(w))
+            if prev is None or cv > prev[0]:
+                row = {c: tbl[c][int(p)].as_py() for c in tbl.column_names}
+                found[int(w)] = (cv, row)
+    cols = columns
+    if cols is None:
+        any_row = next(iter(found.values()))[1] if found else {}
+        cols = [c for c in any_row if c != "doc_id"]
+    out_rows = []
+    for d in doc_ids:
+        rec = found.get(int(d))
+        row = {"doc_id": int(d)}
+        for c in cols:
+            if rec is not None:
+                row[c] = rec[1].get(c)
+            else:
+                row[c] = -1 if c == "dl" else ""
+        row["created_version"] = rec[0] if rec is not None else -1
+        row["found"] = rec is not None
+        out_rows.append(row)
+    return pd.DataFrame(out_rows)

@@ -67,3 +67,18 @@ def test_incremental_snapshot_reuses_files(roots, tmp_path_factory):
     pd.testing.assert_frame_equal(_search(src, "stream"), _search(dest, "stream"))
     names = [r["name"] for r in snapshot.list_snapshots(repo)]
     assert rec2["name"] in names and len(names) == 2
+
+
+def test_mget_batched_fetch(roots):
+    """mget equals per-id get_document, handles missing ids and duplicates."""
+    from harvester_ray.index import readback
+
+    src, _, base = roots
+    ids = [0, 3, 10**9, 3]
+    got = readback.mget(src, ids)
+    assert list(got["doc_id"]) == ids
+    assert list(got["found"]) == [True, True, False, True]
+    for _, row in got[got["found"]].iterrows():
+        single = readback.get_document(src, int(row["doc_id"]))
+        assert single is not None and single["dl"] == row["dl"]
+    assert got.loc[2, "dl"] == -1 and got.loc[2, "created_version"] == -1
