@@ -121,6 +121,12 @@ def _phrase_suggest_sql_entry() -> str:
     return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
 
 
+def _termvectors_sql_entry() -> str:
+    from harvester_ray.index import extras as _extras
+
+    return _extras.termvectors_sql("documents", TERMVEC_DOC)
+
+
 def _match_fuzzy_sql_entry() -> str:
     from harvester_ray.index import extras as _extras
 
@@ -172,6 +178,36 @@ def _top_hits(sf_dir: str) -> pd.DataFrame:
 
 
 MGET_IDS = [5, 17, 999999]  # last id missing → found=False row
+
+
+TERMVEC_DOC = 7
+
+
+def _termvectors(sf_dir: str) -> pd.DataFrame:
+    """ES _termvectors: one doc's (term, tf, ordinal) rows from the index's
+    own postings + positional streams (no corpus re-read)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.termvectors(
+        index_query.IndexReader(_documents_index(sf_dir)), TERMVEC_DOC
+    )
+
+
+def _analyze_tokens(sf_dir: str) -> pd.DataFrame:
+    """ES _analyze: the exact (doc, ordinal, token) stream the index build
+    emits, via the build-path analyzer kernels, over a fixed doc slice."""
+    import ray.data as rd
+
+    docs = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(docs, columns=["doc_id", "text"]).filter(
+        expr="doc_id < 20"
+    )
+    parts = [
+        _analyzer.analyze_table(pa.Table.from_pandas(b))
+        for b in ds.iter_batches(batch_format="pandas")
+    ]
+    out = pa.concat_tables(parts).to_pandas()
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
 
 
 def _mget_docs(sf_dir: str) -> pd.DataFrame:
@@ -2160,6 +2196,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "terms_agg": _terms_agg,
         "top_hits": _top_hits,
         "mget_docs": _mget_docs,
+        "analyze_tokens": _analyze_tokens,
+        "termvectors": _termvectors,
         "phrase_suggest": _phrase_suggest,
         "hard_negatives": _hard_negatives,
         "bm25_msm": _bm25_msm,
@@ -2675,6 +2713,16 @@ def oracle_sql() -> dict[str, str]:
         "top_hits": index_oracle.top_hits_sql(
             "documents", BM25_QUERY_OR, field="source", per_group=3,
             n_groups=5, mode="or",
+        ),
+        "termvectors": _termvectors_sql_entry(),
+        "analyze_tokens": (
+            "WITH toks AS (SELECT doc_id, "
+            + _analyzer.sql_tokenize_expr("text")
+            + " AS arr FROM documents WHERE doc_id < 20) "
+            "SELECT doc_id, "
+            "CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos, "
+            "unnest(arr) AS token "
+            "FROM toks ORDER BY doc_id, pos"
         ),
         "mget_docs": (
             "WITH ids(doc_id) AS (VALUES "

@@ -170,6 +170,23 @@ def term_frequencies(
     return (keys >> 32).astype(np.int64), (keys & 0xFFFFFFFF).astype(np.int64), tf
 
 
+def analyze_table(tbl: pa.Table, *, id_col: str = "doc_id",
+                  text_col: str = "text") -> pa.Table:
+    """ES ``_analyze`` API over a table: every token the indexer would emit,
+    with its source row and 0-based ordinal — (id, pos, token) rows. Runs
+    the full analyzer chain (tag strip → truncate → lower → split) through
+    the same vectorized kernels the index build uses, so this IS the
+    build-path tokenization, not a reimplementation."""
+    ids = tbl[id_col].combine_chunks()
+    row_ids, codes, dictionary = tokenize_flat(normalize_text(tbl[text_col]))
+    pos = token_positions(row_ids)
+    return pa.table({
+        id_col: ids.take(pa.array(row_ids, pa.int64())),
+        "pos": pa.array(pos, pa.int64()),
+        "token": dictionary.take(pa.array(codes, pa.int32())),
+    })
+
+
 def tokenize_query(text: str) -> list[str]:
     """Tokenize a query string with the exact same analyzer as documents
     (simple_query_string parity: core/models/search/query.py:80-86)."""

@@ -54,6 +54,82 @@ def doc_top_terms(
     return []
 
 
+def termvectors(reader: IndexReader, doc_id: int) -> pd.DataFrame:
+    """ES ``_termvectors`` API: one document's full term list with term
+    frequencies and within-doc token ordinals, answered from the INDEX's
+    own structures (no corpus re-read): one vectorized whole-segment
+    postings decode + one whole-segment positional decode of the single
+    segment holding the doc — the same access pattern doc_top_terms uses,
+    extended with the `.pos` stream. Returns flat (term, tf, pos) rows
+    ordered (term asc, pos asc); empty if the doc is absent, deleted, or
+    the segment lacks positions."""
+    empty = pd.DataFrame({
+        "term": pd.Series(dtype=object),
+        "tf": pd.Series(dtype=np.int64),
+        "pos": pd.Series(dtype=np.int64),
+    })
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        p = np.searchsorted(seg.doc_ids, doc_id)
+        if p >= seg.doc_ids.size or seg.doc_ids[p] != doc_id:
+            continue
+        dead = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if dead.size and np.isin(doc_id, dead):
+            continue
+        if not seg.has_positions:
+            return empty
+        term_rows, df_s, d_all, f_all = seg.all_postings()
+        hit = np.flatnonzero(d_all == doc_id)
+        if hit.size == 0:
+            return empty
+        pos_all = seg.all_positions(f_all)
+        offs = np.cumsum(f_all)
+        counts = f_all[hit]
+        starts = offs[hit] - counts
+        # gather each hit posting's contiguous position slice, vectorized
+        total = int(counts.sum())
+        gather = np.repeat(starts, counts) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        )
+        seg_of = np.searchsorted(np.cumsum(df_s), hit, side="right")
+        terms = seg._term_strings.take(pa.array(term_rows[seg_of])).to_pylist()
+        out = pd.DataFrame({
+            "term": np.repeat(np.asarray(terms, dtype=object), counts),
+            "tf": np.repeat(counts.astype(np.int64), counts),
+            "pos": pos_all[gather],
+        })
+        return out.sort_values(["term", "pos"]).reset_index(drop=True)
+    return empty
+
+
+def termvectors_sql(
+    table: str,
+    doc_id: int,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``termvectors``: flat (term, tf, ordinal) from the raw
+    text via the shared tokenizer."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH tl AS (SELECT {tok} AS arr FROM {table} WHERE {id_col} = {doc_id}),
+flat AS (
+  SELECT unnest(arr) AS term,
+         CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos
+  FROM tl
+),
+tf AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY term)
+SELECT f.term, t.tf, f.pos
+FROM flat f JOIN tf t USING (term)
+ORDER BY f.term, f.pos
+""".strip()
+
+
 def more_like_this(
     reader: IndexReader, doc_id: int, k: int = 10, max_terms: int = 12
 ) -> pa.Table:

@@ -442,3 +442,19 @@ def test_top_hits_matches_oracle(idx, con):
     col = extras.search_collapse(reader, "spark window", field="source", k=1)
     top = got[(got["group_rank"] == 1) & (got["hit_rank"] == 1)]
     assert top["doc_id"].iloc[0] == col["doc_id"].iloc[0]
+
+
+def test_termvectors_matches_oracle(tmp_path_factory, con):
+    from harvester_ray.index import build as ib
+
+    root = str(tmp_path_factory.mktemp("tv-idx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    ib.build_index(ds, root, concurrency=2, store_positions=True)
+    reader = query.IndexReader(root)
+    for d in (0, 7, 42):
+        got = extras.termvectors(reader, d)
+        exp = con.execute(extras.termvectors_sql("documents", d)).fetchdf()
+        assert list(got["term"]) == list(exp["term"]), d
+        np.testing.assert_array_equal(got["tf"], exp["tf"])
+        np.testing.assert_array_equal(got["pos"], exp["pos"])
+    assert extras.termvectors(reader, 10**9).empty
