@@ -814,6 +814,56 @@ def _conv_branches(sf_dir: str) -> pd.DataFrame:
     return _transcripts_mod.conv_branches(base.union(retries), k=2)
 
 
+def _preference_pairs(sf_dir: str) -> pd.DataFrame:
+    """DPO pair mining over the same planted retries as conv_branches: the
+    truncated ``~r`` branch loses to its full-length original, so every
+    planted group yields exactly one (chosen=original, rejected=retry)
+    pair."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    sel = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)[::10]
+
+    def retry_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        hit &= df["turn_idx"].to_numpy() < 2
+        out = df.loc[hit].copy()
+        out["conv_id"] = out["conv_id"] + "~r"
+        return out
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    retries = rd.read_parquet(data_dir, columns=cols).map_batches(
+        retry_rows, batch_format="pandas"
+    )
+    return _transcripts_mod.preference_pairs(base.union(retries), k=2)
+
+
+def _preference_pairs_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "ret AS (SELECT t.conv_id || '~r' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0 AND t.turn_idx < 2), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM ret)"
+    )
+    body = _transcripts_mod.preference_pairs_sql("uni", k=2)
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
+
 def _conv_branches_sql() -> str:
     """Planting CTEs + the conv_branches grouping over the union."""
     glob = os.path.join(_transcripts_dir(), "*.parquet")
@@ -2235,6 +2285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_branches": _conv_branches,
+        "preference_pairs": _preference_pairs,
         "conv_stats": lambda sf: _transcripts_mod.conv_stats(_tds(sf)),
         "role_stats": lambda sf: _transcripts_mod.role_stats(_tds(sf)),
         "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
@@ -3029,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
+        "preference_pairs": _preference_pairs_sql(),
         "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),
         "role_stats": _transcripts_mod.role_stats_sql(_tsrc),
         "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),

@@ -1201,6 +1201,131 @@ def conv_branches(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values("prefix_md5").reset_index(drop=True)
 
 
+def preference_pairs(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """DPO/RLHF preference-pair mining from retry branches: conversations
+    sharing an identical first-``k``-turn prefix (the conv_branches
+    duplicate-prefix signal) are alternative continuations of the same
+    dialogue; the LONGEST continuation is taken as ``chosen`` (completed
+    exchange — ties by conv_id asc) and every other branch pairs with it as
+    ``rejected`` — the standard weak-supervision recipe for mining
+    preference pairs out of assistant logs without human labels.
+
+    Same two bounded bucketed stages as conv_branches (one row per
+    conversation between them); a group of n branches emits n−1 pairs
+    (linear, never pairwise-quadratic)."""
+
+    def prefix_hash(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "prefix_md5": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        lens = np.diff(off)
+        take = np.minimum(lens, k)
+        reps = np.repeat(off[:-1], take)
+        local = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(take) - take, take
+        )
+        sub = tbl.take(pa.array(reps + local, pa.int64()))
+        line = pc.binary_join_element_wise(
+            sub["role"].combine_chunks(), sub["text"].combine_chunks(), ": "
+        )
+        poff = np.concatenate(([0], np.cumsum(take)))
+        lists = pa.ListArray.from_arrays(pa.array(poff, pa.int32()), line)
+        flat = pc.binary_join(lists, "\n")
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "prefix_md5": pa.array(md5, pa.string()),
+            "n_turns": pa.array(lens, pa.int64()),
+        })
+
+    def add_hbucket(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in t["prefix_md5"].to_pylist()),
+            dtype=np.int32, count=t.num_rows,
+        )
+        return t.append_column("hbucket", pa.array(h, pa.int32()))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df.sort_values(
+            ["prefix_md5", "n_turns", "conv_id"],
+            ascending=[True, False, True], kind="mergesort",
+        )
+        sizes = df.groupby("prefix_md5", sort=False)["conv_id"].transform("size")
+        df = df[sizes > 1]
+        if df.empty:
+            return pa.table({
+                "prefix_md5": pa.array([], pa.string()),
+                "chosen_conv": pa.array([], pa.string()),
+                "chosen_turns": pa.array([], pa.int64()),
+                "rejected_conv": pa.array([], pa.string()),
+                "rejected_turns": pa.array([], pa.int64()),
+            })
+        first = ~df["prefix_md5"].duplicated()
+        chosen = df[first].set_index("prefix_md5")
+        rej = df[~first.to_numpy()]
+        out = pd.DataFrame({
+            "prefix_md5": rej["prefix_md5"].to_numpy(),
+            "chosen_conv": chosen.loc[rej["prefix_md5"], "conv_id"].to_numpy(),
+            "chosen_turns": chosen.loc[rej["prefix_md5"], "n_turns"]
+            .to_numpy(np.int64),
+            "rejected_conv": rej["conv_id"].to_numpy(),
+            "rejected_turns": rej["n_turns"].to_numpy(np.int64),
+        })
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(prefix_hash, batch_format="pyarrow")
+        .map_batches(add_hbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(pairs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "prefix_md5": pd.Series([], dtype=str),
+            "chosen_conv": pd.Series([], dtype=str),
+            "chosen_turns": pd.Series([], dtype=np.int64),
+            "rejected_conv": pd.Series([], dtype=str),
+            "rejected_turns": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values(["prefix_md5", "rejected_conv"]).reset_index(drop=True)
+
+
+def preference_pairs_sql(src: str, *, k: int = 2) -> str:
+    return f"""
+WITH pref AS (
+  SELECT conv_id,
+         md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx))
+           AS prefix_md5
+  FROM {src} WHERE turn_idx < {k} GROUP BY conv_id
+),
+cnt AS (SELECT conv_id, count(*) AS n_turns FROM {src} GROUP BY conv_id),
+p AS (SELECT pref.conv_id, prefix_md5, n_turns FROM pref JOIN cnt USING (conv_id)),
+g AS (
+  SELECT *, count(*) OVER (PARTITION BY prefix_md5) AS n,
+         row_number() OVER (
+           PARTITION BY prefix_md5 ORDER BY n_turns DESC, conv_id ASC
+         ) AS rn
+  FROM p
+)
+SELECT c.prefix_md5, c.conv_id AS chosen_conv,
+       CAST(c.n_turns AS BIGINT) AS chosen_turns,
+       r.conv_id AS rejected_conv, CAST(r.n_turns AS BIGINT) AS rejected_turns
+FROM g c JOIN g r ON r.prefix_md5 = c.prefix_md5 AND r.rn > 1
+WHERE c.rn = 1 AND c.n > 1
+ORDER BY c.prefix_md5, rejected_conv
+""".strip()
+
+
 def conv_branches_sql(src: str, *, k: int = 2) -> str:
     return f"""
 WITH pref AS (

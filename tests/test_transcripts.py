@@ -408,3 +408,28 @@ def test_conv_branches_detects_planted_retries(transcripts_dir):
     none = tmod.conv_branches(ds, k=2)
     assert none.empty
     assert list(none.columns) == ["prefix_md5", "n_convs", "first_conv", "prefix_turns"]
+
+
+def test_preference_pairs_known_branches(ray_session):
+    """Hand-built branch groups: chosen = longest continuation, one pair
+    per non-chosen branch, singletons ignored; exact oracle equality."""
+    rows = []
+    # group A: three branches of the same 2-turn opening, lengths 5, 3, 2
+    for conv, n in [("a1", 5), ("a2", 3), ("a3", 2)]:
+        for i in range(n):
+            role = "user" if i % 2 == 0 else "assistant"
+            text = f"opening {i}" if i < 2 else f"{conv} cont {i}"
+            rows.append((conv, i, role, text))
+    # singleton conversation: no pairs
+    for i in range(4):
+        rows.append(("solo", i, "user", f"solo {i}"))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    got = tmod.preference_pairs(rd.from_pandas(df), k=2)
+    assert list(got["chosen_conv"]) == ["a1", "a1"]
+    assert sorted(got["rejected_conv"]) == ["a2", "a3"]
+    assert (got["chosen_turns"] == 5).all()
+    con = duckdb.connect()
+    con.register("prefsrc", df)
+    exp = con.execute(tmod.preference_pairs_sql("prefsrc", k=2)).fetchdf()
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
