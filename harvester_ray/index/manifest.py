@@ -122,3 +122,53 @@ def purge_stale_versions(index_root: str, keep: int = 3) -> list[int]:
         shutil.rmtree(version_dir(index_root, v), ignore_errors=True)
         purged.append(v)
     return purged
+
+
+# --- aliases ---------------------------------------------------------------
+# OpenSearch levels indirection through ALIASES (the reference flips its
+# `latest-<dataset>` alias to the freshly pushed physical index,
+# harvester/search/models/index.py:113-156); CURRENT covers versioning
+# WITHIN one index root, aliases cover naming ACROSS roots: a serving name
+# like "products" can atomically retarget from one index root (+ optional
+# pinned version) to another — blue/green reindex, A/B ranking, rollback.
+
+def _alias_path(registry_dir: str) -> str:
+    return os.path.join(registry_dir, "aliases.json")
+
+
+def set_alias(registry_dir: str, name: str, index_root: str,
+              version: int | None = None) -> dict:
+    """Point ``name`` at (index_root, version). Atomic read-modify-replace;
+    last writer wins, readers never observe a torn registry."""
+    os.makedirs(registry_dir, exist_ok=True)
+    path = _alias_path(registry_dir)
+    reg = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            reg = json.load(f)
+    reg[name] = {"root": os.path.abspath(index_root), "version": version}
+    _atomic_write(path, json.dumps(reg, indent=1))
+    return reg[name]
+
+
+def delete_alias(registry_dir: str, name: str) -> bool:
+    path = _alias_path(registry_dir)
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        reg = json.load(f)
+    if name not in reg:
+        return False
+    del reg[name]
+    _atomic_write(path, json.dumps(reg, indent=1))
+    return True
+
+
+def resolve_alias(registry_dir: str, name: str) -> tuple[str, int | None]:
+    """→ (index_root, pinned_version_or_None). KeyError if undefined."""
+    with open(_alias_path(registry_dir)) as f:
+        reg = json.load(f)
+    if name not in reg:
+        raise KeyError(f"alias {name!r} not defined in {registry_dir}")
+    a = reg[name]
+    return a["root"], a["version"]

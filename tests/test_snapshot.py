@@ -82,3 +82,30 @@ def test_mget_batched_fetch(roots):
         single = readback.get_document(src, int(row["doc_id"]))
         assert single is not None and single["dl"] == row["dl"]
     assert got.loc[2, "dl"] == -1 and got.loc[2, "created_version"] == -1
+
+
+def test_aliases_retarget_and_pin(roots, tmp_path_factory):
+    """Alias registry: atomic retarget across roots, version pinning,
+    reader-through-alias equals direct reader."""
+    from harvester_ray.index import manifest as mf, query, snapshot
+
+    src, repo, _ = roots
+    reg = str(tmp_path_factory.mktemp("aliasreg"))
+    mf.set_alias(reg, "serving", src)
+    root, ver = mf.resolve_alias(reg, "serving")
+    a = query.IndexReader(root, ver).search("spark window", k=10, mode="or").to_pandas()
+    b = query.IndexReader(src).search("spark window", k=10, mode="or").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # blue/green: restore a copy, flip the alias, reader follows atomically
+    dest = str(tmp_path_factory.mktemp("alias-dest"))
+    rec = snapshot.snapshot(src, repo, name="alias-snap")
+    snapshot.restore(repo, "alias-snap", dest)
+    mf.set_alias(reg, "serving", dest, version=rec["version"])
+    root2, ver2 = mf.resolve_alias(reg, "serving")
+    assert root2 == os.path.abspath(dest) and ver2 == rec["version"]
+    c = query.IndexReader(root2, ver2).search("spark window", k=10, mode="or").to_pandas()
+    pd.testing.assert_frame_equal(a, c)
+    assert mf.delete_alias(reg, "serving")
+    with pytest.raises(KeyError):
+        mf.resolve_alias(reg, "serving")
+    assert not mf.delete_alias(reg, "serving")
