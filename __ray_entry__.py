@@ -1443,6 +1443,21 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cosine"]]
 
 
+def _knn_pq(sf_dir: str) -> pd.DataFrame:
+    """Product quantization ANN: 8-byte codes + ADC lookup-table scan, then
+    exact re-rank of the top-100 ADC candidates (the standard PQ serving
+    pipeline). With re-rank the result is exact — value-checked against the
+    same cosine oracle as knn_cosine."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    pq_dir = os.path.join(_SCRATCH, f"pq-{tag}")
+    similarity.pq_index(_emb_ds(sf_dir), pq_dir)
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    out = similarity.knn_pq(
+        pq_dir, _query_vec(sf_dir), k=10, rerank=100, source_path=src
+    ).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
 def _docs_ds(sf_dir: str):
     import ray.data as rd
 
@@ -2475,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _hybrid_search,
         "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
+        "knn_pq": _knn_pq,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -3018,6 +3034,7 @@ def oracle_sql() -> dict[str, str]:
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
+        "knn_pq": similarity.knn_sql("embeddings", 0, 10),
         "suggest_terms": """
             WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term FROM documents),
             stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)

@@ -499,3 +499,185 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf FROM fused
 ORDER BY rrf DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+# --- product quantization (PQ) ---------------------------------------------
+
+def pq_train(
+    ds,
+    *,
+    m: int = 8,
+    ksub: int = 256,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    sample: int = 2000,
+) -> np.ndarray:
+    """Train PQ codebooks: split the (normalized) vector into ``m``
+    subspaces, run fixed-iteration Lloyd per subspace on a deterministic
+    driver-side sample (first rows by storage order, first-``ksub`` init —
+    no RNG, no wall clock). Returns codebooks of shape (m, ksub, d/m).
+
+    Same training-scale argument as ``deterministic_centroids``: codebooks
+    are O(m·ksub·d) floats learned from a bounded sample; the corpus-sized
+    work (encode, search) is distributed."""
+    pdf = ds.limit(sample).to_pandas()
+    mat = _normalize(np.stack(pdf[vec_col].to_numpy()).astype(np.float64))
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = np.zeros((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        cent = sub[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[j] = cent
+    return books
+
+
+def pq_index(
+    ds,
+    out_dir: str,
+    *,
+    m: int = 8,
+    ksub: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """PQ index build: train codebooks, encode every vector to ``m`` uint8
+    codes (a 32× compression at d=64 float32 → the reason PQ is the
+    memory-scale ANN path: a 10^9-vector corpus's codes fit where its
+    floats cannot), write (id, codes) Parquet + codebooks. Encoding is a
+    streaming ``map_batches`` (vectorized nearest-sub-centroid per
+    subspace); cached via ``_DONE``. Returns the codebooks."""
+    import os
+
+    done = os.path.join(out_dir, "_DONE")
+    book_path = os.path.join(out_dir, "codebooks.npy")
+    if os.path.exists(done):
+        return np.load(book_path)
+    books = pq_train(ds, m=m, ksub=ksub, vec_col=vec_col)
+    dsub = books.shape[2]
+
+    def encode(t: pa.Table) -> pa.Table:
+        mat = _normalize(_batch_matrix(t, vec_col))
+        n = mat.shape[0]
+        codes = np.zeros((n, m), dtype=np.uint8)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; only the last two depend on c
+            d2 = -2.0 * (sub @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        flat = pa.array(codes.reshape(-1), pa.uint8())
+        lists = pa.FixedSizeListArray.from_arrays(flat, m)
+        return pa.table({id_col: ids, "codes": lists})
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir
+    )
+    np.save(book_path, books)
+    with open(done, "w") as f:
+        f.write("ok")
+    return books
+
+
+def knn_pq(
+    out_dir: str,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    rerank: int = 0,
+    source_path: str | None = None,
+    vec_col: str = "embedding",
+):
+    """ANN over a ``pq_index`` directory by asymmetric distance computation:
+    per query ONE (m × ksub) lookup table of sub-inner-products, then each
+    corpus vector scores as the sum of m table lookups over its codes —
+    approximate cosine (vectors were normalized at encode time) without
+    touching any float vector. Per-batch local top-k, O(Q·k) merge rows to
+    the driver, like knn_brute. Returns (query_id, vec_id, cosine)
+    rounded to 6, cosine desc / vec_id asc."""
+    import os
+
+    import ray
+    import ray.data as rd
+
+    books = np.load(os.path.join(out_dir, "codebooks.npy"))
+    m, ksub, dsub = books.shape
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    # LUT[qi, j, c] = q_sub(j) · books[j, c]
+    lut = np.einsum("qjd,jcd->qjc", q.reshape(q.shape[0], m, dsub), books)
+    files = sorted(
+        os.path.join(out_dir, f)
+        for f in os.listdir(out_dir)
+        if f.endswith(".parquet")
+    )
+    ds = rd.read_parquet(files, columns=[id_col, "codes"])
+    ref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        table = ray.get(ref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        codes_arr = batch["codes"].combine_chunks()
+        codes = np.asarray(codes_arr.values).reshape(len(ids), m)
+        rows = {"query_id": [], "vec_id": [], "cosine": []}
+        jidx = np.arange(m)
+        for qi in range(table.shape[0]):
+            s = table[qi][jidx[None, :], codes].sum(axis=1)
+            kk = min(k, s.size)
+            part = np.argpartition(-s, kk - 1)[:kk]
+            rows["query_id"].append(np.full(kk, qi, dtype=np.int64))
+            rows["vec_id"].append(ids[part])
+            rows["cosine"].append(np.round(s[part], 6))
+        return pa.table({
+            "query_id": pa.array(np.concatenate(rows["query_id"])),
+            "vec_id": pa.array(np.concatenate(rows["vec_id"])),
+            "cosine": pa.array(np.concatenate(rows["cosine"])),
+        })
+
+    fetch = max(k, rerank)
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    approx = _merge_query_topk(parts, fetch).to_pandas()
+    if not rerank or source_path is None:
+        return pa.Table.from_pandas(
+            approx.groupby("query_id", sort=False).head(k), preserve_index=False
+        )
+    # exact re-rank: fetch ONLY the candidate vectors (predicate pushdown on
+    # the id column — candidate-count I/O, not corpus I/O) and score them
+    # with true cosine; the standard PQ serving pipeline (ADC prune → exact
+    # re-rank) that recovers near-exact recall at code-sized scan cost.
+    import pyarrow.dataset as pads
+
+    cand = np.unique(approx[id_col].to_numpy())
+    tbl = pads.dataset(source_path).to_table(
+        filter=pads.field(id_col).isin(cand.tolist()),
+        columns=[id_col, vec_col],
+    )
+    ids = np.asarray(tbl[id_col].combine_chunks().cast(pa.int64()))
+    mat = _normalize(_batch_matrix(tbl, vec_col))
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    out = {"query_id": [], "vec_id": [], "cosine": []}
+    for qi, grp in approx.groupby("query_id", sort=False):
+        cids = np.sort(grp[id_col].to_numpy())
+        pos = np.searchsorted(ids, cids)
+        sims = mat[pos] @ q[qi]
+        kk = min(k, sims.size)
+        sel = np.lexsort((cids, -np.round(sims, 6)))[:kk]
+        out["query_id"].append(np.full(kk, qi, dtype=np.int64))
+        out["vec_id"].append(cids[sel])
+        out["cosine"].append(np.round(sims[sel], 6))
+    return pa.table({
+        "query_id": pa.array(np.concatenate(out["query_id"])),
+        "vec_id": pa.array(np.concatenate(out["vec_id"])),
+        "cosine": pa.array(np.concatenate(out["cosine"])),
+    })

@@ -291,3 +291,38 @@ def test_quality_model_matches_oracle_and_edges():
     # different salt → different model → different scores somewhere
     alt = qm.quality_scores(_docs(), salt=124)
     assert (got["w_sum"] != alt["w_sum"]).any()
+
+
+def test_knn_pq_recall_and_compression(tmp_path):
+    """PQ ADC search: deterministic, 8-byte codes, substantial overlap with
+    exact top-10."""
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pqt
+
+    ds = rd.read_parquet(EMB)
+    out_dir = str(tmp_path / "pq")
+    books = similarity.pq_index(ds, out_dir, m=8, ksub=256)
+    assert books.shape == (8, 256, 8)
+    q = np.asarray(
+        pads.dataset(EMB).to_table(filter=pads.field("vec_id") == 0)["embedding"][0].as_py()
+    )
+    brute = similarity.knn_brute(ds, q, k=10).to_pandas()
+    pq_res = similarity.knn_pq(out_dir, q, k=10).to_pandas()
+    recall = len(set(brute["vec_id"]) & set(pq_res["vec_id"])) / 10
+    assert recall >= 0.5
+    # ADC prune -> exact re-rank recovers the exact top-10
+    rr = similarity.knn_pq(
+        out_dir, q, k=10, rerank=50, source_path=EMB
+    ).to_pandas()
+    assert list(rr["vec_id"]) == list(brute["vec_id"])
+    np.testing.assert_allclose(rr["cosine"], brute["cosine"], atol=1e-6)
+    # codes really are m uint8 per vector
+    enc = pqt.read_table(
+        [os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    )
+    assert enc["codes"].type.list_size == 8
+    # deterministic re-run (cached) and re-train agree
+    books2 = similarity.pq_index(ds, out_dir)
+    np.testing.assert_array_equal(books, books2)
