@@ -1458,6 +1458,44 @@ def _knn_pq(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cosine"]]
 
 
+def _table_merge(sf_dir: str) -> pd.DataFrame:
+    """Copy-on-write partitioned MERGE (Delta/Iceberg-style upsert with
+    partition pruning): deterministic delta — update doc_id%7==0
+    (n_chars+1000), delete doc_id%11==0 unless updated, insert two new
+    rows — then a verification profile of the merged table."""
+    import shutil
+
+    from harvester_ray.state import table as _table
+
+    docs = pd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+    root = os.path.join(_SCRATCH, "cow-table")
+    shutil.rmtree(root, ignore_errors=True)
+    _table.write_partitioned(docs, root, n_partitions=8)
+    mx = int(docs["doc_id"].max())
+    upd = docs[docs["doc_id"] % 7 == 0].copy()
+    upd["n_chars"] += 1000
+    upd["state"] = "active"
+    dele = docs[(docs["doc_id"] % 11 == 0) & (docs["doc_id"] % 7 != 0)].copy()
+    dele["state"] = "deleted"
+    ins = pd.DataFrame({
+        "doc_id": np.array([mx + 1, mx + 2], dtype=np.int64),
+        "source": ["srcnew", "srcnew"],
+        "n_chars": np.array([11, 22], dtype=np.int64),
+        "state": ["active", "active"],
+    })
+    _table.merge(root, pd.concat([upd, dele, ins], ignore_index=True))
+    out = _table.read_table(root)
+    return pd.DataFrame({
+        "n": [np.int64(len(out))],
+        "chars_sum": [np.int64(out["n_chars"].sum())],
+        "min_id": [np.int64(out["doc_id"].min())],
+        "max_id": [np.int64(out["doc_id"].max())],
+    })
+
+
 def _docs_ds(sf_dir: str):
     import ray.data as rd
 
@@ -2491,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
+        "table_merge": _table_merge,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -3035,6 +3074,21 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
         "knn_pq": similarity.knn_sql("embeddings", 0, 10),
+        "table_merge": (
+            "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+            "merged AS ("
+            "  SELECT doc_id, source, "
+            "         CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars "
+            "  FROM documents WHERE NOT (doc_id % 11 = 0 AND doc_id % 7 != 0) "
+            "  UNION ALL "
+            "  SELECT m + 1, 'srcnew', 11 FROM mx "
+            "  UNION ALL SELECT m + 2, 'srcnew', 22 FROM mx"
+            ") "
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(n_chars) AS BIGINT) AS chars_sum, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id, "
+            "CAST(max(doc_id) AS BIGINT) AS max_id FROM merged"
+        ),
         "suggest_terms": """
             WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(regexp_replace(text, '<[^>]*>', ' ', 'g')), '[a-z0-9]+')) AS term FROM documents),
             stats AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
