@@ -223,6 +223,17 @@ def _mget_docs(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def _percentiles_agg(sf_dir: str) -> pd.DataFrame:
+    """ES percentiles agg over the match set (exact bincount fold, not
+    t-digest: doc lengths are small ints)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.percentiles_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        mode="or",
+    )
+
+
 def _terms_agg(sf_dir: str) -> pd.DataFrame:
     """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
     The shard_size approximation contract is unit-tested (test_extras)."""
@@ -2530,6 +2541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
         "table_merge": _table_merge,
+        "percentiles_agg": _percentiles_agg,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -2814,6 +2826,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "terms_agg": index_oracle.terms_agg_sql(
             "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
+        ),
+        "percentiles_agg": index_oracle.percentiles_agg_sql(
+            "documents", BM25_QUERY_OR, mode="or"
         ),
         "phrase_suggest": _phrase_suggest_sql_entry(),
         "top_hits": index_oracle.top_hits_sql(

@@ -1025,6 +1025,63 @@ def terms_agg(
     ]
 
 
+def percentiles_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``percentiles`` aggregation over the match set, on the doc-length
+    field — EXACT, not t-digest: token counts are small integers, so each
+    segment emits a bincount partial (bounded by max dl, not match count),
+    the driver folds counts, and quantile_cont's interpolation is evaluated
+    from ranks. With quarter quantiles the interpolation fraction is a
+    power-of-two rational, so float64 evaluation is bit-exact against the
+    oracle's ``quantile_cont``. Counting-sort percentiles are the
+    scale-path alternative to shipping every value."""
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({"q": pd.Series(dtype=np.float64),
+                          "value": pd.Series(dtype=np.float64)})
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    counts = np.zeros(1, dtype=np.int64)
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        dl = seg.doc_lengths(docs).astype(np.int64)
+        part = np.bincount(dl)
+        if part.size > counts.size:
+            part[: counts.size] += counts
+            counts = part
+        else:
+            counts[: part.size] += part
+    n = int(counts.sum())
+    if n == 0:
+        return empty
+    cum = np.cumsum(counts)
+    vals = []
+    for q in qs:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        x_lo = int(np.searchsorted(cum, lo + 1))
+        x_hi = int(np.searchsorted(cum, hi + 1))
+        vals.append(x_lo + (h - lo) * (x_hi - x_lo))
+    return pd.DataFrame({
+        "q": np.asarray(qs, dtype=np.float64),
+        "value": np.round(np.asarray(vals, dtype=np.float64), 6),
+    })
+
+
 def date_histogram(
     reader: IndexReader,
     query_text: str,

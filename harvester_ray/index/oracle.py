@@ -613,6 +613,36 @@ LIMIT {k}
 """.strip()
 
 
+def percentiles_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.percentiles_agg: quantile_cont of token counts
+    over the match set."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    legs = " UNION ALL ".join(
+        f"SELECT {q} AS q, round(quantile_cont(dl, {q}), 6) AS value FROM dls"
+        for q in qs
+    )
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having}),
+dls AS (
+  SELECT len({tok}) AS dl FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+)
+SELECT * FROM ({legs}) ORDER BY q
+""".strip()
+
+
 def date_histogram_sql(
     table: str,
     query_text: str,

@@ -458,3 +458,18 @@ def test_termvectors_matches_oracle(tmp_path_factory, con):
         np.testing.assert_array_equal(got["tf"], exp["tf"])
         np.testing.assert_array_equal(got["pos"], exp["pos"])
     assert extras.termvectors(reader, 10**9).empty
+
+
+def test_percentiles_agg_matches_oracle(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    for mode, q_text in [("or", "spark window"), ("and", "spark window"),
+                         ("or", "customer query big")]:
+        got = extras.percentiles_agg(reader, q_text, mode=mode)
+        exp = con.execute(
+            oracle.percentiles_agg_sql("documents", q_text, mode=mode)
+        ).fetchdf()
+        np.testing.assert_allclose(got["q"], exp["q"])
+        np.testing.assert_allclose(got["value"], exp["value"], atol=1e-9), (mode, q_text)
+    assert extras.percentiles_agg(reader, "zzzznope").empty
