@@ -2051,6 +2051,19 @@ def _approx_distinct_by_user(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def _heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Misra-Gries heavy hitters + exact rescreen over events.user_id:
+    bounded-memory sketch finds candidates, a second counting pass makes
+    the surfaced counts exact (identical to SQL top-20 whenever the MG
+    guarantee covers the top set; tiny-capacity behavior unit-tested)."""
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    return sketch.heavy_hitters(ds, "user_id", n=20, capacity=4096)
+
+
 def _approx_distinct_hll(sf_dir: str) -> pd.DataFrame:
     """HyperLogLog sketch over events.event_id (m=64 registers, raw
     estimator regime: true cardinality >> 2.5m); register state verified
@@ -2397,6 +2410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _curate_corpus,
         "approx_distinct": _approx_distinct,
         "approx_distinct_hll": _approx_distinct_hll,
+        "heavy_hitters": _heavy_hitters,
         "approx_distinct_by_user": _approx_distinct_by_user,
         "source_jaccard": _source_jaccard,
         "cms_counts": lambda sf: _sketch.cms_counts(
@@ -2999,6 +3013,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_corpus": _curate.curate_sql("documents"),
         "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
+        "heavy_hitters": _sketch.heavy_hitters_sql("events", "user_id", n=20),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
         "cms_counts": _sketch.cms_counts_sql("events", "user_id", width=256, depth=4),

@@ -538,3 +538,114 @@ exact AS (SELECT {col} AS key, CAST(count(*) AS BIGINT) AS exact FROM {table} GR
 SELECT x.key, x.exact, e.est, e.est - x.exact AS overcount
 FROM exact x JOIN est e USING (key) ORDER BY x.key
 """.strip()
+
+
+def misra_gries_partial(keys: np.ndarray, counts: np.ndarray, capacity: int):
+    """Fold (key, count) pairs into a Misra-Gries summary of ≤ ``capacity``
+    counters: whenever the counter set would exceed capacity, decrement
+    every counter by the smallest member and drop zeros (the batched form
+    of the classic one-at-a-time algorithm). Guarantee preserved: a key's
+    summary count underestimates its true count by at most the total
+    decrement, and any key with true count > N/(capacity+1) survives."""
+    order = np.argsort(-counts, kind="mergesort")
+    keys, counts = keys[order], counts[order]
+    if keys.size <= capacity:
+        return dict(zip(keys.tolist(), counts.astype(np.int64).tolist()))
+    dec = int(counts[capacity])  # smallest count that must be evicted
+    kept = counts[:capacity] - dec
+    # mass below the cut also decrements survivors (batched MG): total
+    # decrement is bounded by the evicted mass spread over capacity+1
+    evicted = int(counts[capacity:].sum())
+    extra = evicted // (capacity + 1)
+    kept = np.maximum(kept - extra, 0)
+    keep = kept > 0
+    return dict(zip(keys[:capacity][keep].tolist(),
+                    kept[keep].astype(np.int64).tolist()))
+
+
+def heavy_hitters(
+    ds,
+    col: str,
+    *,
+    n: int = 20,
+    capacity: int = 1024,
+):
+    """Heavy hitters by Misra-Gries sketch + exact rescreen: pass 1 folds
+    per-batch (key, count) partials into a bounded-memory MG summary
+    (capacity counters per batch partial, merged on the driver by counter
+    addition + one re-trim); pass 2 re-counts ONLY the sketch's surviving
+    candidates exactly (broadcast candidate array + searchsorted bincount
+    — no shuffle) and returns the top ``n`` by exact count.
+
+    When every true top-n key has count > N/(capacity+1) (always true when
+    capacity ≥ distinct keys, and for any Zipf-ish skew at reasonable
+    capacity), the MG guarantee makes the result IDENTICAL to an exact
+    groupby top-n — which is what the gate checks; the bounded-memory
+    behavior under tiny capacity is unit-tested separately. This is the
+    adversarial-cardinality path: a groupby over 10^10 distinct keys
+    shuffles all of them; the sketch ships ``capacity`` counters per
+    partial regardless."""
+    import pandas as pd
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = pc.cast(t[col].combine_chunks(), pa.string())
+        enc = arr.dictionary_encode()
+        cnt = np.bincount(np.asarray(enc.indices))
+        keys = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        mg = misra_gries_partial(keys, cnt.astype(np.int64), capacity)
+        return pa.table({
+            "key": pa.array(list(mg.keys()), pa.string()),
+            "cnt": pa.array(list(mg.values()), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    merged = parts.groupby("key", as_index=False)["cnt"].sum()
+    mg = misra_gries_partial(
+        merged["key"].to_numpy(dtype=object),
+        merged["cnt"].to_numpy(np.int64), capacity,
+    )
+    cand = np.array(sorted(mg.keys()), dtype=object)
+    if cand.size == 0:
+        return pd.DataFrame({"key": pd.Series(dtype=object),
+                             "cnt": pd.Series(dtype=np.int64)})
+    ref = ray.put(np.array([str(c) for c in cand], dtype=np.str_))
+
+    def rescreen(t: pa.Table) -> pa.Table:
+        cands = ray.get(ref)
+        vals = np.asarray(
+            pc.cast(t[col].combine_chunks(), pa.string()).to_pylist(),
+            dtype=np.str_,
+        )
+        idx = np.searchsorted(cands, vals)
+        np.clip(idx, 0, cands.size - 1, out=idx)
+        hit = cands[idx] == vals
+        cnt = np.bincount(idx[hit], minlength=cands.size)
+        return pa.table({
+            "ci": pa.array(np.arange(cands.size, dtype=np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    exact = (
+        ds.map_batches(rescreen, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("ci", as_index=False)["cnt"].sum()
+    )
+    out = pd.DataFrame({
+        "key": cand[exact["ci"].to_numpy()],
+        "cnt": exact["cnt"].to_numpy(np.int64),
+    })
+    out = out[out["cnt"] > 0].sort_values(
+        ["cnt", "key"], ascending=[False, True], kind="mergesort"
+    ).head(n)
+    return out.reset_index(drop=True)
+
+
+def heavy_hitters_sql(table: str, col: str, *, n: int = 20) -> str:
+    """Oracle: exact top-n by count (the MG+rescreen result whenever the
+    sketch guarantee holds — see heavy_hitters)."""
+    return f"""
+SELECT CAST({col} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS cnt
+FROM {table} GROUP BY {col}
+ORDER BY cnt DESC, key ASC LIMIT {n}
+""".strip()

@@ -193,3 +193,37 @@ def test_cms_partition_independent(ray_session):
     a = sketch.cms_counts(ds, "v", width=128, depth=3)
     b = sketch.cms_counts(ds.repartition(8), "v", width=128, depth=3)
     assert a.equals(b)
+
+
+def test_heavy_hitters_exact_when_capacity_suffices(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    rng = np.random.RandomState(5)
+    keys = rng.zipf(1.5, size=5000) % 100  # skewed over ≤100 keys
+    df = pd.DataFrame({"k": keys.astype(np.int64)})
+    got = sketch.heavy_hitters(rd.from_pandas(df), "k", n=10, capacity=512)
+    truth = (
+        df["k"].astype(str).value_counts().rename_axis("key").reset_index(name="cnt")
+    )
+    truth = truth.sort_values(["cnt", "key"], ascending=[False, True],
+                              kind="mergesort").head(10).reset_index(drop=True)
+    assert list(got["key"]) == list(truth["key"])
+    np.testing.assert_array_equal(got["cnt"], truth["cnt"].to_numpy(np.int64))
+
+
+def test_heavy_hitters_small_capacity_keeps_top(ray_session):
+    """With tiny capacity, true heavy hitters above N/(c+1) still surface
+    with EXACT counts (rescreen pass)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import sketch
+
+    # one dominant key + noise tail
+    df = pd.DataFrame({"k": ["hot"] * 400 + [f"n{i}" for i in range(200)]})
+    got = sketch.heavy_hitters(rd.from_pandas(df), "k", n=3, capacity=8)
+    assert got["key"].iloc[0] == "hot"
+    assert int(got["cnt"].iloc[0]) == 400  # exact despite sketch underestimates
