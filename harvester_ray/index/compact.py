@@ -216,3 +216,97 @@ def compact(
         mf.promote(index_root, version)
         mf.purge_stale_versions(index_root, keep=keep_versions)
     return man
+
+
+def compact_tiered(
+    index_root: str,
+    *,
+    small_docs: int | None = None,
+    target_group_docs: int | None = None,
+    promote: bool = True,
+    keep_versions: int = 3,
+) -> dict:
+    """Tiered compaction (Lucene TieredMergePolicy shape): merge ONLY the
+    small segments — the incremental-delta droppings — into size-balanced
+    groups, and carry every already-big segment forward BY POINTER (no
+    rewrite, no copy; the same cross-version reference incremental builds
+    use). This bounds write amplification: steady-state maintenance cost is
+    proportional to the delta volume, never the corpus, which is what makes
+    continuous ingestion viable at 100 TB (full `compact()` remains the
+    tool for a deliberate rewrite-everything).
+
+    ``small_docs`` defaults to half the mean segment size;
+    ``target_group_docs`` to twice the mean. Carried segments keep their
+    ``created_version``, so the previous tombstone list still applies to
+    them; merged segments physically drop their dead docs and are created
+    at the new version (newer than every tombstone ⇒ exempt)."""
+    import ray
+
+    t0 = time.time()
+    prev = mf.read_manifest(index_root)
+    prev_version = prev["_version"]
+    segs = sorted(prev["segments"], key=lambda m: m["name"])
+    mean = max(1, sum(s["n_docs"] for s in segs) // max(len(segs), 1))
+    small_docs = small_docs if small_docs is not None else mean // 2
+    target_group_docs = (
+        target_group_docs if target_group_docs is not None else 2 * mean
+    )
+    small = [s for s in segs if s["n_docs"] < small_docs]
+    big = [s for s in segs if s["n_docs"] >= small_docs]
+    if len(small) < 2:
+        return prev  # nothing worth merging — no new version
+    version = mf.next_version(index_root)
+    vdir = mf.version_dir(index_root, version)
+    seg_dir = os.path.join(vdir, "segments")
+    termstats_dir = os.path.join(vdir, "termstats")
+    os.makedirs(seg_dir, exist_ok=True)
+    tomb_ids, tomb_vers = parse_tombstones(prev)
+    # first-fit bin packing in name order (deterministic)
+    groups: list[list[dict]] = [[]]
+    acc = 0
+    for s in small:
+        if acc and acc + s["n_docs"] > target_group_docs:
+            groups.append([])
+            acc = 0
+        groups[-1].append(s)
+        acc += s["n_docs"]
+    merge_task = ray.remote(num_cpus=1)(merge_segments)
+    futures = [
+        merge_task.remote(index_root, g, tomb_ids, tomb_vers, seg_dir)
+        for g in groups
+        if g
+    ]
+    merged = ray.get(futures)
+    shutil.copytree(os.path.join(index_root, prev["termstats"]), termstats_dir)
+    new_segs = [dict(s) for s in big] + [
+        {
+            "name": m["name"],
+            "path": f"v{version}/segments/{m['name']}",
+            "n_docs": m["n_docs"],
+            "dl_sum": m["dl_sum"],
+            "created_version": version,
+        }
+        for m in merged
+        if m["n_docs"] > 0
+    ]
+    new_segs.sort(key=lambda m: m["name"])
+    man = {
+        **{k: prev[k] for k in ("analyzer", "k1", "b", "n_docs", "dl_sum", "avgdl", "num_buckets")},
+        "version": version,
+        "attr_cols": prev.get("attr_cols", []),
+        "positions": prev.get("positions", False),
+        "segments": new_segs,
+        "termstats": f"v{version}/termstats",
+        "tombstones": prev.get("tombstones", []),
+        "lineage": {
+            "parent_version": prev_version,
+            "tier_merged": len(small),
+            "carried": len(big),
+        },
+        "metrics": {"compact_sec": round(time.time() - t0, 3)},
+    }
+    mf.write_manifest(index_root, version, man)
+    if promote:
+        mf.promote(index_root, version)
+        mf.purge_stale_versions(index_root, keep=keep_versions)
+    return man
