@@ -121,6 +121,12 @@ def _phrase_suggest_sql_entry() -> str:
     return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
 
 
+def _span_near_sql_entry() -> str:
+    from harvester_ray.index import extras as _extras
+
+    return _extras.span_near_sql("documents", BM25_QUERY_AND, slop=SPAN_NEAR_SLOP, k=10)
+
+
 def _termvectors_sql_entry() -> str:
     from harvester_ray.index import extras as _extras
 
@@ -221,6 +227,20 @@ def _mget_docs(sf_dir: str) -> pd.DataFrame:
     out["created_version"] = out["created_version"].astype(np.int64)
     out["dl"] = out["dl"].astype(np.int64)
     return out
+
+
+SPAN_NEAR_SLOP = 6
+
+
+def _span_near(sf_dir: str) -> pd.DataFrame:
+    """span_near in_order=false: all terms within a window in any order,
+    ranked by minimal covering-window width (exact integers)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_span_near(
+        index_query.IndexReader(_documents_index(sf_dir)),
+        BM25_QUERY_AND, slop=SPAN_NEAR_SLOP, k=10,
+    )
 
 
 def _percentiles_agg(sf_dir: str) -> pd.DataFrame:
@@ -2556,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _knn_pq,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
+        "span_near": _span_near,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -2844,6 +2865,7 @@ def oracle_sql() -> dict[str, str]:
         "percentiles_agg": index_oracle.percentiles_agg_sql(
             "documents", BM25_QUERY_OR, mode="or"
         ),
+        "span_near": _span_near_sql_entry(),
         "phrase_suggest": _phrase_suggest_sql_entry(),
         "top_hits": index_oracle.top_hits_sql(
             "documents", BM25_QUERY_OR, field="source", per_group=3,

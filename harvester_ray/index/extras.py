@@ -1025,6 +1025,141 @@ def terms_agg(
     ]
 
 
+def search_span_near(
+    reader: IndexReader,
+    phrase: str,
+    *,
+    slop: int = 0,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``span_near`` with ``in_order=false``: docs where ALL query terms
+    co-occur within a window of ``len(terms) + slop`` positions in ANY
+    order (the unordered sibling of ``search_proximity``). Returns
+    (doc_id, span_w) — the MINIMAL covering-window width — ranked tightest
+    first (span_w asc, doc_id asc): exact integers, no float scoring.
+
+    Per segment: candidates are the AND-intersection of the terms' posting
+    lists (so the per-doc work is bounded by conjunctive match count, the
+    same bound Lucene's span iterator pays); each candidate's minimal
+    window is the classic two-pointer sweep over its term-tagged position
+    multiset. Requires ``store_positions=True``."""
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "span_w": pd.Series(dtype=np.int64)})
+    terms = sorted(set(analyzer.tokenize_query(phrase)))
+    if len(terms) < 2:
+        return empty
+    W = len(terms) + slop
+    rows_d, rows_w = [], []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "span_near needs positions — build_index(store_positions=True)"
+            )
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        cand = match_one_segment(seg, terms, "and", exclude, None)
+        if cand.size == 0:
+            continue
+        # one positional decode per term; slice per candidate doc
+        per_term = []
+        ok = True
+        for t in terms:
+            hit = seg.positions(t)
+            if hit is None:
+                ok = False
+                break
+            per_term.append(hit)  # (docs, tfs, flat positions)
+        if not ok:
+            continue
+        for d in cand:
+            tagged = []
+            for ti, (docs, tfs, flat) in enumerate(per_term):
+                j = int(np.searchsorted(docs, d))
+                offs = np.cumsum(tfs)
+                start = int(offs[j] - tfs[j])
+                pos = flat[start:int(offs[j])]
+                tagged.append(np.stack([pos, np.full(pos.size, ti)], axis=1))
+            ev = np.concatenate(tagged)
+            ev = ev[np.argsort(ev[:, 0], kind="mergesort")]
+            need = len(terms)
+            count = np.zeros(need, dtype=np.int64)
+            have = 0
+            best = np.iinfo(np.int64).max
+            lo = 0
+            for hi in range(ev.shape[0]):
+                c = int(ev[hi, 1])
+                if count[c] == 0:
+                    have += 1
+                count[c] += 1
+                while have == need:
+                    best = min(best, int(ev[hi, 0] - ev[lo, 0]) + 1)
+                    cl = int(ev[lo, 1])
+                    count[cl] -= 1
+                    if count[cl] == 0:
+                        have -= 1
+                    lo += 1
+            if best <= W:
+                rows_d.append(int(d))
+                rows_w.append(best)
+    if not rows_d:
+        return empty
+    out = pd.DataFrame({"doc_id": np.asarray(rows_d, dtype=np.int64),
+                        "span_w": np.asarray(rows_w, dtype=np.int64)})
+    return out.sort_values(["span_w", "doc_id"], kind="mergesort").head(
+        k
+    ).reset_index(drop=True)
+
+
+def span_near_sql(
+    table: str,
+    phrase: str,
+    *,
+    slop: int = 0,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for search_span_near: per-term position lists, T-way join,
+    min over combos of (greatest − least + 1)."""
+    terms = sorted(set(analyzer.tokenize_query(phrase)))
+    W = len(terms) + slop
+    tok = analyzer.sql_tokenize_expr(text_col)
+    ctes = [
+        f"""flat AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) - 1 AS p
+  FROM {table}
+)"""
+    ]
+    for i, t in enumerate(terms):
+        lit = t.replace("'", "''")
+        ctes.append(
+            f"pos_{i} AS (SELECT doc_id, p FROM flat WHERE term = '{lit}')"
+        )
+    join = " ".join(
+        f"JOIN pos_{i} USING (doc_id)" for i in range(1, len(terms))
+    )
+    plist = ", ".join(f"pos_{i}.p" for i in range(len(terms)))
+    return f"""
+WITH {", ".join(ctes)},
+m AS (
+  SELECT doc_id,
+         min(greatest({plist}) - least({plist}) + 1) AS span_w
+  FROM pos_0 {join}
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST(span_w AS BIGINT) AS span_w
+FROM m WHERE span_w <= {W}
+ORDER BY span_w ASC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def percentiles_agg(
     reader: IndexReader,
     query_text: str,

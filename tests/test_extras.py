@@ -444,13 +444,18 @@ def test_top_hits_matches_oracle(idx, con):
     assert top["doc_id"].iloc[0] == col["doc_id"].iloc[0]
 
 
-def test_termvectors_matches_oracle(tmp_path_factory, con):
+@pytest.fixture(scope="module")
+def pos_idx(tmp_path_factory):
     from harvester_ray.index import build as ib
 
-    root = str(tmp_path_factory.mktemp("tv-idx"))
+    root = str(tmp_path_factory.mktemp("pos-idx"))
     ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
     ib.build_index(ds, root, concurrency=2, store_positions=True)
-    reader = query.IndexReader(root)
+    return root
+
+
+def test_termvectors_matches_oracle(pos_idx, con):
+    reader = query.IndexReader(pos_idx)
     for d in (0, 7, 42):
         got = extras.termvectors(reader, d)
         exp = con.execute(extras.termvectors_sql("documents", d)).fetchdf()
@@ -473,3 +478,19 @@ def test_percentiles_agg_matches_oracle(idx, con):
         np.testing.assert_allclose(got["q"], exp["q"])
         np.testing.assert_allclose(got["value"], exp["value"], atol=1e-9), (mode, q_text)
     assert extras.percentiles_agg(reader, "zzzznope").empty
+
+
+def test_span_near_matches_oracle(pos_idx, con):
+    reader = query.IndexReader(pos_idx)
+    for phrase, slop in [("spark window", 4), ("spark window", 10),
+                         ("customer query big", 8)]:
+        got = extras.search_span_near(reader, phrase, slop=slop, k=20)
+        exp = con.execute(
+            extras.span_near_sql("documents", phrase, slop=slop, k=20)
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), (phrase, slop)
+        np.testing.assert_array_equal(got["span_w"], exp["span_w"])
+    # unordered: reversed phrasing matches the same docs
+    a = extras.search_span_near(reader, "spark window", slop=10, k=10**6)
+    b = extras.search_span_near(reader, "window spark", slop=10, k=10**6)
+    assert list(a["doc_id"]) == list(b["doc_id"])
