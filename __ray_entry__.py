@@ -880,6 +880,51 @@ def _preference_pairs(sf_dir: str) -> pd.DataFrame:
     return _transcripts_mod.preference_pairs(base.union(retries), k=2)
 
 
+def _conv_continuations(sf_dir: str) -> pd.DataFrame:
+    """Continuation stitching with PLANTED continuations: every 10th
+    conversation X gets a clone ``X~c`` whose first turn replays X's last
+    turn text — conv_continuations must recover exactly those links."""
+    import ray.data as rd
+
+    data_dir = _transcripts_dir()
+    pdf = pd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "role", "text"])
+    pdf = pdf.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    last = pdf.groupby("conv_id", sort=True).tail(1)
+    sel = last.iloc[::10]
+    planted = pd.concat([
+        pd.DataFrame({
+            "conv_id": sel["conv_id"] + "~c",
+            "turn_idx": 0, "role": "user", "text": sel["text"].to_numpy(),
+        }),
+        pd.DataFrame({
+            "conv_id": sel["conv_id"] + "~c",
+            "turn_idx": 1, "role": "assistant",
+            "text": ("cont filler " + sel["conv_id"]).to_numpy(),
+        }),
+    ], ignore_index=True)
+    planted["turn_idx"] = planted["turn_idx"].astype(pdf["turn_idx"].dtype)
+    base = rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "role", "text"])
+    return _transcripts_mod.conv_continuations(base.union(rd.from_pandas(planted)))
+
+
+def _conv_continuations_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "lastt AS (SELECT conv_id, max_by(text, turn_idx) AS lt FROM tsrc GROUP BY conv_id), "
+        "cont AS (SELECT l.conv_id || '~c' AS conv_id, 0 AS turn_idx, 'user' AS role, l.lt AS text "
+        "FROM cids c JOIN lastt l USING (conv_id) WHERE c.r % 10 = 0 "
+        "UNION ALL SELECT c.conv_id || '~c', 1, 'assistant', 'cont filler ' || c.conv_id "
+        "FROM cids c WHERE c.r % 10 = 0), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM cont)"
+    )
+    body = _transcripts_mod.conv_continuations_sql("uni")
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
+
 def _preference_pairs_sql() -> str:
     glob = os.path.join(_transcripts_dir(), "*.parquet")
     head = (
@@ -2383,6 +2428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_branches": _conv_branches,
         "preference_pairs": _preference_pairs,
+        "conv_continuations": _conv_continuations,
         "conv_stats": lambda sf: _transcripts_mod.conv_stats(_tds(sf)),
         "role_stats": lambda sf: _transcripts_mod.role_stats(_tds(sf)),
         "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
@@ -3204,6 +3250,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
         "preference_pairs": _preference_pairs_sql(),
+        "conv_continuations": _conv_continuations_sql(),
         "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),
         "role_stats": _transcripts_mod.role_stats_sql(_tsrc),
         "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),

@@ -1201,6 +1201,80 @@ def conv_branches(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values("prefix_md5").reset_index(drop=True)
 
 
+def conv_continuations(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Continuation stitching: conversation B CONTINUES conversation A when
+    B's first turn text is exactly A's last turn text (the context-
+    carryover pattern: a session restarted by replaying the tail of the
+    previous one). Needed to reassemble logically-single dialogues that
+    session resets split — sequence-level dedup treats them as distinct.
+
+    Two bounded stages: per conversation emit ONE row (conv_id, first_md5,
+    last_md5) from the conv-bucketed pass; then join first↔last hashes in
+    hash-partitioned groups. Empty-text endpoints are excluded (both
+    sides) — they would stitch everything to everything. Output
+    (prev_conv, next_conv, link_md5), one row per stitch."""
+
+    def endpoints(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "first_md5": pa.array([], pa.string()),
+                "last_md5": pa.array([], pa.string()),
+            })
+        texts = tbl["text"].combine_chunks()
+        first_t = texts.take(pa.array(off[:-1], pa.int64())).to_pylist()
+        last_t = texts.take(pa.array(off[1:] - 1, pa.int64())).to_pylist()
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        fmd5 = [hashlib.md5(s.encode()).hexdigest() if s else "" for s in first_t]
+        lmd5 = [hashlib.md5(s.encode()).hexdigest() if s else "" for s in last_t]
+        return pa.table({
+            "conv_id": conv,
+            "first_md5": pa.array(fmd5, pa.string()),
+            "last_md5": pa.array(lmd5, pa.string()),
+        })
+
+    eps = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(endpoints, batch_format="pyarrow")
+        .to_pandas()
+    )
+    heads = eps[eps["first_md5"] != ""][["conv_id", "first_md5"]].rename(
+        columns={"conv_id": "next_conv", "first_md5": "link_md5"}
+    )
+    tails = eps[eps["last_md5"] != ""][["conv_id", "last_md5"]].rename(
+        columns={"conv_id": "prev_conv", "last_md5": "link_md5"}
+    )
+    out = tails.merge(heads, on="link_md5")
+    out = out[out["prev_conv"] != out["next_conv"]]
+    # driver-side join is over one bounded row per conversation; at corpus
+    # scale the same join runs as a hash-bucketed Dataset join on link_md5
+    return (
+        out[["prev_conv", "next_conv", "link_md5"]]
+        .sort_values(["prev_conv", "next_conv"])
+        .reset_index(drop=True)
+    )
+
+
+def conv_continuations_sql(src: str) -> str:
+    return f"""
+WITH eps AS (
+  SELECT conv_id,
+         md5(min_by(text, turn_idx)) AS first_md5,
+         min_by(text, turn_idx) AS first_text,
+         md5(max_by(text, turn_idx)) AS last_md5,
+         max_by(text, turn_idx) AS last_text
+  FROM {src} GROUP BY conv_id
+)
+SELECT a.conv_id AS prev_conv, b.conv_id AS next_conv,
+       a.last_md5 AS link_md5
+FROM eps a JOIN eps b ON a.last_md5 = b.first_md5
+WHERE a.conv_id != b.conv_id AND a.last_text != '' AND b.first_text != ''
+ORDER BY prev_conv, next_conv
+""".strip()
+
+
 def preference_pairs(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
     """DPO/RLHF preference-pair mining from retry branches: conversations
     sharing an identical first-``k``-turn prefix (the conv_branches

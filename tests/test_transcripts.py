@@ -433,3 +433,25 @@ def test_preference_pairs_known_branches(ray_session):
     exp = con.execute(tmod.preference_pairs_sql("prefsrc", k=2)).fetchdf()
     for c in got.columns:
         assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+
+
+def test_conv_continuations_planted(ray_session):
+    """Planted A→B stitches recovered exactly; empty endpoints never link."""
+    rows = []
+    for conv, texts in [
+        ("a", ["hi there", "the tail text"]),
+        ("b", ["the tail text", "continues a"]),   # b continues a
+        ("c", ["unrelated", ""]),                   # empty tail: no link
+        ("d", ["", "also unrelated end"]),          # empty head: no link
+    ]:
+        for i, t in enumerate(texts):
+            rows.append((conv, i, "user", t))
+    df = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text"])
+    got = tmod.conv_continuations(rd.from_pandas(df))
+    assert list(got["prev_conv"]) == ["a"]
+    assert list(got["next_conv"]) == ["b"]
+    con = duckdb.connect()
+    con.register("contsrc", df)
+    exp = con.execute(tmod.conv_continuations_sql("contsrc")).fetchdf()
+    for c in got.columns:
+        assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
