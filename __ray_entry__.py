@@ -121,6 +121,12 @@ def _phrase_suggest_sql_entry() -> str:
     return _extras.phrase_suggest_sql("documents", PHRASE_SUGGEST_QUERY, n=5)
 
 
+def _boosted_terms_sql_entry() -> str:
+    from harvester_ray.index import extras as _extras
+
+    return _extras.boosted_terms_sql("documents", BOOSTED_QUERY, k=10)
+
+
 def _span_near_sql_entry() -> str:
     from harvester_ray.index import extras as _extras
 
@@ -230,6 +236,27 @@ def _mget_docs(sf_dir: str) -> pd.DataFrame:
 
 
 SPAN_NEAR_SLOP = 6
+BOOSTED_QUERY = "spark^2 window big^0.5"
+
+
+def _boosted_terms(sf_dir: str) -> pd.DataFrame:
+    """Per-term ^boost weighting (simple_query_string boost syntax): each
+    term's BM25 contribution scales by its boost."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_boosted_terms(
+        index_query.IndexReader(_documents_index(sf_dir)), BOOSTED_QUERY, k=10
+    )
+
+
+def _cardinality_agg(sf_dir: str) -> pd.DataFrame:
+    """ES cardinality agg over the match set (exact: facet-bounded field)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.cardinality_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        field="source", mode="or",
+    )
 
 
 def _span_near(sf_dir: str) -> pd.DataFrame:
@@ -2623,6 +2650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
         "span_near": _span_near,
+        "boosted_terms": _boosted_terms,
+        "cardinality_agg": _cardinality_agg,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -2912,6 +2941,17 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_OR, mode="or"
         ),
         "span_near": _span_near_sql_entry(),
+        "boosted_terms": _boosted_terms_sql_entry(),
+        "cardinality_agg": (
+            "WITH toks AS (SELECT doc_id, unnest("
+            + _analyzer.sql_tokenize_expr("text")
+            + ") AS term FROM documents), "
+            "m AS (SELECT doc_id FROM toks WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
+            + ") GROUP BY doc_id) "
+            "SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_distinct "
+            "FROM documents d JOIN m ON d.doc_id = m.doc_id"
+        ),
         "phrase_suggest": _phrase_suggest_sql_entry(),
         "top_hits": index_oracle.top_hits_sql(
             "documents", BM25_QUERY_OR, field="source", per_group=3,

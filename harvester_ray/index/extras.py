@@ -1025,6 +1025,148 @@ def terms_agg(
     ]
 
 
+def cardinality_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``cardinality`` aggregation over the match set — EXACT here
+    (per-segment distinct attr values union-folded on the driver; the
+    value set is facet-bounded). The index-free approximate siblings for
+    unbounded fields are ops/sketch.py's HLL/KMV gates."""
+    from .query import match_one_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    vals: set = set()
+    if terms:
+        for seg_meta in reader.manifest["segments"]:
+            seg = reader._segment(seg_meta)
+            exclude = tombstones_for_segment(
+                reader._tomb_ids, reader._tomb_vers,
+                seg_meta.get("created_version", reader.manifest["_version"]),
+            )
+            docs = match_one_segment(seg, terms, mode, exclude, None)
+            if docs.size:
+                vals.update(np.unique(seg.attr_values(field, docs)).tolist())
+    return pd.DataFrame({"n_distinct": [np.int64(len(vals))]})
+
+
+def parse_boosted_query(query_text: str) -> dict[str, float]:
+    """simple_query_string per-term ``^boost`` syntax (``spark^2 window``)
+    → {term: boost}; repeated terms keep the LAST boost, bare terms boost
+    1.0. Tokens are analyzed exactly like plain queries."""
+    out: dict[str, float] = {}
+    for raw in query_text.split():
+        if "^" in raw:
+            body, _, b = raw.rpartition("^")
+            try:
+                boost = float(b)
+            except ValueError:
+                body, boost = raw, 1.0
+        else:
+            body, boost = raw, 1.0
+        for tok in analyzer.tokenize_query(body):
+            out[tok] = boost
+    return out
+
+
+def search_boosted_terms(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    k: int = 10,
+) -> pd.DataFrame:
+    """OR search with per-term boosts (``spark^2 window``): each term's
+    BM25 contribution scales by its boost — exactly Lucene's boosted
+    term-query sum, implemented by scaling the term's idf before the
+    existing exhaustive scorer (contribution is linear in idf, so no new
+    scoring path)."""
+    from .query import or_exhaustive
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    boosts = parse_boosted_query(query_text)
+    if not boosts:
+        return empty
+    terms = sorted(boosts)
+    dfs = reader.df(terms)
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {
+        t: float(bm25.idf(reader.n_docs, dfs[t])) * boosts[t] for t in live
+    }
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries:
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31, exclude=exclude
+        )
+        if docs.size:
+            parts.append((docs, np.round(scores, 4)))
+    if not parts:
+        return empty
+    docs = np.concatenate([p[0] for p in parts])
+    scores = np.concatenate([p[1] for p in parts])
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
+def boosted_terms_sql(
+    table: str,
+    query_text: str,
+    *,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for search_boosted_terms: bm25_sql's OR scorer with each
+    term's contribution multiplied by its boost."""
+    from . import oracle as _oracle
+
+    boosts = parse_boosted_query(query_text)
+    terms = sorted(boosts)
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    boost_case = " ".join(
+        f"WHEN '{t.replace(chr(39), chr(39) * 2)}' THEN {float(boosts[t])!r}"
+        for t in terms
+    )
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term IN ({term_list}) GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( (CASE tf.term {boost_case} ELSE 1.0 END)
+              * ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def search_span_near(
     reader: IndexReader,
     phrase: str,

@@ -494,3 +494,34 @@ def test_span_near_matches_oracle(pos_idx, con):
     a = extras.search_span_near(reader, "spark window", slop=10, k=10**6)
     b = extras.search_span_near(reader, "window spark", slop=10, k=10**6)
     assert list(a["doc_id"]) == list(b["doc_id"])
+
+
+def test_boosted_terms_matches_oracle(idx, con):
+    reader = query.IndexReader(idx)
+    for q in ("spark^2 window", "customer^0.5 query big^3", "spark window"):
+        got = extras.search_boosted_terms(reader, q, k=15)
+        exp = con.execute(extras.boosted_terms_sql("documents", q, k=15)).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), q
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # all-boost-1 equals the plain OR ranking
+    plain = reader.search("spark window", k=15, mode="or").to_pandas()
+    b1 = extras.search_boosted_terms(reader, "spark window", k=15)
+    assert list(plain["doc_id"]) == list(b1["doc_id"])
+
+
+def test_cardinality_agg_matches_oracle(idx, con):
+    from harvester_ray import analyzer as _an
+
+    reader = query.IndexReader(idx)
+    for mode in ("or", "and"):
+        got = extras.cardinality_agg(reader, "spark window", field="source", mode=mode)
+        tok = _an.sql_tokenize_expr("text")
+        having = "HAVING count(DISTINCT term) = 2" if mode == "and" else ""
+        exp = con.execute(f"""
+            WITH toks AS (SELECT doc_id, unnest({tok}) AS term FROM documents),
+            m AS (SELECT doc_id FROM toks WHERE term IN ('spark', 'window')
+                  GROUP BY doc_id {having})
+            SELECT CAST(count(DISTINCT d.source) AS BIGINT) AS n_distinct
+            FROM documents d JOIN m ON d.doc_id = m.doc_id
+        """).fetchdf()
+        np.testing.assert_array_equal(got["n_distinct"], exp["n_distinct"]), mode
