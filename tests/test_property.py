@@ -103,3 +103,84 @@ def test_term_frequencies_sum_to_doc_lengths(texts):
     per_doc = np.zeros(len(texts), dtype=np.int64)
     np.add.at(per_doc, r, tf)
     np.testing.assert_array_equal(per_doc, dl)
+
+
+# --- sketch / windowing properties -----------------------------------------
+
+
+@given(
+    st.lists(st.integers(0, 30), min_size=1, max_size=400),
+    st.integers(2, 16),
+)
+@settings(max_examples=100, deadline=None)
+def test_misra_gries_guarantee_property(keys, capacity):
+    """Every key with true count > N/(capacity+1) survives the summary, and
+    summary counts never exceed true counts."""
+    from harvester_ray.ops.sketch import misra_gries_partial
+
+    arr = np.array([str(k) for k in keys], dtype=object)
+    uniq, cnt = np.unique(arr, return_counts=True)
+    mg = misra_gries_partial(uniq.astype(object), cnt.astype(np.int64), capacity)
+    n = len(keys)
+    truth = dict(zip(uniq.tolist(), cnt.tolist()))
+    for k, c in truth.items():
+        if c > n / (capacity + 1):
+            assert k in mg, (k, c, n, capacity)
+    for k, c in mg.items():
+        assert c <= truth[k]
+
+
+@given(
+    st.lists(st.integers(0, 40), min_size=2, max_size=60),
+    st.lists(st.integers(0, 40), min_size=1, max_size=60),
+    st.integers(1, 20),
+)
+@settings(max_examples=100, deadline=None)
+def test_minimal_window_two_pointer_property(pos_a, pos_b, width):
+    """search_span_near's two-pointer minimal window equals the brute-force
+    min over position combos (2-term case)."""
+    a = np.unique(np.array(pos_a))
+    b = np.unique(np.array(pos_b))
+    brute = min(abs(int(x) - int(y)) + 1 for x in a for y in b)
+    # replicate the sweep from extras.search_span_near
+    ev = np.concatenate([
+        np.stack([a, np.zeros(a.size, int)], axis=1),
+        np.stack([b, np.ones(b.size, int)], axis=1),
+    ])
+    ev = ev[np.argsort(ev[:, 0], kind="mergesort")]
+    count = np.zeros(2, dtype=np.int64)
+    have = 0
+    best = np.iinfo(np.int64).max
+    lo = 0
+    for hi in range(ev.shape[0]):
+        c = int(ev[hi, 1])
+        if count[c] == 0:
+            have += 1
+        count[c] += 1
+        while have == 2:
+            best = min(best, int(ev[hi, 0] - ev[lo, 0]) + 1)
+            cl = int(ev[lo, 1])
+            count[cl] -= 1
+            if count[cl] == 0:
+                have -= 1
+            lo += 1
+    assert best == brute
+
+
+@given(st.lists(st.integers(0, 200), min_size=1, max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_percentile_bincount_matches_numpy(values):
+    """The bincount-rank interpolation used by percentiles_agg equals
+    numpy's linear quantile on the raw values."""
+    vals = np.array(values, dtype=np.int64)
+    counts = np.bincount(vals)
+    n = vals.size
+    cum = np.cumsum(counts)
+    for q in (0.25, 0.5, 0.75):
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        x_lo = int(np.searchsorted(cum, lo + 1))
+        x_hi = int(np.searchsorted(cum, hi + 1))
+        got = x_lo + (h - lo) * (x_hi - x_lo)
+        np.testing.assert_allclose(got, np.quantile(vals, q), atol=1e-9)
