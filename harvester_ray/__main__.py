@@ -1,0 +1,178 @@
+"""Management CLI: ``python -m harvester_ray <command> ...``.
+
+The reference drives its lifecycle through Django management commands
+(``run_harvest``, ``sync_opensearch_indices``, ``index_dataset_version`` —
+harvester/core/management/commands/, harvester/search/management/): build a
+dataset version, push deltas, promote, inspect. The Ray re-expression maps
+those onto the library surface one-to-one; this module is the operator's
+entry point, and the ONLY place (besides bench.py and the test fixture)
+that owns a Ray session.
+
+Commands::
+
+  build     <parquet_dir_or_file> <index_root> [--attrs a,b] [--positions]
+  delta     <parquet_dir_or_file> <index_root>       # incremental + guard
+  search    <index_root> <query> [--k 10] [--mode and|or]
+  msearch   <index_root> <query> [<query> ...] [--k 10]
+  compact   <index_root> [--target 8 | --tiered]
+  snapshot  <index_root> <repo_dir> [--name NAME]
+  restore   <repo_dir> <name> <dest_root>
+  stats     <index_root>
+
+Input parquet needs (doc_id, text[, attrs...]) — or transcript shape
+(conv_id, turn_idx, text), detected by column sniffing, in which case
+doc ids are assigned by the stable (conv_id, turn_idx) rule.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True)
+
+
+def _load_corpus(path: str):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from harvester_ray import corpus
+
+    probe = path
+    if os.path.isdir(path):
+        probe = sorted(
+            os.path.join(path, f) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )[0]
+    cols = set(pq.read_schema(probe).names)
+    ds = rd.read_parquet(path)
+    if "doc_id" in cols:
+        return ds
+    if {"conv_id", "turn_idx"} <= cols:
+        return corpus.assign_doc_ids(ds)
+    raise SystemExit("input needs doc_id or (conv_id, turn_idx) columns")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="harvester_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("input")
+    b.add_argument("root")
+    b.add_argument("--attrs", default="")
+    b.add_argument("--positions", action="store_true")
+
+    d = sub.add_parser("delta")
+    d.add_argument("input")
+    d.add_argument("root")
+
+    s = sub.add_parser("search")
+    s.add_argument("root")
+    s.add_argument("query")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--mode", default="and", choices=["and", "or"])
+
+    ms = sub.add_parser("msearch")
+    ms.add_argument("root")
+    ms.add_argument("queries", nargs="+")
+    ms.add_argument("--k", type=int, default=10)
+
+    c = sub.add_parser("compact")
+    c.add_argument("root")
+    c.add_argument("--target", type=int, default=8)
+    c.add_argument("--tiered", action="store_true")
+
+    sn = sub.add_parser("snapshot")
+    sn.add_argument("root")
+    sn.add_argument("repo")
+    sn.add_argument("--name", default=None)
+
+    rs = sub.add_parser("restore")
+    rs.add_argument("repo")
+    rs.add_argument("name")
+    rs.add_argument("dest")
+
+    st = sub.add_parser("stats")
+    st.add_argument("root")
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "build":
+        _ray_init()
+        from harvester_ray.index import build
+
+        man = build.build_index(
+            _load_corpus(args.input), args.root,
+            attr_cols=[a for a in args.attrs.split(",") if a],
+            store_positions=args.positions,
+            input_desc=args.input,
+        )
+        print(json.dumps({"version": man["version"], "n_docs": man["n_docs"],
+                          "segments": len(man["segments"])}))
+    elif args.cmd == "delta":
+        _ray_init()
+        from harvester_ray.index import incremental
+
+        man = incremental.build_incremental(
+            args.root, _load_corpus(args.input), input_desc=args.input
+        )
+        print(json.dumps({"version": man.get("version"),
+                          "n_docs": man.get("n_docs")}))
+    elif args.cmd == "search":
+        from harvester_ray.index import query
+
+        out = query.IndexReader(args.root).search(
+            args.query, k=args.k, mode=args.mode
+        ).to_pandas()
+        out["score"] = out["score"].round(4)
+        print(out.to_json(orient="records"))
+    elif args.cmd == "msearch":
+        from harvester_ray.index import query
+
+        out = query.IndexReader(args.root).msearch(
+            args.queries, k=args.k, mode="or"
+        ).to_pandas()
+        out["score"] = out["score"].round(4)
+        print(out.to_json(orient="records"))
+    elif args.cmd == "compact":
+        _ray_init()
+        from harvester_ray.index import compact
+
+        man = (compact.compact_tiered(args.root) if args.tiered
+               else compact.compact(args.root, target_segments=args.target))
+        print(json.dumps({"version": man.get("version", man.get("_version")),
+                          "segments": len(man["segments"])}))
+    elif args.cmd == "snapshot":
+        from harvester_ray.index import snapshot
+
+        rec = snapshot.snapshot(args.root, args.repo, name=args.name)
+        print(json.dumps(rec))
+    elif args.cmd == "restore":
+        from harvester_ray.index import snapshot
+
+        rec = snapshot.restore(args.repo, args.name, args.dest)
+        print(json.dumps({"name": rec["name"], "version": rec["version"]}))
+    elif args.cmd == "stats":
+        from harvester_ray.index import manifest as mf
+
+        man = mf.read_manifest(args.root)
+        print(json.dumps({
+            "version": man["_version"], "n_docs": man["n_docs"],
+            "avgdl": man["avgdl"], "segments": len(man["segments"]),
+            "tombstones": len(man.get("tombstones", [])),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
