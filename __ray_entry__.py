@@ -239,6 +239,18 @@ SPAN_NEAR_SLOP = 6
 BOOSTED_QUERY = "spark^2 window big^0.5"
 
 
+def _profile_search(sf_dir: str) -> pd.DataFrame:
+    """_profile API structural counters (SQL-expressible projection:
+    segment counts and wall time stay in the full API, not the gate)."""
+    from harvester_ray.index import extras as _extras
+
+    prof = _extras.profile_search(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        mode="or",
+    )
+    return prof[["query_terms", "live_terms", "postings_decoded", "candidates"]]
+
+
 def _boosted_terms(sf_dir: str) -> pd.DataFrame:
     """Per-term ^boost weighting (simple_query_string boost syntax): each
     term's BM25 contribution scales by its boost."""
@@ -2652,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near": _span_near,
         "boosted_terms": _boosted_terms,
         "cardinality_agg": _cardinality_agg,
+        "profile_search": _profile_search,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -2942,6 +2955,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_near": _span_near_sql_entry(),
         "boosted_terms": _boosted_terms_sql_entry(),
+        "profile_search": (
+            "WITH toks AS (SELECT doc_id, unnest("
+            + _analyzer.sql_tokenize_expr("text")
+            + ") AS term FROM documents), "
+            "hit AS (SELECT doc_id, term FROM toks WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
+            + ")) "
+            f"SELECT CAST({len(set(BM25_QUERY_OR.split()))} AS BIGINT) AS query_terms, "
+            "CAST(count(DISTINCT term) AS BIGINT) AS live_terms, "
+            "CAST(count(DISTINCT (doc_id, term)) AS BIGINT) AS postings_decoded, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS candidates FROM hit"
+        ),
         "cardinality_agg": (
             "WITH toks AS (SELECT doc_id, unnest("
             + _analyzer.sql_tokenize_expr("text")

@@ -1025,6 +1025,55 @@ def terms_agg(
     ]
 
 
+def profile_search(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``_profile`` API shape: structural cost counters for a query —
+    segments touched vs total, live terms, postings decoded (Σ df over
+    touched segments), candidate docs enumerated — plus wall time. The
+    counters are structural facts (deterministic, asserted in tests);
+    timings are informational. Used to answer "why is this query slow"
+    without tracing: a query decoding 10^8 postings for a 10-doc answer
+    needs a rarer term or a filter."""
+    import time as _time
+
+    from .query import match_one_segment
+
+    t0 = _time.time()
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    seg_total = len(reader.manifest["segments"])
+    seg_touched = 0
+    postings = 0
+    candidates = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries or (mode == "and" and len(entries) < len(live)):
+            continue
+        seg_touched += 1
+        postings += int(sum(e["df"] for e in entries.values()))
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        candidates += int(match_one_segment(seg, live, mode, exclude, None).size)
+    return pd.DataFrame({
+        "segments_total": [np.int64(seg_total)],
+        "segments_touched": [np.int64(seg_touched)],
+        "query_terms": [np.int64(len(terms))],
+        "live_terms": [np.int64(len(live))],
+        "postings_decoded": [np.int64(postings)],
+        "candidates": [np.int64(candidates)],
+        "wall_ms": [round((_time.time() - t0) * 1000, 3)],
+    })
+
+
 def cardinality_agg(
     reader: IndexReader,
     query_text: str,

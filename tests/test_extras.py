@@ -525,3 +525,25 @@ def test_cardinality_agg_matches_oracle(idx, con):
             FROM documents d JOIN m ON d.doc_id = m.doc_id
         """).fetchdf()
         np.testing.assert_array_equal(got["n_distinct"], exp["n_distinct"]), mode
+
+
+def test_profile_search_counters(idx, con):
+    reader = query.IndexReader(idx)
+    prof = extras.profile_search(reader, "spark window", mode="or")
+    assert prof["segments_touched"].iloc[0] <= prof["segments_total"].iloc[0]
+    assert prof["live_terms"].iloc[0] == 2
+    # candidates equals the true OR match count
+    exp = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        SELECT count(DISTINCT doc_id) FROM toks WHERE term IN ('spark', 'window')
+    """).fetchone()[0]
+    assert prof["candidates"].iloc[0] == exp
+    # postings_decoded = sum of per-term dfs (every doc posting decoded once)
+    exp_p = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        SELECT count(DISTINCT (doc_id, term)) FROM toks WHERE term IN ('spark', 'window')
+    """).fetchone()[0]
+    assert prof["postings_decoded"].iloc[0] == exp_p
+    # unknown term: nothing touched
+    z = extras.profile_search(reader, "zzzznope")
+    assert z["segments_touched"].iloc[0] == 0 and z["candidates"].iloc[0] == 0
