@@ -63,17 +63,38 @@ def snapshot(index_root: str, repo_dir: str, *, version: int | None = None,
     os.makedirs(files_dir, exist_ok=True)
     os.makedirs(snaps_dir, exist_ok=True)
     files = _closure(index_root, man)
-    copied = reused = 0
+    to_copy = []
+    reused = 0
     for rel in files:
-        dst = os.path.join(files_dir, rel)
-        if os.path.exists(dst):
+        if os.path.exists(os.path.join(files_dir, rel)):
             reused += 1
-            continue
+        else:
+            to_copy.append(rel)
+
+    def _copy(rel: str) -> None:
+        dst = os.path.join(files_dir, rel)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
         tmp = dst + ".tmp"
         shutil.copyfile(os.path.join(index_root, rel), tmp)
         os.replace(tmp, dst)
-        copied += 1
+
+    # each copy is independent: fan out as Ray tasks when a session exists
+    # and the batch is big enough to amortize task overhead
+    try:
+        import ray
+
+        have_ray = ray.is_initialized()
+    except ImportError:  # pragma: no cover
+        have_ray = False
+    if have_ray and len(to_copy) >= 32:
+        import ray
+
+        task = ray.remote(num_cpus=0.5)(_copy)
+        ray.get([task.remote(rel) for rel in to_copy])
+    else:
+        for rel in to_copy:
+            _copy(rel)
+    copied = len(to_copy)
     rec = {"name": name, "version": ver, "files": files,
            "copied": copied, "reused": reused}
     tmp = os.path.join(snaps_dir, name + ".json.tmp")

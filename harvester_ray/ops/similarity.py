@@ -530,6 +530,10 @@ def pq_train(
     for j in range(m):
         sub = mat[:, j * dsub:(j + 1) * dsub]
         cent = sub[:ksub].copy()
+        if cent.shape[0] < ksub:  # tiny sample: pad with dead centroids
+            cent = np.vstack(
+                [cent, np.zeros((ksub - cent.shape[0], dsub), np.float64)]
+            )
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)

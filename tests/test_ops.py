@@ -326,3 +326,43 @@ def test_knn_pq_recall_and_compression(tmp_path):
     # deterministic re-run (cached) and re-train agree
     books2 = similarity.pq_index(ds, out_dir)
     np.testing.assert_array_equal(books, books2)
+
+
+def test_ivf_pq_composition(tmp_path):
+    """Scale-path composition: IVF partition pruning + PQ codes within the
+    probed clusters + exact re-rank — candidate I/O is nprobe partitions of
+    8-byte codes, re-rank touches only candidates."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(EMB)
+    ivf_dir = str(tmp_path / "ivfpq")
+    cent = similarity.ivf_partition(ds, ivf_dir, n_centroids=8)
+    q = np.asarray(
+        pads.dataset(EMB).to_table(filter=pads.field("vec_id") == 0)["embedding"][0].as_py()
+    )
+    # PQ-index each probed cluster dir independently (per-partition codes)
+    probe = np.argsort(
+        -(similarity._normalize(np.atleast_2d(q.astype(np.float64))) @ cent.T), axis=1
+    )[0, :4]
+    cands = []
+    for c in probe:
+        cdir = os.path.join(ivf_dir, f"cluster={int(c)}")
+        if not os.path.isdir(cdir):
+            continue
+        pq_dir = os.path.join(str(tmp_path), f"pq-{int(c)}")
+        sub = rd.read_parquet(sorted(
+            os.path.join(cdir, f) for f in os.listdir(cdir) if f.endswith(".parquet")
+        ))
+        similarity.pq_index(sub, pq_dir, m=8, ksub=64)
+        res = similarity.knn_pq(pq_dir, q, k=10, rerank=30, source_path=EMB).to_pandas()
+        cands.append(res)
+    import pandas as pd
+
+    merged = pd.concat(cands).sort_values(
+        ["cosine", "vec_id"], ascending=[False, True]
+    ).drop_duplicates("vec_id").head(10)
+    brute = similarity.knn_brute(ds, q, k=10).to_pandas()
+    recall = len(set(brute["vec_id"]) & set(merged["vec_id"])) / 10
+    assert recall >= 0.5
