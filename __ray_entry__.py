@@ -239,6 +239,56 @@ SPAN_NEAR_SLOP = 6
 BOOSTED_QUERY = "spark^2 window big^0.5"
 
 
+def _harvest_pages() -> list[str]:
+    """The deterministic 60-doc harvest fixture's texts, by doc_id."""
+    return [
+        (f"spark window doc {d}" if d % 2 else f"batch stream scan {d}")
+        for d in range(60)
+    ]
+
+
+def _run_harvest(sf_dir: str) -> pd.DataFrame:
+    """End-to-end run_harvest lifecycle (paged source → OBJECTIVE →
+    validate → index → promote), verified by searching the promoted index
+    against a VALUES-table oracle of the same deterministic pages."""
+    import shutil
+
+    from harvester_ray.index import manifest as mf
+    from harvester_ray.pipelines import harvest
+
+    texts = _harvest_pages()
+
+    def fetch(page: int) -> list[dict]:
+        return [
+            {"meta": {"id": page * 10 + i}, "body": {"content": texts[page * 10 + i]}}
+            for i in range(10)
+        ]
+
+    root = os.path.join(_SCRATCH, "harvest-idx")
+    if mf.current_version(root) is None:
+        shutil.rmtree(root, ignore_errors=True)
+        harvest.run_harvest(
+            fetch, 6, {"@": "$", "doc_id": "$.meta.id", "text": "$.body.content"},
+            root,
+        )
+    out = index_query.IndexReader(root).search(
+        "spark window", k=10, mode="and"
+    ).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _run_harvest_sql() -> str:
+    rows = ", ".join(
+        f"({d}, '{t}')" for d, t in enumerate(_harvest_pages())
+    )
+    body = index_oracle.bm25_sql("hdocs", "spark window", 10, mode="and")
+    return (
+        f"WITH hdocs(doc_id, text) AS (VALUES {rows}), "
+        + body[len("WITH "):]
+    )
+
+
 def _profile_search(sf_dir: str) -> pd.DataFrame:
     """_profile API structural counters (SQL-expressible projection:
     segment counts and wall time stay in the full API, not the gate)."""
@@ -2665,6 +2715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boosted_terms": _boosted_terms,
         "cardinality_agg": _cardinality_agg,
         "profile_search": _profile_search,
+        "run_harvest": _run_harvest,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
         "extract_props": _extract_props,
         # --- search extras (autocomplete + filter-count aggregations) -----
@@ -2955,6 +3006,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "span_near": _span_near_sql_entry(),
         "boosted_terms": _boosted_terms_sql_entry(),
+        "run_harvest": _run_harvest_sql(),
         "profile_search": (
             "WITH toks AS (SELECT doc_id, unnest("
             + _analyzer.sql_tokenize_expr("text")

@@ -133,3 +133,52 @@ def test_vocab_closure_ancestors_and_roots():
     cyc = pd.DataFrame({"value": ["x", "y"], "parent": ["y", "x"]})
     with pytest.raises(ValueError, match="cycle"):
         vb.build_closure(cyc)
+
+
+def test_run_harvest_end_to_end(tmp_path_factory, ray_session):
+    """Full lifecycle: paged source -> OBJECTIVE extract -> clean/validate
+    -> index -> promote; then a delta harvest with the integrity guard."""
+    import numpy as np
+
+    from harvester_ray.index import query
+    from harvester_ray.pipelines import harvest
+
+    def fetch(page: int) -> list[dict]:
+        out = []
+        for i in range(10):
+            did = page * 10 + i
+            out.append({
+                "meta": {"id": did},
+                "body": {"content": f"spark window doc {did}"
+                         if did % 2 else f"batch stream {did}"},
+            })
+        if page == 0:  # invalid record: no identity -> validation drops it
+            out.append({"meta": {}, "body": {"content": "orphan"}})
+        return out
+
+    objective = {
+        "@": "$",
+        "doc_id": "$.meta.id",
+        "text": "$.body.content",
+    }
+    root = str(tmp_path_factory.mktemp("harvest-idx"))
+    man = harvest.run_harvest(fetch, 5, objective, root)
+    assert man["n_docs"] == 50  # orphan dropped by validation
+    assert man["harvest"]["n_pages"] == 5
+    hits = query.IndexReader(root).search("spark window", k=5, mode="and").to_pandas()
+    assert len(hits) == 5
+
+    # delta harvest: update one doc, delete one, add one
+    def fetch_delta(page: int) -> list[dict]:
+        return [
+            {"meta": {"id": 1}, "body": {"content": "updated spark text"}},
+            {"meta": {"id": 3}, "body": {"content": ""}},   # empty -> delete
+            {"meta": {"id": 100}, "body": {"content": "brand new stream"}},
+        ]
+
+    man2 = harvest.run_harvest(fetch_delta, 1, objective, root, delta=True)
+    r = query.IndexReader(root)
+    assert man2["version"] > man["version"]
+    got = r.search("stream", k=100, mode="or").to_pandas()
+    assert 100 in set(got["doc_id"])
+    assert 3 not in set(r.search("batch stream", k=1000, mode="or").to_pandas()["doc_id"])
