@@ -154,3 +154,59 @@ def mget(
         row["found"] = rec is not None
         out_rows.append(row)
     return pd.DataFrame(out_rows)
+
+
+class CachedReader:
+    """Version-keyed LRU request cache in front of ``IndexReader`` — the ES
+    shard-request-cache analog (results cached until the index changes; an
+    alias/promote flip invalidates everything at once because the CURRENT
+    version is part of every key). Serving layers put this in front of the
+    per-query fan-out so repeated dashboard/facet queries cost a dict hit.
+
+    Capacity-bounded LRU; thread-compatible for the single-process serving
+    loop (no locks — Ray actors serialize their own calls)."""
+
+    def __init__(self, index_root: str, *, capacity: int = 256):
+        from collections import OrderedDict
+
+        from . import manifest as mf
+        from .query import IndexReader
+
+        self.root = index_root
+        self.capacity = capacity
+        self._mf = mf
+        self._IndexReader = IndexReader
+        self._version = mf.current_version(index_root)
+        self._reader = IndexReader(index_root)
+        self._cache: "OrderedDict[tuple, object]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+
+    def _refresh(self) -> None:
+        cur = self._mf.current_version(self.root)
+        if cur != self._version:
+            self._version = cur
+            self._reader = self._IndexReader(self.root)
+            self._cache.clear()
+
+    def search(self, query_text: str, k: int = 10, mode: str = "and",
+               filters: dict | None = None):
+        self._refresh()
+        fkey = (
+            tuple(sorted(
+                (c, tuple(v.items()) if isinstance(v, dict) else tuple(v))
+                for c, v in filters.items()
+            ))
+            if filters else None
+        )
+        key = (self._version, query_text, k, mode, fkey)
+        if key in self._cache:
+            self._cache.move_to_end(key)
+            self.hits += 1
+            return self._cache[key]
+        res = self._reader.search(query_text, k=k, mode=mode, filters=filters)
+        self._cache[key] = res
+        if len(self._cache) > self.capacity:
+            self._cache.popitem(last=False)
+        self.misses += 1
+        return res

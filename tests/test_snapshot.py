@@ -109,3 +109,37 @@ def test_aliases_retarget_and_pin(roots, tmp_path_factory):
     with pytest.raises(KeyError):
         mf.resolve_alias(reg, "serving")
     assert not mf.delete_alias(reg, "serving")
+
+
+def test_cached_reader_hits_and_invalidates(roots, ray_session):
+    from harvester_ray.index import incremental, readback
+
+    src, _, _ = roots
+    cr = readback.CachedReader(src, capacity=8)
+    a = cr.search("spark window", k=10, mode="or")
+    b = cr.search("spark window", k=10, mode="or")
+    assert b is a  # served from cache
+    assert (cr.hits, cr.misses) == (1, 1)
+    # different args miss
+    cr.search("spark window", k=5, mode="or")
+    assert cr.misses == 2
+    # a promote invalidates: fresh results reflect the delta
+    import pandas as pd
+    import ray.data as rd
+
+    delta = pd.DataFrame({
+        "doc_id": np.array([0], dtype=np.int64),
+        "text": ["totally different uniquewordq text"],
+        "state": ["active"],
+    })
+    incremental.build_incremental(src, rd.from_pandas(delta),
+                                  input_desc="cache-delta",
+                                  integrity_check=False)
+    c = cr.search("spark window", k=10, mode="or")
+    assert c is not a
+    hit = cr.search("uniquewordq", k=5, mode="or").to_pandas()
+    assert len(hit) == 1 and hit["doc_id"][0] == 0
+    # LRU bound holds
+    for i in range(20):
+        cr.search(f"spark window {i}", k=3, mode="or")
+    assert len(cr._cache) <= 8
