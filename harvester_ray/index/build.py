@@ -485,7 +485,7 @@ def read_segment_metas(meta_dir: str) -> pa.Table:
     return tbl.sort_by("seg")
 
 
-def build_index(
+def _build_index_impl(
     ds,
     index_root: str,
     *,
@@ -737,3 +737,12 @@ def build_index(
         mf.promote(index_root, version)
         mf.purge_stale_versions(index_root, keep=keep_versions)
     return man
+
+
+def build_index(ds, index_root, **kwargs):
+    """Public build entry: single-writer per index root (the reference's
+    select_for_update(nowait) analog — manifest.build_lock). A concurrent
+    live builder raises BuildLockError; a crashed builder's stale lock is
+    stolen, which is what lets kill-resume work unattended."""
+    with mf.build_lock(index_root):
+        return _build_index_impl(ds, index_root, **kwargs)

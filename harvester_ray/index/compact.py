@@ -150,7 +150,7 @@ def merge_segments(
     return {"name": name, "n_docs": int(doc_ids.size), "dl_sum": int(dls.sum())}
 
 
-def compact(
+def _compact_impl(
     index_root: str,
     *,
     target_segments: int = 8,
@@ -218,7 +218,7 @@ def compact(
     return man
 
 
-def compact_tiered(
+def _compact_tiered_impl(
     index_root: str,
     *,
     small_docs: int | None = None,
@@ -310,3 +310,15 @@ def compact_tiered(
         mf.promote(index_root, version)
         mf.purge_stale_versions(index_root, keep=keep_versions)
     return man
+
+
+def compact(index_root, **kwargs):
+    """Public compaction entry: single-writer per index root."""
+    with mf.build_lock(index_root):
+        return _compact_impl(index_root, **kwargs)
+
+
+def compact_tiered(index_root, **kwargs):
+    """Public tiered-compaction entry: single-writer per index root."""
+    with mf.build_lock(index_root):
+        return _compact_tiered_impl(index_root, **kwargs)

@@ -143,7 +143,7 @@ def ingest_document(
     )
 
 
-def build_incremental(
+def _build_incremental_impl(
     index_root: str,
     delta_ds,
     *,
@@ -394,3 +394,11 @@ def build_incremental(
         mf.promote(index_root, version)
         mf.purge_stale_versions(index_root, keep=keep_versions)
     return man
+
+
+def build_incremental(index_root, delta_ds, **kwargs):
+    """Public delta entry: single-writer per index root (manifest.build_lock)."""
+    from . import manifest as _mf
+
+    with _mf.build_lock(index_root):
+        return _build_incremental_impl(index_root, delta_ds, **kwargs)

@@ -172,3 +172,52 @@ def resolve_alias(registry_dir: str, name: str) -> tuple[str, int | None]:
         raise KeyError(f"alias {name!r} not defined in {registry_dir}")
     a = reg[name]
     return a["root"], a["version"]
+
+
+# --- single-writer build lock ----------------------------------------------
+# the reference serializes concurrent pushes/merges with
+# select_for_update(nowait) row locks (search/tasks/index.py:23-25,
+# core/processors/pipeline/resource.py:119-135); the filesystem analog is
+# an O_EXCL lock file carrying the writer's pid — a second writer fails
+# fast (nowait semantics), a crashed writer's lock is stolen once its pid
+# is gone, and resume-after-crash therefore needs no manual cleanup.
+
+class BuildLockError(RuntimeError):
+    """Another live process is already building this index root."""
+
+
+class build_lock:
+    def __init__(self, index_root: str):
+        self.path = os.path.join(index_root, ".build.lock")
+        self.root = index_root
+
+    def __enter__(self):
+        os.makedirs(self.root, exist_ok=True)
+        while True:
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        pid = int(f.read().strip() or "0")
+                except (OSError, ValueError):
+                    pid = 0
+                if pid and os.path.exists(f"/proc/{pid}") and pid != os.getpid():
+                    raise BuildLockError(
+                        f"index {self.root!r} is being built by pid {pid}"
+                    )
+                # stale (crashed writer) or our own re-entry: steal it
+                try:
+                    os.unlink(self.path)
+                except FileNotFoundError:
+                    pass
+
+    def __exit__(self, *exc):
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+        return False

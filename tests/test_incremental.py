@@ -182,3 +182,32 @@ def test_index_diff_labels(tmp_path):
     out = diff_mod.index_diff(root)
     got = dict(zip(out["doc_id"], out["change"]))
     assert got == {1: "changed", 2: "removed", 50: "added", 51: "added"}
+
+
+def test_build_lock_excludes_and_steals(tmp_path_factory, ray_session):
+    """Single-writer lock: a held lock makes a second builder fail fast
+    (nowait semantics); a dead writer's stale lock is stolen."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.index import build, manifest as mf
+
+    root = str(tmp_path_factory.mktemp("lock-idx"))
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "text": ["alpha beta"] * 10})
+    with mf.build_lock(root):
+        with pytest.raises(mf.BuildLockError):
+            # simulate ANOTHER live process holding it
+            with open(os.path.join(root, ".build.lock"), "w") as f:
+                f.write("1")  # pid 1 (init) is always alive
+            build.build_index(rd.from_pandas(df), root, concurrency=2)
+    # stale lock from a dead pid is stolen and the build proceeds
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".build.lock"), "w") as f:
+        f.write("999999999")  # no such pid
+    man = build.build_index(rd.from_pandas(df), root, concurrency=2)
+    assert man["n_docs"] == 10
+    assert not os.path.exists(os.path.join(root, ".build.lock"))
