@@ -311,6 +311,17 @@ def _boosted_terms(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _count_terminate(sf_dir: str) -> pd.DataFrame:
+    """_count with terminate_after (exact regime: threshold unreachable,
+    terminated=False; the lower-bound contract is unit-tested)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.count_terminate_after(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        terminate_after=2**31, mode="or",
+    )
+
+
 def _cardinality_agg(sf_dir: str) -> pd.DataFrame:
     """ES cardinality agg over the match set (exact: facet-bounded field)."""
     from harvester_ray.index import extras as _extras
@@ -2714,6 +2725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_near": _span_near,
         "boosted_terms": _boosted_terms,
         "cardinality_agg": _cardinality_agg,
+        "count_terminate": _count_terminate,
         "profile_search": _profile_search,
         "run_harvest": _run_harvest,
         # --- source-plugin protocol (OBJECTIVE extractor, SURVEY §2.10) ---
@@ -3007,6 +3019,15 @@ def oracle_sql() -> dict[str, str]:
         "span_near": _span_near_sql_entry(),
         "boosted_terms": _boosted_terms_sql_entry(),
         "run_harvest": _run_harvest_sql(),
+        "count_terminate": (
+            "WITH toks AS (SELECT doc_id, unnest("
+            + _analyzer.sql_tokenize_expr("text")
+            + ") AS term FROM documents) "
+            "SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS count, "
+            "FALSE AS terminated FROM toks WHERE term IN ("
+            + ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY_OR.split())))
+            + ")"
+        ),
         "profile_search": (
             "WITH toks AS (SELECT doc_id, unnest("
             + _analyzer.sql_tokenize_expr("text")

@@ -1025,6 +1025,43 @@ def terms_agg(
     ]
 
 
+def count_terminate_after(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    terminate_after: int,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``_count`` with ``terminate_after``: stop enumerating once the
+    running match count reaches the threshold and report (count,
+    terminated). The contract is a LOWER BOUND when terminated — the shape
+    dashboards use for "10,000+ results" counters where an exact count
+    would decode every posting. Per segment the count is still one
+    vectorized enumeration; termination saves the REMAINING segments, which
+    is where the win is at 100 TB (thousands of segments, threshold hit in
+    the first few)."""
+    from .query import match_one_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    count = 0
+    terminated = False
+    if terms:
+        for seg_meta in reader.manifest["segments"]:
+            seg = reader._segment(seg_meta)
+            exclude = tombstones_for_segment(
+                reader._tomb_ids, reader._tomb_vers,
+                seg_meta.get("created_version", reader.manifest["_version"]),
+            )
+            count += int(match_one_segment(seg, terms, mode, exclude, None).size)
+            if count >= terminate_after:
+                terminated = True
+                break
+    return pd.DataFrame({
+        "count": [np.int64(count)],
+        "terminated": [bool(terminated)],
+    })
+
+
 def profile_search(
     reader: IndexReader,
     query_text: str,

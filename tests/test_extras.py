@@ -547,3 +547,20 @@ def test_profile_search_counters(idx, con):
     # unknown term: nothing touched
     z = extras.profile_search(reader, "zzzznope")
     assert z["segments_touched"].iloc[0] == 0 and z["candidates"].iloc[0] == 0
+
+
+def test_count_terminate_after(idx, con):
+    reader = query.IndexReader(idx)
+    true_n = con.execute("""
+        WITH toks AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents)
+        SELECT count(DISTINCT doc_id) FROM toks WHERE term IN ('spark', 'window')
+    """).fetchone()[0]
+    # huge threshold: exact, not terminated
+    full = extras.count_terminate_after(reader, "spark window",
+                                        terminate_after=10**9)
+    assert full["count"][0] == true_n and not full["terminated"][0]
+    # small threshold: terminated lower bound within [threshold, true]
+    part = extras.count_terminate_after(reader, "spark window",
+                                        terminate_after=3)
+    assert part["terminated"][0]
+    assert 3 <= part["count"][0] <= true_n
