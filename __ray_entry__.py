@@ -1619,6 +1619,19 @@ def _knn_ivf(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cosine"]]
 
 
+KNN_FILTER_LABELS = [0, 1, 2]
+
+
+def _knn_filtered(sf_dir: str) -> pd.DataFrame:
+    """Filtered vector search (ES 8 kNN filter clause, pre-filter
+    semantics): exact cosine top-k over rows whose label is allowed."""
+    out = similarity.knn_filtered(
+        _emb_ds(sf_dir), _query_vec(sf_dir), k=10,
+        filter_col="label", filter_values=KNN_FILTER_LABELS,
+    ).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
 def _knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product quantization ANN: 8-byte codes + ADC lookup-table scan, then
     exact re-rank of the top-100 ADC candidates (the standard PQ serving
@@ -2720,6 +2733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
+        "knn_filtered": _knn_filtered,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
         "span_near": _span_near,
@@ -3310,6 +3324,10 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
         "knn_pq": similarity.knn_sql("embeddings", 0, 10),
+        "knn_filtered": similarity.knn_filtered_sql(
+            "embeddings", 0, 10, filter_col="label",
+            filter_values=KNN_FILTER_LABELS,
+        ),
         "table_merge": (
             "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
             "merged AS ("

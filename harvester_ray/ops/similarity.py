@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _normalize(mat: np.ndarray) -> np.ndarray:
@@ -685,3 +686,80 @@ def knn_pq(
         "vec_id": pa.array(np.concatenate(out["vec_id"])),
         "cosine": pa.array(np.concatenate(out["cosine"])),
     })
+
+
+def knn_filtered(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    filter_col: str = "label",
+    filter_values: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Filtered vector search (ES 8 kNN ``filter`` clause): exact cosine
+    top-k restricted to rows whose ``filter_col`` is in ``filter_values``.
+    The predicate applies INSIDE each batch before the matmul (pre-filter
+    semantics — ES's, which guarantees k true matches, unlike post-filter
+    which can starve) — so selective filters shrink compute, not just
+    output. Returns (query_id, vec_id, cosine) rounded to 6."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    allowed = list(filter_values or [])
+    qref = ray.put((q, allowed))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm, allow = ray.get(qref)
+        keep = pc.is_in(batch[filter_col].combine_chunks(), value_set=pa.array(allow))
+        batch = batch.filter(keep)
+        empty = pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        sims = qm @ mat.T
+        nq = qm.shape[0]
+        kk = min(k, ids.size)
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(
+                np.repeat(np.arange(nq, dtype=np.int64), kk), pa.int64()
+            ),
+            "vec_id": pa.array(ids[part].ravel(), pa.int64()),
+            "cosine": pa.array(
+                np.take_along_axis(sims, part, axis=1).ravel(), pa.float64()
+            ),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return _merge_query_topk(parts, k)
+
+
+def knn_filtered_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    filter_col: str = "label",
+    filter_values: list | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for knn_filtered."""
+    vals = ", ".join(str(int(v)) for v in (filter_values or []))
+    cos = f"list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id})
+SELECT e.{id_col} AS vec_id,
+       round({cos}, 6) AS cosine
+FROM {table} e CROSS JOIN q
+WHERE e.{filter_col} IN ({vals})
+ORDER BY {cos} DESC, e.{id_col} ASC
+LIMIT {k}
+""".strip()

@@ -366,3 +366,28 @@ def test_ivf_pq_composition(tmp_path):
     brute = similarity.knn_brute(ds, q, k=10).to_pandas()
     recall = len(set(brute["vec_id"]) & set(merged["vec_id"])) / 10
     assert recall >= 0.5
+
+
+def test_knn_filtered_prefilter_semantics(ray_session):
+    """Pre-filter: exactly k results from the allowed set even when the
+    unfiltered top-k is dominated by excluded labels."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(EMB)
+    q = np.asarray(
+        pads.dataset(EMB).to_table(filter=pads.field("vec_id") == 0)["embedding"][0].as_py()
+    )
+    labels = rd.read_parquet(EMB, columns=["vec_id", "label"]).to_pandas()
+    allowed = [int(labels["label"].iloc[0])]
+    got = similarity.knn_filtered(
+        ds, q, k=10, filter_col="label", filter_values=allowed
+    ).to_pandas()
+    lab = dict(zip(labels["vec_id"], labels["label"]))
+    assert len(got) == 10
+    assert all(lab[v] in allowed for v in got["vec_id"])
+    # equals brute-force over the pre-filtered corpus
+    sub = rd.read_parquet(EMB).to_pandas()
+    brute = similarity.knn_brute(
+        rd.from_pandas(sub[sub["label"].isin(allowed)]), q, k=10
+    ).to_pandas()
+    assert list(got["vec_id"]) == list(brute["vec_id"])
