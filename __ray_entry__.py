@@ -1632,6 +1632,12 @@ def _knn_filtered(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "cosine"]]
 
 
+def _knn_l2(sf_dir: str) -> pd.DataFrame:
+    """Euclidean kNN (dense_vector l2_norm similarity), exact."""
+    out = similarity.knn_l2(_emb_ds(sf_dir), _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id", "dist"]]
+
+
 def _knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product quantization ANN: 8-byte codes + ADC lookup-table scan, then
     exact re-rank of the top-100 ADC candidates (the standard PQ serving
@@ -2734,6 +2740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _knn_ivf,
         "knn_pq": _knn_pq,
         "knn_filtered": _knn_filtered,
+        "knn_l2": _knn_l2,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
         "span_near": _span_near,
@@ -3328,6 +3335,7 @@ def oracle_sql() -> dict[str, str]:
             "embeddings", 0, 10, filter_col="label",
             filter_values=KNN_FILTER_LABELS,
         ),
+        "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
         "table_merge": (
             "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
             "merged AS ("

@@ -763,3 +763,82 @@ WHERE e.{filter_col} IN ({vals})
 ORDER BY {cos} DESC, e.{id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def knn_l2(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact Euclidean top-k (ES dense_vector ``l2_norm`` similarity): raw
+    vectors, smallest distance first. Same batch-matmul shape as cosine via
+    ||q−x||² = ||q||² − 2q·x + ||x||² — one GEMM plus two norm vectors per
+    batch. Returns (query_id, vec_id, dist) rounded to 6, dist asc /
+    vec_id asc."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        d2 = (
+            (qm ** 2).sum(axis=1)[:, None]
+            - 2.0 * (qm @ mat.T)
+            + (mat ** 2).sum(axis=1)[None, :]
+        )
+        np.maximum(d2, 0.0, out=d2)
+        dist = np.sqrt(d2)
+        nq = qm.shape[0]
+        kk = min(k, ids.size)
+        part = np.argpartition(dist, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(
+                np.repeat(np.arange(nq, dtype=np.int64), kk), pa.int64()
+            ),
+            "vec_id": pa.array(ids[part].ravel(), pa.int64()),
+            "dist": pa.array(
+                np.take_along_axis(dist, part, axis=1).ravel(), pa.float64()
+            ),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), g["dist"].to_numpy()))[:k]
+        sel = g.iloc[order]
+        out.append(pa.table({
+            "query_id": pa.array(np.full(len(sel), qi, np.int64)),
+            "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+            "dist": pa.array(np.round(sel["dist"].to_numpy(), 6), pa.float64()),
+        }))
+    return pa.concat_tables(out) if out else pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.float64()),
+    })
+
+
+def knn_l2_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for knn_l2 (DuckDB list_distance over DOUBLE[])."""
+    dist = f"list_distance(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id})
+SELECT e.{id_col} AS vec_id,
+       round({dist}, 6) AS dist
+FROM {table} e CROSS JOIN q
+ORDER BY {dist} ASC, e.{id_col} ASC
+LIMIT {k}
+""".strip()
