@@ -447,6 +447,59 @@ def _search_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+# named filter buckets over (source, lang) attrs — shared by the filters /
+# adjacency_matrix aggregation gates
+AGG_FILTERS = {
+    "english": {"lang": ["en"]},
+    "low_src": {"source": ["src0", "src1", "src2", "src3"]},
+    "romance": {"lang": ["es", "fr"]},
+}
+
+
+def _filters_agg(sf_dir: str) -> pd.DataFrame:
+    """ES `filters` aggregation: named predicate buckets + _other_ over the
+    match set (one unscored enumeration per segment, counters only)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.filters_agg(
+        index_query.IndexReader(root), BM25_QUERY_OR, AGG_FILTERS, mode="or"
+    )
+
+
+def _adjacency_matrix(sf_dir: str) -> pd.DataFrame:
+    """ES `adjacency_matrix` aggregation: filter-pair intersection counts
+    via one boolean GEMM per segment."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.adjacency_matrix(
+        index_query.IndexReader(root), BM25_QUERY_OR, AGG_FILTERS, mode="or"
+    )
+
+
+COMPOSITE_SIZE = 8
+
+
+def _composite_agg(sf_dir: str) -> pd.DataFrame:
+    """ES `composite` aggregation page 2: the after-cursor comes from page
+    1's last (source, lang) key ≡ OFFSET size of the ascending bucket
+    order, which is exactly what the oracle computes."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    r = index_query.IndexReader(root)
+    p1 = _extras.composite_agg(
+        r, BM25_QUERY_OR, sources=("source", "lang"),
+        size=COMPOSITE_SIZE, mode="or",
+    )
+    after = (str(p1["source"].iloc[-1]), str(p1["lang"].iloc[-1]))
+    return _extras.composite_agg(
+        r, BM25_QUERY_OR, sources=("source", "lang"),
+        size=COMPOSITE_SIZE, after=after, mode="or",
+    )
+
+
 def _fuzzy_search(sf_dir: str) -> pd.DataFrame:
     from harvester_ray.index import extras as _extras
 
@@ -2515,6 +2568,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
         "search_stats": _search_stats,
+        "filters_agg": _filters_agg,
+        "adjacency_matrix": _adjacency_matrix,
+        "composite_agg": _composite_agg,
         "fuzzy_search": _fuzzy_search,
         "explain_score": _explain_score,
         "percolate": _percolate,
@@ -3128,6 +3184,16 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN doclen dl USING (doc_id) JOIN documents d USING (doc_id)
             GROUP BY d.source ORDER BY d.source
         """,
+        "filters_agg": index_oracle.filters_agg_sql(
+            "documents", BM25_QUERY_OR, AGG_FILTERS, mode="or"
+        ),
+        "adjacency_matrix": index_oracle.adjacency_matrix_sql(
+            "documents", BM25_QUERY_OR, AGG_FILTERS, mode="or"
+        ),
+        "composite_agg": index_oracle.composite_agg_sql(
+            "documents", BM25_QUERY_OR, sources=("source", "lang"),
+            size=COMPOSITE_SIZE, offset=COMPOSITE_SIZE, mode="or",
+        ),
         "explain_score": index_oracle.explain_sql("documents", BM25_QUERY_AND),
         "percolate": _percolate_mod.percolate_sql("documents", PERC_QUERIES),
         "search_collapse": index_oracle.collapse_sql(

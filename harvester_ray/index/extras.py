@@ -1935,3 +1935,134 @@ def search_random(
     hs = np.concatenate(h_parts)
     order = np.lexsort((docs, hs))[:k]
     return pd.DataFrame({"doc_id": docs[order], "h": hs[order].astype(np.int64)})
+
+
+def filters_agg(
+    reader: IndexReader,
+    query_text: str,
+    named_filters: dict[str, dict[str, list]],
+    *,
+    other_bucket: bool = True,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``filters`` aggregation over the match set: one bucket per named
+    filter (attr value-membership predicates, AND across fields like the
+    facet API), plus ``_other_`` for matching docs claimed by no named
+    filter. A doc may land in several named buckets (ES semantics) but in
+    ``_other_`` only when it matches none. Scale shape: per segment one
+    unscored match enumeration and F+1 counters leave — never rows."""
+    names = sorted(named_filters)
+    counts = {nm: 0 for nm in names}
+    other = 0
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            any_mask = np.zeros(matched.size, dtype=bool)
+            for nm in names:
+                m = np.ones(matched.size, dtype=bool)
+                for field, values in named_filters[nm].items():
+                    m &= np.isin(
+                        seg.attr_values(field, matched), np.asarray(values)
+                    )
+                counts[nm] += int(m.sum())
+                any_mask |= m
+            other += int((~any_mask).sum())
+    rows = [(nm, counts[nm]) for nm in names]
+    if other_bucket:
+        rows.append(("_other_", other))
+    out = pd.DataFrame(rows, columns=["bucket", "doc_count"])
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def adjacency_matrix(
+    reader: IndexReader,
+    query_text: str,
+    named_filters: dict[str, dict[str, list]],
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``adjacency_matrix`` aggregation: one bucket per named filter and
+    per filter pair (key ``a&b``, names joined in sorted order), counting
+    matching docs that satisfy BOTH; empty buckets omitted (ES contract).
+    Per segment the F×F intersection grid is one boolean-matrix GEMM
+    (``M @ M.T``) and only F² counters leave the segment."""
+    names = sorted(named_filters)
+    F = len(names)
+    grid = np.zeros((F, F), dtype=np.int64)
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            M = np.zeros((F, matched.size), dtype=np.int64)
+            for i, nm in enumerate(names):
+                m = np.ones(matched.size, dtype=bool)
+                for field, values in named_filters[nm].items():
+                    m &= np.isin(
+                        seg.attr_values(field, matched), np.asarray(values)
+                    )
+                M[i] = m
+            grid += M @ M.T
+    rows = []
+    for i in range(F):
+        if grid[i, i]:
+            rows.append((names[i], int(grid[i, i])))
+        for j in range(i + 1, F):
+            if grid[i, j]:
+                rows.append((f"{names[i]}&{names[j]}", int(grid[i, j])))
+    out = pd.DataFrame(rows, columns=["bucket", "doc_count"])
+    out = out.sort_values("bucket").reset_index(drop=True)
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out
+
+
+def composite_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    sources: tuple[str, ...] = ("source", "lang"),
+    size: int = 10,
+    after: tuple | None = None,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``composite`` aggregation: buckets of the attr-tuple grid in
+    ascending key order, paginated by the exclusive ``after`` cursor — the
+    agg that lets a client stream EVERY bucket of a high-cardinality
+    grouping in bounded pages. Scale shape: per segment one sort/reduceat
+    pair-count partial (≤ distinct combos rows leave the segment), the
+    coordinator merges, range-filters past the cursor and cuts ``size``."""
+    cols = list(sources)
+    empty = pd.DataFrame(
+        {**{c: pd.Series(dtype=object) for c in cols},
+         "doc_count": pd.Series(dtype=np.int64)}
+    )
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return empty
+    partials = []
+    for seg, matched in _segment_matches(reader, live, mode, None):
+        dfp = pd.DataFrame({c: seg.attr_values(c, matched) for c in cols})
+        partials.append(dfp.groupby(cols, as_index=False).size())
+    if not partials:
+        return empty
+    merged = (
+        pd.concat(partials).groupby(cols, as_index=False)["size"].sum()
+        .sort_values(cols, kind="mergesort").reset_index(drop=True)
+    )
+    if after is not None:
+        gt = np.zeros(len(merged), dtype=bool)
+        eq = np.ones(len(merged), dtype=bool)
+        for c, a in zip(cols, after):
+            v = merged[c].to_numpy()
+            gt |= eq & (v > a)
+            eq &= v == a
+        merged = merged[gt]
+    merged = merged.head(size).rename(columns={"size": "doc_count"})
+    merged["doc_count"] = merged["doc_count"].astype(np.int64)
+    return merged.reset_index(drop=True)

@@ -943,3 +943,120 @@ FROM m
 ORDER BY h ASC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def _match_ctes(
+    table: str, query_text: str, mode: str, id_col: str, text_col: str
+) -> str:
+    """Shared tokenize→match CTE prefix (``toks``, ``m``, ``md`` = matched
+    rows of the table) used by the agg-family oracles."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having}),
+md AS (SELECT d.* FROM {table} d JOIN m ON d.{id_col} = m.doc_id)
+""".strip()
+
+
+def _filter_pred(spec: dict[str, list]) -> str:
+    parts = []
+    for field, values in spec.items():
+        vals = ", ".join(
+            "'" + str(v).replace("'", "''") + "'" for v in values
+        )
+        parts.append(f"{field} IN ({vals})")
+    return "(" + " AND ".join(parts) + ")"
+
+
+def filters_agg_sql(
+    table: str,
+    query_text: str,
+    named_filters: dict[str, dict[str, list]],
+    *,
+    other_bucket: bool = True,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.filters_agg: per-name counts over the match set
+    plus the none-of-the-above ``_other_`` bucket."""
+    names = sorted(named_filters)
+    selects = [
+        f"SELECT '{nm}' AS bucket, CAST(count(*) FILTER (WHERE "
+        f"{_filter_pred(named_filters[nm])}) AS BIGINT) AS doc_count FROM md"
+        for nm in names
+    ]
+    if other_bucket:
+        none_pred = " AND ".join(
+            f"NOT {_filter_pred(named_filters[nm])}" for nm in names
+        )
+        selects.append(
+            f"SELECT '_other_' AS bucket, CAST(count(*) FILTER (WHERE "
+            f"{none_pred}) AS BIGINT) AS doc_count FROM md"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        _match_ctes(table, query_text, mode, id_col, text_col)
+        + f"\nSELECT bucket, doc_count FROM (\n{union}\n) ORDER BY bucket"
+    )
+
+
+def adjacency_matrix_sql(
+    table: str,
+    query_text: str,
+    named_filters: dict[str, dict[str, list]],
+    *,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.adjacency_matrix: singles + sorted-pair
+    intersections over the match set, empty buckets omitted."""
+    names = sorted(named_filters)
+    selects = []
+    for i, a in enumerate(names):
+        pa_ = _filter_pred(named_filters[a])
+        selects.append(
+            f"SELECT '{a}' AS bucket, CAST(count(*) FILTER (WHERE {pa_}) "
+            f"AS BIGINT) AS doc_count FROM md"
+        )
+        for b in names[i + 1:]:
+            pb = _filter_pred(named_filters[b])
+            selects.append(
+                f"SELECT '{a}&{b}' AS bucket, CAST(count(*) FILTER (WHERE "
+                f"{pa_} AND {pb}) AS BIGINT) AS doc_count FROM md"
+            )
+    union = "\nUNION ALL\n".join(selects)
+    return (
+        _match_ctes(table, query_text, mode, id_col, text_col)
+        + f"\nSELECT bucket, doc_count FROM (\n{union}\n) "
+        + "WHERE doc_count > 0 ORDER BY bucket"
+    )
+
+
+def composite_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    sources: tuple[str, ...] = ("source", "lang"),
+    size: int = 10,
+    offset: int = 0,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.composite_agg: the after-cursor page equals
+    OFFSET over the ascending bucket order (the gate derives ``after``
+    from the previous page's last key, which is exactly this order)."""
+    cols = ", ".join(sources)
+    return (
+        _match_ctes(table, query_text, mode, id_col, text_col)
+        + f"""
+SELECT {cols}, CAST(count(*) AS BIGINT) AS doc_count
+FROM md GROUP BY {cols} ORDER BY {cols}
+LIMIT {size} OFFSET {offset}"""
+    )

@@ -564,3 +564,65 @@ def test_count_terminate_after(idx, con):
                                         terminate_after=3)
     assert part["terminated"][0]
     assert 3 <= part["count"][0] <= true_n
+
+
+AGG_FILTERS = {
+    "english": {"lang": ["en"]},
+    "low_src": {"source": ["src0", "src1", "src2", "src3"]},
+    "romance": {"lang": ["es", "fr"]},
+}
+
+
+def test_filters_agg_partition_invariants(idx):
+    reader = query.IndexReader(idx)
+    out = extras.filters_agg(reader, "customer query big", AGG_FILTERS, mode="or")
+    assert list(out["bucket"]) == sorted(out["bucket"])
+    total = extras.match_counts(reader, "customer query big", mode="or")[
+        "results_total"]["value"]
+    named = out[out["bucket"] != "_other_"]["doc_count"]
+    other = int(out[out["bucket"] == "_other_"]["doc_count"].iloc[0])
+    # english & romance are disjoint and low_src overlaps both, so named sums
+    # can exceed the total, but other + max coverage never undershoots it
+    assert other <= total and named.sum() + other >= total
+    # disjoint lang buckets + other partition is exact when filters cover langs
+    full = extras.filters_agg(
+        reader, "customer query big",
+        {"en": {"lang": ["en"]}, "rest": {"lang": ["de", "es", "fr", "zh"]}},
+        mode="or",
+    )
+    assert int(full["doc_count"].sum()) == total  # other == 0, exact partition
+
+
+def test_adjacency_matrix_bounds(idx):
+    reader = query.IndexReader(idx)
+    adj = extras.adjacency_matrix(reader, "customer query big", AGG_FILTERS, mode="or")
+    single = dict(zip(adj["bucket"], adj["doc_count"]))
+    # every pair intersection is bounded by both singles; disjoint pair absent
+    for b, c in single.items():
+        if "&" in b:
+            a_, b_ = b.split("&")
+            assert c <= single[a_] and c <= single[b_]
+    assert "english&romance" not in single  # disjoint lang filters
+
+
+def test_composite_agg_pagination_covers_all(idx):
+    reader = query.IndexReader(idx)
+    full = extras.composite_agg(
+        reader, "customer query big", sources=("source", "lang"),
+        size=10**9, mode="or",
+    )
+    pages = []
+    after = None
+    while True:
+        p = extras.composite_agg(
+            reader, "customer query big", sources=("source", "lang"),
+            size=7, after=after, mode="or",
+        )
+        if p.empty:
+            break
+        pages.append(p)
+        after = (str(p["source"].iloc[-1]), str(p["lang"].iloc[-1]))
+    import pandas as pd
+
+    paged = pd.concat(pages).reset_index(drop=True)
+    pd.testing.assert_frame_equal(paged, full)
