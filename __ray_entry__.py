@@ -898,6 +898,41 @@ def _bm25_range(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+RECENCY_ORIGIN_US = 1_700_438_400_000_000  # 2023-11-20 00:00:00 UTC in µs
+
+
+def _recency_boost(sf_dir: str) -> pd.DataFrame:
+    """Lucene distance_feature date boost (the reference's recency ranking,
+    core/models/search/query.py:90-98): BM25 sum + boost·pivot/(pivot+|Δt|)
+    from the ts attribute column; OR mode takes the exhaustive scorer since
+    per-doc boosts invalidate block-max bounds."""
+    out = (
+        index_query.IndexReader(_turnattr_index())
+        .search(
+            HAS_CHILD_QUERY, k=10, mode="or",
+            recency={"ts_col": "ts", "origin_us": RECENCY_ORIGIN_US},
+        )
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+SPAN_FIRST_TERM = "spark"
+SPAN_FIRST_END = 8
+
+
+def _span_first(sf_dir: str) -> pd.DataFrame:
+    """ES span_first: the term only counts within the first N token
+    positions (leading-text match without a separate title field)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_span_first(
+        index_query.IndexReader(root), SPAN_FIRST_TERM, end=SPAN_FIRST_END, k=10
+    )
+
+
 def _date_histogram(sf_dir: str) -> pd.DataFrame:
     """ES date_histogram over the match set: hourly buckets of matching
     turns from the ts attribute column."""
@@ -2613,6 +2648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_turns": lambda sf: _transcripts_mod.merge_consecutive_turns(_tds(sf)),
         "date_histogram": _date_histogram,
         "bm25_range": _bm25_range,
+        "recency_boost": _recency_boost,
+        "span_first": _span_first,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -3477,6 +3514,13 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE d.ts >= TIMESTAMP '{RANGE_GTE}' AND d.ts < TIMESTAMP '{RANGE_LT}' "
             "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "recency_boost": index_oracle.recency_bm25_sql(
+            "tdocp", HAS_CHILD_QUERY, 10, origin_us=RECENCY_ORIGIN_US,
+            mode="or", ts_col="ts",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "span_first": index_oracle.span_first_bm25_sql(
+            "documents", SPAN_FIRST_TERM, SPAN_FIRST_END, 10
+        ),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
         "preference_pairs": _preference_pairs_sql(),

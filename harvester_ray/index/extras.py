@@ -2066,3 +2066,66 @@ def composite_agg(
     merged = merged.head(size).rename(columns={"size": "doc_count"})
     merged["doc_count"] = merged["doc_count"].astype(np.int64)
     return merged.reset_index(drop=True)
+
+
+def search_span_first(
+    reader: IndexReader,
+    term: str,
+    *,
+    end: int,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``span_first``: match a term only where it occurs within the
+    first ``end`` token positions of the document (title-ish leading text
+    without a separate field). tf = number of qualifying occurrences,
+    df = live docs with at least one (span-frequency scoring, the same
+    contract as search_phrase/search_proximity). One positional decode of
+    the single term per segment; a reduceat over posting boundaries counts
+    qualifying positions — no per-doc loop."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    toks = analyzer.tokenize_query(term)
+    if len(toks) != 1:
+        raise ValueError("span_first takes exactly one term")
+    tok = toks[0]
+    matches = []
+    df = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "span_first needs positions — build_index(store_positions=True)"
+            )
+        hit = seg.positions(tok)
+        if hit is None:
+            continue
+        docs, tfs, pos = hit
+        offs = np.zeros(tfs.size, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=offs[1:])
+        cnt = np.add.reduceat((pos < end).astype(np.int64), offs)
+        keep = cnt > 0
+        docs, cnt = docs[keep], cnt[keep]
+        if docs.size == 0:
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(docs, exclude)
+            docs, cnt = docs[live], cnt[live]
+        if docs.size:
+            df += int(docs.size)
+            matches.append((docs, cnt, seg.doc_lengths(docs)))
+    if not matches or df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (docs, bm25.score(cnt, dl, term_idf, reader.avgdl))
+        for docs, cnt, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

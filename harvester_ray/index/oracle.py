@@ -1060,3 +1060,110 @@ SELECT {cols}, CAST(count(*) AS BIGINT) AS doc_count
 FROM md GROUP BY {cols} ORDER BY {cols}
 LIMIT {size} OFFSET {offset}"""
     )
+
+
+def span_first_bm25_sql(
+    table: str,
+    term: str,
+    end: int,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_span_first: occurrences within the first
+    ``end`` token ordinals (generate_subscripts is 1-based vs the engine's
+    0-based ``pos < end`` — hence ``i <= end``), span-frequency scoring."""
+    toks = analyzer.tokenize_query(term)
+    assert len(toks) == 1
+    q = "'" + toks[0].replace("'", "''") + "'"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+m AS (
+  SELECT doc_id, count(*) AS ptf FROM pos
+  WHERE term = {q} AND i <= {end}
+  GROUP BY doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def recency_bm25_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    origin_us: int,
+    pivot_us: float = 90 * 86400 * 1_000_000.0,
+    boost: float = 1.15,
+    mode: str = "or",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for search(recency=...) — Lucene distance_feature date boost
+    added to the BM25 sum before rounding: boost·pivot/(pivot+|Δt µs|),
+    the same (boost·pivot) / (pivot + dist) operation order as the engine."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {having}
+),
+boosted AS (
+  SELECT sc.doc_id,
+         sc.score + ({boost!r} * {pivot_us!r})
+           / ({pivot_us!r} + CAST(abs({origin_us} - epoch_us(t.{ts_col})) AS DOUBLE)) AS score
+  FROM scored sc JOIN {table} t ON t.{id_col} = sc.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

@@ -203,3 +203,35 @@ def test_rescore_boosts_proximity_docs(pos_index):
         assert res["score"].iloc[0] > base["score"].iloc[0] - 1e-9
         assert res["doc_id"].iloc[0] in set(prox["doc_id"]) | set(base["doc_id"])
     assert extras.rescore(reader, "zzzznope", k=5).empty
+
+
+def test_span_first_restricts_and_scores(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    r = iq.IndexReader(pos_index)
+    got = extras.search_span_first(r, "spark", end=8, k=10)
+    exp = con.execute(
+        oracle.span_first_bm25_sql("documents", "spark", 8, 10)
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    # the position restriction actually bites: fewer or different matches
+    # than the unrestricted term query at a huge window
+    wide = extras.search_span_first(r, "spark", end=10**9, k=1000)
+    tight = extras.search_span_first(r, "spark", end=8, k=1000)
+    assert len(tight) < len(wide)
+
+
+def test_span_first_edges(pos_index):
+    from harvester_ray.index import extras
+
+    r = iq.IndexReader(pos_index)
+    assert extras.search_span_first(r, "zzznope", end=5).empty  # absent term
+    assert extras.search_span_first(r, "spark", end=0).empty    # empty window
+    with pytest.raises(ValueError):
+        extras.search_span_first(r, "two words", end=5)
