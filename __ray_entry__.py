@@ -933,6 +933,32 @@ def _span_first(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PHRASE_PREFIX_QUERY = "part s"  # lead 'part' + 's*': stream/slow/scan/sort all live
+TS_BASE_S = 1_698_796_800  # 2023-11-01 00:00:00 UTC — keeps ts ints small
+
+
+def _match_phrase_prefix(sf_dir: str) -> pd.DataFrame:
+    """ES match_phrase_prefix (search-as-you-type): adjacency chain with
+    the last position drawn from the prefix's dictionary expansions."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_match_phrase_prefix(
+        index_query.IndexReader(root), PHRASE_PREFIX_QUERY, k=10
+    )
+
+
+def _matrix_stats(sf_dir: str) -> pd.DataFrame:
+    """ES matrix_stats aggregation over the match set: exact integer
+    sufficient statistics between doc length and the ts attribute."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.matrix_stats(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", ts_base_s=TS_BASE_S, mode="or",
+    )
+
+
 def _date_histogram(sf_dir: str) -> pd.DataFrame:
     """ES date_histogram over the match set: hourly buckets of matching
     turns from the ts attribute column."""
@@ -2650,6 +2676,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_range": _bm25_range,
         "recency_boost": _recency_boost,
         "span_first": _span_first,
+        "match_phrase_prefix": _match_phrase_prefix,
+        "matrix_stats": _matrix_stats,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -3521,6 +3549,13 @@ def oracle_sql() -> dict[str, str]:
         "span_first": index_oracle.span_first_bm25_sql(
             "documents", SPAN_FIRST_TERM, SPAN_FIRST_END, 10
         ),
+        "match_phrase_prefix": index_oracle.phrase_prefix_bm25_sql(
+            "documents", PHRASE_PREFIX_QUERY, 10
+        ),
+        "matrix_stats": index_oracle.matrix_stats_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_base_s=TS_BASE_S, ts_col="ts",
+            mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
         "preference_pairs": _preference_pairs_sql(),

@@ -2129,3 +2129,184 @@ def search_span_first(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def search_match_phrase_prefix(
+    reader: IndexReader,
+    phrase: str,
+    *,
+    max_expansions: int = 50,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``match_phrase_prefix`` (search-as-you-type): the query's last
+    token is a prefix; a doc matches where the fixed lead terms occur
+    adjacently followed by ANY dictionary expansion of the prefix.
+    Expansion set is global and deterministic: the union of segment
+    dictionaries' prefix ranges, lexicographically capped at
+    ``max_expansions`` (the match_fuzzy contract). Scored like the rest of
+    the span family: tf = number of matching start positions, df = live
+    docs with ≥1 match. Per segment the fixed chain's packed
+    (doc,start)-keys are intersected ONCE, then each expansion only
+    intersects its own positions against that chain — the lead terms are
+    never re-decoded per expansion."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    toks = analyzer.tokenize_query(phrase)
+    if not toks:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    fixed, prefix = toks[:-1], toks[-1]
+    exp: set[str] = set()
+    segs = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "match_phrase_prefix needs positions — "
+                "build_index(store_positions=True)"
+            )
+        segs.append((seg_meta, seg))
+        exp.update(seg.terms_with_prefix(prefix))
+    expansions = sorted(exp)[:max_expansions]
+    if not expansions:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    matches = []
+    df = 0
+    last_i = len(fixed)
+    for seg_meta, seg in segs:
+        keys: np.ndarray | None = None
+        dead = False
+        for i, t in enumerate(fixed):
+            res = seg.positions(t)
+            if res is None:
+                dead = True
+                break
+            docs, tfs, pos = res
+            local = np.searchsorted(seg.doc_ids, docs)
+            tok_local = np.repeat(local, tfs)
+            shifted = pos - i
+            ok = shifted >= 0
+            kk = (tok_local[ok].astype(np.int64) << 31) | shifted[ok]
+            keys = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True
+            )
+            if keys.size == 0:
+                dead = True
+                break
+        if dead:
+            continue
+        start_parts = []
+        for e in expansions:
+            res = seg.positions(e)
+            if res is None:
+                continue
+            docs, tfs, pos = res
+            local = np.searchsorted(seg.doc_ids, docs)
+            tok_local = np.repeat(local, tfs)
+            shifted = pos - last_i
+            ok = shifted >= 0
+            kk = (tok_local[ok].astype(np.int64) << 31) | shifted[ok]
+            hit = kk if keys is None else np.intersect1d(
+                keys, kk, assume_unique=True
+            )
+            if hit.size:
+                start_parts.append(hit >> 31)
+        if not start_parts:
+            continue
+        # one token per position → keys are distinct across expansions
+        uniq, ptf = np.unique(np.concatenate(start_parts), return_counts=True)
+        docs, cnt = seg.doc_ids[uniq], ptf.astype(np.int64)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(docs, exclude)
+            docs, cnt = docs[live], cnt[live]
+        if docs.size:
+            df += int(docs.size)
+            matches.append((docs, cnt, seg.doc_lengths(docs)))
+    if not matches or df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (docs, bm25.score(cnt, dl, term_idf, reader.avgdl))
+        for docs, cnt, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def matrix_stats(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    ts_base_s: int,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``matrix_stats`` aggregation over the match set, between the two
+    numeric per-doc signals the index already holds: token length (dl) and
+    the ts attribute (seconds since ``ts_base_s``, a fixture constant so the
+    integer sufficient statistics stay small). Exact: per segment six
+    integer counters (n, Σdl, Σts, Σdl², Σts², Σdl·ts) folded as Python
+    ints (no int64 overflow by construction), all ratios derived from the
+    same integer pairs on both sides. Returns one row: count, means,
+    population variances, covariance and Pearson correlation (6 dp)."""
+    import math
+
+    n = 0
+    s_dl = s_ts = s_dl2 = s_ts2 = s_dlts = 0
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            dl = seg.doc_lengths(matched).astype(np.int64)
+            ts = seg.attr_values(ts_field, matched)
+            ts = ts.astype("datetime64[us]").astype(np.int64) // 1_000_000
+            ts = ts - ts_base_s
+            n += int(matched.size)
+            s_dl += int(dl.sum())
+            s_ts += int(ts.sum())
+            s_dl2 += int((dl * dl).sum())
+            s_ts2 += int((ts * ts).sum())
+            s_dlts += int((dl * ts).sum())
+    empty = pd.DataFrame({
+        "n": pd.Series(dtype=np.int64),
+        "mean_dl": pd.Series(dtype=np.float64),
+        "mean_ts_s": pd.Series(dtype=np.float64),
+        "var_dl": pd.Series(dtype=np.float64),
+        "var_ts_s": pd.Series(dtype=np.float64),
+        "cov": pd.Series(dtype=np.float64),
+        "corr": pd.Series(dtype=np.float64),
+    })
+    if n == 0:
+        return empty
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    var_dl_num = n * s_dl2 - s_dl * s_dl
+    var_ts_num = n * s_ts2 - s_ts * s_ts
+    cov_num = n * s_dlts - s_dl * s_ts
+    nn = float(n) * float(n)
+    corr = (
+        float(cov_num)
+        / (math.sqrt(float(var_dl_num)) * math.sqrt(float(var_ts_num)))
+        if var_dl_num > 0 and var_ts_num > 0
+        else 0.0
+    )
+    return pd.DataFrame([{
+        "n": np.int64(n),
+        "mean_dl": r6(float(s_dl) / n),
+        "mean_ts_s": r6(float(s_ts) / n),
+        "var_dl": r6(float(var_dl_num) / nn),
+        "var_ts_s": r6(float(var_ts_num) / nn),
+        "cov": r6(float(cov_num) / nn),
+        "corr": r6(corr),
+    }])

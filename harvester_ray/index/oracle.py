@@ -1167,3 +1167,123 @@ boosted AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def phrase_prefix_bm25_sql(
+    table: str,
+    phrase: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_match_phrase_prefix: adjacency chain on the
+    fixed lead terms with the last position drawn from the prefix's
+    expansion set (distinct corpus tokens, lexicographic, capped — the
+    engine's dictionary union is exactly this set at initial build)."""
+    toks = analyzer.tokenize_query(phrase)
+    assert toks, "empty phrase"
+    fixed, prefix = toks[:-1], toks[-1]
+    esc = prefix.replace("'", "''")
+    tok = analyzer.sql_tokenize_expr(text_col)
+    L = len(fixed)
+    joins = "\n  ".join(
+        f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
+        for i in range(1, L + 1)
+    )
+    preds = [
+        f"p{i}.term = '" + t.replace("'", "''") + "'"
+        for i, t in enumerate(fixed)
+    ]
+    preds.append(f"p{L}.term IN (SELECT term FROM sel)")
+    where = " AND ".join(preds)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+sel AS (
+  SELECT DISTINCT term FROM pos WHERE term LIKE '{esc}%'
+  ORDER BY term LIMIT {max_expansions}
+),
+m AS (
+  SELECT p0.doc_id, count(*) AS ptf
+  FROM pos p0
+  {joins}
+  WHERE {where}
+  GROUP BY p0.doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def matrix_stats_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_base_s: int,
+    ts_col: str = "ts",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.matrix_stats: HUGEINT sufficient statistics over
+    the match set, every ratio derived from the same integer pair and
+    rounded with the shared floor(x·1e6+0.5) rule."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+mset AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+         GROUP BY doc_id {having}),
+vals AS (
+  SELECT len({tok}) AS dl,
+         epoch_us(t.{ts_col}) // 1000000 - {ts_base_s} AS tss
+  FROM {table} t JOIN mset ON t.{id_col} = mset.doc_id
+),
+sums AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(CAST(dl AS HUGEINT)) AS s_dl,
+         sum(CAST(tss AS HUGEINT)) AS s_ts,
+         sum(CAST(dl AS HUGEINT) * dl) AS s_dl2,
+         sum(CAST(tss AS HUGEINT) * tss) AS s_ts2,
+         sum(CAST(dl AS HUGEINT) * tss) AS s_dlts
+  FROM vals
+)
+SELECT CAST(n AS BIGINT) AS n,
+       floor(CAST(s_dl AS DOUBLE) / CAST(n AS BIGINT) * 1e6 + 0.5) / 1e6 AS mean_dl,
+       floor(CAST(s_ts AS DOUBLE) / CAST(n AS BIGINT) * 1e6 + 0.5) / 1e6 AS mean_ts_s,
+       floor(CAST(n * s_dl2 - s_dl * s_dl AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS var_dl,
+       floor(CAST(n * s_ts2 - s_ts * s_ts AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS var_ts_s,
+       floor(CAST(n * s_dlts - s_dl * s_ts AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS cov,
+       floor(CASE WHEN n * s_dl2 - s_dl * s_dl > 0 AND n * s_ts2 - s_ts * s_ts > 0
+                  THEN CAST(n * s_dlts - s_dl * s_ts AS DOUBLE)
+                       / (sqrt(CAST(n * s_dl2 - s_dl * s_dl AS DOUBLE))
+                          * sqrt(CAST(n * s_ts2 - s_ts * s_ts AS DOUBLE)))
+                  ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS corr
+FROM sums
+""".strip()

@@ -235,3 +235,30 @@ def test_span_first_edges(pos_index):
     assert extras.search_span_first(r, "spark", end=0).empty    # empty window
     with pytest.raises(ValueError):
         extras.search_span_first(r, "two words", end=5)
+
+
+def test_match_phrase_prefix_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    r = iq.IndexReader(pos_index)
+    got = extras.search_match_phrase_prefix(r, "part s", k=10)
+    exp = con.execute(
+        oracle.phrase_prefix_bm25_sql("documents", "part s", 10)
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp, check_dtype=False
+    )
+    # expansion cap is honored and deterministic
+    capped = extras.search_match_phrase_prefix(r, "part s", max_expansions=1, k=10)
+    exp_c = con.execute(
+        oracle.phrase_prefix_bm25_sql("documents", "part s", 10, max_expansions=1)
+    ).fetchdf()
+    pd.testing.assert_frame_equal(
+        capped.reset_index(drop=True), exp_c, check_dtype=False
+    )
+    # no expansions → empty
+    assert extras.search_match_phrase_prefix(r, "part zzznope", k=5).empty
