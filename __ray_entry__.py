@@ -2682,6 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
         "tool_chains": lambda sf: _transcripts_mod.tool_chains(_tds(sf)),
+        "tool_loops": lambda sf: _transcripts_mod.tool_loops(_tds(sf), min_run=2),
         "role_violations": lambda sf: _transcripts_mod.role_violations(_tds(sf)),
         "conv_neardup": _conv_neardup,
         "curate_conversations": lambda sf: _transcripts_mod.curate_conversations(_tds(sf)),
@@ -2712,6 +2713,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
+        "source_mixture": lambda sf: _sampling.source_mixture(
+            _docs_ds(sf, columns=("doc_id", "source")), target_total=200
+        ),
         "pii_scrub": _pii_scrub,
         "curate_corpus": _curate_corpus,
         "approx_distinct": _approx_distinct,
@@ -3368,6 +3372,9 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sampling.stratified_sample_sql(
             "documents", strata_col="lang", rates=STRATA_RATES
         ),
+        "source_mixture": _sampling.source_mixture_sql(
+            "documents", target_total=200
+        ),
         "curate_corpus": _curate.curate_sql("documents"),
         "approx_distinct": _sketch.kmv_distinct_sql("events", "user_id", k=64),
         "approx_distinct_hll": _sketch.hll_distinct_sql("events", "event_id", p=6),
@@ -3571,6 +3578,7 @@ def oracle_sql() -> dict[str, str]:
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
         "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
+        "tool_loops": _transcripts_mod.tool_loops_sql(_tsrc, min_run=2),
         "role_violations": _transcripts_mod.role_violations_sql(_tsrc),
         "conv_neardup": dedup.ngram_jaccard_sql("cdoc", threshold=0.5).replace(
             "WITH ", _conv_neardup_sql_head() + ", ", 1

@@ -207,3 +207,123 @@ FROM {table}
 WHERE {_sql_frac(id_col, salt)} < ({rate})
 ORDER BY {id_col}
 """.strip()
+
+
+def source_mixture(
+    ds,
+    *,
+    target_total: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 31337,
+):
+    """Temperature-smoothed source mixture (the multinomial-weights recipe
+    training pipelines use to keep big sources from drowning small ones,
+    alpha = 0.5): sampling weight w_s ∝ sqrt(n_s), per-doc keep rate
+    rate_s = min(1, target_total·w_s / (Σw · n_s)), inclusion decided by
+    the row-local Knuth hash — partition-independent and reproducible.
+
+    Exact-parity construction: weights are quantized to integer nanos
+    BEFORE normalization (w_q = floor(sqrt(n_s)·1e9 + 0.5)) so the only
+    float steps are one IEEE-exact sqrt and two divisions mirrored
+    verbatim in SQL — no cross-group float summation anywhere.
+
+    Two streaming passes (count fold, then tagged count fold); per batch
+    only per-source counters leave the tasks. Returns per-source
+    (source, n_total, n_sampled)."""
+    import pandas as pd
+    import ray
+
+    def count_pass(t: pa.Table) -> pa.Table:
+        enc = t[source_col].combine_chunks().dictionary_encode()
+        cnt = np.bincount(
+            np.asarray(enc.indices), minlength=len(enc.dictionary)
+        )
+        return pa.table({
+            "source": enc.dictionary,
+            "n_s": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    counts = (
+        ds.map_batches(count_pass, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .to_pandas()
+        .groupby("source", as_index=False)["n_s"].sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    n_s = counts["n_s"].to_numpy(dtype=np.int64)
+    w_q = np.floor(np.sqrt(n_s.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    denom_q = int(w_q.sum())
+    rates = np.minimum(
+        1.0, (target_total * w_q) / float(denom_q) / n_s
+    )
+    src_arr = counts["source"].to_numpy(dtype=object).astype(str)
+    src_ref = ray.put(np.sort(src_arr))
+    rate_ref = ray.put(rates[np.argsort(src_arr)])
+
+    def sample_pass(t: pa.Table) -> pa.Table:
+        srcs = ray.get(src_ref)
+        rts = ray.get(rate_ref)
+        vals = np.asarray(t[source_col].combine_chunks()).astype(str)
+        idx = np.searchsorted(srcs, vals)
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        kept = _hash_frac(ids, salt) < rts[idx]
+        enc = t[source_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices)
+        nd = len(enc.dictionary)
+        tot = np.bincount(codes, minlength=nd)
+        smp = np.bincount(codes[kept], minlength=nd)
+        return pa.table({
+            "source": enc.dictionary,
+            "n_total": pa.array(tot.astype(np.int64), pa.int64()),
+            "n_sampled": pa.array(smp.astype(np.int64), pa.int64()),
+        })
+
+    out = (
+        ds.map_batches(sample_pass, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .to_pandas()
+        .groupby("source", as_index=False)[["n_total", "n_sampled"]].sum()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    out["n_total"] = out["n_total"].astype(np.int64)
+    out["n_sampled"] = out["n_sampled"].astype(np.int64)
+    return out
+
+
+def source_mixture_sql(
+    table: str = "documents",
+    *,
+    target_total: int,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: int = 31337,
+) -> str:
+    """Oracle for source_mixture: identical integer-quantized weights and
+    mirrored float operation order."""
+    frac = _sql_frac(f"t.{id_col}", salt)
+    return f"""
+WITH n AS (
+  SELECT {source_col} AS source, CAST(count(*) AS BIGINT) AS n_s
+  FROM {table} GROUP BY {source_col}
+),
+w AS (
+  SELECT source, n_s,
+         CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1e9 + 0.5) AS BIGINT) AS w_q
+  FROM n
+),
+d AS (SELECT sum(w_q) AS denom FROM w),
+r AS (
+  SELECT source, n_s,
+         LEAST(1.0, (({target_total} * w_q) / CAST(d.denom AS DOUBLE)) / n_s)
+           AS rate
+  FROM w CROSS JOIN d
+)
+SELECT t.{source_col} AS source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER (WHERE {frac} < r.rate) AS BIGINT) AS n_sampled
+FROM {table} t JOIN r ON t.{source_col} = r.source
+GROUP BY t.{source_col} ORDER BY t.{source_col}
+""".strip()

@@ -1412,3 +1412,90 @@ SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_convs,
 FROM pref GROUP BY prefix_md5 HAVING count(*) > 1
 ORDER BY prefix_md5
 """.strip()
+
+
+def tool_loops(ds, *, min_run: int = 3, n_buckets: int = 64) -> pd.DataFrame:
+    """Agent stuck-loop detection: maximal runs of consecutive tool CALLS
+    (tool-role turns in turn order; non-tool turns between calls don't
+    break the chain, the tool_chains convention) where the same tool is
+    called ``min_run``+ times in a row — the resampled-generation /
+    retry-storm signal a training pipeline drops or truncates. One
+    vectorized boundary-diff pass per conversation bucket; only qualifying
+    runs leave the tasks. Returns (conv_id, tool, run_len, start_turn)
+    sorted by conv then start."""
+
+    def runs(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "tool": pa.array([], pa.string()),
+            "run_len": pa.array([], pa.int64()),
+            "start_turn": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        is_tool = np.asarray(pc.equal(tbl["role"].combine_chunks(), "tool"))
+        sel = np.flatnonzero(is_tool)
+        if sel.size == 0:
+            return empty
+        conv_idx = np.searchsorted(off, sel, side="right") - 1
+        enc = (
+            tbl["tool"].combine_chunks()
+            .take(pa.array(sel, pa.int64()))
+            .dictionary_encode()
+        )
+        codes = np.asarray(enc.indices).astype(np.int64)
+        new_run = np.ones(sel.size, dtype=bool)
+        new_run[1:] = (conv_idx[1:] != conv_idx[:-1]) | (codes[1:] != codes[:-1])
+        starts = np.flatnonzero(new_run)
+        lens = np.diff(np.append(starts, sel.size))
+        keep = lens >= min_run
+        if not keep.any():
+            return empty
+        starts, lens = starts[keep], lens[keep]
+        turn_idx = np.asarray(
+            tbl["turn_idx"].combine_chunks().cast(pa.int64())
+        )
+        convs = tbl["conv_id"].combine_chunks()
+        tools = enc.dictionary.to_pylist()
+        return pa.table({
+            "conv_id": convs.take(pa.array(sel[starts], pa.int64())),
+            "tool": pa.array([tools[c] for c in codes[starts]], pa.string()),
+            "run_len": pa.array(lens, pa.int64()),
+            "start_turn": pa.array(turn_idx[sel[starts]], pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(runs, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype=str),
+            "tool": pd.Series([], dtype=str),
+            "run_len": pd.Series([], dtype=np.int64),
+            "start_turn": pd.Series([], dtype=np.int64),
+        })
+    return parts.sort_values(["conv_id", "start_turn"]).reset_index(drop=True)
+
+
+def tool_loops_sql(src: str, *, min_run: int = 3) -> str:
+    """Oracle for tool_loops: gaps-and-islands over the tool-call sequence
+    (row_number difference is constant within a same-tool run)."""
+    return f"""
+WITH calls AS (
+  SELECT conv_id, turn_idx, tool,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+           - row_number() OVER (PARTITION BY conv_id, tool ORDER BY turn_idx)
+           AS island
+  FROM {src} WHERE role = 'tool'
+)
+SELECT conv_id, tool,
+       CAST(count(*) AS BIGINT) AS run_len,
+       CAST(min(turn_idx) AS BIGINT) AS start_turn
+FROM calls GROUP BY conv_id, tool, island
+HAVING count(*) >= {min_run}
+ORDER BY conv_id, start_turn
+""".strip()

@@ -61,3 +61,59 @@ def test_zero_rate_drops_stratum(ray_session):
         _docs(200), strata_col="lang", rates={"en": 0.0}
     ).to_pandas()
     assert not (out["lang"] == "en").any()
+
+
+def _src_docs():
+    import ray.data as rd
+
+    # skewed sources: one giant, one mid, one tiny
+    sizes = {"big": 900, "mid": 90, "tiny": 10}
+    rows_src, rows_id = [], []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows_src.append(s)
+            rows_id.append(i)
+            i += 1
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array(rows_id, pa.int64()),
+        "source": pa.array(rows_src),
+    }))
+
+
+def test_source_mixture_rebalances(ray_session):
+    out = sampling.source_mixture(_src_docs(), target_total=300)
+    got = dict(zip(out["source"], zip(out["n_total"], out["n_sampled"])))
+    assert got["big"][0] == 900 and got["tiny"][0] == 10
+    assert all(s <= t for t, s in got.values())
+    # temperature alpha=0.5 keeps ALL of a tiny source (rate hits 1) while
+    # downsampling the giant far below its proportional share
+    assert got["tiny"][1] == 10
+    prop_big = 300 * 900 / 1000  # proportional share would be 270
+    assert got["big"][1] < 0.8 * prop_big
+    # deterministic + partition-independent
+    again = sampling.source_mixture(_src_docs().repartition(7), target_total=300)
+    assert out.equals(again)
+
+
+def test_source_mixture_matches_oracle(ray_session, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(500)), pa.int64()),
+        "source": pa.array([f"s{i % 7}" for i in range(500)]),
+    })
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(t, p)
+    import ray.data as rd
+
+    got = sampling.source_mixture(rd.read_parquet(p), target_total=120)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{p}')")
+    exp = con.execute(
+        sampling.source_mixture_sql("documents", target_total=120)
+    ).fetchdf()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)

@@ -455,3 +455,34 @@ def test_conv_continuations_planted(ray_session):
     exp = con.execute(tmod.conv_continuations_sql("contsrc")).fetchdf()
     for c in got.columns:
         assert got[c].astype(str).tolist() == exp[c].astype(str).tolist(), c
+
+
+def test_tool_loops_planted(ray_session):
+    from harvester_ray.pipelines import transcripts as tmod
+
+    rows = []
+    # conv A: tool x called 3x in a row with a user turn between calls
+    # (non-tool turns don't break the chain), then tool y once
+    for i, (role, tool) in enumerate([
+        ("user", ""), ("tool", "x"), ("user", ""), ("tool", "x"),
+        ("tool", "x"), ("tool", "y"),
+    ]):
+        rows.append(("A", i, role, tool))
+    # conv B: x twice, broken by y, then x twice again → two len-2 runs
+    for i, (role, tool) in enumerate([
+        ("tool", "x"), ("tool", "x"), ("tool", "y"),
+        ("tool", "x"), ("tool", "x"),
+    ]):
+        rows.append(("B", i, role, tool))
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "tool": pa.array([r[3] for r in rows]),
+    })
+    out = tmod.tool_loops(rd.from_arrow(t), min_run=2)
+    got = list(zip(out["conv_id"], out["tool"], out["run_len"], out["start_turn"]))
+    assert got == [("A", "x", 3, 1), ("B", "x", 2, 0), ("B", "x", 2, 3)]
+    # min_run=3 keeps only the planted triple
+    out3 = tmod.tool_loops(rd.from_arrow(t), min_run=3)
+    assert list(zip(out3["conv_id"], out3["tool"])) == [("A", "x")]
