@@ -933,6 +933,42 @@ def _span_first(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _reindex_dest(sf_dir: str) -> str:
+    """Reindex fixture: a store_source copy of the documents index, then
+    an ES _reindex into a lang='en'-only destination (from the stored
+    _source alone — the raw parquet is never re-read)."""
+    import ray.data as rd
+
+    from harvester_ray.index import manifest as mf
+    from harvester_ray.index import reindex as _reindex_mod
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = os.path.join(_SCRATCH, f"docidx-src-{tag}")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    if mf.current_version(src) is None:
+        ds = rd.read_parquet(docs, columns=["doc_id", "text", "source", "lang"])
+        index_build.build_index(
+            ds, src, input_desc=docs, attr_cols=["source", "lang"],
+            store_source=True,
+        )
+    dest = os.path.join(_SCRATCH, f"docidx-reindexed-{tag}")
+    if mf.current_version(dest) is None:
+        _reindex_mod.reindex(src, dest, filters={"lang": ["en"]})
+    return dest
+
+
+def _reindex_search(sf_dir: str) -> pd.DataFrame:
+    """BM25 over the reindexed (lang='en') destination: scoring stats are
+    those of the filtered corpus, proving the rebuild is self-contained."""
+    out = (
+        index_query.IndexReader(_reindex_dest(sf_dir))
+        .search(BM25_QUERY_OR, k=10, mode="or")
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 PHRASE_PREFIX_QUERY = "part s"  # lead 'part' + 's*': stream/slow/scan/sort all live
 TS_BASE_S = 1_698_796_800  # 2023-11-01 00:00:00 UTC — keeps ts ints small
 
@@ -2678,6 +2714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": _span_first,
         "match_phrase_prefix": _match_phrase_prefix,
         "matrix_stats": _matrix_stats,
+        "reindex_search": _reindex_search,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -3558,6 +3595,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "match_phrase_prefix": index_oracle.phrase_prefix_bm25_sql(
             "documents", PHRASE_PREFIX_QUERY, 10
+        ),
+        "reindex_search": index_oracle.bm25_sql(
+            "(SELECT * FROM documents WHERE lang = 'en')",
+            BM25_QUERY_OR, 10, mode="or",
         ),
         "matrix_stats": index_oracle.matrix_stats_sql(
             "tdocp", HAS_CHILD_QUERY, ts_base_s=TS_BASE_S, ts_col="ts",

@@ -275,6 +275,7 @@ class SegmentBuilder:
         attr_cols: list[str] | None = None,
         staging_dir: str | None = None,
         store_positions: bool = False,
+        store_source: bool = False,
     ):
         self.seg_dir = seg_dir
         self.staging_dir = staging_dir
@@ -289,6 +290,10 @@ class SegmentBuilder:
         # attribute columns stored alongside doc lengths for filtered search
         # / recency boosting (facet-filter analog: search/views/document.py:70-94)
         self.attr_cols = attr_cols or []
+        # ES _source analog: keep the raw text in the doc table (column name
+        # "_source"). Underscore-prefixed columns are NOT loaded into serving
+        # memory — fetched from the parquet on demand (reindex / hit fetch).
+        self.store_source = store_source
         os.makedirs(seg_dir, exist_ok=True)
         # one actor == one CPU slot: pin Arrow's internal thread pool so N
         # concurrent actors don't each spawn num_cpus kernel threads and
@@ -433,6 +438,11 @@ class SegmentBuilder:
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             docs_cols[c] = col.take(pa.array(order))
+        if self.store_source:
+            src = batch[self.text_col]
+            if isinstance(src, pa.ChunkedArray):
+                src = src.combine_chunks()
+            docs_cols["_source"] = src.take(pa.array(order))
         docs_tbl = pa.table(docs_cols)
 
         # atomic write: tmp files → os.replace → marker last
@@ -500,6 +510,7 @@ def _build_index_impl(
     keep_versions: int = 3,
     attr_cols: list[str] | None = None,
     store_positions: bool = False,
+    store_source: bool = False,
 ) -> dict:
     """Build a new index version from a corpus Dataset. Returns the manifest.
 
@@ -550,6 +561,7 @@ def _build_index_impl(
                 "attr_cols": attr_cols,
                 "staging_dir": staging_dir,
                 "store_positions": store_positions,
+                "store_source": store_source,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -713,6 +725,7 @@ def _build_index_impl(
         "num_buckets": num_buckets,
         "attr_cols": list(attr_cols or []),
         "positions": bool(store_positions),
+        "store_source": bool(store_source),
         "segments": segments,
         "termstats": f"v{version}/termstats",
         "tombstones": [],

@@ -46,9 +46,12 @@ def merge_segments(
         dead = tombstones_for_segment(tomb_ids, tomb_vers, m["created_version"])
         readers.append((reader, dead))
 
-    # merged doc table (tombstones dropped)
+    # merged doc table (tombstones dropped); stored-on-disk "_" columns
+    # (e.g. _source) are carried through from the parquet without ever
+    # entering serving memory structures
     doc_parts, dl_parts, attr_parts = [], [], {}
     attr_names = list(readers[0][0].attrs.keys()) if readers else []
+    stored_names = list(readers[0][0].stored_cols) if readers else []
     for reader, dead in readers:
         keep = (
             ~np.isin(reader.doc_ids, dead) if dead.size else np.ones(reader.doc_ids.size, bool)
@@ -57,6 +60,11 @@ def merge_segments(
         dl_parts.append(reader.dl[keep])
         for a in attr_names:
             attr_parts.setdefault(a, []).append(reader.attrs[a].take(pa.array(np.flatnonzero(keep))))
+        if stored_names:
+            stbl = pq.read_table(reader.base + ".docs.parquet", columns=stored_names)
+            sel = pa.array(np.flatnonzero(keep))
+            for s in stored_names:
+                attr_parts.setdefault(s, []).append(stbl[s].combine_chunks().take(sel))
     doc_ids = np.concatenate(doc_parts)
     dls = np.concatenate(dl_parts)
     order = np.argsort(doc_ids, kind="stable")
@@ -129,7 +137,7 @@ def merge_segments(
     name = f"seg-{doc_ids[0]:012d}-{doc_ids[-1]:012d}" if doc_ids.size else "seg-empty"
     base = os.path.join(out_dir, name)
     docs_cols = {"doc_id": pa.array(doc_ids, pa.int64()), "dl": pa.array(dls, pa.int64())}
-    for a in attr_names:
+    for a in attr_names + stored_names:
         merged_attr = pa.concat_arrays([p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p for p in attr_parts[a]])
         docs_cols[a] = merged_attr.take(pa.array(order))
     pq.write_table(terms_tbl, base + ".terms.parquet.tmp")
@@ -201,6 +209,7 @@ def _compact_impl(
         "version": version,
         "attr_cols": prev.get("attr_cols", []),
         "positions": prev.get("positions", False),
+        "store_source": prev.get("store_source", False),
         "segments": new_segs,
         "termstats": f"v{version}/termstats",
         "tombstones": [],
@@ -295,6 +304,7 @@ def _compact_tiered_impl(
         "version": version,
         "attr_cols": prev.get("attr_cols", []),
         "positions": prev.get("positions", False),
+        "store_source": prev.get("store_source", False),
         "segments": new_segs,
         "termstats": f"v{version}/termstats",
         "tombstones": prev.get("tombstones", []),

@@ -215,6 +215,8 @@ def _build_incremental_impl(
             # delta segments inherit the parent's positional layout so a
             # version never mixes phrase-capable and phrase-less segments
             "store_positions": bool(prev.get("positions", False)),
+            # ... and its _source layout so reindex keeps working post-delta
+            "store_source": bool(prev.get("store_source", False)),
         },
         batch_format="pyarrow",
         batch_size=batch_size,
@@ -360,6 +362,7 @@ def _build_incremental_impl(
         "avgdl": (dl_sum / n_docs) if n_docs else 0.0,
         "num_buckets": num_buckets,
         "positions": bool(prev.get("positions", False)),
+        "store_source": bool(prev.get("store_source", False)),
         "attr_cols": attr_cols,
         "segments": carried + new_segs,
         "termstats": f"v{version}/termstats",

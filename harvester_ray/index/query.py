@@ -67,7 +67,13 @@ class SegmentReader:
                 np.asarray(arr.offsets, dtype=np.int64),
                 np.asarray(arr.values, dtype=np.int64),
             )
-        docs = pq.read_table(base_path + ".docs.parquet")
+        # underscore-prefixed columns (e.g. the ES-_source analog "_source")
+        # are stored-on-disk-only: pruned at the read, never held in serving
+        # memory, fetched per doc batch via stored_values()
+        docs_schema = pq.read_schema(base_path + ".docs.parquet")
+        self.stored_cols = [c for c in docs_schema.names if c.startswith("_")]
+        live_cols = [c for c in docs_schema.names if not c.startswith("_")]
+        docs = pq.read_table(base_path + ".docs.parquet", columns=live_cols)
         self.doc_ids = np.asarray(docs["doc_id"].combine_chunks(), dtype=np.int64)
         self.dl = np.asarray(docs["dl"].combine_chunks(), dtype=np.int64)
         # attribute columns (filtered search / recency boost), aligned to doc_ids
@@ -257,6 +263,17 @@ class SegmentReader:
     def doc_lengths(self, docs: np.ndarray) -> np.ndarray:
         idx = np.searchsorted(self.doc_ids, docs)
         return self.dl[idx]
+
+    def stored_values(self, col: str, docs: np.ndarray) -> pa.Array:
+        """Fetch a stored-on-disk column (e.g. ``_source``) for specific doc
+        ids — one pruned parquet column read, never cached in memory."""
+        if col not in self.stored_cols:
+            raise KeyError(
+                f"stored column {col!r} absent — build with store_source=True"
+            )
+        tbl = pq.read_table(self.base + ".docs.parquet", columns=[col])
+        idx = np.searchsorted(self.doc_ids, docs)
+        return tbl[col].combine_chunks().take(pa.array(idx))
 
     def attr_values(self, col: str, docs: np.ndarray) -> np.ndarray:
         if col not in self.attrs:
