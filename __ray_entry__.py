@@ -857,7 +857,7 @@ def _turnattr_index() -> str:
     from harvester_ray.index import manifest as mf
 
     data_dir = _transcripts_dir()
-    root = os.path.join(_SCRATCH, "turnattr2-index")
+    root = os.path.join(_SCRATCH, "turnattr3-index")
     if mf.current_version(root) is None:
         paths = sorted(
             os.path.join(data_dir, f)
@@ -865,11 +865,11 @@ def _turnattr_index() -> str:
             if f.endswith(".parquet")
         )
         ds = rd.read_parquet(
-            data_dir, columns=["conv_id", "turn_idx", "text", "ts"]
+            data_dir, columns=["conv_id", "turn_idx", "text", "ts", "tool"]
         )
         ds = _corpus.assign_doc_ids(ds, counts=_corpus.conv_counts_from_files(paths))
         index_build.build_index(
-            ds, root, input_desc=data_dir, attr_cols=["conv_id", "ts"]
+            ds, root, input_desc=data_dir, attr_cols=["conv_id", "ts", "tool"]
         )
     return root
 
@@ -967,6 +967,30 @@ def _reindex_search(sf_dir: str) -> pd.DataFrame:
     )
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+PINNED_IDS = [7, 3, 123]  # 3 doesn't need to match — ES pins unconditionally
+
+
+def _pinned_query(sf_dir: str) -> pd.DataFrame:
+    """ES pinned query: curated ids first in curator order, then organic
+    matches with pinned ids removed."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_pinned(
+        index_query.IndexReader(root), BM25_QUERY_OR, PINNED_IDS, k=10, mode="or"
+    )
+
+
+def _exists_filter(sf_dir: str) -> pd.DataFrame:
+    """ES constant_score over an exists filter: turns that made a tool call
+    all score exactly boost, ordered by doc id."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_exists(
+        index_query.IndexReader(_turnattr_index()), "tool", boost=1.0, k=10
+    )
 
 
 PHRASE_PREFIX_QUERY = "part s"  # lead 'part' + 's*': stream/slow/scan/sort all live
@@ -1240,10 +1264,10 @@ def _transcript_docp_sql_head(glob: str) -> str:
     """Like _transcript_doc_sql_head but the doc table keeps the parent key
     (conv_id) — the has_child oracle groups by it."""
     return (
-        f"WITH tsrc AS (SELECT conv_id, turn_idx, text, ts FROM read_parquet('{glob}')), "
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, text, ts, tool FROM read_parquet('{glob}')), "
         "tcnt AS (SELECT conv_id, count(*) AS n FROM tsrc GROUP BY conv_id), "
         "tbase AS (SELECT conv_id, CAST(sum(n) OVER (ORDER BY conv_id) - n AS BIGINT) AS base FROM tcnt), "
-        "tdocp AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text, s.conv_id, s.ts "
+        "tdocp AS (SELECT CAST(b.base + s.turn_idx AS BIGINT) AS doc_id, s.text, s.conv_id, s.ts, s.tool "
         "FROM tsrc s JOIN tbase b USING (conv_id))"
     )
 
@@ -2715,6 +2739,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_prefix": _match_phrase_prefix,
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
+        "pinned_query": _pinned_query,
+        "exists_filter": _exists_filter,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -2814,6 +2840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("text",)), k=100
         ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
+        "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
@@ -3442,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
+        "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
@@ -3596,6 +3624,22 @@ def oracle_sql() -> dict[str, str]:
         "match_phrase_prefix": index_oracle.phrase_prefix_bm25_sql(
             "documents", PHRASE_PREFIX_QUERY, 10
         ),
+        "pinned_query": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 100000, mode="or")
+            + "), pin(doc_id, pord) AS (VALUES (7, 1), (3, 2), (123, 3)), "
+            "org AS (SELECT doc_id, row_number() OVER "
+            "(ORDER BY score DESC, doc_id ASC) AS r FROM ranked "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM pin)) "
+            "SELECT CAST(rank AS BIGINT) AS rank, CAST(doc_id AS BIGINT) AS doc_id, pinned "
+            "FROM (SELECT pord AS rank, doc_id, true AS pinned FROM pin "
+            "UNION ALL SELECT 3 + r, doc_id, false FROM org) "
+            "ORDER BY rank LIMIT 10"
+        ),
+        "exists_filter": (
+            "SELECT doc_id, 1.0 AS score FROM tdocp "
+            "WHERE tool IS NOT NULL ORDER BY doc_id LIMIT 10"
+        ).replace("SELECT doc_id", _transcript_docp_sql_head(_tglob) + " SELECT doc_id", 1),
         "reindex_search": index_oracle.bm25_sql(
             "(SELECT * FROM documents WHERE lang = 'en')",
             BM25_QUERY_OR, 10, mode="or",

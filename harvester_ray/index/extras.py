@@ -2310,3 +2310,74 @@ def matrix_stats(
         "cov": r6(float(cov_num) / nn),
         "corr": r6(corr),
     }])
+
+
+def search_pinned(
+    reader: IndexReader,
+    query_text: str,
+    pinned_ids: list[int],
+    *,
+    k: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``pinned`` query: curated doc ids first, in the curator's order
+    (present even when they don't match the query — ES semantics), then the
+    organic matches with pinned ids removed. Organic order is the rounded-
+    score total order with doc-id tie-break (the search_after/cursor
+    contract). Returns (rank, doc_id, pinned)."""
+    organic = reader.search(
+        query_text, k=k + len(pinned_ids), mode=mode
+    ).to_pandas()
+    organic["score"] = organic["score"].round(4)
+    organic = organic.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    organic = organic[~organic["doc_id"].isin(pinned_ids)]
+    rows = [(i + 1, int(d), True) for i, d in enumerate(pinned_ids)]
+    base = len(pinned_ids)
+    for j, d in enumerate(organic["doc_id"].tolist()):
+        rows.append((base + j + 1, int(d), False))
+    out = pd.DataFrame(rows, columns=["rank", "doc_id", "pinned"]).head(k)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
+def search_exists(
+    reader: IndexReader,
+    field: str,
+    *,
+    boost: float = 1.0,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``constant_score`` over an ``exists`` filter: every live doc whose
+    ``field`` attribute is non-null scores exactly ``boost`` (filter
+    context — no stats, no postings touched), ordered by doc id. The
+    match_all + filter degenerate case of the query DSL."""
+    import pyarrow.compute as _pc
+
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if field not in seg.attrs:
+            raise KeyError(
+                f"attribute {field!r} not stored — build with attr_cols=[{field!r}]"
+            )
+        mask = np.asarray(_pc.is_valid(seg.attrs[field]))
+        docs = seg.doc_ids[mask]
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size and docs.size:
+            docs = docs[~np.isin(docs, exclude)]
+        if docs.size:
+            parts.append(docs[:k])  # per-segment pre-cut: ids are sorted
+    if not parts:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    docs = np.sort(np.concatenate(parts))[:k]
+    return pd.DataFrame({
+        "doc_id": docs.astype(np.int64),
+        "score": np.full(docs.size, float(boost)),
+    })

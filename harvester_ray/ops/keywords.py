@@ -820,3 +820,146 @@ SELECT CAST(ks.k AS BIGINT) AS k,
                        * 1e6 / t.total + 0.5) / 1e6 END AS coverage
 FROM ks CROSS JOIN tot t ORDER BY k
 """.strip()
+
+
+def bigram_logprob(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Bigram-LM quality score per document (the KenLM-order-2 sibling of
+    unigram_logprob, with the corpus as the model): add-one-smoothed
+    conditional ``p(w2|w1) = (c(w1,w2)+1) / (c1(w1)+V)`` over each doc's
+    adjacent-token bigrams, ``logprob = Σ ln p``. Repetitive boilerplate
+    scores high, token soup scores low — a sharper repetition signal than
+    unigram typicality.
+
+    Same oracle-exact float discipline as unigram_logprob: each distinct
+    BIGRAM's ln is quantized once to nano-fixed-point; per-doc totals are
+    integer sums. One corpus pass emits unigram AND bigram partial counts
+    (keys "w" / "w1 w2" — tokens never contain spaces), so V and c1 both
+    derive from a single fold; the model broadcasts as sorted numpy arrays.
+    Returns (doc_id, n_bigrams, logprob, lp_per_bigram) rounded to 6."""
+
+    def _batch_bigrams(batch):
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        terms = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+        if codes.size < 2:
+            return rows, codes, terms, np.zeros(0, np.intp)
+        same = rows[1:] == rows[:-1]
+        left = np.flatnonzero(same)  # flat index of each bigram's first token
+        return rows, codes, terms, left
+
+    def count_pass(batch: pa.Table) -> pa.Table:
+        rows, codes, terms, left = _batch_bigrams(batch)
+        uni = np.bincount(codes, minlength=terms.size).astype(np.int64)
+        keys = list(terms[uni > 0])
+        ns = list(uni[uni > 0])
+        if left.size:
+            bg = np.char.add(np.char.add(terms[codes[left]], " "),
+                             terms[codes[left + 1]])
+            u, c = np.unique(bg, return_counts=True)
+            keys += list(u)
+            ns += list(c.astype(np.int64))
+        return pa.table({
+            "term": pa.array(keys, pa.string()),
+            "n": pa.array(np.asarray(ns, np.int64), pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            count_pass, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    folded = _fold_partials(parts)
+    is_bigram = folded["term"].str.contains(" ")
+    v_total = int((~is_bigram).sum())
+    bt = folded[is_bigram]
+    bkeys = bt["term"].to_numpy(dtype=object).astype("U")
+    cb = bt["n"].to_numpy(np.int64)
+    w1 = np.array([k.split(" ")[0] for k in bkeys], dtype="U")
+    c1_df = pd.DataFrame({"w1": w1, "n": cb}).groupby("w1")["n"].sum()
+    c1 = c1_df.reindex(pd.Index(w1)).to_numpy(np.int64)
+    order = np.argsort(bkeys, kind="stable")
+    lp_nano = np.floor(
+        np.log((cb[order] + 1).astype(np.float64)
+               / (c1[order] + v_total).astype(np.float64)) * 1e9 + 0.5
+    ).astype(np.int64)
+    ref = ray.put((bkeys[order], lp_nano))
+
+    def score(batch: pa.Table) -> pa.Table:
+        keys_sorted, lp_sorted = ray.get(ref)
+        rows, codes, terms, left = _batch_bigrams(batch)
+        n = batch.num_rows
+        doc_ids = batch[id_col].combine_chunks()
+        nb = np.zeros(n, np.int64)
+        totals = np.zeros(n, np.int64)
+        if left.size:
+            bg = np.char.add(np.char.add(terms[codes[left]], " "),
+                             terms[codes[left + 1]])
+            pos = np.searchsorted(keys_sorted, bg)
+            lp = lp_sorted[np.clip(pos, 0, max(keys_sorted.size - 1, 0))]
+            brows = rows[left]
+            nb = np.bincount(brows, minlength=n).astype(np.int64)
+            np.add.at(totals, brows, lp)
+        lp_f = totals / 1e9
+        per_bg = np.divide(lp_f, nb, out=np.zeros(n, np.float64), where=nb > 0)
+        return pa.table({
+            "doc_id": doc_ids,
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "logprob": pa.array(np.round(lp_f, 6) + 0.0, pa.float64()),
+            "lp_per_bigram": pa.array(np.round(per_bg, 6) + 0.0, pa.float64()),
+        })
+
+    out = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    cols = ["doc_id", "n_bigrams", "logprob", "lp_per_bigram"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+def bigram_logprob_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+pos AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i
+        FROM toks),
+big AS (
+  SELECT a.doc_id, a.term AS w1, b.term AS w2
+  FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+),
+cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, sum(c) AS c1 FROM cb GROUP BY 1),
+v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM pos),
+lp AS (
+  SELECT cb.w1, cb.w2,
+         CAST(floor(ln((cb.c + 1) * 1.0 / (c1.c1 + v.v)) * 1e9 + 0.5)
+              AS BIGINT) AS lp_nano
+  FROM cb JOIN c1 USING (w1) CROSS JOIN v
+),
+per_doc AS (
+  SELECT big.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         sum(lp.lp_nano) AS total_nano
+  FROM big JOIN lp ON big.w1 = lp.w1 AND big.w2 = lp.w2
+  GROUP BY big.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(p.total_nano, 0) / 1e9, 6) + 0.0 AS logprob,
+       CASE WHEN coalesce(p.n_bigrams, 0) = 0 THEN 0.0
+            ELSE round((p.total_nano / 1e9) / p.n_bigrams, 6) + 0.0 END
+         AS lp_per_bigram
+FROM (SELECT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+""".strip()

@@ -626,3 +626,16 @@ def test_composite_agg_pagination_covers_all(idx):
 
     paged = pd.concat(pages).reset_index(drop=True)
     pd.testing.assert_frame_equal(paged, full)
+
+
+def test_search_pinned_contract(idx):
+    reader = query.IndexReader(idx)
+    organic = reader.search("customer query big", k=13, mode="or").to_pandas()
+    pinned = [int(organic["doc_id"].iloc[2]), 999999]  # one organic, one absent
+    out = extras.search_pinned(reader, "customer query big", pinned, k=10, mode="or")
+    # pinned first, curator order, even when the id matches nothing
+    assert out["doc_id"].iloc[0] == pinned[0] and out["doc_id"].iloc[1] == 999999
+    assert out["pinned"].tolist()[:2] == [True, True]
+    # no duplicates: the organically-matching pinned id appears exactly once
+    assert (out["doc_id"] == pinned[0]).sum() == 1
+    assert out["rank"].tolist() == list(range(1, 11))
