@@ -1812,6 +1812,29 @@ def _knn_l2(sf_dir: str) -> pd.DataFrame:
     return out[["vec_id", "dist"]]
 
 
+def _knn_dot(sf_dir: str) -> pd.DataFrame:
+    """Max-inner-product kNN (dense_vector dot_product similarity), exact."""
+    out = similarity.knn_dot(_emb_ds(sf_dir), _query_vec(sf_dir), k=10).to_pandas()
+    return out[["vec_id", "dot"]]
+
+
+def _rank_feature(sf_dir: str) -> pd.DataFrame:
+    """ES rank_feature query: BM25 sum + boost·sat(dl) saturation over the
+    indexed doc length (exhaustive OR path — per-doc boosts invalidate
+    block-max bounds)."""
+    root = _documents_index(sf_dir)
+    out = (
+        index_query.IndexReader(root)
+        .search(
+            BM25_QUERY_OR, k=10, mode="or",
+            recency={"kind": "rank_feature", "pivot": 120.0, "boost": 1.2},
+        )
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product quantization ANN: 8-byte codes + ADC lookup-table scan, then
     exact re-rank of the top-100 ADC candidates (the standard PQ serving
@@ -2930,6 +2953,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_pq": _knn_pq,
         "knn_filtered": _knn_filtered,
         "knn_l2": _knn_l2,
+        "knn_dot": _knn_dot,
+        "rank_feature": _rank_feature,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
         "span_near": _span_near,
@@ -3539,6 +3564,10 @@ def oracle_sql() -> dict[str, str]:
             filter_values=KNN_FILTER_LABELS,
         ),
         "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
+        "knn_dot": similarity.knn_dot_sql("embeddings", 0, 10),
+        "rank_feature": index_oracle.rank_feature_bm25_sql(
+            "documents", BM25_QUERY_OR, 10, pivot=120.0, boost=1.2, mode="or",
+        ),
         "table_merge": (
             "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
             "merged AS ("

@@ -1287,3 +1287,59 @@ SELECT CAST(n AS BIGINT) AS n,
                   ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS corr
 FROM sums
 """.strip()
+
+
+def rank_feature_bm25_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    pivot: float = 100.0,
+    boost: float = 1.0,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for search(recency={"kind": "rank_feature", ...}) — ES
+    rank_feature saturation over the doc length, added to the BM25 sum
+    before rounding with the engine's (boost·dl)/(dl+pivot) op order."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {having}
+),
+boosted AS (
+  SELECT sc.doc_id,
+         sc.score + ({boost!r} * d.dl) / (d.dl + {pivot!r}) AS score
+  FROM scored sc JOIN doclen d USING (doc_id)
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

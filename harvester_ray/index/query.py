@@ -343,9 +343,21 @@ def _topk(docs: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.ndarray, np.
 
 
 def recency_boost(seg: SegmentReader, docs: np.ndarray, recency: dict) -> np.ndarray:
-    """Lucene ``distance_feature`` date boost: ``boost * pivot/(pivot+|Δt|)``
-    — reference defaults pivot=90d, boost=1.15 (core/models/search/
-    query.py:90-98). ``origin_us`` is passed explicitly (no wall clock)."""
+    """Per-doc additive score feature (applied AFTER term scoring, which is
+    why these queries take the exhaustive path in OR mode). Two kinds:
+
+    - Lucene ``distance_feature`` date boost (default):
+      ``boost * pivot/(pivot+|Δt|)`` — reference defaults pivot=90d,
+      boost=1.15 (core/models/search/query.py:90-98); ``origin_us`` is
+      passed explicitly (no wall clock).
+    - ES ``rank_feature`` saturation (``kind="rank_feature"``): ``boost *
+      f/(f+pivot)`` over the indexed doc length — the numeric-feature
+      relevance signal, no attribute column needed."""
+    if recency.get("kind") == "rank_feature":
+        pivot = float(recency.get("pivot", 100.0))
+        boost = float(recency.get("boost", 1.0))
+        dl = seg.doc_lengths(docs).astype(np.float64)
+        return boost * dl / (dl + pivot)
     ts = seg.attr_values(recency.get("ts_col", "ts"), docs)
     ts = ts.astype("datetime64[us]").astype(np.int64)
     origin = int(recency["origin_us"])

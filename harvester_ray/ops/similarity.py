@@ -842,3 +842,77 @@ FROM {table} e CROSS JOIN q
 ORDER BY {dist} ASC, e.{id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def knn_dot(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Exact max-inner-product top-k (ES dense_vector ``dot_product``
+    similarity — the un-normalized sibling of cosine, used when magnitudes
+    carry signal, e.g. learned relevance embeddings). One GEMM per batch
+    against the broadcast query matrix, per-batch local top-k, driver merge
+    of O(Q·k) rows. Returns (query_id, vec_id, dot) rounded to 6, dot desc
+    / vec_id asc."""
+    import ray
+
+    q = np.atleast_2d(np.asarray(query_vecs, dtype=np.float64))
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        dots = qm @ mat.T
+        nq = qm.shape[0]
+        kk = min(k, ids.size)
+        part = np.argpartition(-dots, kk - 1, axis=1)[:, :kk]
+        return pa.table({
+            "query_id": pa.array(
+                np.repeat(np.arange(nq, dtype=np.int64), kk), pa.int64()
+            ),
+            "vec_id": pa.array(ids[part].ravel(), pa.int64()),
+            "dot": pa.array(
+                np.take_along_axis(dots, part, axis=1).ravel(), pa.float64()
+            ),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = []
+    for qi, g in parts.groupby("query_id"):
+        order = np.lexsort((g["vec_id"].to_numpy(), -g["dot"].to_numpy()))[:k]
+        sel = g.iloc[order]
+        out.append(pa.table({
+            "query_id": pa.array(np.full(len(sel), qi, np.int64)),
+            "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+            "dot": pa.array(np.round(sel["dot"].to_numpy(), 6), pa.float64()),
+        }))
+    return pa.concat_tables(out) if out else pa.table({
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "dot": pa.array([], pa.float64()),
+    })
+
+
+def knn_dot_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for knn_dot (DuckDB list_inner_product over DOUBLE[])."""
+    dot = f"list_inner_product(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id})
+SELECT e.{id_col} AS vec_id,
+       round({dot}, 6) AS dot
+FROM {table} e CROSS JOIN q
+ORDER BY {dot} DESC, e.{id_col} ASC
+LIMIT {k}
+""".strip()
