@@ -2246,6 +2246,56 @@ def _bm25f_dismax(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CROSS_FIELDS_QUERY = "spark window"
+CROSS_FIELDS_WEIGHTS = {"text": 1.0, "title": 2.0}
+TITLE_CHARS = 60  # derived title field = leading slice of the body
+
+
+def _title_index(sf_dir: str) -> str:
+    """Title-field BM25F leg: first TITLE_CHARS chars of the body as a
+    derived 'title' column (the canonical title/body cross_fields split —
+    vocabulary genuinely shared with the text leg)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from harvester_ray.index import manifest as mf
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"docidx-title-{tag}")
+    if mf.current_version(root) is None:
+        docs = os.path.join(sf_dir, "documents.parquet")
+
+        def add_title(t):
+            return t.append_column(
+                "title",
+                _pc.utf8_slice_codeunits(
+                    t["text"].combine_chunks(), 0, TITLE_CHARS
+                ),
+            )
+
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"]).map_batches(
+            add_title, batch_format="pyarrow", zero_copy_batch=True
+        )
+        index_build.build_index(ds, root, text_col="title", input_desc=docs)
+    return root
+
+
+def _bm25f_cross(sf_dir: str) -> pd.DataFrame:
+    """multi_match type=cross_fields: term-centric blended-df combiner —
+    each term scores once (its best field), not once per field. The
+    title/body legs share vocabulary, so max-per-term visibly diverges
+    from both the weighted sum and whole-field dis_max."""
+    from harvester_ray.index import bm25f
+
+    readers = {
+        "text": index_query.IndexReader(_documents_index(sf_dir)),
+        "title": index_query.IndexReader(_title_index(sf_dir)),
+    }
+    return bm25f.search_cross_fields(
+        readers, CROSS_FIELDS_WEIGHTS, CROSS_FIELDS_QUERY, k=10
+    )
+
+
 def _pii_scrub(sf_dir: str) -> pd.DataFrame:
     """PII redaction (emails/phones/IPv4 → placeholder tokens) with audit
     counts. The synthetic corpus has no PII, so both sides inject identical
@@ -2735,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search_3": lambda sf: _proximity(sf, PHRASE_QUERY3, PROX_SLOP3),
         "bm25f_fields": _bm25f,
         "bm25f_dismax": _bm25f_dismax,
+        "bm25f_cross_fields": _bm25f_cross,
         "decompound_search": _decompound_search,
         "synonym_search": _synonym_search,
         "search_paged": _search_paged,
@@ -3397,6 +3448,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25f_fields": _bm25f_oracle.bm25f_sql(
             "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10
+        ),
+        "bm25f_cross_fields": _bm25f_oracle.cross_fields_sql(
+            "documents", CROSS_FIELDS_QUERY, CROSS_FIELDS_WEIGHTS, k=10,
+            exprs={"title": f"substr(text, 1, {TITLE_CHARS})"},
         ),
         "bm25f_dismax": _bm25f_oracle.dis_max_sql(
             "documents", BM25F_QUERY, BM25F_WEIGHTS, k=10, tie_breaker=0.3

@@ -201,3 +201,138 @@ FROM comb
 ORDER BY key DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def search_cross_fields(
+    readers: dict[str, "IndexReader"],
+    weights: dict[str, float],
+    query_text: str,
+    k: int = 10,
+    *,
+    round_digits: int = 4,
+) -> pd.DataFrame:
+    """ES ``multi_match type=cross_fields`` (BlendedTermQuery-lite): the
+    term-centric combiner for "one logical field split across columns"
+    (title/body, first/last name). Per TERM: document frequency is blended
+    to the MAX across fields (so a term common in any field is cheap in
+    all), the term's contribution to a doc is its best per-field weighted
+    score, and a doc sums its term maxima — every query term must earn its
+    score once, not once per field.
+
+    Parity: per-(term, field, doc) scores quantize to 1e-4 fixed-point
+    BIGINTs BEFORE the max/sum (the dis_max discipline) so the ranking key
+    is exact integer arithmetic on both sides. Engine shape: one
+    exhaustive single-term pass per (term, field) through the normal
+    segment scorer with the blended idf injected."""
+    from .query import merge_topk, search_segment, tombstones_for_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"), "score": []})
+    if not terms:
+        return empty
+    dfb = {
+        t: max(r.df([t]).get(t, 0) for r in readers.values()) for t in terms
+    }
+    all_docs, all_fp, all_tid = [], [], []
+    for ti, t in enumerate(terms):
+        if dfb[t] == 0:
+            continue
+        for field in sorted(readers):
+            r = readers[field]
+            w = float(weights.get(field, 1.0))
+            idf = float(bm25.idf(r.n_docs, dfb[t]))
+            for seg_meta in r.manifest["segments"]:
+                seg = r._segment(seg_meta)
+                exclude = tombstones_for_segment(
+                    r._tomb_ids, r._tomb_vers,
+                    seg_meta.get("created_version", r.manifest["_version"]),
+                )
+                d, s = search_segment(
+                    seg, [t], {t: idf}, r.avgdl, k=r.n_docs + 1,
+                    mode="or", exclude=exclude,
+                )
+                if d.size:
+                    sc = s * w
+                    all_docs.append(d)
+                    all_fp.append(np.floor(sc * 1e4 + 0.5).astype(np.int64))
+                    all_tid.append(np.full(d.size, ti, np.int64))
+    if not all_docs:
+        return empty
+    docs = np.concatenate(all_docs)
+    fp = np.concatenate(all_fp)
+    tid = np.concatenate(all_tid)
+    # max per (doc, term) across fields, then integer sum per doc
+    key = docs * len(terms) + tid
+    order = np.argsort(key, kind="stable")
+    key, fp = key[order], fp[order]
+    uniq, starts = np.unique(key, return_index=True)
+    mx = np.maximum.reduceat(fp, starts)
+    udocs = uniq // len(terms)
+    d_order = np.argsort(udocs, kind="stable")
+    udocs, mx = udocs[d_order], mx[d_order]
+    fdocs, fstarts = np.unique(udocs, return_index=True)
+    sums = np.add.reduceat(mx, fstarts)
+    top = np.lexsort((fdocs, -sums))[:k]
+    return pd.DataFrame({
+        "doc_id": fdocs[top],
+        "score": np.round(sums[top] / 1e4, round_digits),
+    })
+
+
+def cross_fields_sql(
+    table: str,
+    query_text: str,
+    fields: dict[str, float],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+    exprs: dict[str, str] | None = None,
+) -> str:
+    """Oracle for search_cross_fields: per-field scored legs with the
+    blended (max-across-fields) df injected into the idf, fixed-point
+    quantization before the per-term MAX, exact-integer doc keys.
+    ``exprs`` maps a field name to the SQL expression producing its text
+    (defaults to the column of the same name) — e.g. a derived title
+    field ``substr(text, 1, 60)``."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return ("SELECT CAST(NULL AS BIGINT) AS doc_id, "
+                "CAST(NULL AS DOUBLE) AS score WHERE 1=0")
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    ctes, df_union, legs = [], [], []
+    for f in sorted(fields):
+        tok = analyzer.sql_tokenize_expr((exprs or {}).get(f, f))
+        w = float(fields[f])
+        ctes.append(f"""dl_{f} AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+st_{f} AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl_{f}),
+tf_{f} AS (
+  SELECT {id_col} AS doc_id, term, count(*) AS tf
+  FROM (SELECT {id_col}, unnest({tok}) AS term FROM {table})
+  WHERE term IN ({term_list}) GROUP BY {id_col}, term
+),
+df_{f} AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf_{f} GROUP BY term)""")
+        df_union.append(f"SELECT term, df FROM df_{f}")
+        legs.append(f"""SELECT tf.doc_id, tf.term,
+       CAST(floor((ln(1 + (s.n_docs - b.df + 0.5) / (b.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl))
+             * {w!r}) * 10000 + 0.5) AS BIGINT) AS fp
+FROM tf_{f} tf
+JOIN dfb b USING (term)
+JOIN dl_{f} d ON tf.doc_id = d.doc_id
+CROSS JOIN st_{f} s""")
+    nl = ",\n"
+    return f"""
+WITH {nl.join(ctes)},
+dfb AS (
+  SELECT term, max(df) AS df FROM ({" UNION ALL ".join(df_union)}) GROUP BY term
+),
+allf AS ({" UNION ALL ".join(legs)}),
+maxt AS (SELECT doc_id, term, max(fp) AS fp FROM allf GROUP BY doc_id, term),
+comb AS (SELECT doc_id, sum(fp) AS key FROM maxt GROUP BY doc_id)
+SELECT doc_id, round(key / 10000.0, {round_digits}) AS score
+FROM comb ORDER BY key DESC, doc_id ASC LIMIT {k}
+""".strip()
