@@ -1019,6 +1019,17 @@ def _matrix_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _histogram_pipeline(sf_dir: str) -> pd.DataFrame:
+    """ES pipeline aggs (cumulative_sum + derivative) over the hourly
+    date_histogram of matching turns."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.histogram_pipeline(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", interval_us=3_600_000_000, mode="or",
+    )
+
+
 def _date_histogram(sf_dir: str) -> pd.DataFrame:
     """ES date_histogram over the match set: hourly buckets of matching
     turns from the ts attribute column."""
@@ -2815,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindex_search": _reindex_search,
         "pinned_query": _pinned_query,
         "exists_filter": _exists_filter,
+        "histogram_pipeline": _histogram_pipeline,
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -3728,6 +3740,10 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT * FROM documents WHERE lang = 'en')",
             BM25_QUERY_OR, 10, mode="or",
         ),
+        "histogram_pipeline": index_oracle.histogram_pipeline_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts",
+            interval_us=3_600_000_000, mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "matrix_stats": index_oracle.matrix_stats_sql(
             "tdocp", HAS_CHILD_QUERY, ts_base_s=TS_BASE_S, ts_col="ts",
             mode="or",

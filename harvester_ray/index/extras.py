@@ -2381,3 +2381,33 @@ def search_exists(
         "doc_id": docs.astype(np.int64),
         "score": np.full(docs.size, float(boost)),
     })
+
+
+def histogram_pipeline(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES pipeline aggregations over a date_histogram: ``cumulative_sum``
+    and ``derivative`` of the bucket counts — integer-exact (window sums of
+    BIGINT counts, no float). ES defines no derivative for the first
+    bucket, so it is omitted (the cumulative sum still includes it)."""
+    h = date_histogram(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    empty = pd.DataFrame({
+        "bucket_us": pd.Series(dtype=np.int64),
+        "doc_count": pd.Series(dtype=np.int64),
+        "cum_count": pd.Series(dtype=np.int64),
+        "deriv": pd.Series(dtype=np.int64),
+    })
+    if len(h) < 2:
+        return empty
+    out = h.copy()
+    out["cum_count"] = out["doc_count"].cumsum().astype(np.int64)
+    out["deriv"] = out["doc_count"].diff().fillna(0).astype(np.int64)
+    return out.iloc[1:].reset_index(drop=True)

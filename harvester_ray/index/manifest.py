@@ -221,3 +221,35 @@ class build_lock:
         except FileNotFoundError:
             pass
         return False
+
+
+def rollover(
+    registry_dir: str,
+    alias: str,
+    new_root: str,
+    *,
+    max_docs: int | None = None,
+    max_versions: int | None = None,
+) -> dict:
+    """ES rollover API analog: evaluate size conditions against the index
+    the alias currently targets; when ANY condition is met, atomically
+    retarget the alias to ``new_root`` (which the caller has prepared —
+    the write-index handoff). The old index is left intact for readers
+    holding its root. Returns the ES-shaped response: per-condition
+    verdicts plus ``rolled_over``."""
+    old_root, pinned = resolve_alias(registry_dir, alias)
+    man = read_manifest(old_root, pinned)
+    conditions = {}
+    if max_docs is not None:
+        conditions["max_docs"] = int(man.get("n_docs", 0)) >= max_docs
+    if max_versions is not None:
+        conditions["max_versions"] = int(man.get("_version", 0)) >= max_versions
+    rolled = bool(conditions) and any(conditions.values())
+    if rolled:
+        set_alias(registry_dir, alias, new_root, version=None)
+    return {
+        "old_index": old_root,
+        "new_index": new_root if rolled else old_root,
+        "rolled_over": rolled,
+        "conditions": conditions,
+    }

@@ -1343,3 +1343,33 @@ boosted AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def histogram_pipeline_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.histogram_pipeline: window cumulative sum + lag
+    derivative over the date-histogram buckets, first bucket omitted."""
+    dh = date_histogram_sql(
+        table, query_text, ts_col=ts_col, interval_us=interval_us,
+        mode=mode, id_col=id_col, text_col=text_col,
+    )
+    return f"""
+WITH h AS (
+{dh}
+)
+SELECT bucket_us, doc_count,
+       CAST(sum(doc_count) OVER (ORDER BY bucket_us) AS BIGINT) AS cum_count,
+       CAST(doc_count - lag(doc_count) OVER (ORDER BY bucket_us) AS BIGINT)
+         AS deriv
+FROM h
+QUALIFY lag(doc_count) OVER (ORDER BY bucket_us) IS NOT NULL
+ORDER BY bucket_us
+""".strip()

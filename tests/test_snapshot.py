@@ -11,6 +11,9 @@ import ray.data as rd
 from harvester_ray.index import build, incremental, manifest as mf, query, snapshot
 
 
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+
+
 def _corpus(n=120, seed=7):
     rng = np.random.default_rng(seed)
     vocab = ["spark", "window", "batch", "stream", "query", "sort", "join",
@@ -143,3 +146,63 @@ def test_cached_reader_hits_and_invalidates(roots, ray_session):
     for i in range(20):
         cr.search(f"spark window {i}", k=3, mode="or")
     assert len(cr._cache) <= 8
+
+
+def test_point_in_time_pinned_version(tmp_path, ray_session):
+    """ES point-in-time analog: a reader pinned to a version sees identical
+    results across later deltas and promotes (old segments are immutable;
+    CURRENT moves, the pin does not)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import incremental, query
+
+    root = str(tmp_path / "pit")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    man = ib.build_index(ds, root)
+    v1 = man["version"]
+    pit = query.IndexReader(root, version=v1)
+    before = pit.search("customer query big", k=10, mode="or").to_pandas()
+    delta = pd.DataFrame([
+        {"doc_id": 800001,
+         "text": "customer query big " * 30,  # would dominate the ranking
+         "state": "active"},
+        {"doc_id": int(before["doc_id"].iloc[0]), "text": "", "state": "deleted"},
+    ])
+    incremental.build_incremental(root, rd.from_pandas(delta), integrity_check=False)
+    # pinned reader: byte-identical results after the promote
+    again = query.IndexReader(root, version=v1).search(
+        "customer query big", k=10, mode="or"
+    ).to_pandas()
+    pd.testing.assert_frame_equal(before, again)
+    # CURRENT sees the new world: top doc deleted, spam doc present
+    cur = query.IndexReader(root).search(
+        "customer query big", k=10, mode="or"
+    ).to_pandas()
+    assert int(before["doc_id"].iloc[0]) not in set(cur["doc_id"])
+    assert 800001 in set(cur["doc_id"])
+
+
+def test_rollover_flips_alias_on_condition(tmp_path, ray_session):
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import manifest as mf
+
+    a = str(tmp_path / "gen-000001")
+    b = str(tmp_path / "gen-000002")
+    reg = str(tmp_path / "registry")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    man = ib.build_index(ds, a)
+    ib.build_index(rd.read_parquet(DOCS, columns=["doc_id", "text"]).limit(5), b)
+    mf.set_alias(reg, "writes", a)
+    # below threshold: no-op, alias untouched
+    res = mf.rollover(reg, "writes", b, max_docs=man["n_docs"] + 1)
+    assert res["rolled_over"] is False
+    assert mf.resolve_alias(reg, "writes")[0] == os.path.abspath(a)
+    # at threshold: atomic flip, old index intact
+    res = mf.rollover(reg, "writes", b, max_docs=man["n_docs"])
+    assert res["rolled_over"] is True and res["conditions"]["max_docs"]
+    assert mf.resolve_alias(reg, "writes")[0] == os.path.abspath(b)
+    assert mf.current_version(a) is not None  # old generation still readable
