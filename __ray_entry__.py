@@ -456,6 +456,46 @@ AGG_FILTERS = {
 }
 
 
+DL_RANGES = [(None, 80.0), (80.0, 120.0), (120.0, None)]
+RARE_TERMS_QUERY = "dup"  # df≈25 over 20 sources → a real ≤2 long tail
+BOOL_MUST, BOOL_SHOULD, BOOL_NOT = "spark", "window batch", "dup"
+
+
+def _range_agg(sf_dir: str) -> pd.DataFrame:
+    """ES range aggregation: half-open doc-length buckets over the match
+    set (ES from-to label keys)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.range_agg(
+        index_query.IndexReader(root), BM25_QUERY_OR, DL_RANGES, mode="or"
+    )
+
+
+def _rare_terms(sf_dir: str) -> pd.DataFrame:
+    """ES rare_terms aggregation: long-tail attribute values of the match
+    set (doc_count ≤ 2), count-ascending."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.rare_terms_agg(
+        index_query.IndexReader(root), RARE_TERMS_QUERY,
+        field="source", max_doc_count=2, mode="or",
+    )
+
+
+def _bool_query(sf_dir: str) -> pd.DataFrame:
+    """Full ES bool query: must (required, scored) + should (optional,
+    additive) + must_not (excluding) in one scorer."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_bool(
+        index_query.IndexReader(root),
+        must=BOOL_MUST, should=BOOL_SHOULD, must_not=BOOL_NOT, k=10,
+    )
+
+
 def _filters_agg(sf_dir: str) -> pd.DataFrame:
     """ES `filters` aggregation: named predicate buckets + _other_ over the
     match set (one unscored enumeration per segment, counters only)."""
@@ -2774,6 +2814,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_cursor": _search_cursor,
         "search_stats": _search_stats,
         "filters_agg": _filters_agg,
+        "range_agg": _range_agg,
+        "rare_terms": _rare_terms,
+        "bool_query": _bool_query,
         "adjacency_matrix": _adjacency_matrix,
         "composite_agg": _composite_agg,
         "fuzzy_search": _fuzzy_search,
@@ -3405,6 +3448,29 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN doclen dl USING (doc_id) JOIN documents d USING (doc_id)
             GROUP BY d.source ORDER BY d.source
         """,
+        "range_agg": (
+            index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")
+            + """,
+dlb AS (SELECT len(""" + __import__("harvester_ray.analyzer", fromlist=["x"]).sql_tokenize_expr("text") + """) AS dl FROM md)
+SELECT bucket, doc_count FROM (
+  SELECT '*-80.0' AS bucket, CAST(count(*) FILTER (WHERE dl < 80.0) AS BIGINT) AS doc_count, 1 AS o FROM dlb
+  UNION ALL
+  SELECT '80.0-120.0', CAST(count(*) FILTER (WHERE dl >= 80.0 AND dl < 120.0) AS BIGINT), 2 FROM dlb
+  UNION ALL
+  SELECT '120.0-*', CAST(count(*) FILTER (WHERE dl >= 120.0) AS BIGINT), 3 FROM dlb
+) ORDER BY o"""
+        ),
+        "rare_terms": (
+            index_oracle._match_ctes("documents", RARE_TERMS_QUERY, "or", "doc_id", "text")
+            + """
+SELECT source, CAST(count(*) AS BIGINT) AS doc_count
+FROM md GROUP BY source HAVING count(*) <= 2
+ORDER BY doc_count, source"""
+        ),
+        "bool_query": index_oracle.bool_bm25_sql(
+            "documents", must=BOOL_MUST, should=BOOL_SHOULD,
+            must_not=BOOL_NOT, k=10,
+        ),
         "filters_agg": index_oracle.filters_agg_sql(
             "documents", BM25_QUERY_OR, AGG_FILTERS, mode="or"
         ),

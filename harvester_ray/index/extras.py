@@ -2411,3 +2411,148 @@ def histogram_pipeline(
     out["cum_count"] = out["doc_count"].cumsum().astype(np.int64)
     out["deriv"] = out["doc_count"].diff().fillna(0).astype(np.int64)
     return out.iloc[1:].reset_index(drop=True)
+
+
+def range_agg(
+    reader: IndexReader,
+    query_text: str,
+    ranges: list[tuple[float | None, float | None]],
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``range`` aggregation over the match set, bucketing the indexed
+    doc length ([from, to) half-open, ES semantics; None = unbounded).
+    Bucket keys use the ES label format ``from-to`` with ``*`` for
+    unbounded. Per segment one unscored enumeration + R counters."""
+    labels = [
+        f"{'*' if lo is None else lo}-{'*' if hi is None else hi}"
+        for lo, hi in ranges
+    ]
+    counts = np.zeros(len(ranges), dtype=np.int64)
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            dl = seg.doc_lengths(matched)
+            for i, (lo, hi) in enumerate(ranges):
+                m = np.ones(dl.size, dtype=bool)
+                if lo is not None:
+                    m &= dl >= lo
+                if hi is not None:
+                    m &= dl < hi
+                counts[i] += int(m.sum())
+    out = pd.DataFrame({"bucket": labels, "doc_count": counts})
+    out["doc_count"] = out["doc_count"].astype(np.int64)
+    return out  # ES returns ranges in the given order
+
+
+def rare_terms_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    max_doc_count: int = 1,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``rare_terms`` aggregation: the long-tail complement of ``terms``
+    — attribute values whose match-set doc count is ≤ ``max_doc_count``,
+    ordered count-ascending then value. Exact regime (ES's CuckooFilter
+    approximation exists to bound coordinator memory; per-segment partials
+    already bound ours at distinct-values-per-segment)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({
+        field: pd.Series(dtype=object),
+        "doc_count": pd.Series(dtype=np.int64),
+    })
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return empty
+    partials = []
+    for seg, matched in _segment_matches(reader, live, mode, None):
+        vals = seg.attr_values(field, matched)
+        uniq, counts = np.unique(vals, return_counts=True)
+        partials.append(pd.DataFrame({field: uniq, "doc_count": counts}))
+    if not partials:
+        return empty
+    merged = pd.concat(partials).groupby(field, as_index=False)["doc_count"].sum()
+    merged = merged[merged["doc_count"] <= max_doc_count]
+    merged = merged.sort_values(["doc_count", field], kind="mergesort")
+    merged["doc_count"] = merged["doc_count"].astype(np.int64)
+    return merged.reset_index(drop=True)
+
+
+def search_bool(
+    reader: IndexReader,
+    *,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+) -> pd.DataFrame:
+    """The full ES ``bool`` query in one scorer: ``must`` terms are all
+    required and always score; ``should`` terms are optional but add their
+    BM25 contribution when present; ``must_not`` terms exclude. (With an
+    empty ``must``, should-terms become the match set — plain OR.) Scoring
+    order is fixed (sorted term order, must and should interleaved by term
+    string) so scores are bit-comparable with the oracle's grouped sum."""
+    from . import bm25
+    from .query import match_one_segment, merge_topk, tombstones_for_segment
+
+    must_terms = sorted(set(analyzer.tokenize_query(must)))
+    should_terms = sorted(
+        set(analyzer.tokenize_query(should)) - set(must_terms)
+    )
+    neg_terms = sorted(set(analyzer.tokenize_query(must_not)))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    all_terms = sorted(set(must_terms) | set(should_terms))
+    if not all_terms:
+        return empty
+    dfs = reader.df(all_terms)
+    if any(dfs.get(t, 0) == 0 for t in must_terms):
+        return empty
+    scoring = [t for t in all_terms if dfs.get(t, 0) > 0]
+    idf = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in scoring}
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if neg_terms:
+            neg_parts = [exclude] if exclude.size else []
+            for nt in neg_terms:
+                p = seg.postings(nt)
+                if p is not None and p[0].size:
+                    neg_parts.append(p[0])
+            if neg_parts:
+                exclude = np.unique(np.concatenate(neg_parts))
+        cand = match_one_segment(
+            seg, must_terms if must_terms else scoring,
+            "and" if must_terms else "or", exclude, None,
+        )
+        if cand.size == 0:
+            continue
+        dl = seg.doc_lengths(cand).astype(np.float64)
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in scoring:  # fixed sorted order — deterministic accumulation
+            p = seg.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            idx = np.searchsorted(d, cand)
+            idx_c = np.clip(idx, 0, max(d.size - 1, 0))
+            hit = (d[idx_c] == cand) if d.size else np.zeros(cand.size, bool)
+            tf = np.where(hit, f[idx_c], 0).astype(np.float64)
+            scores += np.where(
+                hit, bm25.score(np.maximum(tf, 1.0), dl, idf[t], reader.avgdl), 0.0
+            )
+        parts.append((cand, scores))
+    if not parts:
+        return empty
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

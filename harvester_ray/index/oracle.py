@@ -1373,3 +1373,65 @@ FROM h
 QUALIFY lag(doc_count) OVER (ORDER BY bucket_us) IS NOT NULL
 ORDER BY bucket_us
 """.strip()
+
+
+def bool_bm25_sql(
+    table: str,
+    *,
+    must: str = "",
+    should: str = "",
+    must_not: str = "",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_bool: docs holding every must term and no
+    must_not term, scored over must + present should terms."""
+    must_terms = sorted(set(analyzer.tokenize_query(must)))
+    should_terms = sorted(set(analyzer.tokenize_query(should)) - set(must_terms))
+    neg_terms = sorted(set(analyzer.tokenize_query(must_not)))
+    all_terms = sorted(set(must_terms) | set(should_terms))
+    ql = lambda ts: ", ".join("'" + t.replace("'", "''") + "'" for t in ts)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    if must_terms:
+        match_cte = f"""m AS (
+  SELECT doc_id FROM toks WHERE term IN ({ql(must_terms)})
+  GROUP BY doc_id HAVING count(DISTINCT term) = {len(must_terms)}
+)"""
+    else:
+        match_cte = f"""m AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ({ql(all_terms)})
+)"""
+    neg_pred = (
+        f"AND tf.doc_id NOT IN (SELECT DISTINCT doc_id FROM toks "
+        f"WHERE term IN ({ql(neg_terms)}))" if neg_terms else ""
+    )
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({ql(all_terms)}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+{match_cte},
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN m ON tf.doc_id = m.doc_id
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  WHERE 1=1 {neg_pred}
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

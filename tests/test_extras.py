@@ -639,3 +639,33 @@ def test_search_pinned_contract(idx):
     # no duplicates: the organically-matching pinned id appears exactly once
     assert (out["doc_id"] == pinned[0]).sum() == 1
     assert out["rank"].tolist() == list(range(1, 11))
+
+
+def test_search_bool_semantics(idx, con):
+    from harvester_ray.index import oracle
+
+    reader = query.IndexReader(idx)
+    got = extras.search_bool(
+        reader, must="spark", should="window batch", must_not="dup", k=10
+    )
+    exp = con.execute(oracle.bool_bm25_sql(
+        "documents", must="spark", should="window batch", must_not="dup", k=10
+    )).fetchdf()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # must_not actually excludes: no result doc contains 'dup'
+    wide = extras.search_bool(reader, must="spark", must_not="dup", k=10**6)
+    dup_docs = set(
+        extras.search_bool(reader, must="dup", k=10**6)["doc_id"]
+    )
+    assert not (set(wide["doc_id"]) & dup_docs)
+    # a should term can only raise a doc's score, never drop it
+    base = extras.search_bool(reader, must="spark", k=10**6).set_index("doc_id")
+    plus = extras.search_bool(reader, must="spark", should="window", k=10**6).set_index("doc_id")
+    assert set(base.index) == set(plus.index)
+    assert (plus.loc[base.index, "score"] >= base["score"] - 1e-9).all()
+    # empty must degrades to plain OR over should terms
+    or_only = extras.search_bool(reader, should="spark window", k=10)
+    direct = reader.search("spark window", k=10, mode="or").to_pandas()
+    assert list(or_only["doc_id"]) == list(direct["doc_id"])
