@@ -1886,6 +1886,14 @@ def _rank_feature(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _mmr_rerank(sf_dir: str) -> pd.DataFrame:
+    """MMR diversified re-rank over the cosine top-pool: greedy
+    relevance-minus-redundancy selection, exact-integer step keys."""
+    return similarity.mmr_rerank(
+        _emb_ds(sf_dir), _query_vec(sf_dir), k=5, pool=12, lam=0.7
+    )
+
+
 def _knn_pq(sf_dir: str) -> pd.DataFrame:
     """Product quantization ANN: 8-byte codes + ADC lookup-table scan, then
     exact re-rank of the top-100 ADC candidates (the standard PQ serving
@@ -3060,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_filtered": _knn_filtered,
         "knn_l2": _knn_l2,
         "knn_dot": _knn_dot,
+        "mmr_rerank": _mmr_rerank,
         "rank_feature": _rank_feature,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
@@ -3698,6 +3707,9 @@ ORDER BY doc_count, source"""
         ),
         "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
         "knn_dot": similarity.knn_dot_sql("embeddings", 0, 10),
+        "mmr_rerank": similarity.mmr_rerank_sql(
+            "embeddings", 0, k=5, pool=12, lam=0.7
+        ),
         "rank_feature": index_oracle.rank_feature_bm25_sql(
             "documents", BM25_QUERY_OR, 10, pivot=120.0, boost=1.2, mode="or",
         ),

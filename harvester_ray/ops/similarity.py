@@ -916,3 +916,189 @@ FROM {table} e CROSS JOIN q
 ORDER BY {dot} DESC, e.{id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def mmr_rerank(
+    ds,
+    query_vec: np.ndarray,
+    *,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    scale: float = 1e4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "pd.DataFrame":
+    """Maximal-marginal-relevance diversified re-rank (Carbonell & Goldstein
+    '98 — the dedupe-at-serving-time retrieval op): greedily pick k results
+    maximizing ``λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)`` over a top-``pool``
+    relevance candidate set, so near-duplicate hits can't crowd the page.
+
+    Oracle-exact discipline (the kmeans/semantic_dedup quantization rule):
+    components quantize to ints at ``scale``; every similarity is
+    ``dot/(√n_a·√n_b)`` computed from exact integer dot/norms with one
+    mirrored float op order, then quantized to 1e-6 ints; λ must be a
+    multiple of 0.1 so the step key ``10λ·simq − (10−10λ)·maxsel`` is exact
+    integer arithmetic; ties pick the lower vec_id. Scale shape: one
+    streaming scored pass with per-batch local top-pool (ints only leave),
+    one id-pushdown fetch of pool×d, then O(k·pool) driver arithmetic.
+    Returns (rank, vec_id)."""
+    import math
+
+    import pandas as pd
+    import ray
+
+    lam10 = round(lam * 10)
+    if abs(lam10 / 10.0 - lam) > 1e-9 or not (0 < lam10 <= 10):
+        raise ValueError("lam must be a multiple of 0.1 in (0, 1]")
+    q = np.floor(np.asarray(query_vec, np.float64) * scale + 0.5).astype(np.int64)
+    nq = int((q * q).sum())
+    qref = ray.put(q)
+
+    def sim6_of(dots: np.ndarray, norms: np.ndarray, nb: int) -> np.ndarray:
+        sim = dots.astype(np.float64) / (
+            np.sqrt(norms.astype(np.float64)) * math.sqrt(float(nb))
+        )
+        return np.floor(sim * 1e6 + 0.5).astype(np.int64)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        qm = np.floor(mat * scale + 0.5).astype(np.int64)
+        dots = qm @ qv
+        norms = (qm * qm).sum(axis=1)
+        s6 = sim6_of(dots, norms, nq)
+        top = np.lexsort((ids, -s6))[: min(pool, ids.size)]
+        return pa.table({
+            "vec_id": pa.array(ids[top], pa.int64()),
+            "sim6": pa.array(s6[top], pa.int64()),
+        })
+
+    cands = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((cands["vec_id"].to_numpy(),
+                        -cands["sim6"].to_numpy()))[:pool]
+    pool_ids = cands["vec_id"].to_numpy()[order]
+    simq6 = cands["sim6"].to_numpy()[order]
+    pref = ray.put(np.sort(pool_ids))
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(pref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        keep = np.isin(ids, wanted)
+        t = batch.filter(pa.array(keep))
+        return t.select([id_col, vec_col])
+
+    fetched = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    fetched = fetched.set_index(id_col).loc[pool_ids]
+    qm = np.floor(
+        np.stack(fetched[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+    ).astype(np.int64)
+    gram = qm @ qm.T
+    nn = np.diag(gram).copy()
+    P = pool_ids.size
+    pair6 = np.zeros((P, P), dtype=np.int64)
+    for i in range(P):  # P ≤ pool: trivial driver arithmetic
+        pair6[i] = sim6_of(gram[i], nn, int(nn[i]))
+    selected: list[int] = []
+    sel_mask = np.zeros(P, dtype=bool)
+    for _ in range(min(k, P)):
+        maxsel = (
+            pair6[:, sel_mask].max(axis=1) if sel_mask.any()
+            else np.zeros(P, np.int64)
+        )
+        key = lam10 * simq6 - (10 - lam10) * maxsel
+        avail = np.flatnonzero(~sel_mask)
+        best = avail[np.lexsort((pool_ids[avail], -key[avail]))[0]]
+        selected.append(int(pool_ids[best]))
+        sel_mask[best] = True
+    return pd.DataFrame({
+        "rank": np.arange(1, len(selected) + 1, dtype=np.int64),
+        "vec_id": np.asarray(selected, np.int64),
+    })
+
+
+def mmr_rerank_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    *,
+    k: int = 5,
+    pool: int = 12,
+    lam: float = 0.7,
+    scale: float = 1e4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for mmr_rerank: identical integer quantization and the greedy
+    selection unrolled as k chained CTE steps (the kmeans unrolled-iteration
+    trick), each picking the arg-max of the exact-integer MMR key."""
+    lam10 = round(lam * 10)
+    sim = ("CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) * "
+           "sqrt(CAST({nb} AS DOUBLE)))")
+    head = f"""
+WITH qz AS (
+  SELECT {id_col} AS vec_id,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale!r} + 0.5) AS BIGINT)) AS qv
+  FROM {table}
+),
+flat AS (
+  SELECT vec_id, unnest(qv) AS e, generate_subscripts(qv, 1) AS i FROM qz
+),
+norms AS (SELECT vec_id, sum(e * e) AS n FROM flat GROUP BY vec_id),
+qdot AS (
+  SELECT a.vec_id, sum(a.e * b.e) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i AND b.vec_id = {query_vec_id}
+  GROUP BY a.vec_id
+),
+qsim AS (
+  SELECT d.vec_id,
+         CAST(floor({sim.format(dot="d.dot", na="na.n", nb="nb.n")} * 1e6 + 0.5)
+              AS BIGINT) AS sim6
+  FROM qdot d
+  JOIN norms na ON na.vec_id = d.vec_id
+  CROSS JOIN (SELECT n FROM norms WHERE vec_id = {query_vec_id}) nb
+),
+pool AS (
+  SELECT vec_id, sim6 FROM qsim ORDER BY sim6 DESC, vec_id ASC LIMIT {pool}
+),
+pdot AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, sum(a.e * b.e) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  WHERE a.vec_id IN (SELECT vec_id FROM pool)
+    AND b.vec_id IN (SELECT vec_id FROM pool)
+  GROUP BY a.vec_id, b.vec_id
+),
+pairs AS (
+  SELECT p.va, p.vb,
+         CAST(floor({sim.format(dot="p.dot", na="na.n", nb="nb.n")} * 1e6 + 0.5)
+              AS BIGINT) AS sim6
+  FROM pdot p
+  JOIN norms na ON na.vec_id = p.va
+  JOIN norms nb ON nb.vec_id = p.vb
+)"""
+    steps = []
+    for j in range(1, k + 1):
+        prev = f"sel{j-1}"
+        not_sel = (
+            f"WHERE d.vec_id NOT IN (SELECT vec_id FROM {prev})" if j > 1 else ""
+        )
+        maxsel = (
+            f"coalesce((SELECT max(p.sim6) FROM pairs p "
+            f"JOIN {prev} s ON p.vb = s.vec_id WHERE p.va = d.vec_id), 0)"
+            if j > 1 else "0"
+        )
+        steps.append(f"""step{j} AS (
+  SELECT d.vec_id FROM pool d
+  {not_sel}
+  ORDER BY {lam10} * d.sim6 - {10 - lam10} * {maxsel} DESC, d.vec_id ASC
+  LIMIT 1
+),
+sel{j} AS (
+  {"SELECT vec_id, 1 AS rank FROM step1" if j == 1 else
+   f"SELECT vec_id, rank FROM {prev} UNION ALL SELECT vec_id, {j} FROM step{j}"}
+)""")
+    return (
+        head + ",\n" + ",\n".join(steps)
+        + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id FROM sel{k} ORDER BY rank"
+    )

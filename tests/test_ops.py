@@ -391,3 +391,37 @@ def test_knn_filtered_prefilter_semantics(ray_session):
         rd.from_pandas(sub[sub["label"].isin(allowed)]), q, k=10
     ).to_pandas()
     assert list(got["vec_id"]) == list(brute["vec_id"])
+
+
+def test_mmr_rerank_diversifies(ray_session):
+    """MMR must (a) lead with the relevance top-1, (b) diverge from pure
+    top-k when near-duplicates crowd the pool, (c) collapse to pure
+    relevance order at lam=1.0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import similarity
+
+    rng = np.random.default_rng(5)
+    q = np.array([1.0, 0.0, 0.0, 0.0])
+    rows = []
+    for i in range(6):  # near-clones of the query direction
+        rows.append(q + 0.01 * rng.normal(size=4) + [0, 0.001 * i, 0, 0])
+    for i in range(6):  # relevant but diverse directions
+        v = q + 0.5 * np.eye(4)[1 + i % 3]
+        rows.append(v / np.linalg.norm(v))
+    t = pa.table({
+        "vec_id": pa.array(list(range(12)), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    ds = rd.from_arrow(t)
+    mmr = similarity.mmr_rerank(ds, q, k=4, pool=12, lam=0.5)
+    top = similarity.knn_brute(ds, q, k=4).to_pandas()
+    assert mmr["vec_id"].iloc[0] == top["vec_id"].iloc[0]
+    assert list(mmr["vec_id"]) != list(top["vec_id"])  # clones displaced
+    # some diverse-direction vector (id >= 6) must enter the MMR top-4
+    assert any(v >= 6 for v in mmr["vec_id"])
+    pure = similarity.mmr_rerank(ds, q, k=4, pool=12, lam=1.0)
+    assert list(pure["vec_id"]) == list(top["vec_id"])
