@@ -2913,6 +2913,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
+        "interleave_sources": lambda sf: _sampling.interleave_sources(
+            _docs_ds(sf, columns=("doc_id", "source")),
+            {"src0": 4, "src1": 2}, n=60,
+        ),
         "source_mixture": lambda sf: _sampling.source_mixture(
             _docs_ds(sf, columns=("doc_id", "source")), target_total=200
         ),
@@ -3602,6 +3606,9 @@ ORDER BY doc_count, source"""
         ),
         "stratified_sample": _sampling.stratified_sample_sql(
             "documents", strata_col="lang", rates=STRATA_RATES
+        ),
+        "interleave_sources": _sampling.interleave_sources_sql(
+            "documents", {"src0": 4, "src1": 2}, n=60
         ),
         "source_mixture": _sampling.source_mixture_sql(
             "documents", target_total=200

@@ -132,3 +132,36 @@ def restore(repo_dir: str, name: str, dest_root: str) -> dict:
         os.replace(tmp, dst)
     mf.promote(dest_root, rec["version"])
     return rec
+
+
+def prune_snapshots(repo_dir: str, *, keep_last: int) -> dict:
+    """SLM retention analog (ES snapshot lifecycle ``retention.max_count``):
+    keep the newest ``keep_last`` snapshots (by registration version, then
+    name), delete the rest, then garbage-collect repository files no kept
+    snapshot references. Content-addressed sharing makes this safe: a file
+    is deleted only when EVERY surviving snapshot stops referencing it.
+    Returns {kept, deleted, files_removed}."""
+    snaps = list_snapshots(repo_dir)
+    order = sorted(snaps, key=lambda r: (r["version"], r["name"]))
+    doomed = order[:-keep_last] if keep_last > 0 else order
+    kept = order[len(doomed):]
+    referenced = set()
+    for r in kept:
+        referenced.update(r["files"])
+    files_dir = os.path.join(repo_dir, "files")
+    snaps_dir = os.path.join(repo_dir, "snapshots")
+    removed = 0
+    for r in doomed:
+        for rel in r["files"]:
+            if rel in referenced:
+                continue
+            p = os.path.join(files_dir, rel)
+            if os.path.exists(p):
+                os.remove(p)
+                removed += 1
+        os.remove(os.path.join(snaps_dir, r["name"] + ".json"))
+    return {
+        "kept": [r["name"] for r in kept],
+        "deleted": [r["name"] for r in doomed],
+        "files_removed": removed,
+    }

@@ -327,3 +327,114 @@ SELECT t.{source_col} AS source,
 FROM {table} t JOIN r ON t.{source_col} = r.source
 GROUP BY t.{source_col} ORDER BY t.{source_col}
 """.strip()
+
+
+def interleave_sources(
+    ds,
+    weights: dict[str, int],
+    *,
+    n: int,
+    default_weight: int = 1,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+):
+    """Deterministic weighted source interleave (the
+    ``datasets.interleave_datasets`` analog with stride scheduling): source
+    s emits its j-th row (doc-id order) at virtual time j/w_s; the merged
+    stream orders by time, tie-broken by (source, doc_id). Weights are
+    positive integers, so time keys are exact integers ``j · (L / w_s)``
+    (L = lcm of weights) — no float scheduling drift, identical on any
+    partitioning. Returns the stream's first ``n`` rows as
+    (seq, source, doc_id).
+
+    Scale shape: within a source the key grows with the row rank, so only
+    each source's FIRST n rows can reach the global top-n — every group
+    emits ≤ n rows regardless of corpus size."""
+    import math
+
+    import pandas as pd
+
+    if any(w <= 0 or int(w) != w for w in weights.values()) or default_weight <= 0:
+        raise ValueError("weights must be positive integers")
+    lcm = math.lcm(default_weight, *(int(w) for w in weights.values())) if weights else default_weight
+
+    def local(t: pa.Table) -> pa.Table:
+        df = t.select([source_col, id_col]).to_pandas()
+        df = df.sort_values([source_col, id_col], kind="mergesort")
+        rn = df.groupby(source_col).cumcount().to_numpy() + 1
+        w = (
+            df[source_col].map(lambda s: int(weights.get(s, default_weight)))
+            .to_numpy(dtype=np.int64)
+        )
+        df["key"] = rn * (lcm // w)
+        df = df.sort_values(["key", source_col, id_col], kind="mergesort")
+        # per-source pre-cut: only a source's first n rows can place
+        df = df[df.groupby(source_col).cumcount() < n]
+        return pa.Table.from_pandas(df.head(n * max(1, df[source_col].nunique())), preserve_index=False)
+
+    # bucket rows by source so each source's ranks are computed once
+    def add_bucket(t: pa.Table) -> pa.Table:
+        import zlib
+
+        enc = t[source_col].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        h = np.fromiter(
+            (zlib.crc32(str(u).encode()) % 32 for u in uniq),
+            dtype=np.int32, count=len(uniq),
+        )
+        codes = np.asarray(enc.indices)
+        return t.append_column("bucket", pa.array(h[codes], pa.int32()))
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(local, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "seq": pd.Series(dtype=np.int64),
+            "source": pd.Series(dtype=object),
+            "doc_id": pd.Series(dtype=np.int64),
+        })
+    out = parts.sort_values(
+        ["key", source_col, id_col], kind="mergesort"
+    ).head(n).reset_index(drop=True)
+    out["seq"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["doc_id"] = out[id_col].astype(np.int64)
+    return out[["seq", "source", "doc_id"]]
+
+
+def interleave_sources_sql(
+    table: str = "documents",
+    weights: dict[str, int] | None = None,
+    *,
+    n: int,
+    default_weight: int = 1,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> str:
+    """Oracle for interleave_sources: identical integer stride keys via a
+    window rank and a CASE weight table."""
+    import math
+
+    weights = weights or {}
+    lcm = math.lcm(default_weight, *(int(w) for w in weights.values())) if weights else default_weight
+    cases = " ".join(
+        f"WHEN '{s}' THEN {lcm // int(w)}" for s, w in sorted(weights.items())
+    )
+    stride = (
+        f"CASE {source_col} {cases} ELSE {lcm // default_weight} END"
+        if cases else f"{lcm // default_weight}"
+    )
+    return f"""
+WITH rn AS (
+  SELECT {source_col} AS source, {id_col} AS doc_id,
+         row_number() OVER (PARTITION BY {source_col} ORDER BY {id_col}) AS rn
+  FROM {table}
+),
+keyed AS (SELECT source, doc_id, rn * ({stride}) AS key FROM rn)
+SELECT CAST(row_number() OVER (ORDER BY key, source, doc_id) AS BIGINT) AS seq,
+       source, CAST(doc_id AS BIGINT) AS doc_id
+FROM keyed ORDER BY key, source, doc_id LIMIT {n}
+""".strip()

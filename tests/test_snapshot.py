@@ -206,3 +206,31 @@ def test_rollover_flips_alias_on_condition(tmp_path, ray_session):
     assert res["rolled_over"] is True and res["conditions"]["max_docs"]
     assert mf.resolve_alias(reg, "writes")[0] == os.path.abspath(b)
     assert mf.current_version(a) is not None  # old generation still readable
+
+
+def test_prune_snapshots_retention(tmp_path, ray_session):
+    """Retention keeps the newest N snapshots; shared content-addressed
+    files survive as long as ANY kept snapshot references them, and a kept
+    snapshot still restores to an identical index after pruning."""
+    import ray.data as rd
+
+    from harvester_ray.index import build, incremental, snapshot
+
+    root = str(tmp_path / "idx")
+    repo = str(tmp_path / "repo")
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    build.build_index(ds, root)
+    snapshot.snapshot(root, repo, name="s1")
+    delta = pd.DataFrame([{"doc_id": 700001, "text": "alpha beta", "state": "active"}])
+    incremental.build_incremental(root, rd.from_pandas(delta), integrity_check=False)
+    rec2 = snapshot.snapshot(root, repo, name="s2")
+    assert rec2["reused"] > 0  # carried segments shared between snapshots
+    res = snapshot.prune_snapshots(repo, keep_last=1)
+    assert res["deleted"] == ["s1"] and res["kept"] == ["s2"]
+    names = [r["name"] for r in snapshot.list_snapshots(repo)]
+    assert names == ["s2"]
+    # s2 restores fine: every shared file survived the prune
+    dest = str(tmp_path / "restored")
+    snapshot.restore(repo, "s2", dest)
+    out = query.IndexReader(dest).search("alpha beta", k=5, mode="and").to_pandas()
+    assert 700001 in set(out["doc_id"])
