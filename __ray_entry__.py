@@ -973,6 +973,30 @@ def _span_first(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _delete_by_query(sf_dir: str) -> pd.DataFrame:
+    """ES _delete_by_query end-to-end: copy the index, tombstone every
+    'dup' match through the delta path, then BM25-search the survivors —
+    value-identical to a fresh build over the filtered corpus, which is
+    the strongest assertion the exact negative-correction machinery has."""
+    import shutil
+
+    from harvester_ray.index import extras as _extras
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _documents_index(sf_dir)
+    dest = os.path.join(_SCRATCH, f"docidx-delq-{tag}")
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src, dest)
+    _extras.delete_by_query(dest, RARE_TERMS_QUERY, mode="or")
+    out = (
+        index_query.IndexReader(dest)
+        .search(BM25_QUERY_OR, k=10, mode="or")
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _reindex_dest(sf_dir: str) -> str:
     """Reindex fixture: a store_source copy of the documents index, then
     an ES _reindex into a lang='en'-only destination (from the stored
@@ -1168,6 +1192,55 @@ def _conv_branches(sf_dir: str) -> pd.DataFrame:
         retry_rows, batch_format="pandas"
     )
     return _transcripts_mod.conv_branches(base.union(retries), k=2)
+
+
+def _system_prompt_reuse(sf_dir: str) -> pd.DataFrame:
+    """Shared-opener detection over the same planted ``~r`` retries as
+    conv_branches: every planted retry shares its original's first turn, so
+    each yields one reused-fingerprint group."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    sel = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)[::10]
+
+    def retry_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        hit &= df["turn_idx"].to_numpy() < 2
+        out = df.loc[hit].copy()
+        out["conv_id"] = out["conv_id"] + "~r"
+        return out
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    retries = rd.read_parquet(data_dir, columns=cols).map_batches(
+        retry_rows, batch_format="pandas"
+    )
+    return _transcripts_mod.system_prompt_reuse(base.union(retries))
+
+
+def _system_prompt_reuse_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "ret AS (SELECT t.conv_id || '~r' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0 AND t.turn_idx < 2), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM ret)"
+    )
+    body = _transcripts_mod.system_prompt_reuse_sql("uni")
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
 
 
 def _preference_pairs(sf_dir: str) -> pd.DataFrame:
@@ -2875,6 +2948,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_prefix": _match_phrase_prefix,
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
+        "delete_by_query": _delete_by_query,
+        "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
+        "system_prompt_reuse": _system_prompt_reuse,
         "pinned_query": _pinned_query,
         "exists_filter": _exists_filter,
         "histogram_pipeline": _histogram_pipeline,
@@ -3821,6 +3897,21 @@ ORDER BY doc_count, source"""
             "SELECT doc_id, 1.0 AS score FROM tdocp "
             "WHERE tool IS NOT NULL ORDER BY doc_id LIMIT 10"
         ).replace("SELECT doc_id", _transcript_docp_sql_head(_tglob) + " SELECT doc_id", 1),
+        "delete_by_query": (
+            index_oracle.bm25_sql("kept", BM25_QUERY_OR, 10, mode="or")
+            .replace(
+                "WITH ",
+                "WITH delt AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, "
+                "unnest(" + _analyzer.sql_tokenize_expr("text")
+                + ") AS term FROM documents) WHERE term = '"
+                + RARE_TERMS_QUERY + "'), "
+                "kept AS (SELECT * FROM documents WHERE doc_id NOT IN "
+                "(SELECT doc_id FROM delt)), ",
+                1,
+            )
+        ),
+        "role_token_quantiles": _transcripts_mod.role_token_quantiles_sql(_tsrc),
+        "system_prompt_reuse": _system_prompt_reuse_sql(),
         "reindex_search": index_oracle.bm25_sql(
             "(SELECT * FROM documents WHERE lang = 'en')",
             BM25_QUERY_OR, 10, mode="or",

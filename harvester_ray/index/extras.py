@@ -2556,3 +2556,40 @@ def search_bool(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def delete_by_query(index_root: str, query_text: str, *, mode: str = "or") -> dict:
+    """ES ``_delete_by_query``: enumerate the CURRENT version's live
+    matching docs and retire them through the normal tombstone delta path —
+    global stats stay EXACT via the incremental negative corrections, so
+    post-delete BM25 scores equal a fresh build over the surviving corpus
+    (which is precisely what the oracle asserts). Integrity guard is
+    bypassed: the caller explicitly asked for a shrink."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from . import incremental
+
+    reader = IndexReader(index_root)
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    ids: list[np.ndarray] = []
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for _seg, matched in _segment_matches(reader, live, mode, None):
+            ids.append(matched)
+    doomed = np.sort(np.concatenate(ids)) if ids else np.empty(0, np.int64)
+    if doomed.size == 0:
+        return {"deleted": 0, "version": reader.manifest["_version"]}
+    delta = pd_.DataFrame({
+        "doc_id": doomed.astype(np.int64),
+        "text": "",
+        "state": "deleted",
+    })
+    man = incremental.build_incremental(
+        index_root, rd.from_pandas(delta), integrity_check=False
+    )
+    return {
+        "deleted": int(doomed.size),
+        "version": man.get("_version", man.get("version")),
+    }

@@ -1499,3 +1499,114 @@ FROM calls GROUP BY conv_id, tool, island
 HAVING count(*) >= {min_run}
 ORDER BY conv_id, start_turn
 """.strip()
+
+
+def role_token_quantiles(ds, *, qs=(0.25, 0.5, 0.75)) -> pd.DataFrame:
+    """Per-role exact token-length quantiles over turns (the
+    context-budgeting input: how long are user vs assistant vs tool turns).
+    One tokenize pass emits only (role, n_tokens) pairs; grouped exact
+    quantiles then need each role's lengths together (tiny groups count —
+    sort-based exchange). np.quantile 'linear' ≡ DuckDB quantile_cont, and
+    quarter-quantiles of integers are dyadic rationals → exact float
+    equality, no rounding games."""
+    from .. import analyzer
+
+    def lens(t: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(t["text"])
+        rows, codes, _ = analyzer.tokenize_flat(text)
+        n = t.num_rows
+        cnt = (
+            np.bincount(rows, minlength=n).astype(np.int64)
+            if rows.size else np.zeros(n, np.int64)
+        )
+        return pa.table({
+            "role": t["role"],
+            "n_tokens": pa.array(cnt, pa.int64()),
+        })
+
+    pairs = ds.map_batches(lens, batch_format="pyarrow", zero_copy_batch=True)
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["n_tokens"].to_numpy(dtype=np.float64)
+        out = {"role": [g["role"].iloc[0]],
+               "n_turns": [np.int64(v.size)]}
+        for p in qs:
+            out[f"p{int(p * 100)}"] = [float(np.quantile(v, p, method="linear"))]
+        return pd.DataFrame(out)
+
+    out = pairs.groupby("role").map_groups(q, batch_format="pandas").to_pandas()
+    out["n_turns"] = out["n_turns"].astype(np.int64)
+    return out.sort_values("role").reset_index(drop=True)
+
+
+def role_token_quantiles_sql(src: str, *, qs=(0.25, 0.5, 0.75)) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr("text")
+    qcols = ",\n       ".join(
+        f"quantile_cont(n_tokens, {p}) AS p{int(p * 100)}" for p in qs
+    )
+    return f"""
+WITH lens AS (SELECT role, len({tok}) AS n_tokens FROM {src})
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       {qcols}
+FROM lens GROUP BY role ORDER BY role
+""".strip()
+
+
+def system_prompt_reuse(ds, *, min_convs: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Shared-first-turn detection (agent fleets reuse system prompts /
+    boilerplate openers verbatim): fingerprint each conversation's first
+    turn, report fingerprints shared by ≥ min_convs conversations. One
+    bounded row per conversation leaves the tasks (md5 + conv count fold);
+    text never reaches the driver. Returns (first_md5, n_convs,
+    example_conv) with the lexicographically-first conv as the example."""
+    import hashlib
+
+    def firsts(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "first_md5": pa.array([], pa.string()),
+                "conv_id": pa.array([], pa.string()),
+            })
+        starts = off[:-1]
+        convs = tbl["conv_id"].combine_chunks().take(pa.array(starts))
+        texts = tbl["text"].combine_chunks().take(pa.array(starts)).to_pylist()
+        md5s = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table({
+            "first_md5": pa.array(md5s, pa.string()),
+            "conv_id": convs,
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(firsts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "first_md5": pd.Series([], dtype=str),
+            "n_convs": pd.Series([], dtype=np.int64),
+            "example_conv": pd.Series([], dtype=str),
+        })
+    g = parts.groupby("first_md5", as_index=False).agg(
+        n_convs=("conv_id", "size"), example_conv=("conv_id", "min")
+    )
+    g = g[g["n_convs"] >= min_convs].sort_values("first_md5")
+    g["n_convs"] = g["n_convs"].astype(np.int64)
+    return g.reset_index(drop=True)
+
+
+def system_prompt_reuse_sql(src: str, *, min_convs: int = 2) -> str:
+    return f"""
+WITH firsts AS (
+  SELECT conv_id, md5(text) AS first_md5
+  FROM {src} QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) = 1
+)
+SELECT first_md5, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS example_conv
+FROM firsts GROUP BY first_md5 HAVING count(*) >= {min_convs}
+ORDER BY first_md5
+""".strip()

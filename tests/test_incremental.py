@@ -211,3 +211,39 @@ def test_build_lock_excludes_and_steals(tmp_path_factory, ray_session):
     man = build.build_index(rd.from_pandas(df), root, concurrency=2)
     assert man["n_docs"] == 10
     assert not os.path.exists(os.path.join(root, ".build.lock"))
+
+
+def test_delete_by_query_exact_stats(tmp_path, ray_session):
+    """_delete_by_query retires every match via tombstones and leaves BM25
+    scores value-identical to a fresh build over the surviving corpus
+    (exact negative corrections, attr + positional index)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import extras, query
+
+    docs = "/root/testdata/sf0.001/documents.parquet"
+    root = str(tmp_path / "delq")
+    ds = rd.read_parquet(docs, columns=["doc_id", "text", "lang"])
+    ib.build_index(ds, root, attr_cols=["lang"], store_positions=True)
+    res = extras.delete_by_query(root, "dup", mode="or")
+    assert res["deleted"] > 0
+    # no 'dup' match survives
+    assert query.IndexReader(root).search("dup", k=100, mode="or").num_rows == 0
+    # survivors score like a fresh filtered build
+    fresh = str(tmp_path / "fresh")
+    from harvester_ray import analyzer
+
+    raw = pd.read_parquet(docs)
+    dead = {
+        int(i) for i, t in zip(raw["doc_id"], raw["text"])
+        if "dup" in analyzer.tokenize_query(t)
+    }
+    kept = rd.read_parquet(docs, columns=["doc_id", "text", "lang"]).filter(
+        lambda r: r["doc_id"] not in dead
+    )
+    ib.build_index(kept, fresh, attr_cols=["lang"], store_positions=True)
+    a = query.IndexReader(root).search("customer query big", k=10, mode="or").to_pandas()
+    b = query.IndexReader(fresh).search("customer query big", k=10, mode="or").to_pandas()
+    pd.testing.assert_frame_equal(a, b)
