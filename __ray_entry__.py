@@ -997,14 +997,46 @@ def _delete_by_query(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
-def _reindex_dest(sf_dir: str) -> str:
-    """Reindex fixture: a store_source copy of the documents index, then
-    an ES _reindex into a lang='en'-only destination (from the stored
-    _source alone — the raw parquet is never re-read)."""
+UPDATE_SUFFIX = " zzflag"
+
+
+def _update_by_query(sf_dir: str) -> pd.DataFrame:
+    """ES _update_by_query end-to-end: copy the store_source index, append
+    a marker token to every 'dup' match via the stored _source + upsert
+    delta path, then BM25-search the marker — scores must equal a fresh
+    oracle over the rewritten corpus (updated docs re-scored, avgdl moved,
+    corrections exact)."""
+    import shutil
+
+    import pyarrow.compute as _pc
+
+    from harvester_ray.index import extras as _extras
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    src = _source_index(sf_dir)
+    dest = os.path.join(_SCRATCH, f"docidx-updq-{tag}")
+    shutil.rmtree(dest, ignore_errors=True)
+    shutil.copytree(src, dest)
+    _extras.update_by_query(
+        dest, RARE_TERMS_QUERY,
+        lambda arr: _pc.binary_join_element_wise(arr, UPDATE_SUFFIX, ""),
+        mode="or",
+    )
+    out = (
+        index_query.IndexReader(dest)
+        .search("zzflag", k=10, mode="or")
+        .to_pandas()
+    )
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _source_index(sf_dir: str) -> str:
+    """Shared store_source copy of the documents index (reindex +
+    update_by_query fixtures)."""
     import ray.data as rd
 
     from harvester_ray.index import manifest as mf
-    from harvester_ray.index import reindex as _reindex_mod
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     src = os.path.join(_SCRATCH, f"docidx-src-{tag}")
@@ -1015,9 +1047,20 @@ def _reindex_dest(sf_dir: str) -> str:
             ds, src, input_desc=docs, attr_cols=["source", "lang"],
             store_source=True,
         )
+    return src
+
+
+def _reindex_dest(sf_dir: str) -> str:
+    """Reindex fixture: ES _reindex of the store_source index into a
+    lang='en'-only destination (from the stored _source alone — the raw
+    parquet is never re-read)."""
+    from harvester_ray.index import manifest as mf
+    from harvester_ray.index import reindex as _reindex_mod
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
     dest = os.path.join(_SCRATCH, f"docidx-reindexed-{tag}")
     if mf.current_version(dest) is None:
-        _reindex_mod.reindex(src, dest, filters={"lang": ["en"]})
+        _reindex_mod.reindex(_source_index(sf_dir), dest, filters={"lang": ["en"]})
     return dest
 
 
@@ -2949,6 +2992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
+        "update_by_query": _update_by_query,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
         "pinned_query": _pinned_query,
@@ -3907,6 +3951,20 @@ ORDER BY doc_count, source"""
                 + RARE_TERMS_QUERY + "'), "
                 "kept AS (SELECT * FROM documents WHERE doc_id NOT IN "
                 "(SELECT doc_id FROM delt)), ",
+                1,
+            )
+        ),
+        "update_by_query": (
+            index_oracle.bm25_sql("modif", "zzflag", 10, mode="or")
+            .replace(
+                "WITH ",
+                "WITH updt AS (SELECT DISTINCT doc_id FROM (SELECT doc_id, "
+                "unnest(" + _analyzer.sql_tokenize_expr("text")
+                + ") AS term FROM documents) WHERE term = '"
+                + RARE_TERMS_QUERY + "'), "
+                "modif AS (SELECT doc_id, CASE WHEN doc_id IN "
+                "(SELECT doc_id FROM updt) THEN text || '" + UPDATE_SUFFIX
+                + "' ELSE text END AS text, lang, source FROM documents), ",
                 1,
             )
         ),

@@ -2593,3 +2593,57 @@ def delete_by_query(index_root: str, query_text: str, *, mode: str = "or") -> di
         "deleted": int(doomed.size),
         "version": man.get("_version", man.get("version")),
     }
+
+
+def update_by_query(
+    index_root: str,
+    query_text: str,
+    transform,
+    *,
+    mode: str = "or",
+) -> dict:
+    """ES ``_update_by_query``: fetch every live matching doc's stored
+    ``_source`` (the index must be built with ``store_source=True``), apply
+    ``transform`` (a ``pa.Array -> pa.Array`` text rewrite — the script
+    body), and re-ingest the rewritten docs through the normal upsert delta
+    path. Old versions tombstone, global stats stay exact, attrs carry
+    through unchanged. At fleet scale the per-segment fetch+transform rows
+    would be emitted by parallel Ray tasks; matches are usually a small
+    fraction of the corpus so the delta is the bounded part either way."""
+    import pandas as pd_
+    import ray.data as rd
+
+    from . import incremental
+    from . import manifest as _mf
+
+    man = _mf.read_manifest(index_root)
+    if not man.get("store_source", False):
+        raise ValueError("update_by_query needs store_source=True")
+    attr_cols = list(man.get("attr_cols") or [])
+    reader = IndexReader(index_root)
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    frames = []
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            cols = {
+                "doc_id": matched.astype(np.int64),
+                "text": transform(
+                    seg.stored_values("_source", matched)
+                ).to_pylist(),
+            }
+            for a in attr_cols:
+                cols[a] = seg.attr_values(a, matched)
+            frames.append(pd_.DataFrame(cols))
+    if not frames:
+        return {"updated": 0, "version": reader.manifest["_version"]}
+    delta = pd_.concat(frames)
+    delta["state"] = "active"
+    man2 = incremental.build_incremental(
+        index_root, rd.from_pandas(delta), integrity_check=False
+    )
+    return {
+        "updated": int(len(delta)),
+        "version": man2.get("_version", man2.get("version")),
+    }
