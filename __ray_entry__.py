@@ -2144,6 +2144,16 @@ def _dedup_clusters(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _cluster_safe_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe splits: near-dup cluster members share one split
+    (representative-keyed hash), singleton docs key on themselves."""
+    from harvester_ray.ops import cluster
+
+    return cluster.cluster_safe_split(
+        _docs_ds(sf_dir, columns=("doc_id",)), _neardup_pairs_ds(sf_dir)
+    )
+
+
 def _dedup_corpus(sf_dir: str) -> pd.DataFrame:
     """Corpus-level near-dup removal: keep the minimum-id representative of
     every cluster, drop the rest (bucketed anti-join, no driver collect)."""
@@ -3021,6 +3031,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup": lambda sf: dedup.simhash_near_dups(_docs_ds(sf)).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "neardup_jaccard": _neardup_jaccard,
         "dedup_clusters": _dedup_clusters,
+        "cluster_safe_split": _cluster_safe_split,
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
         "dup_ngrams": _dup_ngrams,
@@ -3704,6 +3715,9 @@ ORDER BY doc_count, source"""
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "dedup_clusters": _cluster.cluster_sql(
             dedup.ngram_jaccard_sql("documents", threshold=0.8)
+        ),
+        "cluster_safe_split": _cluster.cluster_safe_split_sql(
+            dedup.ngram_jaccard_sql("documents", threshold=0.8), "documents"
         ),
         "dedup_corpus": _cluster.dedup_corpus_sql(
             dedup.ngram_jaccard_sql("documents", threshold=0.8),

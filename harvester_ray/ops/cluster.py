@@ -252,3 +252,130 @@ drops AS (
 SELECT * FROM {table} WHERE {id_col} NOT IN (SELECT node FROM drops)
 ORDER BY {id_col}
 """.strip()
+
+
+def cluster_safe_split(
+    docs_ds,
+    pairs_ds,
+    *,
+    splits: dict[str, float] | None = None,
+    salt: int = 424242,
+    id_col: str = "doc_id",
+):
+    """Leakage-safe train/val/test split: every member of a near-dup
+    cluster lands in the SAME split (the split hash keys on the cluster
+    representative, not the doc), so eval examples can never have train-set
+    near-duplicates — the splitting discipline LLM eval hygiene requires,
+    and the reason plain per-doc hash splits (sampling.assign_split) are
+    not enough once dedup finds cross-doc duplicates.
+
+    Composition: hash-to-min connected components over the candidate pair
+    stream → (doc, cluster) labels broadcast as sorted numpy arrays (labels
+    are bounded by docs-appearing-in-pairs, a small fraction of the
+    corpus); docs outside any pair are their own representative. One
+    streaming pass tags docs; per batch only (split, rep)-distinct partials
+    and counters leave. Returns (split, n_docs, n_clusters) per split."""
+    import ray
+
+    from . import sampling as _  # noqa: F401  (same-package convention)
+    from .sampling import _hash_frac
+
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names])
+    cuts[-1] = 1.0 + 1e-9
+    labels = connected_components(pairs_ds).to_pandas()
+    lab_docs = labels["doc_id"].to_numpy(np.int64)
+    lab_reps = labels["cluster_id"].to_numpy(np.int64)
+    order = np.argsort(lab_docs)
+    ref = ray.put((lab_docs[order], lab_reps[order]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ld, lr = ray.get(ref)
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        idx = np.searchsorted(ld, ids)
+        idx_c = np.clip(idx, 0, max(ld.size - 1, 0))
+        hit = (ld.size > 0) & (ld[idx_c] == ids)
+        rep = np.where(hit, lr[idx_c] if ld.size else ids, ids)
+        frac = _hash_frac(rep, salt)
+        sidx = np.searchsorted(cuts, frac, side="right")
+        # batch-local distinct (split, rep) partial — lexsort + boundary
+        # diff, no packed-key range assumption on doc ids
+        o = np.lexsort((rep, sidx))
+        rs, ss = rep[o], sidx[o]
+        new = np.ones(rs.size, dtype=bool)
+        new[1:] = (rs[1:] != rs[:-1]) | (ss[1:] != ss[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.append(starts, rs.size))
+        return pa.table({
+            "split": pa.array(
+                np.array(names, dtype=object)[ss[starts]], pa.string()
+            ),
+            "rep": pa.array(rs[starts], pa.int64()),
+            "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = docs_ds.map_batches(
+        tag, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    import pandas as pd
+
+    if parts.empty:
+        return pd.DataFrame({
+            "split": pd.Series(dtype=object),
+            "n_docs": pd.Series(dtype=np.int64),
+            "n_clusters": pd.Series(dtype=np.int64),
+        })
+    g = parts.groupby(["split", "rep"], as_index=False)["n_docs"].sum()
+    out = g.groupby("split", as_index=False).agg(
+        n_docs=("n_docs", "sum"), n_clusters=("rep", "nunique")
+    )
+    out = out.sort_values("split").reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["n_clusters"] = out["n_clusters"].astype(np.int64)
+    return out
+
+
+def cluster_safe_split_sql(
+    pairs_sql: str,
+    table: str = "documents",
+    *,
+    splits: dict[str, float] | None = None,
+    salt: int = 424242,
+    id_col: str = "doc_id",
+) -> str:
+    """Oracle for cluster_safe_split: recursive-closure labels, identical
+    representative hash and range cuts."""
+    from .sampling import _sql_frac
+
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(splits)
+    cuts = np.cumsum([splits[n] for n in names])
+    frac = _sql_frac("rep", salt)
+    cases = " ".join(
+        f"WHEN {frac} < {cuts[i]!r} THEN '{names[i]}'"
+        for i in range(len(names) - 1)
+    )
+    split_expr = f"CASE {cases} ELSE '{names[-1]}' END"
+    return f"""
+WITH RECURSIVE nd_pairs AS ({_pairs_cte(pairs_sql)}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+  UNION
+  SELECT doc_b, doc_a FROM nd_pairs
+),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+),
+labels AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+rep_t AS (
+  SELECT d.{id_col} AS doc_id, coalesce(l.cluster_id, d.{id_col}) AS rep
+  FROM {table} d LEFT JOIN labels l ON d.{id_col} = l.doc_id
+),
+tagged AS (SELECT doc_id, rep, {split_expr} AS split FROM rep_t)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT rep) AS BIGINT) AS n_clusters
+FROM tagged GROUP BY split ORDER BY split
+""".strip()

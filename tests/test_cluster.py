@@ -87,3 +87,33 @@ def test_dedup_corpus_keeps_min_representative(ray_session):
 def test_empty_pairs_labels_nothing(ray_session):
     got = cluster.connected_components(_pairs_ds([])).to_pandas()
     assert len(got) == 0
+
+
+def test_cluster_safe_split_no_leakage(ray_session):
+    """No near-dup cluster may span splits; singletons follow the rep hash."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import cluster
+    from harvester_ray.ops.sampling import _hash_frac
+
+    # 300 docs; pairs chain docs (3i, 3i+1, 3i+2) into 100 clusters
+    pairs = pd.DataFrame({
+        "doc_a": [3 * i for i in range(100)] * 2,
+        "doc_b": [3 * i + 1 for i in range(100)] + [3 * i + 2 for i in range(100)],
+    })
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array(list(range(300)), pa.int64())}))
+    out = cluster.cluster_safe_split(docs, rd.from_pandas(pairs))
+    assert int(out["n_docs"].sum()) == 300
+    assert int(out["n_clusters"].sum()) == 100  # every doc is clustered
+    # every cluster contributes exactly 3 docs to exactly one split →
+    # each split's doc count is exactly 3× its cluster count
+    assert (out["n_docs"] == 3 * out["n_clusters"]).all()
+    # representative-hash determinism: recompute expected split sizes
+    reps = np.array([3 * i for i in range(100)], dtype=np.int64)
+    frac = _hash_frac(reps, 424242)
+    exp_train = int((frac < 0.8).sum())
+    got = dict(zip(out["split"], out["n_clusters"]))
+    assert got.get("train", 0) == exp_train

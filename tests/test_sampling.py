@@ -117,3 +117,40 @@ def test_source_mixture_matches_oracle(ray_session, tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_interleave_sources_fairness_and_order(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    sizes = {"a": 200, "b": 100, "c": 50}
+    weights = {"a": 3, "b": 2}  # c defaults to 1
+    rows_s, rows_i = [], []
+    i = 0
+    for s, n in sizes.items():
+        for _ in range(n):
+            rows_s.append(s)
+            rows_i.append(i)
+            i += 1
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(rows_i, pa.int64()),
+        "source": pa.array(rows_s),
+    }))
+    out = sampling.source_mixture  # silence linters; real call below
+    res = sampling.interleave_sources(ds, weights, n=120)
+    assert list(res["seq"]) == list(range(1, 121))
+    # (a) within each source the original doc order is preserved
+    for s in sizes:
+        ids = res.loc[res["source"] == s, "doc_id"].tolist()
+        assert ids == sorted(ids)
+    # (b) stride fairness: every prefix's per-source share tracks the
+    # weights within one stride's worth of items
+    W = 3 + 2 + 1
+    counts = {s: 0 for s in sizes}
+    for p, s in enumerate(res["source"], start=1):
+        counts[s] += 1
+        for src, w in (("a", 3), ("b", 2), ("c", 1)):
+            assert abs(counts[src] - p * w / W) <= 2, (p, src, counts)
+    # (c) partition-independent
+    again = sampling.interleave_sources(ds.repartition(5), weights, n=120)
+    pd.testing.assert_frame_equal(res, again)
