@@ -973,6 +973,21 @@ def _span_first(sf_dir: str) -> pd.DataFrame:
     )
 
 
+CONTEXT_BUDGET = 600
+
+
+def _assemble_context(sf_dir: str) -> pd.DataFrame:
+    """RAG context assembly: ranked prefix of the BM25 top-k that fits the
+    token budget (take-while over cumulative dl)."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.assemble_context(
+        index_query.IndexReader(root), BM25_QUERY_OR,
+        budget_tokens=CONTEXT_BUDGET, k_max=50, mode="or",
+    )
+
+
 def _delete_by_query(sf_dir: str) -> pd.DataFrame:
     """ES _delete_by_query end-to-end: copy the index, tombstone every
     'dup' match through the delta path, then BM25-search the survivors —
@@ -3002,6 +3017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
+        "assemble_context": _assemble_context,
         "update_by_query": _update_by_query,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
@@ -3955,6 +3971,23 @@ ORDER BY doc_count, source"""
             "SELECT doc_id, 1.0 AS score FROM tdocp "
             "WHERE tool IS NOT NULL ORDER BY doc_id LIMIT 10"
         ).replace("SELECT doc_id", _transcript_docp_sql_head(_tglob) + " SELECT doc_id", 1),
+        "assemble_context": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 50, mode="or")
+            + "), "
+            "lens AS (SELECT doc_id, len("
+            + _analyzer.sql_tokenize_expr("text")
+            + ") AS n_tokens FROM documents), "
+            "ordered AS (SELECT r.doc_id, l.n_tokens, "
+            "row_number() OVER (ORDER BY r.score DESC, r.doc_id ASC) AS rank, "
+            "sum(l.n_tokens) OVER (ORDER BY r.score DESC, r.doc_id ASC "
+            "ROWS UNBOUNDED PRECEDING) AS cum_tokens "
+            "FROM ranked r JOIN lens l USING (doc_id)) "
+            "SELECT CAST(rank AS BIGINT) AS rank, doc_id, "
+            "CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(cum_tokens AS BIGINT) AS cum_tokens "
+            f"FROM ordered WHERE cum_tokens <= {CONTEXT_BUDGET} ORDER BY rank"
+        ),
         "delete_by_query": (
             index_oracle.bm25_sql("kept", BM25_QUERY_OR, 10, mode="or")
             .replace(

@@ -2647,3 +2647,49 @@ def update_by_query(
         "updated": int(len(delta)),
         "version": man2.get("_version", man2.get("version")),
     }
+
+
+def assemble_context(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    budget_tokens: int,
+    k_max: int = 50,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """RAG context assembly: the ranked prefix of the BM25 top-``k_max``
+    that fits a token budget (take-while over the cumulative indexed doc
+    length — the greedy packing most retrieval-augmented prompt builders
+    use). Lengths come from the dl sidecars already in memory; no text is
+    touched until the caller fetches the chosen docs. Ordering is the
+    rounded-score total order with doc-id tie-break (the cursor contract).
+    Returns (rank, doc_id, n_tokens, cum_tokens)."""
+    ranked = reader.search(query_text, k=k_max, mode=mode).to_pandas()
+    if ranked.empty:
+        return pd.DataFrame({
+            "rank": pd.Series(dtype=np.int64),
+            "doc_id": pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "cum_tokens": pd.Series(dtype=np.int64),
+        })
+    ranked["score"] = ranked["score"].round(4)
+    ranked = ranked.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    ids = ranked["doc_id"].to_numpy(np.int64)
+    dl = np.zeros(ids.size, dtype=np.int64)
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        idx = np.searchsorted(seg.doc_ids, ids)
+        idx_c = np.clip(idx, 0, max(seg.doc_ids.size - 1, 0))
+        hit = (seg.doc_ids.size > 0) & (seg.doc_ids[idx_c] == ids)
+        dl = np.where(hit, seg.dl[idx_c], dl)
+    cum = np.cumsum(dl)
+    keep = cum <= budget_tokens
+    out = pd.DataFrame({
+        "rank": np.arange(1, ids.size + 1, dtype=np.int64)[keep],
+        "doc_id": ids[keep],
+        "n_tokens": dl[keep],
+        "cum_tokens": cum[keep],
+    })
+    return out.reset_index(drop=True)
