@@ -973,6 +973,55 @@ def _span_first(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PASSAGE_CHUNK, PASSAGE_STRIDE = 32, 16
+
+
+def _chunk_index(sf_dir: str) -> str:
+    """Passage-level index: overlapping token-window chunks as child docs
+    (chunk id = doc_id·1024 + chunk_idx, parent attr = doc_id) — the third
+    indexing granularity next to turn- and conversation-level."""
+    import ray.data as rd
+
+    from harvester_ray.index import manifest as mf
+    from harvester_ray.ops import chunking as _chunking
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"chunkidx-{tag}")
+    if mf.current_version(root) is None:
+        chunks = _chunking.chunk_documents(
+            _docs_ds(sf_dir), chunk_size=PASSAGE_CHUNK, stride=PASSAGE_STRIDE,
+            collect=False,
+        )
+
+        def prep(t):
+            import pyarrow as _pa
+
+            did = np.asarray(t["doc_id"].combine_chunks().cast(_pa.int64()))
+            cix = np.asarray(t["chunk_idx"].combine_chunks())
+            assert cix.size == 0 or cix.max() < 1024
+            return _pa.table({
+                "doc_id": _pa.array(did * 1024 + cix, _pa.int64()),
+                "text": t["chunk_text"],
+                "parent": _pa.array(did, _pa.int64()),
+            })
+
+        ds2 = chunks.map_batches(prep, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+        index_build.build_index(ds2, root, attr_cols=["parent"])
+    return root
+
+
+def _passage_bm25(sf_dir: str) -> pd.DataFrame:
+    """Passage retrieval: BM25 over overlapping chunks, documents ranked by
+    their best passage (has_child score_mode=max over the chunk index)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_parents(
+        index_query.IndexReader(_chunk_index(sf_dir)), BM25_QUERY_OR,
+        parent_field="parent", k=10, mode="or", score_mode="max",
+    )
+
+
 CONTEXT_BUDGET = 600
 
 
@@ -3018,6 +3067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
         "assemble_context": _assemble_context,
+        "passage_bm25": _passage_bm25,
         "update_by_query": _update_by_query,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
@@ -3971,6 +4021,20 @@ ORDER BY doc_count, source"""
             "SELECT doc_id, 1.0 AS score FROM tdocp "
             "WHERE tool IS NOT NULL ORDER BY doc_id LIMIT 10"
         ).replace("SELECT doc_id", _transcript_docp_sql_head(_tglob) + " SELECT doc_id", 1),
+        "passage_bm25": index_oracle.has_child_sql(
+            "cdoc", BM25_QUERY_OR, parent_col="parent", k=10, mode="or",
+            score_mode="max",
+        ).replace(
+            "WITH ",
+            "WITH chunks AS ("
+            + _chunking.chunk_documents_sql(
+                "documents", chunk_size=PASSAGE_CHUNK, stride=PASSAGE_STRIDE
+            )
+            + "), cdoc AS (SELECT CAST(doc_id * 1024 + chunk_idx AS BIGINT) "
+            "AS doc_id, chunk_text AS text, CAST(doc_id AS BIGINT) AS parent "
+            "FROM chunks), ",
+            1,
+        ),
         "assemble_context": (
             "WITH ranked AS ("
             + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 50, mode="or")
