@@ -3079,6 +3079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
         "tool_chains": lambda sf: _transcripts_mod.tool_chains(_tds(sf)),
         "tool_loops": lambda sf: _transcripts_mod.tool_loops(_tds(sf), min_run=2),
+        "tool_latency": lambda sf: _transcripts_mod.tool_latency(_tds(sf)),
         "role_violations": lambda sf: _transcripts_mod.role_violations(_tds(sf)),
         "conv_neardup": _conv_neardup,
         "curate_conversations": lambda sf: _transcripts_mod.curate_conversations(_tds(sf)),
@@ -4109,6 +4110,7 @@ ORDER BY doc_count, source"""
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
         "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
         "tool_loops": _transcripts_mod.tool_loops_sql(_tsrc, min_run=2),
+        "tool_latency": _transcripts_mod.tool_latency_sql(_tsrc),
         "role_violations": _transcripts_mod.role_violations_sql(_tsrc),
         "conv_neardup": dedup.ngram_jaccard_sql("cdoc", threshold=0.5).replace(
             "WITH ", _conv_neardup_sql_head() + ", ", 1

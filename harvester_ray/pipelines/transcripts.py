@@ -1610,3 +1610,89 @@ SELECT first_md5, CAST(count(*) AS BIGINT) AS n_convs,
 FROM firsts GROUP BY first_md5 HAVING count(*) >= {min_convs}
 ORDER BY first_md5
 """.strip()
+
+
+def tool_latency(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Per-tool response latency: for each tool-role turn, the gap to the
+    conversation's NEXT turn (when one exists) — the ops signal for slow
+    tools in agent fleets. Exact integer µs sums per (tool) leave the
+    tasks; the mean re-derives from the same integer pair on both sides
+    (floor(sum/n·1e6+0.5)/1e6, the search_stats rule). Returns
+    (tool, n_calls, sum_us, mean_us)."""
+
+    def gaps(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "tool": pa.array([], pa.string()),
+            "n_calls": pa.array([], pa.int64()),
+            "sum_us": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        ts = (
+            tbl["ts"].combine_chunks()
+            .cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        ts = np.asarray(ts)
+        is_tool = np.asarray(pc.equal(tbl["role"].combine_chunks(), "tool"))
+        conv_end = np.zeros(n, dtype=bool)
+        conv_end[off[1:] - 1] = True
+        sel = np.flatnonzero(is_tool & ~conv_end)  # has a next turn in-conv
+        if sel.size == 0:
+            return empty
+        delta = ts[sel + 1] - ts[sel]
+        enc = (
+            tbl["tool"].combine_chunks()
+            .take(pa.array(sel, pa.int64()))
+            .dictionary_encode()
+        )
+        codes = np.asarray(enc.indices).astype(np.int64)
+        nd = len(enc.dictionary)
+        cnt = np.bincount(codes, minlength=nd)
+        sums = np.bincount(codes, weights=delta.astype(np.float64),
+                           minlength=nd).astype(np.int64)
+        return pa.table({
+            "tool": enc.dictionary,
+            "n_calls": pa.array(cnt.astype(np.int64), pa.int64()),
+            "sum_us": pa.array(sums, pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({
+            "tool": pd.Series([], dtype=str),
+            "n_calls": pd.Series([], dtype=np.int64),
+            "sum_us": pd.Series([], dtype=np.int64),
+            "mean_us": pd.Series([], dtype=np.float64),
+        })
+    g = parts.groupby("tool", as_index=False)[["n_calls", "sum_us"]].sum()
+    g["n_calls"] = g["n_calls"].astype(np.int64)
+    g["sum_us"] = g["sum_us"].astype(np.int64)
+    g["mean_us"] = np.floor(
+        g["sum_us"].to_numpy() * 1.0 / g["n_calls"].to_numpy() * 1e6 + 0.5
+    ) / 1e6
+    return g.sort_values("tool").reset_index(drop=True)
+
+
+def tool_latency_sql(src: str) -> str:
+    return f"""
+WITH nxt AS (
+  SELECT tool, role,
+         epoch_us(lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx))
+           - epoch_us(ts) AS delta_us
+  FROM {src}
+),
+calls AS (SELECT tool, delta_us FROM nxt
+          WHERE role = 'tool' AND delta_us IS NOT NULL)
+SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(sum(delta_us) AS BIGINT) AS sum_us,
+       floor(CAST(sum(delta_us) AS BIGINT) * 1.0 / count(*) * 1e6 + 0.5) / 1e6
+         AS mean_us
+FROM calls GROUP BY tool ORDER BY tool
+""".strip()
