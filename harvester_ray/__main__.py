@@ -18,6 +18,11 @@ Commands::
   snapshot  <index_root> <repo_dir> [--name NAME]
   restore   <repo_dir> <name> <dest_root>
   stats     <index_root>
+  reindex   <src_root> <dest_root> [--filter col=v1,v2]   # needs _source
+  delete-by-query <index_root> <query> [--mode and|or]
+  update-by-query <index_root> <query> --append TEXT [--mode and|or]
+  rollover  <registry_dir> <alias> <new_root> --max-docs N
+  prune-snapshots <repo_dir> --keep-last N
 
 Input parquet needs (doc_id, text[, attrs...]) — or transcript shape
 (conv_id, turn_idx, text), detected by column sniffing, in which case
@@ -105,6 +110,34 @@ def main(argv: list[str] | None = None) -> int:
     st = sub.add_parser("stats")
     st.add_argument("root")
 
+    ri = sub.add_parser("reindex")
+    ri.add_argument("src")
+    ri.add_argument("dest")
+    ri.add_argument("--filter", default=None,
+                    help="attr filter col=v1,v2 (values OR'd)")
+
+    dq = sub.add_parser("delete-by-query")
+    dq.add_argument("root")
+    dq.add_argument("query")
+    dq.add_argument("--mode", default="or", choices=["and", "or"])
+
+    uq = sub.add_parser("update-by-query")
+    uq.add_argument("root")
+    uq.add_argument("query")
+    uq.add_argument("--append", required=True,
+                    help="text appended to every matching doc's _source")
+    uq.add_argument("--mode", default="or", choices=["and", "or"])
+
+    ro = sub.add_parser("rollover")
+    ro.add_argument("registry")
+    ro.add_argument("alias")
+    ro.add_argument("new_root")
+    ro.add_argument("--max-docs", type=int, required=True)
+
+    ps = sub.add_parser("prune-snapshots")
+    ps.add_argument("repo")
+    ps.add_argument("--keep-last", type=int, required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -171,6 +204,47 @@ def main(argv: list[str] | None = None) -> int:
             "avgdl": man["avgdl"], "segments": len(man["segments"]),
             "tombstones": len(man.get("tombstones", [])),
         }))
+    if args.cmd == "reindex":
+        _ray_init()
+        from harvester_ray.index import reindex as reindex_mod
+
+        filters = None
+        if args.filter:
+            col, _, vals = args.filter.partition("=")
+            filters = {col: vals.split(",")}
+        man = reindex_mod.reindex(args.src, args.dest, filters=filters)
+        print(json.dumps({"version": man["version"], "n_docs": man["n_docs"]}))
+    elif args.cmd == "delete-by-query":
+        _ray_init()
+        from harvester_ray.index import extras
+
+        print(json.dumps(extras.delete_by_query(
+            args.root, args.query, mode=args.mode
+        )))
+    elif args.cmd == "update-by-query":
+        _ray_init()
+        import pyarrow.compute as pc
+
+        from harvester_ray.index import extras
+
+        res = extras.update_by_query(
+            args.root, args.query,
+            lambda arr: pc.binary_join_element_wise(arr, args.append, ""),
+            mode=args.mode,
+        )
+        print(json.dumps(res))
+    elif args.cmd == "rollover":
+        from harvester_ray.index import manifest as mf
+
+        print(json.dumps(mf.rollover(
+            args.registry, args.alias, args.new_root, max_docs=args.max_docs
+        )))
+    elif args.cmd == "prune-snapshots":
+        from harvester_ray.index import snapshot
+
+        print(json.dumps(snapshot.prune_snapshots(
+            args.repo, keep_last=args.keep_last
+        )))
     return 0
 
 
