@@ -2163,6 +2163,15 @@ def _ranking_eval(sf_dir: str) -> pd.DataFrame:
     return evaluate.evaluate_ranking(reader, k=10)
 
 
+def _ranking_eval_mrr(sf_dir: str) -> pd.DataFrame:
+    """ES _rank_eval MRR + precision@k (binary relevance: every query term
+    present) over the same fixture query set as ranking_eval."""
+    from harvester_ray.index import evaluate, query as iq
+
+    reader = iq.IndexReader(_documents_index(sf_dir))
+    return evaluate.evaluate_ranking_mrr(reader, k=10)
+
+
 def _more_like_this(sf_dir: str, doc_id: int = 0, k: int = 10) -> pd.DataFrame:
     """Similar-documents endpoint analog (harvester/search/views/
     similarity.py:70-110): top tf·idf terms of the doc → BM25 OR query,
@@ -3271,6 +3280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_l2": _knn_l2,
         "knn_dot": _knn_dot,
         "mmr_rerank": _mmr_rerank,
+        "knn_binary": lambda sf: similarity.knn_binary(
+            _emb_ds(sf), _query_vec(sf), k=10
+        ).to_pandas(),
+        "ranking_eval_mrr": _ranking_eval_mrr,
         "rank_feature": _rank_feature,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
@@ -3915,6 +3928,10 @@ ORDER BY doc_count, source"""
         ),
         "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
         "knn_dot": similarity.knn_dot_sql("embeddings", 0, 10),
+        "knn_binary": similarity.knn_binary_sql("embeddings", 0, 10),
+        "ranking_eval_mrr": __import__(
+            "harvester_ray.index.evaluate", fromlist=["x"]
+        ).evaluate_ranking_mrr_sql("documents"),
         "mmr_rerank": similarity.mmr_rerank_sql(
             "embeddings", 0, k=5, pool=12, lam=0.7
         ),

@@ -157,3 +157,85 @@ FROM (
         )
     union = "\nUNION ALL\n".join(per_query)
     return f"SELECT * FROM (\n{union}\n) ORDER BY query"
+
+
+def evaluate_ranking_mrr(
+    reader, queries: list[str] | None = None, k: int = 10
+) -> pd.DataFrame:
+    """The other two ES ``_rank_eval`` metrics next to nDCG:
+    ``mean_reciprocal_rank`` (1/rank of the first fully-relevant hit —
+    binary relevance = doc contains EVERY query term) and
+    ``precision_at_k`` (fully-relevant fraction of the top k, fixed
+    denominator k). Judgments come from the index itself like
+    evaluate_ranking. Returns (query, n_results, mrr, p_at_k)."""
+    queries = QUERY_SET if queries is None else queries
+    rows = []
+    for q in queries:
+        terms = sorted(set(analyzer.tokenize_query(q)))
+        out = reader.search(q, k=k, mode="or").to_pandas()
+        docs = out["doc_id"].to_numpy(dtype=np.int64)
+        rel = _term_membership(reader, docs, terms)
+        hits = rel >= len(terms)
+        first = np.flatnonzero(hits)
+        mrr = 1.0 / (int(first[0]) + 1) if first.size else 0.0
+        rows.append({
+            "query": q,
+            "n_results": int(docs.size),
+            "mrr": round(mrr, 6),
+            "p_at_k": round(float(hits.sum()) / k, 6),
+        })
+    return pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
+
+
+def evaluate_ranking_mrr_sql(
+    table: str,
+    queries: list[str] | None = None,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for evaluate_ranking_mrr: the same ranked CTE as the nDCG
+    oracle, binary relevance = all query terms present."""
+    from . import bm25
+
+    queries = QUERY_SET if queries is None else queries
+    tok = analyzer.sql_tokenize_expr(text_col)
+    per_query = []
+    for q in queries:
+        terms = sorted(set(analyzer.tokenize_query(q)))
+        term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        qlit = q.replace("'", "''")
+        per_query.append(f"""
+SELECT '{qlit}' AS query, CAST(count(*) AS BIGINT) AS n_results,
+       coalesce(round(1.0 / min(rank) FILTER (WHERE rel >= {len(terms)}), 6), 0.0) AS mrr,
+       round(CAST(count(*) FILTER (WHERE rel >= {len(terms)}) AS DOUBLE) / {k}, 6) AS p_at_k
+FROM (
+  SELECT rel, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+  FROM (
+    WITH doclen AS (
+      SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+    ),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({term_list}) GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             count(*) AS rel,
+             sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * ({bm25.K1} + 1.0)
+                  / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+      FROM tf JOIN df USING (term)
+      JOIN doclen d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, rel, score FROM scored
+  ) ORDER BY score DESC, doc_id ASC LIMIT {k}
+)""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY query"

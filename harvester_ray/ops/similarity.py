@@ -1102,3 +1102,83 @@ sel{j} AS (
         head + ",\n" + ",\n".join(steps)
         + f"\nSELECT CAST(rank AS BIGINT) AS rank, vec_id FROM sel{k} ORDER BY rank"
     )
+
+
+def knn_binary(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Binary-quantized kNN (the ES 8.16 BBQ / classic sign-LSH serving
+    trick): each component collapses to its sign bit (x ≥ 0), vectors
+    become ceil(d/64) machine words (64× smaller than float32), and
+    distance is the Hamming popcount of the XOR — the memory tier below
+    even PQ's 8-byte codes. Exact integers end-to-end: no float enters the
+    ranking, ties break by vec_id. Per batch: one packbits + one XOR +
+    one vectorized popcount, local top-k, O(Q·k) driver merge. Returns
+    (vec_id, hamming) asc."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qbits = np.packbits((q >= 0).astype(np.uint8), bitorder="little")
+    qref = ray.put(qbits)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qb = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        bits = np.packbits(
+            (mat >= 0).astype(np.uint8), axis=1, bitorder="little"
+        )
+        x = np.bitwise_xor(bits, qb[None, :])
+        ham = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        kk = min(k, ids.size)
+        part = np.argpartition(ham, kk - 1)[:kk] if ids.size > kk else np.arange(ids.size)
+        return pa.table({
+            "vec_id": pa.array(ids[part], pa.int64()),
+            "hamming": pa.array(ham[part], pa.int64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["vec_id"].to_numpy(),
+                        parts["hamming"].to_numpy()))[:k]
+    sel = parts.iloc[order]
+    return pa.table({
+        "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+        "hamming": pa.array(sel["hamming"].to_numpy(), pa.int64()),
+    })
+
+
+def knn_binary_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for knn_binary: sign bits assembled per element, Hamming =
+    Σ per-dimension sign disagreement (no word packing needed — XOR
+    popcount ≡ count of differing sign bits)."""
+    return f"""
+WITH q AS (
+  SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_vec_id}
+),
+flat AS (
+  SELECT e.{id_col} AS vec_id,
+         unnest(e.{vec_col}) AS ev, unnest(q.qv) AS qe
+  FROM {table} e CROSS JOIN q
+),
+ham AS (
+  SELECT vec_id,
+         CAST(count(*) FILTER (WHERE (ev >= 0) <> (qe >= 0)) AS BIGINT)
+           AS hamming
+  FROM flat GROUP BY vec_id
+)
+SELECT vec_id, hamming FROM ham
+ORDER BY hamming ASC, vec_id ASC LIMIT {k}
+""".strip()
