@@ -23,6 +23,7 @@ Commands::
   update-by-query <index_root> <query> --append TEXT [--mode and|or]
   rollover  <registry_dir> <alias> <new_root> --max-docs N
   prune-snapshots <repo_dir> --keep-last N
+  fsck      <index_root> [--shallow]           # CheckIndex analog
 
 Input parquet needs (doc_id, text[, attrs...]) — or transcript shape
 (conv_id, turn_idx, text), detected by column sniffing, in which case
@@ -138,6 +139,10 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("repo")
     ps.add_argument("--keep-last", type=int, required=True)
 
+    fk = sub.add_parser("fsck")
+    fk.add_argument("root")
+    fk.add_argument("--shallow", action="store_true")
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -245,6 +250,12 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(snapshot.prune_snapshots(
             args.repo, keep_last=args.keep_last
         )))
+    elif args.cmd == "fsck":
+        from harvester_ray.index import fsck
+
+        rep = fsck.fsck(args.root, deep=not args.shallow)
+        print(json.dumps(rep))
+        return 0 if rep["ok"] else 2
     return 0
 
 

@@ -425,3 +425,26 @@ def test_mmr_rerank_diversifies(ray_session):
     assert any(v >= 6 for v in mmr["vec_id"])
     pure = similarity.mmr_rerank(ds, q, k=4, pool=12, lam=1.0)
     assert list(pure["vec_id"]) == list(top["vec_id"])
+
+
+def test_knn_binary_recall_and_exactness(ray_session):
+    """Hamming kNN is exact on its own contract and, at the fixture scale,
+    its top pool recalls most of the true cosine top-10."""
+    import ray.data as rd
+
+    from harvester_ray.ops import similarity
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    import pandas as pd
+
+    q = pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet").iloc[0]["embedding"]
+    import numpy as np
+
+    q = np.asarray(q, dtype=np.float64)
+    exact = set(similarity.knn_brute(ds, q, k=10).to_pandas()["vec_id"])
+    pool = set(similarity.knn_binary(ds, q, k=50).to_pandas()["vec_id"])
+    assert len(exact & pool) >= 6  # sign bits keep most true neighbors
+    # determinism + partition independence
+    a = similarity.knn_binary(ds, q, k=10).to_pandas()
+    b = similarity.knn_binary(ds.repartition(7), q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
