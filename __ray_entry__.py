@@ -1037,6 +1037,35 @@ def _assemble_context(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _lang_routes(sf_dir: str) -> str:
+    """Per-language index family (en/nl/unk + all) — the reference's one
+    physical index per analyzer language."""
+    import ray.data as rd
+
+    from harvester_ray.index import manifest as mf
+    from harvester_ray.pipelines import multilingual
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"langroutes-{tag}")
+    if mf.current_version(os.path.join(root, "all")) is None:
+        docs = os.path.join(sf_dir, "documents.parquet")
+        ds = rd.read_parquet(docs, columns=["doc_id", "text", "lang"])
+        multilingual.build_language_indexes(ds, root)
+    return root
+
+
+def _lang_routed_search(sf_dir: str) -> pd.DataFrame:
+    """Language-routed BM25: the 'en' route scores with en-only df/avgdl
+    statistics — exactly a fresh build over the clamped-en subset."""
+    from harvester_ray.pipelines import multilingual
+
+    out = multilingual.search_language(
+        _lang_routes(sf_dir), BM25_QUERY_OR, k=10, language="en", mode="or"
+    ).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
 def _delete_by_query(sf_dir: str) -> pd.DataFrame:
     """ES _delete_by_query end-to-end: copy the index, tombstone every
     'dup' match through the delta path, then BM25-search the survivors —
@@ -3078,6 +3107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assemble_context": _assemble_context,
         "passage_bm25": _passage_bm25,
         "update_by_query": _update_by_query,
+        "lang_routed_search": _lang_routed_search,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
         "pinned_query": _pinned_query,
@@ -4069,6 +4099,10 @@ ORDER BY doc_count, source"""
             "CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(cum_tokens AS BIGINT) AS cum_tokens "
             f"FROM ordered WHERE cum_tokens <= {CONTEXT_BUDGET} ORDER BY rank"
+        ),
+        "lang_routed_search": index_oracle.bm25_sql(
+            "(SELECT * FROM documents WHERE lang = 'en')",
+            BM25_QUERY_OR, 10, mode="or",
         ),
         "delete_by_query": (
             index_oracle.bm25_sql("kept", BM25_QUERY_OR, 10, mode="or")
