@@ -1037,6 +1037,21 @@ def _assemble_context(sf_dir: str) -> pd.DataFrame:
     )
 
 
+QS_QUERY = '"part filter" window -dup b*'
+
+
+def _query_string(sf_dir: str) -> pd.DataFrame:
+    """Combined simple_query_string: quoted phrase + required bare term +
+    negation + dictionary prefix expansion scored in one query — the
+    reference's actual query-language surface end-to-end."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_query_string(
+        index_query.IndexReader(root), QS_QUERY, k=10
+    )
+
+
 def _lang_routes(sf_dir: str) -> str:
     """Per-language index family (en/nl/unk + all) — the reference's one
     physical index per analyzer language."""
@@ -3108,6 +3123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_bm25": _passage_bm25,
         "update_by_query": _update_by_query,
         "lang_routed_search": _lang_routed_search,
+        "query_string": _query_string,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
         "pinned_query": _pinned_query,
@@ -4099,6 +4115,9 @@ ORDER BY doc_count, source"""
             "CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(cum_tokens AS BIGINT) AS cum_tokens "
             f"FROM ordered WHERE cum_tokens <= {CONTEXT_BUDGET} ORDER BY rank"
+        ),
+        "query_string": index_oracle.query_string_sql(
+            "documents", QS_QUERY, 10
         ),
         "lang_routed_search": index_oracle.bm25_sql(
             "(SELECT * FROM documents WHERE lang = 'en')",

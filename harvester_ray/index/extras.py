@@ -2693,3 +2693,183 @@ def assemble_context(
         "cum_tokens": cum[keep],
     })
     return out.reset_index(drop=True)
+
+
+def parse_query_string(qs: str) -> dict:
+    """Shared clause parser for the combined ``simple_query_string``
+    surface (the reference's actual query language,
+    core/models/search/query.py:73-98): ``"quoted phrases"`` must match
+    adjacently, ``-term`` negates, ``term*`` expands against the
+    dictionary, bare terms are AND-required. One definition used by BOTH
+    the engine and the SQL oracle builder."""
+    import re
+
+    phrases = [h for h in re.findall(r'"([^"]*)"', qs)
+               if analyzer.tokenize_query(h)]
+    rest = re.sub(r'"[^"]*"', " ", qs)
+    plain: list[str] = []
+    prefixes: list[str] = []
+    negs: list[str] = []
+    for tok in rest.split():
+        if tok.startswith("-"):
+            negs.extend(analyzer.tokenize_query(tok[1:]))
+        elif tok.endswith("*"):
+            stem = analyzer.tokenize_query(tok[:-1])
+            if len(stem) == 1:
+                prefixes.append(stem[0])
+        else:
+            plain.extend(analyzer.tokenize_query(tok))
+    return {
+        "plain": sorted(set(plain)),
+        "phrases": phrases,
+        "prefixes": sorted(set(prefixes)),
+        "negs": sorted(set(negs)),
+    }
+
+
+def search_query_string(
+    reader: IndexReader,
+    qs: str,
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> pd.DataFrame:
+    """The combined simple_query_string scorer: a doc matches when it holds
+    EVERY bare term, EVERY quoted phrase (adjacent), at least one
+    dictionary expansion of EVERY ``term*`` prefix, and no negated term.
+    Score = Σ bare-term BM25 + Σ phrase BM25 (span frequency / span df,
+    the search_phrase contract) + Σ BM25 of the doc's present expansions
+    (per-expansion idf, the search_prefix contract). Expansion sets are
+    global and lexicographically capped. Requires positions when the query
+    has phrases."""
+    from . import bm25
+    from .query import (
+        match_one_segment,
+        merge_topk,
+        phrase_match_segment,
+        tombstones_for_segment,
+    )
+
+    c = parse_query_string(qs)
+    plain, prefixes, negs = c["plain"], c["prefixes"], c["negs"]
+    phrases = [analyzer.tokenize_query(h) for h in c["phrases"]]
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not (plain or phrases):
+        raise ValueError("query string needs at least one bare term or phrase")
+    segs = [(m, reader._segment(m)) for m in reader.manifest["segments"]]
+    expmap: dict[str, list[str]] = {}
+    for x in prefixes:
+        u: set[str] = set()
+        for _m, s in segs:
+            u.update(s.terms_with_prefix(x))
+        expmap[x] = sorted(u)[:max_expansions]
+        if not expmap[x]:
+            return empty
+    all_exp = sorted({e for xs in expmap.values() for e in xs})
+    dfs = reader.df(plain + all_exp)
+    if any(dfs.get(t, 0) == 0 for t in plain):
+        return empty
+    idf = {
+        t: float(bm25.idf(reader.n_docs, dfs[t]))
+        for t in set(plain) | set(all_exp) if dfs.get(t, 0) > 0
+    }
+
+    collected = []
+    df_phrase = [0] * len(phrases)
+    for meta, seg in segs:
+        tomb = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            meta.get("created_version", reader.manifest["_version"]),
+        )
+        exclude = tomb
+        if negs:
+            parts = [tomb] if tomb.size else []
+            for nt in negs:
+                p = seg.postings(nt)
+                if p is not None and p[0].size:
+                    parts.append(p[0])
+            if parts:
+                exclude = np.unique(np.concatenate(parts))
+        if plain:
+            cand = match_one_segment(seg, plain, "and", exclude, None)
+        else:
+            cand = None  # constrained by phrases below
+        ph_docs = []
+        dead_seg = False
+        for hi, h in enumerate(phrases):
+            if not seg.has_positions:
+                raise ValueError("phrases need store_positions=True")
+            d_h, ptf_h = phrase_match_segment(seg, h)
+            if tomb.size and d_h.size:
+                live = ~np.isin(d_h, tomb)
+                d_h, ptf_h = d_h[live], ptf_h[live]
+            df_phrase[hi] += int(d_h.size)  # span df: tombstones only
+            if exclude.size and d_h.size:
+                keep = ~np.isin(d_h, exclude)
+                d_h, ptf_h = d_h[keep], ptf_h[keep]
+            ph_docs.append((d_h, ptf_h))
+            if d_h.size == 0:
+                dead_seg = True
+        if dead_seg:
+            continue
+        for d_h, _ in ph_docs:
+            cand = d_h if cand is None else np.intersect1d(
+                cand, d_h, assume_unique=True
+            )
+        for x in prefixes:
+            hit_parts = [
+                seg.postings(e)[0] for e in expmap[x]
+                if seg.postings(e) is not None
+            ]
+            if not hit_parts:
+                cand = np.empty(0, np.int64)
+                break
+            xdocs = np.unique(np.concatenate(hit_parts))
+            cand = xdocs if cand is None else np.intersect1d(
+                cand, xdocs, assume_unique=True
+            )
+        if cand is None or cand.size == 0:
+            continue
+        if not plain and exclude.size:
+            cand = cand[~np.isin(cand, exclude)]
+        tf_map = {}
+        for t in sorted(set(plain) | set(all_exp)):
+            p = seg.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            idx = np.searchsorted(d, cand)
+            idx_c = np.clip(idx, 0, max(d.size - 1, 0))
+            hit = (d[idx_c] == cand) if d.size else np.zeros(cand.size, bool)
+            tf_map[t] = np.where(hit, f[idx_c], 0).astype(np.float64)
+        ptf_map = {}
+        for hi, (d_h, ptf_h) in enumerate(ph_docs):
+            idx = np.searchsorted(d_h, cand)
+            idx_c = np.clip(idx, 0, max(d_h.size - 1, 0))
+            hit = (d_h[idx_c] == cand) if d_h.size else np.zeros(cand.size, bool)
+            ptf_map[hi] = np.where(hit, ptf_h[idx_c], 0).astype(np.float64)
+        collected.append((cand, seg.doc_lengths(cand).astype(np.float64),
+                          tf_map, ptf_map))
+    if not collected:
+        return empty
+    parts = []
+    for cand, dl, tf_map, ptf_map in collected:
+        scores = np.zeros(cand.size, dtype=np.float64)
+        for t in sorted(tf_map):
+            tf = tf_map[t]
+            hit = tf > 0
+            if hit.any():
+                scores += np.where(
+                    hit, bm25.score(np.maximum(tf, 1.0), dl, idf[t], reader.avgdl), 0.0
+                )
+        for hi in sorted(ptf_map):
+            if df_phrase[hi] == 0:
+                continue
+            h_idf = float(bm25.idf(reader.n_docs, df_phrase[hi]))
+            ptf = ptf_map[hi]
+            scores += bm25.score(np.maximum(ptf, 1.0), dl, h_idf, reader.avgdl)
+        parts.append((cand, scores))
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

@@ -1435,3 +1435,126 @@ scored AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def query_string_sql(
+    table: str,
+    qs: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_query_string: the same clause parse
+    (shared parse_query_string), candidates = AND of all positive clauses
+    minus negs, score = bare-term sum + span-scored phrases + present
+    prefix expansions."""
+    from .extras import parse_query_string
+
+    c = parse_query_string(qs)
+    plain, prefixes, negs = c["plain"], c["prefixes"], c["negs"]
+    phrases = [analyzer.tokenize_query(h) for h in c["phrases"]]
+    assert plain or phrases
+    tok = analyzer.sql_tokenize_expr(text_col)
+    ql = lambda ts: ", ".join("'" + t.replace("'", "''") + "'" for t in ts)
+    term_like = [f"term IN ({ql(plain)})"] if plain else []
+    sel_ctes, sel_names = [], []
+    for i, x in enumerate(prefixes):
+        esc = x.replace("'", "''")
+        sel_ctes.append(
+            f"sel{i} AS (SELECT DISTINCT term FROM toks WHERE term LIKE "
+            f"'{esc}%' ORDER BY term LIMIT {max_expansions})"
+        )
+        sel_names.append(f"sel{i}")
+        term_like.append(f"term IN (SELECT term FROM sel{i})")
+    ph_ctes, ph_score_ctes = [], []
+    for i, h in enumerate(phrases):
+        quoted = ["'" + t.replace("'", "''") + "'" for t in h]
+        joins = "\n  ".join(
+            f"JOIN pos p{j} ON p{j}.doc_id = p0.doc_id AND p{j}.i = p0.i + {j}"
+            for j in range(1, len(h))
+        )
+        preds = " AND ".join(f"p{j}.term = {q}" for j, q in enumerate(quoted))
+        ph_ctes.append(f"""mh{i} AS (
+  SELECT p0.doc_id, count(*) AS ptf FROM pos p0
+  {joins}
+  WHERE {preds} GROUP BY p0.doc_id
+),
+dfh{i} AS (SELECT count(*) AS df FROM mh{i})""")
+        ph_score_ctes.append(f"""ph{i} AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfh{i}.df + 0.5) / (dfh{i}.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS sc
+  FROM mh{i} m CROSS JOIN dfh{i} CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)""")
+    cand_parts = []
+    if plain:
+        cand_parts.append(
+            f"SELECT doc_id FROM toks WHERE term IN ({ql(plain)}) "
+            f"GROUP BY doc_id HAVING count(DISTINCT term) = {len(plain)}"
+        )
+    for i in range(len(phrases)):
+        cand_parts.append(f"SELECT doc_id FROM mh{i}")
+    for i in range(len(prefixes)):
+        cand_parts.append(
+            f"SELECT DISTINCT doc_id FROM toks WHERE term IN "
+            f"(SELECT term FROM sel{i})"
+        )
+    cand = "\nINTERSECT\n".join(cand_parts)
+    if negs:
+        cand += (f"\nEXCEPT\nSELECT DISTINCT doc_id FROM toks "
+                 f"WHERE term IN ({ql(negs)})")
+    term_pred = " OR ".join(term_like)
+    ph_join = "".join(
+        f"\n  LEFT JOIN ph{i} ON ph{i}.doc_id = cand.doc_id"
+        for i in range(len(phrases))
+    )
+    ph_sum = "".join(f" + coalesce(ph{i}.sc, 0)" for i in range(len(phrases)))
+    extra_ctes = ",\n".join(
+        x for x in (sel_ctes + ph_ctes + ph_score_ctes) if x
+    )
+    extra_ctes = (extra_ctes + ",\n") if extra_ctes else ""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+{extra_ctes}tfq AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE {term_pred} GROUP BY doc_id, term
+),
+dfq AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+cand AS (
+{cand}
+),
+tscore AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS sc
+  FROM tfq tf
+  JOIN dfq USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM cand)
+  GROUP BY tf.doc_id
+),
+total AS (
+  SELECT cand.doc_id,
+         coalesce(t.sc, 0){ph_sum} AS score
+  FROM cand
+  LEFT JOIN tscore t ON t.doc_id = cand.doc_id{ph_join}
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM total ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

@@ -669,3 +669,11 @@ def test_search_bool_semantics(idx, con):
     or_only = extras.search_bool(reader, should="spark window", k=10)
     direct = reader.search("spark window", k=10, mode="or").to_pandas()
     assert list(or_only["doc_id"]) == list(direct["doc_id"])
+
+
+def test_parse_query_string_clauses():
+    c = extras.parse_query_string('"big scan" -dup fast s* "part filter" -Nope')
+    assert c["phrases"] == ["big scan", "part filter"]
+    assert c["plain"] == ["fast"]
+    assert c["prefixes"] == ["s"]
+    assert c["negs"] == ["dup", "nope"]

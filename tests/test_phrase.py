@@ -262,3 +262,27 @@ def test_match_phrase_prefix_matches_oracle(pos_index):
     )
     # no expansions → empty
     assert extras.search_match_phrase_prefix(r, "part zzznope", k=5).empty
+
+
+def test_query_string_combined_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    r = iq.IndexReader(pos_index)
+    for qs in (
+        '"part filter" window -dup b*',
+        '"order fast" scan',
+        'window -dup',
+        '"part filter" zzznope',  # unsatisfiable bare term → empty
+    ):
+        got = extras.search_query_string(r, qs, k=10)
+        exp = con.execute(oracle.query_string_sql("documents", qs, 10)).fetchdf()
+        pd.testing.assert_frame_equal(
+            got.reset_index(drop=True), exp.reset_index(drop=True),
+            check_dtype=False,
+        ), qs
+    with pytest.raises(ValueError):
+        extras.search_query_string(r, "-dup", k=5)  # negation-only
