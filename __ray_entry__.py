@@ -1040,6 +1040,23 @@ def _assemble_context(sf_dir: str) -> pd.DataFrame:
 QS_QUERY = '"part filter" window -dup b*'
 
 
+PERC_QS_QUERIES = [
+    (1, '"part filter" window'),
+    (2, "big -dup"),
+    (3, "sor* customer"),
+    (4, '"spark window" -the'),
+    (5, "zzznope spark"),       # unsatisfiable bare term
+    (6, "-dup"),                # negation-only: rejected at registration
+]
+
+
+def _percolate_qs(sf_dir: str) -> pd.DataFrame:
+    """Percolation over the full query language: stored queries with
+    phrases, negations and prefixes matched against the document stream
+    in one map pass."""
+    return _percolate_mod.percolate_qs(_docs_ds(sf_dir), PERC_QS_QUERIES)
+
+
 def _query_string(sf_dir: str) -> pd.DataFrame:
     """Combined simple_query_string: quoted phrase + required bare term +
     negation + dictionary prefix expansion scored in one query — the
@@ -3124,6 +3141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "update_by_query": _update_by_query,
         "lang_routed_search": _lang_routed_search,
         "query_string": _query_string,
+        "percolate_qs": _percolate_qs,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
         "pinned_query": _pinned_query,
@@ -4115,6 +4133,9 @@ ORDER BY doc_count, source"""
             "CAST(n_tokens AS BIGINT) AS n_tokens, "
             "CAST(cum_tokens AS BIGINT) AS cum_tokens "
             f"FROM ordered WHERE cum_tokens <= {CONTEXT_BUDGET} ORDER BY rank"
+        ),
+        "percolate_qs": _percolate_mod.percolate_qs_sql(
+            "documents", PERC_QS_QUERIES
         ),
         "query_string": index_oracle.query_string_sql(
             "documents", QS_QUERY, 10

@@ -448,3 +448,28 @@ def test_knn_binary_recall_and_exactness(ray_session):
     a = similarity.knn_binary(ds, q, k=10).to_pandas()
     b = similarity.knn_binary(ds.repartition(7), q, k=10).to_pandas()
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_percolate_qs_clause_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import percolate
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",
+            "beta alpha delta",
+        ]),
+    })
+    qs = [
+        (10, '"alpha beta"'),      # adjacency: doc 1 only
+        (11, '"beta alpha"'),      # reversed: doc 2 only
+        (12, "al* -gamma"),        # prefix + negation: doc 2 only
+        (13, "alpha beta"),        # bare AND: both
+        (14, "-alpha"),            # negation-only: rejected, matches none
+    ]
+    out = percolate.percolate_qs(rd.from_arrow(docs), qs)
+    got = set(zip(out["doc_id"], out["query_id"]))
+    assert got == {(1, 10), (2, 11), (2, 12), (1, 13), (2, 13)}
