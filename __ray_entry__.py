@@ -1240,6 +1240,21 @@ def _match_phrase_prefix(sf_dir: str) -> pd.DataFrame:
     )
 
 
+SPAN_NOT_INC, SPAN_NOT_EXC, SPAN_NOT_DIST = "spark", "window", 3
+
+
+def _span_not(sf_dir: str) -> pd.DataFrame:
+    """ES span_not: 'spark' occurrences not within 3 positions of 'window'
+    — the exclusion-window sibling of span_near."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_span_not(
+        index_query.IndexReader(root), SPAN_NOT_INC, SPAN_NOT_EXC,
+        distance=SPAN_NOT_DIST, k=10,
+    )
+
+
 def _matrix_stats(sf_dir: str) -> pd.DataFrame:
     """ES matrix_stats aggregation over the match set: exact integer
     sufficient statistics between doc length and the ts attribute."""
@@ -3132,6 +3147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_range": _bm25_range,
         "recency_boost": _recency_boost,
         "span_first": _span_first,
+        "span_not": _span_not,
         "match_phrase_prefix": _match_phrase_prefix,
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
@@ -4083,6 +4099,10 @@ ORDER BY doc_count, source"""
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "span_first": index_oracle.span_first_bm25_sql(
             "documents", SPAN_FIRST_TERM, SPAN_FIRST_END, 10
+        ),
+        "span_not": index_oracle.span_not_bm25_sql(
+            "documents", SPAN_NOT_INC, SPAN_NOT_EXC,
+            distance=SPAN_NOT_DIST, k=10,
         ),
         "match_phrase_prefix": index_oracle.phrase_prefix_bm25_sql(
             "documents", PHRASE_PREFIX_QUERY, 10

@@ -2873,3 +2873,85 @@ def search_query_string(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def search_span_not(
+    reader: IndexReader,
+    include_term: str,
+    exclude_term: str,
+    *,
+    distance: int = 3,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``span_not``: occurrences of ``include_term`` that are NOT within
+    ``distance`` token positions of any ``exclude_term`` occurrence (the
+    "apple but not near pie" pattern). tf = surviving occurrences, df =
+    live docs with ≥1 (the span-family contract). Vectorized: both terms'
+    positions pack into ``(local_doc << 31) | pos`` keys; a binary-search
+    range probe per include token finds whether an exclude key lands in
+    its ±distance window — no per-doc loop."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    inc = analyzer.tokenize_query(include_term)
+    exc = analyzer.tokenize_query(exclude_term)
+    if len(inc) != 1 or len(exc) != 1:
+        raise ValueError("span_not takes exactly one include and one exclude term")
+    matches = []
+    df = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "span_not needs positions — build_index(store_positions=True)"
+            )
+        hit = seg.positions(inc[0])
+        if hit is None:
+            continue
+        docs, tfs, pos = hit
+        local = np.searchsorted(seg.doc_ids, docs)
+        tok_local = np.repeat(local, tfs).astype(np.int64)
+        inc_keys = (tok_local << 31) | pos
+        ex = seg.positions(exc[0])
+        if ex is None:
+            good = np.ones(inc_keys.size, dtype=bool)
+        else:
+            edocs, etfs, epos = ex
+            elocal = np.repeat(
+                np.searchsorted(seg.doc_ids, edocs), etfs
+            ).astype(np.int64)
+            ex_keys = np.sort((elocal << 31) | epos)
+            lo = (tok_local << 31) | np.maximum(pos - distance, 0)
+            hi = (tok_local << 31) | (pos + distance)
+            good = np.searchsorted(ex_keys, lo) >= np.searchsorted(
+                ex_keys, hi, side="right"
+            )
+        cnt = np.add.reduceat(
+            good.astype(np.int64),
+            np.concatenate(([0], np.cumsum(tfs)[:-1])),
+        ) if tfs.size else np.zeros(0, np.int64)
+        keep = cnt > 0
+        d2, c2 = docs[keep], cnt[keep]
+        if d2.size == 0:
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(d2, exclude)
+            d2, c2 = d2[live], c2[live]
+        if d2.size:
+            df += int(d2.size)
+            matches.append((d2, c2, seg.doc_lengths(d2)))
+    if not matches or df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (d2, bm25.score(c2, dl, term_idf, reader.avgdl))
+        for d2, c2, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

@@ -1558,3 +1558,58 @@ total AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM total ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def span_not_bm25_sql(
+    table: str,
+    include_term: str,
+    exclude_term: str,
+    *,
+    distance: int = 3,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_span_not: include positions with no exclude
+    occurrence within ±distance (1-based ordinals cancel in the distance
+    predicate), span-frequency scoring."""
+    inc = analyzer.tokenize_query(include_term)
+    exc = analyzer.tokenize_query(exclude_term)
+    assert len(inc) == 1 and len(exc) == 1
+    qi = "'" + inc[0].replace("'", "''") + "'"
+    qe = "'" + exc[0].replace("'", "''") + "'"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+m AS (
+  SELECT p.doc_id, count(*) AS ptf
+  FROM pos p
+  WHERE p.term = {qi}
+    AND NOT EXISTS (
+      SELECT 1 FROM pos e
+      WHERE e.doc_id = p.doc_id AND e.term = {qe}
+        AND abs(e.i - p.i) <= {distance}
+    )
+  GROUP BY p.doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
