@@ -521,6 +521,31 @@ def _adjacency_matrix(sf_dir: str) -> pd.DataFrame:
 COMPOSITE_SIZE = 8
 
 
+PCTRANK_VALUES = [60.0, 90.0, 130.0]
+
+
+def _multi_terms_agg(sf_dir: str) -> pd.DataFrame:
+    """ES multi_terms: top compound (source, lang) buckets by count."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.multi_terms_agg(
+        index_query.IndexReader(root), BM25_QUERY_OR,
+        fields=("source", "lang"), size=10, mode="or",
+    )
+
+
+def _percentile_ranks(sf_dir: str) -> pd.DataFrame:
+    """ES percentile_ranks: inverse percentiles of match-set doc lengths."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.percentile_ranks_agg(
+        index_query.IndexReader(root), BM25_QUERY_OR, PCTRANK_VALUES,
+        mode="or",
+    )
+
+
 def _composite_agg(sf_dir: str) -> pd.DataFrame:
     """ES `composite` aggregation page 2: the after-cursor comes from page
     1's last (source, lang) key ≡ OFFSET size of the ascending bucket
@@ -3102,6 +3127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_query": _bool_query,
         "adjacency_matrix": _adjacency_matrix,
         "composite_agg": _composite_agg,
+        "multi_terms_agg": _multi_terms_agg,
+        "percentile_ranks": _percentile_ranks,
         "fuzzy_search": _fuzzy_search,
         "explain_score": _explain_score,
         "percolate": _percolate,
@@ -3780,6 +3807,26 @@ ORDER BY doc_count, source"""
         ),
         "adjacency_matrix": index_oracle.adjacency_matrix_sql(
             "documents", BM25_QUERY_OR, AGG_FILTERS, mode="or"
+        ),
+        "multi_terms_agg": (
+            index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")
+            + """
+SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count
+FROM md GROUP BY source, lang
+ORDER BY doc_count DESC, source, lang LIMIT 10"""
+        ),
+        "percentile_ranks": (
+            index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")
+            + """,
+dlb AS (SELECT len(""" + _analyzer.sql_tokenize_expr("text") + """) AS dl FROM md),
+tot AS (SELECT count(*) AS n FROM dlb)
+SELECT v.value,
+       CAST(count(*) FILTER (WHERE dlb.dl <= v.value) AS BIGINT) AS n_le,
+       floor(count(*) FILTER (WHERE dlb.dl <= v.value) * 100.0
+             / any_value(tot.n) * 1e6 + 0.5) / 1e6 AS pct_rank
+FROM (VALUES (60.0), (90.0), (130.0)) v(value)
+CROSS JOIN dlb CROSS JOIN tot
+GROUP BY v.value ORDER BY v.value"""
         ),
         "composite_agg": index_oracle.composite_agg_sql(
             "documents", BM25_QUERY_OR, sources=("source", "lang"),

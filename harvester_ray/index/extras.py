@@ -2955,3 +2955,69 @@ def search_span_not(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def multi_terms_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    fields: tuple[str, ...] = ("source", "lang"),
+    size: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``multi_terms`` aggregation: top-N COMPOUND-key buckets of the
+    match set by doc count (the count-ranked sibling of composite's
+    key-ordered pagination). Same per-segment pair-count partials; ties
+    break by the key tuple ascending."""
+    full = composite_agg(
+        reader, query_text, sources=fields, size=1 << 62, mode=mode
+    )
+    if full.empty:
+        return full
+    cols = list(fields)
+    out = full.sort_values(
+        ["doc_count"] + cols, ascending=[False] + [True] * len(cols),
+        kind="mergesort",
+    ).head(size)
+    return out.reset_index(drop=True)
+
+
+def percentile_ranks_agg(
+    reader: IndexReader,
+    query_text: str,
+    values: list[float],
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``percentile_ranks``: for each probe value, the percentage of the
+    match set's doc lengths ≤ value — the inverse of percentiles_agg.
+    Exact: one (count ≤ v, total) integer pair per value, the percentage
+    derived with the shared floor(x·1e6+0.5) rule."""
+    import math
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({
+        "value": pd.Series(dtype=np.float64),
+        "n_le": pd.Series(dtype=np.int64),
+        "pct_rank": pd.Series(dtype=np.float64),
+    })
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return empty
+    total = 0
+    n_le = np.zeros(len(values), dtype=np.int64)
+    for seg, matched in _segment_matches(reader, live, mode, None):
+        dl = seg.doc_lengths(matched)
+        total += int(matched.size)
+        for i, v in enumerate(values):
+            n_le[i] += int((dl <= v).sum())
+    if total == 0:
+        return empty
+    return pd.DataFrame({
+        "value": np.asarray(values, np.float64),
+        "n_le": n_le,
+        "pct_rank": [
+            math.floor(int(c) * 100.0 / total * 1e6 + 0.5) / 1e6 for c in n_le
+        ],
+    })

@@ -184,3 +184,46 @@ def test_percentile_bincount_matches_numpy(values):
         x_hi = int(np.searchsorted(cum, hi + 1))
         got = x_lo + (h - lo) * (x_hi - x_lo)
         np.testing.assert_allclose(got, np.quantile(vals, q), atol=1e-9)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abcz019", min_size=1, max_size=6)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["plain", "neg", "prefix", "phrase"]), _WORD,
+              _WORD),
+    min_size=0, max_size=8,
+))
+@settings(max_examples=200, deadline=None)
+def test_parse_query_string_classification_property(clauses):
+    """Every clause lands in exactly its class; reassembled query strings
+    never crash the parser; outputs are normalized analyzer tokens."""
+    from harvester_ray import analyzer
+    from harvester_ray.index.extras import parse_query_string
+
+    parts, exp = [], {"plain": set(), "negs": set(), "prefixes": set(),
+                      "phrases": []}
+    for kind, a, b in clauses:
+        if kind == "plain":
+            parts.append(a)
+            exp["plain"].update(analyzer.tokenize_query(a))
+        elif kind == "neg":
+            parts.append("-" + a)
+            exp["negs"].update(analyzer.tokenize_query(a))
+        elif kind == "prefix":
+            parts.append(a + "*")
+            stem = analyzer.tokenize_query(a)
+            if len(stem) == 1:
+                exp["prefixes"].add(stem[0])
+        else:
+            parts.append(f'"{a} {b}"')
+            if analyzer.tokenize_query(f"{a} {b}"):
+                exp["phrases"].append(f"{a} {b}")
+    got = parse_query_string(" ".join(parts))
+    assert set(got["plain"]) == exp["plain"]
+    assert set(got["negs"]) == exp["negs"]
+    assert set(got["prefixes"]) == exp["prefixes"]
+    assert sorted(got["phrases"]) == sorted(exp["phrases"])
