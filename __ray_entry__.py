@@ -3129,6 +3129,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": _composite_agg,
         "multi_terms_agg": _multi_terms_agg,
         "percentile_ranks": _percentile_ranks,
+        "attr_value_suggest": lambda sf: __import__(
+            "harvester_ray.index.extras", fromlist=["x"]
+        ).attr_value_suggest(
+            index_query.IndexReader(_documents_index(sf)), "source", "src1",
+            limit=10,
+        ),
+        "conv_final_roles": lambda sf: _transcripts_mod.conv_final_roles(_tds(sf)),
         "fuzzy_search": _fuzzy_search,
         "explain_score": _explain_score,
         "percolate": _percolate,
@@ -3808,6 +3815,12 @@ ORDER BY doc_count, source"""
         "adjacency_matrix": index_oracle.adjacency_matrix_sql(
             "documents", BM25_QUERY_OR, AGG_FILTERS, mode="or"
         ),
+        "attr_value_suggest": (
+            "SELECT source AS value, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents WHERE source LIKE 'src1%' "
+            "GROUP BY source ORDER BY n_docs DESC, value LIMIT 10"
+        ),
+        "conv_final_roles": _transcripts_mod.conv_final_roles_sql(_tsrc),
         "multi_terms_agg": (
             index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")
             + """

@@ -3021,3 +3021,49 @@ def percentile_ranks_agg(
             math.floor(int(c) * 100.0 / total * 1e6 + 0.5) / 1e6 for c in n_le
         ],
     })
+
+
+def attr_value_suggest(
+    reader: IndexReader,
+    field: str,
+    prefix: str,
+    *,
+    limit: int = 10,
+) -> pd.DataFrame:
+    """Keyword-attribute completion (ES terms_enum API / keyword-field
+    autocomplete): distinct live values of ``field`` starting with
+    ``prefix``, with live doc counts, count-desc then value. Served
+    entirely from the attr sidecars — no text, no postings."""
+    import pyarrow.compute as _pc
+
+    partials = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if field not in seg.attrs:
+            raise KeyError(f"attribute {field!r} not stored")
+        arr = seg.attrs[field]
+        mask = np.asarray(
+            _pc.fill_null(_pc.starts_with(arr, prefix), False)
+        )
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            mask &= ~np.isin(seg.doc_ids, exclude)
+        if not mask.any():
+            continue
+        vals = np.asarray(arr)[mask]
+        uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        partials.append(pd.DataFrame({"value": uniq, "n_docs": counts}))
+    if not partials:
+        return pd.DataFrame({"value": pd.Series(dtype=object),
+                             "n_docs": pd.Series(dtype=np.int64)})
+    out = (
+        pd.concat(partials).groupby("value", as_index=False)["n_docs"].sum()
+        .sort_values(["n_docs", "value"], ascending=[False, True],
+                     kind="mergesort")
+        .head(limit).reset_index(drop=True)
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out

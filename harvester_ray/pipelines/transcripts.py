@@ -1696,3 +1696,51 @@ SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
          AS mean_us
 FROM calls GROUP BY tool ORDER BY tool
 """.strip()
+
+
+def conv_final_roles(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Conversation-outcome signal: which role holds each conversation's
+    LAST turn (ending on 'tool' = interrupted mid-action, on 'user' =
+    abandoned, on 'assistant' = completed) — the cheap truncation filter a
+    training pipeline applies before SFT emission. One bounded row per
+    conversation; counts fold on the driver."""
+
+    def lasts(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        ends = off[1:] - 1
+        roles = tbl["role"].combine_chunks().take(pa.array(ends))
+        enc = roles.dictionary_encode()
+        cnt = np.bincount(np.asarray(enc.indices),
+                          minlength=len(enc.dictionary))
+        return pa.table({
+            "role": enc.dictionary,
+            "n": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(lasts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"role": pd.Series([], dtype=str),
+                             "n_convs": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("role", as_index=False)["n"].sum()
+    g = g.rename(columns={"n": "n_convs"}).sort_values("role")
+    g["n_convs"] = g["n_convs"].astype(np.int64)
+    return g.reset_index(drop=True)
+
+
+def conv_final_roles_sql(src: str) -> str:
+    return f"""
+WITH lasts AS (
+  SELECT conv_id, role FROM {src}
+  QUALIFY row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx DESC) = 1
+)
+SELECT role, CAST(count(*) AS BIGINT) AS n_convs
+FROM lasts GROUP BY role ORDER BY role
+""".strip()
