@@ -2167,6 +2167,28 @@ def _rank_feature(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
+    """Lexical-vs-dense agreement for the fixture query: BM25 top-10 doc
+    ids vs cosine top-10 vec ids (the synthetic tables share the 0-based id
+    space, making the comparison well-defined). Both lists use the
+    rounded-score total order with id tie-break."""
+    root = _documents_index(sf_dir)
+    bm = (
+        index_query.IndexReader(root)
+        .search(BM25_QUERY_OR, k=10, mode="or")
+        .to_pandas()
+    )
+    bm["score"] = bm["score"].round(4)
+    bm = bm.sort_values(["score", "doc_id"], ascending=[False, True],
+                        kind="mergesort")
+    kn = similarity.knn_brute(_emb_ds(sf_dir), _query_vec(sf_dir), k=500).to_pandas()
+    kn = kn.sort_values(["cosine", "vec_id"], ascending=[False, True],
+                        kind="mergesort")
+    return similarity.retriever_agreement(
+        bm["doc_id"].to_numpy(), kn["vec_id"].to_numpy(), k=10
+    )
+
+
 def _mmr_rerank(sf_dir: str) -> pd.DataFrame:
     """MMR diversified re-rank over the cosine top-pool: greedy
     relevance-minus-redundancy selection, exact-integer step keys."""
@@ -3394,6 +3416,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_l2": _knn_l2,
         "knn_dot": _knn_dot,
         "mmr_rerank": _mmr_rerank,
+        "retriever_agreement": _retriever_agreement,
         "knn_binary": lambda sf: similarity.knn_binary(
             _emb_ds(sf), _query_vec(sf), k=10
         ).to_pandas(),
@@ -4068,6 +4091,16 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
         "knn_dot": similarity.knn_dot_sql("embeddings", 0, 10),
+        "retriever_agreement": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or")
+            + "), a AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM ranked), "
+            "dense AS (SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS c FROM embeddings CROSS JOIN (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q), "
+            "b AS (SELECT vec_id AS id, row_number() OVER (ORDER BY c DESC, vec_id ASC) AS r FROM dense QUALIFY r <= 10) "
+            "SELECT CAST(10 AS BIGINT) AS k, "
+            "CAST((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) AS BIGINT) AS overlap_at_k, "
+            "floor(((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 1 AND b.r <= 1) * 2520 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 2 AND b.r <= 2) * 1260 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 3 AND b.r <= 3) * 840 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 4 AND b.r <= 4) * 630 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 5 AND b.r <= 5) * 504 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 6 AND b.r <= 6) * 420 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 7 AND b.r <= 7) * 360 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 8 AND b.r <= 8) * 315 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 9 AND b.r <= 9) * 280 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) * 252) * 1.0 / 25200 * 1e6 + 0.5) / 1e6 AS avg_overlap"
+        ),
         "knn_binary": similarity.knn_binary_sql("embeddings", 0, 10),
         "ranking_eval_mrr": __import__(
             "harvester_ray.index.evaluate", fromlist=["x"]

@@ -1182,3 +1182,38 @@ ham AS (
 SELECT vec_id, hamming FROM ham
 ORDER BY hamming ASC, vec_id ASC LIMIT {k}
 """.strip()
+
+
+def retriever_agreement(
+    bm25_ids: np.ndarray,
+    dense_ids: np.ndarray,
+    *,
+    k: int = 10,
+) -> "pd.DataFrame":
+    """Retriever-agreement diagnostics between two ranked id lists (the
+    eval-suite staple behind hybrid-fusion tuning: how differently do the
+    lexical and dense retrievers see the same query). Metrics: overlap@k
+    and average overlap AO = (1/k)·Σ_j |A_j ∩ B_j|/j (the RBO family's
+    p→1 limit). Exact integer construction: AO accumulates o_j·(L/j) with
+    L = lcm(1..k), so the only float step is one mirrored division.
+    Inputs are the two engines' rounded-order top-k lists."""
+    import math
+
+    import pandas as pd
+
+    a = np.asarray(bm25_ids[:k], np.int64)
+    b = np.asarray(dense_ids[:k], np.int64)
+    L = math.lcm(*range(1, k + 1))
+    ao_scaled = 0
+    o_k = 0
+    for j in range(1, k + 1):
+        o_j = int(np.intersect1d(a[:j], b[:j]).size)
+        ao_scaled += o_j * (L // j)
+        if j == k:
+            o_k = o_j
+    ao = math.floor(ao_scaled * 1.0 / (L * k) * 1e6 + 0.5) / 1e6
+    return pd.DataFrame([{
+        "k": np.int64(k),
+        "overlap_at_k": np.int64(o_k),
+        "avg_overlap": ao,
+    }])
