@@ -1050,6 +1050,27 @@ def _passage_bm25(sf_dir: str) -> pd.DataFrame:
 CONTEXT_BUDGET = 600
 
 
+def _export_search(sf_dir: str) -> pd.DataFrame:
+    """Scroll-analog full-result export: every scored match lands in
+    per-segment Parquet shards; the gate reads the shards back — the union
+    must be value-identical to the exhaustive oracle ranking."""
+    import glob as _glob
+    import shutil
+
+    from harvester_ray.index import extras as _extras
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(_SCRATCH, f"search-export-{tag}")
+    shutil.rmtree(out, ignore_errors=True)
+    root = _documents_index(sf_dir)
+    _extras.export_search(
+        index_query.IndexReader(root), BM25_QUERY_OR, out, mode="or"
+    )
+    files = sorted(_glob.glob(os.path.join(out, "*.parquet")))
+    df = pd.concat([pd.read_parquet(f) for f in files])
+    return df.sort_values("doc_id").reset_index(drop=True)[["doc_id", "score"]]
+
+
 def _assemble_context(sf_dir: str) -> pd.DataFrame:
     """RAG context assembly: ranked prefix of the BM25 top-k that fits the
     token budget (take-while over cumulative dl)."""
@@ -3209,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
         "assemble_context": _assemble_context,
+        "export_search": _export_search,
         "passage_bm25": _passage_bm25,
         "update_by_query": _update_by_query,
         "lang_routed_search": _lang_routed_search,
@@ -4229,6 +4251,11 @@ GROUP BY v.value ORDER BY v.value"""
             "AS doc_id, chunk_text AS text, CAST(doc_id AS BIGINT) AS parent "
             "FROM chunks), ",
             1,
+        ),
+        "export_search": (
+            "SELECT doc_id, score FROM ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 100000, mode="or")
+            + ") ORDER BY doc_id"
         ),
         "assemble_context": (
             "WITH ranked AS ("

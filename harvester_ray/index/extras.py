@@ -3067,3 +3067,65 @@ def attr_value_suggest(
     )
     out["n_docs"] = out["n_docs"].astype(np.int64)
     return out
+
+
+def export_search(
+    reader: IndexReader,
+    query_text: str,
+    out_dir: str,
+    *,
+    mode: str = "or",
+) -> dict:
+    """ES scroll/sliced-scroll analog: materialize a query's FULL scored
+    result set as partitioned Parquet — one shard per index segment with a
+    per-shard ``_DONE`` marker, so a crashed export resumes with I/O
+    proportional to the missing shards (the state/export discipline).
+    Scores are the exhaustive per-segment BM25 (k = segment size: nothing
+    pruned), rounded to 4. Returns {rows, shards, skipped}."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from . import bm25
+    from .query import search_segment, tombstones_for_segment
+
+    os.makedirs(out_dir, exist_ok=True)
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live or (mode == "and" and len(live) < len(terms)):
+        return {"rows": 0, "shards": 0, "skipped": 0}
+    idf = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    rows = shards = skipped = 0
+    for seg_meta in reader.manifest["segments"]:
+        name = os.path.basename(seg_meta["path"])
+        shard = os.path.join(out_dir, f"{name}.parquet")
+        done = shard + ".done"
+        if os.path.exists(done):
+            skipped += 1
+            t = _pq.read_table(shard)
+            rows += t.num_rows
+            shards += 1
+            continue
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        d, s = search_segment(
+            seg, live, idf, reader.avgdl, k=seg.doc_ids.size + 1,
+            mode=mode, exclude=exclude,
+        )
+        if d.size == 0:
+            continue
+        tbl = pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "score": pa.array(np.round(s, 4), pa.float64()),
+        })
+        _pq.write_table(tbl, shard + ".tmp")
+        os.replace(shard + ".tmp", shard)
+        with open(done, "w") as f:
+            f.write("ok")
+        rows += tbl.num_rows
+        shards += 1
+    return {"rows": rows, "shards": shards, "skipped": skipped}

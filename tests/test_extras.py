@@ -677,3 +677,23 @@ def test_parse_query_string_clauses():
     assert c["plain"] == ["fast"]
     assert c["prefixes"] == ["s"]
     assert c["negs"] == ["dup", "nope"]
+
+
+def test_export_search_resumes(idx, tmp_path):
+    import glob
+    import os
+
+    reader = query.IndexReader(idx)
+    out = str(tmp_path / "exp")
+    r1 = extras.export_search(reader, "customer query big", out, mode="or")
+    assert r1["shards"] > 0 and r1["skipped"] == 0
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    # delete one shard's marker → only that shard rebuilds on resume
+    victim = files[0]
+    os.remove(victim + ".done")
+    r2 = extras.export_search(reader, "customer query big", out, mode="or")
+    assert r2["rows"] == r1["rows"]
+    assert r2["skipped"] == r1["shards"] - 1
+    for f in files[1:]:
+        assert os.path.getmtime(f) == mtimes[f]  # untouched by mtime
