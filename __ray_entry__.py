@@ -3172,6 +3172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "composite_agg": _composite_agg,
         "multi_terms_agg": _multi_terms_agg,
         "percentile_ranks": _percentile_ranks,
+        "boxplot_agg": lambda sf: __import__(
+            "harvester_ray.index.extras", fromlist=["x"]
+        ).boxplot_agg(
+            index_query.IndexReader(_documents_index(sf)), BM25_QUERY_OR,
+            mode="or",
+        ),
         "attr_value_suggest": lambda sf: __import__(
             "harvester_ray.index.extras", fromlist=["x"]
         ).attr_value_suggest(
@@ -3872,6 +3878,17 @@ ORDER BY doc_count, source"""
 SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count
 FROM md GROUP BY source, lang
 ORDER BY doc_count DESC, source, lang LIMIT 10"""
+        ),
+        "boxplot_agg": (
+            index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")
+            + """,
+dlb AS (SELECT len(""" + _analyzer.sql_tokenize_expr("text") + """) AS dl FROM md)
+SELECT CAST(min(dl) AS BIGINT) AS min_dl,
+       quantile_cont(dl, 0.25) AS q1,
+       quantile_cont(dl, 0.5) AS median,
+       quantile_cont(dl, 0.75) AS q3,
+       CAST(max(dl) AS BIGINT) AS max_dl
+FROM dlb"""
         ),
         "percentile_ranks": (
             index_oracle._match_ctes("documents", BM25_QUERY_OR, "or", "doc_id", "text")

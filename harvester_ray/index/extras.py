@@ -3129,3 +3129,49 @@ def export_search(
         rows += tbl.num_rows
         shards += 1
     return {"rows": rows, "shards": shards, "skipped": skipped}
+
+
+def boxplot_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``boxplot`` aggregation over the match set's doc lengths:
+    min / q1 / median / q3 / max in one row, from the same exact bincount
+    partials as percentiles_agg (quarter quantiles are dyadic → bit-exact
+    vs quantile_cont; min/max are integers)."""
+    q = percentiles_agg(reader, query_text, qs=(0.25, 0.5, 0.75), mode=mode)
+    empty = pd.DataFrame({
+        "min_dl": pd.Series(dtype=np.int64),
+        "q1": pd.Series(dtype=np.float64),
+        "median": pd.Series(dtype=np.float64),
+        "q3": pd.Series(dtype=np.float64),
+        "max_dl": pd.Series(dtype=np.int64),
+    })
+    if q.empty:
+        return empty
+    from .query import match_one_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    lo, hi = None, None
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        dl = seg.doc_lengths(docs)
+        lo = int(dl.min()) if lo is None else min(lo, int(dl.min()))
+        hi = int(dl.max()) if hi is None else max(hi, int(dl.max()))
+    vals = dict(zip(q["q"], q["value"]))
+    return pd.DataFrame([{
+        "min_dl": np.int64(lo),
+        "q1": vals[0.25],
+        "median": vals[0.5],
+        "q3": vals[0.75],
+        "max_dl": np.int64(hi),
+    }])
