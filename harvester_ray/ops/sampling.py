@@ -368,9 +368,10 @@ def interleave_sources(
         )
         df["key"] = rn * (lcm // w)
         df = df.sort_values(["key", source_col, id_col], kind="mergesort")
-        # per-source pre-cut: only a source's first n rows can place
+        # per-source pre-cut: only a source's first n rows can place, so at
+        # most n · distinct-sources rows leave the group
         df = df[df.groupby(source_col).cumcount() < n]
-        return pa.Table.from_pandas(df.head(n * max(1, df[source_col].nunique())), preserve_index=False)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
     # bucket rows by source so each source's ranks are computed once
     def add_bucket(t: pa.Table) -> pa.Table:

@@ -136,7 +136,6 @@ def test_interleave_sources_fairness_and_order(ray_session):
         "doc_id": pa.array(rows_i, pa.int64()),
         "source": pa.array(rows_s),
     }))
-    out = sampling.source_mixture  # silence linters; real call below
     res = sampling.interleave_sources(ds, weights, n=120)
     assert list(res["seq"]) == list(range(1, 121))
     # (a) within each source the original doc order is preserved
