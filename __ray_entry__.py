@@ -3247,6 +3247,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pinned_query": _pinned_query,
         "exists_filter": _exists_filter,
         "histogram_pipeline": _histogram_pipeline,
+        "bucket_stats": lambda sf: __import__(
+            "harvester_ray.index.extras", fromlist=["x"]
+        ).bucket_stats(
+            index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+            ts_field="ts", interval_us=3_600_000_000, mode="or",
+        ),
+        "conv_depth_histogram": lambda sf: _transcripts_mod.conv_depth_histogram(_tds(sf)),
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -4334,6 +4341,20 @@ GROUP BY v.value ORDER BY v.value"""
             "(SELECT * FROM documents WHERE lang = 'en')",
             BM25_QUERY_OR, 10, mode="or",
         ),
+        "bucket_stats": (
+            "WITH h AS (\n"
+            + index_oracle.date_histogram_sql(
+                "tdocp", HAS_CHILD_QUERY, ts_col="ts",
+                interval_us=3_600_000_000, mode="or",
+            )
+            + "\n) SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+            "CAST(min(doc_count) AS BIGINT) AS min_count, "
+            "CAST(max(doc_count) AS BIGINT) AS max_count, "
+            "CAST(sum(doc_count) AS BIGINT) AS sum_count, "
+            "floor(CAST(sum(doc_count) AS BIGINT) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS avg_count "
+            "FROM h"
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "conv_depth_histogram": _transcripts_mod.conv_depth_histogram_sql(_tsrc),
         "histogram_pipeline": index_oracle.histogram_pipeline_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts",
             interval_us=3_600_000_000, mode="or",

@@ -3175,3 +3175,38 @@ def boxplot_agg(
         "q3": vals[0.75],
         "max_dl": np.int64(hi),
     }])
+
+
+def bucket_stats(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``stats_bucket`` pipeline aggregation: min / max / sum / exact
+    mean of the date-histogram bucket counts (one row summarizing traffic
+    shape). Integers plus the shared floor(sum/n·1e6+0.5) mean rule."""
+    import math
+
+    h = date_histogram(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    if h.empty:
+        return pd.DataFrame({
+            "n_buckets": pd.Series(dtype=np.int64),
+            "min_count": pd.Series(dtype=np.int64),
+            "max_count": pd.Series(dtype=np.int64),
+            "sum_count": pd.Series(dtype=np.int64),
+            "avg_count": pd.Series(dtype=np.float64),
+        })
+    c = h["doc_count"].to_numpy(np.int64)
+    return pd.DataFrame([{
+        "n_buckets": np.int64(c.size),
+        "min_count": np.int64(c.min()),
+        "max_count": np.int64(c.max()),
+        "sum_count": np.int64(c.sum()),
+        "avg_count": math.floor(int(c.sum()) * 1.0 / c.size * 1e6 + 0.5) / 1e6,
+    }])

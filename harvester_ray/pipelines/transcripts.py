@@ -1744,3 +1744,41 @@ WITH lasts AS (
 SELECT role, CAST(count(*) AS BIGINT) AS n_convs
 FROM lasts GROUP BY role ORDER BY role
 """.strip()
+
+
+def conv_depth_histogram(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Conversation-length distribution (dataset-card staple: how deep are
+    the dialogues). One bounded count per conversation, then a tiny
+    (n_turns → n_convs) fold. Returns (n_turns, n_convs) ascending."""
+
+    def counts(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({"n_turns": pa.array([], pa.int64())})
+        return pa.table({
+            "n_turns": pa.array(np.diff(off).astype(np.int64), pa.int64()),
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"n_turns": pd.Series([], dtype=np.int64),
+                             "n_convs": pd.Series([], dtype=np.int64)})
+    g = parts.groupby("n_turns", as_index=False).size()
+    g = g.rename(columns={"size": "n_convs"}).sort_values("n_turns")
+    g["n_turns"] = g["n_turns"].astype(np.int64)
+    g["n_convs"] = g["n_convs"].astype(np.int64)
+    return g.reset_index(drop=True)
+
+
+def conv_depth_histogram_sql(src: str) -> str:
+    return f"""
+WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
+           FROM {src} GROUP BY conv_id)
+SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
+FROM c GROUP BY n_turns ORDER BY n_turns
+""".strip()
