@@ -1334,6 +1334,93 @@ def _date_histogram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _moving_fn(sf_dir: str) -> pd.DataFrame:
+    """ES moving_fn (unweighted trailing avg, window 3) over the hourly
+    histogram; half-away fixed-point quotient on both sides."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.moving_fn(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        window=3, ts_field="ts", mode="or",
+    )
+
+
+def _serial_diff(sf_dir: str) -> pd.DataFrame:
+    """ES serial_diff (lag 2) over the hourly histogram; integer-exact."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.serial_diff(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        lag=2, ts_field="ts", mode="or",
+    )
+
+
+def _bucket_sort_agg(sf_dir: str) -> pd.DataFrame:
+    """ES bucket_selector + bucket_sort: hourly buckets with >=2 matches,
+    top 5 by count."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.bucket_sort(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        min_count=2, size=5, ts_field="ts", mode="or",
+    )
+
+
+def _cumulative_cardinality(sf_dir: str) -> pd.DataFrame:
+    """ES cumulative_cardinality (exact): distinct conversations seen up to
+    each hourly bucket of the match set."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.cumulative_cardinality(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        field="conv_id", ts_field="ts", mode="or",
+    )
+
+
+def _weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """ES weighted_avg metric agg: doc length weighted by UTC hour + 1,
+    HUGEINT-exact quotient."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.weighted_avg(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", mode="or",
+    )
+
+
+def _top_metrics(sf_dir: str) -> pd.DataFrame:
+    """ES top_metrics under a terms agg: per tool value the (ts, doc_id)
+    of the longest matching turn."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.top_metrics(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        group="tool", ts_field="ts", mode="or",
+    )
+
+
+def _diversified_sampler(sf_dir: str) -> pd.DataFrame:
+    """ES diversified_sampler: BM25 top-10 with at most one turn per
+    conversation (1e-4 fixed-point ranking on both sides)."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.diversified_sampler(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        field="conv_id", max_per=1, k=10, mode="or",
+    )
+
+
+def _auto_date_histogram(sf_dir: str) -> pd.DataFrame:
+    """ES auto_date_histogram: ladder-chosen interval (<=24 buckets) over
+    the match set, interval choice surfaced in the output."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.auto_date_histogram(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        target_buckets=24, ts_field="ts", mode="or",
+    )
+
+
 def _tds(sf_dir: str):
     """Transcript corpus as a Dataset (fixed-scale synthetic input — the
     north-rule transcript shape is not among the driver's sf tables)."""
@@ -3247,6 +3334,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pinned_query": _pinned_query,
         "exists_filter": _exists_filter,
         "histogram_pipeline": _histogram_pipeline,
+        "moving_fn": _moving_fn,
+        "serial_diff": _serial_diff,
+        "bucket_sort": _bucket_sort_agg,
+        "cumulative_cardinality": _cumulative_cardinality,
+        "weighted_avg": _weighted_avg,
+        "top_metrics": _top_metrics,
+        "diversified_sampler": _diversified_sampler,
+        "auto_date_histogram": _auto_date_histogram,
         "bucket_stats": lambda sf: __import__(
             "harvester_ray.index.extras", fromlist=["x"]
         ).bucket_stats(
@@ -4358,6 +4453,34 @@ GROUP BY v.value ORDER BY v.value"""
         "histogram_pipeline": index_oracle.histogram_pipeline_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts",
             interval_us=3_600_000_000, mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "moving_fn": index_oracle.moving_fn_sql(
+            "tdocp", HAS_CHILD_QUERY, window=3, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "serial_diff": index_oracle.serial_diff_sql(
+            "tdocp", HAS_CHILD_QUERY, lag=2, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "bucket_sort": index_oracle.bucket_sort_sql(
+            "tdocp", HAS_CHILD_QUERY, min_count=2, size=5, ts_col="ts",
+            mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "cumulative_cardinality": index_oracle.cumulative_cardinality_sql(
+            "tdocp", HAS_CHILD_QUERY, field="conv_id", ts_col="ts",
+            mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "weighted_avg": index_oracle.weighted_avg_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "top_metrics": index_oracle.top_metrics_sql(
+            "tdocp", HAS_CHILD_QUERY, group="tool", ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "diversified_sampler": index_oracle.diversified_sampler_sql(
+            "tdocp", HAS_CHILD_QUERY, field="conv_id", max_per=1, k=10,
+            mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "auto_date_histogram": index_oracle.auto_date_histogram_sql(
+            "tdocp", HAS_CHILD_QUERY, target_buckets=24, ts_col="ts",
+            mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "matrix_stats": index_oracle.matrix_stats_sql(
             "tdocp", HAS_CHILD_QUERY, ts_base_s=TS_BASE_S, ts_col="ts",

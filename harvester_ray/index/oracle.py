@@ -1613,3 +1613,264 @@ scored AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+# --- pipeline / bucket aggregations (index/pipeline_aggs.py) ---------------
+
+
+def _match_ctes(
+    query_text: str,
+    table: str,
+    mode: str,
+    id_col: str,
+    text_col: str,
+) -> str:
+    """Shared toks/m CTE pair selecting the match set's doc ids."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having})"""
+
+
+def _hist_cte(
+    table: str, ts_col: str, interval_us: int, id_col: str
+) -> str:
+    return f"""h AS (
+  SELECT (epoch_us(d.{ts_col}) // {interval_us}) * {interval_us} AS bucket_us,
+         CAST(count(*) AS BIGINT) AS doc_count
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+  GROUP BY bucket_us
+)"""
+
+
+def moving_fn_sql(
+    table: str,
+    query_text: str,
+    *,
+    window: int = 3,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.moving_fn: trailing window mean with the
+    engine's exact half-away fixed-point quotient (BIGINT arithmetic)."""
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT bucket_us, doc_count,
+       CAST((2 * sum(doc_count) OVER w * 1000000 + count(*) OVER w)
+            // (2 * count(*) OVER w) AS BIGINT) / 1000000.0 AS moving_avg
+FROM h
+WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+ORDER BY bucket_us
+""".strip()
+
+
+def serial_diff_sql(
+    table: str,
+    query_text: str,
+    *,
+    lag: int = 2,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.serial_diff: integer lag difference, first
+    ``lag`` buckets omitted."""
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT bucket_us, doc_count,
+       CAST(doc_count - lag(doc_count, {lag}) OVER (ORDER BY bucket_us) AS BIGINT) AS diff
+FROM h
+QUALIFY lag(doc_count, {lag}) OVER (ORDER BY bucket_us) IS NOT NULL
+ORDER BY bucket_us
+""".strip()
+
+
+def bucket_sort_sql(
+    table: str,
+    query_text: str,
+    *,
+    min_count: int = 1,
+    size: int = 10,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.bucket_sort: selector + sort + truncate."""
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT bucket_us, doc_count FROM h
+WHERE doc_count >= {min_count}
+ORDER BY doc_count DESC, bucket_us ASC
+LIMIT {size}
+""".strip()
+
+
+def cumulative_cardinality_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "conv_id",
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.cumulative_cardinality: first bucket per
+    key, cumulative sum of first-appearance counts over the histogram."""
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)},
+firsts AS (
+  SELECT d.{field} AS k,
+         min((epoch_us(d.{ts_col}) // {interval_us}) * {interval_us}) AS fb
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+  GROUP BY d.{field}
+),
+fc AS (SELECT fb AS bucket_us, CAST(count(*) AS BIGINT) AS c FROM firsts GROUP BY fb)
+SELECT h.bucket_us, h.doc_count,
+       CAST(sum(coalesce(fc.c, 0)) OVER (ORDER BY h.bucket_us) AS BIGINT) AS cum_card
+FROM h LEFT JOIN fc USING (bucket_us)
+ORDER BY bucket_us
+""".strip()
+
+
+def weighted_avg_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.weighted_avg: value = token count, weight =
+    UTC hour + 1; HUGEINT-exact half-away quotient."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+vw AS (
+  SELECT CAST(len({tok}) AS BIGINT) AS v,
+         CAST((epoch_us(d.{ts_col}) // 3600000000) % 24 + 1 AS BIGINT) AS w
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+)
+SELECT CAST(sum(w) AS BIGINT) AS weight_sum,
+       CAST((2 * sum(v * w) * 1000000 + sum(w)) // (2 * sum(w)) AS BIGINT)
+         / 1000000.0 AS weighted_avg
+FROM vw
+""".strip()
+
+
+def top_metrics_sql(
+    table: str,
+    query_text: str,
+    *,
+    group: str = "tool",
+    ts_col: str = "ts",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.top_metrics: argmax row per group by
+    (dl DESC, doc_id ASC) via QUALIFY row_number."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)}
+SELECT CAST(d.{group} AS VARCHAR) AS {group},
+       CAST(len({tok}) AS BIGINT) AS top_dl,
+       CAST(epoch_us(d.{ts_col}) AS BIGINT) AS top_ts_us,
+       d.{id_col} AS doc_id
+FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+QUALIFY row_number() OVER (
+  PARTITION BY d.{group} ORDER BY len({tok}) DESC, d.{id_col} ASC) = 1
+ORDER BY {group}
+""".strip()
+
+
+def diversified_sampler_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "conv_id",
+    max_per: int = 1,
+    k: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.diversified_sampler: full BM25 ranking,
+    per-key cap via QUALIFY row_number, then global truncate. Scores are
+    rounded to 4 decimals BEFORE ranking on both sides (DuckDB round() is
+    half-away, matching the engine's floor(x·1e4+0.5) for positive
+    scores)."""
+    inner = bm25_sql(
+        table, query_text, 2**31, mode=mode, id_col=id_col, text_col=text_col,
+    )
+    return f"""
+WITH ranked AS (
+{inner}
+)
+SELECT r.doc_id, CAST(d.{field} AS VARCHAR) AS {field}, r.score
+FROM ranked r JOIN {table} d ON r.doc_id = d.{id_col}
+QUALIFY row_number() OVER (
+  PARTITION BY d.{field} ORDER BY r.score DESC, r.doc_id ASC) <= {max_per}
+ORDER BY r.score DESC, r.doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def auto_date_histogram_sql(
+    table: str,
+    query_text: str,
+    *,
+    target_buckets: int = 20,
+    ladder_us: tuple = (
+        60_000_000, 300_000_000, 1_800_000_000, 3_600_000_000,
+        10_800_000_000, 43_200_000_000, 86_400_000_000, 604_800_000_000,
+    ),
+    ts_col: str = "ts",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.auto_date_histogram: the same fixed ladder,
+    smallest interval whose bucket span fits target_buckets (CASE chain
+    over integer min/max — ``ts//i`` equals ``minutefloor(ts)//i`` for
+    every ladder i, so raw min/max here matches the engine's
+    minute-partial-derived bounds)."""
+    cases = "\n".join(
+        f"    WHEN mx // {i} - mn // {i} + 1 <= {target_buckets} THEN CAST({i} AS BIGINT)"
+        for i in ladder_us
+    )
+    return f"""
+WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+mt AS (
+  SELECT CAST(epoch_us(d.{ts_col}) AS BIGINT) AS tus
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+),
+span AS (SELECT min(tus) AS mn, max(tus) AS mx FROM mt),
+iv AS (
+  SELECT CASE
+{cases}
+    ELSE CAST({ladder_us[-1]} AS BIGINT) END AS interval_us
+  FROM span
+)
+SELECT iv.interval_us, (mt.tus // iv.interval_us) * iv.interval_us AS bucket_us,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM mt CROSS JOIN iv
+GROUP BY iv.interval_us, bucket_us
+ORDER BY bucket_us
+""".strip()
