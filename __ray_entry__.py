@@ -87,6 +87,18 @@ def _bm25(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+def _similarity(sf_dir: str, model: str) -> pd.DataFrame:
+    """Non-BM25 similarity modules (ES/Lucene `similarity` index setting):
+    LM Dirichlet and classic TF-IDF ranking over the same postings."""
+    from harvester_ray.index import similarities as _sim
+
+    root = _documents_index(sf_dir)
+    return _sim.search_similarity(
+        index_query.IndexReader(root), BM25_QUERY_AND, model=model,
+        k=10, mode="or",
+    )
+
+
 def _bm25_not(sf_dir: str) -> pd.DataFrame:
     """Negated-clause search (simple_query_string ``-term``): AND query with
     docs containing the negated term excluded per segment."""
@@ -3235,6 +3247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top50": _term_df_top50,
         "term_df_shuffle": _term_df_shuffle,
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
+        "similarity_lmd": lambda sf: _similarity(sf, "lm_dirichlet"),
+        "similarity_classic": lambda sf: _similarity(sf, "classic"),
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_not": _bm25_not,
@@ -3820,6 +3834,12 @@ def oracle_sql() -> dict[str, str]:
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "similarity_lmd": index_oracle.similarity_sql(
+            "documents", BM25_QUERY_AND, model="lm_dirichlet", k=10, mode="or",
+        ),
+        "similarity_classic": index_oracle.similarity_sql(
+            "documents", BM25_QUERY_AND, model="classic", k=10, mode="or",
+        ),
         "bm25_filtered": (
             "WITH ranked AS ("
             + index_oracle.bm25_sql("documents", BM25_QUERY_AND, 100000, mode="and")

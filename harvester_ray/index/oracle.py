@@ -1874,3 +1874,77 @@ FROM mt CROSS JOIN iv
 GROUP BY iv.interval_us, bucket_us
 ORDER BY bucket_us
 """.strip()
+
+
+# --- non-BM25 similarity models (index/similarities.py) --------------------
+
+
+def similarity_sql(
+    table: str,
+    query_text: str,
+    *,
+    model: str = "lm_dirichlet",
+    k: int = 10,
+    mode: str = "or",
+    mu: float = 2000.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for similarities.search_similarity. Scores quantize via
+    floor(x·1e4 + 0.5) on BOTH sides (LM Dirichlet sums can be negative,
+    where DuckDB round()'s half-away disagrees with the engine's
+    half-up)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    if model == "lm_dirichlet":
+        per_term = (
+            f"ln(1 + tf.tf / ({mu!r} * (CAST(c.cf AS DOUBLE) / CAST(s.total AS DOUBLE))))"
+            f" + ln({mu!r} / (d.dl + {mu!r}))"
+        )
+        score_expr = f"sum({per_term})"
+        extra_join = "JOIN cf c USING (term)"
+    elif model == "classic":
+        score_expr = (
+            "sum(sqrt(tf.tf) * i.idf * i.idf / sqrt(d.dl))"
+            f" * (CAST(count(*) AS DOUBLE) / {len(terms)})"
+        )
+        extra_join = "JOIN idf i USING (term)"
+    else:
+        raise ValueError(f"unknown similarity model {model!r}")
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+idf AS (
+  SELECT df.term, 1 + ln(s.n_docs / (df.df + 1)) AS idf
+  FROM df CROSS JOIN stats s
+),
+scored AS (
+  SELECT tf.doc_id, {score_expr} AS score
+  FROM tf
+  {extra_join}
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id {having}
+)
+SELECT doc_id, floor(score * 10000 + 0.5) / 10000.0 AS score
+FROM scored
+ORDER BY floor(score * 10000 + 0.5) DESC, doc_id ASC
+LIMIT {k}
+""".strip()
