@@ -68,14 +68,25 @@ def _documents_index(sf_dir: str) -> str:
     import ray.data as rd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_SCRATCH, f"docidx-attrs-pos-{tag}")
+    root = os.path.join(_SCRATCH, f"docidx-attrs2-pos-{tag}")
     docs = os.path.join(sf_dir, "documents.parquet")
     from harvester_ray.index import manifest as mf
 
     if mf.current_version(root) is None:
-        ds = rd.read_parquet(docs, columns=["doc_id", "text", "source", "lang"])
+        import pyarrow as _pa
+
+        def _with_req(b: "_pa.Table") -> "_pa.Table":
+            # per-doc minimum_should_match field for the terms_set gate:
+            # deterministic 1..3 derived from the stored n_chars column
+            n = b["n_chars"].to_numpy(zero_copy_only=False).astype("int64")
+            return b.append_column("req", _pa.array(1 + (n % 3)))
+
+        ds = rd.read_parquet(
+            docs, columns=["doc_id", "text", "source", "lang", "n_chars"]
+        ).map_batches(_with_req, batch_format="pyarrow")
         index_build.build_index(
-            ds, root, input_desc=docs, attr_cols=["source", "lang"], store_positions=True
+            ds, root, input_desc=docs, attr_cols=["source", "lang", "req"],
+            store_positions=True,
         )
     return root
 
@@ -1280,6 +1291,36 @@ def _exists_filter(sf_dir: str) -> pd.DataFrame:
 
     return _extras.search_exists(
         index_query.IndexReader(_turnattr_index()), "tool", boost=1.0, k=10
+    )
+
+
+BOOL_PREFIX_QUERY = "dup s"  # rare lead 'dup' OR 's*' expansions, no adjacency
+# rare 'dup' + common terms: high-scoring single-term matches exist whose
+# per-doc req (2-3) excludes them — top-10 provably differs from plain OR
+TERMS_SET_TERMS = ["dup", "spark", "window"]
+
+
+def _match_bool_prefix(sf_dir: str) -> pd.DataFrame:
+    """ES match_bool_prefix (search-as-you-type, unordered): fixed lead
+    terms + capped dictionary expansions of the last token in one
+    disjunction — no adjacency, unlike match_phrase_prefix."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_match_bool_prefix(
+        index_query.IndexReader(root), BOOL_PREFIX_QUERY, k=10
+    )
+
+
+def _terms_set(sf_dir: str) -> pd.DataFrame:
+    """ES terms_set with minimum_should_match_field: each doc's required
+    match count is read from its stored `req` attribute (1..3 derived from
+    n_chars) — the per-doc generalization of global min_should_match."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_terms_set(
+        index_query.IndexReader(root), TERMS_SET_TERMS, min_field="req", k=10
     )
 
 
@@ -3333,6 +3374,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_first": _span_first,
         "span_not": _span_not,
         "match_phrase_prefix": _match_phrase_prefix,
+        "match_bool_prefix": _match_bool_prefix,
+        "terms_set": _terms_set,
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
@@ -4360,6 +4403,12 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "match_phrase_prefix": index_oracle.phrase_prefix_bm25_sql(
             "documents", PHRASE_PREFIX_QUERY, 10
+        ),
+        "match_bool_prefix": index_oracle.bool_prefix_bm25_sql(
+            "documents", BOOL_PREFIX_QUERY, 10
+        ),
+        "terms_set": index_oracle.terms_set_sql(
+            "documents", TERMS_SET_TERMS, "1 + (n_chars % 3)", 10
         ),
         "pinned_query": (
             "WITH ranked AS ("

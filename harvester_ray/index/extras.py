@@ -3210,3 +3210,113 @@ def bucket_stats(
         "sum_count": np.int64(c.sum()),
         "avg_count": math.floor(int(c.sum()) * 1.0 / c.size * 1e6 + 0.5) / 1e6,
     }])
+
+
+def search_match_bool_prefix(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    max_expansions: int = 50,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``match_bool_prefix`` (the other search-as-you-type query next to
+    match_phrase_prefix, surfaced by the reference's autocomplete-style
+    search endpoints, harvester/search/views/autocomplete.py): every token
+    but the LAST is a plain should (OR) term clause; the last token is a
+    prefix whose dictionary expansions join the same disjunction, each
+    expansion keeping its own idf. Unlike match_phrase_prefix there is NO
+    adjacency requirement — terms may appear anywhere in the doc. Expansion
+    set is global and deterministic: the union of segment dictionaries'
+    prefix ranges, lexicographically capped at ``max_expansions`` (the
+    Lucene MultiTermQuery rewrite contract shared by match_fuzzy /
+    wildcard); the fixed lead terms are always scored, cap or not."""
+    toks = analyzer.tokenize_query(query_text)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not toks:
+        return empty
+    fixed, prefix = toks[:-1], toks[-1]
+    exp: set[str] = set()
+    for seg_meta in reader.manifest["segments"]:
+        exp.update(reader._segment(seg_meta).terms_with_prefix(prefix))
+    expansions = sorted(exp)[:max_expansions]
+    terms = sorted(set(fixed) | set(expansions))
+    if not terms:
+        return empty
+    out = reader._search_terms(terms, k, "or").to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def search_terms_set(
+    reader: IndexReader,
+    terms: list[str],
+    *,
+    min_field: str,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``terms_set`` query with ``minimum_should_match_field``: a doc
+    matches when it contains at least N DISTINCT terms of the supplied set,
+    where N is read PER DOC from a stored numeric attribute (the stored
+    ``required_matches``-style field of the ES docs). This is the per-doc
+    generalization of ``search(min_should_match=...)`` — the global variant
+    cannot express "strict docs demand more evidence than lax ones".
+    Scored as bool should scoring: the BM25 sum of the doc's matched terms.
+    Terms are exact dictionary terms (terms_set does not analyze input).
+
+    Per segment: full vectorized decode of the term set, sort/reduceat
+    score aggregation (the or_exhaustive shape), per-doc match counts from
+    the posting-stream run lengths, the minimum vector gathered in ONE
+    ``attr_values`` take — no per-doc Python."""
+    from .query import merge_topk
+
+    tset = sorted(set(terms))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not tset:
+        return empty
+    dfs = reader.df(tset)
+    live = [t for t in tset if dfs.get(t, 0) > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        docs_parts, score_parts = [], []
+        for t in live:  # sorted order → deterministic accumulation
+            p = seg.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            dl = seg.doc_lengths(d).astype(np.float64)
+            docs_parts.append(d)
+            score_parts.append(
+                bm25.score(f.astype(np.float64), dl, idf_map[t], reader.avgdl)
+            )
+        if not docs_parts:
+            continue
+        alld = np.concatenate(docs_parts)
+        alls = np.concatenate(score_parts)
+        order = np.argsort(alld, kind="stable")
+        alld, alls = alld[order], alls[order]
+        uniq, starts = np.unique(alld, return_index=True)
+        sums = np.add.reduceat(alls, starts)
+        n_matched = np.diff(np.append(starts, alld.size))
+        req = np.asarray(seg.attr_values(min_field, uniq), dtype=np.int64)
+        keep = n_matched >= req
+        uniq, sums = uniq[keep], sums[keep]
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size and uniq.size:
+            m = ~np.isin(uniq, exclude)
+            uniq, sums = uniq[m], sums[m]
+        if uniq.size:
+            parts.append((uniq, sums))
+    if not parts:
+        return empty
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

@@ -1948,3 +1948,131 @@ FROM scored
 ORDER BY floor(score * 10000 + 0.5) DESC, doc_id ASC
 LIMIT {k}
 """.strip()
+
+
+def bool_prefix_bm25_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_match_bool_prefix: the last token is a
+    prefix whose distinct corpus expansions (lexicographic, capped at
+    ``max_expansions``) join the fixed lead terms in one disjunction; the
+    lead terms are always scored, cap or not (engine contract)."""
+    toks = analyzer.tokenize_query(query_text)
+    fixed, prefix = toks[:-1], toks[-1]
+    pfx = prefix.replace("'", "''").replace("%", "\\%").replace("_", "\\_")
+    fixed_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(fixed))
+    ) or "''"
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+allm AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({fixed_list}) OR term LIKE '{pfx}%'
+  GROUP BY doc_id, term
+),
+sel AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM allm WHERE term LIKE '{pfx}%'
+    ORDER BY term LIMIT {max_expansions}
+  )
+  UNION
+  SELECT DISTINCT term FROM allm WHERE term IN ({fixed_list})
+),
+tf AS (
+  SELECT * FROM allm WHERE term IN (SELECT term FROM sel)
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()
+
+
+def terms_set_sql(
+    table: str,
+    terms: list[str],
+    req_expr: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_terms_set: ``req_expr`` is a SQL expression
+    over the raw table row computing the per-doc minimum-should-match (it
+    mirrors the stored numeric attribute the engine reads). A doc qualifies
+    when its count of DISTINCT matched terms >= its own minimum; qualifying
+    docs score as the BM25 sum of their matched terms (bool should)."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    term_list = ", ".join(
+        "'" + t.replace("'", "''") + "'" for t in sorted(set(terms))
+    )
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen
+),
+req AS (
+  SELECT {id_col} AS doc_id, {req_expr} AS req FROM {table}
+),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         count(*) AS matched,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.score, {round_digits}) AS score
+FROM scored s
+JOIN req r USING (doc_id)
+WHERE s.matched >= r.req
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+""".strip()

@@ -347,3 +347,92 @@ def test_range_filter_matches_oracle(attr_index, con):
         .to_pandas()
     )
     assert len(both) > 0
+
+
+# --- match_bool_prefix + terms_set ---------------------------------------
+
+
+def test_match_bool_prefix_matches_oracle(attr_index, con):
+    from harvester_ray.index import extras
+
+    got = extras.search_match_bool_prefix(
+        query.IndexReader(attr_index), "dup s", k=10
+    )
+    exp = con.execute(oracle.bool_prefix_bm25_sql("documents", "dup s", 10)).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+
+
+def test_match_bool_prefix_differs_from_siblings(attr_index):
+    """Degeneracy probe: the combined query is neither the fixed-term OR
+    query nor the prefix-only expansion."""
+    from harvester_ray.index import extras
+
+    r = query.IndexReader(attr_index)
+    got = extras.search_match_bool_prefix(r, "dup s", k=10)
+    plain = r.search("dup", k=10, mode="or").to_pandas()
+    pfx = r.search_prefix("s", k=10).to_pandas()
+    assert list(got["doc_id"]) != list(plain["doc_id"])
+    assert list(got["doc_id"]) != list(pfx["doc_id"])
+
+
+@pytest.fixture(scope="module")
+def req_index(tmp_path_factory):
+    """Documents index with a numeric per-doc minimum_should_match attr."""
+    import pyarrow as pa
+
+    root = str(tmp_path_factory.mktemp("req_idx"))
+
+    def _with_req(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype("int64")
+        return b.append_column("req", pa.array(1 + (n % 3)))
+
+    ds = rd.read_parquet(
+        DOCS, columns=["doc_id", "text", "n_chars"]
+    ).map_batches(_with_req, batch_format="pyarrow")
+    build.build_index(ds, root, concurrency=2, attr_cols=["req"])
+    return root
+
+
+def test_terms_set_matches_oracle(req_index, con):
+    from harvester_ray.index import extras
+
+    terms = ["dup", "spark", "window"]
+    got = extras.search_terms_set(
+        query.IndexReader(req_index), terms, min_field="req", k=10
+    )
+    exp = con.execute(
+        oracle.terms_set_sql("documents", terms, "1 + (n_chars % 3)", 10)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+
+
+def test_terms_set_per_doc_minimum_excludes(req_index, con):
+    """The per-doc req actually bites: top-10 differs from the plain OR
+    disjunction, and every survivor satisfies its own minimum."""
+    from harvester_ray.index import extras
+
+    r = query.IndexReader(req_index)
+    terms = ["dup", "spark", "window"]
+    got = extras.search_terms_set(r, terms, min_field="req", k=10)
+    plain = r.search(" ".join(terms), k=10, mode="or").to_pandas()
+    assert list(got["doc_id"]) != list(plain["doc_id"])
+    req = dict(
+        con.execute(
+            "SELECT doc_id, 1 + (n_chars % 3) FROM documents"
+        ).fetchall()
+    )
+    matched = dict(
+        con.execute(
+            """
+            SELECT doc_id, count(DISTINCT term) FROM (
+              SELECT doc_id, unnest("""
+            + oracle.analyzer.sql_tokenize_expr("text")
+            + """) AS term FROM documents
+            ) WHERE term IN ('dup', 'spark', 'window') GROUP BY doc_id
+            """
+        ).fetchall()
+    )
+    for d in got["doc_id"]:
+        assert matched[d] >= req[d]
