@@ -366,6 +366,50 @@ def _span_near(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _extended_stats(sf_dir: str) -> pd.DataFrame:
+    """ES extended_stats agg: exact integer sufficient statistics, mirrored
+    float derivations (avg/variance/std/±2σ bounds)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.extended_stats_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        mode="or",
+    )
+
+
+def _mad_agg(sf_dir: str) -> pd.DataFrame:
+    """ES median_absolute_deviation agg — exact (bincount + quantile_cont),
+    not the TDigest approximation."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.mad_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        mode="or",
+    )
+
+
+def _string_stats(sf_dir: str) -> pd.DataFrame:
+    """ES string_stats agg over the source keyword attr of the match set
+    (length stats + character-distribution Shannon entropy)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.string_stats_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        field="source", mode="or",
+    )
+
+
+def _t_test(sf_dir: str) -> pd.DataFrame:
+    """ES t_test agg (Welch) between src0 and src1 token lengths over the
+    match set — exact HUGEINT sufficient statistics."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.t_test_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        field="source", group_a="src0", group_b="src1", mode="or",
+    )
+
+
 def _percentiles_agg(sf_dir: str) -> pd.DataFrame:
     """ES percentiles agg over the match set (exact bincount fold, not
     t-digest: doc lengths are small ints)."""
@@ -1291,6 +1335,47 @@ def _exists_filter(sf_dir: str) -> pd.DataFrame:
 
     return _extras.search_exists(
         index_query.IndexReader(_turnattr_index()), "tool", boost=1.0, k=10
+    )
+
+
+SPAN_OR_TERMS = "dup batch stream"  # union scored as ONE pseudo-term
+SPAN_CONT_BIG = ("spark", "window")  # ordered window, slop tokens apart
+SPAN_CONT_LITTLE = "data"
+SPAN_CONT_SLOP = 4
+
+
+def _span_or(sf_dir: str) -> pd.DataFrame:
+    """ES span_or: clause-term union scored as ONE pseudo-term (total
+    occurrences, shared df) — not the per-term-idf bool disjunction."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_span_or(
+        index_query.IndexReader(root), SPAN_OR_TERMS, k=10
+    )
+
+
+def _span_containing(sf_dir: str) -> pd.DataFrame:
+    """ES span_containing: ordered (spark..window) slop-4 spans that
+    enclose a 'data' occurrence; tf = qualifying spans per doc."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_span_containing(
+        index_query.IndexReader(root), SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+        slop=SPAN_CONT_SLOP, mode="containing", k=10,
+    )
+
+
+def _span_within(sf_dir: str) -> pd.DataFrame:
+    """ES span_within: 'data' occurrences enclosed by an ordered
+    (spark..window) slop-4 span; tf = enclosed occurrences per doc."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_span_containing(
+        index_query.IndexReader(root), SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+        slop=SPAN_CONT_SLOP, mode="within", k=10,
     )
 
 
@@ -3376,6 +3461,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_prefix": _match_phrase_prefix,
         "match_bool_prefix": _match_bool_prefix,
         "terms_set": _terms_set,
+        "span_or": _span_or,
+        "span_containing": _span_containing,
+        "span_within": _span_within,
         "matrix_stats": _matrix_stats,
         "reindex_search": _reindex_search,
         "delete_by_query": _delete_by_query,
@@ -3611,6 +3699,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_feature": _rank_feature,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
+        "extended_stats": _extended_stats,
+        "mad_agg": _mad_agg,
+        "string_stats": _string_stats,
+        "t_test": _t_test,
         "span_near": _span_near,
         "boosted_terms": _boosted_terms,
         "cardinality_agg": _cardinality_agg,
@@ -3910,6 +4002,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "percentiles_agg": index_oracle.percentiles_agg_sql(
             "documents", BM25_QUERY_OR, mode="or"
+        ),
+        "extended_stats": index_oracle.extended_stats_sql(
+            "documents", BM25_QUERY_OR, mode="or"
+        ),
+        "mad_agg": index_oracle.mad_sql("documents", BM25_QUERY_OR, mode="or"),
+        "string_stats": index_oracle.string_stats_sql(
+            "documents", BM25_QUERY_OR, field="source", mode="or"
+        ),
+        "t_test": index_oracle.t_test_sql(
+            "documents", BM25_QUERY_OR, field="source",
+            group_a="src0", group_b="src1", mode="or",
         ),
         "span_near": _span_near_sql_entry(),
         "boosted_terms": _boosted_terms_sql_entry(),
@@ -4409,6 +4512,15 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "terms_set": index_oracle.terms_set_sql(
             "documents", TERMS_SET_TERMS, "1 + (n_chars % 3)", 10
+        ),
+        "span_or": index_oracle.span_or_bm25_sql("documents", SPAN_OR_TERMS, 10),
+        "span_containing": index_oracle.span_containing_bm25_sql(
+            "documents", SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+            slop=SPAN_CONT_SLOP, mode="containing", k=10,
+        ),
+        "span_within": index_oracle.span_containing_bm25_sql(
+            "documents", SPAN_CONT_BIG, SPAN_CONT_LITTLE,
+            slop=SPAN_CONT_SLOP, mode="within", k=10,
         ),
         "pinned_query": (
             "WITH ranked AS ("

@@ -3320,3 +3320,423 @@ def search_terms_set(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def search_span_or(
+    reader: IndexReader,
+    terms_text: str,
+    *,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``span_or``: the union of the clause terms treated as ONE span
+    source. Unlike the bool/OR disjunction (which sums per-term BM25 with
+    per-term idf), the span family scores the union as a single pseudo-term:
+    tf = TOTAL occurrences of any clause term in the doc, df = live docs
+    with >=1 occurrence, one shared idf. Positions are not needed — the
+    union's occurrence count is just the sum of the clause tfs."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    terms = sorted(set(analyzer.tokenize_query(terms_text)))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    if not terms:
+        return empty
+    matches = []
+    df = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        docs_parts, tf_parts = [], []
+        for t in terms:
+            p = seg.postings(t)
+            if p is None:
+                continue
+            docs_parts.append(p[0])
+            tf_parts.append(p[1].astype(np.int64))
+        if not docs_parts:
+            continue
+        alld = np.concatenate(docs_parts)
+        allf = np.concatenate(tf_parts)
+        order = np.argsort(alld, kind="stable")
+        alld, allf = alld[order], allf[order]
+        uniq, starts = np.unique(alld, return_index=True)
+        cnt = np.add.reduceat(allf, starts)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(uniq, exclude)
+            uniq, cnt = uniq[live], cnt[live]
+        if uniq.size:
+            df += int(uniq.size)
+            matches.append((uniq, cnt, seg.doc_lengths(uniq)))
+    if not matches or df == 0:
+        return empty
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (d, bm25.score(c.astype(np.float64), dl.astype(np.float64),
+                       term_idf, reader.avgdl))
+        for d, c, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize the concatenated [lo_i, hi_i) index ranges: returns
+    (owner_row, flat_index) — the run-length-expansion trick, no Python
+    loop. Empty ranges contribute nothing."""
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    owner = np.repeat(np.arange(lo.size, dtype=np.int64), cnt)
+    offs = np.arange(total, dtype=np.int64) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt
+    )
+    return owner, lo[owner] + offs
+
+
+def _span_tokens(seg, term: str) -> np.ndarray | None:
+    """All occurrences of ``term`` in the segment as sorted packed
+    ``(local_doc << 31) | position`` keys (doc-major, positions ascending
+    within doc — the postings layout guarantees sortedness)."""
+    res = seg.positions(term)
+    if res is None:
+        return None
+    docs, tfs, pos = res
+    local = np.repeat(
+        np.searchsorted(seg.doc_ids, docs), tfs
+    ).astype(np.int64)
+    return (local << 31) | pos
+
+
+def search_span_containing(
+    reader: IndexReader,
+    big: tuple[str, str],
+    little: str,
+    *,
+    slop: int = 4,
+    mode: str = "containing",
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``span_containing`` / ``span_within``: the big clause is an
+    ordered two-term window — a span [p1, p2] per (p1 in pos(t1), p2 in
+    pos(t2)) with 1 <= p2 - p1 <= slop + 1 — and the little clause is a
+    single term.
+
+    - ``mode="containing"`` (span_containing): matches are the BIG spans
+      that enclose >=1 little occurrence; tf = qualifying spans per doc.
+    - ``mode="within"`` (span_within): matches are the LITTLE occurrences
+      enclosed by >=1 big span; tf = qualifying occurrences per doc.
+
+    df = live docs with >=1 match; span-frequency pseudo-term scoring (the
+    span-family contract shared with span_near/span_first/span_not).
+    Fully vectorized: packed (doc << 31 | pos) keys, two binary searches
+    per side, run-length pair materialization — no per-doc loop."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    t1s = analyzer.tokenize_query(big[0])
+    t2s = analyzer.tokenize_query(big[1])
+    t3s = analyzer.tokenize_query(little)
+    if len(t1s) != 1 or len(t2s) != 1 or len(t3s) != 1:
+        raise ValueError("span_containing takes single-token clauses")
+    if mode not in ("containing", "within"):
+        raise ValueError(f"unknown mode {mode!r}")
+    t1, t2, t3 = t1s[0], t2s[0], t3s[0]
+    matches = []
+    df = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "span_containing needs positions — "
+                "build_index(store_positions=True)"
+            )
+        k1 = _span_tokens(seg, t1)
+        k2 = _span_tokens(seg, t2)
+        k3 = _span_tokens(seg, t3)
+        if k1 is None or k2 is None or k3 is None:
+            continue
+        # ordered big windows: p2 in (p1, p1 + slop + 1], same doc
+        lo2 = np.searchsorted(k2, k1 + 1)
+        hi2 = np.searchsorted(k2, k1 + slop + 1, side="right")
+        owner, idx2 = _expand_ranges(lo2, hi2)
+        if owner.size == 0:
+            continue
+        span_lo = k1[owner]          # packed (doc, p1)
+        span_hi = k2[idx2]           # packed (doc, p2), same doc by range
+        a = np.searchsorted(k3, span_lo)
+        b = np.searchsorted(k3, span_hi, side="right")
+        if mode == "containing":
+            good = b > a             # span encloses >=1 little occurrence
+            keys = span_lo[good]     # one key per qualifying span
+        else:
+            in_owner, idx3 = _expand_ranges(a, b)
+            if idx3.size == 0:
+                continue
+            keys = k3[np.unique(idx3)]  # distinct enclosed little tokens
+        if keys.size == 0:
+            continue
+        uniq_local, cnt = np.unique(keys >> 31, return_counts=True)
+        d2 = seg.doc_ids[uniq_local]
+        c2 = cnt.astype(np.int64)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(d2, exclude)
+            d2, c2 = d2[live], c2[live]
+        if d2.size:
+            df += int(d2.size)
+            matches.append((d2, c2, seg.doc_lengths(d2)))
+    if not matches or df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (d2, bm25.score(c2.astype(np.float64), dl.astype(np.float64),
+                        term_idf, reader.avgdl))
+        for d2, c2, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def extended_stats_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``extended_stats`` aggregation over the match set's token lengths
+    (the numeric signal the index holds without re-reading text): count,
+    min, max, sum, sum_of_squares as exact integers; avg, population
+    variance, std_deviation and ±2σ bounds derived from the SAME integer
+    sufficient statistics on both engine and oracle sides (variance
+    numerator n·Σx² − (Σx)² is an exact Python int / HUGEINT; sqrt is
+    IEEE-correctly-rounded on an exactly-equal double, so the floor-1e6
+    quantization cannot diverge)."""
+    import math
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    n = 0
+    s = s2 = 0
+    mn, mx = None, None
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            dl = seg.doc_lengths(matched).astype(np.int64)
+            n += int(matched.size)
+            s += int(dl.sum())
+            s2 += int((dl * dl).sum())
+            mn = int(dl.min()) if mn is None else min(mn, int(dl.min()))
+            mx = int(dl.max()) if mx is None else max(mx, int(dl.max()))
+    if n == 0:
+        return pd.DataFrame({
+            "n": pd.Series(dtype=np.int64),
+            "min_dl": pd.Series(dtype=np.int64),
+            "max_dl": pd.Series(dtype=np.int64),
+            "sum_dl": pd.Series(dtype=np.int64),
+            "avg_dl": pd.Series(dtype=np.float64),
+            "variance": pd.Series(dtype=np.float64),
+            "std_dev": pd.Series(dtype=np.float64),
+            "upper_2sd": pd.Series(dtype=np.float64),
+            "lower_2sd": pd.Series(dtype=np.float64),
+        })
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    var_num = n * s2 - s * s  # exact integer, >= 0
+    avg = float(s) / n
+    std = math.sqrt(float(var_num)) / n
+    return pd.DataFrame([{
+        "n": np.int64(n),
+        "min_dl": np.int64(mn),
+        "max_dl": np.int64(mx),
+        "sum_dl": np.int64(s),
+        "avg_dl": r6(avg),
+        "variance": r6(float(var_num) / (float(n) * n)),
+        "std_dev": r6(std),
+        "upper_2sd": r6(avg + 2.0 * std),
+        "lower_2sd": r6(avg - 2.0 * std),
+    }])
+
+
+def mad_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``median_absolute_deviation`` aggregation over the match set's
+    token lengths — EXACT, not the TDigest approximation: per-segment
+    bincount partials over integer dl (the percentiles_agg machinery), the
+    median via quantile_cont interpolation from ranks, then a SECOND exact
+    histogram over the integer 2·|dl − median| deviations (median is a
+    multiple of 1/2, deviations of 1/4 — all exact in binary floats)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    counts = np.zeros(0, np.int64)
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            dl = seg.doc_lengths(matched).astype(np.int64)
+            c = np.bincount(dl)
+            if c.size > counts.size:
+                c[: counts.size] += counts
+                counts = c
+            else:
+                counts[: c.size] += c
+    n = int(counts.sum())
+    if n == 0:
+        return pd.DataFrame({
+            "n": pd.Series(dtype=np.int64),
+            "median_dl": pd.Series(dtype=np.float64),
+            "mad": pd.Series(dtype=np.float64),
+        })
+
+    def _quantile_cont(cnt: np.ndarray, vals: np.ndarray, q: float) -> float:
+        """quantile_cont over a histogram (vals ascending, cnt >= 0)."""
+        nz = cnt > 0
+        v, c = vals[nz].astype(np.float64), cnt[nz]
+        cum = np.cumsum(c)
+        total = int(cum[-1])
+        h = q * (total - 1)  # 0-based fractional rank
+        lo_rank = int(np.floor(h))
+        hi_rank = min(lo_rank + 1, total - 1)
+        lo_v = v[np.searchsorted(cum, lo_rank + 1)]
+        hi_v = v[np.searchsorted(cum, hi_rank + 1)]
+        return float(lo_v + (h - lo_rank) * (hi_v - lo_v))
+
+    vals = np.arange(counts.size, dtype=np.int64)
+    med = _quantile_cont(counts, vals, 0.5)
+    # deviations in quarter units: 2*|dl - med| is a non-negative integer
+    dev2 = np.abs(2 * vals - int(round(2 * med)))
+    dev_counts = np.bincount(dev2, weights=counts).astype(np.int64)
+    mad2 = _quantile_cont(
+        dev_counts, np.arange(dev_counts.size, dtype=np.int64), 0.5
+    )
+    return pd.DataFrame([{
+        "n": np.int64(n),
+        "median_dl": med,
+        "mad": mad2 / 2.0,
+    }])
+
+
+def string_stats_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``string_stats`` aggregation (with ``show_distribution``-style
+    entropy) over a keyword attribute of the match set: count, min/max/avg
+    value length, and Shannon entropy (bits) of the CHARACTER distribution
+    across all matched values. Lengths are exact integers; entropy =
+    log2(total) − Σ cnt·log2(cnt)/total is one mirrored float expression
+    over exact integer character counts, floor-1e4 quantized on both sides
+    (keyword attrs are short enumerated values — the per-value Python
+    Counter walk is bounded by the attr alphabet, not the corpus)."""
+    import math
+    from collections import Counter
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    n = 0
+    len_sum = 0
+    mn, mx = None, None
+    chars: Counter = Counter()
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            vals = [str(v) for v in seg.attr_values(field, matched)]
+            n += len(vals)
+            lens = [len(v) for v in vals]
+            len_sum += sum(lens)
+            if lens:
+                mn = min(lens) if mn is None else min(mn, min(lens))
+                mx = max(lens) if mx is None else max(mx, max(lens))
+            chars.update("".join(vals))
+    if n == 0:
+        return pd.DataFrame({
+            "n": pd.Series(dtype=np.int64),
+            "min_len": pd.Series(dtype=np.int64),
+            "max_len": pd.Series(dtype=np.int64),
+            "avg_len": pd.Series(dtype=np.float64),
+            "entropy": pd.Series(dtype=np.float64),
+        })
+    total = sum(chars.values())
+    ent = (
+        math.log2(total) - sum(c * math.log2(c) for c in chars.values()) / total
+        if total > 0
+        else 0.0
+    )
+    return pd.DataFrame([{
+        "n": np.int64(n),
+        "min_len": np.int64(mn),
+        "max_len": np.int64(mx),
+        "avg_len": math.floor(len_sum * 1.0 / n * 1e6 + 0.5) / 1e6,
+        "entropy": math.floor(ent * 1e4 + 0.5) / 1e4,
+    }])
+
+
+def t_test_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``t_test`` aggregation (type=heteroscedastic, Welch's t) between
+    two attribute-defined groups of the match set, over token lengths:
+    t = (m̄₁ − m̄₂) / sqrt(s₁²/n₁ + s₂²/n₂) with SAMPLE variances
+    sᵢ² = (nᵢ·Σx² − (Σx)²) / (nᵢ·(nᵢ−1)). All sufficient statistics are
+    exact Python ints (HUGEINT in the oracle); the final expression is
+    mirrored verbatim and floor-1e4 quantized."""
+    import math
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    stats = {group_a: [0, 0, 0], group_b: [0, 0, 0]}  # n, sum, sumsq
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            dl = seg.doc_lengths(matched).astype(np.int64)
+            vals = np.asarray(seg.attr_values(field, matched), dtype=object)
+            for g in (group_a, group_b):
+                sel = vals == g
+                if sel.any():
+                    d = dl[sel]
+                    stats[g][0] += int(d.size)
+                    stats[g][1] += int(d.sum())
+                    stats[g][2] += int((d * d).sum())
+    n1, s1, q1 = stats[group_a]
+    n2, s2, q2 = stats[group_b]
+    if n1 < 2 or n2 < 2:
+        return pd.DataFrame({
+            "n_a": pd.Series(dtype=np.int64),
+            "n_b": pd.Series(dtype=np.int64),
+            "t_stat": pd.Series(dtype=np.float64),
+        })
+    v1_num = n1 * q1 - s1 * s1  # sample var numerator (over n1*(n1-1))
+    v2_num = n2 * q2 - s2 * s2
+    t = (float(s1) / n1 - float(s2) / n2) / math.sqrt(
+        float(v1_num) / (float(n1) * n1 * (n1 - 1))
+        + float(v2_num) / (float(n2) * n2 * (n2 - 1))
+    )
+    return pd.DataFrame([{
+        "n_a": np.int64(n1),
+        "n_b": np.int64(n2),
+        "t_stat": math.floor(t * 1e4 + 0.5) / 1e4,
+    }])

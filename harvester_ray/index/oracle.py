@@ -1618,14 +1618,15 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 # --- pipeline / bucket aggregations (index/pipeline_aggs.py) ---------------
 
 
-def _match_ctes(
+def _match_ctes_body(
     query_text: str,
     table: str,
     mode: str,
     id_col: str,
     text_col: str,
 ) -> str:
-    """Shared toks/m CTE pair selecting the match set's doc ids."""
+    """Shared toks/m CTE pair (bodies only, caller supplies WITH) selecting
+    the match set's doc ids — the pipeline-agg variant of _match_ctes."""
     terms = sorted(set(analyzer.tokenize_query(query_text)))
     term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     tok = analyzer.sql_tokenize_expr(text_col)
@@ -1660,7 +1661,7 @@ def moving_fn_sql(
     """Oracle for pipeline_aggs.moving_fn: trailing window mean with the
     engine's exact half-away fixed-point quotient (BIGINT arithmetic)."""
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 {_hist_cte(table, ts_col, interval_us, id_col)}
 SELECT bucket_us, doc_count,
        CAST((2 * sum(doc_count) OVER w * 1000000 + count(*) OVER w)
@@ -1685,7 +1686,7 @@ def serial_diff_sql(
     """Oracle for pipeline_aggs.serial_diff: integer lag difference, first
     ``lag`` buckets omitted."""
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 {_hist_cte(table, ts_col, interval_us, id_col)}
 SELECT bucket_us, doc_count,
        CAST(doc_count - lag(doc_count, {lag}) OVER (ORDER BY bucket_us) AS BIGINT) AS diff
@@ -1709,7 +1710,7 @@ def bucket_sort_sql(
 ) -> str:
     """Oracle for pipeline_aggs.bucket_sort: selector + sort + truncate."""
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 {_hist_cte(table, ts_col, interval_us, id_col)}
 SELECT bucket_us, doc_count FROM h
 WHERE doc_count >= {min_count}
@@ -1732,7 +1733,7 @@ def cumulative_cardinality_sql(
     """Oracle for pipeline_aggs.cumulative_cardinality: first bucket per
     key, cumulative sum of first-appearance counts over the histogram."""
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 {_hist_cte(table, ts_col, interval_us, id_col)},
 firsts AS (
   SELECT d.{field} AS k,
@@ -1761,7 +1762,7 @@ def weighted_avg_sql(
     UTC hour + 1; HUGEINT-exact half-away quotient."""
     tok = analyzer.sql_tokenize_expr(text_col)
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 vw AS (
   SELECT CAST(len({tok}) AS BIGINT) AS v,
          CAST((epoch_us(d.{ts_col}) // 3600000000) % 24 + 1 AS BIGINT) AS w
@@ -1788,7 +1789,7 @@ def top_metrics_sql(
     (dl DESC, doc_id ASC) via QUALIFY row_number."""
     tok = analyzer.sql_tokenize_expr(text_col)
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)}
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)}
 SELECT CAST(d.{group} AS VARCHAR) AS {group},
        CAST(len({tok}) AS BIGINT) AS top_dl,
        CAST(epoch_us(d.{ts_col}) AS BIGINT) AS top_ts_us,
@@ -1856,7 +1857,7 @@ def auto_date_histogram_sql(
         for i in ladder_us
     )
     return f"""
-WITH {_match_ctes(query_text, table, mode, id_col, text_col)},
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
 mt AS (
   SELECT CAST(epoch_us(d.{ts_col}) AS BIGINT) AS tus
   FROM {table} d JOIN m ON d.{id_col} = m.doc_id
@@ -2075,4 +2076,295 @@ JOIN req r USING (doc_id)
 WHERE s.matched >= r.req
 ORDER BY score DESC, doc_id ASC
 LIMIT {k}
+""".strip()
+
+
+def span_or_bm25_sql(
+    table: str,
+    terms_text: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_span_or: the clause-term union scored as ONE
+    pseudo-term (tf = total occurrences of any clause term, one shared df)
+    — deliberately NOT the per-term-idf bool disjunction."""
+    terms = sorted(set(analyzer.tokenize_query(terms_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+m AS (
+  SELECT doc_id, count(*) AS ptf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def span_containing_bm25_sql(
+    table: str,
+    big: tuple[str, str],
+    little: str,
+    *,
+    slop: int = 4,
+    mode: str = "containing",
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_span_containing: big spans are ordered
+    (t1, t2) windows with 1 <= p2 - p1 <= slop + 1; ``containing`` counts
+    big spans enclosing a little occurrence, ``within`` counts little
+    occurrences enclosed by a big span (1-based ordinals cancel)."""
+    t1 = analyzer.tokenize_query(big[0])[0].replace("'", "''")
+    t2 = analyzer.tokenize_query(big[1])[0].replace("'", "''")
+    t3 = analyzer.tokenize_query(little)[0].replace("'", "''")
+    tok = analyzer.sql_tokenize_expr(text_col)
+    if mode == "containing":
+        m_cte = f"""m AS (
+  SELECT p1.doc_id, count(*) AS ptf
+  FROM pos p1
+  JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = '{t2}'
+             AND p2.i - p1.i BETWEEN 1 AND {slop + 1}
+  WHERE p1.term = '{t1}'
+    AND EXISTS (
+      SELECT 1 FROM pos p3
+      WHERE p3.doc_id = p1.doc_id AND p3.term = '{t3}'
+        AND p3.i BETWEEN p1.i AND p2.i
+    )
+  GROUP BY p1.doc_id
+)"""
+    elif mode == "within":
+        m_cte = f"""m AS (
+  SELECT p3.doc_id, count(*) AS ptf
+  FROM pos p3
+  WHERE p3.term = '{t3}'
+    AND EXISTS (
+      SELECT 1 FROM pos p1
+      JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = '{t2}'
+                 AND p2.i - p1.i BETWEEN 1 AND {slop + 1}
+      WHERE p1.doc_id = p3.doc_id AND p1.term = '{t1}'
+        AND p3.i BETWEEN p1.i AND p2.i
+    )
+  GROUP BY p3.doc_id
+)"""
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+{m_cte},
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
+def _dls_ctes(
+    table: str, query_text: str, mode: str, id_col: str, text_col: str
+) -> str:
+    """toks/m/dls CTE bodies: token lengths of the match set."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having}),
+dls AS (
+  SELECT len({tok}) AS dl FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+)"""
+
+
+def extended_stats_sql(
+    table: str,
+    query_text: str,
+    *,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.extended_stats_agg: the same integer sufficient
+    statistics (HUGEINT variance numerator) and mirrored float derivations
+    with floor-1e6 quantization."""
+    return f"""
+WITH {_dls_ctes(table, query_text, mode, id_col, text_col)},
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(min(dl) AS BIGINT) AS min_dl,
+         CAST(max(dl) AS BIGINT) AS max_dl,
+         CAST(sum(dl) AS BIGINT) AS sum_dl,
+         CAST(sum(CAST(dl AS HUGEINT) * dl) AS HUGEINT) AS sumsq
+  FROM dls
+),
+der AS (
+  SELECT n, min_dl, max_dl, sum_dl,
+         CAST(n AS HUGEINT) * sumsq - CAST(sum_dl AS HUGEINT) * sum_dl AS var_num
+  FROM agg
+)
+SELECT n, min_dl, max_dl, sum_dl,
+       floor(CAST(sum_dl AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS avg_dl,
+       floor(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1e6 + 0.5) / 1e6 AS variance,
+       floor(sqrt(CAST(var_num AS DOUBLE)) / n * 1e6 + 0.5) / 1e6 AS std_dev,
+       floor((CAST(sum_dl AS DOUBLE) / n + 2.0 * sqrt(CAST(var_num AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6 AS upper_2sd,
+       floor((CAST(sum_dl AS DOUBLE) / n - 2.0 * sqrt(CAST(var_num AS DOUBLE)) / n) * 1e6 + 0.5) / 1e6 AS lower_2sd
+FROM der
+""".strip()
+
+
+def mad_sql(
+    table: str,
+    query_text: str,
+    *,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.mad_agg: quantile_cont median, then quantile_cont
+    of the absolute deviations (all values exact binary fractions)."""
+    return f"""
+WITH {_dls_ctes(table, query_text, mode, id_col, text_col)},
+med AS (SELECT quantile_cont(dl, 0.5) AS m FROM dls)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       (SELECT m FROM med) AS median_dl,
+       quantile_cont(abs(dl - (SELECT m FROM med)), 0.5) AS mad
+FROM dls
+""".strip()
+
+
+def string_stats_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.string_stats_agg: value-length stats + Shannon
+    entropy (bits) of the character distribution, mirrored expression with
+    floor-1e4 quantization over exact integer character counts."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having}),
+vals AS (
+  SELECT CAST(d.{field} AS VARCHAR) AS v
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+),
+chars AS (
+  SELECT unnest(string_split(v, '')) AS ch FROM vals
+),
+cc AS (SELECT ch, CAST(count(*) AS BIGINT) AS cnt FROM chars GROUP BY ch),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cc),
+ent AS (
+  SELECT CASE WHEN t.total > 0
+              THEN log2(CAST(t.total AS DOUBLE))
+                   - sum(c.cnt * log2(CAST(c.cnt AS DOUBLE))) / t.total
+              ELSE 0.0 END AS e
+  FROM cc c CROSS JOIN tot t GROUP BY t.total
+)
+SELECT CAST(count(*) AS BIGINT) AS n,
+       CAST(min(len(v)) AS BIGINT) AS min_len,
+       CAST(max(len(v)) AS BIGINT) AS max_len,
+       floor(sum(len(v)) * 1.0 / count(*) * 1e6 + 0.5) / 1e6 AS avg_len,
+       floor((SELECT e FROM ent) * 1e4 + 0.5) / 1e4 AS entropy
+FROM vals
+""".strip()
+
+
+def t_test_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.t_test_agg: Welch's t from exact HUGEINT
+    sufficient statistics, mirrored expression, floor-1e4 quantized."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(DISTINCT term) = {len(terms)}" if mode == "and" else ""
+    ga = group_a.replace("'", "''")
+    gb = group_b.replace("'", "''")
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+m AS (SELECT doc_id FROM toks WHERE term IN ({term_list})
+      GROUP BY doc_id {having}),
+gd AS (
+  SELECT CAST(d.{field} AS VARCHAR) AS g, len({tok}) AS dl
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+  WHERE CAST(d.{field} AS VARCHAR) IN ('{ga}', '{gb}')
+),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS BIGINT) AS s,
+         CAST(sum(CAST(dl AS HUGEINT) * dl) AS HUGEINT) AS q
+  FROM gd GROUP BY g
+),
+ab AS (
+  SELECT
+    (SELECT n FROM agg WHERE g = '{ga}') AS n1,
+    (SELECT s FROM agg WHERE g = '{ga}') AS s1,
+    (SELECT q FROM agg WHERE g = '{ga}') AS q1,
+    (SELECT n FROM agg WHERE g = '{gb}') AS n2,
+    (SELECT s FROM agg WHERE g = '{gb}') AS s2,
+    (SELECT q FROM agg WHERE g = '{gb}') AS q2
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       floor(
+         (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+         / sqrt(
+             CAST(CAST(n1 AS HUGEINT) * q1 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1))
+             + CAST(CAST(n2 AS HUGEINT) * q2 - CAST(s2 AS HUGEINT) * s2 AS DOUBLE)
+               / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1))
+           ) * 1e4 + 0.5
+       ) / 1e4 AS t_stat
+FROM ab
+WHERE n1 >= 2 AND n2 >= 2
 """.strip()

@@ -286,3 +286,105 @@ def test_query_string_combined_matches_oracle(pos_index):
         ), qs
     with pytest.raises(ValueError):
         extras.search_query_string(r, "-dup", k=5)  # negation-only
+
+
+# --- span_or / span_containing / span_within -------------------------------
+
+
+def test_span_or_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    got = extras.search_span_or(reader, "dup batch stream", k=10)
+    exp = con.execute(
+        oracle.span_or_bm25_sql("documents", "dup batch stream", 10)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # degeneracy probe: pseudo-term scoring differs from the per-term-idf
+    # bool disjunction on the same clause set
+    bool_or = reader.search("dup batch stream", k=10, mode="or").to_pandas()
+    bool_or["score"] = bool_or["score"].round(4)
+    assert list(got["score"]) != list(bool_or["score"])
+
+
+@pytest.mark.parametrize("mode", ["containing", "within"])
+def test_span_containing_matches_oracle(pos_index, mode):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    got = extras.search_span_containing(
+        reader, ("spark", "window"), "data", slop=4, mode=mode, k=10
+    )
+    exp = con.execute(
+        oracle.span_containing_bm25_sql(
+            "documents", ("spark", "window"), "data", slop=4, mode=mode, k=10
+        )
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"]), mode
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    assert len(got) > 0, "degenerate fixture: no spans with enclosed term"
+
+
+def test_span_containing_semantics_tiny():
+    """Hand-built corpus: exact span accounting for both modes."""
+    import shutil
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from harvester_ray.index import extras
+
+    tmp = "/tmp/span_cont_tiny"
+    shutil.rmtree(tmp, ignore_errors=True)
+    import os
+
+    os.makedirs(tmp)
+    # doc 1: a..b window encloses x twice (two windows, two x's)
+    # doc 2: a..b window with no x inside (x after b)
+    # doc 3: x with no a..b window
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": [
+            "a x b a x x b",   # windows (1,3),(4,7)... slop=4 → plenty
+            "a q q b x",
+            "x q q q a",
+        ],
+    })
+    pq.write_table(t, tmp + "/d.parquet")
+    root = tmp + "/idx"
+    ib.build_index(
+        rd.read_parquet(tmp + "/d.parquet"), root, concurrency=1,
+        store_positions=True,
+    )
+    r = iq.IndexReader(root)
+    cont = extras.search_span_containing(
+        r, ("a", "b"), "x", slop=4, mode="containing", k=10
+    )
+    within = extras.search_span_containing(
+        r, ("a", "b"), "x", slop=4, mode="within", k=10
+    )
+    assert set(cont["doc_id"]) == {1}
+    assert set(within["doc_id"]) == {1}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp}/d.parquet')"
+    )
+    from harvester_ray.index import oracle
+
+    for mode, got in (("containing", cont), ("within", within)):
+        exp = con.execute(
+            oracle.span_containing_bm25_sql(
+                "documents", ("a", "b"), "x", slop=4, mode=mode, k=10
+            )
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), mode
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
