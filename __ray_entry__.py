@@ -1472,6 +1472,28 @@ def _date_histogram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _bucket_script(sf_dir: str) -> pd.DataFrame:
+    """ES bucket_script: derived per-bucket ratio (tool-call share) from
+    two sibling metrics of the hourly histogram."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.bucket_script(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        tool_field="tool", ts_field="ts", mode="or",
+    )
+
+
+def _normalize_agg(sf_dir: str) -> pd.DataFrame:
+    """ES normalize (percent_of_sum) over the hourly histogram; exact
+    fixed-point percentages."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.normalize_agg(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", mode="or",
+    )
+
+
 def _moving_fn(sf_dir: str) -> pd.DataFrame:
     """ES moving_fn (unweighted trailing avg, window 3) over the hourly
     histogram; half-away fixed-point quotient on both sides."""
@@ -3480,6 +3502,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exists_filter": _exists_filter,
         "histogram_pipeline": _histogram_pipeline,
         "moving_fn": _moving_fn,
+        "bucket_script": _bucket_script,
+        "normalize_agg": _normalize_agg,
         "serial_diff": _serial_diff,
         "bucket_sort": _bucket_sort_agg,
         "cumulative_cardinality": _cumulative_cardinality,
@@ -4637,6 +4661,12 @@ GROUP BY v.value ORDER BY v.value"""
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "moving_fn": index_oracle.moving_fn_sql(
             "tdocp", HAS_CHILD_QUERY, window=3, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "bucket_script": index_oracle.bucket_script_sql(
+            "tdocp", HAS_CHILD_QUERY, tool_col="tool", ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "normalize_agg": index_oracle.normalize_agg_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "serial_diff": index_oracle.serial_diff_sql(
             "tdocp", HAS_CHILD_QUERY, lag=2, ts_col="ts", mode="or",

@@ -2368,3 +2368,55 @@ SELECT n1 AS n_a, n2 AS n_b,
 FROM ab
 WHERE n1 >= 2 AND n2 >= 2
 """.strip()
+
+
+def bucket_script_sql(
+    table: str,
+    query_text: str,
+    *,
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.bucket_script: per-bucket tool-call share
+    with the engine's exact half-away fixed-point quotient."""
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+h AS (
+  SELECT (epoch_us(d.{ts_col}) // {interval_us}) * {interval_us} AS bucket_us,
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(count(d.{tool_col}) AS BIGINT) AS tool_count
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+  GROUP BY bucket_us
+)
+SELECT bucket_us, doc_count, tool_count,
+       CAST((2 * tool_count * 1000000 + doc_count)
+            // (2 * doc_count) AS BIGINT) / 1000000.0 AS tool_share
+FROM h ORDER BY bucket_us
+""".strip()
+
+
+def normalize_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.normalize_agg: percent_of_sum over the
+    histogram with the exact half-away fixed-point quotient."""
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)},
+tot AS (SELECT CAST(sum(doc_count) AS BIGINT) AS total FROM h)
+SELECT bucket_us, doc_count,
+       CAST((2 * 100 * doc_count * 1000000 + t.total)
+            // (2 * t.total) AS BIGINT) / 1000000.0 AS percent_of_sum
+FROM h CROSS JOIN tot t ORDER BY bucket_us
+""".strip()

@@ -500,3 +500,95 @@ def auto_date_histogram(
     return out.astype({
         "interval_us": np.int64, "bucket_us": np.int64, "doc_count": np.int64,
     })
+
+
+def bucket_script(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    tool_field: str = "tool",
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``bucket_script`` pipeline agg: a derived per-bucket metric
+    computed from two sibling metrics of the same histogram — here the
+    tool-call share ``tool_count / doc_count`` per hourly bucket (the
+    canonical ES example is exactly such a ratio script). Per segment one
+    ``(bucket, doc_count, tool_count)`` partial row per non-empty bucket
+    leaves the worker; the ratio uses the shared half-away fixed-point
+    quotient so the oracle hash is exact."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({
+        "bucket_us": pd.Series(dtype=np.int64),
+        "doc_count": pd.Series(dtype=np.int64),
+        "tool_count": pd.Series(dtype=np.int64),
+        "tool_share": pd.Series(dtype=np.float64),
+    })
+    if not terms:
+        return empty
+    partials: list[pd.DataFrame] = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        ts_int = (
+            seg.attr_values(ts_field, docs)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        bucket = (ts_int // interval_us) * interval_us
+        tool = seg.attr_values(tool_field, docs)
+        has_tool = np.array([v is not None for v in tool], dtype=np.int64)
+        uniq, inv = np.unique(bucket, return_inverse=True)
+        partials.append(pd.DataFrame({
+            "bucket_us": uniq,
+            "doc_count": np.bincount(inv),
+            "tool_count": np.bincount(inv, weights=has_tool).astype(np.int64),
+        }))
+    if not partials:
+        return empty
+    h = (
+        pd.concat(partials)
+        .groupby("bucket_us", as_index=False)[["doc_count", "tool_count"]].sum()
+        .sort_values("bucket_us")
+        .reset_index(drop=True)
+        .astype({"bucket_us": np.int64, "doc_count": np.int64,
+                 "tool_count": np.int64})
+    )
+    h["tool_share"] = _fixed_div(
+        h["tool_count"].to_numpy(), h["doc_count"].to_numpy(), 6
+    )
+    return h
+
+
+def normalize_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``normalize`` pipeline agg (method=percent_of_sum): each hourly
+    bucket's doc_count as a percentage of the histogram total. Integer
+    sufficient statistics; percent = fixed-point (100·count)/total with the
+    shared half-away quotient."""
+    h = _ts_buckets(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    if h.empty:
+        h["percent_of_sum"] = pd.Series(dtype=np.float64)
+        return h
+    total = int(h["doc_count"].sum())
+    h["percent_of_sum"] = _fixed_div(
+        100 * h["doc_count"].to_numpy(np.int64),
+        np.full(len(h), total, dtype=np.int64),
+        6,
+    )
+    return h

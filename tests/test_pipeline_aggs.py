@@ -158,3 +158,53 @@ def test_auto_date_histogram_oracle(paidx, con):
     # never the 1-minute base or the 7-day cap
     iv = int(got["interval_us"].iloc[0])
     assert 3_600_000_000 <= iv <= 86_400_000_000
+
+
+# --- bucket_script + normalize ---------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nulltool_idx(tmp_path_factory):
+    """Corpus where ~half the rows have tool=NULL, so the bucket_script
+    ratio actually varies (the shared fixture's tool is never null)."""
+    rng = np.random.default_rng(11)
+    df = _corpus().copy()
+    mask = rng.random(len(df)) < 0.55
+    df["tool"] = df["tool"].where(~mask, None)
+    root = str(tmp_path_factory.mktemp("ntidx"))
+    build.build_index(
+        rd.from_pandas(df), root, concurrency=2,
+        attr_cols=["conv_id", "ts", "tool"],
+    )
+    c = duckdb.connect()
+    c.register("tdocp", df)
+    return root, c
+
+
+def test_bucket_script_matches_oracle(nulltool_idx):
+    root, c = nulltool_idx
+    got = pipeline_aggs.bucket_script(
+        query.IndexReader(root), QUERY, tool_field="tool", ts_field="ts",
+        mode="or",
+    )
+    exp = c.execute(
+        oracle.bucket_script_sql("tdocp", QUERY, tool_col="tool", ts_col="ts", mode="or")
+    ).fetchdf()
+    _cmp(got, exp)
+    # non-degenerate: the share varies and is strictly inside (0,1) somewhere
+    assert got["tool_share"].nunique() > 1
+    assert ((got["tool_share"] > 0) & (got["tool_share"] < 1)).any()
+
+
+def test_normalize_matches_oracle(paidx, con):
+    root, _ = paidx
+    got = pipeline_aggs.normalize_agg(
+        query.IndexReader(root), QUERY, ts_field="ts", mode="or"
+    )
+    exp = con.execute(
+        oracle.normalize_agg_sql("tdocp", QUERY, ts_col="ts", mode="or")
+    ).fetchdf()
+    _cmp(got, exp)
+    # percentages cover the whole histogram (fixed-point sum ≈ 100)
+    assert abs(got["percent_of_sum"].sum() - 100.0) < 0.01
+    assert (got["percent_of_sum"] > 0).all()
