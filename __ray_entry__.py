@@ -1031,6 +1031,19 @@ def _bm25_range(sf_dir: str) -> pd.DataFrame:
 
 
 RECENCY_ORIGIN_US = 1_700_438_400_000_000  # 2023-11-20 00:00:00 UTC in µs
+FSCORE_SCALE_US = 12 * 3_600_000_000  # gauss decay scale: 12h
+
+
+def _function_score(sf_dir: str) -> pd.DataFrame:
+    """ES function_score, gauss decay × BM25 (boost_mode multiply): one
+    mirrored exp(ln(decay)·m·m) expression, exhaustive OR path."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_function_score(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        origin_us=RECENCY_ORIGIN_US, scale_us=FSCORE_SCALE_US, decay=0.5,
+        ts_field="ts", k=10,
+    )
 
 
 def _recency_boost(sf_dir: str) -> pd.DataFrame:
@@ -3478,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_histogram": _date_histogram,
         "bm25_range": _bm25_range,
         "recency_boost": _recency_boost,
+        "function_score": _function_score,
         "span_first": _span_first,
         "span_not": _span_not,
         "match_phrase_prefix": _match_phrase_prefix,
@@ -4520,6 +4534,10 @@ GROUP BY v.value ORDER BY v.value"""
         "recency_boost": index_oracle.recency_bm25_sql(
             "tdocp", HAS_CHILD_QUERY, 10, origin_us=RECENCY_ORIGIN_US,
             mode="or", ts_col="ts",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "function_score": index_oracle.function_score_sql(
+            "tdocp", HAS_CHILD_QUERY, 10, origin_us=RECENCY_ORIGIN_US,
+            scale_us=FSCORE_SCALE_US, decay=0.5, mode="or", ts_col="ts",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "span_first": index_oracle.span_first_bm25_sql(
             "documents", SPAN_FIRST_TERM, SPAN_FIRST_END, 10

@@ -3740,3 +3740,81 @@ def t_test_agg(
         "n_b": np.int64(n2),
         "t_stat": math.floor(t * 1e4 + 0.5) / 1e4,
     }])
+
+
+def search_function_score(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    origin_us: int,
+    scale_us: int,
+    decay: float = 0.5,
+    ts_field: str = "ts",
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``function_score`` with a ``gauss`` decay function and
+    ``boost_mode: multiply`` (the canonical "fresher is better" shape): the
+    OR-mode BM25 sum is MULTIPLIED by
+    ``decay ** ((|ts − origin| / scale)²)`` — computed as
+    ``exp(ln(decay) · m·m)`` with ``m = dist/scale`` so engine and oracle
+    share one float expression (no pow()), offset = 0. Multiplicative
+    boosts invalidate block-max upper bounds, so scoring is exhaustive per
+    segment (the recency/rank_feature contract); per-segment top-k after
+    the multiply is exact because the decay is per-doc."""
+    import math
+
+    from .query import _topk, merge_topk, tombstones_for_segment
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    ln_decay = math.log(decay)
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        docs_parts, score_parts = [], []
+        for t in live:
+            p = seg.postings(t)
+            if p is None:
+                continue
+            d, f = p
+            dl = seg.doc_lengths(d).astype(np.float64)
+            docs_parts.append(d)
+            score_parts.append(
+                bm25.score(f.astype(np.float64), dl, idf_map[t], reader.avgdl)
+            )
+        if not docs_parts:
+            continue
+        alld = np.concatenate(docs_parts)
+        alls = np.concatenate(score_parts)
+        order = np.argsort(alld, kind="stable")
+        alld, alls = alld[order], alls[order]
+        uniq, starts = np.unique(alld, return_index=True)
+        sums = np.add.reduceat(alls, starts)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size and uniq.size:
+            m = ~np.isin(uniq, exclude)
+            uniq, sums = uniq[m], sums[m]
+        if not uniq.size:
+            continue
+        ts = (
+            seg.attr_values(ts_field, uniq)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+        dist = np.abs(origin_us - ts).astype(np.float64)
+        m_ = dist / float(scale_us)
+        final = sums * np.exp(ln_decay * (m_ * m_))
+        parts.append(_topk(uniq, final, k))
+    if not parts:
+        return empty
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

@@ -2420,3 +2420,62 @@ SELECT bucket_us, doc_count,
             // (2 * t.total) AS BIGINT) / 1000000.0 AS percent_of_sum
 FROM h CROSS JOIN tot t ORDER BY bucket_us
 """.strip()
+
+
+def function_score_sql(
+    table: str,
+    query_text: str,
+    k: int = 10,
+    *,
+    origin_us: int,
+    scale_us: int,
+    decay: float = 0.5,
+    mode: str = "or",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_function_score: gauss decay multiplied into
+    the BM25 sum — exp(ln(decay) · m·m) with m = dist/scale, the identical
+    float expression (no pow())."""
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    tok = analyzer.sql_tokenize_expr(text_col)
+    having = f"HAVING count(*) = {len(terms)}" if mode == "and" else ""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks
+  WHERE term IN ({term_list}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({bm25.K1} + 1.0)
+              / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score
+  FROM tf
+  JOIN df USING (term)
+  JOIN doclen d ON tf.doc_id = d.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+  {having}
+),
+boosted AS (
+  SELECT sc.doc_id,
+         sc.score * exp(ln({decay!r}) * (
+           (CAST(abs({origin_us} - epoch_us(t.{ts_col})) AS DOUBLE) / {scale_us})
+           * (CAST(abs({origin_us} - epoch_us(t.{ts_col})) AS DOUBLE) / {scale_us})
+         )) AS score
+  FROM scored sc JOIN {table} t ON t.{id_col} = sc.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

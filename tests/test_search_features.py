@@ -436,3 +436,39 @@ def test_terms_set_per_doc_minimum_excludes(req_index, con):
     )
     for d in got["doc_id"]:
         assert matched[d] >= req[d]
+
+
+def test_function_score_gauss_matches_oracle(tmp_path_factory, con):
+    """Gauss decay × BM25: identical ranking + scores vs the mirrored SQL
+    expression; decay actually reorders (doc far from origin demoted)."""
+    import pandas as pd
+
+    from harvester_ray.index import extras, oracle
+
+    root = str(tmp_path_factory.mktemp("fs_idx"))
+    base = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["alpha beta", "alpha beta", "alpha", "alpha beta beta"],
+        "ts": pd.to_datetime([
+            "2024-01-01", "2024-06-01", "2024-01-02", "2023-01-01"
+        ]),
+    })
+    build.build_index(rd.from_pandas(base), root, concurrency=2, attr_cols=["ts"])
+    origin = int(pd.Timestamp("2024-01-01").value // 1000)
+    scale = 30 * 86_400_000_000  # 30 days
+    got = extras.search_function_score(
+        query.IndexReader(root), "alpha beta",
+        origin_us=origin, scale_us=scale, decay=0.5, k=4,
+    )
+    c = duckdb.connect()
+    c.register("t", base)
+    exp = c.execute(
+        oracle.function_score_sql(
+            "t", "alpha beta", 4, origin_us=origin, scale_us=scale, decay=0.5
+        )
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    # doc 3 has the best raw BM25 (tf=2 for beta) but is a year stale —
+    # the multiply must demote it below the on-origin docs
+    assert list(got["doc_id"]).index(3) > list(got["doc_id"]).index(0)
