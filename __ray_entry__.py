@@ -980,6 +980,18 @@ def _conv_has_child(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _has_parent(sf_dir: str) -> pd.DataFrame:
+    """ES has_parent (score=true), the dual of has_child: turns scored by
+    their conversation's has_child-sum relevance — every turn of the
+    conversations about X."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_has_parent(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        parent_field="conv_id", k=10, mode="or",
+    )
+
+
 def _turnattr_index() -> str:
     """Turn-level index with (conv_id, ts) attribute columns — shared by
     the parent-child and date-histogram gates."""
@@ -3476,6 +3488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_bm25": _transcript_bm25,
         "conv_bm25": _conv_bm25,
         "conv_has_child": _conv_has_child,
+        "has_parent": _has_parent,
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_branches": _conv_branches,
@@ -4518,6 +4531,9 @@ GROUP BY v.value ORDER BY v.value"""
         "conv_has_child": index_oracle.has_child_sql(
             "tdocp", HAS_CHILD_QUERY, parent_col="conv_id", k=10,
             mode="or", score_mode="sum",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "has_parent": index_oracle.has_parent_sql(
+            "tdocp", HAS_CHILD_QUERY, parent_col="conv_id", k=10, mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "date_histogram": index_oracle.date_histogram_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts",

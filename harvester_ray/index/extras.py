@@ -3818,3 +3818,64 @@ def search_function_score(
     out = merge_topk(parts, k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def search_has_parent(
+    reader: IndexReader,
+    parent_query: str,
+    *,
+    parent_field: str = "conv_id",
+    k: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``has_parent`` query with ``score: true`` — the dual of has_child
+    (extras.search_parents): return CHILD documents (turns), each scored by
+    its PARENT's (conversation's) relevance to ``parent_query``, where the
+    parent score is the has_child sum of its children's 1e-4-quantized BM25
+    scores. Children of the same parent tie on score and rank by doc id —
+    the "give me every turn of the conversations about X" access path.
+
+    Scale shape: parent scores are the vocabulary-bounded has_child fold
+    (one row per parent-with-hits); child enumeration is one broadcast-map
+    pass over each segment's parent-key sidecar (at 100 TB: broadcast the
+    parent score table, map_batches over the doc sidecars)."""
+    from .query import tombstones_for_segment
+
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                          "score": pd.Series(dtype=np.float64)})
+    parents = search_parents(
+        reader, parent_query, parent_field=parent_field, k=2**31,
+        mode=mode, score_mode="sum",
+    )
+    if parents.empty:
+        return empty
+    # recover the exact integer ranking key from the 4-dp score
+    fp = np.floor(parents["score"].to_numpy() * 1e4 + 0.5).astype(np.int64)
+    fp_map = dict(zip(parents[parent_field], fp))
+    parts = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        vals = pd.Series(np.asarray(seg.attrs[parent_field], dtype=object))
+        child_fp = vals.map(fp_map)
+        sel = child_fp.notna().to_numpy()
+        if not sel.any():
+            continue
+        docs = seg.doc_ids[sel]
+        cfp = child_fp.to_numpy()[sel].astype(np.int64)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(docs, exclude)
+            docs, cfp = docs[live], cfp[live]
+        if docs.size:
+            parts.append(pd.DataFrame({"doc_id": docs, "fp": cfp}))
+    if not parts:
+        return empty
+    out = pd.concat(parts).sort_values(
+        ["fp", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    out["score"] = np.round(out["fp"].to_numpy() / 1e4, 4)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out[["doc_id", "score"]].reset_index(drop=True)

@@ -2479,3 +2479,34 @@ boosted AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM boosted ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def has_parent_sql(
+    table: str,
+    parent_query: str,
+    *,
+    parent_col: str = "conv_id",
+    k: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.search_has_parent: children inherit their parent's
+    has_child-sum score (1e-4 fixed-point BIGINT ranking key)."""
+    base = bm25_sql(table, parent_query, 2147483647, mode=mode,
+                    id_col=id_col, text_col=text_col)
+    return f"""
+WITH res AS (
+{base}
+),
+p AS (
+  SELECT d.{parent_col} AS {parent_col},
+         CAST(floor(res.score * 10000 + 0.5) AS BIGINT) AS fp
+  FROM res JOIN {table} d ON d.{id_col} = res.doc_id
+),
+ps AS (SELECT {parent_col}, CAST(sum(fp) AS BIGINT) AS fp FROM p GROUP BY {parent_col})
+SELECT d.{id_col} AS doc_id, round(ps.fp / 10000.0, 4) AS score
+FROM {table} d JOIN ps USING ({parent_col})
+ORDER BY ps.fp DESC, d.{id_col} ASC
+LIMIT {k}
+""".strip()

@@ -820,3 +820,40 @@ def test_t_test_zero_when_identical():
         query.IndexReader(root), "a", field="g", group_a="x", group_b="y"
     )
     assert out.iloc[0]["t_stat"] == 0.0
+
+
+def test_has_parent_inherits_and_orders():
+    """has_parent: children inherit the parent's has_child-sum score; all
+    turns of a matching conversation surface, ordered by parent score then
+    doc id; conversations without a match never surface."""
+    import shutil
+
+    import pandas as pd
+
+    tmp = "/tmp/hasparent_tiny"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "text": ["needle a", "filler b", "needle needle c", "filler d",
+                 "nothing here", "quiet too"],
+        "conv": ["c1", "c1", "c2", "c2", "c3", "c3"],
+    })
+    pq.write_table(t, tmp + "/d.parquet")
+    root = tmp + "/idx"
+    build.build_index(
+        rd.read_parquet(tmp + "/d.parquet"), root, concurrency=1,
+        attr_cols=["conv"],
+    )
+    r = query.IndexReader(root)
+    got = extras.search_has_parent(r, "needle", parent_field="conv", k=10)
+    # c2 scores higher (tf=2), then c1; c3 absent; both turns of each conv
+    assert list(got["doc_id"]) == [2, 3, 0, 1]
+    assert got["score"].iloc[0] == got["score"].iloc[1]
+    parents = extras.search_parents(r, "needle", parent_field="conv", k=10)
+    by_conv = dict(zip(parents["conv"], parents["score"]))
+    assert got["score"].iloc[0] == by_conv["c2"]
+    assert got["score"].iloc[2] == by_conv["c1"]
