@@ -1363,6 +1363,22 @@ def _exists_filter(sf_dir: str) -> pd.DataFrame:
     )
 
 
+INTERVALS_QUERY = "spark window data"  # ordered, shared max_gaps budget
+INTERVALS_MAX_GAPS = 3
+
+
+def _intervals(sf_dir: str) -> pd.DataFrame:
+    """ES intervals all_of(ordered, max_gaps): tokens in order with at most
+    max_gaps fillers inside the whole interval."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.search_intervals(
+        index_query.IndexReader(root), INTERVALS_QUERY,
+        max_gaps=INTERVALS_MAX_GAPS, k=10,
+    )
+
+
 SPAN_OR_TERMS = "dup batch stream"  # union scored as ONE pseudo-term
 SPAN_CONT_BIG = ("spark", "window")  # ordered window, slop tokens apart
 SPAN_CONT_LITTLE = "data"
@@ -3511,6 +3527,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bool_prefix": _match_bool_prefix,
         "terms_set": _terms_set,
         "span_or": _span_or,
+        "intervals": _intervals,
         "span_containing": _span_containing,
         "span_within": _span_within,
         "matrix_stats": _matrix_stats,
@@ -4572,6 +4589,9 @@ GROUP BY v.value ORDER BY v.value"""
             "documents", TERMS_SET_TERMS, "1 + (n_chars % 3)", 10
         ),
         "span_or": index_oracle.span_or_bm25_sql("documents", SPAN_OR_TERMS, 10),
+        "intervals": index_oracle.intervals_bm25_sql(
+            "documents", INTERVALS_QUERY, max_gaps=INTERVALS_MAX_GAPS, k=10
+        ),
         "span_containing": index_oracle.span_containing_bm25_sql(
             "documents", SPAN_CONT_BIG, SPAN_CONT_LITTLE,
             slop=SPAN_CONT_SLOP, mode="containing", k=10,

@@ -3879,3 +3879,90 @@ def search_has_parent(
     out["score"] = np.round(out["fp"].to_numpy() / 1e4, 4)
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out[["doc_id", "score"]].reset_index(drop=True)
+
+
+def search_intervals(
+    reader: IndexReader,
+    terms_text: str,
+    *,
+    max_gaps: int = 2,
+    k: int = 10,
+) -> pd.DataFrame:
+    """ES ``intervals`` query, ``all_of(ordered=true, max_gaps=N)``: the
+    tokens must appear IN ORDER with at most ``max_gaps`` total non-matching
+    tokens inside the interval — i.e. an ordered chain p1 < p2 < … < pT
+    with span pT − p1 − (T−1) ≤ max_gaps. Sits between match_phrase
+    (max_gaps=0 adjacency… though phrase also fixes per-link distance) and
+    unordered span_near.
+
+    tf = number of positions of the FIRST token that anchor a valid chain;
+    df = live docs with ≥1; pseudo-term scoring (the span-family contract).
+
+    Exactness of the greedy chain: taking the EARLIEST next-token position
+    after the current one minimizes the chain's end for a given anchor, so
+    an anchor has a valid chain iff its greedy chain is valid — one
+    vectorized searchsorted per link, no per-doc loop."""
+    from . import bm25
+    from .query import merge_topk, tombstones_for_segment
+
+    toks = analyzer.tokenize_query(terms_text)
+    if len(toks) < 2:
+        raise ValueError("intervals needs at least two ordered tokens")
+    matches = []
+    df = 0
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        if not seg.has_positions:
+            raise ValueError(
+                "intervals needs positions — build_index(store_positions=True)"
+            )
+        keys = [_span_tokens(seg, t) for t in toks]
+        if any(kk is None for kk in keys):
+            continue
+        anchor = keys[0]
+        cur = anchor
+        dead = False
+        for nxt in keys[1:]:
+            # earliest occurrence of the next token strictly after cur,
+            # within the same packed doc (doc boundary = key monotonicity)
+            idx = np.searchsorted(nxt, cur + 1)
+            ok = idx < nxt.size
+            cand = np.where(ok, nxt[np.minimum(idx, nxt.size - 1)], -1)
+            same_doc = ok & ((cand >> 31) == (cur >> 31))
+            cur = np.where(same_doc, cand, np.int64(-1))
+            alive = cur >= 0
+            anchor, cur = anchor[alive], cur[alive]
+            if anchor.size == 0:
+                dead = True
+                break
+        if dead:
+            continue
+        span_ok = (cur - anchor) <= (len(toks) - 1 + max_gaps)
+        anchor = anchor[span_ok]
+        if anchor.size == 0:
+            continue
+        uniq_local, cnt = np.unique(anchor >> 31, return_counts=True)
+        d2 = seg.doc_ids[uniq_local]
+        c2 = cnt.astype(np.int64)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        if exclude.size:
+            live = ~np.isin(d2, exclude)
+            d2, c2 = d2[live], c2[live]
+        if d2.size:
+            df += int(d2.size)
+            matches.append((d2, c2, seg.doc_lengths(d2)))
+    if not matches or df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    term_idf = float(bm25.idf(reader.n_docs, df))
+    parts = [
+        (d2, bm25.score(c2.astype(np.float64), dl.astype(np.float64),
+                        term_idf, reader.avgdl))
+        for d2, c2, dl in matches
+    ]
+    out = merge_topk(parts, k).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]

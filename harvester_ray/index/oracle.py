@@ -2510,3 +2510,62 @@ FROM {table} d JOIN ps USING ({parent_col})
 ORDER BY ps.fp DESC, d.{id_col} ASC
 LIMIT {k}
 """.strip()
+
+
+def intervals_bm25_sql(
+    table: str,
+    terms_text: str,
+    *,
+    max_gaps: int = 2,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_intervals: an anchor p1 counts when ANY
+    ordered chain p1 < p2 < … < pT with pT − p1 − (T−1) ≤ max_gaps exists
+    (the greedy chain the engine takes is minimal, so any-chain ≡ greedy)."""
+    toks = analyzer.tokenize_query(terms_text)
+    assert len(toks) >= 2
+    tok = analyzer.sql_tokenize_expr(text_col)
+    T = len(toks)
+    esc = [t.replace("'", "''") for t in toks]
+    joins = []
+    for i in range(2, T):
+        joins.append(
+            f"JOIN pos p{i + 1} ON p{i + 1}.doc_id = p{i}.doc_id "
+            f"AND p{i + 1}.term = '{esc[i]}' AND p{i + 1}.i > p{i}.i"
+        )
+    exists = f"""EXISTS (
+      SELECT 1 FROM pos p2 {' '.join(joins)}
+      WHERE p2.doc_id = p1.doc_id AND p2.term = '{esc[1]}' AND p2.i > p1.i
+        AND p{T}.i - p1.i <= {T - 1 + max_gaps}
+    )"""
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+pos AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term,
+         generate_subscripts({tok}, 1) AS i
+  FROM {table}
+),
+m AS (
+  SELECT p1.doc_id, count(*) AS ptf
+  FROM pos p1
+  WHERE p1.term = '{esc[0]}' AND {exists}
+  GROUP BY p1.doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()

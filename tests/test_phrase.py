@@ -388,3 +388,54 @@ def test_span_containing_semantics_tiny():
         ).fetchdf()
         assert list(got["doc_id"]) == list(exp["doc_id"]), mode
         np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+
+
+def test_intervals_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    for q, gaps in (("spark window data", 3), ("part filter", 0), ("big order scan", 5)):
+        got = extras.search_intervals(reader, q, max_gaps=gaps, k=10)
+        exp = con.execute(
+            oracle.intervals_bm25_sql("documents", q, max_gaps=gaps, k=10)
+        ).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"]), (q, gaps)
+        np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+
+
+def test_intervals_semantics_tiny():
+    """Gap budget is SHARED across links: 'a b c' with max_gaps=1 matches
+    one filler total, not one per link; order is mandatory."""
+    import shutil, os
+
+    from harvester_ray.index import extras
+
+    tmp = "/tmp/intervals_tiny"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp)
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [
+            "a b c",        # 0 gaps: valid
+            "a x b c",      # 1 gap total: valid at max_gaps=1
+            "a x b y c",    # 2 gaps total: INVALID at max_gaps=1
+            "c b a",        # wrong order: never valid
+        ],
+    })
+    pq.write_table(t, tmp + "/d.parquet")
+    root = tmp + "/idx"
+    ib.build_index(
+        rd.read_parquet(tmp + "/d.parquet"), root, concurrency=1,
+        store_positions=True,
+    )
+    r = iq.IndexReader(root)
+    got = extras.search_intervals(r, "a b c", max_gaps=1, k=10)
+    assert set(got["doc_id"]) == {1, 2}
+    got2 = extras.search_intervals(r, "a b c", max_gaps=2, k=10)
+    assert set(got2["doc_id"]) == {1, 2, 3}
