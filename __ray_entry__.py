@@ -3763,6 +3763,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_binary": lambda sf: similarity.knn_binary(
             _emb_ds(sf), _query_vec(sf), k=10
         ).to_pandas(),
+        "knn_int8": lambda sf: similarity.knn_int8(
+            _emb_ds(sf), _query_vec(sf), k=10
+        ).to_pandas(),
         "ranking_eval_mrr": _ranking_eval_mrr,
         "rank_feature": _rank_feature,
         "table_merge": _table_merge,
@@ -4477,6 +4480,7 @@ GROUP BY v.value ORDER BY v.value"""
             "floor(((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 1 AND b.r <= 1) * 2520 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 2 AND b.r <= 2) * 1260 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 3 AND b.r <= 3) * 840 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 4 AND b.r <= 4) * 630 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 5 AND b.r <= 5) * 504 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 6 AND b.r <= 6) * 420 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 7 AND b.r <= 7) * 360 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 8 AND b.r <= 8) * 315 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 9 AND b.r <= 9) * 280 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) * 252) * 1.0 / 25200 * 1e6 + 0.5) / 1e6 AS avg_overlap"
         ),
         "knn_binary": similarity.knn_binary_sql("embeddings", 0, 10),
+        "knn_int8": similarity.knn_int8_sql("embeddings", 0, 10),
         "ranking_eval_mrr": __import__(
             "harvester_ray.index.evaluate", fromlist=["x"]
         ).evaluate_ranking_mrr_sql("documents"),

@@ -1217,3 +1217,109 @@ def retriever_agreement(
         "overlap_at_k": np.int64(o_k),
         "avg_overlap": ao,
     }])
+
+
+def knn_int8(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """int8 scalar-quantized kNN — the ES dense_vector ``int8_hnsw``
+    quantization tier between full floats and PQ/binary. Components map to
+    int8 by ONE corpus-global max-abs scale,
+    ``q_i = floor(v_i · (127 / M) + 0.5)`` with ``M = max|component|`` over
+    the whole table (4× smaller than float32); similarity is the INTEGER
+    dot product of the quantized vectors — exact int64 end-to-end, no float
+    enters the ranking (ties by vec_id), so the SQL oracle hashes
+    identically. The GLOBAL scale is what makes both exactness and quality
+    work: max() is order-independent (a per-vector scale would be exact too
+    but distorts ranking across vectors; a norm-based scale would hang
+    parity on float summation order). Embedding corpora are unit-norm, so
+    the quantized dot tracks cosine with only quantization noise.
+    floor(x+0.5) rather than round(): np.round is half-even, SQL round()
+    half-away — the shared parity rule.
+
+    Two passes, both streaming: one max-reduction for M (at 100 TB: a
+    tiny per-fragment Ray-task pre-pass, same as conv counts), then one
+    int-matmul scoring pass with local top-k; O(k) rows per block reach
+    the driver. Returns (vec_id, int_dot) desc."""
+    import ray
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        return pa.table({"m": pa.array([float(np.abs(mat).max())])})
+
+    gm = ds.map_batches(batch_max, batch_format="pyarrow").to_pandas()
+    M = float(gm["m"].max())
+    if M <= 0:
+        M = 1.0
+    scale = 127.0 / M
+    q = np.asarray(query_vec, dtype=np.float64)
+    qq = np.floor(q * scale + 0.5).astype(np.int64)
+    qref = ray.put(qq)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        qm = np.floor(mat * scale + 0.5).astype(np.int64)
+        dot = qm @ qv
+        kk = min(k, ids.size)
+        part = (
+            np.argpartition(-dot, kk - 1)[:kk] if ids.size > kk
+            else np.arange(ids.size)
+        )
+        return pa.table({
+            "vec_id": pa.array(ids[part], pa.int64()),
+            "int_dot": pa.array(dot[part], pa.int64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["vec_id"].to_numpy(),
+                        -parts["int_dot"].to_numpy()))[:k]
+    sel = parts.iloc[order]
+    return pa.table({
+        "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
+        "int_dot": pa.array(sel["int_dot"].to_numpy(), pa.int64()),
+    })
+
+
+def knn_int8_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for knn_int8: the identical corpus-global max-abs scale and
+    floor(x·(127/M) + 0.5) quantization, integer dot, (dot desc, id asc)."""
+    return f"""
+WITH gmx AS (
+  SELECT CASE WHEN max(abs(ev)) > 0 THEN max(abs(ev)) ELSE 1.0 END AS m
+  FROM (SELECT unnest(e.{vec_col}) AS ev FROM {table} e)
+),
+q AS (
+  SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_vec_id}
+),
+flat AS (
+  SELECT e.{id_col} AS vec_id,
+         unnest(e.{vec_col}) AS ev, unnest(q.qv) AS qe
+  FROM {table} e CROSS JOIN q
+),
+dot AS (
+  SELECT f.vec_id,
+         CAST(sum(
+           CAST(floor(f.ev * (127.0 / g.m) + 0.5) AS BIGINT)
+           * CAST(floor(f.qe * (127.0 / g.m) + 0.5) AS BIGINT)
+         ) AS BIGINT) AS int_dot
+  FROM flat f
+  CROSS JOIN gmx g
+  GROUP BY f.vec_id
+)
+SELECT vec_id, int_dot FROM dot
+ORDER BY int_dot DESC, vec_id ASC LIMIT {k}
+""".strip()

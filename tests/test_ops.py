@@ -473,3 +473,32 @@ def test_percolate_qs_clause_semantics(ray_session):
     out = percolate.percolate_qs(rd.from_arrow(docs), qs)
     got = set(zip(out["doc_id"], out["query_id"]))
     assert got == {(1, 10), (2, 11), (2, 12), (1, 13), (2, 13)}
+
+
+def test_knn_int8_recall_and_exactness(ray_session):
+    """int8 scalar quantization: exact integer contract (partition
+    independent), high recall of the true cosine top-10 (much finer than
+    sign bits), and quantized codes stay in [-127, 127]."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import similarity
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = pd.read_parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).iloc[0]["embedding"]
+    q = np.asarray(q, dtype=np.float64)
+    exact = set(similarity.knn_brute(ds, q, k=10).to_pandas()["vec_id"])
+    got = similarity.knn_int8(ds, q, k=10).to_pandas()
+    # int8 keeps ~all true neighbors at this scale (binary only manages ~6)
+    assert len(exact & set(got["vec_id"])) >= 8
+    a = similarity.knn_int8(ds, q, k=10).to_pandas()
+    b = similarity.knn_int8(ds.repartition(7), q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+    # quantization range check via the query vector itself
+    mx = np.abs(q).max()
+    qq = np.floor(q * (127.0 / mx) + 0.5)
+    assert qq.min() >= -127 and qq.max() <= 127
+
