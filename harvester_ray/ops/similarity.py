@@ -1323,3 +1323,100 @@ dot AS (
 SELECT vec_id, int_dot FROM dot
 ORDER BY int_dot DESC, vec_id ASC LIMIT {k}
 """.strip()
+
+
+def knn_maxsim(
+    ds,
+    query_vecs: np.ndarray,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_div: int = 5,
+):
+    """Late-interaction retrieval (ColBERT MaxSim): documents are
+    MULTI-VECTOR sets — here ``doc = vec_id // group_div`` groups the
+    embedding table into fixed bags, standing in for per-token/per-passage
+    document vectors — and a multi-vector query scores each doc as
+    ``Σ_q max_v cos(q, v)`` (each query vector claims its best doc vector).
+
+    Parity: per-(q,v) cosines quantize to 1e-4 fixed-point BIGINTs BEFORE
+    the max and the sum (the rank-composition rule — max/sum over exact
+    integers, never floats), ties by doc id. Scale shape: per batch one
+    (Q × B) matmul reduces to ≤ docs_in_batch × Q partial rows via
+    sort+maximum.reduceat; cross-batch merge is a (doc, q) max fold then a
+    per-doc sum — bounded by docs × Q, never by vectors. Returns
+    (doc, score) desc."""
+    import pandas as pd
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    qref = ray.put(q)
+    nq = q.shape[0]
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        docs = ids // group_div
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        sims = qm @ mat.T  # (Q, B)
+        fp = np.floor(sims * 1e4 + 0.5).astype(np.int64)
+        order = np.argsort(docs, kind="mergesort")
+        dsorted = docs[order]
+        first = np.empty(dsorted.size, dtype=bool)
+        first[0] = True
+        first[1:] = dsorted[1:] != dsorted[:-1]
+        starts = np.flatnonzero(first)
+        uniq = dsorted[starts]
+        out_doc = np.repeat(uniq, nq)
+        out_q = np.tile(np.arange(nq, dtype=np.int64), uniq.size)
+        out_fp = np.stack(
+            [np.maximum.reduceat(fp[qi][order], starts) for qi in range(nq)],
+            axis=1,
+        ).ravel()
+        return pa.table({
+            "doc": pa.array(out_doc, pa.int64()),
+            "qi": pa.array(out_q, pa.int64()),
+            "fp": pa.array(out_fp, pa.int64()),
+        })
+
+    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    mx = parts.groupby(["doc", "qi"], as_index=False)["fp"].max()
+    sc = mx.groupby("doc", as_index=False)["fp"].sum()
+    order = np.lexsort((sc["doc"].to_numpy(), -sc["fp"].to_numpy()))[:k]
+    sel = sc.iloc[order]
+    return pa.table({
+        "doc": pa.array(sel["doc"].to_numpy(), pa.int64()),
+        "score": pa.array(np.round(sel["fp"].to_numpy() / 1e4, 4), pa.float64()),
+    })
+
+
+def knn_maxsim_sql(
+    table: str = "embeddings",
+    query_vec_ids: tuple = (0, 1, 2, 3),
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_div: int = 5,
+) -> str:
+    """Oracle for knn_maxsim: the same 1e-4-quantized cosines (DOUBLE[]
+    cast — list_cosine_similarity over list<float> computes in float32),
+    max per (doc, query vector), sum per doc, integer ranking key."""
+    ids = ", ".join(str(int(i)) for i in query_vec_ids)
+    cos = f"list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH qs AS (
+  SELECT {id_col} AS qid, CAST({vec_col} AS DOUBLE[]) AS qv
+  FROM {table} WHERE {id_col} IN ({ids})
+),
+sims AS (
+  SELECT e.{id_col} // {group_div} AS doc, q.qid,
+         CAST(floor({cos} * 10000 + 0.5) AS BIGINT) AS fp
+  FROM {table} e CROSS JOIN qs q
+),
+mx AS (SELECT doc, qid, max(fp) AS fp FROM sims GROUP BY doc, qid),
+sc AS (SELECT doc, CAST(sum(fp) AS BIGINT) AS fp FROM mx GROUP BY doc)
+SELECT CAST(doc AS BIGINT) AS doc, round(fp / 10000.0, 4) AS score
+FROM sc ORDER BY fp DESC, doc ASC LIMIT {k}
+""".strip()

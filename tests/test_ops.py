@@ -502,3 +502,39 @@ def test_knn_int8_recall_and_exactness(ray_session):
     qq = np.floor(q * (127.0 / mx) + 0.5)
     assert qq.min() >= -127 and qq.max() <= 127
 
+
+
+def test_knn_maxsim_late_interaction(ray_session):
+    """MaxSim semantics: each query vector claims its best doc vector, so a
+    doc holding one strong match PER query vector beats a doc whose single
+    vector pools both directions — the ranking single-vector retrieval
+    inverts. Partition independence + oracle parity via the driver gate."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import similarity
+
+    e1 = np.array([1.0, 0.0, 0.0, 0.0])
+    e2 = np.array([0.0, 1.0, 0.0, 0.0])
+    mid = (e1 + e2) / np.linalg.norm(e1 + e2)
+    # doc 0 (vecs 0-1): e1 and e2 — perfect per-query matches
+    # doc 1 (vecs 2-3): mid twice — pooled representation
+    # doc 2 (vecs 4-5): orthogonal noise
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+        "embedding": [e1, e2, mid, mid,
+                      np.array([0, 0, 1.0, 0]), np.array([0, 0, 0, 1.0])],
+    })
+    ds = rd.from_arrow(t)
+    got = similarity.knn_maxsim(
+        ds, np.stack([e1, e2]), k=3, group_div=2
+    ).to_pandas()
+    assert list(got["doc"]) == [0, 1, 2]
+    assert got["score"].iloc[0] == 2.0          # 1.0 + 1.0
+    assert abs(got["score"].iloc[1] - 2 * float(e1 @ mid)) < 1e-3
+    b = similarity.knn_maxsim(
+        ds.repartition(3), np.stack([e1, e2]), k=3, group_div=2
+    ).to_pandas()
+    pd.testing.assert_frame_equal(got, b)
