@@ -1426,6 +1426,25 @@ BOOL_PREFIX_QUERY = "dup s"  # rare lead 'dup' OR 's*' expansions, no adjacency
 TERMS_SET_TERMS = ["dup", "spark", "window"]
 
 
+DSL_QUERY = {
+    "bool": {
+        "must": [{"match": {"text": "table scan"}}],
+        "must_not": [{"match": {"text": "dup"}}],
+        "filter": {"terms": {"source": ["src0", "src1", "src2"]}},
+    }
+}
+
+
+def _dsl_query(sf_dir: str) -> pd.DataFrame:
+    """ES JSON query-DSL dispatcher end-to-end: a compound bool (must +
+    must_not + terms filter) routed through index/dsl.py onto the native
+    scorer — the reference's OpenSearch request surface."""
+    from harvester_ray.index import dsl as _dsl
+
+    root = _documents_index(sf_dir)
+    return _dsl.execute_dsl(index_query.IndexReader(root), DSL_QUERY, k=10)
+
+
 def _match_bool_prefix(sf_dir: str) -> pd.DataFrame:
     """ES match_bool_prefix (search-as-you-type, unordered): fixed lead
     terms + capped dictionary expansions of the last token in one
@@ -3526,6 +3545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_phrase_prefix": _match_phrase_prefix,
         "match_bool_prefix": _match_bool_prefix,
         "terms_set": _terms_set,
+        "dsl_query": _dsl_query,
         "span_or": _span_or,
         "intervals": _intervals,
         "span_containing": _span_containing,
@@ -4594,6 +4614,16 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "match_bool_prefix": index_oracle.bool_prefix_bm25_sql(
             "documents", BOOL_PREFIX_QUERY, 10
+        ),
+        "dsl_query": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql(
+                "documents", "table scan", 100000, mode="and", must_not="dup"
+            )
+            + ") SELECT r.doc_id, r.score FROM ranked r "
+            "JOIN documents d ON d.doc_id = r.doc_id "
+            "WHERE d.source IN ('src0','src1','src2') "
+            "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
         ),
         "terms_set": index_oracle.terms_set_sql(
             "documents", TERMS_SET_TERMS, "1 + (n_chars % 3)", 10
