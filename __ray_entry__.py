@@ -421,6 +421,19 @@ def _percentiles_agg(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _aggs_dsl(sf_dir: str) -> pd.DataFrame:
+    """ES aggs-DSL dispatcher end-to-end: a JSON terms agg routed through
+    index/aggdsl.py onto the native operator."""
+    from harvester_ray.index import aggdsl as _aggdsl
+
+    out = _aggdsl.execute_aggs(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        {"by_source": {"terms": {"field": "source", "size": 20}}},
+        mode="or",
+    )
+    return out["by_source"]
+
+
 def _terms_agg(sf_dir: str) -> pd.DataFrame:
     """ES terms aggregation (exact regime: shard_size unbounded, bounds 0).
     The shard_size approximation contract is unit-tested (test_extras)."""
@@ -3463,6 +3476,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_boosting": _bm25_boosting,
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
+        "aggs_dsl": _aggs_dsl,
         "top_hits": _top_hits,
         "mget_docs": _mget_docs,
         "analyze_tokens": _analyze_tokens,
@@ -4094,6 +4108,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_AND, 10, mode="and"
         ),
         "terms_agg": index_oracle.terms_agg_sql(
+            "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
+        ),
+        "aggs_dsl": index_oracle.terms_agg_sql(
             "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
         "percentiles_agg": index_oracle.percentiles_agg_sql(
