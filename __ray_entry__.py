@@ -1448,6 +1448,22 @@ DSL_QUERY = {
 }
 
 
+def _search_request(sf_dir: str) -> pd.DataFrame:
+    """ES _search envelope end-to-end: query DSL + from/size pagination
+    through index/api.py; hits page 2 (from=5, size=5) as a frame."""
+    from harvester_ray.index import api as _api
+
+    root = _documents_index(sf_dir)
+    resp = _api.search_request(
+        index_query.IndexReader(root),
+        {"query": {"match": {"text": BM25_QUERY_OR}}, "from": 5, "size": 5},
+    )
+    return pd.DataFrame(
+        [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]],
+        columns=["doc_id", "score"],
+    )
+
+
 def _dsl_query(sf_dir: str) -> pd.DataFrame:
     """ES JSON query-DSL dispatcher end-to-end: a compound bool (must +
     must_not + terms filter) routed through index/dsl.py onto the native
@@ -3560,6 +3576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_bool_prefix": _match_bool_prefix,
         "terms_set": _terms_set,
         "dsl_query": _dsl_query,
+        "search_request": _search_request,
         "span_or": _span_or,
         "intervals": _intervals,
         "span_containing": _span_containing,
@@ -4631,6 +4648,12 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "match_bool_prefix": index_oracle.bool_prefix_bm25_sql(
             "documents", BOOL_PREFIX_QUERY, 10
+        ),
+        "search_request": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or")
+            + ") SELECT doc_id, score FROM ranked "
+            "ORDER BY score DESC, doc_id ASC LIMIT 5 OFFSET 5"
         ),
         "dsl_query": (
             "WITH ranked AS ("

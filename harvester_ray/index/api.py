@@ -1,0 +1,90 @@
+"""The ES ``_search`` request executor — the top of the API surface.
+
+The reference's portal sends one JSON body per search: a query-DSL tree,
+an ``aggs`` object, ``from``/``size`` pagination, optional ``sort`` and
+``track_total_hits`` (harvester/search/views/document.py:20-143 builds
+exactly this shape and POSTs it to OpenSearch). ``search_request`` accepts
+that body and routes each part onto the native engine:
+
+- ``query``   → index/dsl.py (20+ leaf types, value-gated operators)
+- ``aggs``    → index/aggdsl.py (20 agg types)
+- ``from/size`` → over-fetch ``from+size`` then slice (ES semantics)
+- ``sort``    → attribute-field ordering via extras.search_page
+  (match-query context only — the ordering replaces relevance)
+- ``track_total_hits: true`` → exact match_counts total
+
+Response mirrors the ES envelope (a plain dict):
+``{"hits": {"total": {...}, "hits": [{"_id", "_score"}...]},
+"aggregations": {name: records}}``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from .query import IndexReader
+
+
+def _match_parts(query: dict) -> tuple[str, str]:
+    """(query_text, mode) of a plain match leaf — sort/total contexts."""
+    if "match" not in query:
+        raise ValueError("sort/track_total_hits need a plain match query")
+    ((_f, spec),) = query["match"].items()
+    if isinstance(spec, str):
+        spec = {"query": spec}
+    mode = "and" if spec.get("operator", "or").lower() == "and" else "or"
+    return spec["query"], mode
+
+
+def search_request(reader: IndexReader, body: dict) -> dict[str, Any]:
+    """Execute one ES ``_search`` body. Returns the response envelope."""
+    from . import aggdsl, dsl, extras
+
+    query = body.get("query", {"match": {"text": {"query": ""}}})
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    resp: dict[str, Any] = {}
+
+    if "sort" in body:
+        qtext, mode = _match_parts(query)
+        spec = body["sort"]
+        spec = spec[0] if isinstance(spec, list) else spec
+        ((field, order),) = (
+            spec.items() if isinstance(spec, dict) else ((spec, "asc"),)
+        )
+        if isinstance(order, dict):
+            order = order.get("order", "asc")
+        ordering = ("-" if order == "desc" else "") + field
+        page = extras.search_page(
+            reader, qtext, page=1, page_size=from_ + size, mode=mode,
+            ordering=ordering,
+        ).iloc[from_:]
+        sort_field = ordering.lstrip("-")
+        hits = [
+            {"_id": int(r.doc_id), "_sort": getattr(r, sort_field)}
+            for r in page.itertuples()
+        ]
+    else:
+        ranked = dsl.execute_dsl(reader, query, k=from_ + size)
+        page = ranked.iloc[from_:]
+        hits = [
+            {"_id": int(r.doc_id), "_score": float(r.score)}
+            for r in page.itertuples()
+        ]
+    resp["hits"] = {"hits": hits}
+
+    if body.get("track_total_hits"):
+        qtext, mode = _match_parts(query)
+        counts = extras.match_counts(reader, qtext, mode=mode)
+        resp["hits"]["total"] = {
+            "value": int(counts["results_total"]["value"]),
+            "relation": "eq",
+        }
+
+    if "aggs" in body:
+        qtext, mode = _match_parts(query)
+        frames = aggdsl.execute_aggs(reader, qtext, body["aggs"], mode=mode)
+        resp["aggregations"] = {
+            name: frame.to_dict("records") for name, frame in frames.items()
+        }
+    return resp

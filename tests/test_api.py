@@ -1,0 +1,59 @@
+"""ES _search request executor: envelope shape + component equivalence."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from harvester_ray.index import api, build, dsl, extras, query
+
+SF_DIR = "/root/testdata/sf0.001"
+DOCS = os.path.join(SF_DIR, "documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def idx(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("apiidx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "source", "lang"])
+    build.build_index(ds, root, concurrency=2, attr_cols=["source", "lang"])
+    return query.IndexReader(root)
+
+
+def test_query_from_size(idx):
+    body = {"query": {"match": {"text": "table scan"}}, "from": 5, "size": 5}
+    resp = api.search_request(idx, body)
+    full = dsl.execute_dsl(idx, {"match": {"text": "table scan"}}, k=10)
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(full["doc_id"].iloc[5:])
+    assert [h["_score"] for h in resp["hits"]["hits"]] == list(full["score"].iloc[5:])
+
+
+def test_track_total_and_aggs(idx):
+    body = {
+        "query": {"match": {"text": {"query": "table scan", "operator": "and"}}},
+        "size": 3,
+        "track_total_hits": True,
+        "aggs": {"by_source": {"terms": {"field": "source", "size": 4}}},
+    }
+    resp = api.search_request(idx, body)
+    counts = extras.match_counts(idx, "table scan", mode="and")
+    assert resp["hits"]["total"]["value"] == counts["results_total"]["value"]
+    terms = extras.terms_agg(idx, "table scan", field="source", size=4, mode="and")
+    assert resp["aggregations"]["by_source"] == terms.to_dict("records")
+    assert len(resp["hits"]["hits"]) == 3
+
+
+def test_sort_by_attribute(idx):
+    body = {
+        "query": {"match": {"text": {"query": "table", "operator": "and"}}},
+        "sort": [{"source": {"order": "desc"}}],
+        "size": 6,
+    }
+    resp = api.search_request(idx, body)
+    page = extras.search_page(
+        idx, "table", page=1, page_size=6, mode="and", ordering="-source"
+    )
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(page["doc_id"])
+    vals = [h["_sort"] for h in resp["hits"]["hits"]]
+    assert vals == sorted(vals, reverse=True)
