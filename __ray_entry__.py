@@ -3556,6 +3556,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "has_parent": _has_parent,
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
+        "conv_flatten_sorted": lambda sf: _transcripts_mod.conv_flatten_sorted(
+            sorted(
+                os.path.join(_transcripts_dir(), f)
+                for f in os.listdir(_transcripts_dir())
+                if f.endswith(".parquet")
+            )
+        ),
         "conv_branches": _conv_branches,
         "preference_pairs": _preference_pairs,
         "conv_continuations": _conv_continuations,
@@ -4832,6 +4839,7 @@ GROUP BY v.value ORDER BY v.value"""
             mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
+        "conv_flatten_sorted": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
         "preference_pairs": _preference_pairs_sql(),
         "conv_continuations": _conv_continuations_sql(),

@@ -363,6 +363,14 @@ def run_headline() -> dict:
             rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "role", "text"])
         )
         queries_sec["conv_flatten"] = round(time.time() - t, 3)
+        # sorted-input fast path: zero-shuffle per-file flatten + boundary
+        # repair (the synth corpus is conversation-sorted across shards)
+        t = time.time()
+        tmod.conv_flatten_sorted(sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ))
+        queries_sec["conv_flatten_sorted"] = round(time.time() - t, 3)
         t = time.time()
         tmod.turn_overlap(
             rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "text"])

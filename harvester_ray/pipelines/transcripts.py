@@ -36,11 +36,13 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 from .. import analyzer
 
 __all__ = [
-    "conv_flatten", "conv_stats", "role_stats", "tool_usage",
+    "conv_flatten", "conv_flatten_sorted", "conv_stats", "role_stats",
+    "tool_usage",
     "conv_tail", "role_transitions",
     "conv_flatten_sql", "conv_stats_sql", "role_stats_sql",
     "tool_usage_sql", "conv_tail_sql", "role_transitions_sql",
@@ -98,41 +100,80 @@ def _conv_offsets(tbl: pa.Table) -> tuple[pa.Table, np.ndarray]:
     return tbl, offsets
 
 
+def _flatten_conversations(tbl: pa.Table) -> pa.Table:
+    """Flatten one table of whole conversations (any order) into one row
+    per conversation: (conv_id, n_turns, n_chars, conv_md5)."""
+    tbl, off = _conv_offsets(tbl)
+    if tbl.num_rows == 0:
+        return pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+            "n_chars": pa.array([], pa.int64()),
+            "conv_md5": pa.array([], pa.string()),
+        })
+    line = pc.binary_join_element_wise(
+        tbl["role"].combine_chunks(), tbl["text"].combine_chunks(), ": "
+    )
+    lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), line)
+    flat = pc.binary_join(lists, "\n")
+    md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
+    conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+    return pa.table({
+        "conv_id": conv,
+        "n_turns": pa.array(np.diff(off), pa.int64()),
+        "n_chars": pc.utf8_length(flat).cast(pa.int64()),
+        "conv_md5": pa.array(md5, pa.string()),
+    })
+
+
 def conv_flatten(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     """Per conversation: flatten turns (sorted by turn_idx) into one
     ``role: text`` newline-joined training document; emit its length and
     md5 (the assembled text itself stays inside the tasks — only one
     bounded row per conversation reaches the driver)."""
-
-    def flatten(tbl: pa.Table) -> pa.Table:
-        tbl, off = _conv_offsets(tbl)
-        if tbl.num_rows == 0:
-            return pa.table({
-                "conv_id": pa.array([], pa.string()),
-                "n_turns": pa.array([], pa.int64()),
-                "n_chars": pa.array([], pa.int64()),
-                "conv_md5": pa.array([], pa.string()),
-            })
-        line = pc.binary_join_element_wise(
-            tbl["role"].combine_chunks(), tbl["text"].combine_chunks(), ": "
-        )
-        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), line)
-        flat = pc.binary_join(lists, "\n")
-        md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
-        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
-        return pa.table({
-            "conv_id": conv,
-            "n_turns": pa.array(np.diff(off), pa.int64()),
-            "n_chars": pc.utf8_length(flat).cast(pa.int64()),
-            "conv_md5": pa.array(md5, pa.string()),
-        })
-
     out = (
         _with_conv_bucket(ds, n_buckets)
         .groupby("bucket")
-        .map_groups(flatten, batch_format="pyarrow")
+        .map_groups(_flatten_conversations, batch_format="pyarrow")
         .to_pandas()
     )
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def conv_flatten_sorted(files: list[str]) -> pd.DataFrame:
+    """Shuffle-free conv_flatten for CONVERSATION-SORTED corpora — the
+    standard layout this repo's own writers produce (synth shards, export
+    partitions): conversations are contiguous in the global file order, so
+    a conversation can straddle only a RUN of adjacent files.
+
+    The bucketed conv_flatten pays one all-to-all to co-locate
+    conversations (measured ~10s of an ~11s sf0.1 run); sorted inputs make
+    that exchange pure waste. Here ONE Ray task per file flattens the
+    file's INTERIOR conversations locally and returns the (bounded)
+    boundary rows — the first and last conversation of the file, the only
+    ones that may continue in a neighbor — and the driver repairs those in
+    one local pass (≤ 2 small conversations per file; a conversation
+    spanning a whole middle file arrives as that file's entire boundary).
+    Result is value-identical to conv_flatten; asserted in tests on shards
+    that split mid-conversation."""
+    import ray
+
+    @ray.remote
+    def flatten_file(f: str):
+        tbl = pq.read_table(f, columns=["conv_id", "turn_idx", "role", "text"])
+        if tbl.num_rows == 0:
+            return _flatten_conversations(tbl), tbl
+        conv = tbl["conv_id"]
+        first, last = conv[0].as_py(), conv[-1].as_py()
+        edge = pc.or_(pc.equal(conv, first), pc.equal(conv, last))
+        interior = _flatten_conversations(tbl.filter(pc.invert(edge)))
+        return interior, tbl.filter(edge)
+
+    parts = ray.get([flatten_file.remote(f) for f in sorted(files)])
+    interiors = [p[0] for p in parts]
+    boundary = pa.concat_tables([p[1] for p in parts])
+    repaired = _flatten_conversations(boundary)
+    out = pa.concat_tables(interiors + [repaired]).to_pandas()
     return out.sort_values("conv_id").reset_index(drop=True)
 
 

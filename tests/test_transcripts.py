@@ -486,3 +486,43 @@ def test_tool_loops_planted(ray_session):
     # min_run=3 keeps only the planted triple
     out3 = tmod.tool_loops(rd.from_arrow(t), min_run=3)
     assert list(zip(out3["conv_id"], out3["tool"])) == [("A", "x")]
+
+
+def test_conv_flatten_sorted_equals_bucketed(ray_session, tmp_path):
+    """The zero-shuffle sorted-input path is value-identical to the
+    bucketed general path, on shards cut MID-conversation — including a
+    conversation that spans one whole middle file."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from harvester_ray.pipelines import transcripts as T
+
+    rows = []
+    for ci in range(7):
+        for ti in range((ci % 4) + 2):
+            rows.append((f"c{ci:02d}", ti, "user" if ti % 2 == 0 else "assistant",
+                         f"text {ci} {ti}"))
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+    })
+    # adversarial cuts: file 1 starts and ends mid-conversation; file 2 is
+    # one conversation's interior entirely
+    c02 = [i for i, r in enumerate(rows) if r[0] == "c02"]
+    cuts = [0, c02[0] + 1, c02[0] + 2, c02[-1] + 1, t.num_rows]
+    files = []
+    for i in range(len(cuts) - 1):
+        f = str(tmp_path / f"part-{i:03d}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), f)
+        files.append(f)
+    a = T.conv_flatten(rd.read_parquet(files))
+    b = T.conv_flatten_sorted(files)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
