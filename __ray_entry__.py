@@ -921,6 +921,14 @@ def _term_df_shuffle(sf_dir: str) -> pd.DataFrame:
     return out[["term", "df", "cf"]].reset_index(drop=True)
 
 
+def _transcript_files() -> list[str]:
+    """Sorted shard list of the transcript fixture (sorted-path gates)."""
+    d = _transcripts_dir()
+    return sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+
+
 def _transcripts_dir() -> str:
     """Deterministic tiny transcript corpus (FIXTURES.md §1) shared by every
     transcript-family gate entry AND its oracle: oracle_sql() calls this too,
@@ -3557,11 +3565,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- transcript-table analytics (north-rule input shape) ----------
         "conv_flatten": lambda sf: _transcripts_mod.conv_flatten(_tds(sf)),
         "conv_flatten_sorted": lambda sf: _transcripts_mod.conv_flatten_sorted(
-            sorted(
-                os.path.join(_transcripts_dir(), f)
-                for f in os.listdir(_transcripts_dir())
-                if f.endswith(".parquet")
-            )
+            _transcript_files()
+        ),
+        "turn_overlap_sorted": lambda sf: _transcripts_mod.turn_overlap_sorted(
+            _transcript_files()
         ),
         "conv_branches": _conv_branches,
         "preference_pairs": _preference_pairs,
@@ -4853,6 +4860,7 @@ GROUP BY v.value ORDER BY v.value"""
         "role_transitions": _transcripts_mod.role_transitions_sql(_tsrc),
         "conv_windows": _transcripts_mod.conv_windows_sql(_tsrc),
         "turn_overlap": _transcripts_mod.turn_overlap_sql(_tsrc),
+        "turn_overlap_sorted": _transcripts_mod.turn_overlap_sql(_tsrc),
         "tool_chains": _transcripts_mod.tool_chains_sql(_tsrc),
         "tool_loops": _transcripts_mod.tool_loops_sql(_tsrc, min_run=2),
         "tool_latency": _transcripts_mod.tool_latency_sql(_tsrc),

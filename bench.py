@@ -376,6 +376,12 @@ def run_headline() -> dict:
             rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "text"])
         )
         queries_sec["turn_overlap"] = round(time.time() - t, 3)
+        t = time.time()
+        tmod.turn_overlap_sorted(sorted(
+            os.path.join(data_dir, f)
+            for f in os.listdir(data_dir) if f.endswith(".parquet")
+        ))
+        queries_sec["turn_overlap_sorted"] = round(time.time() - t, 3)
 
     queries_sec["index_build"] = round(build_sec, 3)
     queries_sec["bm25_p50"] = round(p50_ms / 1000, 6)

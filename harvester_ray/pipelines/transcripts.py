@@ -41,8 +41,8 @@ import pyarrow.parquet as pq
 from .. import analyzer
 
 __all__ = [
-    "conv_flatten", "conv_flatten_sorted", "conv_stats", "role_stats",
-    "tool_usage",
+    "conv_flatten", "conv_flatten_sorted", "turn_overlap_sorted",
+    "conv_stats", "role_stats", "tool_usage",
     "conv_tail", "role_transitions",
     "conv_flatten_sql", "conv_stats_sql", "role_stats_sql",
     "tool_usage_sql", "conv_tail_sql", "role_transitions_sql",
@@ -140,6 +140,31 @@ def conv_flatten(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
+def _process_sorted_conversations(files, fn, columns: list[str]) -> pa.Table:
+    """Generic zero-shuffle driver for CONVERSATION-SORTED corpora: apply
+    ``fn`` (a whole-conversations-table → one-row-per-conversation reducer,
+    exactly the callables the bucketed ops hand to map_groups) per file on
+    the file's interior conversations via one Ray task each, then repair
+    the boundary conversations (first/last of each file — the only ones
+    that can straddle adjacent files) in one bounded driver-local pass."""
+    import ray
+
+    @ray.remote
+    def run(f: str):
+        tbl = pq.read_table(f, columns=columns)
+        if tbl.num_rows == 0:
+            return fn(tbl), tbl
+        conv = tbl["conv_id"]
+        first, last = conv[0].as_py(), conv[-1].as_py()
+        edge = pc.or_(pc.equal(conv, first), pc.equal(conv, last))
+        return fn(tbl.filter(pc.invert(edge))), tbl.filter(edge)
+
+    parts = ray.get([run.remote(f) for f in sorted(files)])
+    interiors = [p[0] for p in parts]
+    boundary = pa.concat_tables([p[1] for p in parts])
+    return pa.concat_tables(interiors + [fn(boundary)])
+
+
 def conv_flatten_sorted(files: list[str]) -> pd.DataFrame:
     """Shuffle-free conv_flatten for CONVERSATION-SORTED corpora — the
     standard layout this repo's own writers produce (synth shards, export
@@ -156,24 +181,9 @@ def conv_flatten_sorted(files: list[str]) -> pd.DataFrame:
     spanning a whole middle file arrives as that file's entire boundary).
     Result is value-identical to conv_flatten; asserted in tests on shards
     that split mid-conversation."""
-    import ray
-
-    @ray.remote
-    def flatten_file(f: str):
-        tbl = pq.read_table(f, columns=["conv_id", "turn_idx", "role", "text"])
-        if tbl.num_rows == 0:
-            return _flatten_conversations(tbl), tbl
-        conv = tbl["conv_id"]
-        first, last = conv[0].as_py(), conv[-1].as_py()
-        edge = pc.or_(pc.equal(conv, first), pc.equal(conv, last))
-        interior = _flatten_conversations(tbl.filter(pc.invert(edge)))
-        return interior, tbl.filter(edge)
-
-    parts = ray.get([flatten_file.remote(f) for f in sorted(files)])
-    interiors = [p[0] for p in parts]
-    boundary = pa.concat_tables([p[1] for p in parts])
-    repaired = _flatten_conversations(boundary)
-    out = pa.concat_tables(interiors + [repaired]).to_pandas()
+    out = _process_sorted_conversations(
+        files, _flatten_conversations, ["conv_id", "turn_idx", "role", "text"]
+    ).to_pandas()
     return out.sort_values("conv_id").reset_index(drop=True)
 
 
@@ -755,61 +765,10 @@ def turn_overlap(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     Fully vectorized per bucket: distinct (row, code) keys once, then one
     ``intersect1d`` of pair-tagged keys (left = turn j tagged pair j,
     right = turn j+1 tagged pair j) and bincounts — no per-pair loop."""
-
-    def overlap(tbl: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "conv_id": pa.array([], pa.string()),
-            "n_pairs": pa.array([], pa.int64()),
-            "inter_sum": pa.array([], pa.int64()),
-            "union_sum": pa.array([], pa.int64()),
-        })
-        tbl, off = _conv_offsets(tbl)
-        n = tbl.num_rows
-        if n < 2:
-            return empty
-        row_ids, codes, _ = analyzer.tokenize_flat(
-            analyzer.normalize_text(tbl["text"])
-        )
-        keys = np.unique(
-            (row_ids.astype(np.int64) << 32) | codes.astype(np.int64)
-        )
-        rows = (keys >> 32).astype(np.int64)
-        sizes = np.bincount(rows, minlength=n)
-        valid_pair = np.ones(n - 1, bool)
-        valid_pair[off[1:-1] - 1] = False  # pairs spanning two conversations
-        if not valid_pair.any():
-            return empty
-        lmask = np.zeros(n, bool)
-        lmask[: n - 1] = valid_pair
-        rmask = np.zeros(n, bool)
-        rmask[1:] = valid_pair
-        lsel = lmask[rows]
-        rsel = rmask[rows]
-        left = (rows[lsel] << 32) | (keys[lsel] & 0xFFFFFFFF)
-        right = ((rows[rsel] - 1) << 32) | (keys[rsel] & 0xFFFFFFFF)
-        inter_keys = np.intersect1d(left, right, assume_unique=True)
-        inter = np.bincount((inter_keys >> 32).astype(np.int64), minlength=n - 1)
-        union = sizes[:-1] + sizes[1:] - inter
-        lens = np.diff(off)
-        # conv index of pair j is the conv of row j; rows are conv-contiguous
-        pj = np.flatnonzero(valid_pair)
-        conv_idx = np.searchsorted(off, pj, side="right") - 1
-        n_pairs = np.bincount(conv_idx, minlength=lens.size)
-        inter_sum = np.bincount(conv_idx, weights=inter[pj], minlength=lens.size).astype(np.int64)
-        union_sum = np.bincount(conv_idx, weights=union[pj], minlength=lens.size).astype(np.int64)
-        nz = np.flatnonzero(n_pairs)
-        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1][nz], pa.int64()))
-        return pa.table({
-            "conv_id": conv,
-            "n_pairs": pa.array(n_pairs[nz], pa.int64()),
-            "inter_sum": pa.array(inter_sum[nz], pa.int64()),
-            "union_sum": pa.array(union_sum[nz], pa.int64()),
-        })
-
     out = (
         _with_conv_bucket(ds, n_buckets)
         .groupby("bucket")
-        .map_groups(overlap, batch_format="pyarrow")
+        .map_groups(_overlap_conversations, batch_format="pyarrow")
         .to_pandas()
     )
     if out.empty:
@@ -820,6 +779,78 @@ def turn_overlap(ds, *, n_buckets: int = 64) -> pd.DataFrame:
             "union_sum": pd.Series([], dtype=np.int64),
         })
     return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def turn_overlap_sorted(files: list[str]) -> pd.DataFrame:
+    """Zero-shuffle turn_overlap for conversation-sorted corpora — the
+    conv_flatten_sorted pattern applied to the heaviest per-byte transcript
+    op: per-file tasks compute interior conversations, the driver repairs
+    the bounded boundary set. Value-identical to turn_overlap (tested on
+    mid-conversation shard cuts)."""
+    out = _process_sorted_conversations(
+        files, _overlap_conversations, ["conv_id", "turn_idx", "text"]
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype=str),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "inter_sum": pd.Series([], dtype=np.int64),
+            "union_sum": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _overlap_conversations(tbl: pa.Table) -> pa.Table:
+    """One table of whole conversations -> (conv_id, n_pairs, inter_sum,
+    union_sum) adjacent-turn token-set overlaps (turn_overlap reducer)."""
+    empty = pa.table({
+        "conv_id": pa.array([], pa.string()),
+        "n_pairs": pa.array([], pa.int64()),
+        "inter_sum": pa.array([], pa.int64()),
+        "union_sum": pa.array([], pa.int64()),
+    })
+    tbl, off = _conv_offsets(tbl)
+    n = tbl.num_rows
+    if n < 2:
+        return empty
+    row_ids, codes, _ = analyzer.tokenize_flat(
+        analyzer.normalize_text(tbl["text"])
+    )
+    keys = np.unique(
+        (row_ids.astype(np.int64) << 32) | codes.astype(np.int64)
+    )
+    rows = (keys >> 32).astype(np.int64)
+    sizes = np.bincount(rows, minlength=n)
+    valid_pair = np.ones(n - 1, bool)
+    valid_pair[off[1:-1] - 1] = False  # pairs spanning two conversations
+    if not valid_pair.any():
+        return empty
+    lmask = np.zeros(n, bool)
+    lmask[: n - 1] = valid_pair
+    rmask = np.zeros(n, bool)
+    rmask[1:] = valid_pair
+    lsel = lmask[rows]
+    rsel = rmask[rows]
+    left = (rows[lsel] << 32) | (keys[lsel] & 0xFFFFFFFF)
+    right = ((rows[rsel] - 1) << 32) | (keys[rsel] & 0xFFFFFFFF)
+    inter_keys = np.intersect1d(left, right, assume_unique=True)
+    inter = np.bincount((inter_keys >> 32).astype(np.int64), minlength=n - 1)
+    union = sizes[:-1] + sizes[1:] - inter
+    lens = np.diff(off)
+    # conv index of pair j is the conv of row j; rows are conv-contiguous
+    pj = np.flatnonzero(valid_pair)
+    conv_idx = np.searchsorted(off, pj, side="right") - 1
+    n_pairs = np.bincount(conv_idx, minlength=lens.size)
+    inter_sum = np.bincount(conv_idx, weights=inter[pj], minlength=lens.size).astype(np.int64)
+    union_sum = np.bincount(conv_idx, weights=union[pj], minlength=lens.size).astype(np.int64)
+    nz = np.flatnonzero(n_pairs)
+    conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1][nz], pa.int64()))
+    return pa.table({
+        "conv_id": conv,
+        "n_pairs": pa.array(n_pairs[nz], pa.int64()),
+        "inter_sum": pa.array(inter_sum[nz], pa.int64()),
+        "union_sum": pa.array(union_sum[nz], pa.int64()),
+    })
 
 
 def turn_overlap_sql(src: str) -> str:

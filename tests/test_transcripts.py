@@ -526,3 +526,35 @@ def test_conv_flatten_sorted_equals_bucketed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_turn_overlap_sorted_equals_bucketed(ray_session, tmp_path):
+    """turn_overlap's sorted-input path: identical to the bucketed path on
+    mid-conversation shard cuts."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from harvester_ray.pipelines import transcripts as T
+
+    rows = []
+    for ci in range(6):
+        for ti in range((ci % 3) + 2):
+            rows.append((f"c{ci:02d}", ti, f"alpha beta w{ci} t{ti} beta"))
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows]),
+    })
+    files = []
+    cuts = [0, 3, 4, 9, t.num_rows]
+    for i in range(len(cuts) - 1):
+        f = str(tmp_path / f"ov-{i:03d}.parquet")
+        pq.write_table(t.slice(cuts[i], cuts[i + 1] - cuts[i]), f)
+        files.append(f)
+    a = T.turn_overlap(rd.read_parquet(files))
+    b = T.turn_overlap_sorted(files)
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
