@@ -93,6 +93,10 @@ def main(argv: list[str] | None = None) -> int:
     ms.add_argument("queries", nargs="+")
     ms.add_argument("--k", type=int, default=10)
 
+    sr = sub.add_parser("search-dsl")  # ES _search JSON body (query+aggs)
+    sr.add_argument("root")
+    sr.add_argument("body", help="JSON _search body or @path/to/body.json")
+
     c = sub.add_parser("compact")
     c.add_argument("root")
     c.add_argument("--target", type=int, default=8)
@@ -174,6 +178,15 @@ def main(argv: list[str] | None = None) -> int:
         ).to_pandas()
         out["score"] = out["score"].round(4)
         print(out.to_json(orient="records"))
+    elif args.cmd == "search-dsl":
+        from harvester_ray.index import api, query
+
+        raw = args.body
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        resp = api.search_request(query.IndexReader(args.root), json.loads(raw))
+        print(json.dumps(resp, default=str))
     elif args.cmd == "msearch":
         from harvester_ray.index import query
 

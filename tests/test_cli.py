@@ -104,3 +104,30 @@ def test_cli_lifecycle_extensions(tmp_path):
                    timeout=60)
     ro = json.loads(_run("rollover", reg, "writes", root, "--max-docs", "1"))
     assert ro["rolled_over"] is True
+
+
+def test_cli_search_dsl(tmp_path):
+    """search-dsl: an ES _search JSON body through the CLI (query DSL +
+    from/size + track_total_hits) matches the plain search command."""
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(30, dtype=np.int64),
+        "text": [f"spark window doc {i}" if i % 2 else f"batch stream {i}"
+                 for i in range(30)],
+    })
+    src = str(tmp_path / "c.parquet")
+    corpus.to_parquet(src)
+    root = str(tmp_path / "idx")
+    json.loads(_run("build", src, root))
+    body = json.dumps({
+        "query": {"match": {"text": {"query": "spark window", "operator": "and"}}},
+        "size": 3, "track_total_hits": True,
+    })
+    resp = json.loads(_run("search-dsl", root, body))
+    plain = json.loads(_run("search", root, "spark window", "--k", "3"))
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [h["doc_id"] for h in plain]
+    assert resp["hits"]["total"]["value"] == 15
+    # @file form
+    bf = tmp_path / "body.json"
+    bf.write_text(body)
+    resp2 = json.loads(_run("search-dsl", root, f"@{bf}"))
+    assert resp2 == resp
