@@ -1569,6 +1569,28 @@ def _date_histogram(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _moving_percentiles(sf_dir: str) -> pd.DataFrame:
+    """ES moving_percentiles (exact window quantile_cont over integer
+    bucket counts) — trailing window 3, median."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.moving_percentiles(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        window=3, q=0.5, ts_field="ts", mode="or",
+    )
+
+
+def _extended_stats_bucket(sf_dir: str) -> pd.DataFrame:
+    """ES extended_stats_bucket: variance/σ of the hourly bucket counts
+    (HUGEINT numerator, mirrored derivations)."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.extended_stats_bucket(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", mode="or",
+    )
+
+
 def _bucket_script(sf_dir: str) -> pd.DataFrame:
     """ES bucket_script: derived per-bucket ratio (tool-call share) from
     two sibling metrics of the hourly histogram."""
@@ -3613,6 +3635,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_fn": _moving_fn,
         "bucket_script": _bucket_script,
         "normalize_agg": _normalize_agg,
+        "moving_percentiles": _moving_percentiles,
+        "extended_stats_bucket": _extended_stats_bucket,
         "serial_diff": _serial_diff,
         "bucket_sort": _bucket_sort_agg,
         "cumulative_cardinality": _cumulative_cardinality,
@@ -4814,6 +4838,12 @@ GROUP BY v.value ORDER BY v.value"""
             "tdocp", HAS_CHILD_QUERY, tool_col="tool", ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "normalize_agg": index_oracle.normalize_agg_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "moving_percentiles": index_oracle.moving_percentiles_sql(
+            "tdocp", HAS_CHILD_QUERY, window=3, q=0.5, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "extended_stats_bucket": index_oracle.extended_stats_bucket_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "serial_diff": index_oracle.serial_diff_sql(

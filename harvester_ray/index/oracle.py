@@ -2569,3 +2569,64 @@ scored AS (
 SELECT doc_id, round(score, {round_digits}) AS score
 FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
+
+
+def moving_percentiles_sql(
+    table: str,
+    query_text: str,
+    *,
+    window: int = 3,
+    q: float = 0.5,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.moving_percentiles: window quantile_cont
+    over the bucket counts (exact — integer counts, dyadic interpolation)."""
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT bucket_us, doc_count,
+       quantile_cont(doc_count, {q}) OVER w AS moving_pct
+FROM h
+WINDOW w AS (ORDER BY bucket_us ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+ORDER BY bucket_us
+""".strip()
+
+
+def extended_stats_bucket_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.extended_stats_bucket: HUGEINT variance
+    numerator over the bucket counts, mirrored float derivations."""
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)},
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(min(doc_count) AS BIGINT) AS mn,
+         CAST(max(doc_count) AS BIGINT) AS mx,
+         CAST(sum(doc_count) AS BIGINT) AS s,
+         CAST(sum(CAST(doc_count AS HUGEINT) * doc_count) AS HUGEINT) AS s2
+  FROM h
+),
+der AS (
+  SELECT n, mn, mx, s,
+         CAST(n AS HUGEINT) * s2 - CAST(s AS HUGEINT) * s AS var_num
+  FROM agg
+)
+SELECT n AS n_buckets, mn AS min_count, mx AS max_count, s AS sum_count,
+       floor(s * 1.0 / n * 1e6 + 0.5) / 1e6 AS avg_count,
+       floor(CAST(var_num AS DOUBLE) / (CAST(n AS DOUBLE) * n) * 1e6 + 0.5) / 1e6 AS variance,
+       floor(sqrt(CAST(var_num AS DOUBLE)) / n * 1e6 + 0.5) / 1e6 AS std_dev
+FROM der
+""".strip()

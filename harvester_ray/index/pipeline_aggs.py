@@ -592,3 +592,86 @@ def normalize_agg(
         6,
     )
     return h
+
+
+def moving_percentiles(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    window: int = 3,
+    q: float = 0.5,
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``moving_percentiles`` pipeline agg — EXACT (the counts are small
+    integers, not a TDigest): the ``q``-quantile (quantile_cont
+    interpolation) of the trailing ``window`` bucket counts including the
+    current one; partial leading windows use the buckets present (the
+    moving_fn convention). Integer counts → dyadic interpolated values,
+    bit-exact against the SQL window quantile_cont."""
+    h = _ts_buckets(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    if h.empty:
+        h["moving_pct"] = pd.Series(dtype=np.float64)
+        return h
+    c = h["doc_count"].to_numpy(np.int64)
+    vals = np.empty(c.size, dtype=np.float64)
+    for i in range(c.size):
+        w = np.sort(c[max(0, i - window + 1): i + 1]).astype(np.float64)
+        hpos = q * (w.size - 1)
+        lo = int(np.floor(hpos))
+        hi = min(lo + 1, w.size - 1)
+        vals[i] = w[lo] + (hpos - lo) * (w[hi] - w[lo])
+    h["moving_pct"] = vals
+    return h
+
+
+def extended_stats_bucket(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``extended_stats_bucket`` pipeline agg: variance/σ of the
+    date-histogram bucket counts on top of stats_bucket's min/max/sum/mean
+    — the HUGEINT-numerator recipe of extras.extended_stats_agg applied to
+    the histogram. One row."""
+    import math
+
+    h = _ts_buckets(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    if h.empty:
+        return pd.DataFrame({
+            "n_buckets": pd.Series(dtype=np.int64),
+            "min_count": pd.Series(dtype=np.int64),
+            "max_count": pd.Series(dtype=np.int64),
+            "sum_count": pd.Series(dtype=np.int64),
+            "avg_count": pd.Series(dtype=np.float64),
+            "variance": pd.Series(dtype=np.float64),
+            "std_dev": pd.Series(dtype=np.float64),
+        })
+    c = h["doc_count"].to_numpy(np.int64)
+    n = int(c.size)
+    s = int(c.sum())
+    s2 = int((c * c).sum())
+    var_num = n * s2 - s * s
+
+    def r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame([{
+        "n_buckets": np.int64(n),
+        "min_count": np.int64(c.min()),
+        "max_count": np.int64(c.max()),
+        "sum_count": np.int64(s),
+        "avg_count": r6(s * 1.0 / n),
+        "variance": r6(float(var_num) / (float(n) * n)),
+        "std_dev": r6(math.sqrt(float(var_num)) / n),
+    }])

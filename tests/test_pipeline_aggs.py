@@ -208,3 +208,28 @@ def test_normalize_matches_oracle(paidx, con):
     # percentages cover the whole histogram (fixed-point sum ≈ 100)
     assert abs(got["percent_of_sum"].sum() - 100.0) < 0.01
     assert (got["percent_of_sum"] > 0).all()
+
+
+def test_moving_percentiles_matches_oracle(paidx, con):
+    root, _ = paidx
+    got = pipeline_aggs.moving_percentiles(
+        query.IndexReader(root), QUERY, window=4, q=0.25, ts_field="ts"
+    )
+    exp = con.execute(
+        oracle.moving_percentiles_sql("tdocp", QUERY, window=4, q=0.25, ts_col="ts")
+    ).fetchdf()
+    _cmp(got, exp)
+    assert got["moving_pct"].notna().all()
+
+
+def test_extended_stats_bucket_matches_oracle(paidx, con):
+    root, _ = paidx
+    got = pipeline_aggs.extended_stats_bucket(
+        query.IndexReader(root), QUERY, ts_field="ts"
+    )
+    exp = con.execute(
+        oracle.extended_stats_bucket_sql("tdocp", QUERY, ts_col="ts")
+    ).fetchdf()
+    _cmp(got, exp)
+    r = got.iloc[0]
+    assert r.variance >= 0 and r.min_count <= r.avg_count <= r.max_count
