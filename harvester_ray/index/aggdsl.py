@@ -129,6 +129,14 @@ def execute_aggs(
         elif kind == "normalize":
             out[name] = pipeline_aggs.normalize_agg(
                 reader, query_text, ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "moving_percentiles":
+            out[name] = pipeline_aggs.moving_percentiles(
+                reader, query_text, window=int(body.get("window", 3)),
+                q=float(body.get("percent", 50.0)) / 100.0,
+                ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "extended_stats_bucket":
+            out[name] = pipeline_aggs.extended_stats_bucket(
+                reader, query_text, ts_field=body.get("field", "ts"), mode=mode)
         elif kind == "cumulative_cardinality":
             out[name] = pipeline_aggs.cumulative_cardinality(
                 reader, query_text, field=body["field"],

@@ -87,4 +87,33 @@ def search_request(reader: IndexReader, body: dict) -> dict[str, Any]:
         resp["aggregations"] = {
             name: frame.to_dict("records") for name, frame in frames.items()
         }
+
+    if "suggest" in body:
+        sugg: dict[str, Any] = {}
+        for name, spec in body["suggest"].items():
+            if "term" in spec:
+                frame = extras.did_you_mean(
+                    reader, spec["text"],
+                    max_edits=int(spec["term"].get("max_edits", 2)))
+            elif "phrase" in spec:
+                frame = extras.suggest_phrases(
+                    reader, spec["text"],
+                    max_edits=int(spec["phrase"].get("max_edits", 1)))
+            elif "completion" in spec:
+                frame = extras.suggest(
+                    reader, spec["prefix"],
+                    limit=int(spec["completion"].get("size", 10)))
+            else:
+                raise ValueError(f"unsupported suggester: {sorted(spec)}")
+            sugg[name] = frame.to_dict("records")
+        resp["suggest"] = sugg
+
+    if body.get("explain"):
+        qtext, _mode = _match_parts(query)
+        resp["explanations"] = {
+            int(h["_id"]): extras.explain(
+                reader, qtext, doc_id=int(h["_id"])
+            ).to_dict("records")
+            for h in resp["hits"]["hits"]
+        }
     return resp

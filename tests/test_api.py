@@ -57,3 +57,37 @@ def test_sort_by_attribute(idx):
     assert [h["_id"] for h in resp["hits"]["hits"]] == list(page["doc_id"])
     vals = [h["_sort"] for h in resp["hits"]["hits"]]
     assert vals == sorted(vals, reverse=True)
+
+
+def test_suggest_and_explain_blocks(idx):
+    from harvester_ray.index import extras
+
+    resp = api.search_request(idx, {
+        "query": {"match": {"text": "table"}},
+        "size": 2,
+        "explain": True,
+        "suggest": {
+            "fix": {"text": "tabel", "term": {"max_edits": 2}},
+            "phrase_fix": {"text": "tabel scna", "phrase": {"max_edits": 1}},
+            "auto": {"prefix": "sc", "completion": {"size": 5}},
+        },
+    })
+    assert resp["suggest"]["fix"] == extras.did_you_mean(
+        idx, "tabel", max_edits=2).to_dict("records")
+    assert resp["suggest"]["phrase_fix"] == extras.suggest_phrases(
+        idx, "tabel scna", max_edits=1).to_dict("records")
+    assert resp["suggest"]["auto"] == extras.suggest(
+        idx, "sc", limit=5).to_dict("records")
+    for h in resp["hits"]["hits"]:
+        ex = resp["explanations"][h["_id"]]
+        assert ex == extras.explain(idx, "table", doc_id=h["_id"]).to_dict("records")
+        # the explanation's per-term contributions sum to the hit's score
+        total = round(sum(r["score"] for r in ex), 4)
+        assert abs(total - h["_score"]) < 2e-4
+
+
+def test_aggdsl_new_pipeline_types(idx):
+    from harvester_ray.index import aggdsl
+
+    with pytest.raises(ValueError):
+        aggdsl.execute_aggs(idx, "table", {"x": {"nope": {}}})
