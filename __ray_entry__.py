@@ -3516,6 +3516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
         "similarity_lmd": lambda sf: _similarity(sf, "lm_dirichlet"),
         "similarity_classic": lambda sf: _similarity(sf, "classic"),
+        "similarity_jm": lambda sf: _similarity(sf, "lm_jelinek_mercer"),
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_not": _bm25_not,
@@ -4139,6 +4140,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "similarity_classic": index_oracle.similarity_sql(
             "documents", BM25_QUERY_AND, model="classic", k=10, mode="or",
+        ),
+        "similarity_jm": index_oracle.similarity_sql(
+            "documents", BM25_QUERY_AND, model="lm_jelinek_mercer", k=10, mode="or",
         ),
         "bm25_filtered": (
             "WITH ranked AS ("

@@ -1908,6 +1908,15 @@ def similarity_sql(
         )
         score_expr = f"sum({per_term})"
         extra_join = "JOIN cf c USING (term)"
+    elif model == "lm_jelinek_mercer":
+        # λ = 0.5 ⇒ (1-λ)/λ ≡ 1 (IEEE-exact); mirror the engine's
+        # (tf/dl)/p(t|C) operation order verbatim.
+        per_term = (
+            "ln(1 + (tf.tf / d.dl)"
+            " / (CAST(c.cf AS DOUBLE) / CAST(s.total AS DOUBLE)))"
+        )
+        score_expr = f"sum({per_term})"
+        extra_join = "JOIN cf c USING (term)"
     elif model == "classic":
         score_expr = (
             "sum(sqrt(tf.tf) * i.idf * i.idf / sqrt(d.dl))"

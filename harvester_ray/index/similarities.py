@@ -14,6 +14,10 @@ BM25 scorer reads:
   ``coord(q,d) · Σ sqrt(tf) · idf² / sqrt(dl)`` with ``idf = 1 +
   ln(n_docs/(df+1))`` and ``coord = |matched terms| / |query terms|``;
   queryNorm is omitted (a per-query constant — rank-invariant).
+- ``lm_jelinek_mercer`` — Lucene LMJelinekMercerSimilarity: per matched
+  term ``ln(1 + ((1-λ)/λ) · (tf/dl) / p(t|C))``. λ is fixed at 0.5 (the
+  Lucene default for short queries is 0.1, but 0.5 makes (1-λ)/λ ≡ 1 —
+  exact in IEEE doubles, so engine and SQL oracle agree bit-for-bit).
 
 Scale/parity notes: collection frequencies come from one full postings
 decode per (query term, segment) — the same cost class as a scored query —
@@ -72,7 +76,7 @@ def search_similarity(
         return empty
     n_docs = reader.n_docs
     total_tokens = int(reader.manifest["dl_sum"])
-    if model == "lm_dirichlet":
+    if model in ("lm_dirichlet", "lm_jelinek_mercer"):
         cf = _collection_freqs(reader, live)
         live = [t for t in live if cf[t] > 0]
         if not live:
@@ -120,6 +124,9 @@ def search_similarity(
             if model == "lm_dirichlet":
                 pc = cf[t] / total_tokens
                 s = np.log(1.0 + tf / (mu * pc)) + np.log(mu / (dl + mu))
+            elif model == "lm_jelinek_mercer":
+                pc = cf[t] / total_tokens
+                s = np.log(1.0 + (tf / dl) / pc)
             else:
                 s = np.sqrt(tf) * idf[t] * idf[t] / np.sqrt(dl)
             scores += np.where(hit, s, 0.0)

@@ -28,7 +28,7 @@ def con():
     return c
 
 
-@pytest.mark.parametrize("model", ["lm_dirichlet", "classic"])
+@pytest.mark.parametrize("model", ["lm_dirichlet", "classic", "lm_jelinek_mercer"])
 @pytest.mark.parametrize("mode", ["or", "and"])
 def test_similarity_matches_oracle(idx, con, model, mode):
     r = query.IndexReader(idx)
@@ -55,9 +55,16 @@ def test_similarity_rankings_differ_from_bm25(idx):
     classic = list(
         similarities.search_similarity(r, Q, model="classic", k=10, mode="or")["doc_id"]
     )
+    jm = list(
+        similarities.search_similarity(
+            r, Q, model="lm_jelinek_mercer", k=10, mode="or"
+        )["doc_id"]
+    )
     assert lmd != bm25_ids
     assert classic != bm25_ids
+    assert jm != bm25_ids
     assert lmd != classic
+    assert jm != lmd
 
 
 def test_lm_dirichlet_prefers_shorter_docs_at_equal_tf(idx):
