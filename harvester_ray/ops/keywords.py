@@ -353,6 +353,111 @@ FROM counts ORDER BY n DESC, left_sym, right_sym LIMIT {k}
 """.strip()
 
 
+def bpe_learn_merges(
+    ds,
+    *,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> pd.DataFrame:
+    """BPE tokenizer TRAINING: learn the first ``n_merges`` merge rules over
+    the corpus (the iterative step `bpe_pair_counts` only previews). This is
+    how every production trainer (HF tokenizers, SentencePiece-BPE) splits
+    the work: ONE distributed pass reduces the corpus to the word-frequency
+    dictionary (vocabulary-bounded — the same partial-fold shape as
+    ``corpus_cf``), then merge learning iterates on that dictionary locally,
+    never re-reading the corpus. At 100 TB the corpus pass is the only part
+    that scales with data; the merge loop scales with |vocab| · n_merges.
+
+    Per step: count adjacent symbol pairs weighted by word frequency, pick
+    the max (count desc, (left, right) asc — exact integer tie-break),
+    rewrite every word by greedy left-to-right non-overlapping replacement,
+    repeat. Returns ``(step, left_sym, right_sym, n)``, one row per merge.
+    """
+    wf = corpus_cf(ds, text_col=text_col)
+    words: list[tuple[str, ...]] = [tuple(w) for w in wf["term"]]
+    freq = wf["n"].to_numpy(np.int64)
+    out: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in zip(words, freq):
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + int(f)
+        if not counts:
+            break
+        (left, right), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((step, left, right, n))
+        merged = left + right
+        new_words = []
+        for syms in words:
+            if left not in syms:
+                new_words.append(syms)
+                continue
+            res: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    res.append(merged)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_words.append(tuple(res))
+        words = new_words
+    return pd.DataFrame(out, columns=["step", "left_sym", "right_sym", "n"]).astype(
+        {"step": np.int64, "n": np.int64}
+    )
+
+
+def bpe_learn_merges_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    n_merges: int = 6,
+) -> str:
+    """Oracle for ``bpe_learn_merges``: the merge loop unrolled into CTE
+    steps. Words are represented as paren-wrapped symbol strings
+    ``(c)(o)(n)(v)`` so one ``replace('(l)(r)' → '(lr)')`` IS the greedy
+    left-to-right non-overlapping merge (adjacent matches share no
+    characters, and symbols are [a-z0-9]+ so parens can't false-match).
+    Pair keys join with a TAB (sorts below every token char), making the
+    string ORDER BY identical to the engine's (left, right) tuple
+    tie-break."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    parts = [
+        f"""toks AS (SELECT unnest({tok}) AS w FROM {table}),
+wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
+w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, freq FROM wf)"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""s{i} AS (
+  SELECT string_split(trim(repr, '()'), ')(') AS syms, freq FROM w{i - 1}
+),
+cnt{i} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS n FROM (
+    SELECT unnest([syms[j] || chr(9) || syms[j + 1] for j in range(1, len(syms))]) AS pair,
+           freq
+    FROM s{i} WHERE len(syms) >= 2
+  ) GROUP BY 1
+),
+best{i} AS (
+  SELECT string_split(pair, chr(9))[1] AS l, string_split(pair, chr(9))[2] AS r, n
+  FROM cnt{i} ORDER BY n DESC, pair ASC LIMIT 1
+),
+w{i} AS (
+  SELECT replace(repr, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS repr, freq
+  FROM w{i - 1} CROSS JOIN best{i}
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym, n FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY step"
+    ).strip()
+
+
 def unigram_logprob(
     ds,
     *,

@@ -174,3 +174,47 @@ def test_vocab_coverage(ray_session):
     assert m[1]["covered"] == 6 and m[1]["coverage"] == 0.6
     assert m[2]["covered"] == 9 and m[2]["coverage"] == 0.9
     assert m[99]["n_terms"] == 3 and m[99]["coverage"] == 1.0
+
+
+def test_bpe_learn_merges_greedy_and_iterative(ray_session):
+    # "aaa" f=2, "ab" f=1. Step 1: (a,a) counted at BOTH positions of
+    # 'aaa' → 2·2 = 4 beats (a,b) = 1. Greedy rewrite: 'aaa' → (aa)(a),
+    # NOT (a)(aa) and never (aa)(aa) — so step 2 sees ('aa','a') = 2
+    # beating ('a','b') = 1: the composite symbol proves iteration.
+    out = keywords.bpe_learn_merges(_ds(["aaa aaa", "ab"]), n_merges=2)
+    assert list(out["step"]) == [1, 2]
+    assert (out.iloc[0]["left_sym"], out.iloc[0]["right_sym"]) == ("a", "a")
+    assert out.iloc[0]["n"] == 4
+    assert (out.iloc[1]["left_sym"], out.iloc[1]["right_sym"]) == ("aa", "a")
+    assert out.iloc[1]["n"] == 2
+
+
+def test_bpe_learn_merges_matches_oracle_and_composes(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    exp = con.execute(
+        keywords.bpe_learn_merges_sql("documents", n_merges=8)
+    ).fetchdf()
+    got = keywords.bpe_learn_merges(
+        rd.read_parquet(
+            "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+        ),
+        n_merges=8,
+    )
+    assert got.values.tolist() == exp.values.tolist()
+    # non-degeneracy: a later merge must consume an earlier merged symbol,
+    # or the gate couldn't tell iterative training from a static top-k
+    multi = (got["left_sym"].str.len() > 1) | (got["right_sym"].str.len() > 1)
+    assert multi.any()
+
+
+def test_bpe_learn_merges_partition_independent(ray_session):
+    a = keywords.bpe_learn_merges(_ds(TEXTS), n_merges=3)
+    b = keywords.bpe_learn_merges(_ds(TEXTS).repartition(5), n_merges=3)
+    assert a.values.tolist() == b.values.tolist()
