@@ -3759,6 +3759,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": lambda sf: _keywords.bpe_learn_merges(
             _docs_ds(sf, ("text",)), n_merges=8
         ),
+        "bpe_encode_counts": lambda sf: _keywords.bpe_encode_counts(
+            _docs_ds(sf), n_merges=8
+        ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
@@ -4502,6 +4505,7 @@ GROUP BY v.value ORDER BY v.value"""
         "collocations_pmi": _keywords.collocations_pmi_sql("documents", k=50, min_count=5),
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "bpe_learn_merges": _keywords.bpe_learn_merges_sql("documents", n_merges=8),
+        "bpe_encode_counts": _keywords.bpe_encode_counts_sql("documents", n_merges=8),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),

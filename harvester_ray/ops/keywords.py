@@ -374,6 +374,16 @@ def bpe_learn_merges(
     repeat. Returns ``(step, left_sym, right_sym, n)``, one row per merge.
     """
     wf = corpus_cf(ds, text_col=text_col)
+    out, _ = _bpe_train(wf, n_merges)
+    return out
+
+
+def _bpe_train(
+    wf: pd.DataFrame, n_merges: int
+) -> tuple[pd.DataFrame, list[tuple[str, ...]]]:
+    """Merge-learning loop over the word-frequency dictionary. Returns the
+    merge table and the final symbol tuple per vocabulary word (aligned with
+    ``wf`` row order) so encoding can reuse the trained state."""
     words: list[tuple[str, ...]] = [tuple(w) for w in wf["term"]]
     freq = wf["n"].to_numpy(np.int64)
     out: list[tuple[int, str, str, int]] = []
@@ -403,9 +413,10 @@ def bpe_learn_merges(
                     i += 1
             new_words.append(tuple(res))
         words = new_words
-    return pd.DataFrame(out, columns=["step", "left_sym", "right_sym", "n"]).astype(
+    table = pd.DataFrame(out, columns=["step", "left_sym", "right_sym", "n"]).astype(
         {"step": np.int64, "n": np.int64}
     )
+    return table, words
 
 
 def bpe_learn_merges_sql(
@@ -422,11 +433,26 @@ def bpe_learn_merges_sql(
     Pair keys join with a TAB (sorts below every token char), making the
     string ORDER BY identical to the engine's (left, right) tuple
     tie-break."""
+    parts = _bpe_sql_chain(table, text_col, n_merges)
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym, n FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY step"
+    ).strip()
+
+
+def _bpe_sql_chain(table: str, text_col: str, n_merges: int) -> list[str]:
+    """Shared unrolled-CTE merge chain. Each ``w{i}`` carries
+    ``(w, repr, freq)`` — the original word rides along so the encode oracle
+    can map words to their post-merge representations; the learn oracle just
+    ignores it."""
     tok = analyzer.sql_tokenize_expr(text_col)
     parts = [
         f"""toks AS (SELECT unnest({tok}) AS w FROM {table}),
 wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY 1),
-w0 AS (SELECT regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, freq FROM wf)"""
+w0 AS (SELECT w, regexp_replace(w, '(.)', '(\\1)', 'g') AS repr, freq FROM wf)"""
     ]
     for i in range(1, n_merges + 1):
         parts.append(
@@ -445,16 +471,102 @@ best{i} AS (
   FROM cnt{i} ORDER BY n DESC, pair ASC LIMIT 1
 ),
 w{i} AS (
-  SELECT replace(repr, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS repr, freq
+  SELECT w, replace(repr, '(' || l || ')(' || r || ')', '(' || l || r || ')') AS repr, freq
   FROM w{i - 1} CROSS JOIN best{i}
 )"""
         )
-    union = "\nUNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, r AS right_sym, n FROM best{i}"
-        for i in range(1, n_merges + 1)
+    return parts
+
+
+def bpe_encode_counts(
+    ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> pd.DataFrame:
+    """BPE tokenizer APPLICATION: per-document token counts under the
+    tokenizer trained by ``bpe_learn_merges``. The expensive merge rewriting
+    happens ONCE per distinct vocabulary word (vocabulary-bounded, local);
+    the corpus-scale work is a single distributed pass that tokenizes each
+    batch and maps its batch dictionary through a broadcast
+    (sorted word array → token count) lookup — per-token cost is one int32
+    fancy-index, the searchsorted runs on the batch DICTIONARY only. Two
+    corpus passes total (train + encode), both streaming, zero shuffle.
+
+    Returns ``(doc_id, n_tokens)`` for every document (0 for token-free
+    docs), sorted by doc_id.
+    """
+    import ray
+
+    wf = corpus_cf(ds, text_col=text_col)
+    _, words = _bpe_train(wf, n_merges)
+    vocab = wf["term"].to_numpy(dtype=object)
+    ntok = np.fromiter((len(s) for s in words), np.int64, count=len(words))
+    order = np.argsort(vocab)
+    lookup_ref = ray.put((vocab[order], ntok[order]))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        v, nt = ray.get(lookup_ref)
+        text = analyzer.normalize_text(batch[text_col])
+        row_ids, codes, dictionary = analyzer.tokenize_flat(text)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        dict_tokens = nt[np.searchsorted(v, terms)] if len(terms) else nt[:0]
+        sums = np.bincount(
+            row_ids, weights=dict_tokens[codes].astype(np.float64), minlength=len(batch)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "n_tokens": pa.array(sums, pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            per_doc, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype=np.int64), "n_tokens": pd.Series(dtype=np.int64)}
+        )
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def bpe_encode_counts_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+) -> str:
+    """Oracle for ``bpe_encode_counts``: the shared merge chain's final
+    ``w{n}`` maps each word to its paren representation; token count is the
+    number of '(' markers. Per-doc counts via join on the unnested token
+    stream, LEFT JOIN keeps token-free documents at 0."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    parts = _bpe_sql_chain(table, text_col, n_merges)
+    parts.append(
+        f"""wtok AS (
+  SELECT w, CAST(length(repr) - length(replace(repr, '(', '')) AS BIGINT) AS nt
+  FROM w{n_merges}
+),
+dt AS (SELECT {id_col} AS doc_id, unnest({tok}) AS w FROM {table}),
+per_doc AS (
+  SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM dt JOIN wtok USING (w) GROUP BY 1
+)"""
     )
     return (
-        "WITH " + ",\n".join(parts) + f"\nSELECT * FROM ({union}) ORDER BY step"
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT d.{id_col} AS doc_id, CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens
+FROM {table} d LEFT JOIN per_doc p ON d.{id_col} = p.doc_id
+ORDER BY doc_id"""
     ).strip()
 
 

@@ -218,3 +218,18 @@ def test_bpe_learn_merges_partition_independent(ray_session):
     a = keywords.bpe_learn_merges(_ds(TEXTS), n_merges=3)
     b = keywords.bpe_learn_merges(_ds(TEXTS).repartition(5), n_merges=3)
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_bpe_encode_counts(ray_session):
+    # merges learned on ["aaa aaa", "ab"]: step1 (a,a) → step2 (aa,a).
+    # After 2 merges: 'aaa' = (aaa) → 1 token, 'ab' = (a)(b) → 2 tokens.
+    out = keywords.bpe_encode_counts(
+        _ds(["aaa aaa", "ab", ""], ids=[1, 2, 3]), n_merges=2
+    )
+    assert list(out["doc_id"]) == [1, 2, 3]
+    assert list(out["n_tokens"]) == [2, 2, 0]
+    # 0 merges: token count == char count of the tokenized words
+    out0 = keywords.bpe_encode_counts(
+        _ds(["aaa aaa", "ab"], ids=[1, 2]), n_merges=0
+    )
+    assert list(out0["n_tokens"]) == [6, 2]
