@@ -141,6 +141,37 @@ def execute_aggs(
             out[name] = pipeline_aggs.cumulative_cardinality(
                 reader, query_text, field=body["field"],
                 ts_field=body.get("ts_field", "ts"), mode=mode)
+        elif kind == "bucket_sort":
+            out[name] = pipeline_aggs.bucket_sort(
+                reader, query_text, size=int(body.get("size", 10)),
+                min_count=int(body.get("min_count", 1)),
+                ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "weighted_avg":
+            out[name] = pipeline_aggs.weighted_avg(
+                reader, query_text, ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "top_metrics":
+            out[name] = pipeline_aggs.top_metrics(
+                reader, query_text, group=body.get("group", "tool"),
+                ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "diversified_sampler":
+            out[name] = pipeline_aggs.diversified_sampler(
+                reader, query_text, field=body["field"],
+                max_per=int(body.get("max_docs_per_value", 1)),
+                k=int(body.get("shard_size", 10)), mode=mode)
+        elif kind == "auto_date_histogram":
+            out[name] = pipeline_aggs.auto_date_histogram(
+                reader, query_text,
+                target_buckets=int(body.get("buckets", 20)),
+                ts_field=body.get("field", "ts"), mode=mode)
+        elif kind == "top_hits":
+            out[name] = extras.top_hits(
+                reader, query_text, field=body["field"],
+                per_group=int(body.get("size", 3)),
+                n_groups=int(body.get("n_groups", 5)), mode=mode)
+        elif kind == "t_test":
+            out[name] = extras.t_test_agg(
+                reader, query_text, field=body["field"],
+                group_a=body["a"], group_b=body["b"], mode=mode)
         else:
             raise ValueError(f"unsupported aggregation type: {kind!r}")
     return out

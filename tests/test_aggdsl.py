@@ -62,6 +62,8 @@ def test_bucket_and_metric_aggs(idx):
         "adj": {"adjacency_matrix": {"filters": {
             "en": {"term": {"lang": "en"}},
             "s0": {"term": {"source": "src0"}}}}},
+        "th": {"top_hits": {"field": "source", "size": 2, "n_groups": 4}},
+        "tt": {"t_test": {"field": "source", "a": "src0", "b": "src1"}},
     })
     _eq(out["by_source"], extras.terms_agg(idx, Q, field="source", size=5))
     _eq(out["rare"], extras.rare_terms_agg(idx, Q, field="source", max_doc_count=2))
@@ -80,6 +82,9 @@ def test_bucket_and_metric_aggs(idx):
         idx, Q, {"a": {"source": ["src0"]}, "b": {"source": ["src1", "src2"]}}))
     _eq(out["adj"], extras.adjacency_matrix(
         idx, Q, {"en": {"lang": ["en"]}, "s0": {"source": ["src0"]}}))
+    _eq(out["th"], extras.top_hits(idx, Q, field="source", per_group=2, n_groups=4))
+    _eq(out["tt"], extras.t_test_agg(
+        idx, Q, field="source", group_a="src0", group_b="src1"))
 
 
 def test_pipeline_aggs_route(tmp_path_factory):
@@ -106,6 +111,12 @@ def test_pipeline_aggs_route(tmp_path_factory):
         "script": {"bucket_script": {"field": "ts", "tool_field": "tool"}},
         "norm": {"normalize": {"field": "ts"}},
         "ccard": {"cumulative_cardinality": {"field": "conv_id"}},
+        "bsort": {"bucket_sort": {"field": "ts", "size": 5, "min_count": 2}},
+        "wavg": {"weighted_avg": {"field": "ts"}},
+        "tmet": {"top_metrics": {"field": "ts", "group": "tool"}},
+        "adh": {"auto_date_histogram": {"field": "ts", "buckets": 12}},
+        "div": {"diversified_sampler": {
+            "field": "conv_id", "max_docs_per_value": 1, "shard_size": 6}},
     })
     _eq(out["hist"], extras.date_histogram(r, "kumo", ts_field="ts"))
     _eq(out["mov"], pipeline_aggs.moving_fn(r, "kumo", window=3, ts_field="ts"))
@@ -113,6 +124,14 @@ def test_pipeline_aggs_route(tmp_path_factory):
     _eq(out["script"], pipeline_aggs.bucket_script(r, "kumo", ts_field="ts"))
     _eq(out["norm"], pipeline_aggs.normalize_agg(r, "kumo", ts_field="ts"))
     _eq(out["ccard"], pipeline_aggs.cumulative_cardinality(r, "kumo", field="conv_id"))
+    _eq(out["bsort"], pipeline_aggs.bucket_sort(r, "kumo", size=5, min_count=2,
+                                                ts_field="ts"))
+    _eq(out["wavg"], pipeline_aggs.weighted_avg(r, "kumo", ts_field="ts"))
+    _eq(out["tmet"], pipeline_aggs.top_metrics(r, "kumo", group="tool", ts_field="ts"))
+    _eq(out["adh"], pipeline_aggs.auto_date_histogram(r, "kumo", target_buckets=12,
+                                                      ts_field="ts"))
+    _eq(out["div"], pipeline_aggs.diversified_sampler(r, "kumo", field="conv_id",
+                                                      max_per=1, k=6))
 
 
 def test_unsupported_agg_raises(idx):
