@@ -12,6 +12,13 @@ that body and routes each part onto the native engine:
 - ``sort``    → attribute-field ordering via extras.search_page
   (match-query context only — the ordering replaces relevance)
 - ``track_total_hits: true`` → exact match_counts total
+- ``collapse``     → extras.search_collapse (one hit per field value)
+- ``search_after`` → extras.search_after (cursor pagination)
+- ``rescore``      → extras.rescore (phrase-proximity second phase)
+- ``min_score``    → post-ranking threshold filter
+- ``_source``      → readback.mget (stored attr columns per hit)
+- ``highlight``    → extras.make_snippets over a corpus Dataset handle
+  (pass ``docs_ds=`` — raw text is not stored in the index)
 
 Response mirrors the ES envelope (a plain dict):
 ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}...]},
@@ -22,6 +29,7 @@ from __future__ import annotations
 
 from typing import Any
 
+from ..analyzer import tokenize_query as _tokenize_query
 from .query import IndexReader
 
 
@@ -36,14 +44,76 @@ def _match_parts(query: dict) -> tuple[str, str]:
     return spec["query"], mode
 
 
-def search_request(reader: IndexReader, body: dict) -> dict[str, Any]:
-    """Execute one ES ``_search`` body. Returns the response envelope."""
+def search_request(
+    reader: IndexReader, body: dict, *, docs_ds=None
+) -> dict[str, Any]:
+    """Execute one ES ``_search`` body. Returns the response envelope.
+    ``docs_ds`` (the corpus Dataset) is only needed for the ``highlight``
+    block — raw text lives in the corpus, not the index doc tables."""
     from . import aggdsl, dsl, extras
 
     query = body.get("query", {"match": {"text": {"query": ""}}})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     resp: dict[str, Any] = {}
+
+    if "collapse" in body:
+        qtext, mode = _match_parts(query)
+        field = body["collapse"]["field"]
+        page = extras.search_collapse(
+            reader, qtext, field=field, k=from_ + size, mode=mode
+        ).iloc[from_:]
+        hits = [
+            {
+                "_id": int(r.doc_id),
+                "_score": float(r.score),
+                "fields": {field: [getattr(r, field)]},
+            }
+            for r in page.itertuples()
+        ]
+        resp["hits"] = {"hits": hits}
+        return resp
+
+    if "search_after" in body:
+        qtext, mode = _match_parts(query)
+        score, doc_id = body["search_after"]
+        page = extras.search_after(
+            reader, qtext, after=(float(score), int(doc_id)), k=size, mode=mode
+        )
+        resp["hits"] = {
+            "hits": [
+                {
+                    "_id": int(r.doc_id),
+                    "_score": float(r.score),
+                    "sort": [float(r.score), int(r.doc_id)],
+                }
+                for r in page.itertuples()
+            ]
+        }
+        return resp
+
+    if "rescore" in body:
+        qtext, mode = _match_parts(query)
+        spec = body["rescore"]
+        rq = spec.get("query", {})
+        inner = rq.get("rescore_query", {}).get("match_phrase", {})
+        slop = 2
+        if inner:
+            ((_f, pspec),) = inner.items()
+            if isinstance(pspec, dict):
+                slop = int(pspec.get("slop", 2))
+        page = extras.rescore(
+            reader, qtext,
+            window=int(spec.get("window_size", 25)), k=size, slop=slop,
+            weight=float(rq.get("rescore_query_weight", 2.0)),
+        )
+        resp["hits"] = {
+            "hits": [
+                {"_id": int(r.doc_id), "_score": float(r.score)}
+                for r in page.itertuples()
+            ]
+        }
+        return resp
 
     if "sort" in body:
         qtext, mode = _match_parts(query)
@@ -66,12 +136,39 @@ def search_request(reader: IndexReader, body: dict) -> dict[str, Any]:
         ]
     else:
         ranked = dsl.execute_dsl(reader, query, k=from_ + size)
+        if "min_score" in body:
+            ranked = ranked[ranked["score"] >= float(body["min_score"])]
         page = ranked.iloc[from_:]
         hits = [
             {"_id": int(r.doc_id), "_score": float(r.score)}
             for r in page.itertuples()
         ]
     resp["hits"] = {"hits": hits}
+
+    ids = [h["_id"] for h in resp["hits"]["hits"]]
+    if "_source" in body and ids:
+        from . import readback
+
+        src_cols = list(body["_source"])
+        by_id = readback.mget(reader.root, ids, columns=src_cols).set_index(
+            "doc_id"
+        )
+        for h in resp["hits"]["hits"]:
+            row = by_id.loc[h["_id"]]
+            h["_source"] = {c: row[c] for c in src_cols}
+    if "highlight" in body and ids:
+        if docs_ds is None:
+            raise ValueError("highlight needs docs_ds (raw text is not indexed)")
+        qtext, _mode = _match_parts(query)
+        terms = sorted(set(_tokenize_query(qtext)))
+        hspec = next(iter(body["highlight"].get("fields", {"text": {}}).values()))
+        snips = extras.make_snippets(
+            extras.fetch_texts(docs_ds, ids), ids, terms,
+            window=int(hspec.get("window", 30)),
+            width=int(hspec.get("fragment_size", 80)),
+        )
+        for h, s in zip(resp["hits"]["hits"], snips):
+            h["highlight"] = {"text": [s]}
 
     if body.get("track_total_hits"):
         qtext, mode = _match_parts(query)

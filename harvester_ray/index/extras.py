@@ -329,7 +329,27 @@ def highlight_topk(
              "snippet": pd.Series(dtype=object)}
         )
     terms = sorted(set(analyzer.tokenize_query(query_text)))
-    ids_ref = ray.put(np.sort(res["doc_id"].to_numpy(dtype=np.int64)))
+    texts = fetch_texts(
+        docs_ds, res["doc_id"].to_numpy(dtype=np.int64),
+        id_col=id_col, text_col=text_col,
+    )
+    out = res[["doc_id", "score"]].copy()
+    out["score"] = out["score"].round(4)
+    out["snippet"] = make_snippets(
+        texts, res["doc_id"], terms, window=window, width=width
+    )
+    return out.reset_index(drop=True)
+
+
+def fetch_texts(
+    docs_ds, doc_ids, *, id_col: str = "doc_id", text_col: str = "text"
+) -> pd.Series:
+    """Fetch the texts of a small id set with one broadcast-id semi-join
+    pass over the docs Dataset (never a full collect). Returns a
+    doc_id-indexed Series."""
+    import ray
+
+    ids_ref = ray.put(np.sort(np.asarray(doc_ids, dtype=np.int64)))
 
     def pick(t: pa.Table) -> pa.Table:
         ids = ray.get(ids_ref)
@@ -338,13 +358,22 @@ def highlight_topk(
         pos[pos == ids.size] = 0
         return t.filter(pa.array(ids[pos] == d)).select([id_col, text_col])
 
-    texts = (
+    return (
         docs_ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
         .set_index(id_col)[text_col]
     )
+
+
+def make_snippets(
+    texts, doc_ids, terms, *, window: int = 30, width: int = 80
+) -> list[str]:
+    """Shared plain-highlighter core: ``width``-char substring starting
+    ``window`` chars before the first query-term occurrence, terms wrapped
+    in ``<em>``. ``texts`` is any int-keyed mapping (pd.Series.get works).
+    O(k) driver work — callers fetch the k texts distributedly."""
     snips = []
-    for doc_id in res["doc_id"]:
+    for doc_id in doc_ids:
         text = texts.get(int(doc_id), "") or ""
         first = min((p for p in (text.find(t) for t in terms) if p >= 0), default=0)
         start = max(0, first - window)
@@ -352,10 +381,7 @@ def highlight_topk(
         for t in terms:
             snip = snip.replace(t, f"<em>{t}</em>")
         snips.append(snip)
-    out = res[["doc_id", "score"]].copy()
-    out["score"] = out["score"].round(4)
-    out["snippet"] = snips
-    return out.reset_index(drop=True)
+    return snips
 
 
 def _levenshtein_batch(query: str, cands: list[str]) -> np.ndarray:

@@ -17,7 +17,8 @@ DOCS = os.path.join(SF_DIR, "documents.parquet")
 def idx(tmp_path_factory):
     root = str(tmp_path_factory.mktemp("apiidx"))
     ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "source", "lang"])
-    build.build_index(ds, root, concurrency=2, attr_cols=["source", "lang"])
+    build.build_index(ds, root, concurrency=2, attr_cols=["source", "lang"],
+                      store_positions=True)
     return query.IndexReader(root)
 
 
@@ -91,3 +92,67 @@ def test_aggdsl_new_pipeline_types(idx):
 
     with pytest.raises(ValueError):
         aggdsl.execute_aggs(idx, "table", {"x": {"nope": {}}})
+
+
+def test_collapse_block(idx):
+    body = {"query": {"match": {"text": "table scan"}},
+            "collapse": {"field": "source"}, "size": 4}
+    resp = api.search_request(idx, body)
+    direct = extras.search_collapse(idx, "table scan", field="source", k=4, mode="or")
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(direct["doc_id"])
+    assert [h["fields"]["source"][0] for h in resp["hits"]["hits"]] == list(
+        direct["source"])
+
+
+def test_search_after_block(idx):
+    first = api.search_request(
+        idx, {"query": {"match": {"text": "table scan"}}, "size": 3})
+    cursor = first["hits"]["hits"][-1]
+    body = {"query": {"match": {"text": "table scan"}},
+            "search_after": [cursor["_score"], cursor["_id"]], "size": 3}
+    resp = api.search_request(idx, body)
+    direct = extras.search_after(
+        idx, "table scan", after=(cursor["_score"], cursor["_id"]), k=3, mode="or")
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(direct["doc_id"])
+    assert all("sort" in h for h in resp["hits"]["hits"])
+
+
+def test_rescore_block(idx):
+    body = {"query": {"match": {"text": "table scan"}}, "size": 5,
+            "rescore": {"window_size": 20, "query": {
+                "rescore_query": {"match_phrase": {"text": {"query": "table scan",
+                                                            "slop": 1}}},
+                "rescore_query_weight": 3.0}}}
+    resp = api.search_request(idx, body)
+    direct = extras.rescore(idx, "table scan", window=20, k=5, slop=1, weight=3.0)
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(direct["doc_id"])
+
+
+def test_min_score_block(idx):
+    full = api.search_request(
+        idx, {"query": {"match": {"text": "table scan"}}, "size": 10})
+    scores = [h["_score"] for h in full["hits"]["hits"]]
+    cut = scores[len(scores) // 2]
+    resp = api.search_request(
+        idx, {"query": {"match": {"text": "table scan"}}, "size": 10,
+              "min_score": cut})
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        h["_id"] for h in full["hits"]["hits"] if h["_score"] >= cut]
+
+
+def test_source_and_highlight_blocks(idx):
+    body = {"query": {"match": {"text": "table scan"}}, "size": 3,
+            "_source": ["source", "lang"],
+            "highlight": {"fields": {"text": {"fragment_size": 60}}}}
+    with pytest.raises(ValueError):
+        api.search_request(idx, body)  # highlight without a corpus handle
+    docs = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    resp = api.search_request(idx, body, docs_ds=docs)
+    assert resp["hits"]["hits"]
+    df = pd.read_parquet(DOCS).set_index("doc_id")
+    for h in resp["hits"]["hits"]:
+        assert h["_source"]["source"] == df.loc[h["_id"], "source"]
+        assert h["_source"]["lang"] == df.loc[h["_id"], "lang"]
+        snip = h["highlight"]["text"][0]
+        assert len(snip.replace("<em>", "").replace("</em>", "")) <= 60
+        assert "<em>" in snip
