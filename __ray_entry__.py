@@ -377,6 +377,17 @@ def _extended_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _stats_agg(sf_dir: str) -> pd.DataFrame:
+    """ES stats agg: the count/min/max/sum/avg projection of the
+    extended_stats sufficient statistics."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.stats_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        mode="or",
+    )
+
+
 def _mad_agg(sf_dir: str) -> pd.DataFrame:
     """ES median_absolute_deviation agg — exact (bincount + quantile_cont),
     not the TDigest approximation."""
@@ -3872,6 +3883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
         "extended_stats": _extended_stats,
+        "stats_agg": _stats_agg,
         "mad_agg": _mad_agg,
         "string_stats": _string_stats,
         "t_test": _t_test,
@@ -4182,6 +4194,9 @@ def oracle_sql() -> dict[str, str]:
             "documents", BM25_QUERY_OR, mode="or"
         ),
         "extended_stats": index_oracle.extended_stats_sql(
+            "documents", BM25_QUERY_OR, mode="or"
+        ),
+        "stats_agg": index_oracle.stats_sql(
             "documents", BM25_QUERY_OR, mode="or"
         ),
         "mad_agg": index_oracle.mad_sql("documents", BM25_QUERY_OR, mode="or"),

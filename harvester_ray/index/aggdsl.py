@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 
 from .query import IndexReader
@@ -81,6 +82,18 @@ def execute_aggs(
                 reader, query_text, field=body["field"], mode=mode)
         elif kind == "extended_stats":
             out[name] = extras.extended_stats_agg(reader, query_text, mode=mode)
+        elif kind == "stats":
+            out[name] = extras.stats_agg(reader, query_text, mode=mode)
+        elif kind in ("avg", "min", "max", "sum", "value_count"):
+            # single-value metric aggs: the ES {"value": v} response shape,
+            # projected from the same exact-integer stats pass
+            stats = extras.stats_agg(reader, query_text, mode=mode)
+            col = {"avg": "avg_dl", "min": "min_dl", "max": "max_dl",
+                   "sum": "sum_dl", "value_count": "n"}[kind]
+            out[name] = (
+                stats[[col]].rename(columns={col: "value"})
+                if len(stats) else pd.DataFrame({"value": pd.Series(dtype=np.float64)})
+            )
         elif kind == "median_absolute_deviation":
             out[name] = extras.mad_agg(reader, query_text, mode=mode)
         elif kind == "string_stats":

@@ -3596,6 +3596,21 @@ def extended_stats_agg(
     }])
 
 
+def stats_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``stats`` aggregation (count/min/max/sum/avg) over the match
+    set's token lengths — the exact-integer subset of
+    ``extended_stats_agg``'s sufficient statistics (same segment pass,
+    same floor-1e6 avg quantization)."""
+    return extended_stats_agg(reader, query_text, mode=mode)[
+        ["n", "min_dl", "max_dl", "sum_dl", "avg_dl"]
+    ]
+
+
 def mad_agg(
     reader: IndexReader,
     query_text: str,

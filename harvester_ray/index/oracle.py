@@ -2256,6 +2256,22 @@ FROM der
 """.strip()
 
 
+def stats_sql(
+    table: str,
+    query_text: str,
+    *,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.stats_agg: the count/min/max/sum/avg projection of
+    the extended_stats oracle."""
+    inner = extended_stats_sql(
+        table, query_text, mode=mode, id_col=id_col, text_col=text_col
+    )
+    return f"SELECT n, min_dl, max_dl, sum_dl, avg_dl FROM (\n{inner}\n)"
+
+
 def mad_sql(
     table: str,
     query_text: str,

@@ -44,6 +44,9 @@ def test_bucket_and_metric_aggs(idx):
         "pranks": {"percentile_ranks": {"values": [10.0, 20.0]}},
         "ncard": {"cardinality": {"field": "source"}},
         "xstats": {"extended_stats": {"field": "dl"}},
+        "st": {"stats": {"field": "dl"}},
+        "av": {"avg": {"field": "dl"}},
+        "vc": {"value_count": {"field": "dl"}},
         "mad": {"median_absolute_deviation": {"field": "dl"}},
         "sstats": {"string_stats": {"field": "source"}},
         "box": {"boxplot": {"field": "dl"}},
@@ -71,6 +74,9 @@ def test_bucket_and_metric_aggs(idx):
     _eq(out["pranks"], extras.percentile_ranks_agg(idx, Q, [10.0, 20.0]))
     _eq(out["ncard"], extras.cardinality_agg(idx, Q, field="source"))
     _eq(out["xstats"], extras.extended_stats_agg(idx, Q))
+    _eq(out["st"], extras.stats_agg(idx, Q))
+    assert out["av"]["value"].iloc[0] == out["st"]["avg_dl"].iloc[0]
+    assert out["vc"]["value"].iloc[0] == out["st"]["n"].iloc[0]
     _eq(out["mad"], extras.mad_agg(idx, Q))
     _eq(out["sstats"], extras.string_stats_agg(idx, Q, field="source"))
     _eq(out["box"], extras.boxplot_agg(idx, Q))
