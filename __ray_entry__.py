@@ -377,6 +377,27 @@ def _extended_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _missing_agg(sf_dir: str) -> pd.DataFrame:
+    """ES missing agg: matched turns with no tool attribute (null bitmap
+    count per segment)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.missing_agg(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        field="tool", mode="or",
+    )
+
+
+def _histogram_agg(sf_dir: str) -> pd.DataFrame:
+    """ES numeric histogram over match-set token lengths (interval=10)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.histogram_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        interval=10, mode="or",
+    )
+
+
 def _stats_agg(sf_dir: str) -> pd.DataFrame:
     """ES stats agg: the count/min/max/sum/avg projection of the
     extended_stats sufficient statistics."""
@@ -3884,6 +3905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percentiles_agg": _percentiles_agg,
         "extended_stats": _extended_stats,
         "stats_agg": _stats_agg,
+        "missing_agg": _missing_agg,
+        "histogram_agg": _histogram_agg,
         "mad_agg": _mad_agg,
         "string_stats": _string_stats,
         "t_test": _t_test,
@@ -4198,6 +4221,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_agg": index_oracle.stats_sql(
             "documents", BM25_QUERY_OR, mode="or"
+        ),
+        "missing_agg": index_oracle.missing_sql(
+            "tdocp", HAS_CHILD_QUERY, field="tool", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "histogram_agg": index_oracle.histogram_agg_sql(
+            "documents", BM25_QUERY_OR, interval=10, mode="or"
         ),
         "mad_agg": index_oracle.mad_sql("documents", BM25_QUERY_OR, mode="or"),
         "string_stats": index_oracle.string_stats_sql(

@@ -84,6 +84,13 @@ def execute_aggs(
             out[name] = extras.extended_stats_agg(reader, query_text, mode=mode)
         elif kind == "stats":
             out[name] = extras.stats_agg(reader, query_text, mode=mode)
+        elif kind == "missing":
+            out[name] = extras.missing_agg(
+                reader, query_text, field=body["field"], mode=mode)
+        elif kind == "histogram":
+            out[name] = extras.histogram_agg(
+                reader, query_text,
+                interval=int(body.get("interval", 10)), mode=mode)
         elif kind in ("avg", "min", "max", "sum", "value_count"):
             # single-value metric aggs: the ES {"value": v} response shape,
             # projected from the same exact-integer stats pass

@@ -3596,6 +3596,74 @@ def extended_stats_agg(
     }])
 
 
+def missing_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "tool",
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``missing`` aggregation: how many matched docs have NO value for
+    an attribute field. Per segment only two integers leave the worker
+    (matched count, null count) — validity comes straight from the Arrow
+    null bitmap of the stored attr column."""
+    import pyarrow.compute as _pc
+
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    total = 0
+    nmiss = 0
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            if field not in seg.attrs:
+                raise KeyError(
+                    f"attribute {field!r} not stored — build with attr_cols=[{field!r}]"
+                )
+            idx = np.searchsorted(seg.doc_ids, matched)
+            valid = np.asarray(_pc.is_valid(seg.attrs[field].take(pa.array(idx))))
+            total += int(matched.size)
+            nmiss += int(matched.size - valid.sum())
+    return pd.DataFrame(
+        [{"missing_count": np.int64(nmiss), "doc_count": np.int64(total)}]
+    )
+
+
+def histogram_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    interval: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES numeric ``histogram`` aggregation over the match set's token
+    lengths: bucket = floor(dl / interval) · interval. Per segment one
+    bincount over ``dl // interval`` leaves the worker — bounded by
+    max_dl/interval, never by matches."""
+    if interval <= 0:
+        raise ValueError("interval must be positive")
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    dfs = reader.df(terms) if terms else {}
+    live = [t for t in terms if dfs.get(t, 0) > 0]
+    counts = np.zeros(0, np.int64)
+    if live and not (mode == "and" and len(live) < len(terms)):
+        for seg, matched in _segment_matches(reader, live, mode, None):
+            b = seg.doc_lengths(matched).astype(np.int64) // interval
+            part = np.bincount(b)
+            if part.size > counts.size:
+                part[: counts.size] += counts
+                counts = part
+            else:
+                counts[: part.size] += part
+    nz = np.flatnonzero(counts)
+    return pd.DataFrame(
+        {
+            "bucket": (nz * interval).astype(np.int64),
+            "doc_count": counts[nz].astype(np.int64),
+        }
+    )
+
+
 def stats_agg(
     reader: IndexReader,
     query_text: str,

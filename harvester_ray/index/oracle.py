@@ -2256,6 +2256,43 @@ FROM der
 """.strip()
 
 
+def missing_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "tool",
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.missing_agg: null-count vs matched-count."""
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)}
+SELECT CAST(count(*) FILTER (WHERE d.{field} IS NULL) AS BIGINT) AS missing_count,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+""".strip()
+
+
+def histogram_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    interval: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.histogram_agg: integer floor-division buckets of
+    the match set's token lengths."""
+    return f"""
+WITH {_dls_ctes(table, query_text, mode, id_col, text_col)}
+SELECT CAST((dl // {interval}) * {interval} AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS doc_count
+FROM dls GROUP BY 1 ORDER BY bucket
+""".strip()
+
+
 def stats_sql(
     table: str,
     query_text: str,

@@ -123,6 +123,8 @@ def test_pipeline_aggs_route(tmp_path_factory):
         "adh": {"auto_date_histogram": {"field": "ts", "buckets": 12}},
         "div": {"diversified_sampler": {
             "field": "conv_id", "max_docs_per_value": 1, "shard_size": 6}},
+        "miss": {"missing": {"field": "tool"}},
+        "nhist": {"histogram": {"field": "dl", "interval": 3}},
     })
     _eq(out["hist"], extras.date_histogram(r, "kumo", ts_field="ts"))
     _eq(out["mov"], pipeline_aggs.moving_fn(r, "kumo", window=3, ts_field="ts"))
@@ -138,6 +140,12 @@ def test_pipeline_aggs_route(tmp_path_factory):
                                                       ts_field="ts"))
     _eq(out["div"], pipeline_aggs.diversified_sampler(r, "kumo", field="conv_id",
                                                       max_per=1, k=6))
+    _eq(out["miss"], extras.missing_agg(r, "kumo", field="tool"))
+    # fixture: every odd doc_id has tool=None -> exactly n//2 missing of n
+    assert out["miss"]["doc_count"].iloc[0] == 200
+    assert out["miss"]["missing_count"].iloc[0] == 100
+    _eq(out["nhist"], extras.histogram_agg(r, "kumo", interval=3))
+    assert out["nhist"]["doc_count"].sum() == 200
 
 
 def test_unsupported_agg_raises(idx):
