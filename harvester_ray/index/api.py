@@ -19,6 +19,8 @@ that body and routes each part onto the native engine:
 - ``_source``      → readback.mget (stored attr columns per hit)
 - ``highlight``    → extras.make_snippets over a corpus Dataset handle
   (pass ``docs_ds=`` — raw text is not stored in the index)
+- ``knn``          → ops/similarity (brute cosine top-k; hybrid fusion
+  when combined with ``query``; pass ``emb_ds=``)
 
 Response mirrors the ES envelope (a plain dict):
 ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}...]},
@@ -45,17 +47,59 @@ def _match_parts(query: dict) -> tuple[str, str]:
 
 
 def search_request(
-    reader: IndexReader, body: dict, *, docs_ds=None
+    reader: IndexReader, body: dict, *, docs_ds=None, emb_ds=None
 ) -> dict[str, Any]:
     """Execute one ES ``_search`` body. Returns the response envelope.
     ``docs_ds`` (the corpus Dataset) is only needed for the ``highlight``
-    block — raw text lives in the corpus, not the index doc tables."""
+    block — raw text lives in the corpus, not the index doc tables.
+    ``emb_ds`` (the embedding Dataset) is only needed for the ``knn``
+    block (ES 8 vector search: ``query_vector`` → brute cosine top-k;
+    with a ``query`` alongside, ``query_vector_id`` → normalized linear
+    hybrid fusion)."""
     from . import aggdsl, dsl, extras
 
     query = body.get("query", {"match": {"text": {"query": ""}}})
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     resp: dict[str, Any] = {}
+
+    if "knn" in body:
+        import numpy as np
+
+        from ..ops import similarity
+
+        if emb_ds is None:
+            raise ValueError("knn needs emb_ds (vectors are not indexed)")
+        spec = body["knn"]
+        field = spec.get("field", "embedding")
+        id_col = spec.get("id_col", "vec_id")
+        if "query" in body:
+            qtext, _m = _match_parts(body["query"])
+            page = similarity.hybrid_search(
+                reader, emb_ds, qtext,
+                query_vec_id=int(spec["query_vector_id"]),
+                k=size, k_cand=int(spec.get("num_candidates", 50)),
+                w_lex=float(spec.get("w_lex", 0.5)),
+                id_col=id_col, vec_col=field,
+            )
+            resp["hits"] = {
+                "hits": [
+                    {"_id": int(r.doc_id), "_score": float(r.hybrid)}
+                    for r in page.itertuples()
+                ]
+            }
+            return resp
+        page = similarity.knn_brute(
+            emb_ds, np.asarray(spec["query_vector"], dtype=np.float64),
+            k=int(spec.get("k", size)), id_col=id_col, vec_col=field,
+        ).to_pandas()
+        resp["hits"] = {
+            "hits": [
+                {"_id": int(r.vec_id), "_score": float(r.cosine)}
+                for r in page.itertuples()
+            ]
+        }
+        return resp
 
     if "collapse" in body:
         qtext, mode = _match_parts(query)

@@ -156,3 +156,26 @@ def test_source_and_highlight_blocks(idx):
         snip = h["highlight"]["text"][0]
         assert len(snip.replace("<em>", "").replace("</em>", "")) <= 60
         assert "<em>" in snip
+
+
+def test_knn_blocks(idx):
+    from harvester_ray.ops import similarity
+
+    EMB = os.path.join(SF_DIR, "embeddings.parquet")
+    emb = rd.read_parquet(EMB)
+    qv = pd.read_parquet(EMB).iloc[0]["embedding"]
+    body = {"knn": {"field": "embedding", "query_vector": list(qv), "k": 5}}
+    with pytest.raises(ValueError):
+        api.search_request(idx, body)  # no emb handle
+    resp = api.search_request(idx, body, emb_ds=emb)
+    direct = similarity.knn_brute(emb, np.asarray(qv, dtype=np.float64),
+                                  k=5).to_pandas()
+    assert [h["_id"] for h in resp["hits"]["hits"]] == list(direct["vec_id"])
+    # hybrid: query + knn fuse lexical and dense scores
+    hbody = {"query": {"match": {"text": "table scan"}},
+             "knn": {"query_vector_id": 3, "num_candidates": 30}, "size": 5}
+    hresp = api.search_request(idx, hbody, emb_ds=emb)
+    hdirect = similarity.hybrid_search(idx, emb, "table scan",
+                                       query_vec_id=3, k=5, k_cand=30)
+    assert [h["_id"] for h in hresp["hits"]["hits"]] == list(hdirect["doc_id"])
+    assert [h["_score"] for h in hresp["hits"]["hits"]] == list(hdirect["hybrid"])
