@@ -3794,6 +3794,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_encode_counts": lambda sf: _keywords.bpe_encode_counts(
             _docs_ds(sf), n_merges=8
         ),
+        "bpe_fertility": lambda sf: _keywords.bpe_fertility_by_lang(
+            _docs_ds(sf, ("doc_id", "text", "lang")), n_merges=8
+        ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
@@ -4550,6 +4553,7 @@ GROUP BY v.value ORDER BY v.value"""
         "bpe_pair_counts": _keywords.bpe_pair_counts_sql("documents", k=100),
         "bpe_learn_merges": _keywords.bpe_learn_merges_sql("documents", n_merges=8),
         "bpe_encode_counts": _keywords.bpe_encode_counts_sql("documents", n_merges=8),
+        "bpe_fertility": _keywords.bpe_fertility_by_lang_sql("documents", n_merges=8),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),

@@ -570,6 +570,111 @@ ORDER BY doc_id"""
     ).strip()
 
 
+def bpe_fertility_by_lang(
+    ds,
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 8,
+) -> pd.DataFrame:
+    """Tokenizer fertility (tokens per word) per language under the BPE
+    tokenizer trained by ``bpe_learn_merges`` — the standard multilingual
+    tokenizer-quality diagnostic (a language with high fertility is
+    under-served by the learned merges). Same two-pass shape as
+    ``bpe_encode_counts``; the second pass folds to one (lang → Σtokens,
+    Σwords) pair per batch, so the driver merge is bounded by |langs|.
+
+    Returns ``(lang, n_words, n_tokens, fertility)`` sorted by lang, with
+    fertility = n_tokens/n_words as an exact half-away 1e-6 fixed-point
+    quotient of the integer pair (the bucket_script integer-division
+    pattern, so the oracle can mirror it byte-identically).
+    """
+    import ray
+
+    wf = corpus_cf(ds, text_col=text_col)
+    _, words = _bpe_train(wf, n_merges)
+    vocab = wf["term"].to_numpy(dtype=object)
+    ntok = np.fromiter((len(s) for s in words), np.int64, count=len(words))
+    order = np.argsort(vocab)
+    lookup_ref = ray.put((vocab[order], ntok[order]))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v, nt = ray.get(lookup_ref)
+        text = analyzer.normalize_text(batch[text_col])
+        row_ids, codes, dictionary = analyzer.tokenize_flat(text)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        dict_tokens = nt[np.searchsorted(v, terms)] if len(terms) else nt[:0]
+        per_tok = dict_tokens[codes]
+        langs = batch[lang_col].to_pandas().to_numpy(dtype=object)[row_ids]
+        df = pd.DataFrame(
+            {"lang": langs, "n_words": np.ones(per_tok.size, np.int64),
+             "n_tokens": per_tok}
+        ).groupby("lang", as_index=False).sum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        return pd.DataFrame({
+            "lang": pd.Series(dtype=object),
+            "n_words": pd.Series(dtype=np.int64),
+            "n_tokens": pd.Series(dtype=np.int64),
+            "fertility": pd.Series(dtype=np.float64),
+        })
+    agg = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("lang", as_index=False)
+        .sum()
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    fert = [
+        (2 * int(t) * 1_000_000 + int(w)) // (2 * int(w)) / 1e6
+        for t, w in zip(agg["n_tokens"], agg["n_words"])
+    ]
+    agg["fertility"] = np.asarray(fert, np.float64)
+    return agg.astype({"n_words": np.int64, "n_tokens": np.int64})
+
+
+def bpe_fertility_by_lang_sql(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    n_merges: int = 8,
+) -> str:
+    """Oracle for ``bpe_fertility_by_lang``: the shared merge chain's
+    ``w{n}`` word→token-count map joined onto the per-language token
+    stream; fertility via the exact integer half-away quotient."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    parts = _bpe_sql_chain(table, text_col, n_merges)
+    parts.append(
+        f"""wtok AS (
+  SELECT w, CAST(length(repr) - length(replace(repr, '(', '')) AS BIGINT) AS nt
+  FROM w{n_merges}
+),
+lt AS (SELECT {lang_col} AS lang, unnest({tok}) AS w FROM {table}),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(nt) AS BIGINT) AS n_tokens
+  FROM lt JOIN wtok USING (w) GROUP BY 1
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + """
+SELECT lang, n_words, n_tokens,
+       CAST((2 * n_tokens * 1000000 + n_words) // (2 * n_words) AS BIGINT) / 1000000.0
+         AS fertility
+FROM agg ORDER BY lang"""
+    ).strip()
+
+
 def unigram_logprob(
     ds,
     *,

@@ -233,3 +233,24 @@ def test_bpe_encode_counts(ray_session):
         _ds(["aaa aaa", "ab"], ids=[1, 2]), n_merges=0
     )
     assert list(out0["n_tokens"]) == [6, 2]
+
+
+def test_bpe_fertility_by_lang(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["aaa aaa", "aaa ab", "xy xy"]),
+            "lang": pa.array(["en", "en", "de"]),
+        })
+    )
+    out = keywords.bpe_fertility_by_lang(ds, n_merges=2)
+    # merges: step1 (a,a) n=6, step2 (aa,a) n=3 -> 'aaa'=1 tok, 'ab'=2, 'xy'=2
+    assert list(out["lang"]) == ["de", "en"]
+    assert list(out["n_words"]) == [2, 4]
+    assert list(out["n_tokens"]) == [4, 5]
+    assert list(out["fertility"]) == [2.0, 1.25]
+    # partition independence
+    out2 = keywords.bpe_fertility_by_lang(ds.repartition(3), n_merges=2)
+    assert out.values.tolist() == out2.values.tolist()
