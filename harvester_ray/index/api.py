@@ -21,6 +21,9 @@ that body and routes each part onto the native engine:
   (pass ``docs_ds=`` — raw text is not stored in the index)
 - ``knn``          → ops/similarity (brute cosine top-k; hybrid fusion
   when combined with ``query``; pass ``emb_ds=``)
+- ``pit``          → version-pinned reader (open with ``open_pit``;
+  pit + search_after is the ES deep-pagination pattern and later deltas
+  stay invisible to the snapshot)
 
 Response mirrors the ES envelope (a plain dict):
 ``{"hits": {"total": {...}, "hits": [{"_id", "_score"}...]},
@@ -46,6 +49,20 @@ def _match_parts(query: dict) -> tuple[str, str]:
     return spec["query"], mode
 
 
+def open_pit(index_root: str) -> dict[str, str]:
+    """ES point-in-time (``_pit``) open: pin the CURRENT manifest version.
+    A search carrying this id sees the index exactly as of now — later
+    deltas, compactions and promotes are invisible — because versioned
+    manifests are immutable and retention protects referenced versions.
+    Zero server state: the id IS the version number."""
+    from . import manifest
+
+    v = manifest.current_version(index_root)
+    if v is None:
+        raise FileNotFoundError(f"no index at {index_root}")
+    return {"id": str(v)}
+
+
 def search_request(
     reader: IndexReader, body: dict, *, docs_ds=None, emb_ds=None
 ) -> dict[str, Any]:
@@ -62,6 +79,12 @@ def search_request(
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     resp: dict[str, Any] = {}
+
+    if "pit" in body:
+        # re-open the reader pinned to the point-in-time version; every
+        # block below then serves the frozen snapshot (ES pit semantics:
+        # pit + search_after is the sanctioned deep-pagination pattern)
+        reader = IndexReader(reader.root, version=int(body["pit"]["id"]))
 
     if "knn" in body:
         import numpy as np

@@ -179,3 +179,38 @@ def test_knn_blocks(idx):
                                        query_vec_id=3, k=5, k_cand=30)
     assert [h["_id"] for h in hresp["hits"]["hits"]] == list(hdirect["doc_id"])
     assert [h["_score"] for h in hresp["hits"]["hits"]] == list(hdirect["hybrid"])
+
+
+def test_pit_snapshot_isolation(tmp_path_factory):
+    from harvester_ray.index import build, incremental
+
+    root = str(tmp_path_factory.mktemp("pitidx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    build.build_index(ds, root, concurrency=2)
+    pit = api.open_pit(root)
+
+    body = {"query": {"match": {"text": "zephyrant quizzical"}}, "size": 5}
+    r0 = api.search_request(query.IndexReader(root), body)
+    assert not r0["hits"]["hits"]  # terms absent from the corpus
+
+    incremental.ingest_document(
+        root, {"doc_id": 10_000_001, "text": "zephyrant quizzical " * 5})
+
+    live = api.search_request(query.IndexReader(root), body)
+    assert [h["_id"] for h in live["hits"]["hits"]] == [10_000_001]
+    frozen = api.search_request(
+        query.IndexReader(root), {**body, "pit": pit})
+    assert not frozen["hits"]["hits"]  # the pit predates the ingest
+
+    # pit + search_after: pages of the snapshot concatenate to its top-k
+    pbody = {"query": {"match": {"text": "table scan"}}, "size": 4,
+             "pit": pit}
+    page1 = api.search_request(query.IndexReader(root), pbody)["hits"]["hits"]
+    cursor = page1[-1]
+    page2 = api.search_request(query.IndexReader(root), {
+        **pbody, "search_after": [cursor["_score"], cursor["_id"]]})
+    topk = api.search_request(query.IndexReader(root), {
+        "query": {"match": {"text": "table scan"}}, "size": 8, "pit": pit})
+    assert ([h["_id"] for h in page1]
+            + [h["_id"] for h in page2["hits"]["hits"]]
+            ) == [h["_id"] for h in topk["hits"]["hits"]]
