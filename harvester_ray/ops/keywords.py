@@ -790,6 +790,163 @@ ORDER BY t.doc_id
 """.strip()
 
 
+def dsir_weights(
+    ds,
+    *,
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> pd.DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023): score every document by how much more
+    likely its tokens are under a TARGET-domain unigram LM than under the
+    full-corpus source LM —
+    ``log w = Σ_tokens [ln p_tgt(t) − ln p_src(t)]`` with add-one
+    smoothing over the shared vocabulary, ``p_c(t) = (cf_c+1)/(U_c+V)``.
+    Feed ``log_weight`` into ``ops/sampling.weighted_sample`` for the
+    resampling half of the recipe. The target domain here is a language
+    subset (the corpus's own metadata); any boolean doc predicate slots in
+    the same way.
+
+    Same two-pass discipline as ``unigram_logprob``: one corpus pass folds
+    to a (term → cf_all, cf_target) table (vocabulary-bounded — BOTH LMs
+    from one pass); each term's Δln is quantized ONCE to nano fixed-point;
+    per-doc totals are exact integer sums; floats re-enter only at the
+    final division. Returns ``(doc_id, n_tokens, log_weight,
+    lw_per_token)`` rounded to 6, every doc included (0 when token-free).
+    """
+    import ray
+
+    def cf_partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n_all = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        langs = batch[lang_col].to_pandas().to_numpy(dtype=object)
+        tgt = codes[langs[rows] == target_lang] if codes.size else codes
+        n_tgt = np.bincount(tgt, minlength=len(dictionary)).astype(np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = n_all > 0
+        return pa.table(
+            {
+                "term": pa.array(terms[keep], pa.string()),
+                "n_all": pa.array(n_all[keep], pa.int64()),
+                "n_tgt": pa.array(n_tgt[keep], pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            cf_partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "n_tokens": pd.Series(dtype=np.int64),
+        "log_weight": pd.Series(dtype=np.float64),
+        "lw_per_token": pd.Series(dtype=np.float64),
+    })
+    if not parts:
+        return empty
+    cf = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("term", as_index=False)[["n_all", "n_tgt"]]
+        .sum()
+    )
+    if not len(cf):
+        return empty
+    u_all = int(cf["n_all"].sum())
+    u_tgt = int(cf["n_tgt"].sum())
+    v = int(len(cf))
+    vocab = cf["term"].to_numpy(dtype=object).astype("U")
+    order = np.argsort(vocab, kind="stable")
+    lpt = np.log((cf["n_tgt"].to_numpy(np.float64) + 1.0) / np.float64(u_tgt + v))
+    lps = np.log((cf["n_all"].to_numpy(np.float64) + 1.0) / np.float64(u_all + v))
+    d_nano = np.floor((lpt - lps)[order] * 1e9 + 0.5).astype(np.int64)
+    ref = ray.put((vocab[order], d_nano))
+
+    def score(batch: pa.Table) -> pa.Table:
+        terms_sorted, d_sorted = ray.get(ref)
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n = batch.num_rows
+        n_tok = (
+            np.bincount(rows, minlength=n).astype(np.int64)
+            if rows.size else np.zeros(n, np.int64)
+        )
+        totals = np.zeros(n, np.int64)
+        if codes.size:
+            batch_terms = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+            pos = np.searchsorted(terms_sorted, batch_terms)
+            d_of_code = d_sorted[np.clip(pos, 0, max(terms_sorted.size - 1, 0))]
+            np.add.at(totals, rows, d_of_code[codes])
+        lw = totals / 1e9
+        per_tok = np.divide(lw, n_tok, out=np.zeros(n, np.float64), where=n_tok > 0)
+        return pa.table(
+            {
+                "doc_id": batch[id_col],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "log_weight": pa.array(np.round(lw, 6) + 0.0, pa.float64()),
+                "lw_per_token": pa.array(np.round(per_tok, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    out = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    return out.sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+
+
+def dsir_weights_sql(
+    table: str = "documents",
+    *,
+    target_lang: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """Oracle for ``dsir_weights``: same one-pass (cf_all, cf_tgt) table,
+    same once-quantized nano Δln per term, integer per-doc sums."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    tgt = target_lang.replace("'", "''")
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {lang_col} AS lang, {tok} AS ts FROM {table}),
+flat AS (SELECT doc_id, lang, unnest(ts) AS term FROM toks),
+cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n_all,
+         CAST(count(*) FILTER (WHERE lang = '{tgt}') AS BIGINT) AS n_tgt
+  FROM flat GROUP BY 1
+),
+u AS (
+  SELECT CAST(sum(n_all) AS BIGINT) AS u_all,
+         CAST(sum(n_tgt) AS BIGINT) AS u_tgt,
+         CAST(count(*) AS BIGINT) AS v
+  FROM cf
+),
+d AS (
+  SELECT term,
+         CAST(floor((ln((n_tgt + 1) * 1.0 / (u_tgt + v))
+                     - ln((n_all + 1) * 1.0 / (u_all + v))) * 1e9 + 0.5)
+              AS BIGINT) AS d_nano
+  FROM cf CROSS JOIN u
+),
+per_doc AS (
+  SELECT f.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(d.d_nano) AS total_nano
+  FROM flat f JOIN d USING (term) GROUP BY f.doc_id
+)
+SELECT t.doc_id,
+       coalesce(p.n_tokens, 0) AS n_tokens,
+       round(coalesce(p.total_nano, 0) / 1e9, 6) + 0.0 AS log_weight,
+       CASE WHEN coalesce(p.n_tokens, 0) = 0 THEN 0.0
+            ELSE round((p.total_nano / 1e9) / p.n_tokens, 6) + 0.0 END AS lw_per_token
+FROM (SELECT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
+ORDER BY t.doc_id
+""".strip()
+
+
 def fuzzy_token_pairs(
     ds,
     *,

@@ -254,3 +254,29 @@ def test_bpe_fertility_by_lang(ray_session):
     # partition independence
     out2 = keywords.bpe_fertility_by_lang(ds.repartition(3), n_merges=2)
     assert out.values.tolist() == out2.values.tolist()
+
+
+def test_dsir_weights(ray_session):
+    import math
+
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(["hund katze", "hund hund", "dog cat", ""]),
+            "lang": pa.array(["de", "de", "en", "en"]),
+        })
+    )
+    out = keywords.dsir_weights(ds, target_lang="en")
+    assert list(out["doc_id"]) == [0, 1, 2, 3]
+    # token-free doc scores 0 and is kept
+    assert out.iloc[3]["n_tokens"] == 0 and out.iloc[3]["log_weight"] == 0.0
+    # target-language tokens must outweigh source-only tokens
+    assert out.iloc[2]["log_weight"] > out.iloc[0]["log_weight"]
+    # exact value: u_all=6, u_tgt=2, V=4; 'dog'/'cat': cf_all=1, cf_tgt=1
+    d = math.floor((math.log(2 / 6) - math.log(2 / 10)) * 1e9 + 0.5)
+    assert out.iloc[2]["log_weight"] == round(2 * d / 1e9, 6)
+    # partition independence
+    out2 = keywords.dsir_weights(ds.repartition(3), target_lang="en")
+    assert out.values.tolist() == out2.values.tolist()
