@@ -377,6 +377,15 @@ def _extended_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _segment_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-partition lineage + metrics (north_rule): per-segment doc/term
+    stats, on-disk bytes, encode wall time. Rows-only (wall times and byte
+    sizes are not SQL-derivable)."""
+    from harvester_ray.index import build as _build
+
+    return _build.segment_metrics(_documents_index(sf_dir))
+
+
 def _missing_agg(sf_dir: str) -> pd.DataFrame:
     """ES missing agg: matched turns with no tool attribute (null bitmap
     count per segment)."""
@@ -3912,6 +3921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extended_stats": _extended_stats,
         "stats_agg": _stats_agg,
         "missing_agg": _missing_agg,
+        "segment_metrics": _segment_metrics,
         "histogram_agg": _histogram_agg,
         "mad_agg": _mad_agg,
         "string_stats": _string_stats,

@@ -403,6 +403,7 @@ class SegmentBuilder:
             if marker.get("fingerprint") == fingerprint:
                 return self._emit_existing(name, marker)
 
+        encode_t0 = time.monotonic()
         rows, codes, dictionary = analyzer.tokenize_flat(text)
         dl = np.bincount(rows, minlength=n).astype(np.int64)
         p_row, p_code, p_tf = analyzer.term_frequencies(rows, codes)
@@ -468,6 +469,10 @@ class SegmentBuilder:
             "dl_sum": dl_sum,
             "n_terms": int(len(seg_terms)),
             "analyzer": analyzer.ANALYZER_VERSION,
+            # per-partition metric (north_rule: per-partition lineage +
+            # metrics); byte sizes come from the files themselves at read
+            # time so resumed/compacted segments never go stale
+            "encode_sec": round(time.monotonic() - encode_t0, 3),
         }
         tmp = marker_path + ".tmp"
         with open(tmp, "w") as f:
@@ -475,6 +480,47 @@ class SegmentBuilder:
         os.replace(tmp, marker_path)
 
         return self._meta_row(name, int(n), dl_sum)
+
+
+def segment_metrics(index_root: str, version: int | None = None) -> "pd.DataFrame":
+    """Per-partition lineage + metrics surface (north_rule): one row per
+    live segment of a version — doc/term/length stats from the fingerprinted
+    ``.done`` marker, byte sizes statted from the segment files themselves
+    (so compaction carry-forwards and resume replays never go stale), and
+    the recorded encode wall time (NaN for segments written before the
+    metric existed or replayed from markers)."""
+    import pandas as pd
+
+    from . import manifest as _mf
+
+    man = _mf.read_manifest(index_root, version)
+    rows = []
+    for seg in man["segments"]:
+        base = os.path.join(index_root, seg["path"])
+        nbytes = 0
+        for ext in (".terms.parquet", ".docs.parquet", ".bin", ".pos"):
+            p = base + ext
+            if os.path.exists(p):
+                nbytes += os.path.getsize(p)
+        marker = {}
+        mpath = base + ".done"
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                marker = json.load(f)
+        rows.append({
+            "segment": seg["name"],
+            "created_version": int(seg.get("created_version", man["_version"])),
+            "n_docs": int(seg["n_docs"]),
+            "dl_sum": int(seg["dl_sum"]),
+            "n_terms": int(marker.get("n_terms", -1)),
+            "bytes": int(nbytes),
+            "encode_sec": float(marker["encode_sec"]) if "encode_sec" in marker else float("nan"),
+        })
+    return pd.DataFrame(
+        rows,
+        columns=["segment", "created_version", "n_docs", "dl_sum",
+                 "n_terms", "bytes", "encode_sec"],
+    ).sort_values("segment").reset_index(drop=True)
 
 
 def read_segment_metas(meta_dir: str) -> pa.Table:

@@ -142,3 +142,29 @@ def test_tree_vocab_aggregation_identical(index_root, tmp_path, monkeypatch):
 
     t1, t2 = stats(index_root, man1), stats(root2, man2)
     assert t1.equals(t2)
+
+
+def test_segment_metrics_surface(ray_session, tmp_path):
+    import math
+
+    import ray.data as rd
+
+    from harvester_ray.index import build, manifest
+
+    root = str(tmp_path / "metidx")
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    build.build_index(ds, root, concurrency=2)
+    m = build.segment_metrics(root)
+    man = manifest.read_manifest(root, None)
+    assert len(m) == len(man["segments"]) > 0
+    assert (m["bytes"] > 0).all()
+    assert (m["n_terms"] > 0).all()
+    assert m["encode_sec"].notna().all() and (m["encode_sec"] >= 0).all()
+    assert m["n_docs"].sum() == man["n_docs"]
+    # resume replay keeps the surface usable (encode_sec may be replayed)
+    build.build_index(ds, root, concurrency=2)
+    m2 = build.segment_metrics(root)
+    assert list(m2["segment"]) == list(m["segment"])
+    assert list(m2["bytes"]) == list(m["bytes"])
