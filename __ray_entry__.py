@@ -1447,6 +1447,16 @@ SPAN_CONT_LITTLE = "data"
 SPAN_CONT_SLOP = 4
 
 
+def _span_multi(sf_dir: str) -> pd.DataFrame:
+    """ES span_multi over a prefix: dictionary expansion (capped, term
+    order) scored as ONE span source (span_or semantics)."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.search_span_multi(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_PREFIX, k=10
+    )
+
+
 def _span_or(sf_dir: str) -> pd.DataFrame:
     """ES span_or: clause-term union scored as ONE pseudo-term (total
     occurrences, shared df) — not the per-term-idf bool disjunction."""
@@ -3656,6 +3666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsl_query": _dsl_query,
         "search_request": _search_request,
         "span_or": _span_or,
+        "span_multi": _span_multi,
         "intervals": _intervals,
         "span_containing": _span_containing,
         "span_within": _span_within,
@@ -4781,6 +4792,7 @@ GROUP BY v.value ORDER BY v.value"""
             "documents", TERMS_SET_TERMS, "1 + (n_chars % 3)", 10
         ),
         "span_or": index_oracle.span_or_bm25_sql("documents", SPAN_OR_TERMS, 10),
+        "span_multi": index_oracle.span_multi_bm25_sql("documents", BM25_PREFIX, 10),
         "intervals": index_oracle.intervals_bm25_sql(
             "documents", INTERVALS_QUERY, max_gaps=INTERVALS_MAX_GAPS, k=10
         ),

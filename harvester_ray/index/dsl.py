@@ -138,6 +138,13 @@ def execute_dsl(reader: IndexReader, dsl: dict, *, k: int = 10) -> pd.DataFrame:
     if kind == "span_or":
         terms = " ".join(c["span_term"]["text"] for c in body["clauses"])
         return _round4(extras.search_span_or(reader, terms, k=k))
+    if kind == "span_multi":
+        pspec = body["match"]["prefix"]["text"]
+        if isinstance(pspec, str):
+            pspec = {"value": pspec}
+        return _round4(extras.search_span_multi(
+            reader, pspec["value"], k=k,
+            max_expansions=int(pspec.get("max_expansions", 50))))
     if kind in ("span_containing", "span_within"):
         big = body["big"]["span_near"]
         t1, t2 = (c["span_term"]["text"] for c in big["clauses"])

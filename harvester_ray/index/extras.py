@@ -3410,6 +3410,33 @@ def search_span_or(
     return out[["doc_id", "score"]]
 
 
+def search_span_multi(
+    reader: IndexReader,
+    prefix: str,
+    *,
+    k: int = 10,
+    max_expansions: int = 50,
+) -> pd.DataFrame:
+    """ES ``span_multi`` wrapping a ``prefix`` query: expand ``pre*``
+    against the sorted segment dictionaries (Lucene MultiTermQuery rewrite
+    cap — first ``max_expansions`` distinct terms lexicographically), then
+    score the expansion as ONE span source with ``span_or`` semantics
+    (tf = total occurrences of ANY expanded term, one shared df/idf).
+    Deliberately different ranking from ``search_prefix``'s per-term-idf
+    disjunction — the degeneracy test asserts they diverge."""
+    pfx = analyzer.tokenize_query(prefix)
+    if len(pfx) != 1:
+        raise ValueError("span_multi prefix must normalize to exactly one token")
+    expanded: set[str] = set()
+    for seg_meta in reader.manifest["segments"]:
+        expanded.update(reader._segment(seg_meta).terms_with_prefix(pfx[0]))
+    terms = sorted(expanded)[:max_expansions]
+    if not terms:
+        return pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
+                             "score": pd.Series(dtype=np.float64)})
+    return search_span_or(reader, " ".join(terms), k=k)
+
+
 def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Materialize the concatenated [lo_i, hi_i) index ranges: returns
     (owner_row, flat_index) — the run-length-expansion trick, no Python

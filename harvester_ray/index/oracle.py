@@ -2129,6 +2129,52 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
 """.strip()
 
 
+def span_multi_bm25_sql(
+    table: str,
+    prefix: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.search_span_multi: the prefix expansion happens in
+    SQL (first ``max_expansions`` distinct matching corpus tokens in term
+    order — identical to the engine's dictionary walk), then the span_or
+    single-pseudo-term scoring."""
+    pfx = analyzer.tokenize_query(prefix)[0].replace("'", "''")
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH doclen AS (
+  SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+toks AS (
+  SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}
+),
+exp AS (
+  SELECT DISTINCT term FROM toks WHERE term LIKE '{pfx}%'
+  ORDER BY term LIMIT {max_expansions}
+),
+m AS (
+  SELECT doc_id, count(*) AS ptf FROM toks
+  WHERE term IN (SELECT term FROM exp) GROUP BY doc_id
+),
+dfv AS (SELECT count(*) AS df FROM m),
+scored AS (
+  SELECT m.doc_id,
+         ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * m.ptf * ({bm25.K1} + 1.0)
+           / (m.ptf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) AS score
+  FROM m CROSS JOIN dfv CROSS JOIN stats s
+  JOIN doclen d ON m.doc_id = d.doc_id
+)
+SELECT doc_id, round(score, {round_digits}) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT {k}
+""".strip()
+
+
 def span_containing_bm25_sql(
     table: str,
     big: tuple[str, str],

@@ -92,6 +92,9 @@ def test_span_family(idx):
             "clauses": [{"span_term": {"text": "dup"}},
                         {"span_term": {"text": "batch"}}]}}),
         _r4(extras.search_span_or(idx, "dup batch", k=10)))
+    _eq(dsl.execute_dsl(idx, {"span_multi": {
+            "match": {"prefix": {"text": {"value": "s"}}}}}),
+        _r4(extras.search_span_multi(idx, "s", k=10)))
     _eq(dsl.execute_dsl(idx, {"span_containing": {
             "big": {"span_near": {"clauses": [
                 {"span_term": {"text": "spark"}},

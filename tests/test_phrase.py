@@ -439,3 +439,25 @@ def test_intervals_semantics_tiny():
     assert set(got["doc_id"]) == {1, 2}
     got2 = extras.search_intervals(r, "a b c", max_gaps=2, k=10)
     assert set(got2["doc_id"]) == {1, 2, 3}
+
+
+def test_span_multi_matches_oracle(pos_index):
+    import duckdb
+
+    from harvester_ray.index import extras, oracle
+
+    reader = iq.IndexReader(pos_index)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{DOCS}')")
+    got = extras.search_span_multi(reader, "s", k=10)
+    exp = con.execute(
+        oracle.span_multi_bm25_sql("documents", "s", 10)
+    ).fetchdf()
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    np.testing.assert_allclose(got["score"], exp["score"], atol=1e-9)
+    assert len(got) > 0, "degenerate fixture: prefix expands to nothing"
+    # degeneracy probe: ONE-pseudo-term scoring differs from search_prefix's
+    # per-term-idf disjunction over the same expansion
+    pfx = reader.search_prefix("s", k=10).to_pandas()
+    pfx["score"] = pfx["score"].round(4)
+    assert list(got["score"]) != list(pfx["score"])
