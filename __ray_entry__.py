@@ -1653,6 +1653,17 @@ def _bucket_script(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _rate_agg(sf_dir: str) -> pd.DataFrame:
+    """ES rate agg: hourly histogram normalized to per-minute event rates
+    (gcd-reduced exact fixed-point quotient)."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.rate_agg(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", mode="or",
+    )
+
+
 def _normalize_agg(sf_dir: str) -> pd.DataFrame:
     """ES normalize (percent_of_sum) over the hourly histogram; exact
     fixed-point percentages."""
@@ -3688,6 +3699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_fn": _moving_fn,
         "bucket_script": _bucket_script,
         "normalize_agg": _normalize_agg,
+        "rate_agg": _rate_agg,
         "moving_percentiles": _moving_percentiles,
         "extended_stats_bucket": _extended_stats_bucket,
         "serial_diff": _serial_diff,
@@ -4924,6 +4936,9 @@ GROUP BY v.value ORDER BY v.value"""
             "tdocp", HAS_CHILD_QUERY, tool_col="tool", ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "normalize_agg": index_oracle.normalize_agg_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "rate_agg": index_oracle.rate_agg_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "moving_percentiles": index_oracle.moving_percentiles_sql(

@@ -178,6 +178,12 @@ def execute_aggs(
                 reader, query_text, field=body["field"],
                 max_per=int(body.get("max_docs_per_value", 1)),
                 k=int(body.get("shard_size", 10)), mode=mode)
+        elif kind == "rate":
+            unit = {"second": 1_000_000, "minute": 60_000_000,
+                    "hour": 3_600_000_000}[body.get("unit", "minute")]
+            out[name] = pipeline_aggs.rate_agg(
+                reader, query_text, unit_us=unit,
+                ts_field=body.get("field", "ts"), mode=mode)
         elif kind == "auto_date_histogram":
             out[name] = pipeline_aggs.auto_date_histogram(
                 reader, query_text,

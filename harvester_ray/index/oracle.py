@@ -2530,6 +2530,33 @@ FROM h CROSS JOIN tot t ORDER BY bucket_us
 """.strip()
 
 
+def rate_agg_sql(
+    table: str,
+    query_text: str,
+    *,
+    unit_us: int = 60_000_000,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for pipeline_aggs.rate_agg: per-bucket count · unit/interval
+    with the same gcd-reduced half-away fixed-point quotient."""
+    import math
+
+    g = math.gcd(unit_us, interval_us)
+    nu, de = unit_us // g, interval_us // g
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT bucket_us, doc_count,
+       CAST((2 * doc_count * {nu} * 1000000 + {de})
+            // (2 * {de}) AS BIGINT) / 1000000.0 AS rate
+FROM h ORDER BY bucket_us
+""".strip()
+
+
 def function_score_sql(
     table: str,
     query_text: str,

@@ -594,6 +594,39 @@ def normalize_agg(
     return h
 
 
+def rate_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    unit_us: int = 60_000_000,
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``rate`` agg inside a date_histogram: each bucket's doc_count
+    normalized to events per ``unit`` (default per-minute under hourly
+    buckets). rate = count · unit/interval with the unit/interval fraction
+    reduced by gcd FIRST so the shared half-away fixed-point quotient
+    stays in int64 for any sane unit pair."""
+    import math
+
+    h = _ts_buckets(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us,
+        mode=mode,
+    )
+    if h.empty:
+        h["rate"] = pd.Series(dtype=np.float64)
+        return h
+    g = math.gcd(unit_us, interval_us)
+    nu, de = unit_us // g, interval_us // g
+    h["rate"] = _fixed_div(
+        h["doc_count"].to_numpy(np.int64) * nu,
+        np.full(len(h), de, dtype=np.int64),
+        6,
+    )
+    return h
+
+
 def moving_percentiles(
     reader: IndexReader,
     query_text: str,

@@ -125,6 +125,7 @@ def test_pipeline_aggs_route(tmp_path_factory):
             "field": "conv_id", "max_docs_per_value": 1, "shard_size": 6}},
         "miss": {"missing": {"field": "tool"}},
         "nhist": {"histogram": {"field": "dl", "interval": 3}},
+        "rt": {"rate": {"field": "ts", "unit": "minute"}},
     })
     _eq(out["hist"], extras.date_histogram(r, "kumo", ts_field="ts"))
     _eq(out["mov"], pipeline_aggs.moving_fn(r, "kumo", window=3, ts_field="ts"))
@@ -146,6 +147,10 @@ def test_pipeline_aggs_route(tmp_path_factory):
     assert out["miss"]["missing_count"].iloc[0] == 100
     _eq(out["nhist"], extras.histogram_agg(r, "kumo", interval=3))
     assert out["nhist"]["doc_count"].sum() == 200
+    _eq(out["rt"], pipeline_aggs.rate_agg(r, "kumo", ts_field="ts"))
+    # hourly buckets at per-minute unit: rate == count/60 exactly
+    row = out["rt"].iloc[0]
+    assert row["rate"] == (2 * int(row["doc_count"]) * 1_000_000 + 60) // 120 / 1e6
 
 
 def test_unsupported_agg_raises(idx):
