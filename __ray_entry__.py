@@ -407,6 +407,17 @@ def _histogram_agg(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _terms_stats(sf_dir: str) -> pd.DataFrame:
+    """ES terms agg with an avg metric sub-agg: per-bucket doc_count +
+    dl sum/average, exact regime."""
+    from harvester_ray.index import extras as _extras
+
+    return _extras.terms_stats_agg(
+        index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
+        field="source", size=20, mode="or",
+    )
+
+
 def _stats_agg(sf_dir: str) -> pd.DataFrame:
     """ES stats agg: the count/min/max/sum/avg projection of the
     extended_stats sufficient statistics."""
@@ -3945,6 +3956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stats_agg": _stats_agg,
         "missing_agg": _missing_agg,
         "segment_metrics": _segment_metrics,
+        "terms_stats": _terms_stats,
         "histogram_agg": _histogram_agg,
         "mad_agg": _mad_agg,
         "string_stats": _string_stats,
@@ -4260,6 +4272,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "stats_agg": index_oracle.stats_sql(
             "documents", BM25_QUERY_OR, mode="or"
+        ),
+        "terms_stats": index_oracle.terms_stats_sql(
+            "documents", BM25_QUERY_OR, field="source", size=20, mode="or"
         ),
         "missing_agg": index_oracle.missing_sql(
             "tdocp", HAS_CHILD_QUERY, field="tool", mode="or",

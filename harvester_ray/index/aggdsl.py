@@ -46,6 +46,16 @@ def execute_aggs(
 
     out: dict[str, pd.DataFrame] = {}
     for name, spec in aggs.items():
+        if set(spec) == {"terms", "aggs"}:
+            # the one supported nesting: terms bucket agg + avg metric
+            # sub-agg over token lengths (the most common ES aggs shape)
+            ((_sn, sub),) = spec["aggs"].items()
+            if set(sub) != {"avg"}:
+                raise ValueError("only an avg sub-agg is supported under terms")
+            out[name] = extras.terms_stats_agg(
+                reader, query_text, field=spec["terms"]["field"],
+                size=int(spec["terms"].get("size", 10)), mode=mode)
+            continue
         if len(spec) != 1:
             raise ValueError(f"agg {name!r} must have exactly one type key")
         (kind, body), = spec.items()

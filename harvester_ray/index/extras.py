@@ -968,6 +968,75 @@ def search_collapse(
     return pd.DataFrame({field: vals, "doc_id": docs, "score": scores})
 
 
+def terms_stats_agg(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    field: str = "source",
+    size: int = 10,
+    mode: str = "or",
+) -> pd.DataFrame:
+    """ES ``terms`` aggregation carrying a metric SUB-aggregation — the
+    single most common aggs nesting (`terms` + per-bucket `avg`): for each
+    attr value of the match set, doc_count, sum of token lengths and their
+    fixed-point average. Per segment one (value → count, dl_sum) partial
+    fold leaves the worker (bounded by distinct values, never matches);
+    exact regime only (every value reported), so counts are exact and the
+    oracle mirrors byte-identically. Buckets ordered count desc, value asc,
+    cut at ``size``."""
+    from .query import match_one_segment
+
+    empty = pd.DataFrame({
+        field: pd.Series(dtype=object),
+        "doc_count": pd.Series(dtype=np.int64),
+        "sum_dl": pd.Series(dtype=np.int64),
+        "avg_dl": pd.Series(dtype=np.float64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    if not terms:
+        return empty
+    parts: list[pd.DataFrame] = []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs = match_one_segment(seg, terms, mode, exclude, None)
+        if docs.size == 0:
+            continue
+        vals = seg.attr_values(field, docs)
+        dl = seg.doc_lengths(docs).astype(np.int64)
+        order = np.argsort(vals, kind="mergesort")
+        vals, dl = vals[order], dl[order]
+        first = np.empty(vals.size, dtype=bool)
+        first[0] = True
+        first[1:] = vals[1:] != vals[:-1]
+        starts = np.flatnonzero(first)
+        parts.append(pd.DataFrame({
+            field: vals[starts],
+            "doc_count": np.diff(np.append(starts, vals.size)).astype(np.int64),
+            "sum_dl": np.add.reduceat(dl, starts).astype(np.int64),
+        }))
+    if not parts:
+        return empty
+    agg = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(field, as_index=False)[["doc_count", "sum_dl"]]
+        .sum()
+    )
+    agg = agg.sort_values(
+        ["doc_count", field], ascending=[False, True], kind="mergesort"
+    ).head(size).reset_index(drop=True)
+    import math
+
+    agg["avg_dl"] = [
+        math.floor(int(s) / int(c) * 1e6 + 0.5) / 1e6
+        for s, c in zip(agg["sum_dl"], agg["doc_count"])
+    ]
+    return agg.astype({"doc_count": np.int64, "sum_dl": np.int64})
+
+
 def terms_agg(
     reader: IndexReader,
     query_text: str,

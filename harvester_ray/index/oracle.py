@@ -2302,6 +2302,34 @@ FROM der
 """.strip()
 
 
+def terms_stats_sql(
+    table: str,
+    query_text: str,
+    *,
+    field: str = "source",
+    size: int = 10,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for extras.terms_stats_agg: per-bucket count/sum of token
+    lengths with the mirrored floor-1e6 average."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+agg AS (
+  SELECT d.{field} AS {field},
+         CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(len({tok})) AS BIGINT) AS sum_dl
+  FROM {table} d JOIN m ON d.{id_col} = m.doc_id
+  GROUP BY 1
+)
+SELECT {field}, doc_count, sum_dl,
+       floor(CAST(sum_dl AS DOUBLE) / doc_count * 1e6 + 0.5) / 1e6 AS avg_dl
+FROM agg ORDER BY doc_count DESC, {field} ASC LIMIT {size}
+""".strip()
+
+
 def missing_sql(
     table: str,
     query_text: str,

@@ -67,6 +67,8 @@ def test_bucket_and_metric_aggs(idx):
             "s0": {"term": {"source": "src0"}}}}},
         "th": {"top_hits": {"field": "source", "size": 2, "n_groups": 4}},
         "tt": {"t_test": {"field": "source", "a": "src0", "b": "src1"}},
+        "tsub": {"terms": {"field": "source", "size": 5},
+                 "aggs": {"mean_dl": {"avg": {"field": "dl"}}}},
     })
     _eq(out["by_source"], extras.terms_agg(idx, Q, field="source", size=5))
     _eq(out["rare"], extras.rare_terms_agg(idx, Q, field="source", max_doc_count=2))
@@ -91,6 +93,8 @@ def test_bucket_and_metric_aggs(idx):
     _eq(out["th"], extras.top_hits(idx, Q, field="source", per_group=2, n_groups=4))
     _eq(out["tt"], extras.t_test_agg(
         idx, Q, field="source", group_a="src0", group_b="src1"))
+    _eq(out["tsub"], extras.terms_stats_agg(idx, Q, field="source", size=5))
+    assert "avg_dl" in out["tsub"].columns and len(out["tsub"]) > 0
 
 
 def test_pipeline_aggs_route(tmp_path_factory):
