@@ -270,6 +270,42 @@ def _harvest_pages() -> list[str]:
     ]
 
 
+UPDATE_IDS = (3, 7, 11)
+
+
+def _update_docs(sf_dir: str) -> pd.DataFrame:
+    """ES _update lifecycle: partial attr merges ride the single-record
+    delta path; read-back state is the merged doc with text untouched.
+    Idempotent across cached-index reruns (updates set absolute values)."""
+    import pyarrow.compute as _pc
+    import ray.data as rd
+
+    from harvester_ray.index import build as _build
+    from harvester_ray.index import incremental as _inc
+    from harvester_ray.index import manifest as _mf
+    from harvester_ray.index import readback as _readback
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"updlife-{tag}")
+    if _mf.current_version(root) is None:
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text", "source"],
+        ).map_batches(
+            lambda t: t.filter(_pc.less(t["doc_id"], 20)),
+            batch_format="pyarrow",
+        )
+        _build.build_index(
+            ds, root, concurrency=2, attr_cols=["source"], store_source=True
+        )
+    for i in UPDATE_IDS:
+        _inc.update_document(root, i, {"source": f"patched{i}"})
+    out = _readback.mget(root, list(range(20)), columns=["dl", "source"])
+    out = out[["doc_id", "source", "dl"]].copy()
+    out["dl"] = out["dl"].astype(np.int64)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _run_harvest(sf_dir: str) -> pd.DataFrame:
     """End-to-end run_harvest lifecycle (paged source → OBJECTIVE →
     validate → index → promote), verified by searching the promoted index
@@ -3599,6 +3635,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aggs_dsl": _aggs_dsl,
         "top_hits": _top_hits,
         "mget_docs": _mget_docs,
+        "update_docs": _update_docs,
         "analyze_tokens": _analyze_tokens,
         "termvectors": _termvectors,
         "phrase_suggest": _phrase_suggest,
@@ -4338,6 +4375,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(generate_subscripts(arr, 1) - 1 AS BIGINT) AS pos, "
             "unnest(arr) AS token "
             "FROM toks ORDER BY doc_id, pos"
+        ),
+        "update_docs": (
+            "SELECT doc_id, CASE WHEN doc_id IN "
+            + "(" + ", ".join(str(i) for i in UPDATE_IDS) + ")"
+            + " THEN 'patched' || CAST(doc_id AS VARCHAR) ELSE source END AS source, "
+            + "CAST(len(" + _analyzer.sql_tokenize_expr("text") + ") AS BIGINT) AS dl "
+            + "FROM documents WHERE doc_id < 20 ORDER BY doc_id"
         ),
         "mget_docs": (
             "WITH ids(doc_id) AS (VALUES "

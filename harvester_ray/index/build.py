@@ -523,6 +523,36 @@ def segment_metrics(index_root: str, version: int | None = None) -> "pd.DataFram
     ).sort_values("segment").reset_index(drop=True)
 
 
+def cat_indices(index_root: str) -> "pd.DataFrame":
+    """ES ``_cat/indices`` analog over the version lineage: one row per
+    retained version — docs, segments, on-disk bytes, parent version and
+    whether it is CURRENT. Observability only; reads manifests + file
+    sizes, never postings."""
+    import pandas as pd
+
+    from . import manifest as _mf
+
+    cur = _mf.current_version(index_root)
+    rows = []
+    for v in _mf.list_versions(index_root):
+        man = _mf.read_manifest(index_root, v)
+        nbytes = int(segment_metrics(index_root, v)["bytes"].sum())
+        rows.append({
+            "version": int(v),
+            "current": bool(v == cur),
+            "n_docs": int(man["n_docs"]),
+            "n_segments": int(len(man["segments"])),
+            "n_tombstones": int(len(man.get("tombstones") or [])),
+            "bytes": nbytes,
+            "parent_version": man.get("lineage", {}).get("parent_version"),
+        })
+    return pd.DataFrame(
+        rows,
+        columns=["version", "current", "n_docs", "n_segments",
+                 "n_tombstones", "bytes", "parent_version"],
+    ).sort_values("version").reset_index(drop=True)
+
+
 def read_segment_metas(meta_dir: str) -> pa.Table:
     """Per-segment meta rows (seg name, n_docs, dl_sum) from a build's meta
     listing; empty corpus → empty table."""

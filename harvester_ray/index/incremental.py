@@ -135,11 +135,49 @@ def ingest_document(
 
     state = doc.get("state") or ("active" if doc.get(text_col) else "deleted")
     row = {id_col: doc[id_col], text_col: doc.get(text_col) or "", "state": state}
+    for k, v in doc.items():  # attr columns ride along (update API merge)
+        if k not in row:
+            row[k] = v
     kwargs.setdefault("integrity_check", False)
     kwargs.setdefault("concurrency", 2)
     return build_incremental(
         index_root, rd.from_items([row]), id_col=id_col, text_col=text_col,
         input_desc=f"webhook:{doc[id_col]}", **kwargs,
+    )
+
+
+def update_document(
+    index_root: str,
+    doc_id: int,
+    fields: dict,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> dict:
+    """ES ``_update`` API (partial document merge): read the stored doc,
+    merge ``fields`` over its text and attribute columns, re-ingest through
+    the single-record delta path (tombstone + 1-row segment — newest wins).
+    Like ES, a text-less partial update needs the stored source
+    (``build_index(store_source=True)``); raises KeyError on a missing or
+    deleted id (document_missing_exception)."""
+    from . import manifest as _mf
+    from . import readback
+
+    cur = readback.get_document(index_root, doc_id)
+    if cur is None:
+        raise KeyError(f"document {doc_id} not found")
+    text = fields.get(text_col, cur.get("_source"))
+    if text is None:
+        raise ValueError(
+            "partial update without a text field needs store_source=True"
+        )
+    man = _mf.read_manifest(index_root, None)
+    row = {id_col: doc_id, text_col: text, "state": "active"}
+    for c in man.get("attr_cols") or []:
+        row[c] = fields.get(c, cur.get(c))
+    return ingest_document(
+        index_root, row, id_col=id_col, text_col=text_col, **kwargs
     )
 
 

@@ -182,3 +182,45 @@ def test_run_harvest_end_to_end(tmp_path_factory, ray_session):
     got = r.search("stream", k=100, mode="or").to_pandas()
     assert 100 in set(got["doc_id"])
     assert 3 not in set(r.search("batch stream", k=1000, mode="or").to_pandas()["doc_id"])
+
+
+def test_update_document_partial_merge(ray_session, tmp_path):
+    import ray.data as rd
+
+    from harvester_ray.index import build, incremental, manifest, query, readback
+
+    root = str(tmp_path / "updidx")
+    ds = rd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet",
+        columns=["doc_id", "text", "source"],
+    )
+    build.build_index(ds, root, concurrency=2, attr_cols=["source"],
+                      store_source=True)
+    before = readback.get_document(root, 5)
+    assert before is not None and before["source"] is not None
+
+    # attr-only partial update: text untouched (merged from stored source)
+    incremental.update_document(root, 5, {"source": "patched"})
+    after = readback.get_document(root, 5)
+    assert after["source"] == "patched"
+    assert after["_source"] == before["_source"]
+    assert after["dl"] == before["dl"]
+
+    # text update keeps unmentioned attrs
+    incremental.update_document(root, 5, {"text": "completely new words"})
+    after2 = readback.get_document(root, 5)
+    assert after2["source"] == "patched"
+    r = query.IndexReader(root)
+    hits = r.search("completely new words", k=5, mode="and").to_pandas()
+    assert 5 in list(hits["doc_id"])
+
+    # missing id -> document_missing_exception analog
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        incremental.update_document(root, 10_000_999, {"source": "x"})
+
+    # _cat/indices lineage: three versions, newest CURRENT, bytes > 0
+    cat = build.cat_indices(root)
+    assert len(cat) == 3 and bool(cat.iloc[-1]["current"])
+    assert (cat["bytes"] > 0).all()
+    assert cat.iloc[-1]["n_docs"] == manifest.read_manifest(root, None)["n_docs"]
