@@ -24,6 +24,8 @@ Commands::
   rollover  <registry_dir> <alias> <new_root> --max-docs N
   prune-snapshots <repo_dir> --keep-last N
   fsck      <index_root> [--shallow]           # CheckIndex analog
+  update    <index_root> <doc_id> <json_fields>  # ES _update partial merge
+  cat-indices <index_root>                     # ES _cat/indices lineage
 
 Input parquet needs (doc_id, text[, attrs...]) — or transcript shape
 (conv_id, turn_idx, text), detected by column sniffing, in which case
@@ -77,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("root")
     b.add_argument("--attrs", default="")
     b.add_argument("--positions", action="store_true")
+    b.add_argument("--store-source", action="store_true",
+                   help="keep raw text in the doc tables (enables partial update)")
 
     d = sub.add_parser("delta")
     d.add_argument("input")
@@ -147,6 +151,14 @@ def main(argv: list[str] | None = None) -> int:
     fk.add_argument("root")
     fk.add_argument("--shallow", action="store_true")
 
+    up = sub.add_parser("update")  # ES _update: partial doc merge
+    up.add_argument("root")
+    up.add_argument("doc_id", type=int)
+    up.add_argument("fields", help="JSON object of fields to merge")
+
+    ci = sub.add_parser("cat-indices")  # ES _cat/indices: version lineage
+    ci.add_argument("root")
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -157,6 +169,7 @@ def main(argv: list[str] | None = None) -> int:
             _load_corpus(args.input), args.root,
             attr_cols=[a for a in args.attrs.split(",") if a],
             store_positions=args.positions,
+            store_source=args.store_source,
             input_desc=args.input,
         )
         print(json.dumps({"version": man["version"], "n_docs": man["n_docs"],
@@ -269,6 +282,19 @@ def main(argv: list[str] | None = None) -> int:
         rep = fsck.fsck(args.root, deep=not args.shallow)
         print(json.dumps(rep))
         return 0 if rep["ok"] else 2
+    elif args.cmd == "update":
+        _ray_init()
+        from harvester_ray.index import incremental
+
+        man = incremental.update_document(
+            args.root, args.doc_id, json.loads(args.fields)
+        )
+        print(json.dumps({"version": man.get("version"),
+                          "result": "updated"}))
+    elif args.cmd == "cat-indices":
+        from harvester_ray.index import build
+
+        print(build.cat_indices(args.root).to_json(orient="records"))
     return 0
 
 

@@ -131,3 +131,21 @@ def test_cli_search_dsl(tmp_path):
     bf.write_text(body)
     resp2 = json.loads(_run("search-dsl", root, f"@{bf}"))
     assert resp2 == resp
+
+
+@pytest.mark.slow
+def test_cli_update_and_cat_indices(tmp_path):
+    corpus = pd.DataFrame({
+        "doc_id": np.arange(20, dtype=np.int64),
+        "text": [f"spark window doc {i}" for i in range(20)],
+        "source": [f"s{i % 3}" for i in range(20)],
+    })
+    src = str(tmp_path / "c.parquet")
+    corpus.to_parquet(src)
+    root = str(tmp_path / "idx")
+    json.loads(_run("build", src, root, "--attrs", "source", "--store-source"))
+    out = json.loads(_run("update", root, "4", '{"source": "patched"}'))
+    assert out["result"] == "updated" and out["version"] == 2
+    cat = json.loads(_run("cat-indices", root))
+    assert len(cat) == 2 and cat[-1]["current"] and cat[-1]["n_docs"] == 20
+    assert all(row["bytes"] > 0 for row in cat)
