@@ -1398,6 +1398,78 @@ class QueryService:
         parts = ray.get(futures)
         return merge_topk(parts, k)
 
+    # -- async search (ES _async_search) ------------------------------------
+
+    def submit(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "and",
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+    ) -> str:
+        """ES ``_async_search`` submit: start the per-actor fan-out and
+        return a search id immediately. The in-flight Ray futures ARE the
+        async state — no coordinator actor, no polling thread; ``status``
+        peeks with a zero-timeout ``ray.wait``, ``get`` blocks and merges,
+        ``cancel`` propagates ``ray.cancel`` to the actors."""
+        if not hasattr(self, "_async"):
+            self._async: dict[str, tuple] = {}
+            self._async_seq = 0
+        self._async_seq += 1
+        sid = f"async-{self._async_seq}"
+        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        dfs = self.df(terms) if terms else {}
+        live = [t for t in terms if dfs.get(t, 0) > 0]
+        if not live or (mode == "and" and len(live) < len(terms)):
+            self._async[sid] = ("done", _empty_result())
+            return sid
+        idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in live}
+        futures = [
+            a.search.remote(live, idf_map, k, mode, filters, recency)
+            for a in self.actors
+        ]
+        self._async[sid] = ("running", futures, k)
+        return sid
+
+    def status(self, search_id: str) -> dict:
+        """``{"is_running": bool}`` — zero-timeout peek, never blocks."""
+        import ray
+
+        st = self._async_state(search_id)
+        if st[0] == "done":
+            return {"is_running": False}
+        _, futures, _k = st
+        _, pending = ray.wait(futures, num_returns=len(futures), timeout=0)
+        return {"is_running": bool(pending)}
+
+    def get(self, search_id: str) -> pa.Table:
+        """Block until complete, merge, and release the search state."""
+        import ray
+
+        st = self._async_state(search_id)
+        if st[0] == "done":
+            self._async.pop(search_id)
+            return st[1]
+        _, futures, k = st
+        parts = ray.get(futures)
+        self._async.pop(search_id)
+        return merge_topk(parts, k)
+
+    def cancel(self, search_id: str) -> None:
+        import ray
+
+        st = self._async_state(search_id)
+        if st[0] != "done":
+            for f in st[1]:
+                ray.cancel(f, force=False)
+        self._async.pop(search_id)
+
+    def _async_state(self, search_id: str):
+        if not hasattr(self, "_async") or search_id not in self._async:
+            raise KeyError(f"unknown async search id {search_id!r}")
+        return self._async[search_id]
+
     def search_phrase(
         self,
         phrase: str,

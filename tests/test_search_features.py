@@ -472,3 +472,26 @@ def test_function_score_gauss_matches_oracle(tmp_path_factory, con):
     # doc 3 has the best raw BM25 (tf=2 for beta) but is a year stale —
     # the multiply must demote it below the on-origin docs
     assert list(got["doc_id"]).index(3) > list(got["doc_id"]).index(0)
+
+
+def test_async_search_api(attr_index):
+    svc = query.QueryService(attr_index, num_actors=2)
+    try:
+        sid = svc.submit("table scan", k=10, mode="or")
+        got = svc.get(sid).to_pandas()
+        sync = svc.search("table scan", k=10, mode="or").to_pandas()
+        assert list(got["doc_id"]) == list(sync["doc_id"])
+        assert list(got["score"]) == list(sync["score"])
+        with pytest.raises(KeyError):
+            svc.status(sid)  # state released on get
+        # term-free / dead queries resolve at submit time
+        sid2 = svc.submit("zzzznomatchzzzz")
+        assert svc.status(sid2) == {"is_running": False}
+        assert len(svc.get(sid2)) == 0
+        # cancel releases the state
+        sid3 = svc.submit("table", k=5, mode="or")
+        svc.cancel(sid3)
+        with pytest.raises(KeyError):
+            svc.get(sid3)
+    finally:
+        svc.shutdown()
