@@ -32,6 +32,7 @@ Response mirrors the ES envelope (a plain dict):
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 from ..analyzer import tokenize_query as _tokenize_query
@@ -47,6 +48,42 @@ def _match_parts(query: dict) -> tuple[str, str]:
         spec = {"query": spec}
     mode = "and" if spec.get("operator", "or").lower() == "and" else "or"
     return spec["query"], mode
+
+
+def validate_query(body: dict) -> dict[str, Any]:
+    """ES ``_validate/query``: structural parse of a ``{"query": ...}``
+    body (or a bare query dict) without touching any index."""
+    from . import dsl as _dsl
+
+    return _dsl.validate_query(body.get("query", body))
+
+
+def field_caps(reader: IndexReader) -> "Any":
+    """ES ``_field_caps``: every queryable/aggregatable field of the index
+    with its Arrow type — the analyzed ``text`` pseudo-field, the indexed
+    ``dl`` doc-length, and each stored attribute column (typed from the
+    newest segment's doc-table schema). Reads one Parquet footer."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    seg = reader.manifest["segments"][-1]
+    schema = pq.read_schema(
+        os.path.join(reader.root, seg["path"]) + ".docs.parquet"
+    )
+    rows = [
+        {"field": "text", "type": "text", "searchable": True,
+         "aggregatable": False},
+    ]
+    for name in schema.names:
+        if name == "doc_id":
+            continue
+        rows.append({
+            "field": name,
+            "type": str(schema.field(name).type),
+            "searchable": name != "_source",
+            "aggregatable": name != "_source",
+        })
+    return pd.DataFrame(rows, columns=["field", "type", "searchable", "aggregatable"])
 
 
 def open_pit(index_root: str) -> dict[str, str]:

@@ -52,6 +52,70 @@ def _filter_leaves(spec) -> dict:
     return filters
 
 
+KNOWN_KINDS = frozenset({
+    "match", "match_phrase", "match_phrase_prefix", "match_bool_prefix",
+    "term", "terms", "terms_set", "range", "exists", "ids",
+    "prefix", "wildcard", "regexp", "fuzzy",
+    "simple_query_string", "query_string",
+    "bool", "boosting", "constant_score", "dis_max", "pinned",
+    "function_score", "intervals",
+    "span_term", "span_or", "span_not", "span_near", "span_first",
+    "span_containing", "span_within", "span_multi",
+})
+
+
+def validate_query(dsl: dict) -> dict:
+    """ES ``_validate/query``: structural validation WITHOUT execution —
+    single top-level key, known leaf type, bool/boosting sub-clauses
+    recursed. Returns ``{"valid": True}`` or ``{"valid": False, "error":
+    str}``; never touches an index."""
+    try:
+        _validate_node(dsl)
+        return {"valid": True}
+    except (ValueError, KeyError, TypeError) as e:
+        return {"valid": False, "error": f"{type(e).__name__}: {e}"}
+
+
+def _validate_node(dsl) -> None:
+    if not isinstance(dsl, dict) or len(dsl) != 1:
+        raise ValueError("query DSL must be a dict with exactly one top-level key")
+    (kind, body), = dsl.items()
+    if kind not in KNOWN_KINDS:
+        raise ValueError(f"unknown query type: {kind!r}")
+    if not isinstance(body, dict):
+        raise ValueError(f"{kind} body must be an object")
+    if kind == "bool":
+        for clause in ("must", "should", "must_not", "filter"):
+            for sub in _as_list(body.get(clause, [])):
+                _validate_node(sub)
+    elif kind == "boosting":
+        _validate_node(body["positive"])
+        _validate_node(body["negative"])
+    elif kind == "constant_score":
+        _validate_node(body["filter"])
+    elif kind == "dis_max":
+        for sub in _as_list(body["queries"]):
+            _validate_node(sub)
+    elif kind == "pinned":
+        body["ids"]
+        _validate_node(body["organic"])
+    elif kind in ("span_or", "span_near"):
+        for sub in _as_list(body["clauses"]):
+            _validate_node(sub)
+    elif kind == "span_not":
+        _validate_node(body["include"])
+        _validate_node(body["exclude"])
+    elif kind in ("span_containing", "span_within"):
+        _validate_node(body["big"])
+        _validate_node(body["little"])
+    elif kind == "span_multi":
+        body["match"]["prefix"]
+
+
+def _as_list(x):
+    return x if isinstance(x, list) else [x]
+
+
 def execute_dsl(reader: IndexReader, dsl: dict, *, k: int = 10) -> pd.DataFrame:
     """Execute one ES query-DSL dict against the index. Returns the same
     (doc_id, score) frame the underlying operator's gate emits."""

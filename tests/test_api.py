@@ -214,3 +214,27 @@ def test_pit_snapshot_isolation(tmp_path_factory):
     assert ([h["_id"] for h in page1]
             + [h["_id"] for h in page2["hits"]["hits"]]
             ) == [h["_id"] for h in topk["hits"]["hits"]]
+
+
+def test_validate_query_and_field_caps(idx):
+    ok = api.validate_query({"query": {"bool": {
+        "must": [{"match": {"text": "a"}}],
+        "must_not": {"term": {"source": "x"}}}}})
+    assert ok == {"valid": True}
+    bad = api.validate_query({"query": {"geo_shape": {"field": "x"}}})
+    assert not bad["valid"] and "geo_shape" in bad["error"]
+    bad2 = api.validate_query({"query": {"bool": {"must": [{"match": "notadict"}]}}})
+    assert not bad2["valid"]
+    # every DSL body exercised in test_dsl must validate
+    for body in [
+        {"span_multi": {"match": {"prefix": {"text": {"value": "s"}}}}},
+        {"dis_max": {"queries": [{"match": {"text": "a"}}]}},
+        {"pinned": {"ids": [1], "organic": {"match": {"text": "a"}}}},
+    ]:
+        assert api.validate_query(body) == {"valid": True}, body
+
+    caps = api.field_caps(idx)
+    fields = dict(zip(caps["field"], caps["type"]))
+    assert fields["text"] == "text" and fields["dl"] == "int64"
+    assert "source" in fields and "lang" in fields
+    assert bool(caps[caps["field"] == "source"].iloc[0]["aggregatable"])
