@@ -159,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     ci = sub.add_parser("cat-indices")  # ES _cat/indices: version lineage
     ci.add_argument("root")
 
+    vq = sub.add_parser("validate-query")  # ES _validate/query: parse only
+    vq.add_argument("body", help="JSON query body or @path")
+
+    fc = sub.add_parser("field-caps")  # ES _field_caps
+    fc.add_argument("root")
+
     args = p.parse_args(argv)
 
     if args.cmd == "build":
@@ -295,6 +301,21 @@ def main(argv: list[str] | None = None) -> int:
         from harvester_ray.index import build
 
         print(build.cat_indices(args.root).to_json(orient="records"))
+    elif args.cmd == "validate-query":
+        from harvester_ray.index import api
+
+        raw = args.body
+        if raw.startswith("@"):
+            with open(raw[1:]) as f:
+                raw = f.read()
+        res = api.validate_query(json.loads(raw))
+        print(json.dumps(res))
+        return 0 if res["valid"] else 2
+    elif args.cmd == "field-caps":
+        from harvester_ray.index import api, query
+
+        print(api.field_caps(query.IndexReader(args.root)).to_json(
+            orient="records"))
     return 0
 
 

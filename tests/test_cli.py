@@ -149,3 +149,7 @@ def test_cli_update_and_cat_indices(tmp_path):
     cat = json.loads(_run("cat-indices", root))
     assert len(cat) == 2 and cat[-1]["current"] and cat[-1]["n_docs"] == 20
     assert all(row["bytes"] > 0 for row in cat)
+    ok = json.loads(_run("validate-query", '{"match": {"text": "spark"}}'))
+    assert ok == {"valid": True}
+    caps = json.loads(_run("field-caps", root))
+    assert {"text", "dl", "source"} <= {r["field"] for r in caps}
