@@ -413,6 +413,35 @@ def _extended_stats(sf_dir: str) -> pd.DataFrame:
     )
 
 
+PHRASE_DECON_DOCS = ((7, 6), (21, 4))
+
+
+def _phrase_decontam(sf_dir: str) -> pd.DataFrame:
+    """Exact-phrase decontamination: benchmark phrases = the first L tokens
+    of fixture docs (both sides derive them identically), matched verbatim
+    at their own lengths."""
+    import pyarrow.parquet as _pq
+
+    from harvester_ray import analyzer as _an
+    from harvester_ray.ops import decontam as _dec
+
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = tbl["doc_id"].to_pylist()
+    phrases = []
+    for d, L in PHRASE_DECON_DOCS:
+        toks = _an.tokenize_query(tbl["text"][ids.index(d)].as_py())
+        phrases.append(" ".join(toks[:L]))
+    out = (
+        _dec.phrase_decontaminate(_docs_ds(sf_dir), phrases)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def _segment_metrics(sf_dir: str) -> pd.DataFrame:
     """Per-partition lineage + metrics (north_rule): per-segment doc/term
     stats, on-disk bytes, encode wall time. Rows-only (wall times and byte
@@ -3791,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_safe_split": _cluster_safe_split,
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
+        "phrase_decontam": _phrase_decontam,
         "dup_ngrams": _dup_ngrams,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -4594,6 +4624,9 @@ GROUP BY v.value ORDER BY v.value"""
             "(SELECT doc_id, text, lang, source, n_chars FROM documents)",
         ),
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
+        "phrase_decontam": _decontam.phrase_decontaminate_sql(
+            "documents", phrase_docs=PHRASE_DECON_DOCS
+        ),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),

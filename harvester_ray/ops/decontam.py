@@ -143,3 +143,106 @@ SELECT sh.doc_id,
 FROM sh LEFT JOIN hits h ON sh.doc_id = h.doc_id
 ORDER BY sh.doc_id
 """.strip()
+
+
+def _phrase_hash(tokens: tuple[str, ...]) -> np.uint64:
+    """The same polynomial-rolled 64-bit hash _batch_shingles computes for
+    a window equal to this token sequence."""
+    from harvester_ray.ops.dedup import _H64_MUL, _vocab_hash64
+
+    th = _vocab_hash64(pa.array(list(tokens), pa.string()))
+    h = th[0]
+    for k in range(1, len(th)):
+        h = h * _H64_MUL + th[k]
+    return h
+
+
+def phrase_decontaminate(
+    corpus_ds,
+    phrases: list[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Exact-phrase decontamination (the GPT-3/Llama 'exact match' mode,
+    complementing ``decontaminate``'s fixed-n overlap): flag every corpus
+    doc whose token stream contains any benchmark phrase VERBATIM at the
+    phrase's own length — short exact strings (answer keys, prompts) don't
+    need a global shingle n.
+
+    Shape: phrases are benchmark-sized; their hashes broadcast per distinct
+    length L, and the corpus streams through one ``map_batches`` doing one
+    vectorized L-shingle pass per distinct L (|distinct lengths| is tiny).
+    Returns (doc_id, n_hits, contaminated) — n_hits counts occurrences
+    across all phrases. Hash collisions (~2^-64 per window) are the
+    standard accepted error of hashed decontamination.
+    """
+    import ray
+
+    from harvester_ray.ops.dedup import _batch_shingles
+
+    tokenized = [tuple(analyzer.tokenize_query(p)) for p in phrases]
+    by_len: dict[int, list[np.uint64]] = {}
+    for t in tokenized:
+        if t:
+            by_len.setdefault(len(t), []).append(_phrase_hash(t))
+    needles = {
+        L: np.unique(np.asarray(hs, dtype=np.uint64))
+        for L, hs in by_len.items()
+    }
+    needles_ref = ray.put(needles)
+
+    def score(batch: pa.Table) -> pa.Table:
+        nd = ray.get(needles_ref)
+        text = analyzer.normalize_text(batch[text_col])
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        n_hits = np.zeros(len(ids), dtype=np.int64)
+        for L, hs in nd.items():
+            sh_doc, sh_h = _batch_shingles(text, L)
+            if sh_doc.size == 0:
+                continue
+            pos = np.searchsorted(hs, sh_h)
+            pos[pos == hs.size] = 0
+            hit = hs[pos] == sh_h
+            np.add.at(n_hits, sh_doc[hit], 1)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_hits": pa.array(n_hits, pa.int64()),
+                "contaminated": pa.array(n_hits > 0),
+            }
+        )
+
+    return corpus_ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def phrase_decontaminate_sql(
+    table: str = "documents",
+    *,
+    phrase_docs: tuple[tuple[int, int], ...] = ((7, 6), (21, 4)),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for ``phrase_decontaminate`` with phrases derived from the
+    corpus itself: for each ``(doc_id, L)`` in ``phrase_docs`` the phrase
+    is that doc's first L tokens (both sides derive it identically).
+    Occurrences counted by exact list equality per sliding window."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    needle_ctes = ",\n".join(
+        f"n{i} AS (SELECT ts[1 : {L}] AS nt{i} FROM toks WHERE doc_id = {d})"
+        for i, (d, L) in enumerate(phrase_docs)
+    )
+    joins = " ".join(f"CROSS JOIN n{i}" for i in range(len(phrase_docs)))
+    hit_terms = " + ".join(
+        f"len([i for i in range(1, len(ts) - {L} + 2)"
+        f" if ts[i : i + {L} - 1] = nt{i}])"
+        for i, (_d, L) in enumerate(phrase_docs)
+    )
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+{needle_ctes}
+SELECT doc_id,
+       CAST({hit_terms} AS BIGINT) AS n_hits,
+       ({hit_terms}) > 0 AS contaminated
+FROM toks {joins} ORDER BY doc_id
+""".strip()

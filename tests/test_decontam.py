@@ -43,3 +43,23 @@ def test_empty_benchmark_flags_nothing(ray_session):
     out = decontam.decontaminate(corpus, bench, shingle_n=5).to_pandas()
     assert out["n_contaminated"].tolist() == [0]
     assert not out["contaminated"].any()
+
+
+def test_phrase_decontaminate(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps",      # contains 'quick brown fox'
+            "quick brown wolf runs fast",     # partial only -> clean
+            "a quick brown fox and a quick brown fox again",  # 2 hits
+            "",                               # token-free -> clean
+        ]),
+    }))
+    out = (
+        decontam.phrase_decontaminate(ds, ["Quick BROWN fox", "zz qq"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert list(out["n_hits"]) == [1, 0, 2, 0]
+    assert list(out["contaminated"]) == [True, False, True, False]
