@@ -37,6 +37,7 @@ from harvester_ray.ops import kmeans as _kmeans
 from harvester_ray.ops import compare as _compare
 from harvester_ray.ops import keywords as _keywords
 from harvester_ray.pipelines import analytics as _analytics
+from harvester_ray.pipelines import windows as _windows_mod
 from harvester_ray.ops import bloom as _bloom
 from harvester_ray.ops import embstats as _embstats
 from harvester_ray.ops import chunking as _chunking
@@ -410,6 +411,20 @@ def _extended_stats(sf_dir: str) -> pd.DataFrame:
     return _extras.extended_stats_agg(
         index_query.IndexReader(_documents_index(sf_dir)), BM25_QUERY_OR,
         mode="or",
+    )
+
+
+def _late_arrivals(sf_dir: str) -> pd.DataFrame:
+    """Watermark / allowed-lateness accounting over the events stream
+    (two-phase prefix scan, zero shuffle)."""
+    from harvester_ray.pipelines import windows as _win
+
+    return _win.late_arrivals(
+        [os.path.join(sf_dir, "events.parquet")],
+        interval_us=3_600_000_000,
+        allowed_lateness_us=1_800_000_000,
+        seq_scramble=True,  # the synth log is event-time-ordered; scramble
+        # arrival deterministically so late rows actually exist
     )
 
 
@@ -3821,6 +3836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
         "phrase_decontam": _phrase_decontam,
+        "late_arrivals": _late_arrivals,
         "dup_ngrams": _dup_ngrams,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -4626,6 +4642,9 @@ GROUP BY v.value ORDER BY v.value"""
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "phrase_decontam": _decontam.phrase_decontaminate_sql(
             "documents", phrase_docs=PHRASE_DECON_DOCS
+        ),
+        "late_arrivals": _windows_mod.late_arrivals_sql(
+            "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
         ),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),

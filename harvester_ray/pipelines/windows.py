@@ -116,3 +116,134 @@ def session_windows(
         return out[[key_col, "session_start", "session_end", "n_events"]]
 
     return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def late_arrivals(
+    files: list[str] | str,
+    *,
+    interval_us: int = 3_600_000_000,
+    allowed_lateness_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    seq_scramble: bool = False,
+) -> pd.DataFrame:
+    """Watermark / allowed-lateness accounting (the Flink/Beam late-data
+    contract Ray Data lacks natively): processing events in ARRIVAL order
+    (``seq_col``), the watermark after each event is
+    ``running_max(ts) − allowed_lateness``; an event is LATE if its event
+    time is already behind the watermark when it arrives. Returns per
+    tumbling window ``(bucket_us, n_events, n_late)``.
+
+    Distributed shape (the classic two-phase prefix scan, zero shuffle):
+    arrival logs are append-ordered — files in name order, rows in seq
+    order within a file — so phase 1 reads each fragment once and returns
+    only its max event time (bytes ∝ #files); the driver computes the
+    exclusive prefix max per file (#files values); phase 2 re-reads each
+    fragment with its prefix, flags lateness against
+    ``max(prefix, local running max)`` and folds per-window partials
+    locally. Only (bucket, counts) partials leave the workers.
+    """
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+
+    if isinstance(files, str):
+        files = sorted(
+            os.path.join(files, f) for f in os.listdir(files)
+            if f.endswith(".parquet")
+        )
+    files = sorted(files)
+    if seq_scramble and len(files) > 1:
+        raise ValueError("seq_scramble requires a single fragment")
+
+    @ray.remote
+    def file_max(f: str):
+        t = pq.read_table(f, columns=[ts_col])
+        if t.num_rows == 0:
+            return None
+        return int(
+            pc.max(t[ts_col].cast(pa.timestamp("us")).cast(pa.int64())).as_py()
+        )
+
+    maxima = ray.get([file_max.remote(f) for f in files])
+    prefix: list[int | None] = []
+    cur: int | None = None
+    for m in maxima:
+        prefix.append(cur)
+        if m is not None:
+            cur = m if cur is None else max(cur, m)
+
+    @ray.remote
+    def score(f: str, pre: int | None):
+        t = pq.read_table(f, columns=[seq_col, ts_col])
+        if t.num_rows == 0:
+            return pd.DataFrame({"bucket_us": [], "n_events": [], "n_late": []})
+        seq = np.asarray(t[seq_col].combine_chunks().cast(pa.int64()))
+        if seq_scramble:
+            seq = np.bitwise_xor(seq, 15)
+        order = np.argsort(seq, kind="mergesort")
+        tsu = np.asarray(
+            t[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )[order]
+        run = np.maximum.accumulate(tsu)
+        prevmax = np.empty_like(run)
+        prevmax[0] = np.iinfo(np.int64).min if pre is None else pre
+        prevmax[1:] = run[:-1]
+        if pre is not None:
+            np.maximum(prevmax, pre, out=prevmax)
+        late = (prevmax != np.iinfo(np.int64).min) & (
+            tsu < prevmax - allowed_lateness_us
+        )
+        bucket = (tsu // interval_us) * interval_us
+        df = pd.DataFrame({"bucket_us": bucket, "late": late})
+        out = df.groupby("bucket_us").agg(
+            n_events=("late", "size"), n_late=("late", "sum")
+        ).reset_index()
+        return out
+
+    parts = ray.get([score.remote(f, p) for f, p in zip(files, prefix)])
+    out = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("bucket_us", as_index=False)[["n_events", "n_late"]]
+        .sum()
+        .sort_values("bucket_us")
+        .reset_index(drop=True)
+    )
+    return out.astype(
+        {"bucket_us": np.int64, "n_events": np.int64, "n_late": np.int64}
+    )
+
+
+def late_arrivals_sql(
+    table: str = "events",
+    *,
+    interval_us: int = 3_600_000_000,
+    allowed_lateness_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+    seq_col: str = "event_id",
+    seq_scramble: bool = False,
+) -> str:
+    """Oracle for ``late_arrivals``: the running max as a window function
+    over arrival order; the first arrival is never late."""
+    seq = f"xor({seq_col}, 15)" if seq_scramble else seq_col
+    return f"""
+WITH e AS (
+  SELECT {seq} AS seq, epoch_us(CAST({ts_col} AS TIMESTAMP)) AS tsu
+  FROM {table}
+),
+w AS (
+  SELECT seq, tsu,
+         max(tsu) OVER (ORDER BY seq
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prevmax
+  FROM e
+)
+SELECT CAST((tsu // {interval_us}) * {interval_us} AS BIGINT) AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) FILTER (
+         WHERE prevmax IS NOT NULL AND tsu < prevmax - {allowed_lateness_us}
+       ) AS BIGINT) AS n_late
+FROM w GROUP BY 1 ORDER BY 1
+""".strip()

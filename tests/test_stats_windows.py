@@ -89,3 +89,46 @@ def test_session_windows_match_oracle(con):
     assert list(got["user_id"]) == list(exp["user_id"])
     assert list(got["session_start"]) == list(exp["session_start"])
     assert list(got["n_events"]) == list(exp["n_events"])
+
+
+def test_late_arrivals_prefix_scan(ray_session, tmp_path):
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from harvester_ray.pipelines import windows
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    ts = (
+        np.datetime64("2024-01-01", "us")
+        + (np.cumsum(rng.integers(0, 5_000_000, n))
+           + rng.integers(-7_200_000_000, 0, n)).astype("timedelta64[us]")
+    )
+    df = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64), "ts": ts})
+    d = str(tmp_path)
+    df.to_parquet(os.path.join(d, "all.parquet"))
+    parts = [os.path.join(d, f"p{i}.parquet") for i in range(3)]
+    for i, p in enumerate(parts):
+        df.iloc[i * 1000:(i + 1) * 1000].to_parquet(p)
+    one = windows.late_arrivals(
+        [os.path.join(d, "all.parquet")], allowed_lateness_us=1_800_000_000
+    )
+    multi = windows.late_arrivals(parts, allowed_lateness_us=1_800_000_000)
+    # the prefix max crosses file boundaries: multi-file == single-file
+    assert one.values.tolist() == multi.values.tolist()
+    # non-degenerate: BOTH late and on-time rows exist
+    assert 0 < int(one["n_late"].sum()) < int(one["n_events"].sum())
+    # oracle identity on the same frame
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'all.parquet')}')"
+    )
+    exp = con.execute(
+        windows.late_arrivals_sql("events", allowed_lateness_us=1_800_000_000)
+    ).fetchdf()
+    assert one.values.tolist() == exp.values.tolist()
