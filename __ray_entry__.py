@@ -428,6 +428,19 @@ def _late_arrivals(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _window_gaps(sf_dir: str) -> pd.DataFrame:
+    """Data-completeness gap report: 10-minute tumbling windows with no
+    events between the stream's min and max (bounded per-batch partials)."""
+    import ray.data as rd
+
+    from harvester_ray.pipelines import windows as _win
+
+    return _win.window_gaps(
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["ts"]),
+        interval_us=600_000_000,
+    )
+
+
 PHRASE_DECON_DOCS = ((7, 6), (21, 4))
 
 
@@ -3837,6 +3850,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "phrase_decontam": _phrase_decontam,
         "late_arrivals": _late_arrivals,
+        "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -4645,6 +4659,9 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
+        ),
+        "window_gaps": _windows_mod.window_gaps_sql(
+            "events", interval_us=600_000_000
         ),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),

@@ -247,3 +247,67 @@ SELECT CAST((tsu // {interval_us}) * {interval_us} AS BIGINT) AS bucket_us,
        ) AS BIGINT) AS n_late
 FROM w GROUP BY 1 ORDER BY 1
 """.strip()
+
+
+def window_gaps(
+    ds,
+    *,
+    interval_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Data-completeness check: tumbling windows between the stream's min
+    and max that contain NO events (the gap report a backfill scheduler
+    consumes; the reference's harvest-state machinery implies the same
+    freshness audit). Per batch only the distinct present buckets + local
+    min/max leave the worker (bounded by time-range/interval, never
+    events); the gap set difference is tiny driver work."""
+    import pyarrow.compute as pc
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tsu = np.asarray(
+            batch[ts_col].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        )
+        buckets = np.unique((tsu // interval_us) * interval_us)
+        return pa.table({"bucket_us": pa.array(buckets, pa.int64())})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    empty = pd.DataFrame({"bucket_us": pd.Series(dtype=np.int64)})
+    if not parts:
+        return empty
+    present = np.unique(pd.concat(parts, ignore_index=True)["bucket_us"].to_numpy())
+    if present.size == 0:
+        return empty
+    full = np.arange(present[0], present[-1] + 1, interval_us, dtype=np.int64)
+    gaps = np.setdiff1d(full, present, assume_unique=True)
+    return pd.DataFrame({"bucket_us": gaps})
+
+
+def window_gaps_sql(
+    table: str = "events",
+    *,
+    interval_us: int = 3_600_000_000,
+    ts_col: str = "ts",
+) -> str:
+    """Oracle for ``window_gaps``: generate_series over the bucket range
+    minus the present buckets."""
+    return f"""
+WITH b AS (
+  SELECT DISTINCT (epoch_us(CAST({ts_col} AS TIMESTAMP)) // {interval_us})
+                  * {interval_us} AS bucket_us
+  FROM {table}
+),
+rng AS (
+  SELECT unnest(generate_series(
+           (SELECT min(bucket_us) FROM b),
+           (SELECT max(bucket_us) FROM b),
+           {interval_us})) AS bucket_us
+)
+SELECT CAST(r.bucket_us AS BIGINT) AS bucket_us
+FROM rng r LEFT JOIN b USING (bucket_us)
+WHERE b.bucket_us IS NULL ORDER BY 1
+""".strip()

@@ -132,3 +132,25 @@ def test_late_arrivals_prefix_scan(ray_session, tmp_path):
         windows.late_arrivals_sql("events", allowed_lateness_us=1_800_000_000)
     ).fetchdf()
     assert one.values.tolist() == exp.values.tolist()
+
+
+def test_window_gaps(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.pipelines import windows
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    hours = [0, 1, 2, 5, 6, 9]  # gaps at 3, 4, 7, 8
+    ts = np.array([base + np.timedelta64(h, "h") for h in hours])
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts}))
+    out = windows.window_gaps(ds, interval_us=3_600_000_000)
+    got_h = [(b - int(ts[0].astype("datetime64[us]").astype(np.int64)))
+             // 3_600_000_000 for b in out["bucket_us"]]
+    assert got_h == [3, 4, 7, 8]
+    # partition independence + empty input
+    out2 = windows.window_gaps(ds.repartition(3), interval_us=3_600_000_000)
+    assert out.values.tolist() == out2.values.tolist()
+    empty = rd.from_pandas(pd.DataFrame({"ts": ts[:0]}))
+    assert len(windows.window_gaps(empty)) == 0
