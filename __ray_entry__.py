@@ -3940,6 +3940,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_weights": lambda sf: _keywords.dsir_weights(
             _docs_ds(sf, ("doc_id", "text", "lang")), target_lang="en"
         ),
+        "keyness_llr": lambda sf: _compare.keyness_llr(
+            _docs_ds(sf, ("doc_id", "text", "lang")), target_lang="en", k=50
+        ),
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
@@ -4719,6 +4722,7 @@ GROUP BY v.value ORDER BY v.value"""
         "bpe_encode_counts": _keywords.bpe_encode_counts_sql("documents", n_merges=8),
         "bpe_fertility": _keywords.bpe_fertility_by_lang_sql("documents", n_merges=8),
         "dsir_weights": _keywords.dsir_weights_sql("documents", target_lang="en"),
+        "keyness_llr": _compare.keyness_llr_sql("documents", target_lang="en", k=50),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),

@@ -565,3 +565,137 @@ SELECT t.n_a, t.n_b, d.d_num,
             ELSE floor(d.d_num * 1e6 / (t.n_a * t.n_b) + 0.5) / 1e6 END AS ks
 FROM d CROSS JOIN tot t
 """.strip()
+
+
+def keyness_llr(
+    ds,
+    *,
+    target_lang: str = "en",
+    k: int = 50,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> pd.DataFrame:
+    """Corpus-comparison keyness by Dunning's log-likelihood ratio (the
+    statistic behind ES ``significant_text`` and every corpus-linguistics
+    keyword list): G² per term between the target subcorpus (``lang ==
+    target_lang``) and the rest, top-``k``. High-G² terms are what makes
+    the target read differently from the background.
+
+    One streaming pass folds to (term → cf_target, cf_rest) — the same
+    vocabulary-bounded partial shape as ``keywords.dsir_weights``. The
+    ranking key is ``floor(G²·1e6 + 0.5)`` as an exact BIGINT with term
+    tie-break; G² uses the 2-cell observed-vs-expected form with 0·ln 0
+    defined as 0, every float expression mirrored verbatim in the oracle.
+    Returns ``(term, cf_target, cf_rest, llr)``.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from harvester_ray import analyzer
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n_all = np.bincount(codes, minlength=len(dictionary)).astype(np.int64)
+        langs = batch[lang_col].to_pandas().to_numpy(dtype=object)
+        tgt = codes[langs[rows] == target_lang] if codes.size else codes
+        n_tgt = np.bincount(tgt, minlength=len(dictionary)).astype(np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = n_all > 0
+        return pa.table({
+            "term": pa.array(terms[keep], pa.string()),
+            "n_all": pa.array(n_all[keep], pa.int64()),
+            "n_tgt": pa.array(n_tgt[keep], pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    empty = pd.DataFrame({
+        "term": pd.Series(dtype=object),
+        "cf_target": pd.Series(dtype=np.int64),
+        "cf_rest": pd.Series(dtype=np.int64),
+        "llr": pd.Series(dtype=np.float64),
+    })
+    if not parts:
+        return empty
+    cf = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("term", as_index=False)[["n_all", "n_tgt"]]
+        .sum()
+    )
+    if not len(cf):
+        return empty
+    a = cf["n_tgt"].to_numpy(np.int64)
+    b = (cf["n_all"] - cf["n_tgt"]).to_numpy(np.int64)
+    na = int(a.sum())
+    nb = int(b.sum())
+    if na == 0 or nb == 0:
+        return empty
+    af = a.astype(np.float64)
+    bf = b.astype(np.float64)
+    ab = (a + b).astype(np.float64)
+    ea = np.float64(na) * ab / np.float64(na + nb)
+    eb = np.float64(nb) * ab / np.float64(na + nb)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t1 = np.where(a > 0, af * np.log(af / ea), 0.0)
+        t2 = np.where(b > 0, bf * np.log(bf / eb), 0.0)
+    g2_micro = np.floor(2.0 * (t1 + t2) * 1e6 + 0.5).astype(np.int64)
+    out = pd.DataFrame({
+        "term": cf["term"],
+        "cf_target": a,
+        "cf_rest": b,
+        "g2_micro": g2_micro,
+    })
+    out = out.sort_values(
+        ["g2_micro", "term"], ascending=[False, True], kind="mergesort"
+    ).head(k).reset_index(drop=True)
+    out["llr"] = out.pop("g2_micro").astype(np.float64) / 1e6
+    return out[["term", "cf_target", "cf_rest", "llr"]]
+
+
+def keyness_llr_sql(
+    table: str = "documents",
+    *,
+    target_lang: str = "en",
+    k: int = 50,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    """Oracle for ``keyness_llr``: identical 2-cell G² expression over the
+    same integer (cf_target, cf_rest) table, same floor-1e6 ranking key."""
+    from harvester_ray import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    tgt = target_lang.replace("'", "''")
+    return f"""
+WITH flat AS (
+  SELECT {lang_col} AS lang, unnest({tok}) AS term FROM {table}
+),
+cf AS (
+  SELECT term,
+         CAST(count(*) FILTER (WHERE lang = '{tgt}') AS BIGINT) AS a,
+         CAST(count(*) FILTER (WHERE lang <> '{tgt}') AS BIGINT) AS b
+  FROM flat GROUP BY 1
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb FROM cf),
+g AS (
+  SELECT term, a, b,
+         CAST(floor(2.0 * (
+             (CASE WHEN a > 0
+                   THEN a * ln(a / (CAST(na AS DOUBLE) * (a + b) / (na + nb)))
+                   ELSE 0.0 END)
+           + (CASE WHEN b > 0
+                   THEN b * ln(b / (CAST(nb AS DOUBLE) * (a + b) / (na + nb)))
+                   ELSE 0.0 END)
+         ) * 1e6 + 0.5) AS BIGINT) AS g2_micro
+  FROM cf CROSS JOIN tot
+)
+SELECT term, a AS cf_target, b AS cf_rest,
+       CAST(g2_micro AS DOUBLE) / 1e6 AS llr
+FROM g ORDER BY g2_micro DESC, term ASC LIMIT {k}
+""".strip()

@@ -76,3 +76,35 @@ def test_ks_statistic(ray_session):
     # half-overlap: a={1,2}, b={2,3} → D = 1/2
     rows3 = [("src0", 1), ("src0", 2), ("src1", 2), ("src1", 3)]
     assert compare.ks_statistic(mk(rows3)).iloc[0]["ks"] == 0.5
+
+
+def _ds_langs(texts, langs):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        })
+    )
+
+
+def test_keyness_llr(ray_session):
+    ds = _ds_langs(
+        ["apple apple banana", "apple cherry", "dog dog dog cat", "dog fish"],
+        ["en", "en", "de", "de"],
+    )
+    out = compare.keyness_llr(ds, target_lang="en", k=10)
+    # 'apple' is target-exclusive and frequent, 'dog' rest-exclusive:
+    # both must outrank the shared-profile terms; exclusive terms have
+    # positive G2, a term split proportionally scores ~0
+    top2 = set(out["term"].iloc[:2])
+    assert top2 == {"apple", "dog"}
+    assert (out["llr"] >= 0).all()
+    row = out[out["term"] == "apple"].iloc[0]
+    assert row["cf_target"] == 3 and row["cf_rest"] == 0
+    # identical distributions => every llr == 0
+    same = _ds_langs(["x y", "x y"], ["en", "de"])
+    out0 = compare.keyness_llr(same, target_lang="en", k=10)
+    assert (out0["llr"] == 0.0).all()
