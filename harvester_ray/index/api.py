@@ -210,6 +210,7 @@ def search_request(
             reader, qtext,
             window=int(spec.get("window_size", 25)), k=size, slop=slop,
             weight=float(rq.get("rescore_query_weight", 2.0)),
+            mode=mode,
         )
         resp["hits"] = {
             "hits": [
@@ -250,13 +251,19 @@ def search_request(
     resp["hits"] = {"hits": hits}
 
     ids = [h["_id"] for h in resp["hits"]["hits"]]
-    if "_source" in body and ids:
+    src_spec = body.get("_source")
+    if src_spec is not None and src_spec is not False and ids:
         from . import readback
 
-        src_cols = list(body["_source"])
-        by_id = readback.mget(reader.root, ids, columns=src_cols).set_index(
-            "doc_id"
-        )
+        # ES accepts a list of fields, a single field string, or false
+        # (suppress the block entirely — handled by the guard above)
+        src_cols = [src_spec] if isinstance(src_spec, str) else list(src_spec)
+        # pit isolation: fetch attrs from the PINNED manifest version, not
+        # the current one — later deltas must stay invisible to _source too
+        by_id = readback.mget(
+            reader.root, ids, columns=src_cols,
+            version=int(reader.manifest.get("_version", reader.manifest.get("version", 0))),
+        ).set_index("doc_id")
         for h in resp["hits"]["hits"]:
             row = by_id.loc[h["_id"]]
             h["_source"] = {c: row[c] for c in src_cols}

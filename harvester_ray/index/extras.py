@@ -1952,9 +1952,11 @@ def rescore(
     k: int = 10,
     slop: int = 2,
     weight: float = 2.0,
+    mode: str = "or",
 ) -> pd.DataFrame:
     """Two-phase ranking (the ES ``rescore`` request block): take the
-    top-``window`` BM25-OR hits, add ``weight ×`` their ordered-proximity
+    top-``window`` primary hits (``mode`` = "or"/"and" operator of the
+    first phase), add ``weight ×`` their ordered-proximity
     phrase score (slop-windowed), re-rank, cut at ``k``. The cheap broad
     query recalls, the expensive positional query re-orders only the window
     — the standard serving-cost shape the reference's stack uses.
@@ -1964,7 +1966,7 @@ def rescore(
     selects the identical window. Needs ``store_positions=True``."""
     empty = pd.DataFrame({"doc_id": pd.Series(dtype=np.int64),
                           "score": pd.Series(dtype=np.float64)})
-    prim = reader.search(query_text, k=2**31, mode="or").to_pandas()
+    prim = reader.search(query_text, k=2**31, mode=mode).to_pandas()
     if prim.empty:
         return empty
     prim["score"] = prim["score"].round(4)

@@ -1444,26 +1444,37 @@ class QueryService:
         return {"is_running": bool(pending)}
 
     def get(self, search_id: str) -> pa.Table:
-        """Block until complete, merge, and release the search state."""
+        """Block until complete and merge. ES ``_async_search`` semantics:
+        the result stays retrievable (repeated GETs return the cached merge)
+        until the id is explicitly deleted — the futures tuple is replaced
+        with ``("done", result)`` on first completion."""
         import ray
 
         st = self._async_state(search_id)
         if st[0] == "done":
-            self._async.pop(search_id)
             return st[1]
         _, futures, k = st
-        parts = ray.get(futures)
-        self._async.pop(search_id)
-        return merge_topk(parts, k)
+        result = merge_topk(ray.get(futures), k)
+        self._async[search_id] = ("done", result)
+        return result
 
-    def cancel(self, search_id: str) -> None:
+    def delete(self, search_id: str) -> dict:
+        """ES ``DELETE _async_search/<id>``: cancel if still running,
+        release the state. Unknown/already-deleted ids return
+        ``{"found": False}`` instead of raising (the ES 404 shape)."""
         import ray
 
-        st = self._async_state(search_id)
+        st = self._async.pop(search_id, None) if hasattr(self, "_async") else None
+        if st is None:
+            return {"acknowledged": False, "found": False}
         if st[0] != "done":
             for f in st[1]:
                 ray.cancel(f, force=False)
-        self._async.pop(search_id)
+        return {"acknowledged": True, "found": True}
+
+    def cancel(self, search_id: str) -> dict:
+        """Alias for :meth:`delete` (ES cancels via the DELETE endpoint)."""
+        return self.delete(search_id)
 
     def _async_state(self, search_id: str):
         if not hasattr(self, "_async") or search_id not in self._async:

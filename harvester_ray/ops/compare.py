@@ -697,5 +697,9 @@ g AS (
 )
 SELECT term, a AS cf_target, b AS cf_rest,
        CAST(g2_micro AS DOUBLE) / 1e6 AS llr
-FROM g ORDER BY g2_micro DESC, term ASC LIMIT {k}
+FROM g
+-- mirror the engine's degenerate-subcorpus guard: with an empty target or
+-- background subcorpus keyness is undefined and the engine returns no rows
+WHERE (SELECT na FROM tot) > 0 AND (SELECT nb FROM tot) > 0
+ORDER BY g2_micro DESC, term ASC LIMIT {k}
 """.strip()

@@ -126,6 +126,17 @@ def test_rescore_block(idx):
     resp = api.search_request(idx, body)
     direct = extras.rescore(idx, "table scan", window=20, k=5, slop=1, weight=3.0)
     assert [h["_id"] for h in resp["hits"]["hits"]] == list(direct["doc_id"])
+    # operator:and must reach the primary phase (ADVICE r2: mode was dropped)
+    abody = {"query": {"match": {"text": {"query": "table scan",
+                                          "operator": "and"}}}, "size": 5,
+             "rescore": body["rescore"]}
+    aresp = api.search_request(idx, abody)
+    adirect = extras.rescore(idx, "table scan", window=20, k=5, slop=1,
+                             weight=3.0, mode="and")
+    assert [h["_id"] for h in aresp["hits"]["hits"]] == list(adirect["doc_id"])
+    # and-mode recall is a strict subset of or-mode recall here
+    assert set(adirect["doc_id"]) <= set(
+        extras.rescore(idx, "table scan", window=200, k=200, mode="or")["doc_id"])
 
 
 def test_min_score_block(idx):
@@ -238,3 +249,41 @@ def test_validate_query_and_field_caps(idx):
     assert fields["text"] == "text" and fields["dl"] == "int64"
     assert "source" in fields and "lang" in fields
     assert bool(caps[caps["field"] == "source"].iloc[0]["aggregatable"])
+
+
+def test_pit_source_isolation_and_source_forms(tmp_path_factory):
+    """pit must pin _source attribute fetches too (not just hit lists), and
+    _source accepts a bare string / false per the ES request schema."""
+    from harvester_ray.index import incremental
+
+    root = str(tmp_path_factory.mktemp("pitsrc"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text", "source"])
+    build.build_index(ds, root, concurrency=2, attr_cols=["source"])
+    pit = api.open_pit(root)
+
+    body = {"query": {"match": {"text": "table scan"}}, "size": 3,
+            "_source": "source"}  # bare-string form
+    before = api.search_request(query.IndexReader(root), {**body, "pit": pit})
+    assert before["hits"]["hits"]
+    target = before["hits"]["hits"][0]["_id"]
+    old_val = before["hits"]["hits"][0]["_source"]["source"]
+
+    df = pd.read_parquet(DOCS).set_index("doc_id")
+    incremental.update_document(
+        root, target,
+        {"text": df.loc[target, "text"], "source": "CHANGED-BY-UPDATE"})
+
+    live = api.search_request(query.IndexReader(root), body)
+    live_by_id = {h["_id"]: h["_source"]["source"] for h in live["hits"]["hits"]}
+    assert live_by_id[target] == "CHANGED-BY-UPDATE"
+    # the pinned snapshot must still serve the pre-update attribute value
+    frozen = api.search_request(query.IndexReader(root), {**body, "pit": pit})
+    froz_by_id = {h["_id"]: h["_source"]["source"] for h in frozen["hits"]["hits"]}
+    assert froz_by_id[target] == old_val != "CHANGED-BY-UPDATE"
+
+    # _source: false suppresses the block instead of crashing
+    off = api.search_request(
+        query.IndexReader(root),
+        {"query": {"match": {"text": "table scan"}}, "size": 3,
+         "_source": False})
+    assert all("_source" not in h for h in off["hits"]["hits"])

@@ -108,3 +108,25 @@ def test_keyness_llr(ray_session):
     same = _ds_langs(["x y", "x y"], ["en", "de"])
     out0 = compare.keyness_llr(same, target_lang="en", k=10)
     assert (out0["llr"] == 0.0).all()
+
+def test_keyness_llr_degenerate_subcorpus_matches_oracle(ray_session, tmp_path):
+    """When the target (or background) subcorpus is empty the engine returns
+    no rows; the SQL oracle must mirror that guard instead of emitting
+    llr=0 rows (ADVICE r2)."""
+    import duckdb
+
+    texts = ["apple apple banana", "dog dog cat"]
+    for langs, tgt in [(["de", "de"], "en"),   # na == 0
+                       (["en", "en"], "en")]:  # nb == 0
+        ds = _ds_langs(texts, langs)
+        out = compare.keyness_llr(ds, target_lang=tgt, k=10)
+        assert out.empty
+        path = str(tmp_path / f"docs_{langs[0]}_{tgt}.parquet")
+        pa.parquet.write_table(
+            pa.table({"text": pa.array(texts), "lang": pa.array(langs)}), path)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+        sql_out = con.execute(
+            compare.keyness_llr_sql("documents", target_lang=tgt, k=10)).df()
+        assert len(sql_out) == 0

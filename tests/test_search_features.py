@@ -482,16 +482,22 @@ def test_async_search_api(attr_index):
         sync = svc.search("table scan", k=10, mode="or").to_pandas()
         assert list(got["doc_id"]) == list(sync["doc_id"])
         assert list(got["score"]) == list(sync["score"])
+        # ES semantics: result stays retrievable until explicitly deleted
+        assert svc.status(sid) == {"is_running": False}
+        again = svc.get(sid).to_pandas()
+        assert list(again["doc_id"]) == list(got["doc_id"])
+        assert svc.delete(sid) == {"acknowledged": True, "found": True}
         with pytest.raises(KeyError):
-            svc.status(sid)  # state released on get
+            svc.get(sid)
         # term-free / dead queries resolve at submit time
         sid2 = svc.submit("zzzznomatchzzzz")
         assert svc.status(sid2) == {"is_running": False}
         assert len(svc.get(sid2)) == 0
-        # cancel releases the state
+        # cancel (= ES DELETE) releases the state; unknown ids don't raise
         sid3 = svc.submit("table", k=5, mode="or")
-        svc.cancel(sid3)
+        assert svc.cancel(sid3)["found"] is True
         with pytest.raises(KeyError):
             svc.get(sid3)
+        assert svc.cancel("async-nope") == {"acknowledged": False, "found": False}
     finally:
         svc.shutdown()
