@@ -311,30 +311,63 @@ def events_hourly_window(sf_dir: str):
     return pdf.sort_values(["user_id", "hour"]).reset_index(drop=True)
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30):
-    """Sessionization (Matomo-analysis analog): groupby(user) →
-    map_groups(sort by ts, split on >gap inactivity). Ordering assumption:
-    within one user's group, events are sorted by (ts, event_id) before the
-    gap scan — the group holds one user's full history."""
+def sessionize(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64):
+    """Sessionization (Matomo-analysis analog, reference
+    core/analysis/matomo.py): per user, split the event stream on >gap
+    inactivity; emit (user_id, n_events, n_sessions).
+
+    Bucketed shape (the transcripts.py:71 pattern): shuffle on
+    ``user_id % n_buckets`` — O(n_buckets) Python group calls instead of
+    one per user — then ONE vectorized scan per bucket: sort by
+    (user_id, ts, event_id), run offsets where the user changes, and a
+    single np.diff over the whole bucket (every run start is a new session;
+    within a run a >gap step opens one). At 100× users the per-group Python
+    overhead that dominated the map_groups-per-user version is gone; skew
+    is bounded because buckets hold many users each."""
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two (bit-mask bucket)")
     ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        ts = g["ts"].to_numpy()
-        new_sess = np.ones(len(g), dtype=np.int64)
-        if len(g) > 1:
-            new_sess[1:] = (np.diff(ts) > gap).astype(np.int64)
-        n_sessions = int(new_sess.sum())
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.bit_wise_and(t["user_id"], np.int64(n_buckets - 1)), pa.int32()
         )
+        return t.append_column("bucket", b)
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def bucket_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        tbl = pa.Table.from_pandas(g, preserve_index=False).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")]
+        )
+        uid = tbl["user_id"].to_numpy()
+        ts = tbl["ts"].combine_chunks().to_numpy()
+        n = len(uid)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+                "n_sessions": pd.Series(dtype=np.int64),
+            })
+        # new_sess[i]=1 at each user-run start OR a >gap step within a run
+        new_sess = np.ones(n, dtype=np.int64)
+        same_user = uid[1:] == uid[:-1]
+        new_sess[1:] = np.where(
+            same_user, (np.diff(ts) > gap).astype(np.int64), 1
+        )
+        starts = np.concatenate(([0], np.flatnonzero(~same_user) + 1, [n]))
+        cum = np.concatenate(([0], np.cumsum(new_sess)))
+        return pd.DataFrame({
+            "user_id": uid[starts[:-1]],
+            "n_events": np.diff(starts),
+            "n_sessions": cum[starts[1:]] - cum[starts[:-1]],
+        })
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_sessions, batch_format="pandas")
+    )
     return out.to_pandas().sort_values("user_id").reset_index(drop=True)
 
 
