@@ -2669,8 +2669,26 @@ def _knn(sf_dir: str) -> pd.DataFrame:
 
 
 def _knn_ivf(sf_dir: str) -> pd.DataFrame:
-    """Partition-pruned IVF: the corpus is laid out once as one Parquet dir
-    per centroid; the query reads only its nprobe cluster dirs."""
+    """IVF in its EXACT regime (nprobe = n_centroids): every cluster dir is
+    probed, so the result is provably identical to brute cosine — which
+    gives the IVF machinery (partition layout, per-batch cluster routing,
+    distributed top-k merge) a value-identical SQL oracle. The pruned
+    approximate regime is gated separately (``knn_ivf_pruned``, rows-only)
+    and recall-tested in tests/."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ivf_dir = os.path.join(_SCRATCH, f"ivf-{tag}")
+    similarity.ivf_partition(_emb_ds(sf_dir), ivf_dir, n_centroids=16)
+    out = similarity.knn_ivf_partitioned(
+        ivf_dir, _query_vec(sf_dir), k=10, nprobe=16
+    ).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
+def _knn_ivf_pruned(sf_dir: str) -> pd.DataFrame:
+    """Partition-pruned IVF (the 100 TB serving shape): the corpus is laid
+    out once as one Parquet dir per centroid; the query reads only its
+    nprobe cluster dirs. Approximate — rows-only gate; recall vs brute is
+    asserted in tests/test_similarity."""
     tag = os.path.basename(os.path.normpath(sf_dir))
     ivf_dir = os.path.join(_SCRATCH, f"ivf-{tag}")
     similarity.ivf_partition(_emb_ds(sf_dir), ivf_dir, n_centroids=16)
@@ -4031,6 +4049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search": _hybrid_search,
         "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
+        "knn_ivf_pruned": _knn_ivf_pruned,
         "knn_pq": _knn_pq,
         "knn_filtered": _knn_filtered,
         "knn_l2": _knn_l2,
@@ -4788,6 +4807,8 @@ GROUP BY v.value ORDER BY v.value"""
         "ranking_eval": _ranking_eval_sql(),
         "embedding_neardup": dedup.embedding_near_dups_sql("embeddings", threshold=0.4),
         "knn_cosine": similarity.knn_sql("embeddings", 0, 10),
+        # knn_ivf runs the exact regime (nprobe=n_centroids == brute cosine)
+        "knn_ivf": similarity.knn_sql("embeddings", 0, 10),
         "knn_pq": similarity.knn_sql("embeddings", 0, 10),
         "knn_filtered": similarity.knn_filtered_sql(
             "embeddings", 0, 10, filter_col="label",
@@ -5132,5 +5153,5 @@ GROUP BY v.value ORDER BY v.value"""
             "WITH ", _conv_neardup_sql_head() + ", ", 1
         ),
         "curate_conversations": _transcripts_mod.curate_conversations_sql(_tsrc),
-        # knn_ivf: rows-only (approximate index)
+        # knn_ivf_pruned: rows-only (approximate pruned index; recall-tested)
     }

@@ -30,25 +30,48 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
     return np.stack(batch[vec_col].to_pandas().to_numpy()).astype(np.float64)
 
 
-def _merge_query_topk(parts, k: int) -> pa.Table:
-    """Driver-side merge of per-batch local top-k rows (O(Q·k·blocks) rows
-    only): deterministic per-query ordering (cosine desc, vec_id asc)."""
-    out = []
-    for qi, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["cosine"].to_numpy()))[:k]
+def _topk_reduce_ds(
+    parts_ds, k: int, *, value_col: str = "cosine", ascending: bool = False
+) -> pa.Table:
+    """DISTRIBUTED merge of per-block local top-k partials: one
+    ``groupby(query_id)`` exchange moves only the O(Q·k·blocks) partial
+    rows and every group reduces to its final k rows inside a worker, so
+    the driver receives exactly Q·k rows — at 10^5 blocks the r2
+    driver-side concat of all partials was the first thing to pop.
+    Selection uses the RAW float value with vec_id tie-break (identical to
+    the old fold); rounding to 6 happens after selection. Output ordering:
+    query_id asc, value (desc unless ``ascending``), vec_id asc."""
+    import pandas as pd
+
+    sign = 1.0 if ascending else -1.0
+
+    def reduce_group(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort(
+            (g["vec_id"].to_numpy(), sign * g[value_col].to_numpy())
+        )[:k]
         sel = g.iloc[order]
-        out.append(
-            pa.table(
-                {
-                    "query_id": pa.array(np.full(len(sel), qi, np.int64)),
-                    "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-                    "cosine": pa.array(np.round(sel["cosine"].to_numpy(), 6), pa.float64()),
-                }
-            )
-        )
-    return pa.concat_tables(out) if out else pa.table(
-        {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "cosine": pa.array([], pa.float64())}
-    )
+        return pd.DataFrame({
+            "query_id": sel["query_id"].to_numpy(),
+            "vec_id": sel["vec_id"].to_numpy(),
+            value_col: np.round(sel[value_col].to_numpy(), 6),
+            "_rank": np.arange(len(sel), dtype=np.int64),
+        })
+
+    out = parts_ds.groupby("query_id").map_groups(
+        reduce_group, batch_format="pandas"
+    ).to_pandas()
+    if out.empty or "query_id" not in out.columns:
+        return pa.table({
+            "query_id": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            value_col: pa.array([], pa.float64()),
+        })
+    out = out.sort_values(["query_id", "_rank"], kind="mergesort")
+    return pa.table({
+        "query_id": pa.array(out["query_id"].to_numpy(), pa.int64()),
+        "vec_id": pa.array(out["vec_id"].to_numpy(), pa.int64()),
+        value_col: pa.array(out[value_col].to_numpy(np.float64), pa.float64()),
+    })
 
 
 def knn_brute(
@@ -89,8 +112,8 @@ def knn_brute(
             }
         )
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    return _merge_query_topk(parts, k)
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k)
 
 
 def deterministic_centroids(ds, n_centroids: int, *, vec_col: str = "embedding", iters: int = 5):
@@ -220,8 +243,8 @@ def knn_ivf_partitioned(
             }
         )
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    return _merge_query_topk(parts, k)
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k)
 
 
 def knn_ivf(
@@ -276,8 +299,8 @@ def knn_ivf(
             }
         )
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    return _merge_query_topk(parts, k)
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k)
 
 
 def hybrid_search(
@@ -650,8 +673,8 @@ def knn_pq(
         })
 
     fetch = max(k, rerank)
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    approx = _merge_query_topk(parts, fetch).to_pandas()
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    approx = _topk_reduce_ds(parts, fetch).to_pandas()
     if not rerank or source_path is None:
         return pa.Table.from_pandas(
             approx.groupby("query_id", sort=False).head(k), preserve_index=False
@@ -737,8 +760,8 @@ def knn_filtered(
             ),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    return _merge_query_topk(parts, k)
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k)
 
 
 def knn_filtered_sql(
@@ -807,21 +830,8 @@ def knn_l2(
             ),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), g["dist"].to_numpy()))[:k]
-        sel = g.iloc[order]
-        out.append(pa.table({
-            "query_id": pa.array(np.full(len(sel), qi, np.int64)),
-            "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-            "dist": pa.array(np.round(sel["dist"].to_numpy(), 6), pa.float64()),
-        }))
-    return pa.concat_tables(out) if out else pa.table({
-        "query_id": pa.array([], pa.int64()),
-        "vec_id": pa.array([], pa.int64()),
-        "dist": pa.array([], pa.float64()),
-    })
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k, value_col="dist", ascending=True)
 
 
 def knn_l2_sql(
@@ -881,21 +891,8 @@ def knn_dot(
             ),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    out = []
-    for qi, g in parts.groupby("query_id"):
-        order = np.lexsort((g["vec_id"].to_numpy(), -g["dot"].to_numpy()))[:k]
-        sel = g.iloc[order]
-        out.append(pa.table({
-            "query_id": pa.array(np.full(len(sel), qi, np.int64)),
-            "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-            "dot": pa.array(np.round(sel["dot"].to_numpy(), 6), pa.float64()),
-        }))
-    return pa.concat_tables(out) if out else pa.table({
-        "query_id": pa.array([], pa.int64()),
-        "vec_id": pa.array([], pa.int64()),
-        "dot": pa.array([], pa.float64()),
-    })
+    parts = ds.map_batches(score, batch_format="pyarrow")
+    return _topk_reduce_ds(parts, k, value_col="dot")
 
 
 def knn_dot_sql(
