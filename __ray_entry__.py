@@ -64,29 +64,49 @@ BM25_PREFIX = "s"
 CONV_QUERY = "bafepale baru"
 
 
+AUTHOR_NAME = "merge table"
+AUTHORS_WITH_PROBE = "Merge Table|Filler Writer"
+AUTHORS_WITHOUT_PROBE = "Filler Writer"
+AUTHORS_SQL_TABLE = (
+    "(SELECT *, CASE WHEN doc_id % 3 = 0"
+    f" THEN '{AUTHORS_WITH_PROBE}' ELSE '{AUTHORS_WITHOUT_PROBE}' END"
+    " AS authors FROM documents)"
+)
+
+
 def _documents_index(sf_dir: str) -> str:
     """Build (once per sf_dir, cached+resumable) the index over documents."""
     import ray.data as rd
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(_SCRATCH, f"docidx-attrs2-pos-{tag}")
+    root = os.path.join(_SCRATCH, f"docidx-attrs3-pos-{tag}")
     docs = os.path.join(sf_dir, "documents.parquet")
     from harvester_ray.index import manifest as mf
 
     if mf.current_version(root) is None:
         import pyarrow as _pa
+        import numpy as _np
 
         def _with_req(b: "_pa.Table") -> "_pa.Table":
             # per-doc minimum_should_match field for the terms_set gate:
             # deterministic 1..3 derived from the stored n_chars column
             n = b["n_chars"].to_numpy(zero_copy_only=False).astype("int64")
-            return b.append_column("req", _pa.array(1 + (n % 3)))
+            b = b.append_column("req", _pa.array(1 + (n % 3)))
+            # authors fixture for the author_suggestions gate: every third
+            # doc lists the probe author (mixed case — the entry match is
+            # case-insensitive); mirrored verbatim in the oracle's CASE
+            d = b["doc_id"].to_numpy(zero_copy_only=False)
+            auth = _np.where(
+                d % 3 == 0, AUTHORS_WITH_PROBE, AUTHORS_WITHOUT_PROBE
+            ).astype(object)
+            return b.append_column("authors", _pa.array(auth, _pa.string()))
 
         ds = rd.read_parquet(
             docs, columns=["doc_id", "text", "source", "lang", "n_chars"]
         ).map_batches(_with_req, batch_format="pyarrow")
         index_build.build_index(
-            ds, root, input_desc=docs, attr_cols=["source", "lang", "req"],
+            ds, root, input_desc=docs,
+            attr_cols=["source", "lang", "req", "authors"],
             store_positions=True,
         )
     return root
@@ -122,6 +142,18 @@ def _bm25_not(sf_dir: str) -> pd.DataFrame:
     )
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
+
+
+def _author_suggestions(sf_dir: str) -> pd.DataFrame:
+    """Author-suggestions endpoint (reference search/views/similarity.py:
+    84-110): docs where the author's name matches the text but is absent
+    from the (planted) authors attribute."""
+    from harvester_ray.index import extras as _extras
+
+    root = _documents_index(sf_dir)
+    return _extras.author_suggestions(
+        index_query.IndexReader(root), AUTHOR_NAME, k=10
+    )
 
 
 def _bm25_boosting(sf_dir: str) -> pd.DataFrame:
@@ -3704,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_multi": lambda sf: _bm25(sf, BM25_QUERY_AND2, "and"),
         "bm25_or_topk": lambda sf: _bm25(sf, BM25_QUERY_OR, "or"),
         "bm25_not": _bm25_not,
+        "author_suggestions": _author_suggestions,
         "bm25_boosting": _bm25_boosting,
         "snapshot_restore": _snapshot_restore,
         "terms_agg": _terms_agg,
@@ -4365,6 +4398,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
+        "author_suggestions": index_oracle.author_suggestions_sql(
+            AUTHORS_SQL_TABLE, AUTHOR_NAME, 10
+        ),
         "bm25_not": index_oracle.bm25_sql(
             "documents", BM25_QUERY_AND, 10, mode="and", must_not=BM25_MUST_NOT
         ),

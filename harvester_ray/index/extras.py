@@ -887,6 +887,82 @@ def explain(reader: IndexReader, query_text: str, doc_id: int | None = None) -> 
     return empty
 
 
+def author_suggestions(
+    reader: IndexReader,
+    author_name: str,
+    *,
+    authors_field: str = "authors",
+    k: int = 10,
+    sep: str = "|",
+) -> pd.DataFrame:
+    """Author-suggestions endpoint (reference search/views/similarity.py:
+    84-110 — "documents where the name of the author appears in the text or
+    metadata, but is not set as author in the authors field", offered to
+    authors as more content from their hand): BM25-OR ranking of the name
+    over the text MINUS docs whose ``authors_field`` attribute contains the
+    name as an exact case-insensitive, trimmed ``sep``-separated entry —
+    the ES analog is a match query with a must_not term on
+    authors.name.keyword.
+
+    Per segment: exhaustive OR scoring (global df), the entry anti-filter
+    evaluated once per DISTINCT attr value (attr cardinality ≪ matches),
+    then a LOCAL top-k cut — merge fan-in is O(segments × k). Scores round
+    to 4 before the cut with doc_id tie-break, so oracle LIMIT selection is
+    identical."""
+    from .query import or_exhaustive
+
+    empty = pd.DataFrame({
+        "doc_id": pd.Series(dtype=np.int64),
+        "score": pd.Series(dtype=np.float64),
+    })
+    terms = sorted(set(analyzer.tokenize_query(author_name)))
+    if not terms:
+        return empty
+    dfs = reader.df(terms)
+    live = [t for t in terms if dfs[t] > 0]
+    if not live:
+        return empty
+    idf_map = {t: float(bm25.idf(reader.n_docs, dfs[t])) for t in live}
+    name_norm = author_name.strip().lower()
+    docs_parts, score_parts = [], []
+    for seg_meta in reader.manifest["segments"]:
+        seg = reader._segment(seg_meta)
+        entries = {t: seg.entry(t) for t in live}
+        entries = {t: e for t, e in entries.items() if e is not None}
+        if not entries:
+            continue
+        exclude = tombstones_for_segment(
+            reader._tomb_ids, reader._tomb_vers,
+            seg_meta.get("created_version", reader.manifest["_version"]),
+        )
+        docs, scores = or_exhaustive(
+            seg, entries, idf_map, reader.avgdl, k=2**31, exclude=exclude,
+        )
+        if docs.size == 0:
+            continue
+        vals = pd.Series(np.asarray(seg.attr_values(authors_field, docs),
+                                    dtype=object)).fillna("")
+        codes, uniques = pd.factorize(vals)
+        is_author = np.fromiter(
+            (any(p.strip().lower() == name_norm for p in str(u).split(sep))
+             for u in uniques),
+            dtype=bool, count=len(uniques),
+        )
+        keep = ~is_author[codes]
+        docs, scores = docs[keep], np.round(scores[keep], 4)
+        if docs.size == 0:
+            continue
+        order = np.lexsort((docs, -scores))[:k]
+        docs_parts.append(docs[order])
+        score_parts.append(scores[order])
+    if not docs_parts:
+        return empty
+    docs = np.concatenate(docs_parts)
+    scores = np.concatenate(score_parts)
+    order = np.lexsort((docs, -scores))[:k]
+    return pd.DataFrame({"doc_id": docs[order], "score": scores[order]})
+
+
 def search_collapse(
     reader: IndexReader,
     query_text: str,

@@ -89,6 +89,45 @@ LIMIT {k}
 """.strip()
 
 
+def author_suggestions_sql(
+    table: str,
+    author_name: str,
+    k: int = 10,
+    *,
+    authors_col: str = "authors",
+    sep: str = "|",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> str:
+    """Oracle for extras.author_suggestions: the full BM25-OR ranking of the
+    name (global corpus stats — exclusion happens AFTER scoring, exactly as
+    the engine does) minus docs whose ``authors_col`` lists the name as an
+    exact case-insensitive trimmed entry, cut at k. ``table`` may be a
+    parenthesized subquery (used to plant the authors fixture column)."""
+    inner = bm25_sql(
+        table, author_name, 1_000_000_000, mode="or",
+        id_col=id_col, text_col=text_col, round_digits=round_digits,
+    )
+    name = author_name.strip().lower().replace("'", "''")
+    sepq = sep.replace("'", "''")
+    return f"""
+SELECT b.doc_id, b.score
+FROM (
+{inner}
+) b
+WHERE b.doc_id NOT IN (
+  SELECT {id_col} FROM {table}
+  WHERE list_contains(
+          list_transform(string_split({authors_col}, '{sepq}'),
+                         x -> lower(trim(x))),
+          '{name}')
+)
+ORDER BY b.score DESC, b.doc_id ASC
+LIMIT {k}
+""".strip()
+
+
 def msearch_sql(
     table: str,
     queries: list[str],

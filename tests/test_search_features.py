@@ -501,3 +501,59 @@ def test_async_search_api(attr_index):
         assert svc.cancel("async-nope") == {"acknowledged": False, "found": False}
     finally:
         svc.shutdown()
+
+
+def test_author_suggestions(tmp_path_factory):
+    """Docs matching the author's name in text but NOT listing it in the
+    authors attr (reference search/views/similarity.py:84-110). Entry match
+    is case-insensitive, trimmed, exact — a substring is not enough."""
+    import numpy as np
+    import pandas as pd
+
+    from harvester_ray.index import extras
+
+    root = str(tmp_path_factory.mktemp("authidx"))
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [
+            "ada lovelace wrote the first program",   # 0: authored (listed)
+            "the lovelace method cites ada lovelace", # 1: suggestion
+            "ada lovelace appears in this survey",    # 2: suggestion
+            "completely unrelated content here",      # 3: no text match
+            "ada lovelace again",                     # 4: listed, mixed case
+            "mentions ada only",                      # 5: partial text match
+        ],
+        "authors": [
+            "Ada Lovelace|Co Author",
+            "Other Writer",
+            "",
+            "Ada Lovelace",
+            " ada LOVELACE ",       # trimmed + case-insensitive entry
+            "Ada Lovelace Jr",      # different entry — NOT an exact match
+        ],
+    })
+    build.build_index(rd.from_pandas(df), root, concurrency=2,
+                      attr_cols=["authors"])
+    reader = query.IndexReader(root)
+    out = extras.author_suggestions(reader, "Ada Lovelace", k=10)
+    assert set(out["doc_id"]) == {1, 2, 5}
+    # ranking: BM25-OR order with rounded-score/doc_id tie-break
+    plain = reader.search("ada lovelace", k=100, mode="or").to_pandas()
+    plain["score"] = plain["score"].round(4)
+    keep = plain[plain["doc_id"].isin([1, 2, 5])]
+    keep = keep.sort_values(["score", "doc_id"], ascending=[False, True])
+    assert list(out["doc_id"]) == list(keep["doc_id"])
+    # oracle agreement on the same fixture
+    import duckdb
+    from harvester_ray.index import oracle as index_oracle
+
+    con2 = duckdb.connect()
+    con2.register("docs_a", df)
+    exp = con2.execute(
+        index_oracle.author_suggestions_sql("docs_a", "Ada Lovelace", 10)
+    ).df()
+    assert list(exp["doc_id"]) == list(out["doc_id"])
+    np.testing.assert_allclose(exp["score"], out["score"], atol=1e-9)
+    # empty-token and no-match edges
+    assert extras.author_suggestions(reader, "!!!").empty
+    assert extras.author_suggestions(reader, "zzznope").empty
