@@ -3173,6 +3173,31 @@ def _decompound_search(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "score"]]
 
 
+from harvester_ray.index import synonyms as _synonyms_mod
+
+
+DECOMPOUND_WORDLIST = [
+    "tab", "able", "cust", "omer", "me", "win", "dow", "str", "ream",
+    "ue", "vec", "ect", "ord", "er", "filter", "zzz",
+]
+
+
+def _decompound_wordlist(sf_dir: str) -> pd.DataFrame:
+    """Decompounding against an EXTERNAL word list — the reference's real
+    dictionary_decompounder semantics (opensearch/config/
+    decompound_word_list.nl.txt wired at settings/base.py:308-309):
+    distinct (term, subword) pairs where a broadcast word-list entry occurs
+    as a substring of a corpus token."""
+    import ray.data as rd
+
+    from harvester_ray.index import synonyms
+
+    docs = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+    return synonyms.dictionary_decompound(docs, DECOMPOUND_WORDLIST)
+
+
 def _synonym_search(sf_dir: str) -> pd.DataFrame:
     """Query-time synonym expansion (OpenSearch synonym-filter analog):
     broadcast synonym map, OR-BM25 over original + synonym terms."""
@@ -3795,6 +3820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25f_dismax": _bm25f_dismax,
         "bm25f_cross_fields": _bm25f_cross,
         "decompound_search": _decompound_search,
+        "decompound_wordlist": _decompound_wordlist,
         "synonym_search": _synonym_search,
         "search_paged": _search_paged,
         "search_ordered": _search_ordered,
@@ -4669,6 +4695,9 @@ GROUP BY v.value ORDER BY v.value"""
         # expansion is deterministic driver-side string work; the oracle
         # runs BM25 over the *expected* expanded term set, so a wrong
         # engine-side expansion surfaces as a score/rank mismatch
+        "decompound_wordlist": _synonyms_mod.dictionary_decompound_sql(
+            "documents", DECOMPOUND_WORDLIST
+        ),
         "decompound_search": index_oracle.bm25_sql(
             "documents", "sparkscan spark scan window", 10, mode="or"
         ),

@@ -557,3 +557,48 @@ def test_author_suggestions(tmp_path_factory):
     # empty-token and no-match edges
     assert extras.author_suggestions(reader, "!!!").empty
     assert extras.author_suggestions(reader, "zzznope").empty
+
+
+def test_dictionary_decompound_wordlist(ray_session):
+    """External-word-list decompounding (Lucene DictionaryCompoundWord
+    TokenFilter brute force): substring membership with length gates;
+    only_longest_match keeps the longest match per start position."""
+    import pandas as pd
+
+    from harvester_ray.index import synonyms
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "text": ["fietspad naar het voetbalveld", "korte pad"],
+    }))
+    wl = ["fiets", "pad", "voet", "voetbal", "bal", "veld", "zzz"]
+    out = synonyms.dictionary_decompound(ds, wl, min_word_size=5,
+                                         min_subword_size=3)
+    got = {(r.term, r.subword) for r in out.itertuples()}
+    assert got == {
+        ("fietspad", "fiets"), ("fietspad", "pad"),
+        ("voetbalveld", "voet"), ("voetbalveld", "voetbal"),
+        ("voetbalveld", "bal"), ("voetbalveld", "veld"),
+    }  # "pad"(3) and "het"/"naar"/"korte" < min_word_size or no match
+    # only_longest_match: at start 0 of voetbalveld keep "voetbal" not "voet"
+    longest = synonyms.dictionary_decompound(
+        ds, wl, min_word_size=5, min_subword_size=3, only_longest_match=True)
+    lg = {(r.term, r.subword) for r in longest.itertuples()}
+    assert ("voetbalveld", "voet") not in lg
+    assert {("voetbalveld", "voetbal"), ("voetbalveld", "bal"),
+            ("voetbalveld", "veld")} <= lg
+    # oracle agreement on the same fixture (default flag)
+    import duckdb
+
+    import pyarrow.parquet as pq_
+    import pyarrow as pa_
+    import tempfile, os as os_
+    d = tempfile.mkdtemp()
+    path = os_.path.join(d, "docs.parquet")
+    pq_.write_table(pa_.table({"text": ["fietspad naar het voetbalveld",
+                                        "korte pad"]}), path)
+    con2 = duckdb.connect()
+    con2.execute(f"CREATE VIEW docs AS SELECT * FROM read_parquet('{path}')")
+    exp = con2.execute(synonyms.dictionary_decompound_sql(
+        "docs", wl, min_word_size=5, min_subword_size=3)).df()
+    assert list(exp["term"]) == list(out["term"])
+    assert list(exp["subword"]) == list(out["subword"])
