@@ -3738,6 +3738,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _session_windows,
         "bm25_filtered": _bm25_filtered,
         "sessionize": relational.sessionize,
+        # Matomo end-to-end: sessionize -> visit filters -> search/click/
+        # download DFA -> document-language join -> per-query ranking keys
+        # (reference core/analysis/matomo.py:30-69). 1-day visit gap: the
+        # synthetic event log is too sparse for 30-min visits to have >=3
+        # actions.
+        "visits_to_rankings": lambda sf: relational.visits_to_rankings(
+            sf, gap_minutes=1440
+        ),
         "last_event_per_user": relational.last_event_per_user,
         "top_events_per_user": relational.top_events_per_user,
         "events_rollup": relational.events_rollup,
@@ -4316,6 +4324,9 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM lagged GROUP BY user_id ORDER BY user_id
         """,
+        "visits_to_rankings": relational.visits_to_rankings_sql(
+            gap_minutes=1440
+        ),
         "top_events_per_user": relational.top_events_per_user_sql(),
         "events_rollup": relational.events_rollup_sql(),
         "q5_local_supplier": relational.q5_local_supplier_sql(),

@@ -874,3 +874,237 @@ def events_customers_full_outer(sf_dir: str) -> pd.DataFrame:
     })
     out = pd.concat([right, left_rows], ignore_index=True)
     return out.sort_values("key").reset_index(drop=True)
+
+
+def visits_to_rankings(sf_dir: str, gap_minutes: int = 30, n_buckets: int = 64):
+    """Matomo download-query-ranking refresh (reference
+    core/analysis/matomo.py:30-69, create_or_update_download_query_rankings):
+    sessionize the visit log, keep visits with >= 3 actions containing a
+    download, replay each visit's search -> result-view -> download state
+    machine, and count hits per (query, document), emitting the reference's
+    ranking keys ``edusources-<analyzer_lang>:<external_id>``.
+
+    Event mapping (deterministic fixture over the events table, mirrored
+    verbatim in the oracle): ``view`` = site-search action with keyword
+    ``q<k%8>`` (``k%10==0`` models a categorised search -> query None),
+    ``click`` = result-view of external_id ``(k*7)%600``, ``purchase`` =
+    download of the same id, ``error``/``signup`` = unrelated actions that
+    reset the state. ``k`` is the integer in the props JSON.
+
+    The reference's sequential per-visit loop is re-expressed CLOSED-FORM so
+    each bucket vectorizes: after the i-th search of a visit (a "span",
+    query from that search), number the span's non-search actions 1..n;
+    the state dies at the first unrelated action or result-view at even
+    position; a download at an even position before death is a hit. This is
+    provably the same DFA: odd positions set current_result, even positions
+    must be the download that consumes it.
+
+    Scale shape: one bucket shuffle on user_id (the sessionize pattern), a
+    single vectorized scan per bucket, O(queries x documents-hit) partial
+    counts per bucket, and the documents-language lookup reads only
+    (doc_id, lang) and returns only the hit ids."""
+    import ray
+
+    if n_buckets & (n_buckets - 1):
+        raise ValueError("n_buckets must be a power of two (bit-mask bucket)")
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type", "props"])
+    gap = np.timedelta64(gap_minutes * 60, "s")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # props is the fixture JSON '{"k": N}' — strip to the integer
+        ki = pc.cast(
+            pc.replace_substring_regex(t["props"], r"[^0-9]", ""), pa.int64()
+        )
+        b = pc.cast(pc.bit_wise_and(t["user_id"], np.int64(n_buckets - 1)),
+                    pa.int32())
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "ts": pc.cast(t["ts"], pa.timestamp("us")),
+            "event_type": t["event_type"], "k": ki, "bucket": b,
+        })
+
+    def bucket_hits(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query": pd.Series(dtype=object),
+                              "ext_id": pd.Series(dtype=np.int64),
+                              "cnt": pd.Series(dtype=np.int64)})
+        tbl = pa.Table.from_pandas(g, preserve_index=False).sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"),
+             ("event_id", "ascending")])
+        n = tbl.num_rows
+        if n == 0:
+            return empty
+        uid = tbl["user_id"].to_numpy()
+        ts = tbl["ts"].combine_chunks().to_numpy()
+        et = np.asarray(tbl["event_type"].to_pandas(), dtype=object)
+        k = tbl["k"].to_numpy()
+        # --- visits: 30-min-gap sessions per user -----------------------
+        new_visit = np.ones(n, dtype=bool)
+        same_user = uid[1:] == uid[:-1]
+        new_visit[1:] = ~same_user | (np.diff(ts) > gap)
+        visit = np.cumsum(new_visit) - 1
+        # --- visit filters: >=3 actions, contains a download ------------
+        n_visits = visit[-1] + 1
+        counts = np.bincount(visit, minlength=n_visits)
+        is_dl = et == "purchase"
+        dls = np.bincount(visit, weights=is_dl, minlength=n_visits)
+        keep = (counts >= 3) & (dls >= 1)
+        m = keep[visit]
+        visit, et, k = visit[m], et[m], k[m]
+        if visit.size == 0:
+            return empty
+        # --- spans: one per search action, keyed (visit, span) ----------
+        is_s = et == "view"
+        span = np.cumsum(is_s)
+        skey = visit.astype(np.int64) * np.int64(visit.size + 1) + span
+        s_rows = np.flatnonzero(is_s)
+        if s_rows.size == 0:
+            return empty
+        s_keys = skey[s_rows]                      # ascending by construction
+        s_query = np.where(k[s_rows] % 10 == 0, -1, k[s_rows] % 8)
+        # --- body actions: non-search rows belonging to SOME span -------
+        body = np.flatnonzero(~is_s)
+        pos = np.searchsorted(s_keys, skey[body])
+        valid = (pos < s_keys.size) & (s_keys[np.minimum(pos, s_keys.size - 1)]
+                                       == skey[body])
+        body, pos = body[valid], pos[valid]
+        if body.size == 0:
+            return empty
+        # rn = 1-based position within the span (body is index-ordered and
+        # skey is non-decreasing along it)
+        bkey = skey[body]
+        starts = np.flatnonzero(np.diff(np.concatenate(([-1], bkey)))) 
+        rn = np.arange(body.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, body.size))) + 1
+        bet = et[body]
+        is_x = (bet == "error") | (bet == "signup")
+        is_r = bet == "click"
+        dead_here = is_x | (is_r & (rn % 2 == 0))
+        # death rn per span: min rn among dead_here rows (inf when none)
+        death = np.full(s_keys.size, np.iinfo(np.int64).max, dtype=np.int64)
+        dh = np.flatnonzero(dead_here)
+        if dh.size:
+            np.minimum.at(death, pos[dh], rn[dh])
+        hits = ((bet == "purchase") & (rn % 2 == 0) & (rn < death[pos])
+                & (s_query[pos] >= 0))
+        if not hits.any():
+            return empty
+        hq = s_query[pos[hits]]
+        he = (k[body[hits]] * 7) % 600
+        pair = hq * 600 + he
+        uniq, cnt = np.unique(pair, return_counts=True)
+        return pd.DataFrame({
+            "query": np.asarray(["q" + str(q) for q in uniq // 600],
+                                dtype=object),
+            "ext_id": (uniq % 600).astype(np.int64),
+            "cnt": cnt.astype(np.int64),
+        })
+
+    parts = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_hits, batch_format="pandas")
+        .to_pandas()
+    )
+    empty = pd.DataFrame({"query": pd.Series(dtype=object),
+                          "ranking_key": pd.Series(dtype=object),
+                          "cnt": pd.Series(dtype=np.int64)})
+    if parts.empty or "query" not in parts.columns:
+        return empty
+    agg = parts.groupby(["query", "ext_id"], as_index=False)["cnt"].sum()
+    # --- language lookup: stream documents, return ONLY the hit ids -----
+    ids_ref = ray.put(np.asarray(sorted(set(agg["ext_id"])), dtype=np.int64))
+
+    def lang_of_hits(t: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = t["doc_id"].to_numpy()
+        p = np.searchsorted(want, ids)
+        m = (p < want.size) & (want[np.minimum(p, want.size - 1)] == ids)
+        return t.filter(pa.array(m))
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "lang"]).map_batches(
+        lang_of_hits, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    lang = dict(zip(docs["doc_id"], docs["lang"]))
+    found = agg[agg["ext_id"].isin(lang)].copy()  # missing docs -> not_found
+    if found.empty:
+        return empty
+    clamp = found["ext_id"].map(
+        lambda d: lang[d] if lang[d] in ("en", "nl") else "unk")
+    found["ranking_key"] = ("edusources-" + clamp + ":"
+                            + found["ext_id"].astype(str))
+    out = found[["query", "ranking_key", "cnt"]].sort_values(
+        ["query", "ranking_key"]).reset_index(drop=True)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out
+
+
+def visits_to_rankings_sql(gap_minutes: int = 30) -> str:
+    """Oracle for visits_to_rankings: identical closed-form DFA via window
+    functions (span per search, death at first reset, hits at even rn)."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         CAST(regexp_replace(props, '[^0-9]', '', 'g') AS BIGINT) AS k
+  FROM events
+),
+lagged AS (
+  SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM ev
+),
+visits AS (
+  SELECT *, sum(CASE WHEN prev IS NULL OR ts - prev > INTERVAL {gap_minutes} MINUTE
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS visit_id
+  FROM lagged
+),
+vfilt AS (
+  SELECT user_id, visit_id FROM visits GROUP BY 1, 2
+  HAVING count(*) >= 3
+     AND count(*) FILTER (WHERE event_type = 'purchase') >= 1
+),
+va AS (
+  SELECT v.* FROM visits v JOIN vfilt USING (user_id, visit_id)
+),
+spans AS (
+  SELECT *, sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id, visit_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM va
+),
+spanq AS (
+  SELECT user_id, visit_id, span_id,
+         CASE WHEN k % 10 = 0 THEN NULL
+              ELSE 'q' || CAST(k % 8 AS VARCHAR) END AS query
+  FROM spans WHERE event_type = 'view'
+),
+body AS (
+  SELECT user_id, visit_id, span_id, event_type, k,
+         row_number() OVER (PARTITION BY user_id, visit_id, span_id
+                            ORDER BY ts, event_id) AS rn
+  FROM spans WHERE event_type <> 'view' AND span_id >= 1
+),
+death AS (
+  SELECT user_id, visit_id, span_id,
+         min(rn) FILTER (WHERE event_type IN ('error', 'signup')
+                         OR (rn % 2 = 0 AND event_type = 'click')) AS death_rn
+  FROM body GROUP BY 1, 2, 3
+),
+hits AS (
+  SELECT q.query, (b.k * 7) % 600 AS ext_id
+  FROM body b
+  JOIN spanq q USING (user_id, visit_id, span_id)
+  LEFT JOIN death d USING (user_id, visit_id, span_id)
+  WHERE q.query IS NOT NULL AND b.event_type = 'purchase'
+    AND b.rn % 2 = 0 AND (d.death_rn IS NULL OR b.rn < d.death_rn)
+)
+SELECT h.query,
+       'edusources-' || (CASE WHEN doc.lang IN ('en', 'nl') THEN doc.lang
+                              ELSE 'unk' END)
+         || ':' || CAST(h.ext_id AS VARCHAR) AS ranking_key,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM hits h JOIN documents doc ON doc.doc_id = h.ext_id
+GROUP BY 1, 2
+ORDER BY query, ranking_key
+""".strip()
