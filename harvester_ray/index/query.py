@@ -1172,7 +1172,39 @@ class QuerySegmentActor:
                 tomb_ids, tomb_vers, m.get("created_version", cur_version)
             )
             self.readers.append((m, reader, exclude))
+        # largest segment first: wave 1 of the cross-actor θ protocol scans
+        # readers[0] only, so the biggest slice yields the tightest bound
+        self.readers.sort(key=lambda r: -int(r[1].doc_ids.size))
         self.avgdl = float(manifest["avgdl"])
+
+    def _search_readers(
+        self,
+        readers,
+        terms: list[str],
+        idf_map: dict[str, float],
+        k: int,
+        mode: str,
+        filters: dict[str, list] | None,
+        recency: dict | None,
+        theta0: float = -np.inf,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        parts = []
+        theta = theta0
+        for _, seg, exclude in readers:
+            d, s = search_segment(
+                seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
+                exclude=exclude, include=seg.allowed_docs(filters), recency=recency,
+            )
+            parts.append((d, s))
+            # propagate the actor-local k-th score as a block-max pruning
+            # threshold into this actor's remaining segments (same early-θ
+            # the in-process reader uses)
+            if s.size >= k and recency is None:
+                kth = np.sort(s)[-k]
+                theta = max(theta, kth - ROUND_MARGIN)
+        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        return _topk(docs, scores, k)
 
     def search(
         self,
@@ -1183,24 +1215,47 @@ class QuerySegmentActor:
         filters: dict[str, list] | None = None,
         recency: dict | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        parts = []
-        theta = -np.inf
-        for _, seg, exclude in self.readers:
-            d, s = search_segment(
-                seg, terms, idf_map, self.avgdl, k, mode=mode, threshold=theta,
-                exclude=exclude, include=seg.allowed_docs(filters), recency=recency,
-            )
-            parts.append((d, s))
-            # propagate the actor-local k-th score as a block-max pruning
-            # threshold into this actor's remaining segments (same early-θ
-            # the in-process reader uses; cross-actor θ would need an extra
-            # round-trip per query)
-            if s.size >= k and recency is None:
-                kth = np.sort(s)[-k]
-                theta = max(theta, kth - ROUND_MARGIN)
-        docs = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-        return _topk(docs, scores, k)
+        return self._search_readers(
+            self.readers, terms, idf_map, k, mode, filters, recency
+        )
+
+    def search_first(
+        self,
+        terms: list[str],
+        idf_map: dict[str, float],
+        k: int,
+        mode: str,
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Wave 1 of the cross-actor θ protocol: this actor's LARGEST
+        segment only (readers are sorted by doc count at init, so wave 1
+        covers the biggest slice of the corpus and yields the tightest
+        global threshold)."""
+        return self._search_readers(
+            self.readers[:1], terms, idf_map, k, mode, filters, recency
+        )
+
+    def search_rest(
+        self,
+        terms: list[str],
+        idf_map: dict[str, float],
+        k: int,
+        mode: str,
+        theta0: float,
+        filters: dict[str, list] | None = None,
+        recency: dict | None = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Wave 2: the remaining segments, seeded with the GLOBAL k-th
+        score from wave 1 (minus ROUND_MARGIN — the same tie-protection
+        invariant as the local θ), so cold blocks across the whole pool are
+        skipped from the first decoded segment on."""
+        if len(self.readers) <= 1:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return self._search_readers(
+            self.readers[1:], terms, idf_map, k, mode, filters, recency,
+            theta0=theta0,
+        )
 
     def phrase_match(
         self, terms: list[str], filters: dict[str, list] | None = None
@@ -1341,9 +1396,16 @@ class QueryService:
     fans out and merges per-actor top-k heaps (the OpenSearch shard fan-out
     analog). Actors are created once and reused across queries."""
 
-    def __init__(self, index_root: str, version: int | None = None, num_actors: int = 4):
+    def __init__(
+        self,
+        index_root: str,
+        version: int | None = None,
+        num_actors: int = 4,
+        two_wave: bool = False,
+    ):
         import ray
 
+        self.two_wave = bool(two_wave)
         self.manifest = mf.read_manifest(index_root, version)
         self.avgdl = float(self.manifest["avgdl"])
         self.n_docs = int(self.manifest["n_docs"])
@@ -1392,11 +1454,43 @@ class QueryService:
         if not terms:
             return _empty_result()
         idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in terms}
-        futures = [
-            a.search.remote(terms, idf_map, k, mode, filters, recency) for a in self.actors
-        ]
-        parts = ray.get(futures)
-        return merge_topk(parts, k)
+        # two-wave cross-actor θ: wave 1 scans each actor's largest segment,
+        # the driver derives the GLOBAL k-th score, wave 2 scans the rest
+        # seeded with it. OFF by default — measured on the 600k-turn bench
+        # index (interleaved A/B, same process, 2/4/8 actors): two-wave is
+        # consistently ~4-5 ms SLOWER at every pool size, because with
+        # round-robin segment assignment the segments are iid corpus samples,
+        # so each actor's LOCAL θ after its own first (largest) segment is
+        # already ≈ the global θ, while the extra fan-out round-trip costs a
+        # fixed ~4.5 ms barrier. Opt in (QueryService(two_wave=True)) for
+        # score-heterogeneous layouts — time- or source-partitioned segments
+        # where one shard holds most of the top-k and local θs are weak.
+        # Invalid bounds (recency reshapes scores) force single-wave.
+        two_wave = (
+            self.two_wave
+            and recency is None
+            and len(self.actors) > 1
+            and len(self.manifest["segments"]) > len(self.actors)
+        )
+        if not two_wave:
+            futures = [
+                a.search.remote(terms, idf_map, k, mode, filters, recency)
+                for a in self.actors
+            ]
+            return merge_topk(ray.get(futures), k)
+        wave1 = ray.get([
+            a.search_first.remote(terms, idf_map, k, mode, filters, recency)
+            for a in self.actors
+        ])
+        scores1 = np.concatenate([p[1] for p in wave1]) if wave1 else np.empty(0)
+        theta0 = -np.inf
+        if scores1.size >= k:
+            theta0 = float(np.sort(scores1)[-k] - ROUND_MARGIN)
+        wave2 = ray.get([
+            a.search_rest.remote(terms, idf_map, k, mode, theta0, filters, recency)
+            for a in self.actors
+        ])
+        return merge_topk(wave1 + wave2, k)
 
     # -- async search (ES _async_search) ------------------------------------
 

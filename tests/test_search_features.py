@@ -602,3 +602,28 @@ def test_dictionary_decompound_wordlist(ray_session):
         "docs", wl, min_word_size=5, min_subword_size=3)).df()
     assert list(exp["term"]) == list(out["term"])
     assert list(exp["subword"]) == list(out["subword"])
+
+
+def test_two_wave_theta_matches_single_wave(attr_index):
+    """Opt-in cross-actor θ (two RPC waves, global k-th seeded into wave 2)
+    must return exactly the single-wave results — the pruning bound carries
+    the same ROUND_MARGIN tie protection as the local θ."""
+    svc1 = query.QueryService(attr_index, num_actors=2)
+    svc2 = query.QueryService(attr_index, num_actors=2, two_wave=True)
+    # precondition for the two-wave branch: more segments than actors
+    assert len(svc2.manifest["segments"]) > len(svc2.actors)
+    try:
+        for q, mode in [("table scan", "or"), ("table scan", "and"),
+                        ("the fast key", "or"), ("zzznope", "or")]:
+            a = svc1.search(q, k=10, mode=mode).to_pandas()
+            b = svc2.search(q, k=10, mode=mode).to_pandas()
+            assert list(a["doc_id"]) == list(b["doc_id"]), (q, mode)
+            np.testing.assert_allclose(a["score"], b["score"], atol=1e-12)
+        # filters ride through both waves
+        f = {"source": ["src0", "src1"]}
+        a = svc1.search("table", k=15, filters=f).to_pandas()
+        b = svc2.search("table", k=15, filters=f).to_pandas()
+        assert list(a["doc_id"]) == list(b["doc_id"])
+    finally:
+        svc1.shutdown()
+        svc2.shutdown()
