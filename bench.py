@@ -177,6 +177,17 @@ def run_headline() -> dict:
     shutil.rmtree(warm_root, ignore_errors=True)
     conc, eff = _build_concurrency(NUM_CPUS)
     flagship.build_transcript_index(warm_dir, warm_root, concurrency=conc)
+    # per-build serial floor: a SECOND tiny build (warm workers) times the
+    # data-independent fixed cost — executor launch, counts pre-pass,
+    # term-stats fold, manifest+promote. Reported so --scaling can print a
+    # fixed-cost-adjusted efficiency next to the raw one: a constant ~3.5 s
+    # floor is 27%% of the 32-CPU leg but 2%% of the 2-CPU leg, which
+    # understates scaling for a reason a real N-node cluster (one floor per
+    # JOB, not per leg-size) does not share.
+    shutil.rmtree(warm_root, ignore_errors=True)
+    t_floor = time.time()
+    flagship.build_transcript_index(warm_dir, warm_root, concurrency=conc)
+    build_fixed_sec = time.time() - t_floor
 
     index_root = os.path.join(SCRATCH, f"idx-{os.path.basename(data_dir)}-{NUM_CPUS}")
     # Segment size is a DATA property (~GRAFT_SEG_DOCS docs each), not a
@@ -404,6 +415,7 @@ def run_headline() -> dict:
         "bm25_inprocess_p50_ms": round(inproc_p50_ms, 3),
         "n_segments": n_built_segments,
         "build_concurrency": conc,
+        "build_fixed_sec": round(build_fixed_sec, 2),
         "host_effective_parallelism": round(eff, 1),
         "host_steal_pct_best_run": round(steal_best, 1),
         "host_steal_pct_worst_run": round(steal_worst, 1),
@@ -491,6 +503,20 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
     thr_lo = r_lo["turns_per_sec"]
     thr_hi = r_hi["turns_per_sec"]
     eff = (thr_hi / thr_lo) / (hi / lo)
+    # fixed-cost-adjusted efficiency: subtract each leg's measured per-build
+    # serial floor (tiny-corpus build with warm workers — executor launch,
+    # counts pre-pass, manifest+promote) before forming the ratio. A real
+    # N-node vs 4N-node comparison pays this floor once per JOB, identically
+    # on both clusters; on a single host it is a constant that eats a far
+    # larger share of the fast leg. Both numbers are reported — raw is the
+    # honest single-host measurement, adjusted is the cluster-faithful one.
+    eff_adj = None
+    fx_lo = r_lo.get("build_fixed_sec")
+    fx_hi = r_hi.get("build_fixed_sec")
+    if fx_lo and fx_hi and r_lo["value"] > fx_lo and r_hi["value"] > fx_hi:
+        adj_lo = r_lo["n_turns"] / (r_lo["value"] - fx_lo)
+        adj_hi = r_hi["n_turns"] / (r_hi["value"] - fx_hi)
+        eff_adj = round((adj_hi / adj_lo) / (hi / lo), 3)
     return {
         "metric": "scaling efficiency (index build, fresh processes)",
         "cpus_lo": lo,
@@ -502,6 +528,8 @@ def run_scaling(lo: int = 2, hi: int = 8) -> dict:
         "turns_per_sec_lo": thr_lo,
         "turns_per_sec_hi": thr_hi,
         "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_fixed_cost_adjusted": eff_adj,
+        "build_fixed_sec": {"lo": fx_lo, "hi": fx_hi},
         "host_busyloop_parallelism_of_32vcpus": round(host_eff, 1),
         "host_steal_pct": {
             "lo_best": r_lo.get("host_steal_pct_best_run"),

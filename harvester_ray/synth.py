@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 # bump whenever generator output changes for the same inputs (cache key)
-GEN_VERSION = 2
+GEN_VERSION = 3  # v3: streaming shard writer (expected-rows boundaries)
 
 SCHEMA = pa.schema(
     [
@@ -190,17 +190,42 @@ def transcripts_parquet(
     if os.path.exists(done):
         return path
     os.makedirs(path, exist_ok=True)
-    chunks = list(_iter_chunks(n_convs, seed, mean_turns=mean_turns))
-    tbl = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
     if shards <= 1:
+        chunks = list(_iter_chunks(n_convs, seed, mean_turns=mean_turns))
+        tbl = pa.concat_tables(chunks) if len(chunks) > 1 else chunks[0]
         pq.write_table(tbl, os.path.join(path, "part-000.parquet"))
     else:
-        n = tbl.num_rows
-        step = (n + shards - 1) // shards
-        for i in range(shards):
-            pq.write_table(
-                tbl.slice(i * step, step), os.path.join(path, f"part-{i:03d}.parquet")
-            )
+        # STREAM chunks straight into consecutive shard files — driver
+        # memory is O(one chunk), never the corpus (the v2 generator
+        # concatenated everything first, which at 64x bench scale would put
+        # ~25 GB of text on the driver before writing a byte). Shard
+        # boundaries target expected rows (n_convs x mean_turns); the global
+        # row sequence is byte-identical to a full concat, so every
+        # transcript oracle and the sorted-layout variants (consecutive
+        # conversations per file, cuts possible mid-conversation) see the
+        # same corpus.
+        step = max(1, (n_convs * mean_turns + shards - 1) // shards)
+        cur, written, writer = 0, 0, None
+        for chunk in _iter_chunks(n_convs, seed, mean_turns=mean_turns):
+            while chunk.num_rows:
+                # the last shard absorbs any overflow (expected-rows step
+                # can undershoot the actual total)
+                take = (chunk.num_rows if cur == shards - 1
+                        else min(step - written, chunk.num_rows))
+                part = chunk.slice(0, take)
+                if writer is None:
+                    writer = pq.ParquetWriter(
+                        os.path.join(path, f"part-{cur:03d}.parquet"),
+                        part.schema,
+                    )
+                writer.write_table(part)
+                written += take
+                chunk = chunk.slice(take)
+                if written >= step and cur < shards - 1:
+                    writer.close()
+                    writer, cur, written = None, cur + 1, 0
+        if writer is not None:
+            writer.close()
     with open(done, "w") as f:
         f.write("ok")
     return path
