@@ -255,8 +255,17 @@ def minhash_lsh_candidates(
         ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
         sh_doc, sh_h = _batch_shingles(text, shingle_n)
         sigs = _batch_signatures(sh_doc, sh_h, len(text), a, b)
-        s3 = sigs.reshape(len(text), bands, rows_per_band)
-        h = np.full((len(text), bands), _FNV_OFF, dtype=np.uint64)
+        # drop shingle-less docs (texts shorter than the shingle window):
+        # they all carry the identical uint64-max sentinel signature, so at
+        # corpus scale they'd meet in ONE band bucket and pair quadratically
+        # (millions of short turns → 10^11 candidates) — yet their Jaccard
+        # with anything is 0, so they can never reach a threshold > 0.
+        has = np.zeros(len(text), dtype=bool)
+        if sh_doc.size:
+            has[np.unique(sh_doc)] = True
+        ids, sigs = ids[has], sigs[has]
+        s3 = sigs.reshape(ids.size, bands, rows_per_band)
+        h = np.full((ids.size, bands), _FNV_OFF, dtype=np.uint64)
         for k in range(rows_per_band):
             h = (h ^ s3[:, :, k]) * _H64_MUL
         h ^= band_salt[None, :]

@@ -44,9 +44,19 @@ def curate(
     shingle_n_decontam: int = 5,
     shingle_n_dedup: int = 3,
     jaccard_threshold: float = 0.8,
+    max_bucket: int | None = None,
 ):
     """Curated-corpus Dataset: quality-filtered, decontaminated, one split,
-    near-dup-deduplicated (min-id representative kept)."""
+    near-dup-deduplicated (min-id representative kept).
+
+    ``max_bucket``: hot-shingle cap for the near-dup stage (passed through
+    to ``near_dup_jaccard``). None = exact (every shared-shingle pair is a
+    candidate) — right for gate-scale corpora; at 10M+ docs a Zipf-headed
+    vocabulary makes common shingles pair quadratically (measured: 1.05B
+    candidate rows from 1.2M short turns), so pass e.g. 256 to skip
+    shingles shared more widely than that. Capped shingles are the
+    non-discriminative head; recall loss is bounded to pairs whose EVERY
+    shared shingle is that common."""
     import ray
 
     bench_ref = ray.put(
@@ -96,6 +106,7 @@ def curate(
         filtered.select_columns([id_col, text_col]),
         shingle_n=shingle_n_dedup,
         threshold=jaccard_threshold,
+        max_bucket=max_bucket,
     )
     return cluster.dedup_corpus(filtered, pairs, id_col=id_col)
 

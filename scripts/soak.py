@@ -1,0 +1,232 @@
+"""Single-node memory soak at 10x+ bench scale (round-3 item 1).
+
+Runs the heavy pipelines — index build, curate_corpus, MinHash near-dup,
+corpus dedup — over a GRAFT_SCALE_MULT x 600k-turn synthetic transcript
+corpus (default 64x = ~38.4M turns, ~5 GB Parquet / ~25 GB text) while a
+sampler thread records the host memory watermark and Ray object-store
+spill. Every stage CONSUMES its Dataset with count()/bounded folds — the
+point is to demonstrate bounded driver/worker memory under pressure, not
+to collect results.
+
+Usage:  python scripts/soak.py [--mult 64] [--cpus 32] [--ref-mult 16]
+
+Prints one JSON line: per-stage wall seconds, build turns/sec at the
+reference multiple and at the soak multiple (ratio = the throughput-
+retention criterion), peak used memory, max spill bytes, segment count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import shutil
+import threading
+import time
+import zlib
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SCRATCH = "/tmp/harvester_ray_soak"
+
+
+def _meminfo() -> tuple[int, int]:
+    m = open("/proc/meminfo").read()
+    tot = int(re.search(r"MemTotal:\s+(\d+)", m).group(1))
+    av = int(re.search(r"MemAvailable:\s+(\d+)", m).group(1))
+    return tot, av
+
+
+def _spill_bytes() -> int:
+    total = 0
+    for pat in (
+        "/tmp/ray/session_latest/ray_spilled_objects*/*",
+        "/tmp/ray/session_latest/*/spilled*/*",
+    ):
+        for f in glob.glob(pat):
+            try:
+                total += os.path.getsize(f)
+            except OSError:
+                pass
+    return total
+
+
+def _sampler(stop: threading.Event, out: dict) -> None:
+    while not stop.is_set():
+        tot, av = _meminfo()
+        out["total_kb"] = tot
+        out["min_avail_kb"] = min(out.get("min_avail_kb", av), av)
+        out["max_spill_bytes"] = max(
+            out.get("max_spill_bytes", 0), _spill_bytes()
+        )
+        stop.wait(1.0)
+
+
+def turns_as_docs(data_dir: str):
+    """Transcript turns re-shaped to the documents schema the curation ops
+    expect. doc_id = crc32(conv_id)<<16 | turn_idx — deterministic and
+    partition-independent; the ~2^-33 crc collision rate is harmless for a
+    soak (it perturbs which pairs near-dup, not memory behavior)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(data_dir, columns=["conv_id", "turn_idx", "text"])
+
+    def add(t: pa.Table) -> pa.Table:
+        enc = t["conv_id"].combine_chunks().dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        h = np.fromiter(
+            ((zlib.crc32(u.encode()) << 16) & 0x7FFFFFFFFFFFFFFF for u in uniq),
+            dtype=np.int64, count=len(uniq),
+        )
+        ids = h[np.asarray(enc.indices)] + np.asarray(
+            t["turn_idx"], dtype=np.int64
+        )
+        n = len(ids)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": t["text"],
+            "lang": pa.array(np.repeat("en", n), pa.string()),
+            "source": pa.array(np.repeat("turns", n), pa.string()),
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _build(data_dir: str, root: str, conc: int, est_turns: int) -> dict:
+    from harvester_ray.pipelines import flagship
+
+    seg_docs = int(os.environ.get("GRAFT_SEG_DOCS", "45000"))
+    blocks = max(1, round(est_turns / seg_docs), 4 * conc)
+    blocks = ((blocks + conc - 1) // conc) * conc
+    shutil.rmtree(root, ignore_errors=True)
+    return flagship.build_transcript_index(
+        data_dir, root, concurrency=conc, override_num_blocks=blocks
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=64)
+    ap.add_argument("--ref-mult", type=int, default=16)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus,
+                 include_dashboard=False)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from harvester_ray import synth
+    from harvester_ray.ops import cluster as _cluster
+    from harvester_ray.ops import dedup as _dedup
+    from harvester_ray.pipelines import curate as _curate
+
+    os.makedirs(SCRATCH, exist_ok=True)
+    report: dict = {"mult": args.mult, "ref_mult": args.ref_mult,
+                    "cpus": args.cpus}
+    mem: dict = {}
+    stop = threading.Event()
+    t_sampler = threading.Thread(target=_sampler, args=(stop, mem),
+                                 daemon=True)
+
+    conc = max(1, args.cpus * 3 // 4)
+    base_convs = 60_000  # = sf0.1 bench corpus
+
+    # --- corpus generation (streamed; not part of the watermark) --------
+    t0 = time.time()
+    ref_dir = synth.transcripts_parquet(
+        SCRATCH, n_convs=base_convs * args.ref_mult, seed=42, shards=128)
+    soak_dir = synth.transcripts_parquet(
+        SCRATCH, n_convs=base_convs * args.mult, seed=42, shards=256)
+    report["gen_sec"] = round(time.time() - t0, 1)
+    report["soak_parquet_bytes"] = sum(
+        os.path.getsize(f) for f in glob.glob(soak_dir + "/*.parquet"))
+
+    _tot, av0 = _meminfo()
+    report["baseline_used_gb"] = round((_tot - av0) / 1e6, 2)
+    t_sampler.start()
+
+    def stage(name, fn):
+        t = time.time()
+        out = fn()
+        report[f"{name}_sec"] = round(time.time() - t, 1)
+        return out
+
+    # --- reference-rate build (ref_mult), then the soak build -----------
+    man_ref = stage("build_ref", lambda: _build(
+        ref_dir, os.path.join(SCRATCH, f"idx-ref-{args.cpus}"), conc,
+        base_convs * args.ref_mult * 10))
+    man = stage("build", lambda: _build(
+        soak_dir, os.path.join(SCRATCH, f"idx-soak-{args.cpus}"), conc,
+        base_convs * args.mult * 10))
+    report["n_turns_ref"] = man_ref["n_docs"]
+    report["n_turns"] = man["n_docs"]
+    report["n_segments"] = man["metrics"]["n_segments"]
+    report["turns_per_sec_ref"] = round(
+        man_ref["n_docs"] / report["build_ref_sec"], 1)
+    report["turns_per_sec"] = round(man["n_docs"] / report["build_sec"], 1)
+    report["throughput_retention"] = round(
+        report["turns_per_sec"] / report["turns_per_sec_ref"], 3)
+
+    docs = turns_as_docs(soak_dir)
+
+    # --- curate: fused repetition/decontam/split map + near-dup last ----
+    # max_bucket=256 is the documented skew control: Zipf-headed turn text
+    # makes common shingles pair quadratically without it (measured 1.05B
+    # candidate rows from 1.2M turns at mult=2).
+    def run_curate():
+        import pyarrow as pa
+
+        def bench_slice(t: "pa.Table") -> "pa.Table":
+            ids = np.asarray(t["doc_id"])
+            return t.filter(pa.array(ids % 13 == 0))
+
+        bench = turns_as_docs(soak_dir).map_batches(
+            bench_slice, batch_format="pyarrow", zero_copy_batch=True)
+        return _curate.curate(docs, bench, max_bucket=256).count()
+
+    report["curate_rows"] = stage("curate", run_curate)
+
+    # --- MinHash-LSH near-dup over all turns -----------------------------
+    # pairs materialized ONCE (bounded: pair count, not corpus) and reused
+    # by dedup_corpus below instead of recomputing the LSH pass
+    pairs_holder = {}
+
+    def run_neardup():
+        pairs_holder["pairs"] = _dedup.near_dup_minhash(
+            docs, threshold=0.8).materialize()
+        return pairs_holder["pairs"].count()
+
+    report["neardup_pairs"] = stage("neardup", run_neardup)
+
+    # --- corpus dedup: connected components + bucketed anti-join --------
+    def run_dedup_corpus():
+        return _cluster.dedup_corpus(docs, pairs_holder["pairs"]).count()
+
+    report["dedup_survivors"] = stage("dedup_corpus", run_dedup_corpus)
+
+    stop.set()
+    t_sampler.join(timeout=5)
+    tot = mem.get("total_kb", 0)
+    report["peak_used_gb"] = round((tot - mem.get("min_avail_kb", tot)) / 1e6, 2)
+    report["max_spill_gb"] = round(mem.get("max_spill_bytes", 0) / 1e9, 2)
+    print(json.dumps(report))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -538,3 +538,24 @@ def test_knn_maxsim_late_interaction(ray_session):
         ds.repartition(3), np.stack([e1, e2]), k=3, group_div=2
     ).to_pandas()
     pd.testing.assert_frame_equal(got, b)
+
+
+def test_minhash_short_docs_never_bucket(ray_session):
+    """Docs shorter than the shingle window carry the sentinel signature;
+    they must be dropped from banding (at corpus scale they'd otherwise all
+    meet in ONE band bucket and pair quadratically) and never emit pairs."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    df = pd.DataFrame({
+        "doc_id": list(range(6)),
+        "text": ["a", "b b", "x", "",          # 4 shingle-less docs
+                 "one two three four five six",
+                 "one two three four five six"],  # one true dup pair
+    })
+    pairs = dedup.near_dup_minhash(
+        rd.from_pandas(df), shingle_n=3, threshold=0.8
+    ).to_pandas()
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(4, 5)}
