@@ -185,9 +185,10 @@ def main() -> None:
     docs = turns_as_docs(soak_dir)
 
     # --- curate: fused repetition/decontam/split map + near-dup last ----
-    # max_bucket=256 is the documented skew control: Zipf-headed turn text
-    # makes common shingles pair quadratically without it (measured 1.05B
-    # candidate rows from 1.2M turns at mult=2).
+    # dedup_method="minhash": exact shared-shingle candidates are
+    # O(corpus x cap) on low-entropy turn text (measured 1.05B rows
+    # uncapped / 77M at max_bucket=256 from just 1.2M turns); LSH banding
+    # keeps the candidate set ~linear at soak scale.
     def run_curate():
         import pyarrow as pa
 
@@ -197,7 +198,7 @@ def main() -> None:
 
         bench = turns_as_docs(soak_dir).map_batches(
             bench_slice, batch_format="pyarrow", zero_copy_batch=True)
-        return _curate.curate(docs, bench, max_bucket=256).count()
+        return _curate.curate(docs, bench, dedup_method="minhash").count()
 
     report["curate_rows"] = stage("curate", run_curate)
 
