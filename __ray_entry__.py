@@ -3738,6 +3738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": _session_windows,
         "bm25_filtered": _bm25_filtered,
         "sessionize": relational.sessionize,
+        # report_dataset_version: per-collection state counts with the
+        # duplicate-name collection skip (reference core/logging.py:112-133)
+        "report_dataset_version": relational.report_dataset_version,
         # Matomo end-to-end: sessionize -> visit filters -> search/click/
         # download DFA -> document-language join -> per-query ranking keys
         # (reference core/analysis/matomo.py:30-69). 1-day visit gap: the
@@ -4324,6 +4327,7 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM lagged GROUP BY user_id ORDER BY user_id
         """,
+        "report_dataset_version": relational.report_dataset_version_sql(),
         "visits_to_rankings": relational.visits_to_rankings_sql(
             gap_minutes=1440
         ),

@@ -1108,3 +1108,98 @@ FROM hits h JOIN documents doc ON doc.doc_id = h.ext_id
 GROUP BY 1, 2
 ORDER BY query, ranking_key
 """.strip()
+
+
+def report_dataset_version(sf_dir: str, n_sets: int = 8, name_mod: int = 5):
+    """Dataset-version harvest report with the duplicate-name collection
+    skip (reference core/logging.py:112-133, report_dataset_version): scan
+    the version's collections in id order, report each collection NAME
+    once (the first id wins; later same-named collections are skipped
+    entirely), then report the dataset-level totals over the KEPT
+    collections' documents only.
+
+    Fixture mapping (mirrored verbatim in the oracle): collection id =
+    doc_id % n_sets; collection name = 'set' || (id % name_mod) — ids
+    name_mod..n_sets-1 duplicate earlier names and are skipped; document
+    state from doc_id % 10 (0 => deleted, 1 => inactive, else active).
+
+    Shape: one map_batches combiner folds each batch to <= n_sets x 3
+    partial rows, the groupby moves O(sets x blocks) rows, the report
+    frame is assembled on the driver from n_sets rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        coll = d % n_sets
+        state = d % 10  # 0 deleted, 1 inactive, else active
+        key = coll * 4 + np.where(state == 0, 1, np.where(state == 1, 2, 0))
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "coll": pa.array(uniq // 4, pa.int64()),
+            "kind": pa.array(uniq % 4, pa.int64()),
+            "n": pa.array(cnt, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["coll", "kind"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    counts = np.zeros((n_sets, 3), dtype=np.int64)  # active/deleted/inactive
+    for r in agg.itertuples():
+        counts[int(r.coll), int(r.kind) if r.kind < 3 else 0] += int(r.n)
+    rows = []
+    seen_names: set[str] = set()
+    kept_tot = np.zeros(3, dtype=np.int64)
+    for cid in range(n_sets):
+        name = f"set{cid % name_mod}"
+        if name in seen_names:
+            continue  # the duplicate-name skip
+        seen_names.add(name)
+        act, dele, inact = counts[cid]
+        rows.append(("collection", name, int(act + dele + inact),
+                     int(dele), int(inact)))
+        kept_tot += counts[cid]
+    rows.append(("dataset_version", "all", int(kept_tot.sum()),
+                 int(kept_tot[1]), int(kept_tot[2])))
+    out = pd.DataFrame(rows, columns=["scope", "name", "total", "deleted",
+                                      "inactive"])
+    return out.sort_values(["scope", "name"]).reset_index(drop=True)
+
+
+def report_dataset_version_sql(n_sets: int = 8, name_mod: int = 5) -> str:
+    """Oracle for report_dataset_version: QUALIFY row_number() keeps the
+    first collection id per name; dataset totals join back to kept ids."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id % {n_sets} AS coll,
+         CASE WHEN doc_id % 10 = 0 THEN 'deleted'
+              WHEN doc_id % 10 = 1 THEN 'inactive'
+              ELSE 'active' END AS state
+  FROM documents
+),
+kept AS (
+  SELECT coll, 'set' || CAST(coll % {name_mod} AS VARCHAR) AS name
+  FROM (SELECT DISTINCT coll FROM docs)
+  QUALIFY row_number() OVER (
+    PARTITION BY coll % {name_mod} ORDER BY coll) = 1
+),
+per_coll AS (
+  SELECT k.name,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(count(*) FILTER (WHERE d.state = 'deleted') AS BIGINT) AS deleted,
+         CAST(count(*) FILTER (WHERE d.state = 'inactive') AS BIGINT) AS inactive
+  FROM docs d JOIN kept k USING (coll)
+  GROUP BY k.name
+)
+SELECT 'collection' AS scope, name, total, deleted, inactive FROM per_coll
+UNION ALL
+SELECT 'dataset_version', 'all',
+       CAST(sum(total) AS BIGINT), CAST(sum(deleted) AS BIGINT),
+       CAST(sum(inactive) AS BIGINT)
+FROM per_coll
+ORDER BY scope, name
+""".strip()
