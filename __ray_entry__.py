@@ -2395,8 +2395,9 @@ def _readback_documents(sf_dir: str) -> pd.DataFrame:
 
 
 def _check_urls(sf_dir: str) -> pd.DataFrame:
-    """URL prober actor pool (rows-only: the fake prober's crc32 statuses
-    aren't SQL-expressible; see ops/probe.py)."""
+    """URL prober actor pool. The fake prober derives status/redirect/ctype
+    from the URL's md5 prefix (ops/probe.py) so the gate is value-checked
+    against an exact md5 CASE oracle."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -3540,10 +3541,26 @@ def _curate_corpus(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _media_parquet() -> str:
+    """Materialize the deterministic synth media table (pure pyarrow, cached)
+    so the multimodal oracles can read the exact same payload bytes in SQL."""
+    import pyarrow.parquet as pq
+
+    from harvester_ray.ops import multimodal
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = os.path.join(_SCRATCH, "media-s42-n64.parquet")
+    if not os.path.exists(path):
+        pq.write_table(multimodal.synth_media(n_items=64, seed=42), path)
+    return path
+
+
 def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
     """Multimodal decode/feature plumbing: binary payload column → actor-pool
-    decode stage → typed feature rows (deterministic fake decoder; rows-only
-    check — no SQL surface for binary decode)."""
+    decode stage → typed feature rows. The 16-dim sha256 feature vector has
+    no SQL surface (dropped here as in any export), but technical_type and
+    payload_bytes are value-checked against an octet_length/CASE oracle over
+    the same materialized payloads."""
     import ray.data as rd
 
     from harvester_ray.ops import multimodal
@@ -3556,8 +3573,9 @@ def _multimodal_decode(sf_dir: str) -> pd.DataFrame:
 
 def _frame_sample(sf_dir: str) -> pd.DataFrame:
     """Video frame-sampling fan-out: one video row → many sampled frame rows
-    (deterministic byte-slice frames; rows-only — binary fan-out has no SQL
-    surface on the registered tables)."""
+    (deterministic byte-slice frames). The frame payload itself is binary
+    (dropped), but the fan-out shape — (item_id, frame_idx, frame_bytes) per
+    sampled frame — is value-checked against a LATERAL range oracle."""
     import ray.data as rd
 
     from harvester_ray.ops import multimodal
@@ -4742,6 +4760,49 @@ GROUP BY v.value ORDER BY v.value"""
         "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),
         "fingerprint": text_analysis.fingerprint_sql("documents"),
         "repetition": text_analysis.repetition_sql("documents"),
+        # deterministic-fake stages with exact SQL mirrors: the prober's
+        # status/ctype derive from the first 8 md5 hex digits of the url
+        # (ops/probe.py), and the multimodal fakes are pure byte arithmetic
+        # over the materialized synth media parquet
+        "check_urls": f"""
+            WITH h AS (
+              SELECT 'http://files.example.org/part/' || CAST(p_partkey AS VARCHAR) AS url,
+                     ('0x' || substr(md5('http://files.example.org/part/'
+                                         || CAST(p_partkey AS VARCHAR)), 1, 8))::BIGINT AS hv
+              FROM part
+            )
+            SELECT url,
+                   CASE WHEN hv % 10 = 6 THEN 301 WHEN hv % 10 = 7 THEN 302
+                        WHEN hv % 10 = 8 THEN 404 WHEN hv % 10 = 9 THEN 500
+                        ELSE 200 END AS status,
+                   CASE WHEN hv % 10 IN (6, 7) THEN url || '/moved' END AS redirect_url,
+                   (['text/html','application/pdf','image/png','video/mp4'])
+                       [CAST((hv >> 4) % 4 AS INT) + 1] AS content_type,
+                   (hv % 10 = 8) AS is_not_found
+            FROM h ORDER BY url
+        """,
+        "multimodal_decode": f"""
+            SELECT item_id,
+                   CASE mime WHEN 'image/png' THEN 'image'
+                        WHEN 'image/jpeg' THEN 'image'
+                        WHEN 'audio/wav' THEN 'audio'
+                        WHEN 'audio/mpeg' THEN 'audio'
+                        WHEN 'video/mp4' THEN 'video'
+                        WHEN 'application/pdf' THEN 'document'
+                        ELSE 'unknown' END AS technical_type,
+                   octet_length(payload) AS payload_bytes
+            FROM read_parquet('{_media_parquet()}') ORDER BY item_id
+        """,
+        "frame_sample": f"""
+            WITH v AS (
+              SELECT item_id, octet_length(payload) AS nb
+              FROM read_parquet('{_media_parquet()}') WHERE mime = 'video/mp4'
+            )
+            SELECT item_id, CAST(j * 4 AS INTEGER) AS frame_idx,
+                   least(512, nb - j * 4 * 512) AS frame_bytes
+            FROM v, LATERAL unnest(range(0, ((nb + 511) // 512 + 3) // 4)) AS t(j)
+            ORDER BY item_id, frame_idx
+        """,
         "exact_dedup": dedup.exact_dedup_sql("documents"),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),

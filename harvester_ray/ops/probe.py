@@ -3,15 +3,17 @@
 The reference probes file URLs with HEAD requests and records status /
 redirect / content-type per file (harvester/files/tasks/metadata.py:11-61,
 checkurl pipeline). This container has no network, so the PROBER is a
-deterministic fake (status derived from a crc32 of the URL) behind the same
-seam a real HTTP client would fill — the Ray plumbing (actor pool with
-per-actor session state, batch shape, output schema, has_changed diffing)
-is real and tested, mirroring ops/multimodal.py's honest-stub discipline.
+deterministic fake (status derived from the first 8 hex digits of the
+URL's md5 — chosen over crc32 so the DuckDB oracle can mirror it exactly
+and the gate is value-checked, not rows-only) behind the same seam a real
+HTTP client would fill — the Ray plumbing (actor pool with per-actor
+session state, batch shape, output schema, has_changed diffing) is real
+and tested, mirroring ops/multimodal.py's honest-stub discipline.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -41,7 +43,7 @@ class UrlProber:
         self.session = object()  # real impl: requests.Session() with retries
 
     def _head(self, url: str) -> tuple[int, str | None, str]:
-        h = zlib.crc32(url.encode())
+        h = int(hashlib.md5(url.encode()).hexdigest()[:8], 16)
         status = int(_STATUSES[h % 10])
         redirect = url + "/moved" if status in (301, 302) else None
         ctype = _CTYPES[(h >> 4) % len(_CTYPES)]
