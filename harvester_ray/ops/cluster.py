@@ -142,6 +142,8 @@ def dedup_corpus(
     *,
     id_col: str = "doc_id",
     n_partitions: int = 64,
+    strategy: str = "auto",
+    broadcast_max_drops: int = 50_000_000,
 ):
     """Corpus-level near-dup removal: keep one representative per cluster.
 
@@ -149,9 +151,23 @@ def dedup_corpus(
     its cluster's minimum — the near-dup analog of the reference's
     upsert-by-identity rule (one live document per ``srn``,
     `/root/reference/harvester/core/processors/seed/resource.py:98-105`).
-    The drop list is applied with a bucketed anti-join (union + per-bucket
-    filter), never a driver-side collect — at scale the duplicate set is
-    itself huge.
+
+    Two drop-application strategies (``strategy``):
+
+    - ``"broadcast"``: fold the drop ids into one sorted int64 array,
+      ``ray.put`` it once, and filter the corpus with a streaming
+      map_batches searchsorted — the corpus text never enters a shuffle.
+      Valid while the duplicate set fits one array (``broadcast_max_drops``,
+      default 50M ids = 400 MB — comfortably inside a worker heap).
+    - ``"shuffle"``: bucketed anti-join (union + per-bucket filter) — no
+      bound on the duplicate set, but every corpus row (text included)
+      crosses the exchange once.
+    - ``"auto"`` (default): count the drops (labels are bounded by
+      pair-referenced docs, so this is cheap) and broadcast when they fit.
+
+    At 10^12-turn scale with per-node shards the broadcast bound is per
+    partition-of-responsibility, so auto picks broadcast for realistic dup
+    rates and degrades to the shuffle only on pathological corpora.
     """
     labels = connected_components(pairs_ds, n_partitions=n_partitions)
     drops = labels.map_batches(
@@ -161,6 +177,35 @@ def dedup_corpus(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+    if strategy != "shuffle":
+        import ray as _ray
+
+        drops = drops.materialize()
+        n_drops = drops.count()
+        if strategy == "broadcast" or n_drops <= broadcast_max_drops:
+            parts = [
+                np.asarray(b["doc_id"].combine_chunks().cast(pa.int64()))
+                for b in drops.iter_batches(batch_format="pyarrow")
+            ]
+            drop_ids = (
+                np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+            )
+            handle = _ray.put(drop_ids)
+
+            def keep(t: pa.Table) -> pa.Table:
+                import ray as _ray_w
+
+                d = _ray_w.get(handle)  # zero-copy shared-memory numpy
+                keys = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+                idx = np.searchsorted(d, keys)
+                hit = idx < d.size
+                hit[hit] = d[idx[hit]] == keys[hit]
+                return t.filter(pa.array(~hit))
+
+            return docs_ds.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True
+            )
 
     doc_schema = docs_ds.schema().base_schema
     tag_schema = pa.schema(

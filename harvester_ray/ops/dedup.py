@@ -168,6 +168,34 @@ def _group_pairs(
     return offs[g] + i, offs[g] + j
 
 
+def _group_star_pairs(
+    counts: np.ndarray, emit: np.ndarray | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Star edges per group: (group-first, every other member) — c-1 edges
+    instead of c(c-1)/2. On duplicate-heavy corpora an LSH band bucket's size
+    grows linearly with the corpus (identical texts have identical
+    signatures), so all-pairs enumeration is quadratic in corpus size; star
+    edges keep it linear while preserving the connected component whenever
+    the bucket members actually near-dup the representative (the common case
+    — they banded together because their signatures agree). Assumes the
+    underlying array is group-sorted with the representative (min doc_id)
+    first in each group."""
+    counts = counts.astype(np.int64)
+    m = counts - 1
+    if emit is not None:
+        m = np.where(emit, m, 0)
+    total = int(m.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e
+    offs = np.concatenate([np.zeros(1, np.int64), np.cumsum(counts)])
+    cm = np.concatenate([np.zeros(1, np.int64), np.cumsum(m)])
+    p = np.arange(total, dtype=np.int64)
+    g = np.searchsorted(cm, p, side="right") - 1
+    j = offs[g] + (p - cm[g]) + 1
+    return offs[g], j
+
+
 _MINHASH_PRIME = (1 << 31) - 1  # Mersenne 2^31-1
 # NOTE (round 3): a Mersenne shift-fold replacement for the % below was
 # tried and REVERTED — numpy's modulo-by-constant runs ~170M ops/s warm
@@ -238,6 +266,8 @@ def minhash_lsh_candidates(
     num_perm: int = 64,
     bands: int = 16,
     n_partitions: int = 64,
+    pairing: str = "all",
+    max_bucket: int | None = None,
 ):
     """Stage 1+2 of MinHash-LSH: per-doc signatures → (band_key, doc_id)
     rows → coarse-bucket groupby → candidate pairs (a < b), deduped.
@@ -249,6 +279,17 @@ def minhash_lsh_candidates(
     Python call. Band keys are FNV-folded from the signature rows with a
     per-band salt (vectorized; no per-doc crc32). Returns a Dataset of
     (doc_a, doc_b, n_bands).
+
+    ``pairing="star"`` emits (bucket-min, member) edges instead of all
+    within-bucket pairs — c-1 rows per band bucket instead of c(c-1)/2.
+    Use it when the pairs feed connected-components dedup
+    (``cluster.dedup_corpus``): on duplicate-heavy corpora band buckets of
+    identical texts grow WITH the corpus, so all-pairs is quadratic in
+    corpus size (measured: 138M candidates from 38.4M templated turns)
+    while star stays linear and unions the same docs through their
+    representative. ``max_bucket`` additionally skips pair emission for
+    band buckets larger than the cap (a recall/cost valve for ``"all"``;
+    with ``"star"`` buckets are linear so the cap is rarely needed).
     """
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
@@ -290,7 +331,11 @@ def minhash_lsh_candidates(
         order = np.lexsort((d, k))
         k, d = k[order], d[order]
         _, counts = np.unique(k, return_counts=True)
-        i, j = _group_pairs(counts)
+        emit = None if max_bucket is None else (counts <= max_bucket)
+        if pairing == "star":
+            i, j = _group_star_pairs(counts, emit)
+        else:
+            i, j = _group_pairs(counts, emit)
         return pa.table(
             {"doc_a": pa.array(d[i], pa.int64()), "doc_b": pa.array(d[j], pa.int64())}
         )
@@ -355,6 +400,7 @@ def jaccard_verify_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     n_partitions: int = 64,
+    referenced_only: bool = False,
 ):
     """Stage 3: exact n-gram Jaccard on candidate pairs — fully distributed.
 
@@ -372,10 +418,59 @@ def jaccard_verify_pairs(
     aggregator loses the schema of 0-row input blocks, and a join *output*
     always contains empty partitions.) Returns (doc_a, doc_b, jaccard) with
     jaccard >= threshold.
+
+    ``referenced_only=True`` prunes the doc side to ids that actually appear
+    in a candidate pair before any shingle blob is built: the candidate set
+    is materialized (it is pairs-sized, not corpus-sized), its distinct ids
+    are folded into one sorted int64 array — bounded by
+    docs-appearing-in-pairs, the same boundedness assumption
+    ``cluster.cluster_safe_split`` documents — and broadcast via ``ray.put``
+    so every doc_rows task membership-tests with one searchsorted. At
+    realistic dup rates this keeps >80% of the corpus's shingle blobs off
+    the verify exchange entirely (the blobs, not the tiny pair rows, are
+    what spills at scale).
     """
 
     def _bucket(keys: np.ndarray) -> pa.Array:
         return pa.array((keys % n_partitions).astype(np.int32))
+
+    ref_handle = None
+    if referenced_only:
+        import ray as _ray
+
+        pairs_ds = pairs_ds.materialize()
+        parts = []
+        for b in pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
+            batch_format="pyarrow"
+        ):
+            parts.append(
+                np.unique(
+                    np.concatenate(
+                        [
+                            np.asarray(b["doc_a"].combine_chunks().cast(pa.int64())),
+                            np.asarray(b["doc_b"].combine_chunks().cast(pa.int64())),
+                        ]
+                    )
+                )
+            )
+        ref_ids = (
+            np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+        )
+        ref_handle = _ray.put(ref_ids)
+
+        def keep_referenced(t: pa.Table) -> pa.Table:
+            import ray as _ray_w
+
+            ref = _ray_w.get(ref_handle)  # zero-copy shared-memory numpy
+            keys = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+            idx = np.searchsorted(ref, keys)
+            ok = idx < ref.size
+            ok[ok] = ref[idx[ok]] == keys[ok]
+            return t.filter(pa.array(ok))
+
+        docs_ds = docs_ds.map_batches(
+            keep_referenced, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     sh = doc_shingle_sets(docs_ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
 
@@ -480,15 +575,25 @@ def near_dup_minhash(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.8,
+    pairing: str = "all",
+    max_bucket: int | None = None,
+    referenced_only: bool = False,
 ):
-    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard)."""
+    """Full MinHash-LSH near-dup pipeline → (doc_a, doc_b, jaccard).
+
+    Defaults compute every verified pair (the gate/oracle contract). For
+    corpus-scale dedup feeding connected components, pass
+    ``pairing="star", referenced_only=True``: candidates stay linear in
+    corpus size and only pair-referenced docs ship shingle blobs through
+    the verify exchange (see ``minhash_lsh_candidates`` /
+    ``jaccard_verify_pairs``)."""
     cands = minhash_lsh_candidates(
         ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
-        num_perm=num_perm, bands=bands,
+        num_perm=num_perm, bands=bands, pairing=pairing, max_bucket=max_bucket,
     )
     return jaccard_verify_pairs(
         cands, ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n,
-        threshold=threshold,
+        threshold=threshold, referenced_only=referenced_only,
     )
 
 

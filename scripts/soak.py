@@ -204,12 +204,19 @@ def main() -> None:
 
     # --- MinHash-LSH near-dup over all turns -----------------------------
     # pairs materialized ONCE (bounded: pair count, not corpus) and reused
-    # by dedup_corpus below instead of recomputing the LSH pass
+    # by dedup_corpus below instead of recomputing the LSH pass.
+    # pairing="star" + referenced_only=True is the corpus-scale regime:
+    # all-pairs enumeration measured 138M candidates from 38.4M templated
+    # turns (band buckets of identical texts grow with the corpus), and the
+    # resulting blob-heavy verify exchange wedged the streaming executor
+    # under spill; star edges stay linear and prune unreferenced docs'
+    # shingle blobs off the exchange while unioning the same clusters.
     pairs_holder = {}
 
     def run_neardup():
         pairs_holder["pairs"] = _dedup.near_dup_minhash(
-            docs, threshold=0.8).materialize()
+            docs, threshold=0.8, pairing="star", referenced_only=True,
+        ).materialize()
         return pairs_holder["pairs"].count()
 
     report["neardup_pairs"] = stage("neardup", run_neardup)

@@ -559,3 +559,65 @@ def test_minhash_short_docs_never_bucket(ray_session):
         rd.from_pandas(df), shingle_n=3, threshold=0.8
     ).to_pandas()
     assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(4, 5)}
+
+
+def test_minhash_star_pairing_same_clusters(ray_session):
+    """pairing="star" + referenced_only=True is the corpus-scale regime for
+    connected-components dedup: it must union the same duplicate clusters
+    (same dedup_corpus survivors) as the default all-pairs mode on a corpus
+    of mutually-near-dup groups — while emitting at most c-1 edges per
+    bucket instead of c(c-1)/2."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import cluster, dedup
+
+    rows = []
+    for g in range(4):
+        base = " ".join(f"g{g}word{k}" for k in range(10))  # disjoint vocab
+        for m in range(5):  # 5 identical copies per group
+            rows.append({"doc_id": g * 100 + m, "text": base})
+    for i in range(20):  # singletons, no near-dups
+        rows.append({"doc_id": 10_000 + i, "text": f"unique{i} " + " ".join(
+            f"w{i}x{k}" for k in range(8))})
+    df = pd.DataFrame(rows)
+
+    import pyarrow as pa
+
+    def survivors(**kw):
+        ds = rd.from_arrow(pa.Table.from_pandas(df))
+        pairs = dedup.near_dup_minhash(ds, threshold=0.8, **kw)
+        out = cluster.dedup_corpus(
+            rd.from_arrow(pa.Table.from_pandas(df)), pairs
+        ).to_pandas()
+        return sorted(out["doc_id"])
+
+    full = survivors()
+    star = survivors(pairing="star", referenced_only=True)
+    assert star == full
+    # one representative per identical group + every singleton
+    assert star == [0, 100, 200, 300] + list(range(10_000, 10_020))
+
+    # star candidate volume is linear: <= (c-1) * bands edges per group
+    cands = dedup.minhash_lsh_candidates(
+        rd.from_pandas(df), pairing="star"
+    ).to_pandas()
+    assert len(cands) <= 4 * 4  # 4 groups x (5-1) star edges, deduped
+
+
+def test_minhash_max_bucket_caps_hot_buckets(ray_session):
+    """max_bucket suppresses pair emission from band buckets above the cap
+    (the all-pairs cost valve); below-cap buckets still emit."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    rows = [{"doc_id": i, "text": "hot bucket identical text one two three"}
+            for i in range(10)]
+    rows += [{"doc_id": 100 + i, "text": "cool pair distinct words four five six"}
+             for i in range(2)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = dedup.near_dup_minhash(ds, threshold=0.8, max_bucket=5).to_pandas()
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {(100, 101)}  # hot 10-doc bucket suppressed, cool pair kept
