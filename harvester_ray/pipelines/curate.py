@@ -46,6 +46,8 @@ def curate(
     jaccard_threshold: float = 0.8,
     max_bucket: int | None = None,
     dedup_method: str = "jaccard",
+    pairing: str = "all",
+    referenced_only: bool = False,
 ):
     """Curated-corpus Dataset: quality-filtered, decontaminated, one split,
     near-dup-deduplicated (min-id representative kept).
@@ -116,6 +118,8 @@ def curate(
             filtered.select_columns([id_col, text_col]),
             shingle_n=shingle_n_dedup,
             threshold=jaccard_threshold,
+            pairing=pairing,
+            referenced_only=referenced_only,
         )
     else:
         pairs = dedup.near_dup_jaccard(

@@ -198,7 +198,10 @@ def main() -> None:
 
         bench = turns_as_docs(soak_dir).map_batches(
             bench_slice, batch_format="pyarrow", zero_copy_batch=True)
-        return _curate.curate(docs, bench, dedup_method="minhash").count()
+        return _curate.curate(
+            docs, bench, dedup_method="minhash",
+            pairing="star", referenced_only=True,
+        ).count()
 
     report["curate_rows"] = stage("curate", run_curate)
 
