@@ -825,10 +825,25 @@ ORDER BY doc_a, doc_b"""
     )
 
 
-def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"):
+def simhash_near_dups(
+    ds,
+    *,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pairing: str = "all",
+    max_bucket: int | None = None,
+):
     """Near-dup pairs by SimHash Hamming distance. Scale path: block on
     4 × 16-bit simhash chunks (any pair within distance 3 shares ≥1 chunk),
-    groupby chunk, pairwise-verify within buckets."""
+    groupby chunk, pairwise-verify within buckets.
+
+    The within-bucket verify is all-pairs (``np.triu_indices`` — O(n²) per
+    bucket); on duplicate-heavy corpora chunk buckets grow with the corpus,
+    so for connected-components dedup pass ``pairing="star"`` ((bucket-min,
+    member) verification — linear per bucket, same components) and/or
+    ``max_bucket`` to skip buckets above the cap (see
+    ``minhash_lsh_candidates`` for the rationale)."""
     sims = simhash(ds, id_col=id_col, text_col=text_col)
 
     def to_chunks(batch: pa.Table) -> pa.Table:
@@ -855,9 +870,13 @@ def simhash_near_dups(ds, *, max_hamming: int = 3, id_col: str = "doc_id", text_
         g = group.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         hs = g["simhash"].to_numpy().view(np.uint64)
-        if ids.size < 2:
+        if ids.size < 2 or (max_bucket is not None and ids.size > max_bucket):
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64), "hamming": pd.Series([], dtype=np.int64)})
-        ai, bi = np.triu_indices(ids.size, k=1)
+        if pairing == "star":
+            ai = np.zeros(ids.size - 1, dtype=np.int64)
+            bi = np.arange(1, ids.size, dtype=np.int64)
+        else:
+            ai, bi = np.triu_indices(ids.size, k=1)
         x = hs[ai] ^ hs[bi]
         # vectorized popcount: 8 bytes per uint64 → unpack to bits and sum
         ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype(np.int64)
@@ -956,6 +975,8 @@ def embedding_near_dups_lsh(
     n_tables: int = 6,
     seed: int = 11,
     round_digits: int = 4,
+    pairing: str = "all",
+    max_bucket: int | None = None,
 ):
     """Approximate near-dup pairs via random-hyperplane LSH — the 100 TB
     path. Each vector hashes to ``n_tables`` sign-pattern buckets
@@ -963,7 +984,12 @@ def embedding_near_dups_lsh(
     verified with an exact cosine, so nothing quadratic in the corpus ever
     runs. Shuffles only (table, bucket, doc_id, vec-bytes) rows. Recall vs
     the exact ``embedding_near_dups`` is probabilistic
-    (1 - (1 - p^planes)^tables, p = 1 - angle/pi); measured in tests."""
+    (1 - (1 - p^planes)^tables, p = 1 - angle/pi); measured in tests.
+
+    Within-bucket verification is all-pairs (n² dot products per bucket);
+    identical-vector buckets grow with the corpus, so for components-feeding
+    dedup pass ``pairing="star"`` ((bucket-min, member) cosines — linear)
+    and/or ``max_bucket`` (see ``minhash_lsh_candidates``)."""
     probe = ds.take(1)
     dim = len(probe[0][vec_col])
     rng = np.random.default_rng(seed)
@@ -994,13 +1020,21 @@ def embedding_near_dups_lsh(
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
-        if ids.size < 2:
+        if ids.size < 2 or (max_bucket is not None and ids.size > max_bucket):
             return pd.DataFrame(
                 {"doc_a": pd.Series([], dtype=np.int64),
                  "doc_b": pd.Series([], dtype=np.int64),
                  "cosine": pd.Series([], dtype=np.float64)}
             )
         mat = np.stack([np.frombuffer(b, dtype="<f8") for b in g["vec"]])
+        if pairing == "star":
+            sims_v = np.round(mat[1:] @ mat[0], round_digits)
+            ai = np.zeros(ids.size - 1, dtype=np.int64)
+            bi = np.arange(1, ids.size, dtype=np.int64)
+            keep = sims_v >= threshold
+            return pd.DataFrame(
+                {"doc_a": ids[ai][keep], "doc_b": ids[bi][keep], "cosine": sims_v[keep]}
+            )
         sims = np.round(mat @ mat.T, round_digits)
         ai, bi = np.triu_indices(ids.size, k=1)
         keep = sims[ai, bi] >= threshold

@@ -621,3 +621,41 @@ def test_minhash_max_bucket_caps_hot_buckets(ray_session):
     pairs = dedup.near_dup_minhash(ds, threshold=0.8, max_bucket=5).to_pandas()
     got = set(zip(pairs["doc_a"], pairs["doc_b"]))
     assert got == {(100, 101)}  # hot 10-doc bucket suppressed, cool pair kept
+
+
+def test_star_pairing_on_simhash_and_embedding_lsh(ray_session):
+    """The star/max_bucket valves on the sibling bucketed verifiers: star
+    finds the identical-group edges through the representative; max_bucket
+    suppresses over-cap buckets."""
+    import pandas as pd
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    df = pd.DataFrame({
+        "doc_id": [5, 2, 9, 30],
+        "text": ["same exact words one two three"] * 3
+        + ["entirely different other tokens here"],
+    })
+    star = dedup.simhash_near_dups(
+        rd.from_pandas(df), pairing="star"
+    ).to_pandas()
+    assert set(zip(star["doc_a"], star["doc_b"])) == {(2, 5), (2, 9)}
+    capped = dedup.simhash_near_dups(
+        rd.from_pandas(df), max_bucket=2
+    ).to_pandas()
+    assert len(capped) == 0  # the 3-doc bucket exceeds the cap
+
+    v = [0.6, 0.8]
+    emb = pd.DataFrame({
+        "vec_id": [4, 1, 7, 50],
+        "embedding": [v, v, v, [-0.8, 0.6]],
+    })
+    star_e = dedup.embedding_near_dups_lsh(
+        rd.from_pandas(emb), threshold=0.99, pairing="star"
+    ).to_pandas()
+    assert set(zip(star_e["doc_a"], star_e["doc_b"])) == {(1, 4), (1, 7)}
+    capped_e = dedup.embedding_near_dups_lsh(
+        rd.from_pandas(emb), threshold=0.99, max_bucket=2
+    ).to_pandas()
+    assert len(capped_e) == 0
