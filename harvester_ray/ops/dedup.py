@@ -473,6 +473,13 @@ def jaccard_verify_pairs(
         )
 
     sh = doc_shingle_sets(docs_ds, id_col=id_col, text_col=text_col, shingle_n=shingle_n)
+    if referenced_only:
+        # the doc side feeds BOTH union stages and Ray re-executes shared
+        # sub-DAGs per consumer — with the referenced-ids filter the blob
+        # set is pairs-bounded, so materializing it once halves the
+        # corpus-read + shingle work (without the filter it is
+        # corpus-sized and must stay streaming).
+        sh = sh.materialize()
 
     def doc_rows(t: pa.Table) -> pa.Table:
         n = t.num_rows
