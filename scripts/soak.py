@@ -48,6 +48,9 @@ def _spill_bytes() -> int:
     for pat in (
         "/tmp/ray/session_latest/ray_spilled_objects*/*",
         "/tmp/ray/session_latest/*/spilled*/*",
+        # RAY_TMPDIR on this host nests a second /ray level
+        "/tmp/ray/ray/session_latest/ray_spilled_objects*/*",
+        "/tmp/ray/ray/session_latest/*/spilled*/*",
     ):
         for f in glob.glob(pat):
             try:
