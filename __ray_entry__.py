@@ -42,6 +42,7 @@ from harvester_ray.ops import bloom as _bloom
 from harvester_ray.ops import embstats as _embstats
 from harvester_ray.ops import chunking as _chunking
 from harvester_ray.ops import dedup, similarity, text_analysis
+from harvester_ray.ops import urldedup
 from harvester_ray.ops import percolate as _percolate_mod
 from harvester_ray.ops import quality_model as _qm_mod
 from harvester_ray.pipelines import curate as _curate
@@ -2414,6 +2415,63 @@ def _check_urls(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("url").reset_index(drop=True)
 
 
+# Deterministic per-document URL synthesis shared by the url_dedup gate and
+# its oracle: every component is a pure modular expression over (doc_id,
+# source, n_chars) so the SQL side rebuilds byte-identical raw URLs. The
+# variation deliberately exercises every normalization rule (scheme, www,
+# tracking params, trailing slash, fragment).
+_URL_SYNTH_SQL = """
+SELECT doc_id, n_chars AS quality,
+       (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+       || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+       || source || '.example.org/docs/'
+       || CAST(doc_id % 25 AS VARCHAR) || '-' || CAST(n_chars % 4 AS VARCHAR)
+       || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+       || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&ref=' ELSE '?ref=' END)
+       || CAST(doc_id % 3 AS VARCHAR)
+       || (CASE WHEN doc_id % 11 = 0 THEN '#sec' ELSE '' END) AS url
+FROM documents
+""".strip()
+
+
+def _url_dedup(sf_dir: str) -> pd.DataFrame:
+    """Canonical-URL dedup (ops/urldedup.py): normalize synthesized URLs
+    (scheme/www/fragment/tracking-param/trailing-slash rules), keep the
+    (max n_chars, min doc_id) doc per canonical URL via the bucketed
+    reducer. Only (norm_url, doc_id, quality) triples cross the wire."""
+    import pyarrow as pa
+
+    from harvester_ray.ops import urldedup
+
+    docs = _docs_ds(sf_dir, ("doc_id", "source", "n_chars"))
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].combine_chunks().cast(pa.int64()))
+        src = batch["source"].to_pandas().to_numpy(dtype=object)
+        nc = np.asarray(batch["n_chars"].combine_chunks().cast(pa.int64()))
+        scheme = np.where(ids % 2 == 0, "https://", "http://")
+        www = np.where(ids % 3 == 0, "www.", "")
+        slash = np.where(ids % 5 == 0, "/", "")
+        qpre = np.where(ids % 2 == 0, "?utm_source=feed&ref=", "?ref=")
+        frag = np.where(ids % 11 == 0, "#sec", "")
+        urls = [
+            f"{scheme[i]}{www[i]}{src[i]}.example.org/docs/{ids[i] % 25}-{nc[i] % 4}"
+            f"{slash[i]}{qpre[i]}{ids[i] % 3}{frag[i]}"
+            for i in range(len(ids))
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "url": pa.array(urls, pa.string()),
+                "quality": pa.array(nc, pa.int64()),
+            }
+        )
+
+    urls = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    out = urldedup.url_dedup(urls).to_pandas()
+    return out.sort_values("norm_url").reset_index(drop=True)
+
+
 def _demo_vocab() -> pd.DataFrame:
     """Deterministic 40-node vocab forest: v0..v2 roots, parent(i)=v[(i-3)//3]."""
     values = [f"v{i}" for i in range(40)]
@@ -3946,6 +4004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_ratio": lambda sf: text_analysis.compression_ratio(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         # --- dedup --------------------------------------------------------
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
+        "url_dedup": _url_dedup,
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "simhash": lambda sf: dedup.simhash(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "simhash_neardup": lambda sf: dedup.simhash_near_dups(_docs_ds(sf)).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
@@ -4804,6 +4863,7 @@ GROUP BY v.value ORDER BY v.value"""
             ORDER BY item_id, frame_idx
         """,
         "exact_dedup": dedup.exact_dedup_sql("documents"),
+        "url_dedup": urldedup.url_dedup_sql(_URL_SYNTH_SQL),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "neardup_jaccard": dedup.ngram_jaccard_sql("documents", threshold=0.8),
         "dedup_clusters": _cluster.cluster_sql(

@@ -659,3 +659,39 @@ def test_star_pairing_on_simhash_and_embedding_lsh(ray_session):
         rd.from_pandas(emb), threshold=0.99, max_bucket=2
     ).to_pandas()
     assert len(capped_e) == 0
+
+
+def test_url_dedup_normalization_and_selection():
+    from harvester_ray.ops import urldedup
+
+    urls = pd.Series(
+        [
+            "https://www.Site.org/a/b/?utm_source=x&ref=1&b=2#frag",
+            "http://site.org/a/b?b=2&ref=1",  # same canonical form
+            "https://site.org/a/b?ref=2",  # different param value
+            "https://other.org/a/b?utm_source=x",  # all params tracking
+            "http://other.org/a/b",  # same canonical as above
+            None,
+        ]
+    )
+    norm = urldedup.normalize_urls(urls)
+    assert norm[0] == norm[1] == "site.org/a/b?b=2&ref=1"
+    assert norm[2] == "site.org/a/b?ref=2"
+    assert norm[3] == norm[4] == "other.org/a/b"
+    assert norm[5] == ""
+
+    ds = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "url": urls[:5],
+                "quality": [10, 50, 7, 9, 9],
+            }
+        )
+    )
+    out = urldedup.url_dedup(ds).to_pandas().sort_values("norm_url").reset_index(drop=True)
+    assert len(out) == 3
+    row = out[out.norm_url == "site.org/a/b?b=2&ref=1"].iloc[0]
+    assert row.doc_id == 2 and row.quality == 50 and row.n_dups == 2  # max quality wins
+    row = out[out.norm_url == "other.org/a/b"].iloc[0]
+    assert row.doc_id == 4 and row.n_dups == 2  # quality tie -> min doc_id
