@@ -3045,6 +3045,18 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _semantic_decontam(sf_dir: str) -> pd.DataFrame:
+    """Embedding-similarity decontamination (ops/decontam.semantic_decontam):
+    benchmark = vec_id % 97 == 0 rows of the embeddings table, quantized
+    matrix broadcast once; corpus streams through one integer-matmul
+    map_batches; per-pair sims quantize to 1e-6 ints before the per-vector
+    argmax. tau=0.4 keeps the flag non-degenerate on the synthetic
+    embeddings (max sim ~0.47)."""
+    from harvester_ray.ops import decontam
+
+    return decontam.semantic_decontam(_emb_ds(sf_dir), tau=0.4)
+
+
 def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
     """Duplicated-n-gram fraction per doc: one bucketed all-to-all of
     distinct (gram_hash, doc_id) pairs, vectorized run-length dup marking
@@ -4014,6 +4026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_corpus": _dedup_corpus,
         "decontaminate": _decontaminate,
         "phrase_decontam": _phrase_decontam,
+        "semantic_decontam": _semantic_decontam,
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
@@ -4879,6 +4892,9 @@ GROUP BY v.value ORDER BY v.value"""
         "decontaminate": _decontam.decontaminate_sql("documents", shingle_n=5),
         "phrase_decontam": _decontam.phrase_decontaminate_sql(
             "documents", phrase_docs=PHRASE_DECON_DOCS
+        ),
+        "semantic_decontam": _decontam.semantic_decontam_sql(
+            "embeddings", tau=0.4
         ),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True

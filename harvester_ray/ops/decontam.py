@@ -246,3 +246,155 @@ SELECT doc_id,
        ({hit_terms}) > 0 AS contaminated
 FROM toks {joins} ORDER BY doc_id
 """.strip()
+
+
+def semantic_decontam(
+    emb_ds,
+    *,
+    bench_mod: int = 97,
+    tau: float = 0.9,
+    scale: float = 1e4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Embedding-similarity decontamination: flag corpus vectors whose best
+    cosine similarity against a benchmark (eval-set) embedding exceeds
+    ``tau`` — the semantic sibling of the n-gram overlap test above, as in
+    contamination audits of instruction-tuning sets (paraphrased eval
+    leakage that exact n-grams miss). The reference analog is the same
+    set-membership hygiene cited in this module's header.
+
+    The benchmark here is the deterministic subset ``vec_id % bench_mod ==
+    0`` of the same table (no external data); everything else is corpus.
+
+    Shape for 100 TB: the benchmark side is SMALL by definition — its
+    quantized matrix is broadcast once via ``ray.put``; the corpus streams
+    through one ``map_batches`` doing an integer matmul per batch. No
+    shuffle, no join.
+
+    Oracle-exact discipline (the mmr_rerank rule): components quantize to
+    ints at ``scale``; sim = dot/(√n_a·√n_b) from exact integer dot/norms
+    with one mirrored float op order, quantized to 1e-6 ints BEFORE the
+    max over benchmark rows (ties pick the lower bench id); ``tau`` must be
+    a multiple of 1e-4 so the flag threshold is exact at sim6 precision.
+    Returns (vec_id, bench_id, max_sim, contaminated) for corpus vectors,
+    empty when the benchmark subset is empty (mirroring the oracle's inner
+    join against an empty bench CTE).
+    """
+    import math
+
+    import pandas as pd
+    import ray
+
+    tau6 = round(tau * 1e6)
+    if abs(tau6 / 1e6 - tau) > 1e-9:
+        raise ValueError("tau must be a multiple of 1e-4")
+
+    from harvester_ray.ops.similarity import _batch_matrix
+
+    def bench_only(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        return batch.filter(pa.array(ids % bench_mod == 0))
+
+    bench = emb_ds.map_batches(bench_only, batch_format="pyarrow").to_pandas()
+    cols = ["vec_id", "bench_id", "max_sim", "contaminated"]
+    if bench.empty:
+        return pd.DataFrame(columns=cols)
+    bench = bench.sort_values(id_col)
+    b_ids = bench[id_col].to_numpy(np.int64)
+    bq = np.floor(
+        np.stack(bench[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+    ).astype(np.int64)
+    b_norm = (bq * bq).sum(axis=1)
+    bref = ray.put((b_ids, bq, b_norm))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids_b, bqm, bnn = ray.get(bref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        keep = ids % bench_mod != 0
+        ids = ids[keep]
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "bench_id": pa.array([], pa.int64()),
+                    "max_sim": pa.array([], pa.float64()),
+                    "contaminated": pa.array([], pa.bool_()),
+                }
+            )
+        mat = _batch_matrix(batch, vec_col)[keep]
+        qm = np.floor(mat * scale + 0.5).astype(np.int64)
+        dots = qm @ bqm.T  # (B, n_bench) exact integer
+        norms = (qm * qm).sum(axis=1)
+        # one mirrored float expression: dot / (sqrt(na) * sqrt(nb))
+        denom = np.sqrt(norms.astype(np.float64))[:, None] * np.sqrt(
+            bnn.astype(np.float64)
+        )[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = np.where(denom > 0, dots.astype(np.float64) / denom, 0.0)
+        sim6 = np.floor(sim * 1e6 + 0.5).astype(np.int64)
+        best = np.argmax(sim6, axis=1)  # first max = lowest bench id (sorted)
+        best_s6 = sim6[np.arange(ids.size), best]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "bench_id": pa.array(ids_b[best], pa.int64()),
+                "max_sim": pa.array(best_s6 / 1e6, pa.float64()),
+                "contaminated": pa.array(best_s6 >= tau6),
+            }
+        )
+
+    out = emb_ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("vec_id").reset_index(drop=True)[cols]
+
+
+def semantic_decontam_sql(
+    table: str = "embeddings",
+    *,
+    bench_mod: int = 97,
+    tau: float = 0.9,
+    scale: float = 1e4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle for ``semantic_decontam``: identical integer quantization
+    (mmr_rerank_sql's qz/flat/norms chain) and per-pair 1e-6 quantization
+    before the per-corpus-vector argmax."""
+    tau6 = round(tau * 1e6)
+    sim = (
+        "CASE WHEN na.n = 0 OR nb.n = 0 THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(floor(CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n AS DOUBLE)) * "
+        "sqrt(CAST(nb.n AS DOUBLE))) * 1e6 + 0.5) AS BIGINT) END"
+    )
+    return f"""
+WITH qz AS (
+  SELECT {id_col} AS vec_id,
+         list_transform(CAST({vec_col} AS DOUBLE[]),
+                        x -> CAST(floor(x * {scale!r} + 0.5) AS BIGINT)) AS qv
+  FROM {table}
+),
+flat AS (
+  SELECT vec_id, unnest(qv) AS e, generate_subscripts(qv, 1) AS i FROM qz
+),
+norms AS (SELECT vec_id, sum(e * e) AS n FROM flat GROUP BY vec_id),
+dots AS (
+  SELECT a.vec_id AS cid, b.vec_id AS bid, sum(a.e * b.e) AS dot
+  FROM flat a JOIN flat b ON a.i = b.i
+  WHERE a.vec_id % {bench_mod} != 0 AND b.vec_id % {bench_mod} = 0
+  GROUP BY a.vec_id, b.vec_id
+),
+sims AS (
+  SELECT d.cid, d.bid, {sim} AS sim6
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.cid
+  JOIN norms nb ON nb.vec_id = d.bid
+)
+SELECT cid AS vec_id, bid AS bench_id,
+       sim6 / 1e6 AS max_sim,
+       sim6 >= {tau6} AS contaminated
+FROM sims
+QUALIFY row_number() OVER (PARTITION BY cid ORDER BY sim6 DESC, bid ASC) = 1
+ORDER BY cid
+""".strip()

@@ -63,3 +63,42 @@ def test_phrase_decontaminate(ray_session):
     )
     assert list(out["n_hits"]) == [1, 0, 2, 0]
     assert list(out["contaminated"]) == [True, False, True, False]
+
+
+def _emb_ds(rows):
+    import ray.data as rd
+
+    ids, vecs = zip(*rows) if rows else ((), ())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(list(ids), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+            }
+        )
+    )
+
+
+def test_semantic_decontam_flags_and_ties(ray_session):
+    # bench = vec_id % 5 == 0 → {0, 5}; both bench vectors are identical, so
+    # the argmax tie must resolve to the LOWER bench id (0).
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (5, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),   # sim 1.0 vs both → contaminated, bench_id 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal → sim 0.0
+        (3, [0.8, 0.6, 0.0]),   # sim 0.8
+    ]
+    out = decontam.semantic_decontam(_emb_ds(rows), bench_mod=5, tau=0.75)
+    assert out["vec_id"].tolist() == [1, 2, 3]
+    assert out["bench_id"].tolist() == [0, 0, 0]
+    assert out["max_sim"].tolist() == [1.0, 0.0, 0.8]
+    assert out["contaminated"].tolist() == [True, False, True]
+
+
+def test_semantic_decontam_empty_bench(ray_session):
+    out = decontam.semantic_decontam(
+        _emb_ds([(1, [1.0, 0.0]), (2, [0.0, 1.0])]), bench_mod=5, tau=0.5
+    )
+    assert out.empty
+    assert list(out.columns) == ["vec_id", "bench_id", "max_sim", "contaminated"]
