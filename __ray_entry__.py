@@ -23,6 +23,7 @@ from harvester_ray import synth
 from harvester_ray.index import build as index_build
 from harvester_ray.index import oracle as index_oracle
 from harvester_ray.index import query as index_query
+from harvester_ray.ops import boilerplate as _boilerplate
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
@@ -3045,6 +3046,21 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _boilerplate_strip(sf_dir: str) -> pd.DataFrame:
+    """Per-source boilerplate-span stripping (ops/boilerplate.py): one
+    bucketed exchange of distinct (span_hash, source) pairs elects each
+    source's furniture spans (df >= 2 AND df*100 >= 2*n_docs — pct=2 keeps
+    the fixture non-degenerate on the natural corpus at every sf), the tiny
+    winner set broadcasts, and a second streaming pass strips every
+    occurrence locally — document text never crosses the wire."""
+    from harvester_ray.ops import boilerplate
+
+    out = boilerplate.boilerplate_strip(
+        _docs_ds(sf_dir, ("doc_id", "text", "source")), pct=2
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _semantic_decontam(sf_dir: str) -> pd.DataFrame:
     """Embedding-similarity decontamination (ops/decontam.semantic_decontam):
     benchmark = vec_id % 97 == 0 rows of the embeddings table, quantized
@@ -4027,6 +4043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": _decontaminate,
         "phrase_decontam": _phrase_decontam,
         "semantic_decontam": _semantic_decontam,
+        "boilerplate_strip": _boilerplate_strip,
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
@@ -4895,6 +4912,9 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "semantic_decontam": _decontam.semantic_decontam_sql(
             "embeddings", tau=0.4
+        ),
+        "boilerplate_strip": _boilerplate.boilerplate_strip_sql(
+            "documents", pct=2
         ),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
