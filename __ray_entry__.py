@@ -28,6 +28,7 @@ from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
 from harvester_ray.ops import packing as _packing
+from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
 from harvester_ray.index import bm25f as _bm25f_oracle
 from harvester_ray.ops import pii as _pii
@@ -3046,6 +3047,16 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _perplexity_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail split (ops/quantiles.perplexity_buckets):
+    per-token unigram NLL as an exact integer key, corpus-third cutoffs
+    found by histogram-refinement order statistics (no global sort), one
+    comparison pass assigns buckets."""
+    from harvester_ray.ops import quantiles
+
+    return quantiles.perplexity_buckets(_docs_ds(sf_dir, ("doc_id", "text")))
+
+
 def _boilerplate_strip(sf_dir: str) -> pd.DataFrame:
     """Per-source boilerplate-span stripping (ops/boilerplate.py): one
     bucketed exchange of distinct (span_hash, source) pairs elects each
@@ -4044,6 +4055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_decontam": _phrase_decontam,
         "semantic_decontam": _semantic_decontam,
         "boilerplate_strip": _boilerplate_strip,
+        "perplexity_buckets": _perplexity_buckets,
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
@@ -4916,6 +4928,7 @@ GROUP BY v.value ORDER BY v.value"""
         "boilerplate_strip": _boilerplate.boilerplate_strip_sql(
             "documents", pct=2
         ),
+        "perplexity_buckets": _quantiles.perplexity_buckets_sql("documents"),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
         ),

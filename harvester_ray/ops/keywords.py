@@ -675,24 +675,18 @@ FROM agg ORDER BY lang"""
     ).strip()
 
 
-def unigram_logprob(
+def unigram_nano_scores(
     ds,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
-    """Unigram-LM quality score per document — the engine-side analog of
-    CCNet/KenLM perplexity filtering, with the corpus itself as the model:
-    ``logprob = Σ_terms tf · ln(cf_term / U)`` and
-    ``lp_per_token = logprob / doc_len`` (higher = more typical text;
-    boilerplate scores high, lexical soup scores low).
-
-    Oracle-exact float discipline: each term's ln(cf/U) is quantized ONCE
-    to a nano-fixed-point integer; per-doc totals are integer sums (no
-    order-dependent float accumulation), floats re-enter only in the final
-    per-token division. The cf vocabulary is broadcast as sorted numpy
-    arrays (same shape as tfidf_keywords). Returns
-    ``(doc_id, n_tokens, logprob, lp_per_token)`` rounded to 6."""
+):
+    """Integer unigram-LM scores per document: a Dataset of ``(doc_id,
+    n_tokens, total_nano)`` where ``total_nano = Σ_terms tf ·
+    floor(ln(cf_term/U)·1e9 + 0.5)`` — the exact-integer core shared by
+    ``unigram_logprob`` (rounded-float view) and
+    ``ops/quantiles.perplexity_buckets`` (rank view). Two passes: cf fold,
+    then a broadcast-vocabulary streaming scoring pass."""
     # pass 1: corpus collection frequencies + total token count
     def cf_partials(batch: pa.Table) -> pa.Table:
         text = analyzer.normalize_text(batch[text_col])
@@ -739,21 +733,44 @@ def unigram_logprob(
             pos = np.searchsorted(terms_sorted, batch_terms)
             lp_of_code = lp_sorted[np.clip(pos, 0, max(terms_sorted.size - 1, 0))]
             np.add.at(totals, rows, lp_of_code[codes])
-        lp = totals / 1e9
-        per_tok = np.divide(lp, n_tok, out=np.zeros(n, np.float64), where=n_tok > 0)
         return pa.table(
             {
                 "doc_id": doc_ids,
                 "n_tokens": pa.array(n_tok, pa.int64()),
-                "logprob": pa.array(np.round(lp, 6) + 0.0, pa.float64()),
-                "lp_per_token": pa.array(np.round(per_tok, 6) + 0.0, pa.float64()),
+                "total_nano": pa.array(totals, pa.int64()),
             }
         )
 
-    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def unigram_logprob(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Unigram-LM quality score per document — the engine-side analog of
+    CCNet/KenLM perplexity filtering, with the corpus itself as the model:
+    ``logprob = Σ_terms tf · ln(cf_term / U)`` and
+    ``lp_per_token = logprob / doc_len`` (higher = more typical text;
+    boilerplate scores high, lexical soup scores low).
+
+    Oracle-exact float discipline: each term's ln(cf/U) is quantized ONCE
+    to a nano-fixed-point integer (``unigram_nano_scores``); per-doc totals
+    are integer sums (no order-dependent float accumulation), floats
+    re-enter only in the final per-token division. Returns
+    ``(doc_id, n_tokens, logprob, lp_per_token)`` rounded to 6."""
+    out = unigram_nano_scores(ds, id_col=id_col, text_col=text_col).to_pandas()
     cols = ["doc_id", "n_tokens", "logprob", "lp_per_token"]
     if out.empty:
         return pd.DataFrame(columns=cols)
+    totals = out["total_nano"].to_numpy(np.int64)
+    n_tok = out["n_tokens"].to_numpy(np.int64)
+    lp = totals / 1e9
+    per_tok = np.divide(lp, n_tok, out=np.zeros(len(out), np.float64), where=n_tok > 0)
+    out["logprob"] = np.round(lp, 6) + 0.0
+    out["lp_per_token"] = np.round(per_tok, 6) + 0.0
     return out.sort_values("doc_id").reset_index(drop=True)[cols]
 
 
