@@ -3047,6 +3047,18 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _gopher_rules(sf_dir: str) -> pd.DataFrame:
+    """Gopher Table-A1 composite quality filter
+    (ops/text_analysis.gopher_rules): word-count bounds, mean-word-length
+    band and stopword-presence as pure integer comparisons in one
+    streaming pass; bounds adapted to the synthetic corpus so every rule
+    fires (non-degenerate at all sf)."""
+    from harvester_ray.ops import text_analysis as ta
+
+    out = ta.gopher_rules(_docs_ds(sf_dir, ("doc_id", "text"))).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _perplexity_buckets(sf_dir: str) -> pd.DataFrame:
     """CCNet head/middle/tail split (ops/quantiles.perplexity_buckets):
     per-token unigram NLL as an exact integer key, corpus-third cutoffs
@@ -4056,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_decontam": _semantic_decontam,
         "boilerplate_strip": _boilerplate_strip,
         "perplexity_buckets": _perplexity_buckets,
+        "gopher_rules": _gopher_rules,
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
@@ -4929,6 +4942,7 @@ GROUP BY v.value ORDER BY v.value"""
             "documents", pct=2
         ),
         "perplexity_buckets": _quantiles.perplexity_buckets_sql("documents"),
+        "gopher_rules": text_analysis.gopher_rules_sql("documents"),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
         ),

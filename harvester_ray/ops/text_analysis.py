@@ -368,3 +368,115 @@ def compression_ratio(ds, *, id_col: str = "doc_id", text_col: str = "text", lev
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# the Gopher repetition-free quality gate's stopword list (Rae et al. 2021,
+# Table A1: "contains at least 2 of ...")
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules_batch(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 90,
+    mean_len_lo: int = 4,
+    mean_len_hi: int = 5,
+    min_stop_hits: int = 2,
+) -> pa.Table:
+    """Gopher document-quality rules (Rae et al. 2021 Table A1), the
+    composite keep/drop filter over the per-rule signals `analyze` reports
+    individually. Reference analog: the validation gates that route a
+    harvested document to active/inactive state
+    (`/root/reference/harvester/core/models/datatypes/document.py:84-118`) —
+    here as the LM-curation rule set. Bounds adapt Gopher's web thresholds
+    to this corpus's token statistics (the paper's 50..100k word bound is
+    meaningless on ~54-token synthetic docs).
+
+    Every rule is an exact integer comparison (mean word length ∈
+    [lo, hi] ⇔ ``sum_len >= lo·n AND sum_len <= hi·n``), so engine and
+    oracle agree bitwise with no float discipline needed.
+    """
+    text = batch[text_col].combine_chunks() if isinstance(batch[text_col], pa.ChunkedArray) else batch[text_col]
+    text = pc.fill_null(text, "")
+    n = len(text)
+    rows, codes, dictionary = analyzer.tokenize_flat(text)
+    n_words = np.bincount(rows, minlength=n).astype(np.int64) if codes.size else np.zeros(n, np.int64)
+    sum_len = np.zeros(n, np.int64)
+    if codes.size:
+        tok_lens = np.asarray(pc.utf8_length(dictionary), dtype=np.int64)
+        np.add.at(sum_len, rows, tok_lens[codes])
+    stop = _stop_hits(text, GOPHER_STOPS)
+    r_min = n_words >= min_words
+    r_max = n_words <= max_words
+    r_mean = (sum_len >= mean_len_lo * n_words) & (sum_len <= mean_len_hi * n_words)
+    r_stop = stop >= min_stop_hits
+    keep = r_min & r_max & r_mean & r_stop
+    mean_micro = np.where(
+        n_words > 0, (sum_len * 1_000_000) // np.maximum(n_words, 1), 0
+    )
+    return pa.table(
+        {
+            "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+            "n_words": pa.array(n_words, pa.int64()),
+            "mean_word_len": pa.array(mean_micro / 1e6, pa.float64()),
+            "stop_hits": pa.array(stop, pa.int64()),
+            "r_min_words": pa.array(r_min),
+            "r_max_words": pa.array(r_max),
+            "r_mean_len": pa.array(r_mean),
+            "r_stopwords": pa.array(r_stop),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def gopher_rules(ds, **kw):
+    return ds.map_batches(
+        lambda t: gopher_rules_batch(t, **kw),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def gopher_rules_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 90,
+    mean_len_lo: int = 4,
+    mean_len_hi: int = 5,
+    min_stop_hits: int = 2,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPS)
+    return f"""
+WITH base AS (
+  SELECT {id_col} AS doc_id, {tok} AS toks FROM {table}
+),
+per AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_len,
+         CAST(len(list_filter(toks, x -> x IN ({stops}))) AS BIGINT) AS stop_hits
+  FROM base
+)
+SELECT doc_id, n_words,
+       CASE WHEN n_words > 0
+            THEN CAST((sum_len * 1000000) // n_words AS BIGINT) / 1000000.0
+            ELSE 0.0 END AS mean_word_len,
+       stop_hits,
+       n_words >= {min_words} AS r_min_words,
+       n_words <= {max_words} AS r_max_words,
+       (sum_len >= {mean_len_lo} * n_words AND sum_len <= {mean_len_hi} * n_words)
+         AS r_mean_len,
+       stop_hits >= {min_stop_hits} AS r_stopwords,
+       (n_words >= {min_words} AND n_words <= {max_words}
+        AND sum_len >= {mean_len_lo} * n_words AND sum_len <= {mean_len_hi} * n_words
+        AND stop_hits >= {min_stop_hits}) AS keep
+FROM per
+ORDER BY doc_id
+""".strip()

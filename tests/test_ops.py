@@ -695,3 +695,37 @@ def test_url_dedup_normalization_and_selection():
     assert row.doc_id == 2 and row.quality == 50 and row.n_dups == 2  # max quality wins
     row = out[out.norm_url == "other.org/a/b"].iloc[0]
     assert row.doc_id == 4 and row.n_dups == 2  # quality tie -> min doc_id
+
+
+def test_gopher_rules_flags(ray_session):
+    import ray.data as rd
+
+    from harvester_ray.ops import text_analysis as ta
+
+    rows = {
+        # 25 words, mean len within [4,5] needs sum 100..125; "that"+"with" = 2 stop hits
+        1: "that with " + " ".join(["word"] * 21) + " wordiest:",
+        2: "that with shrt",                      # fails min_words
+        3: "that with " + " ".join(["aa"] * 23),  # fails mean_len low
+        4: " ".join(["word"] * 25),               # fails stopwords
+        5: "",                                    # zero tokens: all count rules fail
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(rows), pa.int64()),
+                "text": pa.array(list(rows.values()), pa.string()),
+            }
+        )
+    )
+    out = (
+        ta.gopher_rules(ds, min_words=20, max_words=90)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["keep"].tolist() == [True, False, False, False, False]
+    assert out.loc[1, "r_min_words"] == False  # noqa: E712
+    assert out.loc[2, "r_mean_len"] == False  # noqa: E712
+    assert out.loc[3, "r_stopwords"] == False  # noqa: E712
+    assert out.loc[4, "n_words"] == 0 and out.loc[4, "mean_word_len"] == 0.0
