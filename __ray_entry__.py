@@ -1954,6 +1954,71 @@ def _conv_neardup(sf_dir: str) -> pd.DataFrame:
     return out.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
+def _best_of_n(sf_dir: str) -> pd.DataFrame:
+    """Best-of-n rejection-sampling selection over the same planted ``~r``
+    retries as conv_branches: each prefix group keeps its longest
+    conversation (the 2-turn retry always loses to its original unless the
+    original itself has 2 turns, where the lexicographic tie-break keeps
+    the original id). Singleton groups select themselves, so the output is
+    the full curated selection."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    sel = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)[::10]
+
+    def retry_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        hit &= df["turn_idx"].to_numpy() < 2
+        out = df.loc[hit].copy()
+        out["conv_id"] = out["conv_id"] + "~r"
+        return out
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    retries = rd.read_parquet(data_dir, columns=cols).map_batches(
+        retry_rows, batch_format="pandas"
+    )
+    return _transcripts_mod.best_of_n(base.union(retries), k=2)
+
+
+def _best_of_n_sql() -> str:
+    """Same retry-planting head as conv_branches, best-of-n selection body."""
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "ret AS (SELECT t.conv_id || '~r' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0 AND t.turn_idx < 2), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM ret)"
+    )
+    body = _transcripts_mod.best_of_n_sql("uni", k=2)
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
+
+def _conv_skeletons(sf_dir: str) -> pd.DataFrame:
+    """Opening-flow role templates (first 6 turns) shared by >= 2
+    conversations — structure-level duplication the text ops miss; the
+    skeleton partial fold is driver-side (template-bounded cardinality)."""
+    return _transcripts_mod.conv_skeletons(_tds(sf_dir), k=6)
+
+
+def _conv_skeletons_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    return _transcripts_mod.conv_skeletons_sql(f"read_parquet('{glob}')", k=6)
+
+
 def _conv_branches(sf_dir: str) -> pd.DataFrame:
     """Retry/branch detection with PLANTED retries: every 10th conversation
     (rank order) is re-added as ``<conv_id>~r`` truncated to its first k=2
@@ -3976,6 +4041,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _transcript_files()
         ),
         "conv_branches": _conv_branches,
+        "best_of_n": _best_of_n,
+        "conv_skeletons": _conv_skeletons,
         "preference_pairs": _preference_pairs,
         "conv_continuations": _conv_continuations,
         "conv_stats": lambda sf: _transcripts_mod.conv_stats(_tds(sf)),
@@ -5396,6 +5463,8 @@ GROUP BY v.value ORDER BY v.value"""
         "conv_flatten": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_flatten_sorted": _transcripts_mod.conv_flatten_sql(_tsrc),
         "conv_branches": _conv_branches_sql(),
+        "best_of_n": _best_of_n_sql(),
+        "conv_skeletons": _conv_skeletons_sql(),
         "preference_pairs": _preference_pairs_sql(),
         "conv_continuations": _conv_continuations_sql(),
         "conv_stats": _transcripts_mod.conv_stats_sql(_tsrc),

@@ -1854,3 +1854,181 @@ WITH c AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns
 SELECT n_turns, CAST(count(*) AS BIGINT) AS n_convs
 FROM c GROUP BY n_turns ORDER BY n_turns
 """.strip()
+
+
+def best_of_n(ds, *, k: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Best-of-n / rejection-sampling selection: among conversations sharing
+    an identical first-``k``-turn prefix (the retry/branch groups
+    ``conv_branches`` detects), keep ONE — the longest conversation (most
+    turns = the attempt that ran to completion), ties to the lexicographically
+    smallest conv_id. Singleton groups keep themselves, so the output IS the
+    curated corpus selection (one winner per prefix group). Reference
+    analog: the one-live-document-per-identity upsert rule
+    (`/root/reference/harvester/core/models/datatypes/document.py:131-139`)
+    applied at conversation granularity.
+
+    Same two bounded exchanges as conv_branches: one (conv_id, prefix_md5,
+    n_turns) row per conversation leaves stage 1; stage 2 groups by prefix
+    hash with a vectorized whole-bucket argmax — a hot prefix costs its
+    group's row count, never pairwise work.
+
+    Returns ``(prefix_md5, n_convs, best_conv, best_turns)``."""
+
+    def prefix_hash(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "conv_id": pa.array([], pa.string()),
+            "prefix_md5": pa.array([], pa.string()),
+            "n_turns": pa.array([], pa.int64()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        lens = np.diff(off)
+        take = np.minimum(lens, k)
+        reps = np.repeat(off[:-1], take)
+        local = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(take) - take, take
+        )
+        sub = tbl.take(pa.array(reps + local, pa.int64()))
+        line = pc.binary_join_element_wise(
+            sub["role"].combine_chunks(), sub["text"].combine_chunks(), ": "
+        )
+        poff = np.concatenate(([0], np.cumsum(take)))
+        lists = pa.ListArray.from_arrays(pa.array(poff, pa.int32()), line)
+        flat = pc.binary_join(lists, "\n")
+        md5 = [hashlib.md5(s.encode()).hexdigest() for s in flat.to_pylist()]
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        return pa.table({
+            "conv_id": conv,
+            "prefix_md5": pa.array(md5, pa.string()),
+            "n_turns": pa.array(lens.astype(np.int64), pa.int64()),
+        })
+
+    def add_hbucket(t: pa.Table) -> pa.Table:
+        h = np.fromiter(
+            (zlib.crc32(s.encode()) % n_buckets for s in t["prefix_md5"].to_pylist()),
+            dtype=np.int32, count=t.num_rows,
+        )
+        return t.append_column("hbucket", pa.array(h, pa.int32()))
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["prefix_md5", "n_turns", "conv_id"], ascending=[True, False, True]
+        )
+        first = ~g["prefix_md5"].duplicated()
+        counts = g.groupby("prefix_md5", sort=False)["conv_id"].transform("size")
+        out = g.loc[first, ["prefix_md5", "conv_id", "n_turns"]].copy()
+        out.insert(1, "n_convs", counts[first].astype(np.int64))
+        return out.rename(columns={"conv_id": "best_conv", "n_turns": "best_turns"})
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(prefix_hash, batch_format="pyarrow")
+        .map_batches(add_hbucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hbucket")
+        .map_groups(winners, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "prefix_md5": pd.Series([], dtype=str),
+            "n_convs": pd.Series([], dtype=np.int64),
+            "best_conv": pd.Series([], dtype=str),
+            "best_turns": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values("prefix_md5").reset_index(drop=True)
+
+
+def best_of_n_sql(src: str, *, k: int = 2) -> str:
+    return f"""
+WITH pref AS (
+  SELECT conv_id,
+         md5(string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx)) AS prefix_md5
+  FROM {src} WHERE turn_idx < {k} GROUP BY conv_id
+),
+nt AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns FROM {src} GROUP BY conv_id)
+SELECT p.prefix_md5,
+       CAST(count(*) OVER (PARTITION BY p.prefix_md5) AS BIGINT) AS n_convs,
+       p.conv_id AS best_conv,
+       n.n_turns AS best_turns
+FROM pref p JOIN nt n USING (conv_id)
+QUALIFY row_number() OVER (PARTITION BY p.prefix_md5
+                           ORDER BY n.n_turns DESC, p.conv_id ASC) = 1
+ORDER BY p.prefix_md5
+""".strip()
+
+
+def conv_skeletons(ds, *, k: int = 6, min_convs: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Opening-flow template detection: the '>'-joined ROLE sequence of a
+    conversation's first ``k`` turns is its skeleton; skeletons shared by
+    ≥``min_convs`` conversations are scripted/templated flows (bot scripts,
+    canned escalation paths) — a structure-level duplication signal text
+    dedup misses entirely (the words differ, the choreography repeats).
+
+    One bounded conv-bucketed pass emits a (skeleton, 1, conv_id) partial
+    per conversation; skeleton cardinality is template-bounded (≤ |roles|^k),
+    so partials fold on the driver (the vocabulary-fold rule) — no second
+    shuffle. Returns ``(skeleton, n_convs, first_conv)``."""
+
+    def skeletons(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "skeleton": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "first_conv": pa.array([], pa.string()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        lens = np.diff(off)
+        take = np.minimum(lens, k)
+        reps = np.repeat(off[:-1], take)
+        local = np.arange(int(take.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(take) - take, take
+        )
+        sub = tbl.take(pa.array(reps + local, pa.int64()))
+        poff = np.concatenate(([0], np.cumsum(take)))
+        lists = pa.ListArray.from_arrays(
+            pa.array(poff, pa.int32()), sub["role"].combine_chunks()
+        )
+        skel = pc.binary_join(lists, ">")
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        # batch-local partial: (skeleton, count, min conv)
+        part = (
+            pa.table({"skeleton": skel, "conv_id": conv})
+            .group_by("skeleton")
+            .aggregate([("conv_id", "count"), ("conv_id", "min")])
+        )
+        return pa.table({
+            "skeleton": part["skeleton"],
+            "n": part["conv_id_count"].cast(pa.int64()),
+            "first_conv": part["conv_id_min"],
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(skeletons, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["skeleton", "n_convs", "first_conv"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    fold = parts.groupby("skeleton", as_index=False).agg(
+        n_convs=("n", "sum"), first_conv=("first_conv", "min")
+    )
+    fold = fold[fold["n_convs"] >= min_convs]
+    fold["n_convs"] = fold["n_convs"].astype(np.int64)
+    return fold.sort_values("skeleton").reset_index(drop=True)[cols]
+
+
+def conv_skeletons_sql(src: str, *, k: int = 6, min_convs: int = 2) -> str:
+    return f"""
+WITH sk AS (
+  SELECT conv_id, string_agg(role, '>' ORDER BY turn_idx) AS skeleton
+  FROM {src} WHERE turn_idx < {k} GROUP BY conv_id
+)
+SELECT skeleton, CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS first_conv
+FROM sk GROUP BY skeleton HAVING count(*) >= {min_convs}
+ORDER BY skeleton
+""".strip()

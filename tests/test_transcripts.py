@@ -558,3 +558,51 @@ def test_turn_overlap_sorted_equals_bucketed(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_best_of_n_keeps_longest_per_prefix_group(ray_session):
+    """Shared-prefix group (a: 3 turns, b: 4 turns) → b wins; tie group
+    (e, f: both 2 turns) → lexicographic winner e; singleton c keeps
+    itself."""
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b", "b", "b", "c",
+                    "e", "e", "f", "f"],
+        "turn_idx": [0, 1, 2, 0, 1, 2, 3, 0, 0, 1, 0, 1],
+        "role": (["user", "assistant", "user"] + ["user", "assistant", "user", "assistant"]
+                 + ["user"] + ["user", "assistant"] * 2),
+        "text": (["hi", "yo", "more-A"] + ["hi", "yo", "more-B", "done"]
+                 + ["solo"] + ["q", "r"] * 2),
+    })
+    out = tmod.best_of_n(rd.from_pandas(df), k=2)
+    assert len(out) == 3  # {a,b}, {c}, {e,f}
+    by_best = out.set_index("best_conv")
+    assert by_best.loc["b", "n_convs"] == 2 and by_best.loc["b", "best_turns"] == 4
+    assert by_best.loc["c", "n_convs"] == 1
+    assert by_best.loc["e", "n_convs"] == 2 and by_best.loc["e", "best_turns"] == 2
+    assert "f" not in by_best.index and "a" not in by_best.index
+    con = duckdb.connect()
+    con.register("tiny", df)
+    exp = con.execute(tmod.best_of_n_sql("tiny", k=2)).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+
+
+def test_conv_skeletons_groups_role_templates(ray_session):
+    """a and b share the user>assistant>user opening skeleton despite fully
+    different text; c's tool turn breaks the template; min_convs filters
+    singletons."""
+    df = pd.DataFrame({
+        "conv_id": ["a", "a", "a", "b", "b", "b", "c", "c", "c"],
+        "turn_idx": [0, 1, 2] * 3,
+        "role": ["user", "assistant", "user"] * 2 + ["user", "tool", "user"],
+        "text": [f"t{i}" for i in range(9)],
+    })
+    out = tmod.conv_skeletons(rd.from_pandas(df), k=6, min_convs=2)
+    assert out["skeleton"].tolist() == ["user>assistant>user"]
+    assert out.loc[0, "n_convs"] == 2
+    assert out.loc[0, "first_conv"] == "a"
+    con = duckdb.connect()
+    con.register("tiny", df)
+    exp = con.execute(tmod.conv_skeletons_sql("tiny", k=6)).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    empty = tmod.conv_skeletons(rd.from_pandas(df), k=6, min_convs=5)
+    assert empty.empty and list(empty.columns) == ["skeleton", "n_convs", "first_conv"]
