@@ -551,13 +551,14 @@ def misra_gries_partial(keys: np.ndarray, counts: np.ndarray, capacity: int):
     keys, counts = keys[order], counts[order]
     if keys.size <= capacity:
         return dict(zip(keys.tolist(), counts.astype(np.int64).tolist()))
-    dec = int(counts[capacity])  # smallest count that must be evicted
+    # batched MG trim (Agarwal/Cormode merge rule): subtract the
+    # (capacity+1)-th largest count from every counter and keep positives.
+    # Each trim removes ≥ (capacity+1)·dec total mass, so decrements summed
+    # over any fold chain are ≤ N/(capacity+1) — every key with true count
+    # above that bound survives. (Subtracting any more, e.g. spreading the
+    # full evicted mass, breaks the survival guarantee.)
+    dec = int(counts[capacity])
     kept = counts[:capacity] - dec
-    # mass below the cut also decrements survivors (batched MG): total
-    # decrement is bounded by the evicted mass spread over capacity+1
-    evicted = int(counts[capacity:].sum())
-    extra = evicted // (capacity + 1)
-    kept = np.maximum(kept - extra, 0)
     keep = kept > 0
     return dict(zip(keys[:capacity][keep].tolist(),
                     kept[keep].astype(np.int64).tolist()))
