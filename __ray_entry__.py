@@ -684,6 +684,27 @@ def _msearch(sf_dir: str) -> pd.DataFrame:
     return out[["query", "rank", "doc_id", "score"]]
 
 
+def _scroll_pages(sf_dir: str) -> pd.DataFrame:
+    """Legacy scroll cursor (index/api.open_scroll + scroll): page through
+    the ENTIRE OR-match result set 7 hits at a time until the empty page;
+    the stateless scroll id pins the manifest version, so the pages are one
+    frozen total order ≡ the oracle's row_number()//7 partition."""
+    from harvester_ray.index import api as _api
+
+    root = _documents_index(sf_dir)
+    resp = _api.open_scroll(root, {"query": {"match": {"text": {"query": BM25_QUERY_OR, "operator": "or"}}}}, size=7)
+    rows = []
+    page = 0
+    while resp["hits"]["hits"]:
+        for h in resp["hits"]["hits"]:
+            rows.append((page, h["_id"], round(h["_score"], 4)))
+        page += 1
+        resp = _api.scroll(root, resp["_scroll_id"])
+    return pd.DataFrame(rows, columns=["page", "doc_id", "score"]).astype(
+        {"page": np.int64, "doc_id": np.int64}
+    )
+
+
 def _search_cursor(sf_dir: str) -> pd.DataFrame:
     """Cursor pagination (search_after): page 2 fetched via the (score,
     doc_id) cursor of page 1's last row ≡ OFFSET page_size of the total
@@ -3979,6 +4000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_msm": _bm25_msm,
         "bm25_prefix": _bm25_prefix,
         "search_cursor": _search_cursor,
+        "scroll_pages": _scroll_pages,
         "search_stats": _search_stats,
         "filters_agg": _filters_agg,
         "range_agg": _range_agg,
@@ -4762,6 +4784,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score FROM ("
             + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 100000, mode="or")
             + ") ORDER BY score DESC, doc_id ASC LIMIT 10 OFFSET 10"
+        ),
+        "scroll_pages": (
+            "SELECT CAST((row_number() OVER (ORDER BY score DESC, doc_id ASC) - 1) // 7 AS BIGINT) AS page, "
+            "doc_id, score FROM ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 100000, mode="or")
+            + ") ORDER BY page, doc_id"
         ),
         "search_stats": """
             WITH doclen AS (

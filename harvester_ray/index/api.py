@@ -325,3 +325,86 @@ def search_request(
             for h in resp["hits"]["hits"]
         }
     return resp
+
+
+# ---------------------------------------------------------------------------
+# scroll (legacy cursor pagination over a frozen snapshot)
+# ---------------------------------------------------------------------------
+
+def _encode_scroll_id(state: dict) -> str:
+    import base64
+    import json
+
+    return base64.urlsafe_b64encode(
+        json.dumps(state, sort_keys=True).encode()
+    ).decode()
+
+
+def _decode_scroll_id(scroll_id: str) -> dict:
+    import base64
+    import json
+
+    return json.loads(base64.urlsafe_b64decode(scroll_id.encode()))
+
+
+def open_scroll(index_root: str, body: dict, *, size: int = 10) -> dict:
+    """ES ``?scroll=`` open: run the first page of ``body``'s match query
+    and return the ES envelope plus ``_scroll_id``. Like ``open_pit``, the
+    scroll context is STATELESS — the id encodes (pinned manifest version,
+    query text, mode, size, last cursor), so any process holding the id can
+    continue the scroll and later deltas/compactions stay invisible
+    (versioned manifests are immutable; retention protects referenced
+    versions). No keep-alive bookkeeping exists to expire.
+
+    Reference analog: the portal's OpenSearch client scrolls result sets
+    for batch export (the `scan`/`scroll` helper pattern its
+    search views delegate to OpenSearch for); deep pagination here rides
+    extras.search_after's total order (rounded score desc, doc_id asc)."""
+    from . import manifest
+
+    v = manifest.current_version(index_root)
+    if v is None:
+        raise FileNotFoundError(f"no index at {index_root}")
+    qtext, mode = _match_parts(body.get("query", {}))
+    state = {
+        "v": int(v),
+        "q": qtext,
+        "mode": mode,
+        "size": int(size),
+        "cursor": None,
+    }
+    return _scroll_page(index_root, state)
+
+
+def scroll(index_root: str, scroll_id: str) -> dict:
+    """ES ``_search/scroll`` continue: next page for the cursor in
+    ``scroll_id``. Empty ``hits`` means the scroll is exhausted (the ES
+    loop-termination contract); the id stays valid and keeps returning
+    empty pages."""
+    return _scroll_page(index_root, _decode_scroll_id(scroll_id))
+
+
+def _scroll_page(index_root: str, state: dict) -> dict:
+    from . import extras
+
+    reader = IndexReader(index_root, version=state["v"])
+    after = tuple(state["cursor"]) if state["cursor"] else None
+    page = extras.search_after(
+        reader, state["q"],
+        after=(float(after[0]), int(after[1])) if after else None,
+        k=state["size"], mode=state["mode"],
+    )
+    hits = [
+        {
+            "_id": int(r.doc_id),
+            "_score": float(r.score),
+            "sort": [float(r.score), int(r.doc_id)],
+        }
+        for r in page.itertuples()
+    ]
+    if hits:
+        state = dict(state, cursor=[hits[-1]["_score"], hits[-1]["_id"]])
+    return {
+        "_scroll_id": _encode_scroll_id(state),
+        "hits": {"hits": hits},
+    }

@@ -287,3 +287,38 @@ def test_pit_source_isolation_and_source_forms(tmp_path_factory):
         {"query": {"match": {"text": "table scan"}}, "size": 3,
          "_source": False})
     assert all("_source" not in h for h in off["hits"]["hits"])
+
+
+def test_scroll_pages_and_snapshot_isolation(tmp_path_factory):
+    from harvester_ray.index import build, incremental
+
+    root = str(tmp_path_factory.mktemp("scrollidx"))
+    ds = rd.read_parquet(DOCS, columns=["doc_id", "text"])
+    build.build_index(ds, root, concurrency=2)
+
+    body = {"query": {"match": {"text": {"query": "table scan", "operator": "or"}}}}
+    resp = api.open_scroll(root, body, size=4)
+    pages = []
+    while resp["hits"]["hits"]:
+        pages.append([h["_id"] for h in resp["hits"]["hits"]])
+        if len(pages) == 1:
+            # the scroll id pins the version: a mid-scroll ingest of a
+            # better-matching doc must stay invisible to later pages
+            incremental.ingest_document(
+                root, {"doc_id": 10_000_002, "text": "table scan " * 20})
+        resp = api.scroll(root, resp["_scroll_id"])
+    flat = [d for p in pages for d in p]
+    assert 10_000_002 not in flat
+    assert len(flat) == len(set(flat))  # no hit repeats across pages
+    assert all(len(p) == 4 for p in pages[:-1])  # full pages until the tail
+    # pages concatenate to the frozen snapshot's full ordered match set
+    from harvester_ray.index import extras as _extras
+
+    v0 = api._decode_scroll_id(resp["_scroll_id"])["v"]
+    full = _extras.search_after(
+        query.IndexReader(root, version=v0), "table scan",
+        k=10_000, mode="or")
+    assert flat == full["doc_id"].tolist()
+    # exhausted id keeps returning empty pages (ES loop contract)
+    again = api.scroll(root, resp["_scroll_id"])
+    assert not again["hits"]["hits"]
