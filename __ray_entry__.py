@@ -3133,6 +3133,27 @@ def _decontaminate(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _doremi_weights(sf_dir: str) -> pd.DataFrame:
+    """DoReMi-lite per-domain mixture weights
+    (ops/keywords.doremi_weights): excess per-token unigram NLL over the
+    corpus mean, integer nano means, one mirrored normalization."""
+    return _keywords.doremi_weights(_docs_ds(sf_dir, ("doc_id", "text", "source")))
+
+
+def _value_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p90/p99 of events.value via histogram-refinement order
+    statistics (ops/quantiles.column_percentiles) — the corpus-scale
+    no-global-sort sibling of value_quantiles' per-group exchange."""
+    from harvester_ray.ops import quantiles
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
+    )
+    return quantiles.column_percentiles(ds)
+
+
 def _gopher_rules(sf_dir: str) -> pd.DataFrame:
     """Gopher Table-A1 composite quality filter
     (ops/text_analysis.gopher_rules): word-count bounds, mean-word-length
@@ -4158,6 +4179,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _boilerplate_strip,
         "perplexity_buckets": _perplexity_buckets,
         "gopher_rules": _gopher_rules,
+        "doremi_weights": _doremi_weights,
+        "value_percentiles": _value_percentiles,
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
@@ -5038,6 +5061,8 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "perplexity_buckets": _quantiles.perplexity_buckets_sql("documents"),
         "gopher_rules": text_analysis.gopher_rules_sql("documents"),
+        "doremi_weights": _keywords.doremi_weights_sql("documents"),
+        "value_percentiles": _quantiles.column_percentiles_sql("events"),
         "late_arrivals": _windows_mod.late_arrivals_sql(
             "events", allowed_lateness_us=1_800_000_000, seq_scramble=True
         ),

@@ -680,13 +680,16 @@ def unigram_nano_scores(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
 ):
     """Integer unigram-LM scores per document: a Dataset of ``(doc_id,
-    n_tokens, total_nano)`` where ``total_nano = Σ_terms tf ·
-    floor(ln(cf_term/U)·1e9 + 0.5)`` — the exact-integer core shared by
-    ``unigram_logprob`` (rounded-float view) and
-    ``ops/quantiles.perplexity_buckets`` (rank view). Two passes: cf fold,
-    then a broadcast-vocabulary streaming scoring pass."""
+    n_tokens, total_nano [, keep_cols...])`` where ``total_nano = Σ_terms
+    tf · floor(ln(cf_term/U)·1e9 + 0.5)`` — the exact-integer core shared
+    by ``unigram_logprob`` (rounded-float view),
+    ``ops/quantiles.perplexity_buckets`` (rank view) and ``doremi_weights``
+    (per-domain fold, which passes its grouping column through
+    ``keep_cols``). Two passes: cf fold, then a broadcast-vocabulary
+    streaming scoring pass."""
     # pass 1: corpus collection frequencies + total token count
     def cf_partials(batch: pa.Table) -> pa.Table:
         text = analyzer.normalize_text(batch[text_col])
@@ -733,13 +736,16 @@ def unigram_nano_scores(
             pos = np.searchsorted(terms_sorted, batch_terms)
             lp_of_code = lp_sorted[np.clip(pos, 0, max(terms_sorted.size - 1, 0))]
             np.add.at(totals, rows, lp_of_code[codes])
-        return pa.table(
+        out = pa.table(
             {
                 "doc_id": doc_ids,
                 "n_tokens": pa.array(n_tok, pa.int64()),
                 "total_nano": pa.array(totals, pa.int64()),
             }
         )
+        for c in keep_cols:
+            out = out.append_column(c, batch[c].combine_chunks())
+        return out
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -1458,4 +1464,141 @@ SELECT t.doc_id,
          AS lp_per_bigram
 FROM (SELECT doc_id FROM toks) t LEFT JOIN per_doc p USING (doc_id)
 ORDER BY t.doc_id
+""".strip()
+
+
+def doremi_weights(
+    ds,
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """DoReMi-lite domain reweighting (Xie et al. 2023's intuition with the
+    corpus's own unigram LM as the reference model): a domain whose
+    per-token NLL EXCEEDS the corpus average is underfit/harder and gets
+    upweighted proportionally to its excess loss —
+    ``weight_d ∝ max(0, nll_d − nll_corpus)`` — the one-shot analog of
+    DoReMi's Group-DRO update. Domains at or below the average get weight
+    0 (drop-from-reweighting, not drop-from-corpus). Complements
+    ``dsir_weights`` (per-DOC importance) with per-DOMAIN mixture weights
+    for ``ops/sampling.source_mixture``.
+
+    Scale shape: the per-doc integer scores stream out of
+    ``unigram_nano_scores``; the per-domain fold is a driver-side sum over
+    domain-cardinality partials (the vocabulary-fold rule). Exactness: NLL
+    means are integer nano floor-divisions; the only float op is the final
+    weight normalization, one mirrored division quantized to
+    ``floor(x·1e6+0.5)/1e6``. Returns
+    ``(domain, n_docs, n_tokens, mean_nll, weight)``."""
+    scored = unigram_nano_scores(
+        ds, id_col=id_col, text_col=text_col, keep_cols=(domain_col,)
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = (
+            batch.select([domain_col, "n_tokens", "total_nano"])
+            .group_by(domain_col)
+            .aggregate(
+                [("n_tokens", "count"), ("n_tokens", "sum"), ("total_nano", "sum")]
+            )
+        )
+        return pa.table(
+            {
+                "domain": agg[domain_col],
+                "n_docs": agg["n_tokens_count"].cast(pa.int64()),
+                "n_tokens": agg["n_tokens_sum"].cast(pa.int64()),
+                "total_nano": agg["total_nano_sum"].cast(pa.int64()),
+            }
+        )
+
+    parts = scored.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = ["domain", "n_docs", "n_tokens", "mean_nll", "weight"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    fold = parts.groupby("domain", as_index=False).sum()
+    tok = fold["n_tokens"].to_numpy(np.int64)
+    tot = fold["total_nano"].to_numpy(np.int64)
+    # per-domain and corpus mean NLL at nano precision (exact integers)
+    nll = np.where(tok > 0, (-tot) // np.maximum(tok, 1), 0)
+    base = (-int(tot.sum())) // max(int(tok.sum()), 1)
+    excess = np.maximum(nll - base, 0)
+    tot_excess = int(excess.sum())
+    w = (
+        np.floor(excess / tot_excess * 1e6 + 0.5) / 1e6
+        if tot_excess > 0
+        else np.zeros(len(fold), np.float64)
+    )
+    out = pd.DataFrame(
+        {
+            "domain": fold["domain"],
+            "n_docs": fold["n_docs"].astype(np.int64),
+            "n_tokens": tok,
+            "mean_nll": ((nll + 500) // 1000) / 1e6,
+            "weight": w,
+        }
+    )
+    return out.sort_values("domain").reset_index(drop=True)[cols]
+
+
+def doremi_weights_sql(
+    table: str = "documents",
+    *,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: the unigram_logprob_sql chain grouped by domain, the same
+    integer floor-division means and one mirrored normalization."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, {domain_col} AS domain, {tok} AS ts FROM {table}
+),
+flat AS (SELECT doc_id, domain, unnest(ts) AS term FROM toks),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM flat GROUP BY 1),
+u AS (SELECT CAST(count(*) AS BIGINT) AS u FROM flat),
+lp AS (
+  SELECT term,
+         CAST(floor(ln(cf * 1.0 / u.u) * 1e9 + 0.5) AS BIGINT) AS lp_nano
+  FROM cf CROSS JOIN u
+),
+per_doc AS (
+  SELECT f.doc_id, f.domain,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(lp.lp_nano) AS total_nano
+  FROM flat f JOIN lp USING (term) GROUP BY f.doc_id, f.domain
+),
+all_docs AS (
+  SELECT t.doc_id, t.domain,
+         coalesce(p.n_tokens, 0) AS n_tokens,
+         coalesce(p.total_nano, 0) AS total_nano
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+),
+dom AS (
+  SELECT domain,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         CAST(sum(total_nano) AS BIGINT) AS total_nano
+  FROM all_docs GROUP BY domain
+),
+base AS (
+  SELECT (-CAST(sum(total_nano) AS BIGINT)) // greatest(CAST(sum(n_tokens) AS BIGINT), 1) AS b
+  FROM dom
+),
+ex AS (
+  SELECT domain, n_docs, n_tokens,
+         CASE WHEN n_tokens > 0 THEN (-total_nano) // n_tokens ELSE CAST(0 AS BIGINT) END AS nll,
+         greatest(CASE WHEN n_tokens > 0 THEN (-total_nano) // n_tokens ELSE CAST(0 AS BIGINT) END
+                  - (SELECT b FROM base), 0) AS excess
+  FROM dom
+),
+tot AS (SELECT CAST(sum(excess) AS BIGINT) AS te FROM ex)
+SELECT domain, n_docs, n_tokens,
+       CAST((nll + 500) // 1000 AS BIGINT) / 1000000.0 AS mean_nll,
+       CASE WHEN (SELECT te FROM tot) > 0
+            THEN floor(excess / (SELECT te FROM tot) * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS weight
+FROM ex
+ORDER BY domain
 """.strip()

@@ -304,3 +304,69 @@ SELECT doc_id, n_tokens,
 FROM ranked
 ORDER BY doc_id
 """.strip()
+
+
+def column_percentiles(
+    ds,
+    *,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    pcts: tuple[int, ...] = (50, 90, 99),
+    scale: float = 1e6,
+):
+    """Exact corpus-scale percentiles of a numeric column WITHOUT a global
+    sort: values micro-quantize to non-negative int64 keys
+    (``floor(x·scale+0.5)``), each percentile p's value is the
+    ``ceil(p·N/100)``-th smallest key (the discrete/lower quantile), found
+    by the same histogram-refinement selection as ``perplexity_buckets`` —
+    all requested percentiles share each streaming pass. Returns
+    ``(pct, value)``; empty input → empty frame. The id column only breaks
+    ties inside the selection helper; the reported value is tie-invariant."""
+    import pandas as pd
+
+    def to_key(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col].combine_chunks().cast(pa.float64()))
+        return pa.table(
+            {
+                "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
+                "key": pa.array(
+                    np.floor(v * scale + 0.5).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    scored = ds.map_batches(to_key, batch_format="pyarrow").materialize()
+    n = scored.count()
+    if n == 0:
+        return pd.DataFrame(columns=["pct", "value"])
+    ks = [(p * n + 99) // 100 for p in pcts]  # ceil(p·N/100)
+    cuts = kth_smallest_pairs(scored, ks, id_col="doc_id")
+    return pd.DataFrame(
+        {
+            "pct": np.asarray(pcts, np.int64),
+            "value": [c[0] / scale for c in cuts],
+        }
+    )
+
+
+def column_percentiles_sql(
+    table: str = "events",
+    *,
+    value_col: str = "value",
+    pcts: tuple[int, ...] = (50, 90, 99),
+    scale: float = 1e6,
+) -> str:
+    """Oracle: the same micro-quantized discrete quantile via OFFSET."""
+    arms = "\nUNION ALL\n".join(
+        f"SELECT {p} AS pct, (SELECT k FROM q ORDER BY k "
+        f"LIMIT 1 OFFSET (({p} * (SELECT n FROM t) + 99) // 100) - 1) / {scale!r} AS value"
+        for p in pcts
+    )
+    return f"""
+WITH q AS (
+  SELECT CAST(floor({value_col} * {scale!r} + 0.5) AS BIGINT) AS k FROM {table}
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q)
+{arms}
+ORDER BY pct
+""".strip()

@@ -280,3 +280,48 @@ def test_dsir_weights(ray_session):
     # partition independence
     out2 = keywords.dsir_weights(ds.repartition(3), target_lang="en")
     assert out.values.tolist() == out2.values.tolist()
+
+
+def _dom_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+                "source": pa.array([r[2] for r in rows]),
+            }
+        )
+    )
+
+
+def test_doremi_weights_upweights_hard_domain(ray_session):
+    # domain "web" is all common tokens (low NLL); "code" has rare tokens
+    rows = [(i, "common shared tokens here", "web") for i in range(8)]
+    rows += [(10 + i, f"rare{i} unique{i} singleton{i}", "code") for i in range(4)]
+    out = keywords.doremi_weights(_dom_ds(rows))
+    assert list(out.columns) == ["domain", "n_docs", "n_tokens", "mean_nll", "weight"]
+    assert list(out["domain"]) == ["code", "web"]
+    code, web = out.iloc[0], out.iloc[1]
+    assert code["n_docs"] == 4 and web["n_docs"] == 8
+    # hard domain gets all the weight; easy domain at/below corpus mean → 0
+    assert code["weight"] > 0 and web["weight"] == 0.0
+    assert code["mean_nll"] > web["mean_nll"]
+    # weights sum to ~1 when any domain has excess loss
+    assert abs(out["weight"].sum() - 1.0) < 1e-5
+
+
+def test_doremi_weights_uniform_corpus_all_zero(ray_session):
+    rows = [(i, "same text every doc", f"d{i % 3}") for i in range(9)]
+    out = keywords.doremi_weights(_dom_ds(rows))
+    # identical per-token NLL everywhere → no excess anywhere → zero weights
+    assert (out["weight"] == 0.0).all()
+    assert out["n_docs"].sum() == 9
+
+
+def test_doremi_weights_partition_independent(ray_session):
+    rows = [(i, f"tok{i % 7} tok{i % 3} base text", f"d{i % 4}") for i in range(60)]
+    a = keywords.doremi_weights(_dom_ds(rows))
+    b = keywords.doremi_weights(_dom_ds(rows).repartition(9))
+    assert a.equals(b)

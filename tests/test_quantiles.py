@@ -87,3 +87,43 @@ def test_perplexity_buckets_zero_token_docs_rank_first(ray_session):
     )
     assert out.loc[out["doc_id"] == 1, "bucket"].item() == "head"
     assert out.loc[out["doc_id"] == 1, "nll_per_token"].item() == 0.0
+
+
+def _events(values, ids=None):
+    import ray.data as rd
+
+    ids = list(range(len(values))) if ids is None else ids
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(list(ids), pa.int64()),
+                "value": pa.array([float(v) for v in values], pa.float64()),
+            }
+        )
+    ).repartition(4)
+
+
+def test_column_percentiles_matches_sorted_reference(ray_session):
+    rng = np.random.RandomState(11)
+    vals = np.round(rng.uniform(0, 1000, size=200), 6)
+    out = quantiles.column_percentiles(_events(vals.tolist()))
+    s = np.sort(np.floor(vals * 1e6 + 0.5).astype(np.int64))
+    for pct, got in zip(out["pct"], out["value"]):
+        k = (pct * 200 + 99) // 100  # ceil(p·N/100)
+        assert got == s[k - 1] / 1e6, (pct, got, s[k - 1] / 1e6)
+    assert list(out["pct"]) == [50, 90, 99]
+
+
+def test_column_percentiles_small_and_empty(ray_session):
+    out = quantiles.column_percentiles(_events([42.5]))
+    # N=1 → every percentile is the single value
+    assert (out["value"] == 42.5).all()
+    empty = quantiles.column_percentiles(_events([]))
+    assert empty.empty and list(empty.columns) == ["pct", "value"]
+
+
+def test_column_percentiles_duplicate_heavy(ray_session):
+    vals = [5.0] * 90 + [1.0] * 5 + [9.0] * 5
+    out = quantiles.column_percentiles(_events(vals))
+    m = dict(zip(out["pct"], out["value"]))
+    assert m[50] == 5.0 and m[90] == 5.0 and m[99] == 9.0
