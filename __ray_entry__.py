@@ -2125,6 +2125,64 @@ def _system_prompt_reuse_sql() -> str:
     return head + ", " + body[len("WITH "):]
 
 
+def _conv_template_dedup(sf_dir: str) -> pd.DataFrame:
+    """Structural dedup over planted skeleton clones: every 10th
+    conversation gets a ``~t`` clone with the IDENTICAL (role, tool)
+    sequence (a true structural duplicate — group of 2) and a ``~u`` clone
+    with the same roles but remapped tool names (NOT a duplicate under the
+    tool-discriminating template; it only joins the group when the original
+    calls no tools). conv_skeletons (role-only) would merge all three —
+    the ~u head is the fixture-level degeneracy proof."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    sel = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)[::10]
+
+    def clones(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        t = df.loc[hit].copy()
+        t["conv_id"] = t["conv_id"] + "~t"
+        u = df.loc[hit].copy()
+        u["conv_id"] = u["conv_id"] + "~u"
+        u["tool"] = np.where(u["tool"].isna(), None, "alt_" + u["tool"].astype(str))
+        return pd.concat([t, u], ignore_index=True)
+
+    cols = ["conv_id", "turn_idx", "role", "tool"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    planted = rd.read_parquet(data_dir, columns=cols).map_batches(
+        clones, batch_format="pandas"
+    )
+    return _transcripts_mod.conv_template_dedup(base.union(planted))
+
+
+def _conv_template_dedup_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, tool FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "dupt AS (SELECT t.conv_id || '~t' AS conv_id, t.turn_idx, t.role, t.tool "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0), "
+        "dupu AS (SELECT t.conv_id || '~u' AS conv_id, t.turn_idx, t.role, "
+        "CASE WHEN t.tool IS NULL THEN NULL ELSE 'alt_' || t.tool END AS tool "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM dupt UNION ALL SELECT * FROM dupu)"
+    )
+    body = _transcripts_mod.conv_template_dedup_sql("uni")
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
+
 def _preference_pairs(sf_dir: str) -> pd.DataFrame:
     """DPO pair mining over the same planted retries as conv_branches: the
     truncated ``~r`` branch loses to its full-length original, so every
@@ -4123,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate_qs": _percolate_qs,
         "role_token_quantiles": lambda sf: _transcripts_mod.role_token_quantiles(_tds(sf)),
         "system_prompt_reuse": _system_prompt_reuse,
+        "conv_template_dedup": _conv_template_dedup,
         "pinned_query": _pinned_query,
         "exists_filter": _exists_filter,
         "histogram_pipeline": _histogram_pipeline,
@@ -5444,6 +5503,7 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "role_token_quantiles": _transcripts_mod.role_token_quantiles_sql(_tsrc),
         "system_prompt_reuse": _system_prompt_reuse_sql(),
+        "conv_template_dedup": _conv_template_dedup_sql(),
         "reindex_search": index_oracle.bm25_sql(
             "(SELECT * FROM documents WHERE lang = 'en')",
             BM25_QUERY_OR, 10, mode="or",

@@ -2032,3 +2032,81 @@ SELECT skeleton, CAST(count(*) AS BIGINT) AS n_convs, min(conv_id) AS first_conv
 FROM sk GROUP BY skeleton HAVING count(*) >= {min_convs}
 ORDER BY skeleton
 """.strip()
+
+
+def conv_template_dedup(ds, *, min_convs: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Structural conversation dedup: a conversation's TEMPLATE is the
+    '|'-joined full-length sequence of ``role`` or ``role:tool`` tokens
+    (tool-call identity included) — two conversations with the same template
+    are re-runs of the same choreography even when every word differs, the
+    duplication mode agent fleets produce when a script replays. Templates
+    shared by ≥``min_convs`` conversations are reported with the
+    lexicographically-first conversation as the canonical keeper. Distinct
+    from ``conv_skeletons`` (role-only, first-k-turns template FREQUENCY):
+    this is full-length and tool-discriminating — same roles with different
+    tools are NOT duplicates.
+
+    Scale shape: one conv-bucketed pass emits per-bucket (template, count,
+    min conv) partials (pyarrow group_by inside the task — duplicate-heavy
+    corpora collapse before the exchange); the driver folds
+    distinct-template-cardinality partials, never per-conversation rows.
+    Returns ``(template, n_convs, canonical_conv)``."""
+
+    def templates(tbl: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "template": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+            "canonical_conv": pa.array([], pa.string()),
+        })
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return empty
+        role = tbl["role"].combine_chunks()
+        tool = tbl["tool"].combine_chunks()
+        # role:tool where a tool is named, bare role otherwise
+        joined = pc.binary_join_element_wise(role, tool.fill_null(""), ":")
+        tok = pc.if_else(pc.is_null(tool), role, joined)
+        lists = pa.ListArray.from_arrays(pa.array(off, pa.int32()), tok)
+        tmpl = pc.binary_join(lists, "|")
+        conv = tbl["conv_id"].combine_chunks().take(pa.array(off[:-1], pa.int64()))
+        part = (
+            pa.table({"template": tmpl, "conv_id": conv})
+            .group_by("template")
+            .aggregate([("conv_id", "count"), ("conv_id", "min")])
+        )
+        return pa.table({
+            "template": part["template"],
+            "n": part["conv_id_count"].cast(pa.int64()),
+            "canonical_conv": part["conv_id_min"],
+        })
+
+    parts = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(templates, batch_format="pyarrow")
+        .to_pandas()
+    )
+    cols = ["template", "n_convs", "canonical_conv"]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    fold = parts.groupby("template", as_index=False).agg(
+        n_convs=("n", "sum"), canonical_conv=("canonical_conv", "min")
+    )
+    fold = fold[fold["n_convs"] >= min_convs]
+    fold["n_convs"] = fold["n_convs"].astype(np.int64)
+    return fold.sort_values("template").reset_index(drop=True)[cols]
+
+
+def conv_template_dedup_sql(src: str, *, min_convs: int = 2) -> str:
+    return f"""
+WITH sk AS (
+  SELECT conv_id,
+         string_agg(role || CASE WHEN tool IS NOT NULL THEN ':' || tool ELSE '' END,
+                    '|' ORDER BY turn_idx) AS template
+  FROM {src} GROUP BY conv_id
+)
+SELECT template, CAST(count(*) AS BIGINT) AS n_convs,
+       min(conv_id) AS canonical_conv
+FROM sk GROUP BY template HAVING count(*) >= {min_convs}
+ORDER BY template
+""".strip()

@@ -606,3 +606,59 @@ def test_conv_skeletons_groups_role_templates(ray_session):
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     empty = tmod.conv_skeletons(rd.from_pandas(df), k=6, min_convs=5)
     assert empty.empty and list(empty.columns) == ["skeleton", "n_convs", "first_conv"]
+
+
+def _turns_ds(rows):
+    # rows: (conv_id, turn_idx, role, tool)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows]),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows]),
+                "tool": pa.array([r[3] for r in rows]),
+            }
+        )
+    )
+
+
+def test_conv_template_dedup_tool_discriminating(ray_session):
+    from harvester_ray.pipelines import transcripts as tr
+
+    rows = [
+        # a and b: identical role:tool choreography, different nothing else
+        ("a", 0, "user", None), ("a", 1, "assistant", None), ("a", 2, "tool", "t1"),
+        ("b", 0, "user", None), ("b", 1, "assistant", None), ("b", 2, "tool", "t1"),
+        # c: same roles, DIFFERENT tool — not a structural duplicate
+        ("c", 0, "user", None), ("c", 1, "assistant", None), ("c", 2, "tool", "t2"),
+        # d: unique shape
+        ("d", 0, "user", None), ("d", 1, "assistant", None),
+    ]
+    out = tr.conv_template_dedup(_turns_ds(rows))
+    assert len(out) == 1
+    g = out.iloc[0]
+    assert g["template"] == "user|assistant|tool:t1"
+    assert g["n_convs"] == 2 and g["canonical_conv"] == "a"
+    # role-only sibling would have merged c into the group — prove it differs
+    sk = tr.conv_skeletons(_turns_ds(rows), k=6)
+    assert sk.iloc[0]["n_convs"] == 3
+
+
+def test_conv_template_dedup_empty_and_partition_independent(ray_session):
+    from harvester_ray.pipelines import transcripts as tr
+
+    empty = tr.conv_template_dedup(_turns_ds([]))
+    assert empty.empty and list(empty.columns) == [
+        "template", "n_convs", "canonical_conv",
+    ]
+    rows = []
+    for i in range(40):
+        cid = f"c{i:03d}"
+        rows += [(cid, 0, "user", None), (cid, 1, "assistant", None)]
+        if i % 3 == 0:
+            rows.append((cid, 2, "tool", f"t{i % 2}"))
+    a = tr.conv_template_dedup(_turns_ds(rows))
+    b = tr.conv_template_dedup(_turns_ds(rows).repartition(7))
+    assert a.equals(b)
+    # three template classes: bare 2-turn, +tool t0, +tool t1
+    assert len(a) == 3 and a["n_convs"].sum() == 40
