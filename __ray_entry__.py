@@ -3212,6 +3212,14 @@ def _value_percentiles(sf_dir: str) -> pd.DataFrame:
     return quantiles.column_percentiles(ds)
 
 
+def _winnow_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 / MOSS):
+    window-min over md5 k-gram hashes — the guaranteed-detection sparse
+    sibling of the full-gram `dup_ngrams` family
+    (ops/text_analysis.winnow_fingerprints)."""
+    return text_analysis.winnow_fingerprints(_docs_ds(sf_dir, ("doc_id", "text")))
+
+
 def _gopher_rules(sf_dir: str) -> pd.DataFrame:
     """Gopher Table-A1 composite quality filter
     (ops/text_analysis.gopher_rules): word-count bounds, mean-word-length
@@ -4238,6 +4246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_strip": _boilerplate_strip,
         "perplexity_buckets": _perplexity_buckets,
         "gopher_rules": _gopher_rules,
+        "winnow_fingerprints": _winnow_fingerprints,
         "doremi_weights": _doremi_weights,
         "value_percentiles": _value_percentiles,
         "late_arrivals": _late_arrivals,
@@ -5120,6 +5129,7 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "perplexity_buckets": _quantiles.perplexity_buckets_sql("documents"),
         "gopher_rules": text_analysis.gopher_rules_sql("documents"),
+        "winnow_fingerprints": text_analysis.winnow_fingerprints_sql("documents"),
         "doremi_weights": _keywords.doremi_weights_sql("documents"),
         "value_percentiles": _quantiles.column_percentiles_sql("events"),
         "late_arrivals": _windows_mod.late_arrivals_sql(

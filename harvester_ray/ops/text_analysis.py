@@ -480,3 +480,125 @@ SELECT doc_id, n_words,
 FROM per
 ORDER BY doc_id
 """.strip()
+
+
+def winnow_batch(
+    batch: pa.Table,
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS
+    algorithm) for one batch: md5 each k-token gram, slide a w-hash window,
+    keep each window's minimum — any shared token run of length ≥ k+w−1 is
+    guaranteed to surface a common fingerprint, at ~1/w the storage of the
+    full gram set. The hash is the md5's first 16 hex chars: fixed-width
+    lowercase hex is order-isomorphic to its uint64 value, so the SQL
+    side's lexicographic string min equals the engine's vectorized
+    ``np.minimum`` folds over w shifted uint64 views — the only per-gram
+    Python work is the md5 itself. Docs with fewer than w grams contribute their
+    single global-min fingerprint; docs shorter than k tokens contribute
+    nothing. Emits batch-local DISTINCT (doc_id, fp) pairs."""
+    ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+    rows, codes, dictionary = analyzer.tokenize_flat(batch[text_col])
+    tok_arr = np.asarray(dictionary.take(pa.array(codes)).to_pylist(), dtype=object)
+    bounds = np.searchsorted(rows, np.arange(1, len(ids)))
+    out_ids: list[np.ndarray] = []
+    out_fps: list[np.ndarray] = []
+    for doc_id, toks in zip(ids, np.split(tok_arr, bounds)):
+        n = len(toks)
+        if n < k:
+            continue
+        grams = (" ".join(toks[i : i + k]) for i in range(n - k + 1))
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+                for g in grams
+            ),
+            dtype=np.uint64,
+            count=n - k + 1,
+        )
+        g = len(hs)
+        if g < w:
+            sel = hs.min(keepdims=True)
+        else:
+            sel = hs[: g - w + 1].copy()
+            for j in range(1, w):
+                np.minimum(sel, hs[j : j + g - w + 1], out=sel)
+        sel = np.unique(sel)
+        out_ids.append(np.full(len(sel), doc_id, np.int64))
+        out_fps.append(sel)
+    if not out_ids:
+        return pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "fp": pa.array([], pa.string()),
+        })
+    return pa.table({
+        "doc_id": pa.array(np.concatenate(out_ids), pa.int64()),
+        "fp": pa.array(
+            [f"{v:016x}" for v in np.concatenate(out_fps)], pa.string()
+        ),
+    })
+
+
+def winnow_fingerprints(
+    ds,
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Distributed winnowing: one streaming pass emits per-doc fingerprint
+    sets (already distinct inside the task — the w-fold dedup happens before
+    anything crosses the wire); the result is the (doc_id, fp) posting set
+    MOSS-style overlap joins run on. Returns rows sorted (doc_id, fp)."""
+    parts = ds.map_batches(
+        lambda t: winnow_batch(t, k=k, w=w, id_col=id_col, text_col=text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({
+            "doc_id": pd.Series([], dtype=np.int64),
+            "fp": pd.Series([], dtype=str),
+        })
+    return parts.sort_values(["doc_id", "fp"]).reset_index(drop=True)
+
+
+def winnow_fingerprints_sql(
+    table: str = "documents",
+    *,
+    k: int = 4,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: the same k-gram md5 stream and window-min selection via a
+    ROWS window frame; a doc with fewer than w grams keeps its i=0 frame
+    (the min over all its grams)."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+gpos AS (
+  SELECT doc_id, ts, unnest(generate_series(0, len(ts) - {k})) AS i
+  FROM toks WHERE len(ts) >= {k}
+),
+grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+         substr(md5(array_to_string(ts[CAST(i + 1 AS BIGINT):CAST(i + {k} AS BIGINT)], ' ')), 1, 16) AS h
+  FROM gpos
+),
+wins AS (
+  SELECT doc_id, i,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM grams
+)
+SELECT DISTINCT doc_id, wmin AS fp
+FROM wins WHERE i <= ng - {w} OR (ng < {w} AND i = 0)
+ORDER BY doc_id, fp
+""".strip()

@@ -729,3 +729,45 @@ def test_gopher_rules_flags(ray_session):
     assert out.loc[2, "r_mean_len"] == False  # noqa: E712
     assert out.loc[3, "r_stopwords"] == False  # noqa: E712
     assert out.loc[4, "n_words"] == 0 and out.loc[4, "mean_word_len"] == 0.0
+
+
+def _winnow_ds(texts):
+    return rd.from_arrow(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts),
+        })
+    )
+
+
+def test_winnow_guarantee_shared_run_surfaces(ray_session):
+    # winnowing guarantee: a shared token run of length >= k + w - 1 (= 7)
+    # must yield at least one common selected fingerprint
+    run = "alpha beta gamma delta epsilon zeta eta"  # 7 tokens
+    out = text_analysis.winnow_fingerprints(
+        _winnow_ds([
+            f"unrelated prefix words here {run} one suffix",
+            f"other start {run} completely different ending tokens",
+        ])
+    )
+    s0 = set(out[out["doc_id"] == 0]["fp"])
+    s1 = set(out[out["doc_id"] == 1]["fp"])
+    assert s0 & s1, "shared 7-token run produced no common fingerprint"
+
+
+def test_winnow_density_and_short_docs(ray_session):
+    toks = [f"w{i}" for i in range(100)]
+    out = text_analysis.winnow_fingerprints(_winnow_ds([" ".join(toks)]))
+    n_grams = 100 - 4 + 1
+    # winnowing keeps roughly 2/(w+1) of grams; assert a sane sparse band
+    assert n_grams * 0.15 <= len(out) <= n_grams * 0.6
+    # < k tokens -> nothing; == k tokens -> exactly one fingerprint
+    short = text_analysis.winnow_fingerprints(_winnow_ds(["a b c", "a b c d"]))
+    assert sorted(short["doc_id"].unique()) == [1] and len(short) == 1
+
+
+def test_winnow_partition_independent(ray_session):
+    texts = [f"t{i % 9} t{i % 5} t{i % 7} shared middle words t{i % 3} tail" for i in range(50)]
+    a = text_analysis.winnow_fingerprints(_winnow_ds(texts))
+    b = text_analysis.winnow_fingerprints(_winnow_ds(texts).repartition(7))
+    assert a.equals(b)
