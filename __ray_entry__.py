@@ -2936,6 +2936,15 @@ def _knn_ivf_pruned(sf_dir: str) -> pd.DataFrame:
 KNN_FILTER_LABELS = [0, 1, 2]
 
 
+def _knn_radius(sf_dir: str) -> pd.DataFrame:
+    """Similarity-threshold vector search (ES 8 kNN `similarity` param):
+    every vector with cosine >= 0.2 to the query, no top-k cap — the
+    streaming stateless sibling of _knn (ops/similarity.knn_radius)."""
+    return similarity.knn_radius(
+        _emb_ds(sf_dir), _query_vec(sf_dir), threshold=0.2
+    )[["vec_id", "cosine"]]
+
+
 def _knn_filtered(sf_dir: str) -> pd.DataFrame:
     """Filtered vector search (ES 8 kNN filter clause, pre-filter
     semantics): exact cosine top-k over rows whose label is allowed."""
@@ -4434,6 +4443,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_pruned": _knn_ivf_pruned,
         "knn_pq": _knn_pq,
         "knn_filtered": _knn_filtered,
+        "knn_radius": _knn_radius,
         "knn_l2": _knn_l2,
         "knn_dot": _knn_dot,
         "mmr_rerank": _mmr_rerank,
@@ -5266,6 +5276,11 @@ GROUP BY v.value ORDER BY v.value"""
         "knn_filtered": similarity.knn_filtered_sql(
             "embeddings", 0, 10, filter_col="label",
             filter_values=KNN_FILTER_LABELS,
+        ),
+        "knn_radius": (
+            "SELECT vec_id, cosine FROM ("
+            + similarity.knn_radius_sql("embeddings", 0, threshold=0.2)
+            + ") t"
         ),
         "knn_l2": similarity.knn_l2_sql("embeddings", 0, 10),
         "knn_dot": similarity.knn_dot_sql("embeddings", 0, 10),

@@ -1417,3 +1417,79 @@ sc AS (SELECT doc, CAST(sum(fp) AS BIGINT) AS fp FROM mx GROUP BY doc)
 SELECT CAST(doc AS BIGINT) AS doc, round(fp / 10000.0, 4) AS score
 FROM sc ORDER BY fp DESC, doc ASC LIMIT {k}
 """.strip()
+
+
+def knn_radius(
+    ds,
+    query_vecs: np.ndarray,
+    *,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Radius / similarity-threshold vector search (the ES 8 kNN
+    ``similarity`` parameter; range search in vector-DB terms): every
+    vector whose cosine to the query is ≥ ``threshold``, no top-k cap.
+    Unlike ``knn_brute`` this carries NO selection state — each batch
+    filters independently and only matches leave the task, so the pass
+    streams at full width regardless of corpus size; the final ordering
+    sort touches only the matched subset (callers pick thresholds where
+    that subset is small — a low threshold is a corpus scan by request).
+    Returns (query_id, vec_id, cosine) ordered cosine desc / vec_id asc,
+    cosine rounded to 6 AFTER the raw-float threshold compare."""
+    import ray
+    import pandas as pd
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vecs, dtype=np.float64)))
+    qref = ray.put(q)
+
+    def score(batch: pa.Table) -> pa.Table:
+        qm = ray.get(qref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _normalize(_batch_matrix(batch, vec_col))
+        sims = qm @ mat.T  # (Q, B)
+        qi, vi = np.nonzero(sims >= threshold)
+        return pa.table({
+            "query_id": pa.array(qi.astype(np.int64), pa.int64()),
+            "vec_id": pa.array(ids[vi], pa.int64()),
+            "cosine": pa.array(sims[qi, vi], pa.float64()),
+        })
+
+    out = ds.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "query_id": pd.Series([], dtype=np.int64),
+            "vec_id": pd.Series([], dtype=np.int64),
+            "cosine": pd.Series([], dtype=np.float64),
+        })
+    order = np.lexsort(
+        (out["vec_id"].to_numpy(), -out["cosine"].to_numpy(),
+         out["query_id"].to_numpy())
+    )
+    out = out.iloc[order].reset_index(drop=True)
+    out["cosine"] = np.round(out["cosine"].to_numpy(), 6)
+    return out
+
+
+def knn_radius_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    *,
+    threshold: float = 0.2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle: the same raw-float threshold filter and post-filter round —
+    both sides compute float64 cosine, and gate thresholds are picked with
+    ≥1e-4 clearance from every fixture cosine so the compare cannot flip."""
+    cos = f"list_cosine_similarity(CAST(e.{vec_col} AS DOUBLE[]), q.qv)"
+    return f"""
+WITH q AS (SELECT CAST({vec_col} AS DOUBLE[]) AS qv FROM {table} WHERE {id_col} = {query_vec_id})
+SELECT CAST(0 AS BIGINT) AS query_id, e.{id_col} AS vec_id,
+       round({cos}, 6) AS cosine
+FROM {table} e CROSS JOIN q
+WHERE {cos} >= {threshold!r}
+ORDER BY {cos} DESC, e.{id_col} ASC
+""".strip()

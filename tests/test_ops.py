@@ -771,3 +771,31 @@ def test_winnow_partition_independent(ray_session):
     a = text_analysis.winnow_fingerprints(_winnow_ds(texts))
     b = text_analysis.winnow_fingerprints(_winnow_ds(texts).repartition(7))
     assert a.equals(b)
+
+
+def test_knn_radius_matches_numpy_and_streams_multi_query(ray_session):
+    rng = np.random.RandomState(3)
+    mat = rng.randn(120, 8)
+    ds = rd.from_arrow(
+        pa.table({
+            "vec_id": pa.array(range(120), pa.int64()),
+            "embedding": pa.array(mat.tolist(), pa.list_(pa.float32())),
+        })
+    ).repartition(5)
+    qs = np.asarray(pa.array(mat[:2].tolist(), pa.list_(pa.float32())).to_pylist())
+    out = similarity.knn_radius(ds, qs, threshold=0.5)
+    n = mat.astype(np.float64)
+    # mirror the engine's float path: vectors arrive as float32 lists
+    n32 = np.asarray(pa.array(mat.tolist(), pa.list_(pa.float32())).to_pylist())
+    n32 = n32 / np.linalg.norm(n32, axis=1, keepdims=True)
+    qn = qs / np.linalg.norm(qs, axis=1, keepdims=True)
+    for qi in range(2):
+        sims = qn[qi] @ n32.T
+        exp_ids = sorted(np.flatnonzero(sims >= 0.5))
+        got = out[out["query_id"] == qi]
+        assert sorted(got["vec_id"]) == exp_ids
+        # self-match present with cosine 1.0, ordering desc
+        assert got.iloc[0]["vec_id"] == qi and got.iloc[0]["cosine"] == 1.0
+        assert (np.diff(got["cosine"].to_numpy()) <= 0).all()
+    empty = similarity.knn_radius(ds, qs, threshold=1.5)
+    assert empty.empty
