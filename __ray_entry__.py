@@ -3768,6 +3768,13 @@ def _source_jaccard(sf_dir: str) -> pd.DataFrame:
     return _compare.source_jaccard(ds, shingle_n=5)
 
 
+def _source_ablation(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-source-out contribution table: per-source doc/token share,
+    exclusive vocabulary, corpus mean tokens without the source
+    (ops/compare.source_ablation — one bucketed pass, integer partials)."""
+    return _compare.source_ablation(_docs_ds(sf_dir, ("doc_id", "text", "source")))
+
+
 def _approx_distinct_by_user(sf_dir: str) -> pd.DataFrame:
     """Per-user HLL distinct event_type counts (m=64): batches emit at most
     groups x m register rows; one groupby(user_id) max-folds and finalizes.
@@ -4284,6 +4291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": _heavy_hitters,
         "approx_distinct_by_user": _approx_distinct_by_user,
         "source_jaccard": _source_jaccard,
+        "source_ablation": _source_ablation,
         "cms_counts": lambda sf: _sketch.cms_counts(
             _ev_ds(sf, ("user_id",)), "user_id", width=256, depth=4
         ),
@@ -5177,6 +5185,7 @@ GROUP BY v.value ORDER BY v.value"""
         "heavy_hitters": _sketch.heavy_hitters_sql("events", "user_id", n=20),
         "approx_distinct_by_user": _sketch.hll_distinct_by_sql("events", "user_id", "event_type", p=6),
         "source_jaccard": _compare.source_jaccard_sql("documents", shingle_n=5),
+        "source_ablation": _compare.source_ablation_sql("documents"),
         "cms_counts": _sketch.cms_counts_sql("events", "user_id", width=256, depth=4),
         "kmv_overlap": _sketch.kmv_overlap_sql(
             "events", key_col="user_id", label_col="event_type",

@@ -103,9 +103,15 @@ def _build_concurrency(ncpu: int) -> tuple[int, float]:
 
 def _pick_cores(n: int, sample_sec: float = 0.1, rounds: int = 2) -> list[int]:
     """Rank every online core by a short pinned busyloop (best of ``rounds``
-    samples — steal is bursty) and return the ``n`` fastest. Run in the
-    unpinned parent right before launching a leg so the choice reflects
-    current hypervisor conditions."""
+    samples — steal is bursty) and return ``n`` of them. Default: the ``n``
+    fastest (protects a leg from landing on a degraded core). With
+    ``GRAFT_SCALE_FAIR_CORES=1``: a speed-STRATIFIED sample (every
+    ``total/n``-th core of the speed ranking) whose mean per-core rate
+    matches the all-core mean — the faithful choice for scaling pairs,
+    where giving the small leg only the fastest silicon biases the ratio
+    down (real N-node and 4N-node clusters have the same per-core quality
+    distribution). Run in the unpinned parent right before launching a leg
+    so the choice reflects current hypervisor conditions."""
     import time as _time
 
     orig = os.sched_getaffinity(0)
@@ -121,7 +127,11 @@ def _pick_cores(n: int, sample_sec: float = 0.1, rounds: int = 2) -> list[int]:
                 speeds[c] = max(speeds.get(c, 0), cnt)
     finally:
         os.sched_setaffinity(0, orig)
-    return sorted(sorted(speeds, key=lambda c: speeds[c], reverse=True)[:n])
+    ranked = sorted(speeds, key=lambda c: speeds[c], reverse=True)
+    if os.environ.get("GRAFT_SCALE_FAIR_CORES") and n < len(ranked):
+        idx = [round(i * len(ranked) / n) for i in range(n)]
+        return sorted(ranked[i] for i in idx)
+    return sorted(ranked[:n])
 
 
 def _ray_init() -> None:

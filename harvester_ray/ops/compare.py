@@ -703,3 +703,154 @@ FROM g
 WHERE (SELECT na FROM tot) > 0 AND (SELECT nb FROM tot) > 0
 ORDER BY g2_micro DESC, term ASC LIMIT {k}
 """.strip()
+
+
+def source_ablation(
+    ds,
+    *,
+    key: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_partitions: int = 64,
+) -> pd.DataFrame:
+    """Leave-one-source-out contribution analysis: for every ``key`` value,
+    what the corpus loses if that source is dropped — its share of docs and
+    tokens, the number of vocabulary terms EXCLUSIVE to it (terms whose df
+    outside the source is zero — irreplaceable coverage), and the corpus
+    mean tokens/doc without it. The one-pass ablation table data-mixing
+    decisions read before re-weighting or dropping a source (complements
+    ``doremi_weights``/``source_mixture``, which decide HOW MUCH of each
+    source to keep).
+
+    Scale shape: one streaming pass emits batch-distinct (term, source)
+    pairs plus per-source (n_docs, n_tokens) stat partials into the SAME
+    term-hash bucket exchange (stat rows ride a source-hash bucket); each
+    bucket folds cross-batch distinct pairs and single-source terms
+    locally, so the driver sees O(sources × buckets) rows. Exactness: all
+    counts are integers; the two ratio columns mirror one float expression
+    verbatim and round to 6. Returns ``(source, n_docs, n_tokens,
+    exclusive_terms, mean_tokens_without, delta_mean_tokens)`` sorted by
+    source."""
+    import zlib
+
+    def explode(batch: pa.Table) -> pa.Table:
+        src = (
+            batch[key].combine_chunks().cast(pa.string())
+            .to_numpy(zero_copy_only=False)
+        )
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        terms = np.asarray(dictionary.to_pylist(), dtype=object)
+        usrc, sinv = np.unique(src, return_inverse=True)
+        # batch-local distinct (term_code, source_idx)
+        pair = codes.astype(np.int64) * usrc.size + sinv[rows]
+        upair = np.unique(pair)
+        p_terms = terms[(upair // usrc.size).astype(np.int64)]
+        p_src = usrc[(upair % usrc.size).astype(np.int64)]
+        tbuck = np.fromiter(
+            (zlib.crc32(t.encode()) % n_partitions for t in p_terms),
+            dtype=np.int32, count=p_terms.size,
+        )
+        # per-source stat partials: docs from the batch, tokens from rows
+        n_tok = np.bincount(sinv[rows], minlength=usrc.size).astype(np.int64)
+        n_doc = np.bincount(sinv, minlength=usrc.size).astype(np.int64)
+        sbuck = np.fromiter(
+            (zlib.crc32(s.encode()) % n_partitions for s in usrc),
+            dtype=np.int32, count=usrc.size,
+        )
+        return pa.table({
+            "term": pa.array(
+                np.concatenate([p_terms, np.full(usrc.size, "", object)]),
+                pa.string(),
+            ),
+            "src": pa.array(np.concatenate([p_src, usrc]), pa.string()),
+            "docs": pa.array(
+                np.concatenate([np.zeros(p_terms.size, np.int64), n_doc]),
+                pa.int64(),
+            ),
+            "toks": pa.array(
+                np.concatenate([np.zeros(p_terms.size, np.int64), n_tok]),
+                pa.int64(),
+            ),
+            "bucket": pa.array(np.concatenate([tbuck, sbuck]), pa.int32()),
+        })
+
+    def fold_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        is_stat = g["term"].to_numpy() == ""
+        stats = g.loc[is_stat].groupby("src", as_index=False)[["docs", "toks"]].sum()
+        tp = g.loc[~is_stat, ["term", "src"]].drop_duplicates()
+        per_term = tp.groupby("term")["src"].agg(["nunique", "min"])
+        excl = (
+            per_term[per_term["nunique"] == 1]
+            .groupby("min").size().rename("excl").reset_index()
+            .rename(columns={"min": "src"})
+        )
+        out = stats.merge(excl, on="src", how="outer")
+        for c in ("docs", "toks", "excl"):
+            out[c] = out.get(c, 0)
+        return out.fillna(0)[["src", "docs", "toks", "excl"]]
+
+    parts = (
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(fold_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = [
+        "source", "n_docs", "n_tokens", "exclusive_terms",
+        "mean_tokens_without", "delta_mean_tokens",
+    ]
+    if parts.empty:
+        return pd.DataFrame(columns=cols)
+    fold = parts.groupby("src", as_index=False).sum()
+    N, T = int(fold["docs"].sum()), int(fold["toks"].sum())
+    n = fold["docs"].to_numpy(np.int64)
+    t = fold["toks"].to_numpy(np.int64)
+    without = np.where(N > n, (T - t) / np.maximum(N - n, 1), 0.0)
+    full = T / N if N else 0.0
+    out = pd.DataFrame({
+        "source": fold["src"],
+        "n_docs": n,
+        "n_tokens": t,
+        "exclusive_terms": fold["excl"].to_numpy(np.int64),
+        "mean_tokens_without": np.round(without, 6),
+        "delta_mean_tokens": np.round(np.where(N > n, without - full, 0.0), 6),
+    })
+    return out.sort_values("source").reset_index(drop=True)[cols]
+
+
+def source_ablation_sql(
+    table: str = "documents",
+    *,
+    key: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {key} AS source, {tok} AS ts FROM {table}),
+stats AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(coalesce(sum(len(ts)), 0) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS N, CAST(sum(n_tokens) AS BIGINT) AS T FROM stats),
+flat AS (SELECT DISTINCT source, unnest(ts) AS term FROM toks),
+excl AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS exclusive_terms
+  FROM (
+    SELECT term, min(source) AS source
+    FROM flat GROUP BY term HAVING count(DISTINCT source) = 1
+  ) GROUP BY source
+)
+SELECT s.source, s.n_docs, s.n_tokens,
+       coalesce(e.exclusive_terms, 0) AS exclusive_terms,
+       CASE WHEN t.N > s.n_docs
+            THEN round((t.T - s.n_tokens) * 1.0 / (t.N - s.n_docs), 6)
+            ELSE 0.0 END AS mean_tokens_without,
+       CASE WHEN t.N > s.n_docs
+            THEN round((t.T - s.n_tokens) * 1.0 / (t.N - s.n_docs) - t.T * 1.0 / t.N, 6)
+            ELSE 0.0 END AS delta_mean_tokens
+FROM stats s CROSS JOIN tot t LEFT JOIN excl e USING (source)
+ORDER BY s.source
+""".strip()

@@ -130,3 +130,38 @@ def test_keyness_llr_degenerate_subcorpus_matches_oracle(ray_session, tmp_path):
         sql_out = con.execute(
             compare.keyness_llr_sql("documents", target_lang=tgt, k=10)).df()
         assert len(sql_out) == 0
+
+
+def test_source_ablation_exclusive_and_means(ray_session):
+    rows = [
+        ("a", "shared words here uniquea"),
+        ("a", "shared words uniquea2 uniquea2"),
+        ("b", "shared words here more"),
+        ("b", "totally common words"),
+        ("c", ""),                 # empty doc still counts in n_docs
+        ("c", "uniquec shared"),
+    ]
+    out = compare.source_ablation(_ds(rows))
+    m = {r["source"]: r for _, r in out.iterrows()}
+    # exclusive vocab: a -> {uniquea, uniquea2}; b -> {more, totally, common}
+    assert m["a"]["exclusive_terms"] == 2
+    assert m["b"]["exclusive_terms"] == 3
+    assert m["c"]["exclusive_terms"] == 1
+    assert m["c"]["n_docs"] == 2 and m["c"]["n_tokens"] == 2
+    # 17 tokens over 6 docs; without c: 15/4
+    assert m["c"]["mean_tokens_without"] == round(15 / 4, 6)
+    assert m["c"]["delta_mean_tokens"] == round(15 / 4 - 17 / 6, 6)
+
+
+def test_source_ablation_single_source_guard(ray_session):
+    out = compare.source_ablation(_ds([("only", "a b c"), ("only", "d e")]))
+    r = out.iloc[0]
+    # dropping the only source leaves no corpus: guarded to 0.0 both sides
+    assert r["mean_tokens_without"] == 0.0 and r["delta_mean_tokens"] == 0.0
+
+
+def test_source_ablation_partition_independent(ray_session):
+    rows = [(f"s{i % 5}", f"tok{i % 11} tok{i % 6} shared words") for i in range(90)]
+    a = compare.source_ablation(_ds(rows))
+    b = compare.source_ablation(_ds(rows).repartition(9))
+    assert a.equals(b)
