@@ -27,6 +27,7 @@ from harvester_ray.ops import boilerplate as _boilerplate
 from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
+from harvester_ray.ops import substring as _substring
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3288,6 +3289,21 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+
+def _substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact duplicated-substring coverage (Lee et al. 2022, suffix-array
+    signal re-expressed shuffle-native): one-prefix-scan rolling window
+    hashes, bucketed global count>=2 marking, per-doc interval-union fold
+    (ops/substring.py). Integer half-up 1e-6 ratio quantization."""
+    from harvester_ray.ops import substring
+
+    out = substring.substring_dup_coverage(_docs_ds(sf_dir), min_len=30).to_pandas()
+    return (
+        out.reindex(columns=["doc_id", "n_chars", "covered", "dup_frac"])
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
 def _weighted_sample(sf_dir: str) -> pd.DataFrame:
     """Efraimidis–Spirakis weighted sample without replacement (k=20 by
     n_chars): per-batch local top-k, O(k × blocks) driver merge."""
@@ -4268,6 +4284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_arrivals": _late_arrivals,
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
+        "substring_dedup": _substring_dedup,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5157,6 +5174,7 @@ GROUP BY v.value ORDER BY v.value"""
             "events", interval_us=600_000_000
         ),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
+        "substring_dedup": _substring.substring_dup_coverage_sql("documents", min_len=30),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
