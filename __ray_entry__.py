@@ -28,6 +28,7 @@ from harvester_ray.ops import cluster as _cluster
 from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
 from harvester_ray.ops import substring as _substring
+from harvester_ray.ops import c4 as _c4
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3290,6 +3291,26 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def _webpages_dir() -> str:
+    """Deterministic web-page corpus (synth.webpages_parquet) shared by the
+    C4-rules gate AND its oracle: oracle_sql() calls this too, so the
+    Parquet the SQL reads always exists (generation is pure pyarrow)."""
+    return synth.webpages_parquet(_SCRATCH, n_pages=300, seed=7)
+
+
+def _c4_rules(sf_dir: str) -> pd.DataFrame:
+    """C4 line-level cleaning (Raffel et al. 2020 SS2.2): terminal-punct /
+    min-words / javascript line filter + lorem-brace-badword-min-sentences
+    page gate, one shuffle-free Arrow-kernel map (ops/c4.py). kept_text is
+    value-checked verbatim."""
+    import ray.data as rd
+
+    from harvester_ray.ops import c4
+
+    out = c4.c4_clean(rd.read_parquet(_webpages_dir())).to_pandas()
+    return out.sort_values("page_id").reset_index(drop=True)
+
 def _substring_dedup(sf_dir: str) -> pd.DataFrame:
     """Exact duplicated-substring coverage (Lee et al. 2022, suffix-array
     signal re-expressed shuffle-native): one-prefix-scan rolling window
@@ -4285,6 +4306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_gaps": _window_gaps,
         "dup_ngrams": _dup_ngrams,
         "substring_dedup": _substring_dedup,
+        "c4_rules": _c4_rules,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5175,6 +5197,9 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "dup_ngrams": _dupgrams.dup_ngram_fraction_sql("documents", shingle_n=5),
         "substring_dedup": _substring.substring_dup_coverage_sql("documents", min_len=30),
+        "c4_rules": _c4.c4_clean_sql(
+            "read_parquet('" + os.path.join(_webpages_dir(), "*.parquet") + "')"
+        ),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),

@@ -229,3 +229,70 @@ def transcripts_parquet(
     with open(done, "w") as f:
         f.write("ok")
     return path
+
+
+# --------------------------------------------------------------------------
+# Synthetic "web page" corpus for line-level cleaning operators (C4 rules).
+# Same discipline as the transcript generator: one integer seed, no wall
+# clock, identical Parquet for identical inputs. Pages are newline-joined
+# lines drawn from a small set of shapes so every C4 rule fires on a
+# non-trivial subset: clean sentences (terminal punctuation, >=3 words),
+# no-punctuation fragments, short punctuated stubs, "javascript" notices,
+# and page-level poison (lorem ipsum, curly braces, a planted bad word).
+# --------------------------------------------------------------------------
+
+WEBPAGE_GEN_VERSION = 1
+
+_WP_WORDS = np.array(
+    "content page article reader section update value story detail report "
+    "notice result archive feature topic series review entry record item".split()
+)
+
+
+def generate_webpages(n_pages: int = 300, seed: int = 7) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    pages = []
+    for pid in range(n_pages):
+        n_lines = int(rng.integers(2, 12))
+        lines = []
+        for _ in range(n_lines):
+            kind = rng.random()
+            words = list(rng.choice(_WP_WORDS, size=int(rng.integers(3, 9))))
+            if kind < 0.45:  # clean sentence
+                lines.append(" ".join(words) + rng.choice([".", "!", "?", '"']))
+            elif kind < 0.65:  # no terminal punctuation
+                lines.append(" ".join(words))
+            elif kind < 0.80:  # too short (under 3 words), punctuated
+                lines.append(" ".join(words[: int(rng.integers(1, 3))]) + ".")
+            else:  # javascript notice (punctuated, long enough)
+                lines.append("please enable JavaScript to view the " + words[0] + ".")
+        poison = rng.random()
+        if poison < 0.06:
+            lines.insert(int(rng.integers(0, len(lines))), "Lorem Ipsum dolor sit amet.")
+        elif poison < 0.12:
+            lines.insert(int(rng.integers(0, len(lines))), "function render() { return 1; }")
+        elif poison < 0.17:
+            lines.insert(int(rng.integers(0, len(lines))), "this page mentions unsafeword sadly.")
+        pages.append("\n".join(lines))
+    return pa.table(
+        {
+            "page_id": pa.array(range(n_pages), pa.int64()),
+            "text": pa.array(pages, pa.string()),
+        }
+    )
+
+
+def webpages_parquet(out_dir: str, n_pages: int = 300, seed: int = 7) -> str:
+    """Materialize the web-page corpus under ``out_dir`` (cached). Pure
+    pyarrow — callable from oracle_sql() without a Ray session."""
+    path = os.path.join(
+        out_dir, f"webpages-v{WEBPAGE_GEN_VERSION}-p{n_pages}-s{seed}"
+    )
+    done = os.path.join(path, "_DONE")
+    if os.path.exists(done):
+        return path
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(generate_webpages(n_pages, seed), os.path.join(path, "part-000.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return path
