@@ -29,6 +29,7 @@ from harvester_ray.ops import decontam as _decontam
 from harvester_ray.ops import dupgrams as _dupgrams
 from harvester_ray.ops import substring as _substring
 from harvester_ray.ops import c4 as _c4
+from harvester_ray.ops import diversity as _diversity
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3292,6 +3293,22 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def _distinct_ngrams(sf_dir: str) -> pd.DataFrame:
+    """Per-source distinct-n diversity (Li et al. 2016): one bucketed
+    all-to-all of batch-distinct (gram_hash, source, count) triples,
+    run-length bucket reduction, tiny per-source fold (ops/diversity.py)."""
+    from harvester_ray.ops import diversity
+
+    out = diversity.distinct_ngrams(
+        _docs_ds(sf_dir, columns=("text", "source")), shingle_n=2
+    ).to_pandas()
+    return (
+        out[["source", "n_total", "n_distinct", "distinct_ratio"]]
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+
 def _webpages_dir() -> str:
     """Deterministic web-page corpus (synth.webpages_parquet) shared by the
     C4-rules gate AND its oracle: oracle_sql() calls this too, so the
@@ -4307,6 +4324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": _dup_ngrams,
         "substring_dedup": _substring_dedup,
         "c4_rules": _c4_rules,
+        "distinct_ngrams": _distinct_ngrams,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5200,6 +5218,7 @@ GROUP BY v.value ORDER BY v.value"""
         "c4_rules": _c4.c4_clean_sql(
             "read_parquet('" + os.path.join(_webpages_dir(), "*.parquet") + "')"
         ),
+        "distinct_ngrams": _diversity.distinct_ngrams_sql("documents", shingle_n=2),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
