@@ -30,6 +30,7 @@ from harvester_ray.ops import dupgrams as _dupgrams
 from harvester_ray.ops import substring as _substring
 from harvester_ray.ops import c4 as _c4
 from harvester_ray.ops import diversity as _diversity
+from harvester_ray.ops import prefixcache as _prefixcache
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3294,6 +3295,74 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def _prefix_cache_union(sf_dir: str):
+    """Shared head for the prefix-cache gate + its oracle shape: the base
+    transcript corpus with PLANTED prefix-sharing replays — every 10th
+    conversation (rank order) re-added as ``<conv_id>~r`` truncated to its
+    first 2 turns and every 7th as ``<conv_id>~p`` truncated to its first
+    4 — so cache hits are non-degenerate at several depths."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    cids = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)
+    plants = [(cids[::10], 2, "~r"), (cids[::7], 4, "~p")]
+
+    def replay_rows(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        outs = []
+        for sel, k, tag in plants:
+            idx = np.searchsorted(sel, cid)
+            np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+            hit = (len(sel) > 0) & (sel[idx] == cid)
+            hit &= df["turn_idx"].to_numpy() < k
+            out = df.loc[hit].copy()
+            out["conv_id"] = out["conv_id"] + tag
+            outs.append(out)
+        return pd.concat(outs, ignore_index=True)
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    base = rd.read_parquet(data_dir, columns=cols)
+    replays = rd.read_parquet(data_dir, columns=cols).map_batches(
+        replay_rows, batch_format="pandas"
+    )
+    return base.union(replays)
+
+
+def _prefix_cache_stats(sf_dir: str) -> pd.DataFrame:
+    """RadixAttention-style KV-cache reuse accounting per prefix depth:
+    bucketed per-conversation polynomial prefix hashes (no per-row Python),
+    prefix-hash-bucketed distinct-node counting, tiny per-depth fold
+    (ops/prefixcache.py)."""
+    from harvester_ray.ops import prefixcache
+
+    out = prefixcache.prefix_cache_stats(_prefix_cache_union(sf_dir)).to_pandas()
+    return out.sort_values("depth").reset_index(drop=True)
+
+
+def _prefix_cache_stats_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "ret AS (SELECT t.conv_id || '~r' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 10 = 0 AND t.turn_idx < 2), "
+        "ext AS (SELECT t.conv_id || '~p' AS conv_id, t.turn_idx, t.role, t.text "
+        "FROM tsrc t JOIN cids c USING (conv_id) WHERE c.r % 7 = 0 AND t.turn_idx < 4), "
+        "uni AS (SELECT * FROM tsrc UNION ALL SELECT * FROM ret UNION ALL SELECT * FROM ext)"
+    )
+    body = _prefixcache.prefix_cache_stats_sql("uni")
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
 def _distinct_ngrams(sf_dir: str) -> pd.DataFrame:
     """Per-source distinct-n diversity (Li et al. 2016): one bucketed
     all-to-all of batch-distinct (gram_hash, source, count) triples,
@@ -4325,6 +4394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup": _substring_dedup,
         "c4_rules": _c4_rules,
         "distinct_ngrams": _distinct_ngrams,
+        "prefix_cache_stats": _prefix_cache_stats,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5219,6 +5289,7 @@ GROUP BY v.value ORDER BY v.value"""
             "read_parquet('" + os.path.join(_webpages_dir(), "*.parquet") + "')"
         ),
         "distinct_ngrams": _diversity.distinct_ngrams_sql("documents", shingle_n=2),
+        "prefix_cache_stats": _prefix_cache_stats_sql(),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
