@@ -31,6 +31,7 @@ from harvester_ray.ops import substring as _substring
 from harvester_ray.ops import c4 as _c4
 from harvester_ray.ops import diversity as _diversity
 from harvester_ray.ops import prefixcache as _prefixcache
+from harvester_ray.ops import coreset as _coreset
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3296,6 +3297,15 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def _kcenter_select(sf_dir: str) -> pd.DataFrame:
+    """Greedy k-center coreset (Gonzalez farthest-point traversal): k
+    streaming passes, broadcast integer centers, one candidate row per
+    block, exact integer squared-L2 selection keys (ops/coreset.py)."""
+    from harvester_ray.ops import coreset
+
+    return coreset.kcenter_select(_emb_ds(sf_dir), k=6)
+
 def _prefix_cache_union(sf_dir: str):
     """Shared head for the prefix-cache gate + its oracle shape: the base
     transcript corpus with PLANTED prefix-sharing replays — every 10th
@@ -4395,6 +4405,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_rules": _c4_rules,
         "distinct_ngrams": _distinct_ngrams,
         "prefix_cache_stats": _prefix_cache_stats,
+        "kcenter_select": _kcenter_select,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5290,6 +5301,7 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "distinct_ngrams": _diversity.distinct_ngrams_sql("documents", shingle_n=2),
         "prefix_cache_stats": _prefix_cache_stats_sql(),
+        "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
