@@ -32,6 +32,7 @@ from harvester_ray.ops import c4 as _c4
 from harvester_ray.ops import diversity as _diversity
 from harvester_ray.ops import prefixcache as _prefixcache
 from harvester_ray.ops import coreset as _coreset
+from harvester_ray.ops import refusal as _refusal
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3298,6 +3299,58 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+def _refusal_flags(sf_dir: str) -> pd.DataFrame:
+    """Assistant-refusal lexicon detection with PLANTED refusals: every 5th
+    conversation (rank order) gets its turn_idx==1 text prefixed with a
+    canned refusal, so assistant-role turns among them flag. Map-side
+    partial counts, one int-only groupby(conv_id) (ops/refusal.py)."""
+    import ray.data as rd
+
+    from harvester_ray import corpus as _corpus
+    from harvester_ray.ops import refusal
+
+    data_dir = _transcripts_dir()
+    paths = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    sel = _corpus.conv_counts_from_files(paths)["conv_id"].to_numpy(dtype=np.str_)[::5]
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        cid = df["conv_id"].to_numpy(dtype=np.str_)
+        idx = np.searchsorted(sel, cid)
+        np.clip(idx, 0, max(len(sel) - 1, 0), out=idx)
+        hit = (len(sel) > 0) & (sel[idx] == cid)
+        hit &= df["turn_idx"].to_numpy() == 1
+        df = df.copy()
+        df.loc[hit, "text"] = "I cannot help with that. " + df.loc[hit, "text"]
+        return df
+
+    cols = ["conv_id", "turn_idx", "role", "text"]
+    ds = rd.read_parquet(data_dir, columns=cols).map_batches(
+        plant, batch_format="pandas"
+    )
+    out = refusal.refusal_flags(ds).to_pandas()
+    return out.sort_values("conv_id").reset_index(drop=True)
+
+
+def _refusal_flags_sql() -> str:
+    glob = os.path.join(_transcripts_dir(), "*.parquet")
+    head = (
+        f"WITH tsrc AS (SELECT conv_id, turn_idx, role, text FROM read_parquet('{glob}')), "
+        "cids AS (SELECT conv_id, row_number() OVER (ORDER BY conv_id) - 1 AS r "
+        "FROM (SELECT DISTINCT conv_id FROM tsrc)), "
+        "uni AS (SELECT t.conv_id, t.turn_idx, t.role, "
+        "CASE WHEN c.r % 5 = 0 AND t.turn_idx = 1 "
+        "THEN 'I cannot help with that. ' || t.text ELSE t.text END AS text "
+        "FROM tsrc t JOIN cids c USING (conv_id))"
+    )
+    body = _refusal.refusal_flags_sql("uni")
+    assert body.startswith("WITH ")
+    return head + ", " + body[len("WITH "):]
+
 def _kcenter_select(sf_dir: str) -> pd.DataFrame:
     """Greedy k-center coreset (Gonzalez farthest-point traversal): k
     streaming passes, broadcast integer centers, one candidate row per
@@ -4406,6 +4459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngrams": _distinct_ngrams,
         "prefix_cache_stats": _prefix_cache_stats,
         "kcenter_select": _kcenter_select,
+        "refusal_flags": _refusal_flags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5302,6 +5356,7 @@ GROUP BY v.value ORDER BY v.value"""
         "distinct_ngrams": _diversity.distinct_ngrams_sql("documents", shingle_n=2),
         "prefix_cache_stats": _prefix_cache_stats_sql(),
         "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
+        "refusal_flags": _refusal_flags_sql(),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
