@@ -33,6 +33,7 @@ from harvester_ray.ops import diversity as _diversity
 from harvester_ray.ops import prefixcache as _prefixcache
 from harvester_ray.ops import coreset as _coreset
 from harvester_ray.ops import refusal as _refusal
+from harvester_ray.ops import tagging as _tagging
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
 from harvester_ray.pipelines import graph as _graph
@@ -3300,6 +3301,22 @@ def _dup_ngrams(sf_dir: str) -> pd.DataFrame:
 
 
 
+
+KEYWORD_TAG_PHRASES = (
+    "key agg row", "hash value", "table part", "spark",
+    "merge batch", "sort table window",
+)
+
+
+def _keyword_tags(sf_dir: str) -> pd.DataFrame:
+    """FlashText-style broadcast phrase tagging: dictionary hashed once
+    with the corpus shingle machinery, zero-shuffle per-batch window
+    membership, overlapping-occurrence counts (ops/tagging.py)."""
+    from harvester_ray.ops import tagging
+
+    out = tagging.keyword_tags(_docs_ds(sf_dir), KEYWORD_TAG_PHRASES).to_pandas()
+    return out.sort_values(["doc_id", "phrase"]).reset_index(drop=True)
+
 def _refusal_flags(sf_dir: str) -> pd.DataFrame:
     """Assistant-refusal lexicon detection with PLANTED refusals: every 5th
     conversation (rank order) gets its turn_idx==1 text prefixed with a
@@ -4460,6 +4477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_cache_stats": _prefix_cache_stats,
         "kcenter_select": _kcenter_select,
         "refusal_flags": _refusal_flags,
+        "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
@@ -5357,6 +5375,7 @@ GROUP BY v.value ORDER BY v.value"""
         "prefix_cache_stats": _prefix_cache_stats_sql(),
         "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
         "refusal_flags": _refusal_flags_sql(),
+        "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
