@@ -33,6 +33,7 @@ from harvester_ray.ops import diversity as _diversity
 from harvester_ray.ops import prefixcache as _prefixcache
 from harvester_ray.ops import coreset as _coreset
 from harvester_ray.ops import refusal as _refusal
+from harvester_ray.ops import pca as _pca
 from harvester_ray.ops import tagging as _tagging
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
@@ -3376,6 +3377,16 @@ def _kcenter_select(sf_dir: str) -> pd.DataFrame:
 
     return coreset.kcenter_select(_emb_ds(sf_dir), k=6)
 
+def _pca_project(sf_dir: str) -> pd.DataFrame:
+    """Top-PC projection head (ops/pca.py): streaming (count, Σq, qqT)
+    Gram partials → exact-integer power iteration on the driver (64
+    truncating-division steps, d×d only) → broadcast direction → streaming
+    matvec + distributed top-k. The oracle unrolls the identical integer
+    iteration as MATERIALIZED CTEs."""
+    return _pca.pca_project(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).to_pandas()
+
 def _prefix_cache_union(sf_dir: str):
     """Shared head for the prefix-cache gate + its oracle shape: the base
     transcript corpus with PLANTED prefix-sharing replays — every 10th
@@ -4476,6 +4487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_ngrams": _distinct_ngrams,
         "prefix_cache_stats": _prefix_cache_stats,
         "kcenter_select": _kcenter_select,
+        "pca_project": _pca_project,
         "refusal_flags": _refusal_flags,
         "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -5374,6 +5386,7 @@ GROUP BY v.value ORDER BY v.value"""
         "distinct_ngrams": _diversity.distinct_ngrams_sql("documents", shingle_n=2),
         "prefix_cache_stats": _prefix_cache_stats_sql(),
         "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
+        "pca_project": _pca.pca_sql("embeddings"),
         "refusal_flags": _refusal_flags_sql(),
         "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),

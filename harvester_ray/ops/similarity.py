@@ -31,7 +31,12 @@ def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
 
 
 def _topk_reduce_ds(
-    parts_ds, k: int, *, value_col: str = "cosine", ascending: bool = False
+    parts_ds,
+    k: int,
+    *,
+    value_col: str = "cosine",
+    ascending: bool = False,
+    round_decimals: int | None = 6,
 ) -> pa.Table:
     """DISTRIBUTED merge of per-block local top-k partials: one
     ``groupby(query_id)`` exchange moves only the O(Q·k·blocks) partial
@@ -53,7 +58,13 @@ def _topk_reduce_ds(
         return pd.DataFrame({
             "query_id": sel["query_id"].to_numpy(),
             "vec_id": sel["vec_id"].to_numpy(),
-            value_col: np.round(sel[value_col].to_numpy(), 6),
+            value_col: (
+                sel[value_col].to_numpy(np.float64)
+                if round_decimals is None
+                # round(·, d) multiply-round-divides by 10^d: exact-integer
+                # values (pca's q·v) must skip it or lose low bits past 2^53
+                else np.round(sel[value_col].to_numpy(), round_decimals)
+            ),
             "_rank": np.arange(len(sel), dtype=np.int64),
         })
 
