@@ -4496,6 +4496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_sample": lambda sf: _kmeans.cluster_sample(_emb_ds(sf), k=8, iters=2, n_per_cluster=10).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "range_join_bands": _range_join_bands,
         "pagerank": _pagerank,
+        "hits_scores": lambda sf: _graph.customer_supplier_hits(sf),
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
@@ -5396,6 +5397,10 @@ GROUP BY v.value ORDER BY v.value"""
         "range_join_bands": _range_join_sql(),
         "pagerank": _graph.pagerank_sql(
             "SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        ),
+        "hits_scores": _graph.hits_sql(
+            "SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
             "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
         ),
         "sample_split": _sampling.split_summary_sql("documents", splits=SPLIT_SPEC),

@@ -115,16 +115,12 @@ def pagerank(
     return pd.DataFrame({"node": nodes, "rank": np.round(rank, 8)})
 
 
-def customer_supplier_pagerank(sf_dir: str) -> pd.DataFrame:
-    """Gate pipeline: PageRank over the customer→supplier order graph.
-
-    Edge (c, s) whenever customer c's order contains a lineitem from
-    supplier s (distinct pairs); supplier nodes are offset by 1,000,000 to
-    disambiguate the id spaces. Customers are sources, suppliers dangling —
-    exercising both the contribution and the dangling-redistribution paths.
-    The orders→custkey side rides as one broadcast array pair into the
-    lineitem stream (same shape as hash_join_order_lineitem).
-    """
+def _customer_supplier_edges(sf_dir: str):
+    """Customer→supplier order-graph edges: (c, s) whenever customer c's
+    order contains a lineitem from supplier s; supplier nodes offset by
+    1,000,000 to disambiguate the id spaces. The orders→custkey side rides
+    as one broadcast array pair into the lineitem stream (same shape as
+    hash_join_order_lineitem)."""
     import os
 
     import ray
@@ -151,8 +147,15 @@ def customer_supplier_pagerank(sf_dir: str) -> pd.DataFrame:
     li = rd.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey", "l_suppkey"]
     )
-    edges = li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
-    out = pagerank(edges, damping=0.85, n_iter=5)
+    return li.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def customer_supplier_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Gate pipeline: PageRank over the customer→supplier order graph
+    (:func:`_customer_supplier_edges`). Customers are sources, suppliers
+    dangling — exercising both the contribution and the
+    dangling-redistribution paths."""
+    out = pagerank(_customer_supplier_edges(sf_dir), damping=0.85, n_iter=5)
     return out.sort_values("node").reset_index(drop=True)
 
 
@@ -201,3 +204,160 @@ def pagerank_sql(
         )
     body = ",\n".join(parts)
     return f"{body}\nSELECT node, round(r, 8) AS rank FROM r{n_iter} ORDER BY node"
+
+
+def hits(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+):
+    """HITS hubs/authorities (Kleinberg 1999) over a directed edge Dataset.
+
+    Exact-parity fixed point: scores live as 1e-6 fixed-point int64; each
+    half-step is an exact integer edge-sum (authority(j) = Σ hub(i) over
+    in-edges, then hub(i) = Σ authority(j) over out-edges) renormalized by
+    TRUNCATING division by the max component (DuckDB ``//``), so after T
+    rounds both sides hold identical integer vectors — no ulp drift for
+    the unrolled-CTE oracle to disagree with.
+
+    Scale shape: edges are deduplicated once and re-streamed 2× per round
+    through a map_batches that pre-reduces per-destination partial sums
+    inside each batch; the score vector rides as a broadcast (nodes,
+    values) numpy pair, folded on the driver exactly like :func:`pagerank`
+    (same >10^9-node bucketed-join escape hatch). Returns a DataFrame
+    (node, hub, authority) ordered by node.
+    """
+    import ray
+
+    edges = edges_ds.groupby([src_col, dst_col]).count().drop_columns(["count()"])
+    edges = edges.materialize()
+
+    def _keys(col: str) -> np.ndarray:
+        df = edges.groupby(col).count().to_pandas()
+        # empty aggregate -> DataFrame with NO columns (Ray Data gotcha)
+        if col not in df.columns:
+            return np.empty(0, dtype=np.int64)
+        return df[col].to_numpy(dtype=np.int64)
+
+    srcs = _keys(src_col)
+    dsts = _keys(dst_col)
+    nodes = np.unique(np.concatenate([srcs, dsts]))
+    n = int(nodes.size)
+    if n == 0:
+        return pd.DataFrame({
+            "node": pd.Series(dtype=np.int64),
+            "hub": pd.Series(dtype=np.float64),
+            "authority": pd.Series(dtype=np.float64),
+        })
+
+    scale = 1_000_000  # int64 headroom: per-node edge sums ≤ 1e6·degree
+
+    def edge_sum(key_col: str, other_col: str, vec: np.ndarray) -> np.ndarray:
+        """One streaming pass: group Σ vec[other] by key, exact int64."""
+        ref = ray.put((nodes, vec))
+
+        def contrib(t: pa.Table) -> pa.Table:
+            nd, vv = ray.get(ref)
+            k = np.asarray(t[key_col].combine_chunks().cast(pa.int64()))
+            o = np.asarray(t[other_col].combine_chunks().cast(pa.int64()))
+            ci = vv[np.searchsorted(nd, o)]
+            kpos, inv = np.unique(k, return_inverse=True)
+            sums = np.zeros(kpos.size, dtype=np.int64)
+            np.add.at(sums, inv, ci)
+            return pa.table({
+                "node": pa.array(kpos, pa.int64()),
+                "v": pa.array(sums, pa.int64()),
+            })
+
+        agg = edges.map_batches(
+            contrib, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        full = np.zeros(n, dtype=np.int64)
+        if len(agg):
+            np.add.at(
+                full,
+                np.searchsorted(nodes, agg["node"].to_numpy(dtype=np.int64)),
+                agg["v"].to_numpy(dtype=np.int64),
+            )
+        return full
+
+    def renorm(raw: np.ndarray) -> np.ndarray:
+        m = int(raw.max())
+        if m == 0:
+            return raw
+        # values are non-negative, so truncating == floor division here
+        return (raw * scale) // m
+
+    hub = np.full(n, scale, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(n_iter):
+        auth = renorm(edge_sum(dst_col, src_col, hub))
+        hub = renorm(edge_sum(src_col, dst_col, auth))
+
+    return pd.DataFrame({
+        "node": nodes,
+        "hub": hub.astype(np.float64) / float(scale),
+        "authority": auth.astype(np.float64) / float(scale),
+    })
+
+
+def customer_supplier_hits(sf_dir: str) -> pd.DataFrame:
+    """Gate pipeline: HITS over the same customer→supplier order graph as
+    :func:`customer_supplier_pagerank` (bipartite: customers are pure
+    hubs, suppliers pure authorities). From round 2 on, hub scores weight
+    suppliers by popularity — distinct from plain out-degree (asserted in
+    tests as the degeneracy probe)."""
+    return hits(_customer_supplier_edges(sf_dir), n_iter=4)
+
+
+def hits_sql(edges_sql: str, *, n_iter: int = 4) -> str:
+    """Oracle: identical integer half-steps unrolled as MATERIALIZED CTEs
+    (each raw-sum CTE is referenced twice — value + MAX subquery — and
+    would re-expand exponentially if inlined; see ops/pca.py)."""
+    parts = [
+        f"WITH edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        "h0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS v FROM nodes)",
+    ]
+    prev_h = "h0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""ar{t} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(h.v) AS v FROM edges e
+  JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         coalesce((ar{t}.v * 1000000) // (SELECT MAX(v) FROM ar{t}), 0) AS v
+  FROM nodes LEFT JOIN ar{t} ON ar{t}.node = nodes.node
+)"""
+        )
+        parts.append(
+            f"""hr{t} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(a.v) AS v FROM edges e
+  JOIN a{t} a ON a.node = e.dst GROUP BY e.src
+)"""
+        )
+        parts.append(
+            f"""h{t} AS MATERIALIZED (
+  SELECT nodes.node,
+         coalesce((hr{t}.v * 1000000) // (SELECT MAX(v) FROM hr{t}), 0) AS v
+  FROM nodes LEFT JOIN hr{t} ON hr{t}.node = nodes.node
+)"""
+        )
+        prev_h = f"h{t}"
+    body = ",\n".join(parts)
+    return (
+        f"{body}\n"
+        f"SELECT nodes.node AS node,\n"
+        f"       CAST(h{n_iter}.v AS DOUBLE) / 1000000 AS hub,\n"
+        f"       CAST(a{n_iter}.v AS DOUBLE) / 1000000 AS authority\n"
+        f"FROM nodes JOIN h{n_iter} ON h{n_iter}.node = nodes.node\n"
+        f"JOIN a{n_iter} ON a{n_iter}.node = nodes.node\n"
+        f"ORDER BY node"
+    )

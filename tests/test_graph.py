@@ -73,3 +73,63 @@ def test_partition_independence(ray_session):
     a = graph.pagerank(_edges(pairs))
     b = graph.pagerank(_edges(pairs).repartition(6))
     pd.testing.assert_frame_equal(a, b)
+
+
+def _reference_hits(pairs, n_iter=4):
+    """Dense exact-int mirror of graph.hits."""
+    pairs = sorted(set(pairs))
+    nodes = sorted({x for p in pairs for x in p})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    scale = 1_000_000
+    hub = [scale] * n
+    auth = [0] * n
+    for _ in range(n_iter):
+        raw = [0] * n
+        for s, t in pairs:
+            raw[idx[t]] += hub[idx[s]]
+        m = max(raw)
+        auth = [(v * scale) // m if m else v for v in raw]
+        raw = [0] * n
+        for s, t in pairs:
+            raw[idx[s]] += auth[idx[t]]
+        m = max(raw)
+        hub = [(v * scale) // m if m else v for v in raw]
+    return pd.DataFrame({
+        "node": nodes,
+        "hub": [v / scale for v in hub],
+        "authority": [v / scale for v in auth],
+    })
+
+
+def test_hits_matches_dense_reference(ray_session):
+    pairs = [
+        (1, 101), (1, 102), (1, 103),
+        (2, 101), (2, 102),
+        (3, 103), (3, 104),
+        (4, 104),
+        (104, 1),  # a supplier-side node that also points back: mixed roles
+    ]
+    got = graph.hits(_edges(pairs), n_iter=4).reset_index(drop=True)
+    want = _reference_hits(pairs, n_iter=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_hits_hub_is_not_out_degree(ray_session):
+    # 1 and 2 both have out-degree 2, but 1 points at the popular node 101
+    # (cited by everyone) while 2 points at fringe nodes: HITS must rank
+    # hub(1) > hub(2), which plain degree cannot distinguish.
+    pairs = [
+        (1, 101), (1, 102),
+        (2, 103), (2, 104),
+        (3, 101), (4, 101), (5, 101),
+        (3, 102),
+    ]
+    out = graph.hits(_edges(pairs), n_iter=4).set_index("node")
+    assert out.loc[1, "hub"] > out.loc[2, "hub"]
+
+
+def test_hits_empty_edges(ray_session):
+    out = graph.hits(_edges([]), n_iter=3)
+    assert list(out.columns) == ["node", "hub", "authority"]
+    assert len(out) == 0
