@@ -4497,6 +4497,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_bands": _range_join_bands,
         "pagerank": _pagerank,
         "hits_scores": lambda sf: _graph.customer_supplier_hits(sf),
+        "label_propagation": lambda sf: _graph.label_propagation(
+            _graph._customer_supplier_edges(sf), n_iter=4
+        ),
         "sample_split": _sample_split,
         "weighted_sample": _weighted_sample,
         "stratified_sample": _stratified_sample,
@@ -5400,6 +5403,10 @@ GROUP BY v.value ORDER BY v.value"""
             "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
         ),
         "hits_scores": _graph.hits_sql(
+            "SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
+            "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        ),
+        "label_propagation": _graph.label_propagation_sql(
             "SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst "
             "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
         ),

@@ -361,3 +361,132 @@ def hits_sql(edges_sql: str, *, n_iter: int = 4) -> str:
         f"JOIN a{n_iter} ON a{n_iter}.node = nodes.node\n"
         f"ORDER BY node"
     )
+
+
+def label_propagation(
+    edges_ds,
+    *,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 4,
+):
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    UNDIRECTED view of the edge Dataset: labels start as node ids; each
+    round every node adopts the most frequent label among its neighbors,
+    ties broken by the smallest label. Deterministic by construction (no
+    RNG, no visit order) — the asynchronous variant's order-dependence is
+    exactly what an exact SQL oracle cannot mirror. Synchronous LPA can
+    oscillate on bipartite graphs; use an even ``n_iter`` so two-sided
+    graphs land on the stable customer-side assignment.
+
+    Scale shape: edges are canonicalized (min,max) + deduplicated once and
+    re-streamed per round through a map_batches that pre-reduces
+    (node,label) pair counts inside each batch; the label vector rides as
+    a broadcast numpy pair like :func:`pagerank` (same >10^9-node
+    bucketed-join escape hatch, which would also move the per-round argmax
+    into a keyed exchange). Returns (node, label) ordered by node.
+    """
+    import ray
+    import ray.data as rd
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[src_col].combine_chunks().cast(pa.int64()))
+        d = np.asarray(t[dst_col].combine_chunks().cast(pa.int64()))
+        keep = s != d  # drop self-loops
+        s, d = s[keep], d[keep]
+        return pa.table({
+            "u": pa.array(np.minimum(s, d), pa.int64()),
+            "w": pa.array(np.maximum(s, d), pa.int64()),
+        })
+
+    edges = (
+        edges_ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["u", "w"]).count().drop_columns(["count()"])
+        .materialize()
+    )
+
+    df = edges.groupby("u").count().to_pandas()
+    us = df["u"].to_numpy(dtype=np.int64) if "u" in df.columns else np.empty(0, np.int64)
+    df = edges.groupby("w").count().to_pandas()
+    ws = df["w"].to_numpy(dtype=np.int64) if "w" in df.columns else np.empty(0, np.int64)
+    nodes = np.unique(np.concatenate([us, ws]))
+    n = int(nodes.size)
+    if n == 0:
+        return pd.DataFrame({
+            "node": pd.Series(dtype=np.int64),
+            "label": pd.Series(dtype=np.int64),
+        })
+
+    labels = nodes.copy()
+    for _ in range(n_iter):
+        ref = ray.put((nodes, labels))
+
+        def pair_counts(t: pa.Table) -> pa.Table:
+            nd, lb = ray.get(ref)
+            u = np.asarray(t["u"].combine_chunks().cast(pa.int64()))
+            w = np.asarray(t["w"].combine_chunks().cast(pa.int64()))
+            node = np.concatenate([u, w])
+            lbl = np.concatenate([lb[np.searchsorted(nd, w)],
+                                  lb[np.searchsorted(nd, u)]])
+            key = np.stack([node, lbl], axis=1)
+            uniq, cnt = np.unique(key, axis=0, return_counts=True)
+            return pa.table({
+                "node": pa.array(uniq[:, 0], pa.int64()),
+                "lbl": pa.array(uniq[:, 1], pa.int64()),
+                "c": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        agg = edges.map_batches(
+            pair_counts, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()
+        node_a = agg["node"].to_numpy(dtype=np.int64)
+        lbl_a = agg["lbl"].to_numpy(dtype=np.int64)
+        c_a = agg["c"].to_numpy(dtype=np.int64)
+        # fold cross-block partials, then per-node argmax (cnt desc, lbl asc)
+        key = np.stack([node_a, lbl_a], axis=1)
+        uniq, inv = np.unique(key, axis=0, return_inverse=True)
+        sums = np.zeros(uniq.shape[0], dtype=np.int64)
+        np.add.at(sums, inv, c_a)
+        order = np.lexsort((uniq[:, 1], -sums, uniq[:, 0]))
+        un, ul, _ = uniq[order, 0], uniq[order, 1], sums[order]
+        first = np.concatenate([[True], un[1:] != un[:-1]])
+        labels = labels.copy()
+        labels[np.searchsorted(nodes, un[first])] = ul[first]
+
+    return pd.DataFrame({"node": nodes, "label": labels})
+
+
+def label_propagation_sql(edges_sql: str, *, n_iter: int = 4) -> str:
+    """Oracle: identical synchronous rounds unrolled as MATERIALIZED CTEs;
+    per-node argmax via row_number() (count desc, label asc)."""
+    parts = [
+        f"WITH raw AS ({edges_sql})",
+        "edges AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, "
+        "greatest(src, dst) AS w FROM raw WHERE src <> dst)",
+        "nodes AS MATERIALIZED (SELECT DISTINCT node FROM "
+        "(SELECT u AS node FROM edges UNION SELECT w FROM edges))",
+        "lab0 AS (SELECT node, node AS lbl FROM nodes)",
+    ]
+    prev = "lab0"
+    for t in range(1, n_iter + 1):
+        parts.append(
+            f"""cnt{t} AS MATERIALIZED (
+  SELECT node, lbl, count(*) AS c FROM (
+    SELECT e.u AS node, l.lbl AS lbl FROM edges e JOIN {prev} l ON l.node = e.w
+    UNION ALL
+    SELECT e.w, l.lbl FROM edges e JOIN {prev} l ON l.node = e.u
+  ) GROUP BY node, lbl
+)"""
+        )
+        parts.append(
+            f"""lab{t} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl ASC) AS rn
+    FROM cnt{t}
+  ) WHERE rn = 1
+)"""
+        )
+        prev = f"lab{t}"
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT node, lbl AS label FROM {prev} ORDER BY node"

@@ -133,3 +133,48 @@ def test_hits_empty_edges(ray_session):
     out = graph.hits(_edges([]), n_iter=3)
     assert list(out.columns) == ["node", "hub", "authority"]
     assert len(out) == 0
+
+
+def _reference_lpa(pairs, n_iter=4):
+    """Dense mirror of synchronous min-tie-break label propagation."""
+    und = sorted({(min(s, d), max(s, d)) for s, d in pairs if s != d})
+    nodes = sorted({x for p in und for x in p})
+    lab = {v: v for v in nodes}
+    for _ in range(n_iter):
+        cnt = {}
+        for u, w in und:
+            cnt.setdefault(u, {}).setdefault(lab[w], 0)
+            cnt[u][lab[w]] += 1
+            cnt.setdefault(w, {}).setdefault(lab[u], 0)
+            cnt[w][lab[u]] += 1
+        lab = {
+            v: min(c, key=lambda l: (-c[l], l)) if (c := cnt.get(v)) else lab[v]
+            for v in nodes
+        }
+    return pd.DataFrame({"node": nodes, "label": [lab[v] for v in nodes]})
+
+
+def test_label_propagation_two_triangles(ray_session):
+    # two triangles joined by one bridge edge: LPA should give each
+    # triangle one community (min node id), not collapse across the bridge
+    pairs = [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)]
+    got = graph.label_propagation(_edges(pairs), n_iter=4).reset_index(drop=True)
+    want = _reference_lpa(pairs, n_iter=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    labs = got.set_index("node")["label"]
+    assert labs[1] == labs[2] == labs[3]
+    assert labs[10] == labs[11] == labs[12]
+    assert labs[1] != labs[10]
+
+
+def test_label_propagation_matches_dense_reference(ray_session):
+    rng = np.random.default_rng(3)
+    pairs = [tuple(map(int, p)) for p in rng.integers(0, 25, size=(80, 2))]
+    got = graph.label_propagation(_edges(pairs), n_iter=4).reset_index(drop=True)
+    want = _reference_lpa(pairs, n_iter=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_label_propagation_self_loops_only(ray_session):
+    out = graph.label_propagation(_edges([(5, 5), (6, 6)]), n_iter=2)
+    assert len(out) == 0
