@@ -34,6 +34,7 @@ from harvester_ray.ops import prefixcache as _prefixcache
 from harvester_ray.ops import coreset as _coreset
 from harvester_ray.ops import refusal as _refusal
 from harvester_ray.ops import pca as _pca
+from harvester_ray.pipelines import transform as _transform_mod
 from harvester_ray.ops import tagging as _tagging
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
@@ -3377,6 +3378,21 @@ def _kcenter_select(sf_dir: str) -> pd.DataFrame:
 
     return coreset.kcenter_select(_emb_ds(sf_dir), k=6)
 
+def _transform_pivot(sf_dir: str) -> pd.DataFrame:
+    """ES continuous-transform analog (pipelines/transform.py): initial
+    pivot at a 90% timestamp watermark, then the continuous step recomputes
+    only post-checkpoint group keys and rewrites only their dest buckets —
+    the result must equal one full pivot (the oracle)."""
+    import shutil
+
+    from harvester_ray.pipelines import transform as _transform
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    dest = os.path.join(_SCRATCH, f"transform-pivot-{tag}")
+    shutil.rmtree(dest, ignore_errors=True)
+    return _transform.transform_pivot(sf_dir, dest)
+
+
 def _pca_project(sf_dir: str) -> pd.DataFrame:
     """Top-PC projection head (ops/pca.py): streaming (count, Σq, qqT)
     Gram partials → exact-integer power iteration on the driver (64
@@ -4488,6 +4504,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prefix_cache_stats": _prefix_cache_stats,
         "kcenter_select": _kcenter_select,
         "pca_project": _pca_project,
+        "transform_pivot": _transform_pivot,
         "refusal_flags": _refusal_flags,
         "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -5391,6 +5408,7 @@ GROUP BY v.value ORDER BY v.value"""
         "prefix_cache_stats": _prefix_cache_stats_sql(),
         "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
         "pca_project": _pca.pca_sql("embeddings"),
+        "transform_pivot": _transform_mod.transform_pivot_sql("events"),
         "refusal_flags": _refusal_flags_sql(),
         "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
