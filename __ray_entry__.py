@@ -35,6 +35,7 @@ from harvester_ray.ops import coreset as _coreset
 from harvester_ray.ops import refusal as _refusal
 from harvester_ray.ops import pca as _pca
 from harvester_ray.pipelines import transform as _transform_mod
+from harvester_ray.ops import agreement as _agreement
 from harvester_ray.ops import tagging as _tagging
 from harvester_ray.ops import packing as _packing
 from harvester_ray.ops import quantiles as _quantiles
@@ -4505,6 +4506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_select": _kcenter_select,
         "pca_project": _pca_project,
         "transform_pivot": _transform_pivot,
+        "rater_kappa": lambda sf: _agreement.rater_kappa(_docs_ds(sf)),
         "refusal_flags": _refusal_flags,
         "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -5409,6 +5411,7 @@ GROUP BY v.value ORDER BY v.value"""
         "kcenter_select": _coreset.kcenter_select_sql("embeddings", k=6),
         "pca_project": _pca.pca_sql("embeddings"),
         "transform_pivot": _transform_mod.transform_pivot_sql("events"),
+        "rater_kappa": _agreement.rater_kappa_sql("documents"),
         "refusal_flags": _refusal_flags_sql(),
         "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
