@@ -4301,6 +4301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "q5_local_supplier": relational.q5_local_supplier,
         "pack_sequences": _pack_sequences,
+        "length_buckets": lambda sf: _packing.length_buckets(_docs_ds(sf)),
         "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
         "state_counts": relational.state_counts,
@@ -4910,6 +4911,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": relational.events_rollup_sql(),
         "q5_local_supplier": relational.q5_local_supplier_sql(),
         "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
+        "length_buckets": _packing.length_buckets_sql("documents"),
         "hybrid_search": similarity.hybrid_search_sql(
             index_oracle.bm25_sql("documents", BM25_QUERY_AND, 50, mode="and"),
             query_vec_id=0,

@@ -112,3 +112,106 @@ SELECT doc_id, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
        CAST(start_tok // {capacity} AS BIGINT) AS bin
 FROM s ORDER BY doc_id
 """.strip()
+
+
+def length_buckets(
+    ds,
+    *,
+    boundaries: tuple[int, ...] = (16, 32, 48, 64),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Length-grouped batching diagnostics: bucket every document by token
+    count into the smallest boundary that holds it and account the padding
+    a pad-to-boundary batcher would waste (the length-bucketing trick of
+    Khomenko et al. 2016 / fairseq's ``--max-tokens`` groups).
+
+    Docs longer than the largest boundary form the overflow bucket, padded
+    to that bucket's observed max length. All accounting is integer
+    (counts, token sums, ``n_docs·boundary`` pad targets); the single
+    waste ratio is one mirrored floor(x·1e6+0.5)/1e6 division.
+
+    Scale shape: one streaming pass emits per-(block, bucket) partial
+    sums — ≤ len(boundaries)+1 rows per block — folded on the driver.
+    Returns (bucket_cap, n_docs, sum_tokens, pad_tokens, waste_ratio)
+    ordered by bucket_cap.
+    """
+    import math
+
+    bounds = np.asarray(sorted(boundaries), dtype=np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        import pyarrow.compute as pc
+
+        n_tok = analyzer.doc_token_counts(pc.fill_null(text, ""))
+        # bucket index: first boundary >= n_tok; len(bounds) = overflow
+        bi = np.searchsorted(bounds, n_tok, side="left")
+        uniq, inv = np.unique(bi, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, n_tok)
+        mx = np.zeros(uniq.size, dtype=np.int64)
+        np.maximum.at(mx, inv, n_tok)
+        return pa.table({
+            "bi": pa.array(uniq.astype(np.int64), pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "s": pa.array(sums, pa.int64()),
+            "mx": pa.array(mx, pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for bi, grp in parts.groupby("bi"):
+        n = int(grp["n"].sum())
+        s = int(grp["s"].sum())
+        mx = int(grp["mx"].max())
+        cap = int(bounds[bi]) if bi < bounds.size else mx
+        pad = n * cap
+        waste = math.floor((pad - s) / pad * 1e6 + 0.5) / 1e6 if pad else 0.0
+        rows.append((cap, n, s, pad, waste))
+    out = pd.DataFrame(
+        rows, columns=["bucket_cap", "n_docs", "sum_tokens", "pad_tokens", "waste_ratio"]
+    )
+    return out.sort_values("bucket_cap").reset_index(drop=True)
+
+
+def length_buckets_sql(
+    table: str = "documents",
+    *,
+    boundaries: tuple[int, ...] = (16, 32, 48, 64),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle: same smallest-boundary-≥-length assignment via a CASE
+    ladder; overflow bucket capped at its own max length."""
+    bounds = sorted(boundaries)
+    ladder = " ".join(
+        f"WHEN n_tok <= {b} THEN {b}" for b in bounds
+    )
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, CAST(len({tok}) AS BIGINT) AS n_tok FROM {table}
+),
+bucketed AS (
+  SELECT n_tok, CASE {ladder} ELSE NULL END AS cap FROM toks
+),
+fin AS (
+  SELECT CASE WHEN cap IS NULL THEN max(n_tok) ELSE cap END AS bucket_cap,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+  FROM bucketed GROUP BY cap
+)
+SELECT bucket_cap, n_docs, sum_tokens,
+       n_docs * bucket_cap AS pad_tokens,
+       CASE WHEN n_docs * bucket_cap = 0 THEN 0.0
+            ELSE floor(CAST(n_docs * bucket_cap - sum_tokens AS DOUBLE)
+                       / CAST(n_docs * bucket_cap AS DOUBLE) * 1000000 + 0.5)
+                 / 1000000
+       END AS waste_ratio
+FROM fin
+ORDER BY bucket_cap
+""".strip()
