@@ -67,6 +67,36 @@ def power_direction(
     return v
 
 
+def _fold_moments(ds, *, vec_col: str = "embedding"):
+    """Streaming pass → exact (count, Σq, qqT) folded to Python ints on
+    the driver (B × d² partial ints — never the rows). None if empty."""
+    from .similarity import _batch_matrix
+
+    def partials(batch: pa.Table) -> pa.Table:
+        q = _quantize(_batch_matrix(batch, vec_col))
+        return pa.table({
+            "cnt": pa.array([q.shape[0]], pa.int64()),
+            "sx": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
+            "g": pa.array([(q.T @ q).ravel().tolist()], pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
+    if not parts:
+        return None
+    d = len(parts[0]["sx"])
+    cnt = sum(int(p["cnt"]) for p in parts)
+    sx = [0] * d
+    gram = [[0] * d for _ in range(d)]
+    for p in parts:
+        psx, pg = p["sx"], p["g"]
+        for i in range(d):
+            sx[i] += int(psx[i])
+            row, base = gram[i], i * d
+            for j in range(d):
+                row[j] += int(pg[base + j])
+    return cnt, sx, gram
+
+
 def _display(num: int, den: int) -> float:
     """floor(num/den · 1e4 + 0.5)/1e4 with the exact SQL op order."""
     return math.floor(float(num) / float(den) * 10000.0 + 0.5) / 10000.0
@@ -88,31 +118,12 @@ def pca_project(
     from .similarity import _batch_matrix, _topk_reduce_ds
 
     ds = ray.data.read_parquet(path, columns=[id_col, vec_col])
-
-    def partials(batch: pa.Table) -> pa.Table:
-        q = _quantize(_batch_matrix(batch, vec_col))
-        return pa.table({
-            "cnt": pa.array([q.shape[0]], pa.int64()),
-            "sx": pa.array([q.sum(axis=0).tolist()], pa.list_(pa.int64())),
-            "g": pa.array([(q.T @ q).ravel().tolist()], pa.list_(pa.int64())),
-        })
-
-    parts = ds.map_batches(partials, batch_format="pyarrow").take_all()
-    if not parts:
+    moments = _fold_moments(ds, vec_col=vec_col)
+    if moments is None:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "pc1": pa.array([], pa.float64())})
-    d = len(parts[0]["sx"])
-    cnt = sum(int(p["cnt"]) for p in parts)
-    sx = [0] * d
-    gram = [[0] * d for _ in range(d)]
-    for p in parts:
-        psx, pg = p["sx"], p["g"]
-        for i in range(d):
-            sx[i] += int(psx[i])
-            row, base = gram[i], i * d
-            for j in range(d):
-                row[j] += int(pg[base + j])
-
+    cnt, sx, gram = moments
+    d = len(sx)
     v = power_direction(cnt, sx, gram, iters=iters)
     vref = ray.put(np.asarray(v, dtype=np.int64))
 
@@ -146,17 +157,11 @@ def pca_project(
     })
 
 
-def pca_sql(
-    table: str = "embeddings",
-    *,
-    k: int = 20,
-    iters: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> str:
-    """Oracle: the identical quantize → integer scatter → truncating-div
-    power iteration → integer projection chain, unrolled one CTE pair per
-    iteration (the pagerank/bpe unrolled-chain discipline)."""
+def _pca_chain_sql(
+    table: str, iters: int, id_col: str, vec_col: str
+) -> tuple[str, str]:
+    """Shared WITH-prefix (quantize → integer scatter → unrolled power
+    iteration); returns (prefix, name-of-final-direction-CTE)."""
     steps = []
     prev = "v0"
     for t in range(1, iters + 1):
@@ -170,7 +175,7 @@ def pca_sql(
         )
         prev = f"v{t}"
     chain = ",\n".join(steps)
-    return f"""
+    prefix = f"""
 WITH base AS MATERIALIZED (
   SELECT {id_col} AS vid, i, CAST(floor(e * 1000000 + 0.5) AS BIGINT) AS q
   FROM (SELECT {id_col}, unnest(CAST({vec_col} AS DOUBLE[])) AS e,
@@ -183,7 +188,24 @@ g AS (SELECT a.i AS i, b.i AS j, SUM(CAST(a.q AS HUGEINT) * b.q) AS gg
 cov AS MATERIALIZED (SELECT g.i, g.j, (SELECT cnt FROM n) * gg - sa.s * sb.s AS c
         FROM g JOIN sx sa ON sa.i = g.i JOIN sx sb ON sb.i = g.j),
 v0 AS (SELECT i, CAST(1000000 AS HUGEINT) AS val FROM sx),
-{chain},
+{chain}""".strip()
+    return prefix, prev
+
+
+def pca_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 20,
+    iters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle: the identical quantize → integer scatter → truncating-div
+    power iteration → integer projection chain, unrolled one CTE pair per
+    iteration (the pagerank/bpe unrolled-chain discipline)."""
+    prefix, prev = _pca_chain_sql(table, iters, id_col, vec_col)
+    return f"""
+{prefix},
 proj AS (SELECT b.vid AS vec_id, SUM(CAST(b.q AS HUGEINT) * v.val) AS a
          FROM base b JOIN {prev} v USING (i) GROUP BY b.vid),
 sv AS (SELECT SUM(sx.s * v.val) AS s FROM sx JOIN {prev} v USING (i))
@@ -193,5 +215,127 @@ SELECT vec_id,
              * 10000 + 0.5) / 10000 AS pc1
 FROM proj
 ORDER BY a DESC, vec_id ASC
+LIMIT {k}
+""".strip()
+
+
+def pca_residual_outliers(
+    path: str,
+    *,
+    k: int = 20,
+    iters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Embedding outliers after top-component removal (the curation use of
+    Mu & Viswanath's All-but-the-Top: rows whose centered vector is least
+    explained by PC1 — corrupted or off-distribution embeddings).
+
+    Exact integer ranking key, no per-component residual needed: with
+    centered c = n·q − Σq and direction v,
+    ``key = (v·v)·‖c‖² − (c·v)²  (≥ 0 by Cauchy–Schwarz)``
+    — the squared residual norm scaled by n²·(v·v). ‖c‖² expands to
+    ``n²‖q‖² − 2n(q·Σq) + ‖Σq‖²`` whose pieces are all vectorized int64
+    (q·Σq via a hi/lo 2³¹ split so no dot overflows); only the final
+    per-row key assembly is Python-int (exceeds int64), and each block
+    ships exactly its k best (key_hi, key_lo) pairs — base-2⁶² split, so
+    lexicographic (hi, lo) order IS numeric order for the driver's
+    O(k·blocks) merge. Display value = key / (n²·(v·v)·1e12) ≡ squared
+    residual norm in embedding units, mirrored verbatim.
+    """
+    import ray
+
+    from .similarity import _batch_matrix
+
+    ds = ray.data.read_parquet(path, columns=[id_col, vec_col])
+    moments = _fold_moments(ds, vec_col=vec_col)
+    if moments is None:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "resid2": pa.array([], pa.float64())})
+    cnt, sx, gram = moments
+    d = len(sx)
+    v = power_direction(cnt, sx, gram, iters=iters)
+    s2 = sum(vi * vi for vi in v)          # v·v
+    s = sum(sx[i] * v[i] for i in range(d))  # Σq·v
+    sxsx = sum(x * x for x in sx)          # ‖Σq‖²
+    hi31 = np.asarray([x >> 31 for x in sx], dtype=np.int64)
+    lo31 = np.asarray([x & ((1 << 31) - 1) for x in sx], dtype=np.int64)
+    vref = ray.put((np.asarray(v, dtype=np.int64), hi31, lo31))
+
+    def block_topk(batch: pa.Table) -> pa.Table:
+        vv, hi_arr, lo_arr = ray.get(vref)
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        q = _quantize(_batch_matrix(batch, vec_col))
+        a = q @ vv                      # q·v, |·| ≤ 2^47
+        normq = (q * q).sum(axis=1)     # ≤ 2^48
+        qdot_hi = q @ hi_arr            # hi/lo split keeps both ≤ 2^58
+        qdot_lo = q @ lo_arr
+        keys = []
+        for j in range(ids.size):
+            qdotsx = (int(qdot_hi[j]) << 31) + int(qdot_lo[j])
+            c2 = cnt * cnt * int(normq[j]) - 2 * cnt * qdotsx + sxsx
+            ac = cnt * int(a[j]) - s
+            keys.append(s2 * c2 - ac * ac)
+        order = sorted(range(ids.size), key=lambda j: (-keys[j], ids[j]))[:k]
+        sel_keys = [keys[j] for j in order]
+        return pa.table({
+            "vec_id": pa.array([int(ids[j]) for j in order], pa.int64()),
+            "key_hi": pa.array([kk >> 62 for kk in sel_keys], pa.int64()),
+            "key_lo": pa.array([kk & ((1 << 62) - 1) for kk in sel_keys], pa.int64()),
+        })
+
+    parts = ds.map_batches(block_topk, batch_format="pyarrow").to_pandas()
+    keys = [
+        ((int(h) << 62) + int(l), int(i))
+        for h, l, i in zip(parts["key_hi"], parts["key_lo"], parts["vec_id"])
+    ]
+    keys.sort(key=lambda t: (-t[0], t[1]))
+    den = cnt * cnt * s2 * (10**12)
+    top = keys[:k]
+    return pa.table({
+        "vec_id": pa.array([i for _, i in top], pa.int64()),
+        "resid2": pa.array([_display(kk, den) for kk, _ in top], pa.float64()),
+    })
+
+
+def pca_residual_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 20,
+    iters: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """Oracle: same chain + the closed-form residual key in HUGEINT."""
+    prefix, prev = _pca_chain_sql(table, iters, id_col, vec_col)
+    return f"""
+{prefix},
+s2 AS (SELECT SUM(val * val) AS v FROM {prev}),
+sv AS (SELECT SUM(sx.s * v.val) AS s FROM sx JOIN {prev} v USING (i)),
+sxsx AS (SELECT SUM(s * s) AS v FROM sx),
+perdoc AS (
+  SELECT b.vid AS vec_id,
+         SUM(CAST(b.q AS HUGEINT) * v.val) AS a,
+         SUM(CAST(b.q AS HUGEINT) * b.q) AS normq,
+         SUM(CAST(b.q AS HUGEINT) * sx.s) AS qdotsx
+  FROM base b JOIN {prev} v USING (i) JOIN sx USING (i)
+  GROUP BY b.vid
+),
+keyed AS (
+  SELECT vec_id,
+         (SELECT v FROM s2)
+           * ((SELECT cnt FROM n) * (SELECT cnt FROM n) * normq
+              - 2 * (SELECT cnt FROM n) * qdotsx + (SELECT v FROM sxsx))
+           - ((SELECT cnt FROM n) * a - (SELECT s FROM sv))
+             * ((SELECT cnt FROM n) * a - (SELECT s FROM sv)) AS key
+  FROM perdoc
+)
+SELECT vec_id,
+       floor(CAST(key AS DOUBLE)
+             / CAST((SELECT cnt FROM n) * (SELECT cnt FROM n)
+                    * (SELECT v FROM s2) * 1000000000000 AS DOUBLE)
+             * 10000 + 0.5) / 10000 AS resid2
+FROM keyed
+ORDER BY key DESC, vec_id ASC
 LIMIT {k}
 """.strip()

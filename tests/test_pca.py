@@ -86,3 +86,33 @@ def test_pca_project_matches_local_reference(ray_session, tmp_path):
     ]
     assert out["vec_id"].tolist() == [int(i) for i in order]
     assert out["pc1"].tolist() == want
+
+
+def test_pca_residual_prefers_orthogonal_outlier(ray_session, tmp_path):
+    rng = np.random.default_rng(23)
+    mat = rng.normal(size=(50, 4)) * 0.02
+    mat[:, 0] += np.linspace(-0.5, 0.5, 50)        # dominant axis 0
+    mat[7] = [1.5e-1, 0.0, 0.0, 0.0]               # big but ON the component
+    mat[13] = [0.0, 0.0, 0.0, 1.2]                 # off-component outlier
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float32())),
+        }),
+        path,
+    )
+    out = pca.pca_residual_outliers(path, k=5, iters=32).to_pandas()
+    assert out["vec_id"].iloc[0] == 13      # orthogonal outlier wins
+    assert 7 not in out["vec_id"].tolist()  # on-component doc is explained
+
+    # numpy cross-check: the exact key ordering equals the float residual
+    # ordering on this well-separated fixture
+    X = np.stack(pq.read_table(path)["embedding"].to_pandas().to_numpy()).astype(np.float64)
+    Xc = X - X.mean(0)
+    _, V = np.linalg.eigh(Xc.T @ Xc)
+    pc1 = V[:, -1]
+    resid = Xc - np.outer(Xc @ pc1, pc1)
+    want = np.argsort(-np.einsum("ij,ij->i", resid, resid))[:5]
+    assert out["vec_id"].tolist() == [int(i) for i in want]
