@@ -4511,6 +4511,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_residual": lambda sf: _pca.pca_residual_outliers(
             os.path.join(sf, "embeddings.parquet")
         ).to_pandas(),
+        "srp_project": lambda sf: _pca.srp_project(
+            os.path.join(sf, "embeddings.parquet")
+        ).to_pandas(),
         "refusal_flags": _refusal_flags,
         "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
@@ -5418,6 +5421,7 @@ GROUP BY v.value ORDER BY v.value"""
         "transform_pivot": _transform_mod.transform_pivot_sql("events"),
         "rater_kappa": _agreement.rater_kappa_sql("documents"),
         "pca_residual": _pca.pca_residual_sql("embeddings"),
+        "srp_project": _pca.srp_sql("embeddings"),
         "refusal_flags": _refusal_flags_sql(),
         "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),

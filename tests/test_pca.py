@@ -116,3 +116,27 @@ def test_pca_residual_prefers_orthogonal_outlier(ray_session, tmp_path):
     resid = Xc - np.outer(Xc @ pc1, pc1)
     want = np.argsort(-np.einsum("ij,ij->i", resid, resid))[:5]
     assert out["vec_id"].tolist() == [int(i) for i in want]
+
+
+def test_srp_preserves_cosine_order_roughly(ray_session, tmp_path):
+    """JL sanity: projected cosine must correlate with true cosine."""
+    rng = np.random.default_rng(31)
+    mat = rng.normal(size=(40, 32)) * 0.05
+    path = str(tmp_path / "emb.parquet")
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(40), pa.int64()),
+            "embedding": pa.array([r.tolist() for r in mat],
+                                  pa.list_(pa.float32())),
+        }),
+        path,
+    )
+    out = pca.srp_project(path, out_dim=16, n_rows=40).to_pandas()
+    proj = out.pivot(index="vec_id", columns="j", values="p").to_numpy(np.float64)
+    def cosmat(m):
+        n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        return n @ n.T
+    true_c = cosmat(mat)[np.triu_indices(40, 1)]
+    srp_c = cosmat(proj)[np.triu_indices(40, 1)]
+    r = np.corrcoef(true_c, srp_c)[0, 1]
+    assert r > 0.5, r
