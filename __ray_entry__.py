@@ -4508,6 +4508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_project": _pca_project,
         "transform_pivot": _transform_pivot,
         "rater_kappa": lambda sf: _agreement.rater_kappa(_docs_ds(sf)),
+        "calibration_bins": lambda sf: _agreement.calibration_bins(_docs_ds(sf)),
         "pca_residual": lambda sf: _pca.pca_residual_outliers(
             os.path.join(sf, "embeddings.parquet")
         ).to_pandas(),
@@ -5420,6 +5421,7 @@ GROUP BY v.value ORDER BY v.value"""
         "pca_project": _pca.pca_sql("embeddings"),
         "transform_pivot": _transform_mod.transform_pivot_sql("events"),
         "rater_kappa": _agreement.rater_kappa_sql("documents"),
+        "calibration_bins": _agreement.calibration_bins_sql("documents"),
         "pca_residual": _pca.pca_residual_sql("embeddings"),
         "srp_project": _pca.srp_sql("embeddings"),
         "refusal_flags": _refusal_flags_sql(),

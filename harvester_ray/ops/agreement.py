@@ -116,3 +116,96 @@ SELECT CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10,
        END AS kappa
 FROM k
 """.strip()
+
+
+def calibration_bins(
+    ds,
+    *,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Reliability diagram (Murphy/DeGroot calibration): bin documents by
+    the heuristic quality score, and per bin report how often the Gopher
+    composite actually keeps them — the standard check before using a
+    cheap scorer as a proxy label at corpus scale.
+
+    Parity: the score is the gate-green round(·,6) double on both sides,
+    so ``floor(score·n_bins)`` bins and ``floor(score·1e6 + 0.5)`` micro
+    sums are computed from IDENTICAL doubles; per-bin sums/counts are
+    integers; the two ratios are mirrored floor-half divisions.
+
+    Scale shape: one streaming pass, ≤ n_bins partial rows per block.
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = np.asarray(
+            text_analysis.gopher_rules_batch(
+                batch, id_col=id_col, text_col=text_col
+            )["keep"]
+        )
+        q = np.asarray(
+            text_analysis.analyze_batch(batch, id_col=id_col, text_col=text_col)[
+                "quality"
+            ]
+        )
+        bins = np.minimum(np.floor(q * n_bins), n_bins - 1).astype(np.int64)
+        q_micro = np.floor(q * 1_000_000 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(bins, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        pos = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(pos, inv, keep.astype(np.int64))
+        sums = np.zeros(uniq.size, dtype=np.int64)
+        np.add.at(sums, inv, q_micro)
+        return pa.table({
+            "bin": pa.array(uniq, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "sq": pa.array(sums, pa.int64()),
+        })
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    rows = []
+    for b, grp in parts.groupby("bin"):
+        n = int(grp["n"].sum())
+        pos = int(grp["pos"].sum())
+        sq = int(grp["sq"].sum())
+        rows.append((
+            int(b), n, pos,
+            math.floor(pos / n * 1e6 + 0.5) / 1e6,
+            math.floor(sq / n + 0.5) / 1e6,
+        ))
+    return pd.DataFrame(
+        rows, columns=["bin", "n_docs", "n_pos", "pos_rate", "mean_score"]
+    ).sort_values("bin").reset_index(drop=True)
+
+
+def calibration_bins_sql(
+    table: str = "documents",
+    *,
+    n_bins: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    g = text_analysis.gopher_rules_sql(table, id_col=id_col, text_col=text_col)
+    q = text_analysis.analyze_sql(table, id_col=id_col, text_col=text_col)
+    return f"""
+WITH g AS MATERIALIZED ({g}),
+q AS MATERIALIZED ({q}),
+j AS (SELECT least(CAST(floor(q.quality * {n_bins}) AS BIGINT), {n_bins - 1}) AS bin,
+             CAST(g.keep AS BIGINT) AS pos,
+             CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS qm
+      FROM g JOIN q USING (doc_id))
+SELECT bin,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       floor(CAST(SUM(pos) AS DOUBLE) / count(*) * 1000000 + 0.5) / 1000000
+         AS pos_rate,
+       floor(CAST(SUM(qm) AS DOUBLE) / count(*) + 0.5) / 1000000 AS mean_score
+FROM j
+GROUP BY bin
+ORDER BY bin
+""".strip()

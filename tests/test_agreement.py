@@ -38,3 +38,20 @@ def test_kappa_matches_closed_form(ray_session):
     den = total * total - chance
     want = math.floor((total * (n11 + n00) - chance) / den * 1e6 + 0.5) / 1e6 if den else 0.0
     assert out["kappa"].iloc[0] == want
+
+
+def test_calibration_bins_totals_and_bounds(ray_session):
+    rng = np.random.default_rng(9)
+    words = ["the", "of", "and", "data", "model", "ray", "with", "to"]
+    texts = [
+        " ".join(rng.choice(words, size=int(n)))
+        for n in rng.integers(2, 80, size=150)
+    ]
+    out = agreement.calibration_bins(_docs(texts))
+    assert out["n_docs"].sum() == 150
+    assert (out["n_pos"] <= out["n_docs"]).all()
+    assert out["bin"].between(0, 9).all()
+    assert out["pos_rate"].between(0, 1).all()
+    # mean score must sit inside its own bin's range (inclusive edges)
+    for r in out.itertuples():
+        assert r.bin / 10 - 1e-6 <= r.mean_score <= (r.bin + 1) / 10 + 1e-6
