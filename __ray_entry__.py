@@ -4616,6 +4616,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
+        "heaps_law": lambda sf: _keywords.heaps_law(
+            _docs_ds(sf, ("doc_id", "text")), points=24
+        ),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
         ),
@@ -5494,6 +5497,7 @@ GROUP BY v.value ORDER BY v.value"""
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
+        "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5

@@ -1324,6 +1324,165 @@ FROM ks CROSS JOIN tot t ORDER BY k
 """.strip()
 
 
+def heaps_law(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    points: int = 64,
+) -> pd.DataFrame:
+    """Heaps'-law fit of vocabulary growth: V(n) = K·n^β, estimated as the
+    OLS line of ln(cumulative distinct terms) against ln(cumulative tokens)
+    sampled at ``points`` evenly-spaced document checkpoints in ``id_col``
+    order. Natural corpora sit near β ≈ 0.5; templated/synthetic text runs
+    flat (tiny β) — the companion diagnostic to ``zipf_slope`` and the
+    number that forecasts tokenizer-vocab size at 1000× the corpus.
+
+    One streaming pass emits two vocabulary/doc-bounded partials per batch:
+    (term → min doc id) and (doc id → token count); the driver fold is
+    O(vocab + n_docs) like ``corpus_cf`` (beyond driver memory the fold
+    becomes the index build's bucketed filesystem partitioning). Each ln is
+    nano-quantized BEFORE the sums (zipf_slope discipline), so numerator and
+    denominator are exact integers on both sides. Checkpoints are positions
+    ``pos % stride == 0`` plus the last doc, ``stride = ceil(n_docs/points)``.
+    Returns one row ``(n_docs, n_points, beta, ln_k)`` (rounded 6).
+
+    Reference analog: harvester fits corpus vectorizers for collection
+    statistics (`/root/reference/harvester/core/analysis/text.py:45-71`);
+    vocabulary-growth forecasting is the scale-planning view of the same
+    statistic."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        nv = len(dictionary)
+        fid = np.full(nv, np.iinfo(np.int64).max, np.int64)
+        if codes.size:
+            np.minimum.at(fid, codes, ids[rows])
+        dlen = np.bincount(rows, minlength=len(batch)).astype(np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        return pa.table(
+            {
+                "term": pa.array(
+                    np.append(terms, np.full(len(batch), None, object)), pa.string()
+                ),
+                "id": pa.array(np.append(fid, ids), pa.int64()),
+                "n": pa.array(np.append(np.zeros(nv, np.int64), dlen), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(
+            partials, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["n_docs", "n_points", "beta", "ln_k"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    allp = pd.concat(parts, ignore_index=True)
+    vocab = allp[allp["term"].notna()].groupby("term", sort=False, as_index=False)["id"].min()
+    docs = (
+        allp[allp["term"].isna()][["id", "n"]]
+        .groupby("id", sort=True, as_index=False)["n"]
+        .sum()
+    )
+    n_docs = int(len(docs))
+    if n_docs == 0:
+        return pd.DataFrame(columns=cols)
+    doc_ids = docs["id"].to_numpy(np.int64)
+    cum_tok = np.cumsum(docs["n"].to_numpy(np.int64))
+    # new-vocab count per doc position (1-based), cumulative
+    fpos = np.searchsorted(doc_ids, vocab["id"].to_numpy(np.int64))
+    cum_vocab = np.cumsum(np.bincount(fpos, minlength=n_docs).astype(np.int64))
+    stride = max(1, -(-n_docs // points))
+    pos = np.arange(1, n_docs + 1, dtype=np.int64)
+    mask = ((pos % stride == 0) | (pos == n_docs)) & (cum_tok > 0) & (cum_vocab > 0)
+    ct, cv = cum_tok[mask], cum_vocab[mask]
+    n = int(ct.size)
+    if n == 0:
+        return pd.DataFrame(
+            {"n_docs": np.array([n_docs], np.int64), "n_points": np.array([0], np.int64),
+             "beta": [None], "ln_k": [None]}
+        )
+    x = np.floor(np.log(ct.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    y = np.floor(np.log(cv.astype(np.float64)) * 1e9 + 0.5).astype(np.int64)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = sum(int(a) * int(b) for a, b in zip(x, y))
+    sxx = sum(int(a) * int(a) for a in x)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    if den == 0:
+        beta = None
+        ln_k = None
+    else:
+        beta = round(float(num) / float(den), 6) + 0.0
+        ln_k = round(
+            (float(sy) / 1e9 - (float(num) / float(den)) * (float(sx) / 1e9)) / n, 6
+        ) + 0.0
+    return pd.DataFrame(
+        {
+            "n_docs": np.array([n_docs], np.int64),
+            "n_points": np.array([n], np.int64),
+            "beta": [beta],
+            "ln_k": [ln_k],
+        }
+    )
+
+
+def heaps_law_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    points: int = 64,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS id, {tok} AS ts FROM {table}),
+dl AS (SELECT id, CAST(len(ts) AS BIGINT) AS nt FROM toks),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+              greatest(1, (CAST(count(*) AS BIGINT) + {points} - 1) // {points}) AS stride
+       FROM dl),
+ord AS (SELECT id, row_number() OVER (ORDER BY id) AS pos,
+               sum(nt) OVER (ORDER BY id) AS cumtok
+        FROM dl),
+firsts AS (
+  SELECT term, min(id) AS fid
+  FROM (SELECT id, unnest(ts) AS term FROM toks) GROUP BY term
+),
+newv AS (SELECT fid AS id, CAST(count(*) AS BIGINT) AS nv FROM firsts GROUP BY fid),
+cum AS (
+  SELECT o.pos, o.cumtok,
+         sum(coalesce(v.nv, 0)) OVER (ORDER BY o.pos) AS cumvocab
+  FROM ord o LEFT JOIN newv v ON v.id = o.id
+),
+cps AS (
+  SELECT CAST(floor(ln(CAST(cumtok AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS x,
+         CAST(floor(ln(CAST(cumvocab AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS y
+  FROM cum, nd
+  WHERE (pos % nd.stride = 0 OR pos = nd.n_docs) AND cumtok > 0 AND cumvocab > 0
+),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM cps
+)
+SELECT (SELECT n_docs FROM nd) AS n_docs,
+       CAST(n AS BIGINT) AS n_points,
+       CASE WHEN n = 0 OR n * sxx - sx * sx = 0 THEN NULL
+            ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0
+       END AS beta,
+       CASE WHEN n = 0 OR n * sxx - sx * sx = 0 THEN NULL
+            ELSE round((CAST(sy AS DOUBLE) / 1e9
+                        - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / 1e9))
+                       / CAST(n AS DOUBLE), 6) + 0.0
+       END AS ln_k
+FROM agg
+""".strip()
+
+
 def bigram_logprob(
     ds,
     *,

@@ -167,6 +167,18 @@ def test_zipf_slope(ray_session):
     assert -1.15 < r["slope"] < -0.85  # near the Zipf exponent −1
 
 
+def test_heaps_law(ray_session):
+    # V(n) = n (every token new) → beta = 1, ln_k = 0 exactly
+    docs = [" ".join(f"w{i*7+j}" for j in range(7)) for i in range(20)]
+    out = keywords.heaps_law(_ds(docs), points=5)
+    r = out.iloc[0]
+    assert r["n_docs"] == 20 and r["n_points"] == 5
+    assert r["beta"] == 1.0 and r["ln_k"] == 0.0
+    # repeated single word → vocab flat at 1: beta = 0
+    flat = keywords.heaps_law(_ds(["hello"] * 16), points=4)
+    assert flat.iloc[0]["beta"] == 0.0
+
+
 def test_vocab_coverage(ray_session):
     words = ["big"] * 6 + ["mid"] * 3 + ["rare"]  # total 10 tokens
     out = keywords.vocab_coverage(_ds([" ".join(words)]), ks=(1, 2, 99))
