@@ -4619,6 +4619,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": lambda sf: _keywords.heaps_law(
             _docs_ds(sf, ("doc_id", "text")), points=24
         ),
+        "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
         ),
@@ -5498,6 +5499,7 @@ GROUP BY v.value ORDER BY v.value"""
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
+        "burstiness": _keywords.burstiness_sql("documents", k=50),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5

@@ -1253,6 +1253,107 @@ FROM agg
 """.strip()
 
 
+def burstiness(
+    ds,
+    *,
+    text_col: str = "text",
+    k: int = 50,
+) -> pd.DataFrame:
+    """Church–Gale burstiness of the top-``k`` collection-frequency terms:
+    B = cf/df, the mean occurrence count per document that contains the
+    term. Function words sit near 1 (spread evenly); topical terms repeat
+    within their documents (B ≫ 1) — the classic signal separating content
+    words from glue and flagging templated spam (whole vocabulary bursty).
+
+    One streaming pass emits (term, cf, df) partials per batch; the fold is
+    vocabulary-bounded (CLAUDE.md round-1 rule — never a Ray groupby for
+    vocab-sized data). The ratio is the exact half-up integer division
+    ``(2·cf·1e6 + df) // (2·df)`` on BOTH sides, so cf/df landing on an
+    exact decimal half (the n/256 trap) cannot disagree. Rank by cf DESC,
+    term ASC. Returns ``(rank, term, cf, df, burstiness)``.
+
+    Reference analog: corpus vectorizer statistics
+    (`/root/reference/harvester/core/analysis/text.py:45-71`)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        nv = len(dictionary)
+        cf = np.bincount(codes, minlength=nv).astype(np.int64)
+        _, c, _ = analyzer.term_frequencies(rows, codes)
+        df = np.bincount(c, minlength=nv).astype(np.int64) if c.size else np.zeros(nv, np.int64)
+        terms = dictionary.to_pandas().to_numpy(dtype=object)
+        keep = cf > 0
+        return pa.table(
+            {
+                "term": pa.array(terms[keep], pa.string()),
+                "cf": pa.array(cf[keep], pa.int64()),
+                "df": pa.array(df[keep], pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["rank", "term", "cf", "df", "burstiness"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("term", sort=False, as_index=False)[["cf", "df"]]
+        .sum()
+    )
+    if folded.empty:
+        return pd.DataFrame(columns=cols)
+    srt = folded.sort_values(["cf", "term"], ascending=[False, True], kind="stable").head(k)
+    cf_v = srt["cf"].to_numpy(np.int64)
+    df_v = srt["df"].to_numpy(np.int64)
+    b = np.array(
+        [(2 * int(c) * 1_000_000 + int(d)) // (2 * int(d)) for c, d in zip(cf_v, df_v)],
+        np.int64,
+    )
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(srt) + 1, dtype=np.int64),
+            "term": srt["term"].to_numpy(object),
+            "cf": cf_v,
+            "df": df_v,
+            "burstiness": b.astype(np.float64) / 1e6,
+        }
+    )
+
+
+def burstiness_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 50,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH pairs AS (
+  SELECT id, unnest(ts) AS term
+  FROM (SELECT {id_col} AS id, {tok} AS ts FROM {table})
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT id) AS BIGINT) AS df
+  FROM pairs GROUP BY term
+),
+top AS (
+  SELECT row_number() OVER (ORDER BY cf DESC, term) AS rank, term, cf, df
+  FROM stats QUALIFY rank <= {k}
+)
+SELECT CAST(rank AS BIGINT) AS rank, term, cf, df,
+       CAST((2 * cf * 1000000 + df) // (2 * df) AS DOUBLE) / 1e6 AS burstiness
+FROM top ORDER BY rank
+""".strip()
+
+
 def vocab_coverage(
     ds,
     *,

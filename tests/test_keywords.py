@@ -179,6 +179,18 @@ def test_heaps_law(ray_session):
     assert flat.iloc[0]["beta"] == 0.0
 
 
+def test_burstiness(ray_session):
+    # "a" bursts inside one doc (cf=4, df=1 → B=4); "b" spreads (B=1)
+    out = keywords.burstiness(_ds(["a a a a", "b", "b", "b", "b"]), k=10)
+    assert list(out["term"]) == ["a", "b"]  # cf tie (4,4) → term asc
+    assert list(out["rank"]) == [1, 2]
+    assert list(out["burstiness"]) == [4.0, 1.0]
+    assert list(out["cf"]) == [4, 4] and list(out["df"]) == [1, 4]
+    # half-up fixed-point: cf=3, df=2 → 1.5 exactly
+    half = keywords.burstiness(_ds(["c c", "c"]), k=1)
+    assert half.iloc[0]["burstiness"] == 1.5
+
+
 def test_vocab_coverage(ray_session):
     words = ["big"] * 6 + ["mid"] * 3 + ["rare"]  # total 10 tokens
     out = keywords.vocab_coverage(_ds([" ".join(words)]), ks=(1, 2, 99))
