@@ -2278,6 +2278,121 @@ ORDER BY g.{group_col}
 """.strip()
 
 
+def change_point(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Change-point detection per event type (the engine-side analog of the
+    OpenSearch/ES ``change_point`` pipeline aggregation the reference's
+    dashboards lean on): over the ordered hourly count series c₁..cₙ, the
+    bucket where the cumulative series deviates most from a uniform rate —
+    argmax over interior positions i < n of the CUSUM/Kolmogorov deviation
+    ``|n·Sᵢ − i·Sₙ|``. Deviation and its normalizer n·Sₙ stay exact Python
+    ints (HUGEINT in SQL); the reported statistic is the half-up fixed
+    ratio dev/(n·Sₙ) at 1e6 — never a float ranking key. Max ties break to
+    the earliest bucket; types with a single bucket have no interior point
+    and are omitted on both sides (``pos < n``).
+
+    Scale shape: per-batch (type, hour, count) partials folded on the
+    driver — bounded by types × hours, so raw events never cross a Ray
+    groupby (CLAUDE.md tiny-pre-pass rule). Timestamps are cast to
+    timestamp[us] before the int64 view (ns-vs-us trap). Returns
+    ``(event_type, n_buckets, total, cp_pos, cp_hour, stat)`` sorted by
+    type; cp_hour is the epoch-hour integer of the last bucket BEFORE the
+    level shift."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hrs = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        t = pa.table({"t": batch[type_col], "hr": pa.array(hrs, pa.int64())})
+        g = t.group_by(["t", "hr"]).aggregate([("hr", "count")])
+        return pa.table(
+            {"t": g["t"], "hr": g["hr"], "c": g["hr_count"].cast(pa.int64())}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [type_col, "n_buckets", "total", "cp_pos", "cp_hour", "stat"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["t", "hr"], sort=True, as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for t, g in folded.groupby("t", sort=True):
+        hr = g["hr"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.size)
+        if n < 2:
+            continue
+        S = np.cumsum(c)
+        tot = int(S[-1])
+        dev = [abs(n * int(S[i]) - (i + 1) * tot) for i in range(n - 1)]
+        best = min(range(n - 1), key=lambda i: (-dev[i], i))
+        den = n * tot
+        stat = ((2 * dev[best] * 1_000_000 + den) // (2 * den)) / 1e6
+        rows.append((t, n, tot, best + 1, int(hr[best]), stat))
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    out["total"] = out["total"].astype(np.int64)
+    out["cp_pos"] = out["cp_pos"].astype(np.int64)
+    out["cp_hour"] = out["cp_hour"].astype(np.int64)
+    return out
+
+
+def change_point_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH b AS (
+  SELECT {type_col}, epoch_us({ts_col}) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+o AS (
+  SELECT {type_col}, hr,
+         row_number() OVER (PARTITION BY {type_col} ORDER BY hr) AS pos,
+         sum(c) OVER (PARTITION BY {type_col} ORDER BY hr) AS s,
+         sum(c) OVER (PARTITION BY {type_col}) AS tot,
+         count(*) OVER (PARTITION BY {type_col}) AS n
+  FROM b
+),
+d AS (
+  SELECT {type_col}, hr, pos, n, tot,
+         abs(CAST(n AS HUGEINT) * s - CAST(pos AS HUGEINT) * tot) AS dev
+  FROM o WHERE pos < n
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY {type_col} ORDER BY dev DESC, pos) AS rk
+  FROM d QUALIFY rk = 1
+)
+SELECT {type_col}, CAST(n AS BIGINT) AS n_buckets, CAST(tot AS BIGINT) AS total,
+       CAST(pos AS BIGINT) AS cp_pos, CAST(hr AS BIGINT) AS cp_hour,
+       CAST((2 * dev * 1000000 + CAST(n AS HUGEINT) * tot)
+            // (2 * CAST(n AS HUGEINT) * tot) AS DOUBLE) / 1e6 AS stat
+FROM best ORDER BY {type_col}
+""".strip()
+
+
 def rfm_scores(
     ds,
     *,

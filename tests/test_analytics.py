@@ -419,6 +419,23 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_change_point(ray_session):
+    # type "a": hourly counts 1,1,5,5 → level shift after hour 11 (pos 2)
+    rows, eid = [], 0
+    for hour, cnt in [(10, 1), (11, 1), (12, 5), (13, 5)]:
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, 1, "a", f"2024-01-01 {hour}:00", 1.0))
+    rows.append((99, 1, "solo", "2024-01-01 10:00", 1.0))  # 1 bucket → omitted
+    out = analytics.change_point(_events(rows))
+    assert list(out["event_type"]) == ["a"]
+    r = out.iloc[0]
+    # S=[1,2,7,12]; dev=|4·S_i − i·12| = [8,16,8] → max at pos 2
+    assert r["cp_pos"] == 2 and r["n_buckets"] == 4 and r["total"] == 12
+    assert r["cp_hour"] == pd.Timestamp("2024-01-01 11:00").value // 10**9 // 3600
+    assert r["stat"] == 0.333333  # 16/48 half-up fixed at 1e6
+
+
 def test_autocorr_lag1(ray_session):
     # strictly increasing series → strong positive lag-1 correlation
     rows = [(i, 1, "up", f"2024-01-01 00:{i:02d}", float(i)) for i in range(20)]
