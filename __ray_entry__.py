@@ -4668,6 +4668,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_correlation": lambda sf: _analytics.hourly_correlation(
             _ev_ds(sf, ("event_type", "ts"))
         ),
+        "kendall_hourly": lambda sf: _analytics.kendall_hourly(
+            _ev_ds(sf, ("event_type", "ts"))
+        ),
         "rolling_mean": lambda sf: _analytics.rolling_mean(
             _ev_ds(sf, ("event_id", "user_id", "ts", "value")), window=4
         ),
@@ -5529,6 +5532,7 @@ GROUP BY v.value ORDER BY v.value"""
         "distinct_users_by_type": _analytics.distinct_users_by_type_sql("events"),
         "user_set_ops": _analytics.user_set_ops_sql("events"),
         "hourly_correlation": _analytics.hourly_correlation_sql("events"),
+        "kendall_hourly": _analytics.kendall_hourly_sql("events"),
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),

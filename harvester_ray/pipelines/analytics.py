@@ -1095,6 +1095,100 @@ SELECT * FROM ({body}) ORDER BY type_a, type_b
 """.strip()
 
 
+def kendall_hourly(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> pd.DataFrame:
+    """Kendall τ-b rank correlation between every pair of event types'
+    hour-of-day volume series — the robust, outlier-immune companion to
+    ``hourly_correlation`` (Pearson): do the types RANK their busy hours
+    the same way, regardless of magnitude? Concordant/discordant/tie
+    counts over the 276 hour pairs are exact integers on both sides; the
+    τ-b denominator mirrors the autocorr discipline (sqrt(n0−t_a) ·
+    sqrt(n0−t_b) — the same two-sqrt expression verbatim in SQL, never
+    sqrt of the product). Built on the ``pivot_hourly`` grid (bincount
+    partials, no shuffle; the raw events never leave their batches).
+    Returns ``(type_a, type_b, concordant, discordant, tau)`` for
+    type_a < type_b, rounded 6; NULL when either series is constant."""
+    grid = pivot_hourly(ds, type_col=type_col, ts_col=ts_col, types=types)
+    n = len(grid)
+    n0 = n * (n - 1) // 2
+    series = {t: grid[f"n_{t}"].to_numpy(np.int64) for t in types}
+    rows = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            x, y = series[ta], series[tb]
+            conc = disc = tie_a = tie_b = 0
+            for p in range(n):
+                dx = x[p] - x[p + 1 :]
+                dy = y[p] - y[p + 1 :]
+                prod = dx * dy
+                conc += int((prod > 0).sum())
+                disc += int((prod < 0).sum())
+                tie_a += int((dx == 0).sum())
+                tie_b += int((dy == 0).sum())
+            da, db = n0 - tie_a, n0 - tie_b
+            tau = (
+                round(float(conc - disc) / (float(np.sqrt(float(da))) * float(np.sqrt(float(db)))), 6) + 0.0
+                if da and db
+                else None
+            )
+            rows.append((ta, tb, conc, disc, tau))
+    out = pd.DataFrame(rows, columns=["type_a", "type_b", "concordant", "discordant", "tau"])
+    out["concordant"] = out["concordant"].astype(np.int64)
+    out["discordant"] = out["discordant"].astype(np.int64)
+    return out
+
+
+def kendall_hourly_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    types: tuple[str, ...] = ("click", "error", "purchase", "signup", "view"),
+) -> str:
+    cols = ",\n       ".join(
+        f"CAST(count(*) FILTER ({type_col} = '{t}') AS BIGINT) AS n_{t}" for t in types
+    )
+    n0 = 24 * 23 // 2
+    pair_selects = []
+    for i, ta in enumerate(types):
+        for tb in types[i + 1 :]:
+            pair_selects.append(
+                f"""SELECT '{ta}' AS type_a, '{tb}' AS type_b,
+       CAST(sum(CASE WHEN (g1.n_{ta} - g2.n_{ta}) * (g1.n_{tb} - g2.n_{tb}) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+       CAST(sum(CASE WHEN (g1.n_{ta} - g2.n_{ta}) * (g1.n_{tb} - g2.n_{tb}) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+       CAST(sum(CASE WHEN g1.n_{ta} = g2.n_{ta} THEN 1 ELSE 0 END) AS BIGINT) AS tie_a,
+       CAST(sum(CASE WHEN g1.n_{tb} = g2.n_{tb} THEN 1 ELSE 0 END) AS BIGINT) AS tie_b
+FROM grid g1 JOIN grid g2 ON g1.hour < g2.hour"""
+            )
+    body = "\nUNION ALL\n".join(pair_selects)
+    return f"""
+WITH hours AS (SELECT unnest(range(24)) AS hour),
+agg AS (
+  SELECT CAST(extract(hour FROM {ts_col}) AS BIGINT) AS hour, {type_col}
+  FROM {table}
+),
+grid AS (
+  SELECT CAST(h.hour AS BIGINT) AS hour,
+       {cols}
+  FROM hours h LEFT JOIN agg ON agg.hour = h.hour
+  GROUP BY h.hour
+),
+cmp AS ({body})
+SELECT type_a, type_b, concordant, discordant,
+       CASE WHEN {n0} - tie_a = 0 OR {n0} - tie_b = 0 THEN NULL
+            ELSE round(CAST(concordant - discordant AS DOUBLE)
+                       / (sqrt(CAST({n0} - tie_a AS DOUBLE))
+                          * sqrt(CAST({n0} - tie_b AS DOUBLE))), 6) + 0.0
+       END AS tau
+FROM cmp ORDER BY type_a, type_b
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # trimmed mean + exact grouped count-distinct
 # --------------------------------------------------------------------------

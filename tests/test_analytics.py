@@ -419,6 +419,21 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_kendall_hourly(ray_session):
+    # "up" volume rises with hour, "down" falls → perfectly anti-ranked
+    rows, eid = [], 0
+    for h in range(24):
+        for t, cnt in (("up", h), ("down", 23 - h)):
+            for _ in range(cnt):
+                eid += 1
+                rows.append((eid, 1, t, f"2024-01-01 {h:02d}:30", 1.0))
+    out = analytics.kendall_hourly(_events(rows), types=("down", "up"))
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"]) == ("down", "up")
+    assert r["concordant"] == 0 and r["discordant"] == 276
+    assert r["tau"] == -1.0
+
+
 def test_change_point(ray_session):
     # type "a": hourly counts 1,1,5,5 → level shift after hour 11 (pos 2)
     rows, eid = [], 0
