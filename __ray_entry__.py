@@ -4671,6 +4671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_hourly": lambda sf: _analytics.kendall_hourly(
             _ev_ds(sf, ("event_type", "ts"))
         ),
+        "benford_value": lambda sf: _analytics.benford_value(_ev_ds(sf, ("value",))),
+        "anova_f": lambda sf: _analytics.anova_f(_ev_ds(sf, ("event_type", "value"))),
         "rolling_mean": lambda sf: _analytics.rolling_mean(
             _ev_ds(sf, ("event_id", "user_id", "ts", "value")), window=4
         ),
@@ -5533,6 +5535,8 @@ GROUP BY v.value ORDER BY v.value"""
         "user_set_ops": _analytics.user_set_ops_sql("events"),
         "hourly_correlation": _analytics.hourly_correlation_sql("events"),
         "kendall_hourly": _analytics.kendall_hourly_sql("events"),
+        "benford_value": _analytics.benford_value_sql("events"),
+        "anova_f": _analytics.anova_f_sql("events"),
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),

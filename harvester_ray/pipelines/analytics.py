@@ -1189,6 +1189,187 @@ FROM cmp ORDER BY type_a, type_b
 """.strip()
 
 
+def benford_value(ds, *, value_col: str = "value") -> pd.DataFrame:
+    """Benford's-law leading-digit audit of a numeric column — the classic
+    fabricated-data / unit-mixing detector: natural multiplicative data has
+    P(d) = log₁₀(1 + 1/d); synthetic-uniform or truncated feeds drift flat.
+    Values are micro-quantized (half-up, the shared _quantize) and the
+    leading digit is taken from the integer's decimal string — never a
+    float log10, whose boundary cells (10ᵏ) misclassify. Per-batch digit
+    bincounts fold to 9 cells; ratio is the half-up fixed integer division
+    at 1e6; the expected column mirrors ``ln(1+1/d)/ln(10)`` verbatim on
+    both sides. Non-positive micro values are excluded. Returns
+    ``(digit, n, ratio, expected)`` for digits 1–9 (empty if no positive
+    values)."""
+    import math
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        micros = _quantize(v)
+        micros = micros[micros > 0]
+        if micros.size:
+            d = micros.astype("U1").astype(np.int64)  # unicode cast truncates to 1st char
+            counts = np.bincount(d, minlength=10)[1:10].astype(np.int64)
+        else:
+            counts = np.zeros(9, np.int64)
+        return pa.table(
+            {"digit": pa.array(np.arange(1, 10, dtype=np.int64)), "n": pa.array(counts)}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["digit", "n", "ratio", "expected"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby("digit", sort=True, as_index=False)["n"].sum()
+    tot = int(folded["n"].sum())
+    if tot == 0:
+        return pd.DataFrame(columns=cols)
+    ns = [int(x) for x in folded["n"]]
+    return pd.DataFrame(
+        {
+            "digit": np.arange(1, 10, dtype=np.int64),
+            "n": np.array(ns, np.int64),
+            "ratio": [((2 * n * 1_000_000 + tot) // (2 * tot)) / 1e6 for n in ns],
+            "expected": [
+                round(math.log(1.0 + 1.0 / d) / math.log(10.0), 6) + 0.0 for d in range(1, 10)
+            ],
+        }
+    )
+
+
+def benford_value_sql(table: str = "events", *, value_col: str = "value") -> str:
+    return f"""
+WITH m AS (
+  SELECT CAST(floor({value_col} * 1000000.0 + 0.5) AS BIGINT) AS micros FROM {table}
+),
+pos AS (SELECT micros FROM m WHERE micros > 0),
+cnt AS (
+  SELECT CAST(substr(CAST(micros AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+         CAST(count(*) AS BIGINT) AS n
+  FROM pos GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS HUGEINT) AS t FROM pos)
+SELECT d.digit, coalesce(c.n, 0) AS n,
+       CAST((2 * CAST(coalesce(c.n, 0) AS HUGEINT) * 1000000 + t.t)
+            // (2 * t.t) AS DOUBLE) / 1e6 AS ratio,
+       round(ln(1.0 + 1.0 / CAST(d.digit AS DOUBLE)) / ln(10.0), 6) + 0.0 AS expected
+FROM (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit) d
+LEFT JOIN cnt c USING (digit) CROSS JOIN tot t
+WHERE t.t > 0
+ORDER BY d.digit
+""".strip()
+
+
+def anova_f(
+    ds,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> pd.DataFrame:
+    """One-way ANOVA F-statistic across groups — does the value's mean
+    differ by event type more than within-type noise explains? The
+    many-group extension of ``t_test``. Values quantize to centi-units;
+    per-group (n, Σy, Σy²) partials come from one grouped reduce. Every
+    sum-of-squares term is carried as a 1e6 fixed-point INTEGER — the
+    per-group s²/n is the half-up division (2·s²·1e6 + n)//(2n), so
+    SSB/SSW are exact ints on both sides (HUGEINT in SQL; Python ints
+    here, since s² at corpus scale exceeds 2^63) — and F is one exact
+    integer ratio rounded 6. Returns one row
+    ``(n, k, ss_between, ss_within, f)`` with the SS columns descaled to
+    natural centi² units (fp/1e10); F is NULL when k < 2 or SSW = 0."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        y = _quantize_centi(
+            batch[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        gu, gi = np.unique(g, return_inverse=True)
+        n = np.bincount(gi).astype(np.int64)
+        s = np.bincount(gi, weights=y).astype(np.int64)
+        ss = np.bincount(gi, weights=y * y).astype(np.int64)
+        return pa.table(
+            {
+                "g": pa.array(gu, pa.string()),
+                "n": pa.array(n, pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "ss": pa.array(ss, pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["n", "k", "ss_between", "ss_within", "f"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    per = pd.concat(parts, ignore_index=True).groupby("g", sort=True, as_index=False)[["n", "s", "ss"]].sum()
+    k = int(len(per))
+    if k == 0:
+        return pd.DataFrame(columns=cols)
+    big_n = int(per["n"].sum())
+    gs = int(per["s"].sum())
+    gss = int(per["ss"].sum())
+    sq = sum((2 * int(s) * int(s) * 1_000_000 + int(n)) // (2 * int(n)) for n, s in zip(per["n"], per["s"]))
+    grand = (2 * gs * gs * 1_000_000 + big_n) // (2 * big_n)
+    ssb = sq - grand
+    ssw = gss * 1_000_000 - sq
+    f = (
+        round(float(ssb * (big_n - k)) / float(ssw * (k - 1)), 6) + 0.0
+        if k > 1 and ssw > 0 and big_n > k
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "n": np.array([big_n], np.int64),
+            "k": np.array([k], np.int64),
+            "ss_between": [float(ssb) / 1e10],
+            "ss_within": [float(ssw) / 1e10],
+            "f": [f],
+        }
+    )
+
+
+def anova_f_sql(
+    table: str = "events",
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> str:
+    q = f"CAST(floor({value_col} * 100.0 + 0.5) AS HUGEINT)"
+    return f"""
+WITH qv AS (SELECT {group_col} AS g, {q} AS y FROM {table}),
+per AS (SELECT g, CAST(count(*) AS HUGEINT) AS n, sum(y) AS s, sum(y * y) AS ss
+        FROM qv GROUP BY g),
+agg AS (
+  SELECT CAST(count(*) AS HUGEINT) AS k,
+         sum(n) AS bign, sum(s) AS gs, sum(ss) AS gss,
+         sum((2 * s * s * 1000000 + n) // (2 * n)) AS sq
+  FROM per
+),
+fp AS (
+  SELECT k, bign,
+         sq - (2 * gs * gs * 1000000 + bign) // (2 * bign) AS ssb,
+         gss * 1000000 - sq AS ssw
+  FROM agg
+)
+SELECT CAST(bign AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       CAST(ssb AS DOUBLE) / 1e10 AS ss_between,
+       CAST(ssw AS DOUBLE) / 1e10 AS ss_within,
+       CASE WHEN k > 1 AND ssw > 0 AND bign > k
+            THEN round(CAST(ssb * (bign - k) AS DOUBLE) / CAST(ssw * (k - 1) AS DOUBLE), 6) + 0.0
+            ELSE NULL END AS f
+FROM fp
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # trimmed mean + exact grouped count-distinct
 # --------------------------------------------------------------------------

@@ -419,6 +419,28 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_benford_value(ray_session):
+    vals = [1.0, 1.5, 2.0, 9.0, 0.0, -3.0]  # digits 1,1,2,9; zero/neg excluded
+    rows = [(i + 1, 1, "a", "2024-01-01 10:00", v) for i, v in enumerate(vals)]
+    out = analytics.benford_value(_events(rows))
+    assert list(out["digit"]) == list(range(1, 10))
+    assert list(out["n"]) == [2, 1, 0, 0, 0, 0, 0, 0, 1]
+    assert out.iloc[0]["ratio"] == 0.5 and out.iloc[1]["ratio"] == 0.25
+    assert out.iloc[0]["expected"] == 0.30103  # log10(2)
+
+
+def test_anova_f(ray_session):
+    # a: 1,2,3  b: 5,6,7 → SSB=24.0, SSW=4.0 (value²), F = 24/(4/4) = 24
+    rows = [(i + 1, 1, t, "2024-01-01 10:00", v)
+            for i, (t, v) in enumerate([("a", 1.0), ("a", 2.0), ("a", 3.0),
+                                        ("b", 5.0), ("b", 6.0), ("b", 7.0)])]
+    out = analytics.anova_f(_events(rows))
+    r = out.iloc[0]
+    assert r["n"] == 6 and r["k"] == 2
+    assert r["ss_between"] == 24.0 and r["ss_within"] == 4.0
+    assert r["f"] == 24.0
+
+
 def test_kendall_hourly(ray_session):
     # "up" volume rises with hour, "down" falls → perfectly anti-ranked
     rows, eid = [], 0
