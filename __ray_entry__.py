@@ -4672,6 +4672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("event_type", "ts"))
         ),
         "benford_value": lambda sf: _analytics.benford_value(_ev_ds(sf, ("value",))),
+        "frequent_itemsets": lambda sf: _analytics.frequent_itemsets(
+            _ev_ds(sf, ("user_id", "event_type"))
+        ),
         "anova_f": lambda sf: _analytics.anova_f(_ev_ds(sf, ("event_type", "value"))),
         "rolling_mean": lambda sf: _analytics.rolling_mean(
             _ev_ds(sf, ("event_id", "user_id", "ts", "value")), window=4
@@ -5536,6 +5539,7 @@ GROUP BY v.value ORDER BY v.value"""
         "hourly_correlation": _analytics.hourly_correlation_sql("events"),
         "kendall_hourly": _analytics.kendall_hourly_sql("events"),
         "benford_value": _analytics.benford_value_sql("events"),
+        "frequent_itemsets": _analytics.frequent_itemsets_sql("events"),
         "anova_f": _analytics.anova_f_sql("events"),
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),

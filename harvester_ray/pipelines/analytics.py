@@ -1370,6 +1370,87 @@ FROM fp
 """.strip()
 
 
+def frequent_itemsets(
+    ds,
+    *,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+) -> pd.DataFrame:
+    """Frequent item-set mining, pair order (the exact regime of the ES
+    ``frequent_item_sets`` aggregation): for every unordered pair of event
+    types, the number of users whose history contains BOTH — market-basket
+    support, the input to association rules. One ``groupby(user)`` exchange
+    co-locates each user's history (the partitioning assumption: a user's
+    rows fit one group); per-user pair emission is distinct-type bounded,
+    and the pair counts fold as vocabulary-sized partials (types² cells) —
+    never a second shuffle. Supports are exact integers. Returns
+    ``(type_a, type_b, support)`` with type_a < type_b, support ≥
+    ``min_support``, ordered by support DESC then pair."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(set(g[item_col]))
+        out = [(a, b) for i, a in enumerate(items) for b in items[i + 1 :]]
+        return pd.DataFrame(out, columns=["type_a", "type_b"]) if out else pd.DataFrame(
+            {"type_a": pd.Series([], dtype=object), "type_b": pd.Series([], dtype=object)}
+        )
+
+    def cnt(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["type_a", "type_b"]).aggregate([("type_a", "count")])
+        return pa.table(
+            {
+                "type_a": g["type_a"],
+                "type_b": g["type_b"],
+                "n": g["type_a_count"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.groupby(user_col)
+        .map_groups(pairs, batch_format="pandas")
+        .map_batches(cnt, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["type_a", "type_b", "support"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["type_a", "type_b"], sort=False, as_index=False)["n"]
+        .sum()
+        .rename(columns={"n": "support"})
+    )
+    folded = folded[folded["support"] >= min_support]
+    if folded.empty:
+        return pd.DataFrame(columns=cols)
+    folded["support"] = folded["support"].astype(np.int64)
+    return (
+        folded.sort_values(["support", "type_a", "type_b"], ascending=[False, True, True], kind="stable")
+        .reset_index(drop=True)[cols]
+    )
+
+
+def frequent_itemsets_sql(
+    table: str = "events",
+    *,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+) -> str:
+    return f"""
+WITH ut AS (SELECT DISTINCT {user_col} AS u, {item_col} AS t FROM {table}),
+pairs AS (
+  SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS support
+  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, support FROM pairs
+WHERE support >= {min_support}
+ORDER BY support DESC, type_a, type_b
+""".strip()
+
+
 # --------------------------------------------------------------------------
 # trimmed mean + exact grouped count-distinct
 # --------------------------------------------------------------------------

@@ -419,6 +419,25 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_frequent_itemsets(ray_session):
+    # users 1,2 have {view,click}; user 3 only {view,purchase} (support 1)
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00", 1.0),
+        (2, 1, "click", "2024-01-01 10:01", 1.0),
+        (3, 1, "click", "2024-01-01 10:02", 1.0),  # dup type, one support
+        (4, 2, "view", "2024-01-01 11:00", 1.0),
+        (5, 2, "click", "2024-01-01 11:01", 1.0),
+        (6, 3, "view", "2024-01-01 12:00", 1.0),
+        (7, 3, "purchase", "2024-01-01 12:01", 1.0),
+    ]
+    out = analytics.frequent_itemsets(_events(rows), min_support=2)
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["type_a"], r["type_b"], r["support"]) == ("click", "view", 2)
+    all_pairs = analytics.frequent_itemsets(_events(rows), min_support=1)
+    assert len(all_pairs) == 2  # (click,view):2 and (purchase,view):1
+
+
 def test_benford_value(ray_session):
     vals = [1.0, 1.5, 2.0, 9.0, 0.0, -3.0]  # digits 1,1,2,9; zero/neg excluded
     rows = [(i + 1, 1, "a", "2024-01-01 10:00", v) for i, v in enumerate(vals)]
