@@ -1626,6 +1626,85 @@ FROM lens GROUP BY role ORDER BY role
 """.strip()
 
 
+def verbosity_by_depth(ds, *, cap: int = 12) -> pd.DataFrame:
+    """Mean turn length in tokens by role × turn depth — the drift profile
+    a curation run reads before trimming: do assistant turns balloon deep
+    into a conversation, do tool results dwarf everything? Depths ≥ ``cap``
+    lump into one tail cell so the grid stays bounded. One tokenize pass
+    emits (role, depth, count, token-sum) partials — roles × (cap+1) cells,
+    no shuffle, raw turns never leave their batch. The mean is the half-up
+    fixed integer division (2·s·1e6 + n)//(2n) on both sides. Returns
+    ``(role, depth, n_turns, total_tokens, mean_tokens)`` sorted by
+    (role, depth)."""
+    from .. import analyzer
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(t["text"])
+        rows, _, _ = analyzer.tokenize_flat(text)
+        n = t.num_rows
+        cnt = (
+            np.bincount(rows, minlength=n).astype(np.int64)
+            if rows.size else np.zeros(n, np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "role": t["role"].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False),
+                "depth": np.minimum(
+                    t["turn_idx"].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False),
+                    cap,
+                ),
+                "nt": cnt,
+            }
+        )
+        g = df.groupby(["role", "depth"], sort=False).agg(n=("nt", "size"), s=("nt", "sum")).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["role", "depth", "n_turns", "total_tokens", "mean_tokens"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["role", "depth"], sort=True, as_index=False)[["n", "s"]]
+        .sum()
+    )
+    folded["mean_tokens"] = [
+        ((2 * int(s) * 1_000_000 + int(n)) // (2 * int(n))) / 1e6
+        for n, s in zip(folded["n"], folded["s"])
+    ]
+    folded["n_turns"] = folded["n"].astype(np.int64)
+    folded["total_tokens"] = folded["s"].astype(np.int64)
+    folded["depth"] = folded["depth"].astype(np.int64)
+    return folded[cols]
+
+
+def verbosity_by_depth_sql(src: str, *, cap: int = 12) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr("text")
+    return f"""
+WITH lens AS (
+  SELECT role, least(CAST(turn_idx AS BIGINT), {cap}) AS depth,
+         CAST(len({tok}) AS BIGINT) AS nt
+  FROM {src}
+),
+agg AS (
+  SELECT role, depth, CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(nt) AS BIGINT) AS total_tokens
+  FROM lens GROUP BY role, depth
+)
+SELECT role, depth, n_turns, total_tokens,
+       CAST((2 * CAST(total_tokens AS HUGEINT) * 1000000 + n_turns)
+            // (2 * CAST(n_turns AS HUGEINT)) AS DOUBLE) / 1e6 AS mean_tokens
+FROM agg ORDER BY role, depth
+""".strip()
+
+
 def system_prompt_reuse(ds, *, min_convs: int = 2, n_buckets: int = 64) -> pd.DataFrame:
     """Shared-first-turn detection (agent fleets reuse system prompts /
     boilerplate openers verbatim): fingerprint each conversation's first

@@ -662,3 +662,26 @@ def test_conv_template_dedup_empty_and_partition_independent(ray_session):
     assert a.equals(b)
     # three template classes: bare 2-turn, +tool t0, +tool t1
     assert len(a) == 3 and a["n_convs"].sum() == 40
+
+
+def test_verbosity_by_depth(ray_session):
+    import ray.data as rd
+    from harvester_ray.pipelines import transcripts as tr
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "a", "b", "b"]),
+            "turn_idx": pa.array([0, 1, 15, 0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant", "assistant", "user", "assistant"]),
+            "text": pa.array(["one two", "x y z", "deep tail turn here", "solo", "p q r s"]),
+        }
+    )
+    out = tr.verbosity_by_depth(rd.from_arrow(t), cap=12)
+    out = out.set_index(["role", "depth"])
+    # user depth 0: lengths 2 and 1 → mean 1.5 exactly
+    r = out.loc[("user", 0)]
+    assert r["n_turns"] == 2 and r["total_tokens"] == 3 and r["mean_tokens"] == 1.5
+    # assistant depth 1: 3 and 4 tokens → mean 3.5
+    assert out.loc[("assistant", 1)]["mean_tokens"] == 3.5
+    # depth 15 lumps into the cap cell 12
+    assert out.loc[("assistant", 12)]["n_turns"] == 1
