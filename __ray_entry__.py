@@ -4624,6 +4624,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("doc_id", "text")), points=24
         ),
         "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
+        "gini_vocab": lambda sf: _keywords.gini_vocab(_docs_ds(sf, ("text",))),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
         ),
@@ -5513,6 +5514,7 @@ GROUP BY v.value ORDER BY v.value"""
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "burstiness": _keywords.burstiness_sql("documents", k=50),
+        "gini_vocab": _keywords.gini_vocab_sql("documents"),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5

@@ -1354,6 +1354,60 @@ FROM top ORDER BY rank
 """.strip()
 
 
+def gini_vocab(ds, *, text_col: str = "text") -> pd.DataFrame:
+    """Gini coefficient of the term-frequency distribution — how unequally
+    token mass concentrates in the vocabulary (0 = uniform, →1 = a few
+    terms own the corpus). The single-number companion to ``zipf_slope`` /
+    ``vocab_coverage``: natural language sits high (stopwords dominate);
+    a flat Gini flags synthetic or shuffled text. Uses the exact rank
+    formula G = (2·Σ i·cᵢ − (n+1)·Σc) / (n·Σc) over counts sorted
+    ascending — the i-weighted sum is invariant under tie permutation, so
+    no tie-break is needed. All terms are exact Python ints (HUGEINT in
+    SQL); the ratio is the half-up fixed division at 1e6. One corpus_cf
+    partial fold, no shuffle. Returns ``(n_vocab, total_tokens, gini)``."""
+    cf_tbl = corpus_cf(ds, text_col=text_col)
+    cols = ["n_vocab", "total_tokens", "gini"]
+    if cf_tbl.empty:
+        return pd.DataFrame(columns=cols)
+    c = np.sort(cf_tbl["n"].to_numpy(np.int64))
+    nv = int(c.size)
+    tot = int(c.sum())
+    sic = sum((i + 1) * int(v) for i, v in enumerate(c))
+    num = 2 * sic - (nv + 1) * tot
+    den = nv * tot
+    gini = ((2 * num * 1_000_000 + den) // (2 * den)) / 1e6 if den else None
+    return pd.DataFrame(
+        {
+            "n_vocab": np.array([nv], np.int64),
+            "total_tokens": np.array([tot], np.int64),
+            "gini": [gini],
+        }
+    )
+
+
+def gini_vocab_sql(table: str = "documents", *, text_col: str = "text") -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH cf AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(ts) AS term FROM (SELECT {tok} AS ts FROM {table}))
+  GROUP BY term
+),
+r AS (
+  SELECT CAST(row_number() OVER (ORDER BY n, term) AS HUGEINT) AS i,
+         CAST(n AS HUGEINT) AS n
+  FROM cf
+),
+a AS (SELECT CAST(count(*) AS HUGEINT) AS nv, sum(i * n) AS sic, sum(n) AS tot FROM r)
+SELECT CAST(nv AS BIGINT) AS n_vocab, CAST(tot AS BIGINT) AS total_tokens,
+       CASE WHEN nv * tot = 0 THEN NULL
+            ELSE CAST((2 * (2 * sic - (nv + 1) * tot) * 1000000 + nv * tot)
+                      // (2 * nv * tot) AS DOUBLE) / 1e6
+       END AS gini
+FROM a
+""".strip()
+
+
 def vocab_coverage(
     ds,
     *,

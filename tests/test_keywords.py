@@ -191,6 +191,16 @@ def test_burstiness(ray_session):
     assert half.iloc[0]["burstiness"] == 1.5
 
 
+def test_gini_vocab(ray_session):
+    # uniform counts → G = 0 exactly
+    out = keywords.gini_vocab(_ds(["a b c d", "a b c d"]))
+    r = out.iloc[0]
+    assert r["n_vocab"] == 4 and r["total_tokens"] == 8 and r["gini"] == 0.0
+    # counts 1,1,6 ascending: G = (2·(1+2+18) − 4·8)/(3·8) = 10/24
+    skew = keywords.gini_vocab(_ds(["x x x x x x y z"]))
+    assert skew.iloc[0]["gini"] == ((2 * 10 * 1_000_000 + 24) // 48) / 1e6
+
+
 def test_vocab_coverage(ray_session):
     words = ["big"] * 6 + ["mid"] * 3 + ["rare"]  # total 10 tokens
     out = keywords.vocab_coverage(_ds([" ".join(words)]), ks=(1, 2, 99))
