@@ -144,6 +144,20 @@ def _similarity(sf_dir: str, model: str) -> pd.DataFrame:
     )
 
 
+MIN_SCORE_THR = 0.7
+
+
+def _min_score(sf_dir: str) -> pd.DataFrame:
+    """ES search ``min_score``: exhaustive AND query, keep only hits whose
+    ROUNDED BM25 score clears the cutoff — filtering after the shared
+    round(4) so the boundary comparison is bit-identical on both sides."""
+    out = _bm25(sf_dir, BM25_QUERY_AND, "and", k=100000)
+    out = out[out["score"] >= MIN_SCORE_THR]
+    return out.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="stable"
+    ).reset_index(drop=True)
+
+
 def _bm25_not(sf_dir: str) -> pd.DataFrame:
     """Negated-clause search (simple_query_string ``-term``): AND query with
     docs containing the negated term excluded per segment."""
@@ -4284,6 +4298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sliding_window": _sliding_window,
         "session_windows": _session_windows,
         "bm25_filtered": _bm25_filtered,
+        "min_score": _min_score,
         "sessionize": relational.sessionize,
         # report_dataset_version: per-collection state counts with the
         # duplicate-name collection skip (reference core/logging.py:112-133)
@@ -5037,6 +5052,12 @@ def oracle_sql() -> dict[str, str]:
             "JOIN documents d ON d.doc_id = r.doc_id "
             "WHERE d.source IN ('src0','src1','src2') "
             "ORDER BY r.score DESC, r.doc_id ASC LIMIT 10"
+        ),
+        "min_score": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_AND, 100000, mode="and")
+            + f") SELECT doc_id, score FROM ranked WHERE score >= {MIN_SCORE_THR} "
+            "ORDER BY score DESC, doc_id"
         ),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
