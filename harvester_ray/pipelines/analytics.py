@@ -1370,6 +1370,125 @@ FROM fp
 """.strip()
 
 
+def _tdiv2(x: int) -> int:
+    # truncate-toward-zero halving — DuckDB's `//` truncates, Python's floors
+    return x // 2 if x >= 0 else -((-x) // 2)
+
+
+def holt_forecast(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Holt linear exponential smoothing over each event type's hourly
+    count series, with a 1–3 hour forecast — the capacity-planning view
+    (trend-aware, unlike ``moving_fn``'s flat window). α = β = 0.5 so
+    every update is a halving; state is 1e6 fixed-point INTEGER and each
+    halving is truncate-toward-zero division — exactly DuckDB's ``//`` —
+    so the recursion stays bit-identical through ~700 steps where dyadic
+    floats would exhaust the mantissa (the pagerank re-quantize rule).
+    Init s₁ = y₁, b₁ = y₂ − y₁ (types with one bucket are omitted);
+    update s_t = (y_t + s + b)/2, b_t = (s_t − s + b)/2. The oracle is a
+    recursive CTE advancing all types in lockstep. Returns
+    ``(event_type, n_buckets, level, trend, f1, f2, f3)`` sorted by type,
+    where f_h = level + h·trend.
+
+    Scale shape: the same driver-folded (type, hour, count) partials as
+    ``change_point``; the sequential recursion runs on the folded series
+    (hours-bounded), never over raw events."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hrs = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        t = pa.table({"t": batch[type_col], "hr": pa.array(hrs, pa.int64())})
+        g = t.group_by(["t", "hr"]).aggregate([("hr", "count")])
+        return pa.table(
+            {"t": g["t"], "hr": g["hr"], "c": g["hr_count"].cast(pa.int64())}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [type_col, "n_buckets", "level", "trend", "f1", "f2", "f3"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["t", "hr"], sort=True, as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for t, g in folded.groupby("t", sort=True):
+        c = g["c"].to_numpy(np.int64)
+        n = int(c.size)
+        if n < 2:
+            continue
+        s = int(c[0]) * 1_000_000
+        b = (int(c[1]) - int(c[0])) * 1_000_000
+        for i in range(1, n):
+            s_new = _tdiv2(int(c[i]) * 1_000_000 + s + b)
+            b = _tdiv2(s_new - s + b)
+            s = s_new
+        rows.append(
+            (t, n, s / 1e6, b / 1e6, (s + b) / 1e6, (s + 2 * b) / 1e6, (s + 3 * b) / 1e6)
+        )
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    return out
+
+
+def holt_forecast_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    step = "(CAST(o2.c AS HUGEINT) * 1000000 + r.s + r.b) // 2"
+    return f"""
+WITH RECURSIVE hb AS (
+  SELECT {type_col} AS t, epoch_us({ts_col}) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+o AS (
+  SELECT t, c, row_number() OVER (PARTITION BY t ORDER BY hr) AS pos,
+         count(*) OVER (PARTITION BY t) AS n
+  FROM hb
+),
+ok AS (SELECT * FROM o WHERE n >= 2),
+rec AS (
+  SELECT y2.t, CAST(2 AS BIGINT) AS pos, y2.n,
+         CAST(y2.c AS HUGEINT) * 1000000 AS s,
+         CAST(y2.c - y1.c AS HUGEINT) * 1000000 AS b
+  FROM ok y1 JOIN ok y2 ON y1.t = y2.t AND y1.pos = 1 AND y2.pos = 2
+  UNION ALL
+  SELECT r.t, r.pos + 1, r.n,
+         {step} AS s,
+         (({step}) - r.s + r.b) // 2 AS b
+  FROM rec r JOIN ok o2 ON o2.t = r.t AND o2.pos = r.pos + 1
+)
+SELECT t AS {type_col}, CAST(n AS BIGINT) AS n_buckets,
+       CAST(s AS DOUBLE) / 1e6 AS level,
+       CAST(b AS DOUBLE) / 1e6 AS trend,
+       CAST(s + b AS DOUBLE) / 1e6 AS f1,
+       CAST(s + 2 * b AS DOUBLE) / 1e6 AS f2,
+       CAST(s + 3 * b AS DOUBLE) / 1e6 AS f3
+FROM rec WHERE pos = n ORDER BY t
+""".strip()
+
+
 def frequent_itemsets(
     ds,
     *,

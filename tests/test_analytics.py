@@ -419,6 +419,22 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_holt_forecast(ray_session):
+    # counts 2,4,6,8 per hour — perfectly linear, Holt recovers it exactly
+    rows, eid = [], 0
+    for h, cnt in enumerate([2, 4, 6, 8]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, 1, "lin", f"2024-01-01 {10 + h}:00", 1.0))
+    rows.append((99, 1, "solo", "2024-01-01 10:00", 1.0))  # 1 bucket → omitted
+    out = analytics.holt_forecast(_events(rows))
+    assert list(out["event_type"]) == ["lin"]
+    r = out.iloc[0]
+    assert r["n_buckets"] == 4
+    assert r["level"] == 8.0 and r["trend"] == 2.0
+    assert (r["f1"], r["f2"], r["f3"]) == (10.0, 12.0, 14.0)
+
+
 def test_frequent_itemsets(ray_session):
     # users 1,2 have {view,click}; user 3 only {view,purchase} (support 1)
     rows = [
