@@ -4750,6 +4750,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_int8": lambda sf: similarity.knn_int8(
             _emb_ds(sf), _query_vec(sf), k=10
         ).to_pandas(),
+        "knn_int4_rescore": lambda sf: similarity.knn_int4_rescore(
+            _emb_ds(sf), _query_vec(sf), k=10
+        ).to_pandas(),
         "knn_maxsim": lambda sf: similarity.knn_maxsim(
             _emb_ds(sf),
             np.stack([_query_vec(sf, i) for i in range(4)]),
@@ -5632,6 +5635,7 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "knn_binary": similarity.knn_binary_sql("embeddings", 0, 10),
         "knn_int8": similarity.knn_int8_sql("embeddings", 0, 10),
+        "knn_int4_rescore": similarity.knn_int4_rescore_sql("embeddings", 0, 10),
         "knn_maxsim": similarity.knn_maxsim_sql("embeddings", (0, 1, 2, 3), 10),
         "ranking_eval_mrr": __import__(
             "harvester_ray.index.evaluate", fromlist=["x"]

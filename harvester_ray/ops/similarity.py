@@ -1333,6 +1333,156 @@ ORDER BY int_dot DESC, vec_id ASC LIMIT {k}
 """.strip()
 
 
+def knn_int4_rescore(
+    ds,
+    query_vec: np.ndarray,
+    k: int = 10,
+    *,
+    oversample: int = 4,
+    levels: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e4,
+):
+    """Quantized-recall + exact-rerank kNN — the ES dense_vector
+    ``int4_hnsw`` + ``rescore_vector.oversample`` pattern: 4-bit dots
+    (corpus-global max-abs scale, q = floor(v·(levels/M)+0.5), the
+    knn_int8 rule at 7 levels instead of 127) recall ``k·oversample``
+    candidates, then only pool×d raw floats are re-read for the precise
+    ranking. 4-bit recall genuinely scrambles near-ties, so the rescore is
+    load-bearing (int8 recall preserves top-10 order on this corpus — the
+    degenerate sibling). The rescore similarity is the component-quantized
+    integer dot at ``scale`` (the mmr_rerank rule); both ranking keys are
+    exact ints with vec_id ties.
+
+    Scale shape: one max-abs reduction, one int-dot recall pass with local
+    top-pool, then the candidate id set broadcasts via ``ray.put`` and the
+    rescore filters inside map_batches (id pushdown, no shuffle) — pool
+    rows reach the driver. Returns ``(vec_id, int4_dot, exact_dot)`` in
+    exact-rank order, exact_dot descaled to the float dot (idot/scale²)."""
+    import ray
+
+    def batch_max(batch: pa.Table) -> pa.Table:
+        mat = _batch_matrix(batch, vec_col)
+        return pa.table({"m": pa.array([float(np.abs(mat).max())])})
+
+    gm = ds.map_batches(batch_max, batch_format="pyarrow").to_pandas()
+    M = float(gm["m"].max())
+    if M <= 0:
+        M = 1.0
+    qscale = float(levels) / M
+    qq = np.floor(np.asarray(query_vec, np.float64) * qscale + 0.5).astype(np.int64)
+    qref4 = ray.put(qq)
+    pool = k * oversample
+
+    def recall(batch: pa.Table) -> pa.Table:
+        qv = ray.get(qref4)
+        ids_b = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        mat = _batch_matrix(batch, vec_col)
+        qm = np.floor(mat * qscale + 0.5).astype(np.int64)
+        dot = qm @ qv
+        kk = min(pool, ids_b.size)
+        part = (
+            np.argpartition(-dot, kk - 1)[:kk] if ids_b.size > kk
+            else np.arange(ids_b.size)
+        )
+        return pa.table({
+            "vec_id": pa.array(ids_b[part], pa.int64()),
+            "int4_dot": pa.array(dot[part], pa.int64()),
+        })
+
+    rparts = ds.map_batches(recall, batch_format="pyarrow").to_pandas()
+    cols = ["vec_id", "int4_dot", "exact_dot"]
+    if rparts.empty:
+        return pa.table({c: pa.array([], pa.int64() if c != "exact_dot" else pa.float64()) for c in cols})
+    rorder = np.lexsort((rparts["vec_id"].to_numpy(), -rparts["int4_dot"].to_numpy()))[:pool]
+    cand = rparts.iloc[rorder]
+    ids = np.sort(cand["vec_id"].to_numpy(np.int64))
+    q = np.floor(np.asarray(query_vec, np.float64) * scale + 0.5).astype(np.int64)
+    ref = ray.put((ids, q))
+
+    def rescore(batch: pa.Table) -> pa.Table:
+        idset, qv = ray.get(ref)
+        ids_b = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        sel = np.isin(ids_b, idset)
+        if not sel.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "idot": pa.array([], pa.int64())})
+        mat = _batch_matrix(batch, vec_col)[sel]
+        qm = np.floor(mat * scale + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_b[sel], pa.int64()),
+                "idot": pa.array(qm @ qv, pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(rescore, batch_format="pyarrow").to_pandas()
+    order = np.lexsort((parts["vec_id"].to_numpy(), -parts["idot"].to_numpy()))[:k]
+    sel = parts.iloc[order]
+    int4_map = dict(zip(cand["vec_id"], cand["int4_dot"]))
+    return pa.table(
+        {
+            "vec_id": pa.array(sel["vec_id"].to_numpy(np.int64), pa.int64()),
+            "int4_dot": pa.array(
+                np.array([int4_map[int(v)] for v in sel["vec_id"]], np.int64), pa.int64()
+            ),
+            "exact_dot": pa.array(
+                sel["idot"].to_numpy(np.int64).astype(np.float64) / (scale * scale),
+                pa.float64(),
+            ),
+        }
+    )
+
+
+def knn_int4_rescore_sql(
+    table: str = "embeddings",
+    query_vec_id: int = 0,
+    k: int = 10,
+    *,
+    oversample: int = 4,
+    levels: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 1e4,
+) -> str:
+    return f"""
+WITH gmx AS (
+  SELECT CASE WHEN max(abs(ev)) > 0 THEN max(abs(ev)) ELSE 1.0 END AS m
+  FROM (SELECT unnest(e.{vec_col}) AS ev FROM {table} e)
+),
+q AS (SELECT {vec_col} AS qv FROM {table} WHERE {id_col} = {query_vec_id}),
+flat AS (
+  SELECT e.{id_col} AS vec_id, unnest(e.{vec_col}) AS ev, unnest(q.qv) AS qe
+  FROM {table} e CROSS JOIN q
+),
+cand AS (
+  SELECT f.vec_id,
+         CAST(sum(
+           CAST(floor(f.ev * ({levels}.0 / g.m) + 0.5) AS BIGINT)
+           * CAST(floor(f.qe * ({levels}.0 / g.m) + 0.5) AS BIGINT)
+         ) AS BIGINT) AS int4_dot
+  FROM flat f CROSS JOIN gmx g
+  GROUP BY f.vec_id
+  ORDER BY int4_dot DESC, vec_id ASC LIMIT {k * oversample}
+),
+flat2 AS (
+  SELECT e.{id_col} AS vec_id, unnest(e.{vec_col}) AS ev, unnest(q.qv) AS qe
+  FROM {table} e CROSS JOIN q
+  WHERE e.{id_col} IN (SELECT vec_id FROM cand)
+),
+exact AS (
+  SELECT vec_id,
+         CAST(sum(CAST(floor(ev * {scale} + 0.5) AS BIGINT)
+                  * CAST(floor(qe * {scale} + 0.5) AS BIGINT)) AS BIGINT) AS idot
+  FROM flat2 GROUP BY vec_id
+)
+SELECT c.vec_id, c.int4_dot,
+       CAST(x.idot AS DOUBLE) / {scale * scale} AS exact_dot
+FROM cand c JOIN exact x ON x.vec_id = c.vec_id
+ORDER BY x.idot DESC, c.vec_id ASC LIMIT {k}
+""".strip()
+
+
 def knn_maxsim(
     ds,
     query_vecs: np.ndarray,

@@ -799,3 +799,26 @@ def test_knn_radius_matches_numpy_and_streams_multi_query(ray_session):
         assert (np.diff(got["cosine"].to_numpy()) <= 0).all()
     empty = similarity.knn_radius(ds, qs, threshold=1.5)
     assert empty.empty
+
+
+def test_knn_int4_rescore_reorders_ties(ray_session):
+    """4-bit recall ties two vectors (both quantize to the same code); the
+    exact rescore must break the tie by true dot, overriding the vec_id
+    tie-break the int4 ranking alone would use."""
+    import numpy as np
+    import ray.data as rd
+
+    from harvester_ray.ops import similarity
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            # both map to int4 code [7, 0]; raw dots 0.84 < 0.86
+            "embedding": pa.array([[0.84, 0.0], [0.86, 0.0]]),
+        }
+    )
+    q = np.array([1.0, 0.0])
+    out = similarity.knn_int4_rescore(rd.from_arrow(t), q, k=2, oversample=1).to_pandas()
+    assert list(out["vec_id"]) == [2, 1]  # exact rescore wins over id order
+    assert out.iloc[0]["int4_dot"] == out.iloc[1]["int4_dot"]  # genuine int4 tie
+    assert out.iloc[0]["exact_dot"] == 0.86 and out.iloc[1]["exact_dot"] == 0.84
