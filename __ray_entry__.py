@@ -1837,6 +1837,28 @@ def _bucket_script(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def _bucket_selector(sf_dir: str) -> pd.DataFrame:
+    """ES bucket_selector: integer predicate over sibling bucket metrics
+    (busy hours with at least a 1/4 tool-call share)."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.bucket_selector(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        tool_field="tool", ts_field="ts", mode="or",
+    )
+
+
+def _percentiles_bucket(sf_dir: str) -> pd.DataFrame:
+    """ES percentiles_bucket: quartiles of the hourly histogram's bucket
+    counts (dyadic-exact quantile_cont)."""
+    from harvester_ray.index import pipeline_aggs as _pa
+
+    return _pa.percentiles_bucket(
+        index_query.IndexReader(_turnattr_index()), HAS_CHILD_QUERY,
+        ts_field="ts", mode="or",
+    )
+
+
 def _rate_agg(sf_dir: str) -> pd.DataFrame:
     """ES rate agg: hourly histogram normalized to per-minute event rates
     (gcd-reduced exact fixed-point quotient)."""
@@ -4458,6 +4480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "histogram_pipeline": _histogram_pipeline,
         "moving_fn": _moving_fn,
         "bucket_script": _bucket_script,
+        "bucket_selector": _bucket_selector,
+        "percentiles_bucket": _percentiles_bucket,
         "normalize_agg": _normalize_agg,
         "rate_agg": _rate_agg,
         "moving_percentiles": _moving_percentiles,
@@ -5897,6 +5921,12 @@ GROUP BY v.value ORDER BY v.value"""
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "bucket_script": index_oracle.bucket_script_sql(
             "tdocp", HAS_CHILD_QUERY, tool_col="tool", ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "bucket_selector": index_oracle.bucket_selector_sql(
+            "tdocp", HAS_CHILD_QUERY, tool_col="tool", ts_col="ts", mode="or",
+        ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
+        "percentiles_bucket": index_oracle.percentiles_bucket_sql(
+            "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "normalize_agg": index_oracle.normalize_agg_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts", mode="or",

@@ -2832,3 +2832,57 @@ SELECT n AS n_buckets, mn AS min_count, mx AS max_count, s AS sum_count,
        floor(sqrt(CAST(var_num AS DOUBLE)) / n * 1e6 + 0.5) / 1e6 AS std_dev
 FROM der
 """.strip()
+
+
+def bucket_selector_sql(
+    table: str,
+    query_text: str,
+    *,
+    tool_col: str = "tool",
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 3,
+    share_num: int = 1,
+    share_den: int = 4,
+) -> str:
+    """Oracle for pipeline_aggs.bucket_selector: the same integer predicate
+    over the bucket_script histogram."""
+    inner = bucket_script_sql(
+        table, query_text, tool_col=tool_col, ts_col=ts_col,
+        interval_us=interval_us, mode=mode, id_col=id_col, text_col=text_col,
+    )
+    return f"""
+WITH bs AS ({inner})
+SELECT bucket_us, doc_count, tool_count FROM bs
+WHERE doc_count >= {min_docs}
+  AND tool_count * {share_den} >= doc_count * {share_num}
+ORDER BY bucket_us
+""".strip()
+
+
+def percentiles_bucket_sql(
+    table: str,
+    query_text: str,
+    *,
+    ts_col: str = "ts",
+    interval_us: int = 3_600_000_000,
+    mode: str = "or",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> str:
+    """Oracle for pipeline_aggs.percentiles_bucket: quantile_cont over the
+    histogram bucket counts (dyadic-exact at quarter quantiles)."""
+    qcols = ",\n       ".join(
+        f"quantile_cont(doc_count, {p}) AS p{int(p * 100)}" for p in qs
+    )
+    return f"""
+WITH {_match_ctes_body(query_text, table, mode, id_col, text_col)},
+{_hist_cte(table, ts_col, interval_us, id_col)}
+SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+       {qcols}
+FROM h
+""".strip()

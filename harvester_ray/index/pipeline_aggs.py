@@ -708,3 +708,63 @@ def extended_stats_bucket(
         "variance": r6(float(var_num) / (float(n) * n)),
         "std_dev": r6(math.sqrt(float(var_num)) / n),
     }])
+
+
+def bucket_selector(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    tool_field: str = "tool",
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+    min_docs: int = 3,
+    share_num: int = 1,
+    share_den: int = 4,
+) -> pd.DataFrame:
+    """ES ``bucket_selector`` pipeline agg: drop histogram buckets whose
+    sibling metrics fail a predicate script — here
+    ``doc_count >= min_docs AND tool_count·share_den >= doc_count·share_num``
+    (busy hours with at least a share_num/share_den tool-call share). The
+    predicate is pure integer arithmetic on the same
+    (bucket, doc_count, tool_count) partials as ``bucket_script`` — no
+    float enters, so both sides keep exactly the same buckets. Returns the
+    surviving ``(bucket_us, doc_count, tool_count)`` rows ascending."""
+    h = bucket_script(
+        reader, query_text, tool_field=tool_field, ts_field=ts_field,
+        interval_us=interval_us, mode=mode,
+    )
+    keep = (h["doc_count"] >= min_docs) & (
+        h["tool_count"] * share_den >= h["doc_count"] * share_num
+    )
+    return h.loc[keep, ["bucket_us", "doc_count", "tool_count"]].reset_index(drop=True)
+
+
+def percentiles_bucket(
+    reader: IndexReader,
+    query_text: str,
+    *,
+    ts_field: str = "ts",
+    interval_us: int = HOUR_US,
+    mode: str = "or",
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> pd.DataFrame:
+    """ES ``percentiles_bucket`` pipeline agg: percentiles of the sibling
+    date-histogram's bucket counts (the load-distribution summary on top of
+    the histogram). np.quantile 'linear' ≡ DuckDB quantile_cont, and
+    quarter-quantiles of integer counts are dyadic rationals → exact float
+    equality (the role_token_quantiles rule). One row
+    ``(n_buckets, p25, p50, p75)``."""
+    h = _ts_buckets(
+        reader, query_text, ts_field=ts_field, interval_us=interval_us, mode=mode,
+    )
+    if h.empty:
+        out = {"n_buckets": pd.Series(dtype=np.int64)}
+        for p in qs:
+            out[f"p{int(p * 100)}"] = pd.Series(dtype=np.float64)
+        return pd.DataFrame(out)
+    v = h["doc_count"].to_numpy(np.float64)
+    row = {"n_buckets": np.int64(v.size)}
+    for p in qs:
+        row[f"p{int(p * 100)}"] = float(np.quantile(v, p, method="linear"))
+    return pd.DataFrame([row])

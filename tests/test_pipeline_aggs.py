@@ -233,3 +233,27 @@ def test_extended_stats_bucket_matches_oracle(paidx, con):
     _cmp(got, exp)
     r = got.iloc[0]
     assert r.variance >= 0 and r.min_count <= r.avg_count <= r.max_count
+
+
+def test_bucket_selector_oracle(paidx, con):
+    root, _ = paidx
+    r = query.IndexReader(root)
+    got = pipeline_aggs.bucket_selector(r, QUERY, min_docs=2)
+    exp = con.execute(
+        oracle.bucket_selector_sql("tdocp", QUERY, min_docs=2)
+    ).fetchdf()
+    _cmp(got, exp)
+    # the predicate genuinely drops buckets (this corpus is all-tool rows,
+    # so the share clause passes — min_docs does the filtering)
+    full = pipeline_aggs.bucket_script(r, QUERY)
+    assert 0 < len(got) < len(full)
+
+
+def test_percentiles_bucket_oracle(paidx, con):
+    root, _ = paidx
+    r = query.IndexReader(root)
+    got = pipeline_aggs.percentiles_bucket(r, QUERY)
+    exp = con.execute(oracle.percentiles_bucket_sql("tdocp", QUERY)).fetchdf()
+    _cmp(got, exp)
+    assert got.iloc[0]["n_buckets"] > 5
+    assert got.iloc[0]["p25"] <= got.iloc[0]["p50"] <= got.iloc[0]["p75"]
