@@ -4615,6 +4615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_forecast": lambda sf: _analytics.holt_forecast(
             _ev_ds(sf, ("event_type", "ts"))
         ),
+        "variable_width_histogram": lambda sf: _analytics.variable_width_histogram(
+            _ev_ds(sf, ("value",))
+        ),
         "spearman_by_type": lambda sf: _analytics.spearman_by_group(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -5545,6 +5548,7 @@ GROUP BY v.value ORDER BY v.value"""
         "autocorr_lag1": _analytics.autocorr_lag1_sql("events"),
         "change_point": _analytics.change_point_sql("events"),
         "holt_forecast": _analytics.holt_forecast_sql("events"),
+        "variable_width_histogram": _analytics.variable_width_histogram_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),

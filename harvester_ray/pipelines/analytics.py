@@ -1370,6 +1370,159 @@ FROM fp
 """.strip()
 
 
+def variable_width_histogram(
+    ds,
+    *,
+    value_col: str = "value",
+    k: int = 4,
+    iters: int = 3,
+) -> pd.DataFrame:
+    """ES ``variable_width_histogram`` aggregation: ``k`` buckets whose
+    boundaries adapt to the data — deterministic 1-D Lloyd clustering over
+    the value distribution (the exact-regime stand-in for ES's streaming
+    merge heuristic). Values centi-quantize; ONE streaming pass folds the
+    (centi-value → count) weighted histogram (bounded by the value range ×
+    100, so iterations never re-read the corpus — cheaper than the
+    embedding k-means' per-iteration re-stream); seeds are quantile_cont
+    at (2i+1)/(2k) over the integer centi values (eighth-quantiles of
+    integers are dyadic-exact, the role_token_quantiles rule); ``iters``
+    weighted Lloyd steps run on the folded histogram with integer
+    distances |v·1e6 − c|, ties to the lower cluster, half-up fixed
+    centroid updates, empty clusters keeping their centroid — mirrored by
+    an unrolled-CTE oracle (the kmeans rule). Returns
+    ``(cluster, n, min_value, max_value, centroid)`` for non-empty
+    clusters ascending."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        v = _quantize_centi(
+            batch[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.int64()), "w": pa.array(c.astype(np.int64), pa.int64())})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["cluster", "n", "min_value", "max_value", "centroid"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    hist = pd.concat(parts, ignore_index=True).groupby("v", sort=True, as_index=False)["w"].sum()
+    if hist.empty:
+        return pd.DataFrame(columns=cols)
+    v = hist["v"].to_numpy(np.int64)
+    w = hist["w"].to_numpy(np.int64)
+    total = int(w.sum())
+    cum = np.cumsum(w)
+
+    def elem(r: int) -> int:  # value of the r-th (0-based) element of the sorted multiset
+        return int(v[np.searchsorted(cum, r, side="right")])
+
+    cents = []
+    for i in range(k):
+        h = (total - 1) * (2 * i + 1) / (2 * k)  # dyadic-exact for k a power of 2
+        g = int(np.floor(h))
+        f = h - g
+        a = elem(g)
+        b = elem(min(g + 1, total - 1))
+        q = a + (b - a) * f  # exact: integer a,b and dyadic f
+        cents.append(int(np.floor(q * 1e6 + 0.5)))
+    cent = np.array(cents, np.int64)
+
+    vfp = v * 1_000_000
+    for _ in range(iters):
+        d = np.abs(vfp[:, None] - cent[None, :])
+        assign = np.argmin(d, axis=1)  # argmin ties → lowest index (both sides)
+        new = cent.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                W = int(w[m].sum())
+                S = sum(int(a) * int(b) for a, b in zip(v[m], w[m]))
+                new[j] = (2 * S * 1_000_000 + W) // (2 * W)
+        cent = new
+
+    d = np.abs(vfp[:, None] - cent[None, :])
+    assign = np.argmin(d, axis=1)
+    rows = []
+    for j in range(k):
+        m = assign == j
+        if not m.any():
+            continue
+        rows.append(
+            (
+                j,
+                int(w[m].sum()),
+                float(v[m].min()) / 100.0,
+                float(v[m].max()) / 100.0,
+                float(cent[j]) / 1e8,
+            )
+        )
+    out = pd.DataFrame(rows, columns=cols)
+    out["cluster"] = out["cluster"].astype(np.int64)
+    out["n"] = out["n"].astype(np.int64)
+    return out
+
+
+def variable_width_histogram_sql(
+    table: str = "events",
+    *,
+    value_col: str = "value",
+    k: int = 4,
+    iters: int = 3,
+) -> str:
+    # c0 via VALUES built from scalar quantile subqueries
+    seed_rows = ", ".join(
+        f"({j}, (SELECT CAST(floor(quantile_cont(cv, {2 * j + 1}.0 / {2 * k}) * 1e6 + 0.5) AS BIGINT) FROM cv_t))"
+        for j in range(k)
+    )
+    parts = [
+        f"""WITH cv_t AS (SELECT CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) AS cv FROM {table}),
+h AS (SELECT cv AS v, CAST(count(*) AS BIGINT) AS w FROM cv_t GROUP BY cv),
+c0 AS (SELECT CAST(c.col0 AS BIGINT) AS cluster, CAST(c.col1 AS BIGINT) AS c
+       FROM (VALUES {seed_rows}) c)"""
+    ]
+    for it in range(iters):
+        cprev, a, cnext = f"c{it}", f"a{it}", f"c{it + 1}"
+        parts.append(
+            f"""{a} AS (
+  SELECT v, w, cluster FROM (
+    SELECT h.v, h.w, c.cluster,
+           row_number() OVER (PARTITION BY h.v ORDER BY abs(h.v * 1000000 - c.c), c.cluster) AS rn
+    FROM h CROSS JOIN {cprev} c
+  ) WHERE rn = 1
+),
+{cnext} AS (
+  SELECT c.cluster, coalesce(n.c, c.c) AS c
+  FROM {cprev} c LEFT JOIN (
+    SELECT cluster,
+           (2 * sum(CAST(v AS HUGEINT) * w) * 1000000 + sum(CAST(w AS HUGEINT)))
+           // (2 * sum(CAST(w AS HUGEINT))) AS c
+    FROM {a} GROUP BY cluster
+  ) n ON n.cluster = c.cluster
+)"""
+        )
+    parts.append(
+        f"""afinal AS (
+  SELECT v, w, cluster FROM (
+    SELECT h.v, h.w, c.cluster,
+           row_number() OVER (PARTITION BY h.v ORDER BY abs(h.v * 1000000 - c.c), c.cluster) AS rn
+    FROM h CROSS JOIN c{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a.cluster, CAST(sum(a.w) AS BIGINT) AS n,
+       CAST(min(a.v) AS DOUBLE) / 100.0 AS min_value,
+       CAST(max(a.v) AS DOUBLE) / 100.0 AS max_value,
+       CAST(any_value(c.c) AS DOUBLE) / 1e8 AS centroid
+FROM afinal a JOIN c{iters} c ON c.cluster = a.cluster
+GROUP BY a.cluster ORDER BY a.cluster""".strip()
+
+
 def _tdiv2(x: int) -> int:
     # truncate-toward-zero halving — DuckDB's `//` truncates, Python's floors
     return x // 2 if x >= 0 else -((-x) // 2)

@@ -419,6 +419,18 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_variable_width_histogram(ray_session):
+    # two tight value groups → k=2 buckets land exactly on them
+    vals = [1.0, 1.0, 1.0, 10.0, 10.0, 10.0]
+    rows = [(i + 1, 1, "a", "2024-01-01 10:00", v) for i, v in enumerate(vals)]
+    out = analytics.variable_width_histogram(_events(rows), k=2, iters=2)
+    assert len(out) == 2
+    lo, hi = out.iloc[0], out.iloc[1]
+    assert lo["n"] == 3 and lo["min_value"] == 1.0 and lo["max_value"] == 1.0
+    assert lo["centroid"] == 1.0
+    assert hi["n"] == 3 and hi["centroid"] == 10.0
+
+
 def test_holt_forecast(ray_session):
     # counts 2,4,6,8 per hour — perfectly linear, Holt recovers it exactly
     rows, eid = [], 0
