@@ -4210,6 +4210,27 @@ def _matches_by_source(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"source": [k for k, _ in items], "n": [v for _, v in items]})
 
 
+SAMPLER_TOP = 100
+
+
+def _sampler_terms(sf_dir: str) -> pd.DataFrame:
+    """ES ``sampler`` aggregation with a terms sub-aggregation: the source
+    breakdown of only the top-``SAMPLER_TOP`` scored hits (exact global
+    top-N regime — the (score desc, doc_id) ranking is a total order, so
+    the rank-100 boundary is deterministic on both sides), unlike
+    ``matches_by_source`` which counts the full match set."""
+    import pyarrow.dataset as pads
+
+    hits = _bm25(sf_dir, BM25_QUERY_OR, "or", k=SAMPLER_TOP)
+    tbl = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "source"],
+        filter=pads.field("doc_id").isin(hits["doc_id"].tolist()),
+    )
+    g = tbl.to_pandas().groupby("source", as_index=False).size().rename(columns={"size": "n"})
+    g["n"] = g["n"].astype("int64")
+    return g.sort_values(["n", "source"], ascending=[False, True], kind="stable").reset_index(drop=True)
+
+
 PHRASE_QUERY = "part filter"
 PHRASE_QUERY3 = "part filter scan"
 PROX_SLOP = 2
@@ -4809,6 +4830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- search extras (autocomplete + filter-count aggregations) -----
         "suggest_terms": _suggest_terms,
         "matches_by_source": _matches_by_source,
+        "sampler_terms": _sampler_terms,
         "more_like_this": _more_like_this,
         "highlight": _highlight,
         "ranking_eval": _ranking_eval,
@@ -5094,6 +5116,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bm25_topk_multi": index_oracle.bm25_sql("documents", BM25_QUERY_AND2, 10, mode="and"),
         "bm25_or_topk": index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or"),
+        "sampler_terms": (
+            "WITH ranked AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, SAMPLER_TOP, mode="or")
+            + ") SELECT d.source, CAST(count(*) AS BIGINT) AS n "
+            "FROM ranked r JOIN documents d USING (doc_id) "
+            "GROUP BY d.source ORDER BY n DESC, d.source"
+        ),
         "author_suggestions": index_oracle.author_suggestions_sql(
             AUTHORS_SQL_TABLE, AUTHOR_NAME, 10
         ),
