@@ -4639,6 +4639,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variable_width_histogram": lambda sf: _analytics.variable_width_histogram(
             _ev_ds(sf, ("value",))
         ),
+        "k_anonymity": lambda sf: _analytics.k_anonymity(
+            _ev_ds(sf, ("user_id", "event_type")), k=10
+        ),
+        "psi_drift": lambda sf: _analytics.psi_drift(_ev_ds(sf, ("ts", "value"))),
         "spearman_by_type": lambda sf: _analytics.spearman_by_group(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -5578,6 +5582,8 @@ GROUP BY v.value ORDER BY v.value"""
         "change_point": _analytics.change_point_sql("events"),
         "holt_forecast": _analytics.holt_forecast_sql("events"),
         "variable_width_histogram": _analytics.variable_width_histogram_sql("events"),
+        "k_anonymity": _analytics.k_anonymity_sql("events", k=10),
+        "psi_drift": _analytics.psi_drift_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),

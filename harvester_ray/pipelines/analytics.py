@@ -1370,6 +1370,264 @@ FROM fp
 """.strip()
 
 
+def k_anonymity(
+    ds,
+    *,
+    quasi_cols: tuple[str, ...] = ("user_id", "event_type"),
+    k: int = 3,
+) -> pd.DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple — the
+    re-identification risk check a privacy review runs before release
+    (``pii_scrub``'s statistical companion): how many equivalence classes
+    have fewer than ``k`` rows, and what share of rows sits in them. One
+    grouped count (quasi-id-bounded partials: per-batch group counts fold
+    on the driver); all outputs are exact integers plus one half-up fixed
+    ratio. Returns one row
+    ``(n_groups, n_risky_groups, risky_rows, total_rows, risk_share)``."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.select(list(quasi_cols)).group_by(list(quasi_cols)).aggregate(
+            [(quasi_cols[0], "count")]
+        )
+        return pa.table(
+            {
+                **{c: g[c] for c in quasi_cols},
+                "n": g[f"{quasi_cols[0]}_count"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["n_groups", "n_risky_groups", "risky_rows", "total_rows", "risk_share"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby(list(quasi_cols), sort=False, as_index=False)["n"].sum()
+    sizes = folded["n"].to_numpy(np.int64)
+    total = int(sizes.sum())
+    if total == 0:
+        return pd.DataFrame(columns=cols)
+    risky = sizes < k
+    risky_rows = int(sizes[risky].sum())
+    return pd.DataFrame(
+        {
+            "n_groups": np.array([sizes.size], np.int64),
+            "n_risky_groups": np.array([int(risky.sum())], np.int64),
+            "risky_rows": np.array([risky_rows], np.int64),
+            "total_rows": np.array([total], np.int64),
+            "risk_share": [((2 * risky_rows * 1_000_000 + total) // (2 * total)) / 1e6],
+        }
+    )
+
+
+def k_anonymity_sql(
+    table: str = "events",
+    *,
+    quasi_cols: tuple[str, ...] = ("user_id", "event_type"),
+    k: int = 3,
+) -> str:
+    qc = ", ".join(quasi_cols)
+    return f"""
+WITH g AS (SELECT {qc}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {qc}),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(count(*) FILTER (n < {k}) AS BIGINT) AS n_risky_groups,
+         CAST(coalesce(sum(n) FILTER (n < {k}), 0) AS BIGINT) AS risky_rows,
+         CAST(sum(n) AS BIGINT) AS total_rows
+  FROM g
+)
+SELECT n_groups, n_risky_groups, risky_rows, total_rows,
+       CAST((2 * CAST(risky_rows AS HUGEINT) * 1000000 + total_rows)
+            // (2 * CAST(total_rows AS HUGEINT)) AS DOUBLE) / 1e6 AS risk_share
+FROM agg
+""".strip()
+
+
+def psi_drift(
+    ds,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 8,
+) -> pd.DataFrame:
+    """Population Stability Index between the early and late half of the
+    stream — the standard production drift metric (PSI < 0.1 stable,
+    > 0.25 shifted): split rows at the median epoch-hour, bin values by
+    the EARLY half's octile edges, and sum (p−q)·ln(p/q) over bins with
+    add-one smoothing. Octile edges of integer centi values are
+    dyadic-exact (``n_bins`` must be a power of two — the
+    variable_width_histogram seed rule); p and q are ratios of exact
+    integers evaluated in one mirrored float expression; each bin's term
+    nano-quantizes to an int BEFORE the sum (the unigram_logprob rule), so
+    the total is an exact integer sum. Two streaming passes: a tiny
+    epoch-hour histogram for the split, then a (segment, centi-value)
+    histogram fold — iterations never re-read raw events. Returns one row
+    per bin ``(bin, n_early, n_late, term)`` plus the shared ``psi``."""
+    import math
+
+    def hr_partials(batch: pa.Table) -> pa.Table:
+        hrs = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        u, c = np.unique(hrs, return_counts=True)
+        return pa.table({"hr": pa.array(u, pa.int64()), "w": pa.array(c.astype(np.int64), pa.int64())})
+
+    hsel = [
+        b.to_pandas()
+        for b in ds.map_batches(hr_partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["bin", "n_early", "n_late", "term", "psi"]
+    if not hsel:
+        return pd.DataFrame(columns=cols)
+    hh = pd.concat(hsel, ignore_index=True).groupby("hr", sort=True, as_index=False)["w"].sum()
+    hv = hh["hr"].to_numpy(np.int64)
+    hw = hh["w"].to_numpy(np.int64)
+    total = int(hw.sum())
+    if total == 0:
+        return pd.DataFrame(columns=cols)
+    cum = np.cumsum(hw)
+
+    def elem(vals, cumw, r):
+        return int(vals[np.searchsorted(cumw, r, side="right")])
+
+    h = (total - 1) * 0.5
+    g = int(np.floor(h))
+    f = h - g
+    a0 = elem(hv, cum, g)
+    b0 = elem(hv, cum, min(g + 1, total - 1))
+    median_hr = a0 + (b0 - a0) * f  # exact: ints + dyadic f
+
+    def seg_partials(batch: pa.Table) -> pa.Table:
+        hrs = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        early = hrs.astype(np.float64) <= median_hr
+        v = _quantize_centi(
+            batch[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        df = pd.DataFrame({"early": early.astype(np.int64), "v": v})
+        gdf = df.groupby(["early", "v"], sort=False).size().reset_index(name="w")
+        return pa.Table.from_pandas(gdf, preserve_index=False)
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(seg_partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    folded = pd.concat(parts, ignore_index=True).groupby(["early", "v"], sort=True, as_index=False)["w"].sum()
+    ea = folded[folded["early"] == 1]
+    la = folded[folded["early"] == 0]
+    av, aw = ea["v"].to_numpy(np.int64), ea["w"].to_numpy(np.int64)
+    lv, lw = la["v"].to_numpy(np.int64), la["w"].to_numpy(np.int64)
+    na, nb = int(aw.sum()), int(lw.sum())
+    if na == 0 or nb == 0:
+        return pd.DataFrame(columns=cols)
+    acum = np.cumsum(aw)
+    edges = []
+    for j in range(1, n_bins):
+        h = (na - 1) * j / n_bins  # dyadic for power-of-two n_bins
+        g = int(np.floor(h))
+        f = h - g
+        x = elem(av, acum, g)
+        y = elem(av, acum, min(g + 1, na - 1))
+        edges.append(x + (y - x) * f)
+    edges = np.array(edges, np.float64)
+
+    def bins_of(vals, weights):
+        b = 1 + (vals[:, None].astype(np.float64) > edges[None, :]).sum(axis=1)
+        return np.bincount(b, weights=weights, minlength=n_bins + 1)[1:].astype(np.int64)
+
+    ca = bins_of(av, aw)
+    cb = bins_of(lv, lw)
+    terms = []
+    for i in range(n_bins):
+        p = float(ca[i] + 1) / float(na + n_bins)
+        q = float(cb[i] + 1) / float(nb + n_bins)
+        terms.append(int(math.floor((p - q) * math.log(p / q) * 1e9 + 0.5)))
+    psi = sum(terms) / 1e9
+    return pd.DataFrame(
+        {
+            "bin": np.arange(1, n_bins + 1, dtype=np.int64),
+            "n_early": ca,
+            "n_late": cb,
+            "term": np.array(terms, np.int64).astype(np.float64) / 1e9,
+            "psi": [psi] * n_bins,
+        }
+    )
+
+
+def psi_drift_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_bins: int = 8,
+) -> str:
+    edge_cols = ", ".join(
+        f"quantile_cont(cv, {j}.0 / {n_bins}) FILTER (early = 1) AS e{j}"
+        for j in range(1, n_bins)
+    )
+    bin_expr = "1" + "".join(
+        f" + CASE WHEN CAST(cv AS DOUBLE) > x.e{j} THEN 1 ELSE 0 END" for j in range(1, n_bins)
+    )
+    return f"""
+WITH rows_t AS (
+  SELECT epoch_us({ts_col}) // 3600000000 AS hr,
+         CAST(floor({value_col} * 100.0 + 0.5) AS BIGINT) AS cv
+  FROM {table}
+),
+med AS (SELECT quantile_cont(hr, 0.5) AS m FROM rows_t),
+seg AS (
+  SELECT CASE WHEN CAST(hr AS DOUBLE) <= med.m THEN 1 ELSE 0 END AS early, cv
+  FROM rows_t CROSS JOIN med
+),
+x AS (SELECT {edge_cols}, CAST(count(*) FILTER (early = 1) AS BIGINT) AS na,
+             CAST(count(*) FILTER (early = 0) AS BIGINT) AS nb
+      FROM seg),
+binned AS (
+  SELECT s.early, {bin_expr} AS bin FROM seg s CROSS JOIN x
+),
+grid AS (SELECT CAST(unnest(range(1, {n_bins + 1})) AS BIGINT) AS bin),
+cnt AS (
+  SELECT g.bin,
+         CAST(coalesce(sum(CASE WHEN b.early = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_early,
+         CAST(coalesce(sum(CASE WHEN b.early = 0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_late
+  FROM grid g LEFT JOIN binned b ON b.bin = g.bin
+  GROUP BY g.bin
+),
+terms AS (
+  SELECT c.bin, c.n_early, c.n_late,
+         CAST(floor(
+           (CAST(c.n_early + 1 AS DOUBLE) / CAST(x.na + {n_bins} AS DOUBLE)
+            - CAST(c.n_late + 1 AS DOUBLE) / CAST(x.nb + {n_bins} AS DOUBLE))
+           * ln((CAST(c.n_early + 1 AS DOUBLE) / CAST(x.na + {n_bins} AS DOUBLE))
+                / (CAST(c.n_late + 1 AS DOUBLE) / CAST(x.nb + {n_bins} AS DOUBLE)))
+           * 1e9 + 0.5) AS BIGINT) AS t
+  FROM cnt c CROSS JOIN x
+)
+SELECT bin, n_early, n_late,
+       CAST(t AS DOUBLE) / 1e9 AS term,
+       CAST(sum(t) OVER () AS DOUBLE) / 1e9 AS psi
+FROM terms ORDER BY bin
+""".strip()
+
+
 def variable_width_histogram(
     ds,
     *,

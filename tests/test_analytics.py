@@ -419,6 +419,39 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_k_anonymity(ray_session):
+    # user 1 has 3 "view" rows (safe at k=3); users 2,3 have singletons
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00", 1.0),
+        (2, 1, "view", "2024-01-01 10:01", 1.0),
+        (3, 1, "view", "2024-01-01 10:02", 1.0),
+        (4, 2, "click", "2024-01-01 11:00", 1.0),
+        (5, 3, "view", "2024-01-01 12:00", 1.0),
+    ]
+    out = analytics.k_anonymity(_events(rows), k=3)
+    r = out.iloc[0]
+    assert r["n_groups"] == 3 and r["n_risky_groups"] == 2
+    assert r["risky_rows"] == 2 and r["total_rows"] == 5
+    assert r["risk_share"] == 0.4
+
+
+def test_psi_drift(ray_session):
+    # early hours (10,11) values ~1; late hours (12,13) values ~9 → big PSI;
+    # identical halves → PSI ≈ 0 (only smoothing noise)
+    rows, eid = [], 0
+    for h, v in [(10, 1.0), (11, 1.0), (12, 9.0), (13, 9.0)]:
+        for _ in range(8):
+            eid += 1
+            rows.append((eid, 1, "a", f"2024-01-01 {h}:00", v))
+    shifted = analytics.psi_drift(_events(rows))
+    assert len(shifted) == 8
+    assert shifted["psi"].iloc[0] > 1.0  # full mass moved across bins
+    same = [(i + 1, 1, "a", f"2024-01-01 {10 + (i % 4)}:00", float(i % 5))
+            for i in range(40)]
+    stable = analytics.psi_drift(_events(same))
+    assert abs(stable["psi"].iloc[0]) < 0.05
+
+
 def test_variable_width_histogram(ray_session):
     # two tight value groups → k=2 buckets land exactly on them
     vals = [1.0, 1.0, 1.0, 10.0, 10.0, 10.0]
