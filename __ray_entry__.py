@@ -4580,6 +4580,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_tags": _keyword_tags,
         "span_dedup": lambda sf: _spandedup.span_dedup(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "kmeans_clusters": lambda sf: _kmeans.kmeans_assign(_emb_ds(sf), k=8, iters=2).to_pandas().sort_values("vec_id").reset_index(drop=True),
+        "cluster_purity": lambda sf: _kmeans.cluster_purity(
+            _emb_ds(sf), k=8, iters=2
+        ),
         "semantic_dedup": lambda sf: _kmeans.semantic_dedup(_emb_ds(sf), k=8, iters=2, threshold_pct=90).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "cluster_sample": lambda sf: _kmeans.cluster_sample(_emb_ds(sf), k=8, iters=2, n_per_cluster=10).to_pandas().sort_values("vec_id").reset_index(drop=True),
         "range_join_bands": _range_join_bands,
@@ -5532,6 +5535,7 @@ GROUP BY v.value ORDER BY v.value"""
         "keyword_tags": _tagging.keyword_tags_sql("documents", KEYWORD_TAG_PHRASES),
         "span_dedup": _spandedup.span_dedup_sql("documents", span_words=3),
         "kmeans_clusters": _kmeans.kmeans_sql("embeddings", k=8, iters=2),
+        "cluster_purity": _kmeans.cluster_purity_sql("embeddings", k=8, iters=2),
         "semantic_dedup": _kmeans.semantic_dedup_sql("embeddings", k=8, iters=2, threshold_pct=90),
         "cluster_sample": _kmeans.cluster_sample_sql("embeddings", k=8, iters=2, n_per_cluster=10),
         "range_join_bands": _range_join_sql(),

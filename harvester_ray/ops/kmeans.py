@@ -413,3 +413,141 @@ SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
   FROM keyed
 ) ranked WHERE rn <= {n_per_cluster}
 ORDER BY vec_id""".strip()
+
+
+def cluster_purity(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = _SCALE,
+) -> pd.DataFrame:
+    """Clustering-quality evaluation against ground-truth labels: purity
+    (Σ_c max_l n_cl / N — the majority-vote accuracy of the clustering)
+    and NMI (I(C;L) / √(H(C)·H(L))) of the ``kmeans_fit`` assignment —
+    the dataset-card numbers that say whether topic buckets mean anything
+    before cluster-balanced sampling trusts them.
+
+    Exactness: the contingency table (cluster × label, bounded — one
+    map_batches pass with broadcast centroids, driver fold) is exact
+    integers; purity is the half-up fixed ratio; every information/entropy
+    term nano-quantizes through ONE mirrored float expression
+    ((n/N)·ln(...)) before the sums (the unigram_logprob rule), and the
+    final NMI mirrors the two-sqrt denominator verbatim (never sqrt of the
+    product). Returns one row ``(n, n_clusters, purity, nmi)``."""
+    import math
+
+    final = kmeans_fit(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+
+    def cont(batch: pa.Table) -> pa.Table:
+        a = _assign(_quantize(batch, vec_col, scale), final)
+        lab = np.asarray(batch[label_col].combine_chunks().cast(pa.int64()))
+        df = pd.DataFrame({"cluster": a.astype(np.int64), "label": lab})
+        g = df.groupby(["cluster", "label"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(cont, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["n", "n_clusters", "purity", "nmi"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    cl = pd.concat(parts, ignore_index=True).groupby(["cluster", "label"], sort=True, as_index=False)["n"].sum()
+    if cl.empty:
+        return pd.DataFrame(columns=cols)
+    n_tot = int(cl["n"].sum())
+    cc = cl.groupby("cluster")["n"].sum()
+    ll = cl.groupby("label")["n"].sum()
+    s_max = int(cl.groupby("cluster")["n"].max().sum())
+    purity = ((2 * s_max * 1_000_000 + n_tot) // (2 * n_tot)) / 1e6
+    i_fp = sum(
+        int(math.floor(
+            (float(r.n) / n_tot)
+            * math.log((float(r.n) * n_tot) / (float(cc[r.cluster]) * ll[r.label]))
+            * 1e9 + 0.5
+        ))
+        for r in cl.itertuples()
+    )
+    hc_fp = sum(
+        int(math.floor((float(v) / n_tot) * math.log(float(n_tot) / v) * 1e9 + 0.5))
+        for v in cc
+    )
+    hl_fp = sum(
+        int(math.floor((float(v) / n_tot) * math.log(float(n_tot) / v) * 1e9 + 0.5))
+        for v in ll
+    )
+    nmi = (
+        round((i_fp / 1e9) / (math.sqrt(hc_fp / 1e9) * math.sqrt(hl_fp / 1e9)), 6) + 0.0
+        if hc_fp > 0 and hl_fp > 0
+        else None
+    )
+    return pd.DataFrame(
+        {
+            "n": np.array([n_tot], np.int64),
+            "n_clusters": np.array([len(cc)], np.int64),
+            "purity": [purity],
+            "nmi": [nmi],
+        }
+    )
+
+
+def cluster_purity_sql(
+    table: str = "embeddings",
+    *,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    scale: float = _SCALE,
+) -> str:
+    parts = _kmeans_ctes(table, k=k, iters=iters, id_col=id_col, vec_col=vec_col, scale=scale)
+    parts.append(
+        f"""lab AS (SELECT {id_col} AS vec_id, CAST({label_col} AS BIGINT) AS label FROM {table}),
+cl AS (
+  SELECT a.cluster, l.label, CAST(count(*) AS BIGINT) AS n
+  FROM afinal a JOIN lab l USING (vec_id) GROUP BY 1, 2
+),
+cc AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n FROM cl GROUP BY 1),
+ll AS (SELECT label, CAST(sum(n) AS BIGINT) AS n FROM cl GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n FROM cl),
+mx AS (SELECT CAST(sum(m) AS BIGINT) AS s
+       FROM (SELECT cluster, max(n) AS m FROM cl GROUP BY 1)),
+ifp AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(cl.n AS DOUBLE) / t.n)
+           * ln((CAST(cl.n AS DOUBLE) * t.n) / (CAST(cc.n AS DOUBLE) * ll.n))
+           * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS s
+  FROM cl JOIN cc USING (cluster) JOIN ll USING (label) CROSS JOIN tot t
+),
+hcfp AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(cc.n AS DOUBLE) / t.n) * ln(CAST(t.n AS DOUBLE) / cc.n) * 1e9 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS s
+  FROM cc CROSS JOIN tot t
+),
+hlfp AS (
+  SELECT CAST(sum(CAST(floor(
+           (CAST(ll.n AS DOUBLE) / t.n) * ln(CAST(t.n AS DOUBLE) / ll.n) * 1e9 + 0.5
+         ) AS BIGINT)) AS BIGINT) AS s
+  FROM ll CROSS JOIN tot t
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT t.n AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM cc) AS n_clusters,
+       CAST((2 * CAST(m.s AS HUGEINT) * 1000000 + t.n)
+            // (2 * CAST(t.n AS HUGEINT)) AS DOUBLE) / 1e6 AS purity,
+       CASE WHEN hc.s > 0 AND hl.s > 0
+            THEN round((CAST(i.s AS DOUBLE) / 1e9)
+                       / (sqrt(CAST(hc.s AS DOUBLE) / 1e9)
+                          * sqrt(CAST(hl.s AS DOUBLE) / 1e9)), 6) + 0.0
+            ELSE NULL END AS nmi
+FROM tot t CROSS JOIN mx m CROSS JOIN ifp i CROSS JOIN hcfp hc CROSS JOIN hlfp hl""".strip()

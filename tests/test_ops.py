@@ -822,3 +822,25 @@ def test_knn_int4_rescore_reorders_ties(ray_session):
     assert list(out["vec_id"]) == [2, 1]  # exact rescore wins over id order
     assert out.iloc[0]["int4_dot"] == out.iloc[1]["int4_dot"]  # genuine int4 tie
     assert out.iloc[0]["exact_dot"] == 0.86 and out.iloc[1]["exact_dot"] == 0.84
+
+
+def test_cluster_purity_perfect_separation(ray_session):
+    """Two tight groups aligned with labels → purity 1.0, NMI ≈ 1."""
+    import numpy as np
+    import ray.data as rd
+
+    from harvester_ray.ops import kmeans
+
+    vecs = [[1.0, 0.0], [0.0, 1.0], [0.9, 0.1], [0.1, 0.9], [0.95, 0.0], [0.0, 0.95]]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array(vecs),
+            "label": pa.array([0, 1, 0, 1, 0, 1], pa.int32()),
+        }
+    )
+    out = kmeans.cluster_purity(rd.from_arrow(t), k=2, iters=2)
+    r = out.iloc[0]
+    assert r["n"] == 6 and r["n_clusters"] == 2
+    assert r["purity"] == 1.0
+    assert 0.999 < r["nmi"] <= 1.0
