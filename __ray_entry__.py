@@ -3916,6 +3916,29 @@ def _ev_ds(sf_dir: str, columns):
     )
 
 
+def _ev_with_hod(sf_dir: str):
+    """Events columns (user_id, event_type) plus a derived hour-of-day
+    column — ≡ SQL extract(hour FROM ts) for naive UTC timestamps."""
+    import pyarrow as pa
+
+    def add_hod(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        us = batch["ts"].combine_chunks().cast(pa.timestamp("us")).cast(pa.int64())
+        h = (us.to_numpy(zero_copy_only=False) // 3_600_000_000) % 24
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "hod": pa.array(h.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return _ev_ds(sf_dir, ("user_id", "event_type", "ts")).map_batches(
+        add_hod, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _running_total(sf_dir: str) -> pd.DataFrame:
     """Per-user cumulative value (window-function analog): groupby(user) +
     in-group sort + exact integer-micros cumsum (pipelines/analytics.py)."""
@@ -4646,6 +4669,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("user_id", "event_type")), k=10
         ),
         "psi_drift": lambda sf: _analytics.psi_drift(_ev_ds(sf, ("ts", "value"))),
+        "l_diversity": lambda sf: _analytics.l_diversity(
+            _ev_with_hod(sf), group_cols=("user_id", "event_type"),
+            sensitive_col="hod", l=8,
+        ),
+        "theil_sen": lambda sf: _analytics.theil_sen(_ev_ds(sf, ("event_type", "ts"))),
         "spearman_by_type": lambda sf: _analytics.spearman_by_group(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -5588,6 +5616,8 @@ GROUP BY v.value ORDER BY v.value"""
         "variable_width_histogram": _analytics.variable_width_histogram_sql("events"),
         "k_anonymity": _analytics.k_anonymity_sql("events", k=10),
         "psi_drift": _analytics.psi_drift_sql("events"),
+        "l_diversity": _analytics.l_diversity_sql("events", l=8),
+        "theil_sen": _analytics.theil_sen_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),

@@ -1446,6 +1446,202 @@ FROM agg
 """.strip()
 
 
+def l_diversity(
+    ds,
+    *,
+    group_cols: tuple[str, ...] = ("user_id", "event_type"),
+    sensitive_col: str = "hod",
+    l: int = 2,
+) -> pd.DataFrame:
+    """l-diversity audit — k-anonymity's companion: an equivalence class
+    can be large yet still leak if its rows share too few SENSITIVE
+    values (here: a user×type history squeezed into < l distinct hours of
+    day pins WHEN they act). Counts groups whose distinct-sensitive count
+    is below ``l`` and the rows they expose. Partials are per-batch
+    distinct (group…, sensitive) tuples plus row counts — the fold is
+    distinct-tuple bounded. Exact integers + one half-up fixed ratio.
+    Returns one row
+    ``(n_groups, n_homogeneous, exposed_rows, total_rows, exposed_share)``."""
+    gcols = list(group_cols)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.select(gcols + [sensitive_col]).group_by(
+            gcols + [sensitive_col]
+        ).aggregate([(group_cols[0], "count")])
+        return pa.table(
+            {
+                **{c: g[c] for c in gcols},
+                "s": g[sensitive_col],
+                "n": g[f"{group_cols[0]}_count"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["n_groups", "n_homogeneous", "exposed_rows", "total_rows", "exposed_share"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    pairs = pd.concat(parts, ignore_index=True).groupby(gcols + ["s"], sort=False, as_index=False)["n"].sum()
+    per_g = pairs.groupby(gcols).agg(div=("s", "size"), rows=("n", "sum"))
+    total = int(per_g["rows"].sum())
+    if total == 0:
+        return pd.DataFrame(columns=cols)
+    homog = per_g["div"] < l
+    exposed = int(per_g.loc[homog, "rows"].sum())
+    return pd.DataFrame(
+        {
+            "n_groups": np.array([len(per_g)], np.int64),
+            "n_homogeneous": np.array([int(homog.sum())], np.int64),
+            "exposed_rows": np.array([exposed], np.int64),
+            "total_rows": np.array([total], np.int64),
+            "exposed_share": [((2 * exposed * 1_000_000 + total) // (2 * total)) / 1e6],
+        }
+    )
+
+
+def l_diversity_sql(
+    table: str = "events",
+    *,
+    group_cols: tuple[str, ...] = ("user_id", "event_type"),
+    sensitive_expr: str = "CAST(extract(hour FROM ts) AS BIGINT)",
+    l: int = 2,
+) -> str:
+    gc = ", ".join(group_cols)
+    return f"""
+WITH per_g AS (
+  SELECT {gc},
+         CAST(count(DISTINCT {sensitive_expr}) AS BIGINT) AS div,
+         CAST(count(*) AS BIGINT) AS rows_n
+  FROM {table} GROUP BY {gc}
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_groups,
+         CAST(count(*) FILTER (div < {l}) AS BIGINT) AS n_homogeneous,
+         CAST(coalesce(sum(rows_n) FILTER (div < {l}), 0) AS BIGINT) AS exposed_rows,
+         CAST(sum(rows_n) AS BIGINT) AS total_rows
+  FROM per_g
+)
+SELECT n_groups, n_homogeneous, exposed_rows, total_rows,
+       CAST((2 * CAST(exposed_rows AS HUGEINT) * 1000000 + total_rows)
+            // (2 * CAST(total_rows AS HUGEINT)) AS DOUBLE) / 1e6 AS exposed_share
+FROM agg
+""".strip()
+
+
+def theil_sen(
+    ds,
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Theil–Sen robust rate per event type: the LOWER MEDIAN of all
+    pairwise slopes (Sⱼ−Sᵢ)/(j−i) over the CUMULATIVE hourly count series
+    — the outlier-immune events-per-bucket estimate (one traffic spike
+    can't bend it, unlike the OLS slope; on the raw stationary series the
+    median slope is degenerately 0). Slopes are double divisions of exact
+    ints (identical both sides); the median is rank-selected (row
+    (m+1)//2 under (slope, i, j) total order), NEVER interpolated —
+    two-double lerp is where numpy and DuckDB can drift a ulp apart. Pair
+    enumeration is hours²-bounded on the folded histogram (same
+    driver-fold shape as change_point), never over raw events. Returns
+    ``(event_type, n_buckets, n_pairs, slope)`` sorted by type; types
+    with one bucket are omitted."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        hrs = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            // 3_600_000_000
+        )
+        t = pa.table({"t": batch[type_col], "hr": pa.array(hrs, pa.int64())})
+        g = t.group_by(["t", "hr"]).aggregate([("hr", "count")])
+        return pa.table(
+            {"t": g["t"], "hr": g["hr"], "c": g["hr_count"].cast(pa.int64())}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = [type_col, "n_buckets", "n_pairs", "slope"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby(["t", "hr"], sort=True, as_index=False)["c"]
+        .sum()
+    )
+    rows = []
+    for t, g in folded.groupby("t", sort=True):
+        c = np.cumsum(g["c"].to_numpy(np.int64))
+        n = int(c.size)
+        if n < 2:
+            continue
+        si, sj, sl = [], [], []
+        for i in range(n - 1):
+            j = np.arange(i + 1, n)
+            si.append(np.full(j.size, i + 1, np.int64))
+            sj.append(j + 1)
+            sl.append((c[i + 1 :] - c[i]).astype(np.float64) / (j - i).astype(np.float64))
+        i_a = np.concatenate(si)
+        j_a = np.concatenate(sj)
+        s_a = np.concatenate(sl)
+        m = int(s_a.size)
+        order = np.lexsort((j_a, i_a, s_a))
+        med = float(s_a[order[(m + 1) // 2 - 1]])
+        rows.append((t, n, m, med))
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_buckets"] = out["n_buckets"].astype(np.int64)
+    out["n_pairs"] = out["n_pairs"].astype(np.int64)
+    return out
+
+
+def theil_sen_sql(
+    table: str = "events",
+    *,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> str:
+    return f"""
+WITH hb AS (
+  SELECT {type_col} AS t, epoch_us({ts_col}) // 3600000000 AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table} GROUP BY 1, 2
+),
+o AS (
+  SELECT t, row_number() OVER (PARTITION BY t ORDER BY hr) AS pos,
+         sum(c) OVER (PARTITION BY t ORDER BY hr) AS s,
+         count(*) OVER (PARTITION BY t) AS n
+  FROM hb
+),
+pairs AS (
+  SELECT a.t, a.n, a.pos AS i, b.pos AS j,
+         CAST(b.s - a.s AS DOUBLE) / CAST(b.pos - a.pos AS DOUBLE) AS slope
+  FROM o a JOIN o b ON a.t = b.t AND a.pos < b.pos
+),
+ranked AS (
+  SELECT t, n, slope,
+         row_number() OVER (PARTITION BY t ORDER BY slope, i, j) AS rn,
+         count(*) OVER (PARTITION BY t) AS m
+  FROM pairs
+)
+SELECT t AS {type_col}, CAST(n AS BIGINT) AS n_buckets,
+       CAST(m AS BIGINT) AS n_pairs, slope
+FROM ranked WHERE rn = (m + 1) // 2 ORDER BY t
+""".strip()
+
+
 def psi_drift(
     ds,
     *,

@@ -435,6 +435,49 @@ def test_k_anonymity(ray_session):
     assert r["risk_share"] == 0.4
 
 
+def test_l_diversity(ray_session):
+    # (user 1, view): 3 events in ONE hour → homogeneous at l=2;
+    # (user 2, view): 2 events across two hours → diverse
+    rows = [
+        (1, 1, "view", "2024-01-01 10:00", 1.0),
+        (2, 1, "view", "2024-01-01 10:10", 1.0),
+        (3, 1, "view", "2024-01-01 10:20", 1.0),
+        (4, 2, "view", "2024-01-01 11:00", 1.0),
+        (5, 2, "view", "2024-01-01 12:00", 1.0),
+    ]
+    ds = _events(rows)
+    import pyarrow as pa2
+
+    def add_hod(batch):
+        us = batch["ts"].combine_chunks().cast(pa2.timestamp("us")).cast(pa2.int64())
+        h = (us.to_numpy(zero_copy_only=False) // 3_600_000_000) % 24
+        return pa2.table({"user_id": batch["user_id"], "event_type": batch["event_type"],
+                          "hod": pa2.array(h, pa2.int64())})
+
+    out = analytics.l_diversity(
+        ds.map_batches(add_hod, batch_format="pyarrow"),
+        group_cols=("user_id", "event_type"), sensitive_col="hod", l=2,
+    )
+    r = out.iloc[0]
+    assert r["n_groups"] == 2 and r["n_homogeneous"] == 1
+    assert r["exposed_rows"] == 3 and r["total_rows"] == 5
+    assert r["exposed_share"] == 0.6
+
+
+def test_theil_sen(ray_session):
+    # hourly counts 2,4,6,8 → cumulative 2,6,12,20; pairwise slopes
+    # [4,5,6,6,7,8] → lower median 6.0
+    rows, eid = [], 0
+    for h, cnt in enumerate([2, 4, 6, 8]):
+        for _ in range(cnt):
+            eid += 1
+            rows.append((eid, 1, "a", f"2024-01-01 {10 + h}:00", 1.0))
+    out = analytics.theil_sen(_events(rows))
+    r = out.iloc[0]
+    assert r["n_buckets"] == 4 and r["n_pairs"] == 6
+    assert r["slope"] == 6.0
+
+
 def test_psi_drift(ray_session):
     # early hours (10,11) values ~1; late hours (12,13) values ~9 → big PSI;
     # identical halves → PSI ≈ 0 (only smoothing noise)
