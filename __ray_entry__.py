@@ -4726,6 +4726,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
         "gini_vocab": lambda sf: _keywords.gini_vocab(_docs_ds(sf, ("text",))),
+        "syllable_stats": lambda sf: _keywords.syllable_stats(
+            _docs_ds(sf, ("source", "text"))
+        ),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
         ),
@@ -5640,6 +5643,7 @@ GROUP BY v.value ORDER BY v.value"""
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "burstiness": _keywords.burstiness_sql("documents", k=50),
         "gini_vocab": _keywords.gini_vocab_sql("documents"),
+        "syllable_stats": _keywords.syllable_stats_sql("documents"),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5

@@ -1408,6 +1408,97 @@ FROM a
 """.strip()
 
 
+def syllable_stats(
+    ds,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Lexical-complexity profile per source: words, syllables (vowel-run
+    count per token — the standard readability approximation behind
+    Flesch/FK grading) and syllables-per-word. The reading-level signal a
+    curation mix reads next to ``text_quality``: a source drifting toward
+    long polysyllabic tokens reads differently than its peers. Syllables
+    are counted ONCE per distinct batch token (dictionary-vectorized
+    regex, never per occurrence); partials fold per (source) — sources ×
+    1 cells, no shuffle. The ratio is the half-up fixed division at 1e6.
+    Returns ``(source, n_docs, n_words, n_syllables, syll_per_word)``
+    sorted by source."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        syl_of = (
+            pd.Series(dictionary.to_pandas()).str.count(r"[aeiou]+").to_numpy(np.int64)
+            if len(dictionary)
+            else np.zeros(0, np.int64)
+        )
+        n = batch.num_rows
+        words = np.bincount(rows, minlength=n).astype(np.int64) if rows.size else np.zeros(n, np.int64)
+        sylls = (
+            np.bincount(rows, weights=syl_of[codes], minlength=n).astype(np.int64)
+            if rows.size else np.zeros(n, np.int64)
+        )
+        src = batch[source_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src, "w": words, "s": sylls})
+        g = df.groupby("source", sort=False).agg(
+            n_docs=("w", "size"), n_words=("w", "sum"), n_syllables=("s", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["source", "n_docs", "n_words", "n_syllables", "syll_per_word"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = (
+        pd.concat(parts, ignore_index=True)
+        .groupby("source", sort=True, as_index=False)[["n_docs", "n_words", "n_syllables"]]
+        .sum()
+    )
+    folded["syll_per_word"] = [
+        ((2 * int(s) * 1_000_000 + int(w)) // (2 * int(w))) / 1e6 if w else None
+        for w, s in zip(folded["n_words"], folded["n_syllables"])
+    ]
+    for c in ("n_docs", "n_words", "n_syllables"):
+        folded[c] = folded[c].astype(np.int64)
+    return folded[cols]
+
+
+def syllable_stats_sql(
+    table: str = "documents",
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH docs AS (SELECT {source_col} AS source, {tok} AS ts FROM {table}),
+per_doc AS (
+  SELECT source, CAST(len(ts) AS BIGINT) AS w,
+         CAST(coalesce((SELECT sum(len(regexp_extract_all(t.w2, '[aeiou]+')))
+                        FROM unnest(ts) AS t(w2)), 0) AS BIGINT) AS s
+  FROM docs
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(w) AS BIGINT) AS n_words,
+         CAST(sum(s) AS BIGINT) AS n_syllables
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, n_words, n_syllables,
+       CASE WHEN n_words = 0 THEN NULL
+            ELSE CAST((2 * CAST(n_syllables AS HUGEINT) * 1000000 + n_words)
+                      // (2 * CAST(n_words AS HUGEINT)) AS DOUBLE) / 1e6
+       END AS syll_per_word
+FROM agg ORDER BY source
+""".strip()
+
+
 def vocab_coverage(
     ds,
     *,

@@ -191,6 +191,26 @@ def test_burstiness(ray_session):
     assert half.iloc[0]["burstiness"] == 1.5
 
 
+def test_syllable_stats(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "a", "b"]),
+            # "hello"→2 vowel runs, "world"→1; "queue"→2 (ueue is one run? no: u-e-ue → "ueue" is one run)
+            "text": pa.array(["hello world", "xyz", "aeiou bcd"]),
+        }
+    )
+    out = keywords.syllable_stats(rd.from_arrow(t)).set_index("source")
+    a = out.loc["a"]
+    assert a["n_docs"] == 2 and a["n_words"] == 3
+    assert a["n_syllables"] == 3  # hello(2) + world(1) + xyz(0)
+    assert a["syll_per_word"] == 1.0
+    b = out.loc["b"]
+    assert b["n_words"] == 2 and b["n_syllables"] == 1  # "aeiou"=1 run, "bcd"=0
+    assert b["syll_per_word"] == 0.5
+
+
 def test_gini_vocab(ray_session):
     # uniform counts → G = 0 exactly
     out = keywords.gini_vocab(_ds(["a b c d", "a b c d"]))
