@@ -4545,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "conv_depth_histogram": lambda sf: _transcripts_mod.conv_depth_histogram(_tds(sf)),
         "verbosity_by_depth": lambda sf: _transcripts_mod.verbosity_by_depth(_tds(sf)),
+        "markov_entropy_rate": lambda sf: _transcripts_mod.markov_entropy_rate(_tds(sf)),
         "role_transitions": lambda sf: _transcripts_mod.role_transitions(_tds(sf)),
         "conv_windows": lambda sf: _transcripts_mod.conv_windows(_tds(sf)),
         "turn_overlap": lambda sf: _transcripts_mod.turn_overlap(_tds(sf)),
@@ -5989,6 +5990,7 @@ GROUP BY v.value ORDER BY v.value"""
         ).replace("WITH ", _transcript_docp_sql_head(_tglob) + ", ", 1),
         "conv_depth_histogram": _transcripts_mod.conv_depth_histogram_sql(_tsrc),
         "verbosity_by_depth": _transcripts_mod.verbosity_by_depth_sql(_tsrc),
+        "markov_entropy_rate": _transcripts_mod.markov_entropy_rate_sql(_tsrc),
         "histogram_pipeline": index_oracle.histogram_pipeline_sql(
             "tdocp", HAS_CHILD_QUERY, ts_col="ts",
             interval_us=3_600_000_000, mode="or",

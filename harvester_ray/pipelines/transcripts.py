@@ -527,6 +527,78 @@ def role_transitions(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     return out.reset_index(drop=True)
 
 
+def markov_entropy_rate(ds, *, n_buckets: int = 64) -> pd.DataFrame:
+    """Empirical entropy rate of the role turn-taking chain — how
+    predictable is who speaks next? H = Σᵢⱼ (nᵢⱼ/N)·ln(nᵢ/nᵢⱼ) over the
+    ``role_transitions`` count matrix (the MLE of the Markov chain's
+    conditional entropy, in nats): a scripted user→assistant ping-pong
+    scores near 0; free-for-all turn taking approaches ln(|roles|). Also
+    emits each source role's conditional entropy H(next | prev=r). Counts
+    come from the same 16-cell transition fold; every entropy term
+    nano-quantizes through one mirrored float expression before the sums
+    (the unigram_logprob rule). Returns per-role rows plus an ``__all__``
+    total: ``(prev_role, n_out, h_cond)`` sorted with the total last."""
+    import math
+
+    tm = role_transitions(ds, n_buckets=n_buckets)
+    cols = ["prev_role", "n_out", "h_cond"]
+    if tm.empty:
+        return pd.DataFrame(columns=cols)
+    big_n = int(tm["n"].sum())
+    rows = []
+    total_fp = 0
+    for prev, g in tm.groupby("prev_role", sort=True):
+        n_i = int(g["n"].sum())
+        h_fp = sum(
+            int(math.floor((float(nij) / n_i) * math.log(float(n_i) / nij) * 1e9 + 0.5))
+            for nij in g["n"]
+        )
+        rows.append((prev, n_i, h_fp / 1e9))
+        total_fp += sum(
+            int(math.floor((float(nij) / big_n) * math.log(float(n_i) / nij) * 1e9 + 0.5))
+            for nij in g["n"]
+        )
+    rows.append(("__all__", big_n, total_fp / 1e9))
+    out = pd.DataFrame(rows, columns=cols)
+    out["n_out"] = out["n_out"].astype(np.int64)
+    return out
+
+
+def markov_entropy_rate_sql(src: str) -> str:
+    return f"""
+WITH lagd AS (
+  SELECT role, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+  FROM {src}
+),
+tm AS (
+  SELECT prev_role, role, CAST(count(*) AS BIGINT) AS n
+  FROM lagd WHERE prev_role IS NOT NULL GROUP BY prev_role, role
+),
+pr AS (SELECT prev_role, CAST(sum(n) AS BIGINT) AS n_i FROM tm GROUP BY prev_role),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM tm),
+cond AS (
+  SELECT t.prev_role, p.n_i AS n_out,
+         CAST(sum(CAST(floor(
+           (CAST(t.n AS DOUBLE) / p.n_i) * ln(CAST(p.n_i AS DOUBLE) / t.n) * 1e9 + 0.5
+         ) AS BIGINT)) AS DOUBLE) / 1e9 AS h_cond
+  FROM tm t JOIN pr p USING (prev_role)
+  GROUP BY t.prev_role, p.n_i
+),
+rate AS (
+  SELECT '__all__' AS prev_role, x.big_n AS n_out,
+         CAST(sum(CAST(floor(
+           (CAST(t.n AS DOUBLE) / x.big_n) * ln(CAST(p.n_i AS DOUBLE) / t.n) * 1e9 + 0.5
+         ) AS BIGINT)) AS DOUBLE) / 1e9 AS h_cond
+  FROM tm t JOIN pr p USING (prev_role) CROSS JOIN tot x
+  GROUP BY x.big_n
+)
+SELECT prev_role, n_out, h_cond FROM (
+  SELECT *, 0 AS ord FROM cond
+  UNION ALL SELECT *, 1 AS ord FROM rate
+) ORDER BY ord, prev_role
+""".strip()
+
+
 def tool_chains(ds, *, n_buckets: int = 64) -> pd.DataFrame:
     """(prev_tool → tool) transition counts over the tool-role turns of each
     conversation in turn order (which tool gets called after which — the

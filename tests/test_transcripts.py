@@ -685,3 +685,34 @@ def test_verbosity_by_depth(ray_session):
     assert out.loc[("assistant", 1)]["mean_tokens"] == 3.5
     # depth 15 lumps into the cap cell 12
     assert out.loc[("assistant", 12)]["n_turns"] == 1
+
+
+def test_markov_entropy_rate(ray_session):
+    import math
+
+    import ray.data as rd
+    from harvester_ray.pipelines import transcripts as tr
+
+    # deterministic chain: user→assistant→user→… entropy 0
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 6),
+            "turn_idx": pa.array(range(6), pa.int32()),
+            "role": pa.array(["user", "assistant"] * 3),
+        }
+    )
+    out = tr.markov_entropy_rate(rd.from_arrow(t))
+    assert list(out["prev_role"]) == ["assistant", "user", "__all__"]
+    assert all(out["h_cond"] == 0.0)
+    # 50/50 branching from user → ln(2) nats conditional entropy
+    t2 = pa.table(
+        {
+            "conv_id": pa.array(["a", "a", "b", "b"]),
+            "turn_idx": pa.array([0, 1, 0, 1], pa.int32()),
+            "role": pa.array(["user", "assistant", "user", "tool"]),
+        }
+    )
+    out2 = tr.markov_entropy_rate(rd.from_arrow(t2)).set_index("prev_role")
+    expected = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) * 2 / 1e9
+    assert out2.loc["user"]["h_cond"] == expected  # ≈ ln 2
+    assert out2.loc["__all__"]["h_cond"] == expected
