@@ -4730,6 +4730,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "syllable_stats": lambda sf: _keywords.syllable_stats(
             _docs_ds(sf, ("source", "text"))
         ),
+        "stylometry_delta": lambda sf: _keywords.stylometry_delta(
+            _docs_ds(sf, ("source", "text")), k=30
+        ),
         "vocab_coverage": lambda sf: _keywords.vocab_coverage(
             _docs_ds(sf, ("text",)), ks=(5, 10, 20, 50)
         ),
@@ -5645,6 +5648,7 @@ GROUP BY v.value ORDER BY v.value"""
         "burstiness": _keywords.burstiness_sql("documents", k=50),
         "gini_vocab": _keywords.gini_vocab_sql("documents"),
         "syllable_stats": _keywords.syllable_stats_sql("documents"),
+        "stylometry_delta": _keywords.stylometry_delta_sql("documents", k=30),
         "vocab_coverage": _keywords.vocab_coverage_sql("documents", ks=(5, 10, 20, 50)),
         "cooccurrence_pairs": _keywords.cooccurrence_pairs_sql(
             "documents", k=50, min_count=5

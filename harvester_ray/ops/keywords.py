@@ -1499,6 +1499,184 @@ FROM agg ORDER BY source
 """.strip()
 
 
+def stylometry_delta(
+    ds,
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 30,
+) -> pd.DataFrame:
+    """Burrows' Delta between every pair of sources — the classic
+    stylometry/authorship distance: z-score each source's relative
+    frequency of the corpus's top-``k`` terms against the across-source
+    mean/σ, then average |z₁ − z₂|. Two sources writing in the same
+    register sit near 0; a styled outlier (template farm, different
+    genre) stands off — the pairwise view behind ``source_kl``'s
+    one-vs-corpus number.
+
+    Exactness: relative frequencies fix to 1e9 integers per (source,
+    term) (half-up); per-term mean/variance come from integer sums over
+    sources (order-free); z = (S·F − ΣF)/√(S·ΣF² − (ΣF)²) is ONE mirrored
+    float division, quantized to 1e6 ints before the pair sums; the final
+    mean is a half-up integer division. Terms with zero across-source
+    variance are excluded on both sides. Two streaming passes (corpus cf
+    fold, then per-source counts of the broadcast top-k); pair arithmetic
+    is sources²×k on the driver. Returns
+    ``(source_a, source_b, n_terms, delta)`` for source_a < source_b."""
+    cf_tbl = corpus_cf(ds, text_col=text_col)
+    cols = ["source_a", "source_b", "n_terms", "delta"]
+    if cf_tbl.empty:
+        return pd.DataFrame(columns=cols)
+    top = (
+        cf_tbl.sort_values(["n", "term"], ascending=[False, True], kind="stable")
+        .head(k)["term"]
+        .to_numpy(dtype=object)
+        .astype("U")
+    )
+    order = np.argsort(top, kind="stable")
+    top_sorted = top[order]
+    ref = ray.put(top_sorted)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tk = ray.get(ref)
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        src = batch[source_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        su, si = np.unique(src, return_inverse=True)
+        ns = len(su)
+        out_src, out_idx, out_n = [], [], []
+        if codes.size:
+            tot = np.bincount(si[rows], minlength=ns).astype(np.int64)
+        else:
+            tot = np.zeros(ns, np.int64)
+        out_src.append(su)
+        out_idx.append(np.full(ns, -1, np.int64))
+        out_n.append(tot)
+        if codes.size:
+            dic = dictionary.to_pandas().to_numpy(dtype=object).astype("U")
+            pos = np.searchsorted(tk, dic)
+            pos = np.where((pos < tk.size) & (tk[np.minimum(pos, tk.size - 1)] == dic), pos, -1)
+            tok_pos = pos[codes]
+            sel = tok_pos >= 0
+            if sel.any():
+                key = si[rows[sel]] * tk.size + tok_pos[sel]
+                cnt = np.bincount(key, minlength=ns * tk.size)
+                nz = np.flatnonzero(cnt)
+                out_src.append(su[nz // tk.size])
+                out_idx.append((nz % tk.size).astype(np.int64))
+                out_n.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "source": pa.array(np.concatenate(out_src), pa.string()),
+                "idx": pa.array(np.concatenate(out_idx), pa.int64()),
+                "n": pa.array(np.concatenate(out_n), pa.int64()),
+            }
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby(["source", "idx"], sort=True, as_index=False)["n"].sum()
+    totals = folded[folded["idx"] == -1].set_index("source")["n"]
+    sources = sorted(totals.index)
+    ns = len(sources)
+    if ns < 2:
+        return pd.DataFrame(columns=cols)
+    # dense F grid: F[source][term] at 1e9 fixed-point
+    fgrid = np.zeros((ns, top_sorted.size), dtype=object)
+    counts = {(r.source, int(r.idx)): int(r.n) for r in folded[folded["idx"] >= 0].itertuples()}
+    for a, s in enumerate(sources):
+        n_tot = int(totals[s])
+        for t in range(top_sorted.size):
+            n = counts.get((s, t), 0)
+            fgrid[a, t] = (2 * n * 1_000_000_000 + n_tot) // (2 * n_tot) if n_tot else 0
+    z6 = np.zeros((ns, top_sorted.size), dtype=np.int64)
+    keep = []
+    import math
+
+    for t in range(top_sorted.size):
+        fs = [int(fgrid[a, t]) for a in range(ns)]
+        sf = sum(fs)
+        sff = sum(x * x for x in fs)
+        var_num = ns * sff - sf * sf
+        if var_num <= 0:
+            continue
+        keep.append(t)
+        for a in range(ns):
+            z = float(ns * fs[a] - sf) / math.sqrt(float(var_num))
+            z6[a, t] = int(math.floor(z * 1e6 + 0.5))
+    n_terms = len(keep)
+    if n_terms == 0:
+        return pd.DataFrame(columns=cols)
+    rows_out = []
+    for a in range(ns):
+        for b in range(a + 1, ns):
+            sd = sum(abs(int(z6[a, t]) - int(z6[b, t])) for t in keep)
+            rows_out.append(
+                (sources[a], sources[b], n_terms, ((2 * sd + n_terms) // (2 * n_terms)) / 1e6)
+            )
+    out = pd.DataFrame(rows_out, columns=cols)
+    out["n_terms"] = out["n_terms"].astype(np.int64)
+    return out
+
+
+def stylometry_delta_sql(
+    table: str = "documents",
+    *,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = 30,
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH docs AS (SELECT {source_col} AS source, {tok} AS ts FROM {table}),
+stok AS (SELECT source, unnest(ts) AS term FROM docs),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM stok GROUP BY term),
+topk AS (SELECT term FROM cf ORDER BY n DESC, term LIMIT {k}),
+ns AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tot FROM stok GROUP BY source),
+nst AS (
+  SELECT source, term, CAST(count(*) AS BIGINT) AS n
+  FROM stok WHERE term IN (SELECT term FROM topk) GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.source, t.term, coalesce(x.n, 0) AS n, s.n_tot
+  FROM ns s CROSS JOIN topk t LEFT JOIN nst x ON x.source = s.source AND x.term = t.term
+),
+f AS (
+  SELECT source, term,
+         (2 * CAST(n AS HUGEINT) * 1000000000 + n_tot) // (2 * CAST(n_tot AS HUGEINT)) AS fv
+  FROM grid
+),
+stats AS (
+  SELECT term, CAST(count(*) AS HUGEINT) AS s, sum(fv) AS sf, sum(fv * fv) AS sff
+  FROM f GROUP BY term
+),
+z AS (
+  SELECT f.source, f.term,
+         CAST(floor(CAST(st.s * f.fv - st.sf AS DOUBLE)
+                    / sqrt(CAST(st.s * st.sff - st.sf * st.sf AS DOUBLE))
+                    * 1e6 + 0.5) AS BIGINT) AS z6
+  FROM f JOIN stats st USING (term)
+  WHERE st.s * st.sff - st.sf * st.sf > 0
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_terms,
+         sum(CAST(abs(a.z6 - b.z6) AS HUGEINT)) AS sd
+  FROM z a JOIN z b ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_terms,
+       CAST((2 * sd + n_terms) // (2 * CAST(n_terms AS HUGEINT)) AS DOUBLE) / 1e6 AS delta
+FROM pairs ORDER BY source_a, source_b
+""".strip()
+
+
 def vocab_coverage(
     ds,
     *,

@@ -191,6 +191,22 @@ def test_burstiness(ray_session):
     assert half.iloc[0]["burstiness"] == 1.5
 
 
+def test_stylometry_delta(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "source": pa.array(["a", "b", "c"]),
+            "text": pa.array(["x x y", "x x y", "y y x"]),  # c inverts the style
+        }
+    )
+    out = keywords.stylometry_delta(rd.from_arrow(t), k=2).set_index(["source_a", "source_b"])
+    assert out.loc[("a", "b")]["delta"] == 0.0  # identical style
+    ac, bc = out.loc[("a", "c")]["delta"], out.loc[("b", "c")]["delta"]
+    assert ac == bc and ac > 1.0  # the outlier stands off symmetrically
+    assert all(out["n_terms"] == 2)
+
+
 def test_syllable_stats(ray_session):
     import ray.data as rd
 
