@@ -215,3 +215,150 @@ SELECT bucket_cap, n_docs, sum_tokens,
 FROM fin
 ORDER BY bucket_cap
 """.strip()
+
+
+def span_corruption(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_mod: int = 5,
+) -> pd.DataFrame:
+    """T5/UL2 span-corruption objective: mask ~1/``rate_mod`` of token
+    positions, merge adjacent masked positions into spans, and emit the
+    (input, target) pair — input with each span replaced by its sentinel
+    ``<x_i>``, target as sentinel-prefixed span contents. The masking
+    decision is a deterministic position hash
+    ``((doc_id·1315423911 + pos·2654435761) mod 2³¹) mod rate_mod == 0``
+    — no RNG, so any partition layout and the SQL oracle produce the
+    identical corruption (the seed-free determinism every resumable
+    100 TB pretrain-prep run needs). Embarrassingly parallel: one
+    map_batches pass, no shuffle; gaps-and-islands span numbering mirrors
+    the oracle's window functions. Returns
+    ``(doc_id, n_tokens, n_masked, input_text, target_text)`` by doc."""
+    from .. import analyzer
+
+    P1, P2, M = 1315423911, 2654435761, 2**31
+
+    def corrupt(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n = batch.num_rows
+        toks = (
+            dictionary.to_pandas().to_numpy(dtype=object)[codes]
+            if codes.size else np.zeros(0, object)
+        )
+        starts = np.searchsorted(rows, np.arange(n + 1), side="left") if rows.size else np.zeros(n + 1, np.int64)
+        pos = np.arange(rows.size, dtype=np.int64) - starts[rows] if rows.size else np.zeros(0, np.int64)
+        masked = (
+            ((ids[rows] * P1 + pos * P2) % M) % rate_mod == 0
+            if rows.size else np.zeros(0, bool)
+        )
+        prev_masked = np.zeros_like(masked)
+        same_row = np.zeros_like(masked)
+        if masked.size:
+            prev_masked[1:] = masked[:-1]
+            same_row[1:] = rows[1:] == rows[:-1]
+        run_start = masked & ~(prev_masked & same_row)
+        gs = np.cumsum(run_start.astype(np.int64)) if rows.size else np.zeros(0, np.int64)
+        inputs, targets, n_tok, n_msk = [], [], [], []
+        for r in range(n):
+            a, b = int(starts[r]), int(starts[r + 1])
+            base = int(gs[a] - run_start[a]) if b > a else 0
+            in_p, tgt_p = [], []
+            for i in range(a, b):
+                if not masked[i]:
+                    in_p.append(toks[i])
+                else:
+                    span = int(gs[i]) - 1 - base
+                    if run_start[i]:
+                        in_p.append(f"<x_{span}>")
+                        tgt_p.append(f"<x_{span}> {toks[i]}")
+                    else:
+                        tgt_p.append(toks[i])
+            inputs.append(" ".join(in_p))
+            targets.append(" ".join(tgt_p))
+            n_tok.append(b - a)
+            n_msk.append(int(masked[a:b].sum()))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.array(n_tok, np.int64), pa.int64()),
+                "n_masked": pa.array(np.array(n_msk, np.int64), pa.int64()),
+                "input_text": pa.array(inputs, pa.string()),
+                "target_text": pa.array(targets, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["doc_id", "n_tokens", "n_masked", "input_text", "target_text"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+def span_corruption_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rate_mod: int = 5,
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         CAST(generate_subscripts(ts, 1) - 1 AS BIGINT) AS pos
+  FROM toks
+),
+m AS (
+  SELECT *, ((doc_id * 1315423911 + pos * 2654435761) % 2147483648) % {rate_mod} = 0 AS masked
+  FROM flat
+),
+r AS (
+  SELECT *, CASE WHEN masked AND NOT coalesce(
+                   lag(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                 THEN 1 ELSE 0 END AS run_start
+  FROM m
+),
+s AS (
+  SELECT *, sum(run_start) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS span
+  FROM r
+),
+input_t AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS input_text
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN NOT masked THEN tok
+                WHEN run_start = 1 THEN '<x_' || span || '>'
+                ELSE NULL END AS piece
+    FROM s
+  ) WHERE piece IS NOT NULL GROUP BY doc_id
+),
+target_t AS (
+  SELECT doc_id, string_agg(piece, ' ' ORDER BY pos) AS target_text
+  FROM (
+    SELECT doc_id, pos,
+           CASE WHEN run_start = 1 THEN '<x_' || span || '> ' || tok ELSE tok END AS piece
+    FROM s WHERE masked
+  ) GROUP BY doc_id
+),
+stats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(count(*) FILTER (masked) AS BIGINT) AS n_masked
+  FROM s GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(st.n_tokens, 0) AS n_tokens,
+       coalesce(st.n_masked, 0) AS n_masked,
+       coalesce(i.input_text, '') AS input_text,
+       coalesce(t.target_text, '') AS target_text
+FROM (SELECT doc_id FROM toks) d
+LEFT JOIN stats st USING (doc_id)
+LEFT JOIN input_t i USING (doc_id)
+LEFT JOIN target_t t USING (doc_id)
+ORDER BY d.doc_id
+""".strip()

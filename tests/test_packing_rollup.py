@@ -187,3 +187,37 @@ def test_rrf_fusion_rank_semantics(ray_session):
     # fused order monotone; a doc in both lists beats any single-list doc here
     assert list(out["rrf"]) == sorted(out["rrf"], reverse=True)
     assert out["doc_id"].iloc[-1] == 3
+
+
+def test_span_corruption(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import packing
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 7, 9],
+            "text": ["alpha beta gamma delta eps", "one two three four five six", ""],
+        }
+    )
+    got = packing.span_corruption(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(packing.span_corruption_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # doc 0: hash masks only pos 0 → one sentinel span
+    r0 = got.iloc[0]
+    assert r0["n_tokens"] == 5 and r0["n_masked"] == 1
+    assert r0["input_text"] == "<x_0> beta gamma delta eps"
+    assert r0["target_text"] == "<x_0> alpha"
+    # empty doc → empty pair, zero counts
+    r9 = got.iloc[2]
+    assert r9["n_tokens"] == 0 and r9["input_text"] == "" and r9["target_text"] == ""
+    # deterministic under repartition
+    again = packing.span_corruption(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
