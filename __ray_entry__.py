@@ -4385,6 +4385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "span_corruption": lambda sf: _packing.span_corruption(
             _docs_ds(sf, ("doc_id", "text"))
         ),
+        "fim_split": lambda sf: _packing.fim_split(_docs_ds(sf, ("doc_id", "text"))),
         "length_buckets": lambda sf: _packing.length_buckets(_docs_ds(sf)),
         "asof_join": _asof_events,
         "distinct_segments": relational.distinct_segments,
@@ -5051,6 +5052,7 @@ def oracle_sql() -> dict[str, str]:
         "q5_local_supplier": relational.q5_local_supplier_sql(),
         "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
         "span_corruption": _packing.span_corruption_sql("documents"),
+        "fim_split": _packing.fim_split_sql("documents"),
         "length_buckets": _packing.length_buckets_sql("documents"),
         "hybrid_search": similarity.hybrid_search_sql(
             index_oracle.bm25_sql("documents", BM25_QUERY_AND, 50, mode="and"),

@@ -362,3 +362,88 @@ LEFT JOIN input_t i USING (doc_id)
 LEFT JOIN target_t t USING (doc_id)
 ORDER BY d.doc_id
 """.strip()
+
+
+def fim_split(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """Fill-in-the-middle objective prep (the PSM transform behind
+    code-model pretraining): split each document's token stream into
+    (prefix, middle, suffix) at two cut points derived from a
+    deterministic doc-id hash — c₁ = h₁ mod (n+1), c₂ = c₁ + h₂ mod
+    (n−c₁+1) — so any partition layout, any resume, and the SQL oracle
+    produce the identical split (the span_corruption determinism rule).
+    Embarrassingly parallel, one map_batches pass. Returns
+    ``(doc_id, n_tokens, prefix, middle, suffix)`` by doc."""
+    from .. import analyzer
+
+    P1, P2, M = 1315423911, 2654435761, 2**31
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n_rows = batch.num_rows
+        toks = (
+            dictionary.to_pandas().to_numpy(dtype=object)[codes]
+            if codes.size else np.zeros(0, object)
+        )
+        starts = np.searchsorted(rows, np.arange(n_rows + 1), side="left") if rows.size else np.zeros(n_rows + 1, np.int64)
+        pre, mid, suf, n_tok = [], [], [], []
+        for r in range(n_rows):
+            a, b = int(starts[r]), int(starts[r + 1])
+            n = b - a
+            did = int(ids[r])
+            c1 = ((did * P1) % M) % (n + 1)
+            c2 = c1 + ((did * P2) % M) % (n - c1 + 1)
+            w = toks[a:b]
+            pre.append(" ".join(w[:c1]))
+            mid.append(" ".join(w[c1:c2]))
+            suf.append(" ".join(w[c2:]))
+            n_tok.append(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(np.array(n_tok, np.int64), pa.int64()),
+                "prefix": pa.array(pre, pa.string()),
+                "middle": pa.array(mid, pa.string()),
+                "suffix": pa.array(suf, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["doc_id", "n_tokens", "prefix", "middle", "suffix"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+def fim_split_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+cuts AS (
+  SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+         ((doc_id * 1315423911) % 2147483648) % (CAST(len(ts) AS BIGINT) + 1) AS c1
+  FROM toks
+),
+cuts2 AS (
+  SELECT *, c1 + ((doc_id * 2654435761) % 2147483648) % (n - c1 + 1) AS c2
+  FROM cuts
+)
+SELECT doc_id, n AS n_tokens,
+       coalesce(array_to_string(ts[1:c1], ' '), '') AS prefix,
+       coalesce(array_to_string(ts[c1 + 1:c2], ' '), '') AS middle,
+       coalesce(array_to_string(ts[c2 + 1:n], ' '), '') AS suffix
+FROM cuts2 ORDER BY doc_id
+""".strip()

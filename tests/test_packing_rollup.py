@@ -221,3 +221,31 @@ def test_span_corruption(ray_session):
         rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
     )
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_fim_split(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import packing
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 3, 11],
+            "text": ["a b c d e f", "one two three", ""],
+        }
+    )
+    got = packing.fim_split(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(packing.fim_split_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # invariants: pieces rejoin to the token stream; empty doc → all empty
+    for _, r in got.iterrows():
+        joined = " ".join(p for p in (r["prefix"], r["middle"], r["suffix"]) if p)
+        assert len(joined.split()) == r["n_tokens"]
+    assert got.iloc[2]["prefix"] == "" and got.iloc[2]["n_tokens"] == 0
+    # doc_id 0 hashes to c1 = 0: prefix empty, split still covers all tokens
+    assert got.iloc[0]["prefix"] == ""
