@@ -4491,6 +4491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_stats": lambda sf: _transcripts_mod.role_stats(_tds(sf)),
         "tool_usage": lambda sf: _transcripts_mod.tool_usage(_tds(sf)),
         "conv_tail": lambda sf: _transcripts_mod.conv_tail(_tds(sf)),
+        "conv_head_tail": lambda sf: _transcripts_mod.conv_head_tail(_tds(sf)),
         "sft_examples": lambda sf: _transcripts_mod.sft_examples(_tds(sf)),
         "conv_fit_context": lambda sf: _transcripts_mod.conv_fit_context(_tds(sf)),
         "merge_turns": lambda sf: _transcripts_mod.merge_consecutive_turns(_tds(sf)),
@@ -6069,6 +6070,7 @@ GROUP BY v.value ORDER BY v.value"""
         "role_stats": _transcripts_mod.role_stats_sql(_tsrc),
         "tool_usage": _transcripts_mod.tool_usage_sql(_tsrc),
         "conv_tail": _transcripts_mod.conv_tail_sql(_tsrc),
+        "conv_head_tail": _transcripts_mod.conv_head_tail_sql(_tsrc),
         "sft_examples": _transcripts_mod.sft_examples_sql(_tsrc),
         "conv_fit_context": _transcripts_mod.conv_fit_context_sql(_tsrc),
         "merge_turns": _transcripts_mod.merge_consecutive_turns_sql(_tsrc),

@@ -336,6 +336,75 @@ ORDER BY conv_id, turn_idx
 """.strip()
 
 
+def conv_head_tail(ds, *, h: int = 2, t: int = 2, n_buckets: int = 64) -> pd.DataFrame:
+    """Middle truncation: keep each conversation's first ``h`` and last
+    ``t`` turns and count what was dropped — the keep-the-system-prompt-
+    and-the-recent-context shape (``conv_tail``'s sibling for prompts
+    whose head carries instructions that must survive). A position in
+    both windows counts as head. Same bucketed per-conversation pass as
+    conv_tail. Returns ``(conv_id, turn_idx, role, segment, n_dropped)``
+    for kept turns, sorted by (conv_id, turn_idx)."""
+
+    def headtail(tbl: pa.Table) -> pa.Table:
+        tbl, off = _conv_offsets(tbl)
+        if tbl.num_rows == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int32()),
+                "role": pa.array([], pa.string()),
+                "segment": pa.array([], pa.string()),
+                "n_dropped": pa.array([], pa.int64()),
+            })
+        lens = np.diff(off)
+        n_rows = tbl.num_rows
+        conv_of = np.repeat(np.arange(lens.size), lens)
+        pos = np.arange(n_rows, dtype=np.int64) - off[:-1][conv_of]
+        ln = lens[conv_of]
+        is_head = pos < h
+        is_tail = pos >= ln - t
+        keep = is_head | is_tail
+        seg = np.where(is_head, "head", "tail")
+        dropped = np.maximum(lens - h - t, 0)[conv_of]
+        idx = pa.array(np.flatnonzero(keep), pa.int64())
+        sub = tbl.take(idx)
+        return pa.table({
+            "conv_id": sub["conv_id"].combine_chunks(),
+            "turn_idx": sub["turn_idx"].combine_chunks(),
+            "role": sub["role"].combine_chunks(),
+            "segment": pa.array(seg[keep], pa.string()),
+            "n_dropped": pa.array(dropped[keep], pa.int64()),
+        })
+
+    out = (
+        _with_conv_bucket(ds, n_buckets)
+        .groupby("bucket")
+        .map_groups(headtail, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame({
+            "conv_id": pd.Series([], dtype=str), "turn_idx": pd.Series([], dtype=np.int32),
+            "role": pd.Series([], dtype=str), "segment": pd.Series([], dtype=str),
+            "n_dropped": pd.Series([], dtype=np.int64),
+        })
+    return out.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+
+
+def conv_head_tail_sql(src: str, *, h: int = 2, t: int = 2) -> str:
+    return f"""
+SELECT conv_id, turn_idx, role,
+       CASE WHEN pos <= {h} THEN 'head' ELSE 'tail' END AS segment,
+       CAST(greatest(n - {h} - {t}, 0) AS BIGINT) AS n_dropped
+FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS pos,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM {src}
+) WHERE pos <= {h} OR pos > n - {t}
+ORDER BY conv_id, turn_idx
+""".strip()
+
+
 def conv_fit_context(ds, *, budget: int = 48, n_buckets: int = 64) -> pd.DataFrame:
     """Token-budget context fitting: each conversation's maximal SUFFIX of
     turns whose total token count stays within ``budget`` — the

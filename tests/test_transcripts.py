@@ -716,3 +716,25 @@ def test_markov_entropy_rate(ray_session):
     expected = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5) * 2 / 1e9
     assert out2.loc["user"]["h_cond"] == expected  # ≈ ln 2
     assert out2.loc["__all__"]["h_cond"] == expected
+
+
+def test_conv_head_tail(ray_session):
+    import ray.data as rd
+    from harvester_ray.pipelines import transcripts as tr
+
+    t = pa.table(
+        {
+            "conv_id": pa.array(["a"] * 6 + ["b"] * 3),
+            "turn_idx": pa.array(list(range(6)) + list(range(3)), pa.int32()),
+            "role": pa.array(["user", "assistant"] * 3 + ["system", "user", "assistant"]),
+        }
+    )
+    out = tr.conv_head_tail(rd.from_arrow(t), h=2, t=2)
+    a = out[out["conv_id"] == "a"]
+    assert list(a["turn_idx"]) == [0, 1, 4, 5]  # middle turns 2,3 dropped
+    assert list(a["segment"]) == ["head", "head", "tail", "tail"]
+    assert list(a["n_dropped"]) == [2] * 4
+    b = out[out["conv_id"] == "b"]  # short conv: all kept, overlap → head
+    assert list(b["turn_idx"]) == [0, 1, 2]
+    assert list(b["segment"]) == ["head", "head", "tail"]
+    assert list(b["n_dropped"]) == [0] * 3
