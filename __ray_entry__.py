@@ -4680,6 +4680,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sensitive_col="hod", l=8,
         ),
         "theil_sen": lambda sf: _analytics.theil_sen(_ev_ds(sf, ("event_type", "ts"))),
+        "events_heatmap": lambda sf: _analytics.events_heatmap(_ev_ds(sf, ("ts",))),
         "spearman_by_type": lambda sf: _analytics.spearman_by_group(
             _ev_ds(sf, ("event_id", "event_type", "ts", "value"))
         ),
@@ -5632,6 +5633,7 @@ GROUP BY v.value ORDER BY v.value"""
         "psi_drift": _analytics.psi_drift_sql("events"),
         "l_diversity": _analytics.l_diversity_sql("events", l=8),
         "theil_sen": _analytics.theil_sen_sql("events"),
+        "events_heatmap": _analytics.events_heatmap_sql("events"),
         "spearman_by_type": _analytics.spearman_by_group_sql("events"),
         "mann_whitney_u": _analytics.mann_whitney_u_sql("events"),
         "longest_streak": _analytics.longest_streak_sql("events"),

@@ -1370,6 +1370,66 @@ FROM fp
 """.strip()
 
 
+def events_heatmap(
+    ds,
+    *,
+    ts_col: str = "ts",
+) -> pd.DataFrame:
+    """Day-of-week × hour-of-day activity grid (the ops-dashboard
+    seasonality heatmap; the weekly extension of ``pivot_hourly``).
+    Weekday comes from pure epoch-day arithmetic ``((day + 3) % 7) + 1``
+    (1 = Monday, matching ISO) mirrored verbatim in SQL — never a
+    locale-dependent date function. One bincount partial per batch folds
+    to 168 cells; the dense grid (zeros included) always has 168 rows.
+    Returns ``(dow, hod, n)`` sorted by (dow, hod)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        us = (
+            batch[ts_col]
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        dow = ((us // 86_400_000_000 + 3) % 7).astype(np.int64)
+        hod = ((us // 3_600_000_000) % 24).astype(np.int64)
+        cnt = np.bincount(dow * 24 + hod, minlength=168).astype(np.int64)
+        return pa.table({"cell": pa.array(np.arange(168, dtype=np.int64)), "n": pa.array(cnt)})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_format="pyarrow"
+        )
+    ]
+    cols = ["dow", "hod", "n"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    folded = pd.concat(parts, ignore_index=True).groupby("cell", sort=True, as_index=False)["n"].sum()
+    cells = np.arange(168, dtype=np.int64)
+    n = np.zeros(168, np.int64)
+    n[folded["cell"].to_numpy(np.int64)] = folded["n"].to_numpy(np.int64)
+    return pd.DataFrame({"dow": cells // 24 + 1, "hod": cells % 24, "n": n})
+
+
+def events_heatmap_sql(table: str = "events", *, ts_col: str = "ts") -> str:
+    return f"""
+WITH cells AS (
+  SELECT ((epoch_us({ts_col}) // 86400000000 + 3) % 7) + 1 AS dow,
+         (epoch_us({ts_col}) // 3600000000) % 24 AS hod
+  FROM {table}
+),
+cnt AS (SELECT dow, hod, CAST(count(*) AS BIGINT) AS n FROM cells GROUP BY 1, 2),
+grid AS (
+  SELECT CAST(d.range + 1 AS BIGINT) AS dow, CAST(h.range AS BIGINT) AS hod
+  FROM range(7) d CROSS JOIN range(24) h
+)
+SELECT g.dow, g.hod, coalesce(c.n, 0) AS n
+FROM grid g LEFT JOIN cnt c ON c.dow = g.dow AND c.hod = g.hod
+ORDER BY g.dow, g.hod
+""".strip()
+
+
 def k_anonymity(
     ds,
     *,

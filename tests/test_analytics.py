@@ -419,6 +419,21 @@ def test_spearman(ray_session):
     assert pd.isna(out2.iloc[0]["rho"]) or out2.iloc[0]["rho"] is None
 
 
+def test_events_heatmap(ray_session):
+    # 2024-01-01 is a Monday → dow 1; two events at 10:00, one Tue 03:00
+    rows = [
+        (1, 1, "a", "2024-01-01 10:00", 1.0),
+        (2, 1, "a", "2024-01-01 10:30", 1.0),
+        (3, 1, "a", "2024-01-02 03:00", 1.0),
+    ]
+    out = analytics.events_heatmap(_events(rows))
+    assert len(out) == 168 and out["n"].sum() == 3
+    g = out.set_index(["dow", "hod"])
+    assert g.loc[(1, 10)]["n"] == 2
+    assert g.loc[(2, 3)]["n"] == 1
+    assert g.loc[(7, 23)]["n"] == 0
+
+
 def test_k_anonymity(ray_session):
     # user 1 has 3 "view" rows (safe at k=3); users 2,3 have singletons
     rows = [
