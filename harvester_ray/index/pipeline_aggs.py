@@ -759,10 +759,12 @@ def percentiles_bucket(
         reader, query_text, ts_field=ts_field, interval_us=interval_us, mode=mode,
     )
     if h.empty:
-        out = {"n_buckets": pd.Series(dtype=np.int64)}
+        # the oracle's single aggregate SELECT always yields one row
+        # (n_buckets=0, NULL percentiles) — mirror it, not a 0-row frame
+        row = {"n_buckets": np.int64(0)}
         for p in qs:
-            out[f"p{int(p * 100)}"] = pd.Series(dtype=np.float64)
-        return pd.DataFrame(out)
+            row[f"p{int(p * 100)}"] = np.nan
+        return pd.DataFrame([row])
     v = h["doc_count"].to_numpy(np.float64)
     row = {"n_buckets": np.int64(v.size)}
     for p in qs:

@@ -251,8 +251,11 @@ def span_corruption(
         )
         starts = np.searchsorted(rows, np.arange(n + 1), side="left") if rows.size else np.zeros(n + 1, np.int64)
         pos = np.arange(rows.size, dtype=np.int64) - starts[rows] if rows.size else np.zeros(0, np.int64)
+        # reduce mod M BEFORE multiplying: doc_id·P1 overflows int64 past
+        # doc_id ≈ 7e9 (numpy wraps silently, DuckDB BIGINT raises); the
+        # reduced form is value-identical for doc_id ≥ 0 and never overflows
         masked = (
-            ((ids[rows] * P1 + pos * P2) % M) % rate_mod == 0
+            (((ids[rows] % M) * P1 % M + (pos % M) * P2 % M) % M) % rate_mod == 0
             if rows.size else np.zeros(0, bool)
         )
         prev_masked = np.zeros_like(masked)
@@ -316,7 +319,9 @@ flat AS (
   FROM toks
 ),
 m AS (
-  SELECT *, ((doc_id * 1315423911 + pos * 2654435761) % 2147483648) % {rate_mod} = 0 AS masked
+  SELECT *, (((doc_id % 2147483648) * 1315423911 % 2147483648
+              + (pos % 2147483648) * 2654435761 % 2147483648)
+             % 2147483648) % {rate_mod} = 0 AS masked
   FROM flat
 ),
 r AS (
@@ -397,8 +402,8 @@ def fim_split(
             a, b = int(starts[r]), int(starts[r + 1])
             n = b - a
             did = int(ids[r])
-            c1 = ((did * P1) % M) % (n + 1)
-            c2 = c1 + ((did * P2) % M) % (n - c1 + 1)
+            c1 = (((did % M) * P1) % M) % (n + 1)
+            c2 = c1 + (((did % M) * P2) % M) % (n - c1 + 1)
             w = toks[a:b]
             pre.append(" ".join(w[:c1]))
             mid.append(" ".join(w[c1:c2]))
@@ -434,11 +439,11 @@ def fim_split_sql(
 WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
 cuts AS (
   SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
-         ((doc_id * 1315423911) % 2147483648) % (CAST(len(ts) AS BIGINT) + 1) AS c1
+         (((doc_id % 2147483648) * 1315423911) % 2147483648) % (CAST(len(ts) AS BIGINT) + 1) AS c1
   FROM toks
 ),
 cuts2 AS (
-  SELECT *, c1 + ((doc_id * 2654435761) % 2147483648) % (n - c1 + 1) AS c2
+  SELECT *, c1 + (((doc_id % 2147483648) * 2654435761) % 2147483648) % (n - c1 + 1) AS c2
   FROM cuts
 )
 SELECT doc_id, n AS n_tokens,

@@ -1287,17 +1287,21 @@ def anova_f(
         g = batch[group_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
         y = _quantize_centi(
             batch[value_col].combine_chunks().to_numpy(zero_copy_only=False).astype(np.float64)
-        )
+        ).astype(np.int64)
         gu, gi = np.unique(g, return_inverse=True)
         n = np.bincount(gi).astype(np.int64)
-        s = np.bincount(gi, weights=y).astype(np.int64)
-        ss = np.bincount(gi, weights=y * y).astype(np.int64)
+        s = np.zeros(len(gu), np.int64)
+        np.add.at(s, gi, y)
+        # Σy² with Python-int arithmetic (float64 bincount weights lose
+        # exactness past 2^53, i.e. |value| ≳ 9e5); shipped as decimal128
+        ss_acc = np.zeros(len(gu), dtype=object)
+        np.add.at(ss_acc, gi, y.astype(object) * y.astype(object))
         return pa.table(
             {
                 "g": pa.array(gu, pa.string()),
                 "n": pa.array(n, pa.int64()),
                 "s": pa.array(s, pa.int64()),
-                "ss": pa.array(ss, pa.int64()),
+                "ss": pa.array([int(x) for x in ss_acc], pa.decimal128(38, 0)),
             }
         )
 
@@ -1955,7 +1959,10 @@ def variable_width_histogram(
             if m.any():
                 W = int(w[m].sum())
                 S = sum(int(a) * int(b) for a, b in zip(v[m], w[m]))
-                new[j] = (2 * S * 1_000_000 + W) // (2 * W)
+                # DuckDB `//` truncates toward zero; Python floors — mirror
+                # truncation so negative-valued centroids stay bit-identical
+                num, den = 2 * S * 1_000_000 + W, 2 * W
+                new[j] = num // den if num >= 0 else -((-num) // den)
         cent = new
 
     d = np.abs(vfp[:, None] - cent[None, :])

@@ -678,3 +678,40 @@ def test_schema_profile(ray_session):
     assert m["a"]["n_total"] == 4 and m["a"]["n_null"] == 1 and m["a"]["n_distinct"] == 2
     assert m["b"]["n_null"] == 0 and m["b"]["n_distinct"] == 2
     assert list(out["column"]) == ["a", "b"]  # declared order preserved
+
+
+def test_variable_width_histogram_negative_oracle(ray_session):
+    # negative values make the centroid-update numerator negative: Python //
+    # floors while DuckDB // truncates toward zero — the engine must mirror
+    # truncation or 1e-6-fixed-point centroids diverge by 1 (ADVICE r3)
+    import duckdb
+
+    vals = [-8.87, -8.86, -8.85, -0.31, -0.29, 4.75, 4.77, 9.99]
+    rows = [(i + 1, 1, "a", "2024-01-01 10:00", v) for i, v in enumerate(vals)]
+    out = analytics.variable_width_histogram(_events(rows), k=4, iters=3)
+    con = duckdb.connect()
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    con.register("events", df)
+    exp = con.execute(analytics.variable_width_histogram_sql("events", k=4, iters=3)).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert (out["centroid"] < 0).any()
+
+
+def test_anova_f_large_values_oracle(ray_session):
+    # |value| > ~9e5: centi y*y exceeds 2^53, float64 bincount weights lose
+    # integer exactness — the partials must accumulate Σy² with exact
+    # integer arithmetic (ADVICE r3)
+    import duckdb
+
+    vals = [("a", 9_000_001.37), ("a", 9_000_003.91), ("a", 9_000_000.13),
+            ("b", -9_000_002.71), ("b", -9_000_001.03), ("b", -9_000_004.59)]
+    rows = [(i + 1, 1, t, "2024-01-01 10:00", v) for i, (t, v) in enumerate(vals)]
+    out = analytics.anova_f(_events(rows))
+    con = duckdb.connect()
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    con.register("events", df)
+    exp = con.execute(analytics.anova_f_sql("events")).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert out.iloc[0]["f"] is not None

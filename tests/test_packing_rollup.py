@@ -249,3 +249,51 @@ def test_fim_split(ray_session):
     assert got.iloc[2]["prefix"] == "" and got.iloc[2]["n_tokens"] == 0
     # doc_id 0 hashes to c1 = 0: prefix empty, split still covers all tokens
     assert got.iloc[0]["prefix"] == ""
+
+
+def test_span_corruption_large_doc_id_oracle(ray_session):
+    # doc_id ≈ 1e10: doc_id·P1 would overflow int64 (numpy wraps silently,
+    # DuckDB BIGINT raises) — the mod-before-multiply hash must keep both
+    # sides in range and identical (ADVICE r3)
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import packing
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10_000_000_007, 4_600_000_000_000],
+            "text": ["alpha beta gamma delta eps zeta", "one two three four"],
+        }
+    )
+    got = packing.span_corruption(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(packing.span_corruption_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fim_split_large_doc_id_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import packing
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [10_000_000_007, 4_600_000_000_000],
+            "text": ["a b c d e f g h", "one two three four five"],
+        }
+    )
+    got = packing.fim_split(rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(packing.fim_split_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    for _, r in got.iterrows():
+        joined = " ".join(p for p in (r["prefix"], r["middle"], r["suffix"]) if p)
+        assert len(joined.split()) == r["n_tokens"]

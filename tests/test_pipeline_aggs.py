@@ -257,3 +257,16 @@ def test_percentiles_bucket_oracle(paidx, con):
     _cmp(got, exp)
     assert got.iloc[0]["n_buckets"] > 5
     assert got.iloc[0]["p25"] <= got.iloc[0]["p50"] <= got.iloc[0]["p75"]
+
+
+def test_percentiles_bucket_empty_matches_oracle(paidx, con):
+    # a query matching no documents: the oracle's single aggregate SELECT
+    # always yields one row (n_buckets=0, NULL percentiles) — the engine
+    # must mirror that, not return a 0-row frame (ADVICE r3)
+    root, _ = paidx
+    r = query.IndexReader(root)
+    got = pipeline_aggs.percentiles_bucket(r, "zzzznomatch")
+    exp = con.execute(oracle.percentiles_bucket_sql("tdocp", "zzzznomatch")).fetchdf()
+    _cmp(got, exp)
+    assert len(got) == 1 and got.iloc[0]["n_buckets"] == 0
+    assert np.isnan(got.iloc[0]["p50"])
