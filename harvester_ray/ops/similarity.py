@@ -1146,17 +1146,20 @@ def knn_binary(
         kk = min(k, ids.size)
         part = np.argpartition(ham, kk - 1)[:kk] if ids.size > kk else np.arange(ids.size)
         return pa.table({
+            "query_id": pa.array(np.zeros(part.size, np.int64), pa.int64()),
             "vec_id": pa.array(ids[part], pa.int64()),
             "hamming": pa.array(ham[part], pa.int64()),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    order = np.lexsort((parts["vec_id"].to_numpy(),
-                        parts["hamming"].to_numpy()))[:k]
-    sel = parts.iloc[order]
+    # distributed O(blocks·k) merge — hamming is a small exact integer, so
+    # the float64 round-trip through _topk_reduce_ds is lossless
+    out = _topk_reduce_ds(
+        ds.map_batches(score, batch_format="pyarrow"),
+        k, value_col="hamming", ascending=True, round_decimals=None,
+    )
     return pa.table({
-        "vec_id": pa.array(sel["vec_id"].to_numpy(), pa.int64()),
-        "hamming": pa.array(sel["hamming"].to_numpy(), pa.int64()),
+        "vec_id": out["vec_id"],
+        "hamming": out["hamming"].cast(pa.int64()),
     })
 
 
@@ -1387,17 +1390,26 @@ def knn_int4_rescore(
             else np.arange(ids_b.size)
         )
         return pa.table({
+            "query_id": pa.array(np.zeros(part.size, np.int64), pa.int64()),
             "vec_id": pa.array(ids_b[part], pa.int64()),
             "int4_dot": pa.array(dot[part], pa.int64()),
         })
 
-    rparts = ds.map_batches(recall, batch_format="pyarrow").to_pandas()
-    cols = ["vec_id", "int4_dot", "exact_dot"]
-    if rparts.empty:
-        return pa.table({c: pa.array([], pa.int64() if c != "exact_dot" else pa.float64()) for c in cols})
-    rorder = np.lexsort((rparts["vec_id"].to_numpy(), -rparts["int4_dot"].to_numpy()))[:pool]
-    cand = rparts.iloc[rorder]
-    ids = np.sort(cand["vec_id"].to_numpy(np.int64))
+    # distributed O(blocks·pool) merge (int4 dots are small exact ints —
+    # the float64 round-trip through _topk_reduce_ds is lossless)
+    cand_t = _topk_reduce_ds(
+        ds.map_batches(recall, batch_format="pyarrow"),
+        pool, value_col="int4_dot", round_decimals=None,
+    )
+    if cand_t.num_rows == 0:
+        return pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "int4_dot": pa.array([], pa.int64()),
+            "exact_dot": pa.array([], pa.float64()),
+        })
+    cand_ids = np.asarray(cand_t["vec_id"])
+    cand_dots = np.asarray(cand_t["int4_dot"]).astype(np.int64)
+    ids = np.sort(cand_ids)
     q = np.floor(np.asarray(query_vec, np.float64) * scale + 0.5).astype(np.int64)
     ref = ray.put((ids, q))
 
@@ -1406,28 +1418,38 @@ def knn_int4_rescore(
         ids_b = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
         sel = np.isin(ids_b, idset)
         if not sel.any():
-            return pa.table({"vec_id": pa.array([], pa.int64()), "idot": pa.array([], pa.int64())})
+            return pa.table({
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "idot": pa.array([], pa.int64()),
+            })
         mat = _batch_matrix(batch, vec_col)[sel]
         qm = np.floor(mat * scale + 0.5).astype(np.int64)
         return pa.table(
             {
+                "query_id": pa.array(np.zeros(int(sel.sum()), np.int64), pa.int64()),
                 "vec_id": pa.array(ids_b[sel], pa.int64()),
                 "idot": pa.array(qm @ qv, pa.int64()),
             }
         )
 
-    parts = ds.map_batches(rescore, batch_format="pyarrow").to_pandas()
-    order = np.lexsort((parts["vec_id"].to_numpy(), -parts["idot"].to_numpy()))[:k]
-    sel = parts.iloc[order]
-    int4_map = dict(zip(cand["vec_id"], cand["int4_dot"]))
+    # idot ≤ scale²·d ≈ 1e10·d — still exact in float64, so the reduce is
+    # lossless; only k rows reach the driver
+    out = _topk_reduce_ds(
+        ds.map_batches(rescore, batch_format="pyarrow"),
+        k, value_col="idot", round_decimals=None,
+    )
+    sel_ids = np.asarray(out["vec_id"])
+    sel_idot = np.asarray(out["idot"]).astype(np.int64)
+    int4_map = dict(zip(cand_ids.tolist(), cand_dots.tolist()))
     return pa.table(
         {
-            "vec_id": pa.array(sel["vec_id"].to_numpy(np.int64), pa.int64()),
+            "vec_id": pa.array(sel_ids, pa.int64()),
             "int4_dot": pa.array(
-                np.array([int4_map[int(v)] for v in sel["vec_id"]], np.int64), pa.int64()
+                np.array([int4_map[int(v)] for v in sel_ids], np.int64), pa.int64()
             ),
             "exact_dot": pa.array(
-                sel["idot"].to_numpy(np.int64).astype(np.float64) / (scale * scale),
+                sel_idot.astype(np.float64) / (scale * scale),
                 pa.float64(),
             ),
         }
@@ -1538,14 +1560,41 @@ def knn_maxsim(
             "fp": pa.array(out_fp, pa.int64()),
         })
 
-    parts = ds.map_batches(score, batch_format="pyarrow").to_pandas()
-    mx = parts.groupby(["doc", "qi"], as_index=False)["fp"].max()
-    sc = mx.groupby("doc", as_index=False)["fp"].sum()
-    order = np.lexsort((sc["doc"].to_numpy(), -sc["fp"].to_numpy()))[:k]
-    sel = sc.iloc[order]
+    # distributed max/sum fold: the (doc, qi, fp) partials are
+    # corpus-cardinality (docs × Q rows) — never fold them on the driver.
+    # One groupby("doc") exchange (ints only) reduces each doc to a single
+    # score row inside a worker; a per-block local top-k then the shared
+    # single-group reduce ships exactly k rows to the driver.
+    def fold_doc(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc": [np.int64(g["doc"].iloc[0])],
+            "fp": [np.int64(g.groupby("qi")["fp"].max().sum())],
+        })
+
+    per_doc = (
+        ds.map_batches(score, batch_format="pyarrow")
+        .groupby("doc")
+        .map_groups(fold_doc, batch_format="pandas")
+    )
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc"]).astype(np.int64)
+        f = np.asarray(t["fp"]).astype(np.int64)
+        order = np.lexsort((d, -f))[:k]
+        return pa.table({
+            "query_id": pa.array(np.zeros(order.size, np.int64), pa.int64()),
+            "vec_id": pa.array(d[order], pa.int64()),
+            "fp": pa.array(f[order], pa.int64()),
+        })
+
+    out = _topk_reduce_ds(
+        per_doc.map_batches(local_topk, batch_format="pyarrow"),
+        k, value_col="fp", round_decimals=None,
+    )
+    fp = np.asarray(out["fp"]).astype(np.int64)
     return pa.table({
-        "doc": pa.array(sel["doc"].to_numpy(), pa.int64()),
-        "score": pa.array(np.round(sel["fp"].to_numpy() / 1e4, 4), pa.float64()),
+        "doc": pa.array(np.asarray(out["vec_id"]), pa.int64()),
+        "score": pa.array(np.round(fp / 1e4, 4), pa.float64()),
     })
 
 
