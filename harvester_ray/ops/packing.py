@@ -223,7 +223,8 @@ def span_corruption(
     id_col: str = "doc_id",
     text_col: str = "text",
     rate_mod: int = 5,
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """T5/UL2 span-corruption objective: mask ~1/``rate_mod`` of token
     positions, merge adjacent masked positions into spans, and emit the
     (input, target) pair — input with each span replaced by its sentinel
@@ -294,7 +295,12 @@ def span_corruption(
             }
         )
 
-    out = ds.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    res = ds.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
+    if not collect:
+        # Dataset mode: ~2x corpus text — stream to write_parquet, never
+        # materialize on the driver (the chunk_documents(collect=False) rule)
+        return res
+    out = res.to_pandas()
     cols = ["doc_id", "n_tokens", "n_masked", "input_text", "target_text"]
     if out.empty:
         return pd.DataFrame(columns=cols)
@@ -374,7 +380,8 @@ def fim_split(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Fill-in-the-middle objective prep (the PSM transform behind
     code-model pretraining): split each document's token stream into
     (prefix, middle, suffix) at two cut points derived from a
@@ -419,7 +426,10 @@ def fim_split(
             }
         )
 
-    out = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    res = ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)
+    if not collect:
+        return res
+    out = res.to_pandas()
     cols = ["doc_id", "n_tokens", "prefix", "middle", "suffix"]
     if out.empty:
         return pd.DataFrame(columns=cols)

@@ -199,11 +199,15 @@ def perplexity_buckets(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    collect: bool = True,
 ):
     """Per-doc ``(doc_id, n_tokens, nll_per_token, bucket)`` with bucket ∈
     head/middle/tail by corpus thirds of per-token unigram NLL (head = most
     typical text). Zero-token docs score 0 (most head-ward), mirroring the
-    oracle's LEFT JOIN."""
+    oracle's LEFT JOIN. With ``collect=False`` the assignment stage is
+    returned as a Dataset (unsorted) so pipelines can stream it straight
+    to ``write_parquet`` — the per-doc rows never land on the driver; the
+    cutoff selection itself stays histogram-refinement either way."""
     import ray
 
     def to_key(batch: pa.Table) -> pa.Table:
@@ -227,6 +231,15 @@ def perplexity_buckets(
     n = scored.count()
     cols = ["doc_id", "n_tokens", "nll_per_token", "bucket"]
     if n == 0:
+        if not collect:
+            import ray.data as rd
+
+            return rd.from_arrow(pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "nll_per_token": pa.array([], pa.float64()),
+                "bucket": pa.array([], pa.string()),
+            }))
         return pd.DataFrame(columns=cols)
     k1, k2 = n // 3, (2 * n) // 3
     c1, c2 = kth_smallest_pairs(scored, [k1, k2], id_col="doc_id")
@@ -254,7 +267,10 @@ def perplexity_buckets(
             }
         )
 
-    out = scored.map_batches(assign, batch_format="pyarrow").to_pandas()
+    res = scored.map_batches(assign, batch_format="pyarrow")
+    if not collect:
+        return res
+    out = res.to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)[cols]
 
 

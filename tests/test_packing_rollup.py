@@ -297,3 +297,34 @@ def test_fim_split_large_doc_id_oracle(ray_session):
     for _, r in got.iterrows():
         joined = " ".join(p for p in (r["prefix"], r["middle"], r["suffix"]) if p)
         assert len(joined.split()) == r["n_tokens"]
+
+
+def test_collect_false_streams_datasets(ray_session):
+    # VERDICT r3 item 3: the emission ops must offer a Dataset-returning
+    # mode so pipelines can stream to write_parquet without driver-side
+    # materialization; values must match the collected frame exactly
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    import ray.data as rd
+
+    from harvester_ray.ops import packing, quantiles
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["alpha beta gamma delta", "one two three", "x y", ""],
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+
+    for fn in (packing.span_corruption, packing.fim_split, quantiles.perplexity_buckets):
+        collected = fn(ds)
+        streamed = fn(ds, collect=False)
+        assert isinstance(streamed, ray.data.Dataset)
+        got = (
+            streamed.to_pandas()
+            .sort_values(list(collected.columns[:1]))
+            .reset_index(drop=True)[list(collected.columns)]
+        )
+        pd.testing.assert_frame_equal(got, collected, check_dtype=False)
