@@ -168,3 +168,96 @@ def test_segment_metrics_surface(ray_session, tmp_path):
     m2 = build.segment_metrics(root)
     assert list(m2["segment"]) == list(m["segment"])
     assert list(m2["bytes"]) == list(m["bytes"])
+
+
+def test_actor_death_mid_build_resumes_identically(ray_session, tmp_path):
+    """Chaos: a SegmentBuilder actor PROCESS dies mid-__call__ (after
+    leaving a partial .tmp file behind). Ray Data's actor pool restarts the
+    actor and retries the task; the fingerprinted-marker + atomic-rename
+    protocol must yield an index byte-identical to an undisturbed build,
+    with no duplicate or stray segment files (VERDICT r3 item 7 — actual
+    actor death, complementing the driver-kill resume test)."""
+    import glob
+    import json as _json
+
+    import pyarrow.parquet as _pq
+
+    ds_cols = ["doc_id", "text"]
+    ref_root = str(tmp_path / "ref")
+    build.build_index(
+        rd.read_parquet(DOCS, columns=ds_cols), ref_root,
+        concurrency=2, batch_size=100,
+    )
+
+    flag = str(tmp_path / "killed.flag")
+
+    class KillingSegmentBuilder(build.SegmentBuilder):
+        def __call__(self, batch):
+            # exactly one actor, on one batch, dies mid-write: leave a
+            # partial tmp file (atomicity probe) then hard-exit the process
+            try:
+                fd = os.open(flag, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                ids = np.asarray(batch["doc_id"].combine_chunks().cast("int64"))
+                name = f"seg-{ids.min():012d}-{ids.max():012d}"
+                with open(os.path.join(self.seg_dir, name + ".bin.tmp"), "wb") as f:
+                    f.write(b"partial garbage")
+                os._exit(1)
+            except FileExistsError:
+                pass
+            return super().__call__(batch)
+
+    chaos_root = str(tmp_path / "chaos")
+    orig = build.SegmentBuilder
+    build.SegmentBuilder = KillingSegmentBuilder
+    try:
+        man = build.build_index(
+            rd.read_parquet(DOCS, columns=ds_cols), chaos_root,
+            concurrency=2, batch_size=100,
+        )
+    finally:
+        build.SegmentBuilder = orig
+
+    assert os.path.exists(flag), "the chaos actor never fired"
+    assert man["n_docs"] == 500
+
+    ref_man = mf.read_manifest(ref_root, mf.current_version(ref_root))
+    chaos_man = mf.read_manifest(chaos_root, mf.current_version(chaos_root))
+    ref_segs = sorted(s["name"] for s in ref_man["segments"])
+    chaos_segs = sorted(s["name"] for s in chaos_man["segments"])
+    assert ref_segs == chaos_segs  # no duplicate or missing segments
+
+    ref_paths = {s["name"]: s["path"] for s in ref_man["segments"]}
+    chaos_paths = {s["name"]: s["path"] for s in chaos_man["segments"]}
+    # byte-identical segment payloads, marker fingerprints equal
+    for seg in ref_segs:
+        for ext in (".terms.parquet", ".docs.parquet", ".bin"):
+            a = os.path.join(ref_root, ref_paths[seg] + ext)
+            b = os.path.join(chaos_root, chaos_paths[seg] + ext)
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                assert fa.read() == fb.read(), f"{seg}{ext} differs"
+        with open(os.path.join(ref_root, ref_paths[seg] + ".done")) as f:
+            fa = _json.load(f)["fingerprint"]
+        with open(os.path.join(chaos_root, chaos_paths[seg] + ".done")) as f:
+            fb = _json.load(f)["fingerprint"]
+        assert fa == fb
+
+    # the victim's partial tmp file must not have leaked into the live set:
+    # every segment file on disk belongs to the manifest
+    live = set()
+    for seg in chaos_segs:
+        for ext in (".terms.parquet", ".docs.parquet", ".bin", ".done"):
+            live.add(seg + ext)
+    seg_dir = os.path.dirname(os.path.join(chaos_root, next(iter(chaos_paths.values()))))
+    on_disk = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(seg_dir, "seg-*"))
+        if not p.endswith(".tmp")
+    }
+    assert on_disk == live
+    # a stray .tmp may remain (the victim died before rename) — it must be
+    # ignored by readers; queries on both roots agree
+    ra = query.IndexReader(ref_root).search("spark window", k=5).to_pandas()
+    rb = query.IndexReader(chaos_root).search("spark window", k=5).to_pandas()
+    assert list(ra["doc_id"]) == list(rb["doc_id"])
+    np.testing.assert_allclose(ra["score"], rb["score"], rtol=0, atol=0)
