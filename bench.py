@@ -260,6 +260,7 @@ def run_headline() -> dict:
     # fewer chances of one descheduled actor setting the tail on a noisy host
     qs = _query_set()
     p50_ms = p95_ms = p50_best_ms = p95_best_ms = cold_p50_ms = inproc_p50_ms = 0.0
+    concurrency_sweep: dict = {}
     if not os.environ.get("GRAFT_SKIP_SERVING"):
         svc = iq.QueryService(index_root, num_actors=min(8, NUM_CPUS))
         cold, warm = [], []
@@ -285,6 +286,34 @@ def run_headline() -> dict:
         p50_best_ms = statistics.median(best) * 1000
         p95_best_ms = sorted(best)[int(len(best) * 0.95)] * 1000
         cold_p50_ms = statistics.median(cold) * 1000
+
+        # concurrent-client QPS-vs-latency sweep (VERDICT r3 item 8): a
+        # fixed-size cluster serves concurrent load, not a sequential
+        # client. N closed-loop streams each run the warm query set once
+        # against the same 8-actor pool; per-query latency includes actor
+        # queueing (actors are single-threaded, exactly the serving shape).
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _client(_sid: int) -> list[float]:
+            out = []
+            for q, mode in qs:
+                t1 = time.time()
+                svc.search(q, k=10, mode=mode)
+                out.append(time.time() - t1)
+            return out
+
+        concurrency_sweep = {}
+        for nstreams in (1, 4, 16):
+            t0s = time.time()
+            with ThreadPoolExecutor(max_workers=nstreams) as ex:
+                lat_lists = list(ex.map(_client, range(nstreams)))
+            wall = time.time() - t0s
+            lats = sorted(x for lst in lat_lists for x in lst)
+            concurrency_sweep[str(nstreams)] = {
+                "qps": round(len(lats) / wall, 1),
+                "p50_ms": round(statistics.median(lats) * 1000, 2),
+                "p95_ms": round(lats[int(len(lats) * 0.95)] * 1000, 2),
+            }
 
         # release the serving pool's CPU reservations: with num_actors ==
         # NUM_CPUS the pool otherwise holds every slot and the first Dataset
@@ -458,6 +487,7 @@ def run_headline() -> dict:
         "bm25_p95_best_pass_ms": round(p95_best_ms, 3),
         "bm25_cold_p50_ms": round(cold_p50_ms, 3),
         "bm25_inprocess_p50_ms": round(inproc_p50_ms, 3),
+        "serving_concurrency": concurrency_sweep,
         "n_segments": n_built_segments,
         "build_concurrency": conc,
         "build_fixed_sec": round(build_fixed_sec, 2),
