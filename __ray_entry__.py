@@ -2982,6 +2982,21 @@ def _knn_ivf_pruned(sf_dir: str) -> pd.DataFrame:
 KNN_FILTER_LABELS = [0, 1, 2]
 
 
+def _knn_hnsw(sf_dir: str) -> pd.DataFrame:
+    """Graph-based ANN (per-shard deterministic HNSW — the Lucene
+    per-segment graph shape the reference serves kNN through). Approximate
+    by design: rows-only gate; recall@10 >= 0.95 vs brute and
+    partition-independence are asserted in tests/test_hnsw.py."""
+    from harvester_ray.ops import hnsw as _hnsw
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wd = os.path.join(_SCRATCH, f"hnsw-{tag}")
+    out = _hnsw.knn_hnsw(
+        _emb_ds(sf_dir), _query_vec(sf_dir), k=10, work_dir=wd
+    ).to_pandas()
+    return out[["vec_id", "cosine"]]
+
+
 def _knn_radius(sf_dir: str) -> pd.DataFrame:
     """Similarity-threshold vector search (ES 8 kNN `similarity` param):
     every vector with cosine >= 0.2 to the query, no top-k cap — the
@@ -4833,6 +4848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_search": _rrf_search,
         "knn_ivf": _knn_ivf,
         "knn_ivf_pruned": _knn_ivf_pruned,
+        "knn_hnsw": _knn_hnsw,
         "knn_pq": _knn_pq,
         "knn_filtered": _knn_filtered,
         "knn_radius": _knn_radius,
@@ -6089,4 +6105,6 @@ GROUP BY v.value ORDER BY v.value"""
         ),
         "curate_conversations": _transcripts_mod.curate_conversations_sql(_tsrc),
         # knn_ivf_pruned: rows-only (approximate pruned index; recall-tested)
+        # knn_hnsw: rows-only (approximate graph ANN; recall + determinism
+        # tested in tests/test_hnsw.py)
     }
