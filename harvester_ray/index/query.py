@@ -93,6 +93,9 @@ class SegmentReader:
                 setattr(self, "_" + col, np.asarray(terms[col].combine_chunks(), dtype=np.int64))
             self._pos = np.memmap(base_path + ".pos", dtype=np.uint8, mode="r")
         self._cache: OrderedDict[str, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        # LRU observability (the soak serving leg reports hit rates)
+        self.cache_hits = 0
+        self.cache_misses = 0
 
     def entry(self, term: str) -> dict | None:
         """Lightweight per-term view: scalars + numpy block-metadata slices."""
@@ -127,11 +130,13 @@ class SegmentReader:
         """Full decode → (doc_ids, tfs); hot terms served from the LRU."""
         hit = self._cache.get(term)
         if hit is not None:
+            self.cache_hits += 1
             self._cache.move_to_end(term)
             return hit
         row = self.entry(term)
         if row is None:
             return None
+        self.cache_misses += 1
         db, tb = self._slices(row)
         out = codec.decode_postings(db, tb)
         self._cache[term] = out
@@ -1219,6 +1224,26 @@ class QuerySegmentActor:
             self.readers, terms, idf_map, k, mode, filters, recency
         )
 
+    def stats(self) -> dict:
+        """Serving observability (the soak leg's per-actor memory + LRU
+        evidence): resident set size from /proc plus the summed postings-
+        cache counters across this actor's segment readers."""
+        rss_kb = 0
+        try:
+            with open("/proc/self/status") as f:
+                for line in f:
+                    if line.startswith("VmRSS:"):
+                        rss_kb = int(line.split()[1])
+                        break
+        except OSError:
+            pass
+        return {
+            "rss_kb": rss_kb,
+            "n_segments": len(self.readers),
+            "cache_hits": sum(r.cache_hits for _, r, _ in self.readers),
+            "cache_misses": sum(r.cache_misses for _, r, _ in self.readers),
+        }
+
     def search_first(
         self,
         terms: list[str],
@@ -1421,6 +1446,12 @@ class QueryService:
 
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
+
+    def actor_stats(self) -> list[dict]:
+        """Per-actor {rss_kb, n_segments, cache_hits, cache_misses}."""
+        import ray
+
+        return ray.get([a.stats.remote() for a in self.actors])
 
     def shutdown(self) -> None:
         """Release the actor pool's CPU reservations. Serving actors are

@@ -25,11 +25,15 @@ def build_transcript_index(
     concurrency: int | None = None,
     resume: bool = True,
     override_num_blocks: int | None = None,
+    attr_cols: list[str] | None = None,
+    store_positions: bool = False,
 ) -> dict:
-    """Build (and promote) a new index version from a transcript Parquet dir."""
+    """Build (and promote) a new index version from a transcript Parquet dir.
+    ``attr_cols`` (e.g. ["role", "tool"]) enables filtered search;
+    ``store_positions`` enables phrase/proximity queries."""
     ds = rd.read_parquet(
         transcripts_path,
-        columns=["conv_id", "turn_idx", "text"],
+        columns=["conv_id", "turn_idx", "text"] + list(attr_cols or []),
         override_num_blocks=override_num_blocks,
     )
     # Counting pre-pass as raw per-file tasks over ONE column (conv_id):
@@ -49,6 +53,8 @@ def build_transcript_index(
         concurrency=concurrency,
         resume=resume,
         input_desc=transcripts_path,
+        attr_cols=attr_cols,
+        store_positions=store_positions,
     )
 
 
