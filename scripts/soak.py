@@ -122,7 +122,15 @@ def main() -> None:
     ap.add_argument("--ref-mult", type=int, default=16)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--stages", default="build_ref,build,curate,neardup,dedup",
+                    help="comma list of build_ref,build,curate,neardup,dedup,"
+                         "serve (serve = VERDICT r4 serving-at-scale leg: "
+                         "positional+attr index, QueryService families, "
+                         "per-actor RSS + LRU evidence)")
     args = ap.parse_args()
+    stages = set(args.stages.split(","))
+    if "dedup" in stages:
+        stages.add("neardup")
 
     import ray
 
@@ -170,20 +178,23 @@ def main() -> None:
         return out
 
     # --- reference-rate build (ref_mult), then the soak build -----------
-    man_ref = stage("build_ref", lambda: _build(
-        ref_dir, os.path.join(SCRATCH, f"idx-ref-{args.cpus}"), conc,
-        base_convs * args.ref_mult * 10))
-    man = stage("build", lambda: _build(
-        soak_dir, os.path.join(SCRATCH, f"idx-soak-{args.cpus}"), conc,
-        base_convs * args.mult * 10))
-    report["n_turns_ref"] = man_ref["n_docs"]
-    report["n_turns"] = man["n_docs"]
-    report["n_segments"] = man["metrics"]["n_segments"]
-    report["turns_per_sec_ref"] = round(
-        man_ref["n_docs"] / report["build_ref_sec"], 1)
-    report["turns_per_sec"] = round(man["n_docs"] / report["build_sec"], 1)
-    report["throughput_retention"] = round(
-        report["turns_per_sec"] / report["turns_per_sec_ref"], 3)
+    if "build_ref" in stages:
+        man_ref = stage("build_ref", lambda: _build(
+            ref_dir, os.path.join(SCRATCH, f"idx-ref-{args.cpus}"), conc,
+            base_convs * args.ref_mult * 10))
+        report["n_turns_ref"] = man_ref["n_docs"]
+        report["turns_per_sec_ref"] = round(
+            man_ref["n_docs"] / report["build_ref_sec"], 1)
+    if "build" in stages:
+        man = stage("build", lambda: _build(
+            soak_dir, os.path.join(SCRATCH, f"idx-soak-{args.cpus}"), conc,
+            base_convs * args.mult * 10))
+        report["n_turns"] = man["n_docs"]
+        report["n_segments"] = man["metrics"]["n_segments"]
+        report["turns_per_sec"] = round(man["n_docs"] / report["build_sec"], 1)
+        if "build_ref" in stages:
+            report["throughput_retention"] = round(
+                report["turns_per_sec"] / report["turns_per_sec_ref"], 3)
 
     docs = turns_as_docs(soak_dir)
 
@@ -206,7 +217,8 @@ def main() -> None:
             pairing="star", referenced_only=True,
         ).count()
 
-    report["curate_rows"] = stage("curate", run_curate)
+    if "curate" in stages:
+        report["curate_rows"] = stage("curate", run_curate)
 
     # --- MinHash-LSH near-dup over all turns -----------------------------
     # pairs materialized ONCE (bounded: pair count, not corpus) and reused
@@ -225,13 +237,95 @@ def main() -> None:
         ).materialize()
         return pairs_holder["pairs"].count()
 
-    report["neardup_pairs"] = stage("neardup", run_neardup)
+    if "neardup" in stages:
+        report["neardup_pairs"] = stage("neardup", run_neardup)
 
     # --- corpus dedup: connected components + bucketed anti-join --------
     def run_dedup_corpus():
         return _cluster.dedup_corpus(docs, pairs_holder["pairs"]).count()
 
-    report["dedup_survivors"] = stage("dedup_corpus", run_dedup_corpus)
+    if "dedup" in stages:
+        report["dedup_survivors"] = stage("dedup_corpus", run_dedup_corpus)
+
+    # --- serving at soak scale (VERDICT r3 item 1) ----------------------
+    # A POSITIONAL index with role/tool/ts attributes over the full soak
+    # corpus (its own root — the plain soak index has neither), then the
+    # QueryService families: BM25 AND/OR, quoted phrase, attribute-
+    # filtered, and a ts-histogram aggregation. Evidence recorded:
+    # cold/warm p50+p95 per family, per-actor RSS after cold vs after all
+    # passes (boundedness — no per-query growth), LRU hit rate.
+    if "serve" in stages:
+        import statistics
+
+        from harvester_ray.index import pipeline_aggs as _paggs
+        from harvester_ray.index import query as _iq
+        from harvester_ray.pipelines import flagship as _flagship
+
+        serve_root = os.path.join(SCRATCH, f"idx-serve-{args.cpus}")
+        seg_docs = int(os.environ.get("GRAFT_SEG_DOCS", "45000"))
+        est = base_convs * args.mult * 10
+        blocks = max(1, round(est / seg_docs), 4 * conc)
+        blocks = ((blocks + conc - 1) // conc) * conc
+        man_srv = stage("serve_build", lambda: _flagship.build_transcript_index(
+            soak_dir, serve_root, concurrency=conc,
+            override_num_blocks=blocks,
+            attr_cols=["role", "tool", "ts"], store_positions=True,
+        ))
+        report["serve_n_segments"] = man_srv["metrics"]["n_segments"]
+
+        head = ["gaji", "hopotenu", "vafawu", "zoquli", "todefi"]
+        qs = [(h, "and") for h in head]
+        for i in range(len(head) - 1):
+            qs.append((f"{head[i]} {head[i + 1]}", "and"))
+            qs.append((f"{head[i]} {head[i + 1]}", "or"))
+        qs += [("gaji hopotenu vafawu", "and"), ("gaji hopotenu vafawu", "or"),
+               ("togisiwu zavi vilobara", "or"), ("wiva loraka", "and")]
+
+        svc = _iq.QueryService(serve_root, num_actors=8)
+
+        def _family(run_one, items, passes):
+            cold, warm = [], []
+            for it in items:
+                t1 = time.time()
+                run_one(it)
+                cold.append(time.time() - t1)
+            for _ in range(passes):
+                for it in items:
+                    t1 = time.time()
+                    run_one(it)
+                    warm.append(time.time() - t1)
+            warm.sort()
+            return {
+                "cold_p50_ms": round(statistics.median(cold) * 1000, 2),
+                "p50_ms": round(statistics.median(warm) * 1000, 2),
+                "p95_ms": round(warm[int(len(warm) * 0.95)] * 1000, 2),
+            }
+
+        t_serve = time.time()
+        report["serve_bm25"] = _family(
+            lambda it: svc.search(it[0], k=10, mode=it[1]), qs, passes=5)
+        stats_cold = svc.actor_stats()
+        report["serve_phrase"] = _family(
+            lambda p: svc.search_phrase(p, k=10),
+            ["gaji hopotenu", "zoquli todefi", "wiva loraka"], passes=5)
+        report["serve_filtered"] = _family(
+            lambda it: svc.search(it[0], k=10, mode=it[1],
+                                  filters={"role": ["assistant"]}),
+            qs[:8], passes=3)
+        reader = _iq.IndexReader(serve_root)
+        report["serve_aggs"] = _family(
+            lambda q: _paggs.percentiles_bucket(reader, q),
+            ["gaji", "hopotenu vafawu"], passes=2)
+        stats_end = svc.actor_stats()
+        report["serve_wall_sec"] = round(time.time() - t_serve, 1)
+        report["serve_actor_rss_gb_after_cold"] = [
+            round(a["rss_kb"] / 1e6, 2) for a in stats_cold]
+        report["serve_actor_rss_gb_end"] = [
+            round(a["rss_kb"] / 1e6, 2) for a in stats_end]
+        hits = sum(a["cache_hits"] for a in stats_end)
+        misses = sum(a["cache_misses"] for a in stats_end)
+        report["serve_lru_hit_rate"] = round(hits / max(1, hits + misses), 3)
+        svc.shutdown()
 
     stop.set()
     t_sampler.join(timeout=5)
