@@ -4814,6 +4814,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("event_id", "user_id", "ts"))
         ),
         "key_skew": lambda sf: _analytics.key_skew(_ev_ds(sf, ("user_id",))),
+        "hot_keys": lambda sf: _analytics.hot_keys(_ev_ds(sf, ("user_id",))),
+        # 24h window / >5 events: probed non-degenerate on the sf0.01 events
+        # table (732 violations; the 1h default matches nothing there)
+        "rate_limit_violations": lambda sf: _analytics.rate_limit_violations(
+            _ev_ds(sf, ("event_id", "user_id", "ts")),
+            window_us=86_400_000_000, max_events=5,
+        ),
         "geometric_mean": lambda sf: _analytics.geometric_mean(
             _ev_ds(sf, ("event_type", "value"))
         ),
@@ -5706,6 +5713,9 @@ GROUP BY v.value ORDER BY v.value"""
         "rolling_mean": _analytics.rolling_mean_sql("events", window=4),
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
+        "hot_keys": _analytics.hot_keys_sql("events"),
+        "rate_limit_violations": _analytics.rate_limit_violations_sql(
+            "events", window_us=86_400_000_000, max_events=5),
         "geometric_mean": _analytics.geometric_mean_sql("events"),
         "equidepth_histogram": _analytics.equidepth_histogram_sql("events", nbuckets=10),
         "type_entropy": _analytics.type_entropy_sql("events"),

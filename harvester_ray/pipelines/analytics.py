@@ -3857,3 +3857,167 @@ FROM {table}'''
         "SELECT * FROM (" + " UNION ALL ".join(selects)
         + f') ORDER BY list_position([{order}], "column")'
     )
+
+
+def hot_keys(
+    ds,
+    *,
+    key_col: str = "user_id",
+    top_n: int = 10,
+) -> pd.DataFrame:
+    """Shuffle-skew diagnostic: the pre-flight check every 100 TB
+    ``groupby`` deserves — per-key row counts, the ``top_n`` heaviest keys
+    with their corpus share, and a suggested SALT factor per hot key
+    (ceil(n·P/total) for P=64 target partitions: how many ways that key's
+    rows must split so no partition exceeds the mean load). All integer
+    arithmetic: share is the half-up 1e6 fixed-point division, salt is
+    exact ceil division, so the oracle matches bit-for-bit. One streaming
+    pass emits per-batch (key, n) partials (pyarrow group_by); the driver
+    folds key-cardinality rows only — never data. Returns
+    ``(rank, key, n, share, salt)`` by rank."""
+    P = 64
+
+    def partials(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate([([], "count_all")])
+        return pa.table({
+            "key": g[key_col].combine_chunks().cast(pa.string()),
+            "n": g["count_all"].combine_chunks().cast(pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["rank", "key", "n", "share", "salt"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    per = pd.concat(parts, ignore_index=True).groupby("key", as_index=False)["n"].sum()
+    total = int(per["n"].sum())
+    if total == 0:
+        return pd.DataFrame(columns=cols)
+    order = np.lexsort((per["key"].to_numpy(), -per["n"].to_numpy(np.int64)))[:top_n]
+    sel = per.iloc[order].reset_index(drop=True)
+    n = sel["n"].to_numpy(np.int64)
+    share = np.array([(2 * int(x) * 1_000_000 + total) // (2 * total) for x in n], np.int64)
+    # ceil via (a+b-1)//b on NONNEG operands — floor==trunc there, so
+    # Python // and DuckDB // agree (the -(-a//b) form does not: trunc vs floor)
+    salt = np.array([(int(x) * P + total - 1) // total for x in n], np.int64)
+    return pd.DataFrame({
+        "rank": np.arange(1, len(sel) + 1, dtype=np.int64),
+        "key": sel["key"],
+        "n": n,
+        "share": share / 1e6,
+        "salt": salt,
+    })
+
+
+def hot_keys_sql(
+    table: str = "events",
+    *,
+    key_col: str = "user_id",
+    top_n: int = 10,
+) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST({key_col} AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n) AS HUGEINT) AS t FROM per),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY n DESC, key ASC) AS rank, key, n
+  FROM per
+)
+SELECT CAST(rank AS BIGINT) AS rank, key, n,
+       CAST((2 * CAST(n AS HUGEINT) * 1000000 + t.t) // (2 * t.t) AS DOUBLE) / 1e6 AS share,
+       CAST((CAST(n AS HUGEINT) * 64 + t.t - 1) // t.t AS BIGINT) AS salt
+FROM ranked CROSS JOIN tot t
+WHERE rank <= {top_n}
+ORDER BY rank
+""".strip()
+
+
+def rate_limit_violations(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    max_events: int = 5,
+) -> pd.DataFrame:
+    """Sliding-window rate audit: for every event, the count of the SAME
+    user's events in the half-open window ``(ts - window, ts]`` (inclusive
+    of itself), flagging events where that count exceeds ``max_events`` —
+    the API-throttling / abuse-detection primitive (the reference's Matomo
+    sessionizer is the gap-based cousin; this is the count-based one).
+
+    Exact by construction: pure integer timestamp arithmetic, two
+    ``searchsorted`` passes per user bucket (events sorted by ts — the
+    window count is ``i - bisect_left(ts, ts[i] - window + 1) + 1``), ties
+    within a user at the same microsecond all count each other. One
+    bucketed exchange on the user hash; each bucket sorts locally.
+    Returns violating events ``(event_id, user_id, ts, window_count)``
+    sorted by (user_id, ts, event_id)."""
+    import zlib
+
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.string())
+        b = np.array(
+            [zlib.crc32(x.encode()) % n_buckets for x in u.to_pylist()], np.int32
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col, "event_id"], kind="mergesort")
+        ts = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        uid = g[user_col].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], uid[1:] != uid[:-1])))
+        ends = np.append(starts[1:], len(g))
+        out = np.empty(len(g), np.int64)
+        for st, en in zip(starts, ends):  # per-USER loop; vectorized inside
+            seg = ts[st:en]
+            lo = np.searchsorted(seg, seg - (window_us - 1), side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            # hi - lo counts ALL same-microsecond peers (SQL RANGE frames
+            # include peers of the current row, not just preceding ones)
+            out[st:en] = hi - lo
+        res = g.assign(window_count=out)
+        return res[res["window_count"] > max_events][
+            ["event_id", user_col, ts_col, "window_count"]
+        ]
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["event_id", user_col, ts_col, "window_count"]
+    if out.empty or "event_id" not in out.columns:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values([user_col, ts_col, "event_id"]).reset_index(drop=True)[cols]
+
+
+def rate_limit_violations_sql(
+    table: str = "events",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    max_events: int = 5,
+) -> str:
+    return f"""
+WITH counted AS (
+  SELECT event_id, {user_col}, {ts_col},
+         CAST(count(*) OVER (
+           PARTITION BY {user_col} ORDER BY epoch_us({ts_col})
+           RANGE BETWEEN {window_us - 1} PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS window_count
+  FROM {table}
+)
+SELECT event_id, {user_col}, {ts_col}, window_count
+FROM counted WHERE window_count > {max_events}
+ORDER BY {user_col}, {ts_col}, event_id
+""".strip()

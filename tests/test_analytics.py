@@ -715,3 +715,52 @@ def test_anova_f_large_values_oracle(ray_session):
     exp = con.execute(analytics.anova_f_sql("events")).fetchdf()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     assert out.iloc[0]["f"] is not None
+
+
+def test_hot_keys_oracle(ray_session):
+    import duckdb
+
+    rows = [(i + 1, i % 7 if i % 3 else 0, "a", "2024-01-01 10:00", 1.0)
+            for i in range(120)]  # user 0 is hot (every 3rd event + its share)
+    out = analytics.hot_keys(_events(rows), top_n=5)
+    con = duckdb.connect()
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    con.register("events", df)
+    exp = con.execute(analytics.hot_keys_sql("events", top_n=5)).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert out.iloc[0]["key"] == "0" and out.iloc[0]["salt"] > 1
+
+
+def test_rate_limit_violations_oracle(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(5)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 9, n),
+        "event_type": "x",
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 30000, n), unit="s"),
+        "value": 1.0,
+    })
+    df.loc[5:12, "ts"] = df.loc[5, "ts"]  # same-microsecond peers (RANGE frame)
+    import ray.data as rd
+
+    out = analytics.rate_limit_violations(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)), max_events=3
+    )
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        analytics.rate_limit_violations_sql("events", max_events=3)
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert len(out) > 10
+    # partition-independence
+    again = analytics.rate_limit_violations(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(7),
+        max_events=3,
+    )
+    pd.testing.assert_frame_equal(out, again, check_dtype=False)
