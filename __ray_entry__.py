@@ -3067,6 +3067,28 @@ def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
     )
 
 
+RBO_QUERY_B = "customer query"
+
+
+def _rbo_retrievers(sf_dir: str) -> pd.DataFrame:
+    """Rank-biased overlap between the OR-mode BM25 rankings of two
+    overlapping queries — the top-weighted retriever comparison
+    (ops/similarity.rbo_overlap; Webber et al. 2010). Both rankings use
+    the rounded-score total order with id tie-break (the
+    retriever_agreement discipline)."""
+    root = _documents_index(sf_dir)
+    reader = index_query.IndexReader(root)
+
+    def ranked(q: str) -> np.ndarray:
+        t = reader.search(q, k=10, mode="or").to_pandas()
+        t["score"] = t["score"].round(4)
+        t = t.sort_values(["score", "doc_id"], ascending=[False, True],
+                          kind="mergesort")
+        return t["doc_id"].to_numpy()
+
+    return similarity.rbo_overlap(ranked(BM25_QUERY_OR), ranked(RBO_QUERY_B))
+
+
 def _mmr_rerank(sf_dir: str) -> pd.DataFrame:
     """MMR diversified re-rank over the cosine top-pool: greedy
     relevance-minus-redundancy selection, exact-integer step keys."""
@@ -4863,6 +4885,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_dot": _knn_dot,
         "mmr_rerank": _mmr_rerank,
         "retriever_agreement": _retriever_agreement,
+        "rbo_retrievers": _rbo_retrievers,
         "knn_binary": lambda sf: similarity.knn_binary(
             _emb_ds(sf), _query_vec(sf), k=10
         ).to_pandas(),
@@ -5773,6 +5796,15 @@ GROUP BY v.value ORDER BY v.value"""
             "SELECT CAST(10 AS BIGINT) AS k, "
             "CAST((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) AS BIGINT) AS overlap_at_k, "
             "floor(((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 1 AND b.r <= 1) * 2520 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 2 AND b.r <= 2) * 1260 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 3 AND b.r <= 3) * 840 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 4 AND b.r <= 4) * 630 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 5 AND b.r <= 5) * 504 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 6 AND b.r <= 6) * 420 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 7 AND b.r <= 7) * 360 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 8 AND b.r <= 8) * 315 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 9 AND b.r <= 9) * 280 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) * 252) * 1.0 / 25200 * 1e6 + 0.5) / 1e6 AS avg_overlap"
+        ),
+        "rbo_retrievers": (
+            "WITH rra AS ("
+            + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or")
+            + "), rrb AS ("
+            + index_oracle.bm25_sql("documents", RBO_QUERY_B, 10, mode="or")
+            + "), ra AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM rra), "
+            "rb AS (SELECT doc_id AS id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM rrb), "
+            + similarity.rbo_overlap_sql("ra", "rb")
         ),
         "knn_binary": similarity.knn_binary_sql("embeddings", 0, 10),
         "knn_int8": similarity.knn_int8_sql("embeddings", 0, 10),

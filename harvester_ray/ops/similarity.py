@@ -1703,3 +1703,64 @@ FROM {table} e CROSS JOIN q
 WHERE {cos} >= {threshold!r}
 ORDER BY {cos} DESC, e.{id_col} ASC
 """.strip()
+
+
+def rbo_overlap(
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    *,
+    depth: int = 10,
+) -> "pd.DataFrame":
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    rankings at p = 1/2 — the top-weighted comparison ``retriever_agreement``'s
+    flat overlap@k is not: depth-i agreement ``ov_i/i`` enters with weight
+    ``(1−p)·p^(i−1) = 0.5^i``, so disagreement near rank 1 dominates.
+    p is FIXED at 1/2: every weight is dyadic-exact in IEEE (the
+    mixture-alpha rule), each term quantizes to a 1e-9 fixed-point BIGINT
+    before the cumulative sum (float summation order never enters — the
+    nano discipline), and agreement uses the mirrored floor(x·1e6+0.5).
+    Returns per-depth ``(depth, overlap, agreement, rbo)`` where rbo is
+    the truncated-RBO prefix sum at that depth."""
+    import math
+
+    import pandas as pd
+
+    a = list(dict.fromkeys(int(x) for x in ids_a))[:depth]
+    b = list(dict.fromkeys(int(x) for x in ids_b))[:depth]
+    rows = []
+    cum = 0
+    for i in range(1, depth + 1):
+        ov = len(set(a[:i]) & set(b[:i]))
+        agreement = math.floor(ov / i * 1e6 + 0.5) / 1e6
+        qterm = math.floor(0.5**i * ov / i * 1e9 + 0.5)
+        cum += qterm
+        rows.append((i, ov, agreement, cum / 1e9))
+    return pd.DataFrame(rows, columns=["depth", "overlap", "agreement", "rbo"])
+
+
+def rbo_overlap_sql(
+    ranked_a: str,
+    ranked_b: str,
+    *,
+    depth: int = 10,
+) -> str:
+    """Oracle tail for rbo_overlap: ``ranked_a``/``ranked_b`` are CTE names
+    with (id, r) columns (r = 1-based rank). Compose with WITH ... ."""
+    return f"""
+d AS (SELECT CAST(unnest(range(1, {depth + 1})) AS BIGINT) AS i),
+ov AS (
+  SELECT d.i,
+         (SELECT CAST(count(*) AS BIGINT) FROM {ranked_a} a JOIN {ranked_b} b USING (id)
+          WHERE a.r <= d.i AND b.r <= d.i) AS ov
+  FROM d
+),
+terms AS (
+  SELECT i, ov,
+         floor(ov * 1.0 / i * 1e6 + 0.5) / 1e6 AS agreement,
+         CAST(floor(pow(0.5, i) * ov / i * 1e9 + 0.5) AS BIGINT) AS qterm
+  FROM ov
+)
+SELECT i AS depth, ov AS overlap, agreement,
+       CAST(sum(qterm) OVER (ORDER BY i) AS DOUBLE) / 1e9 AS rbo
+FROM terms ORDER BY i
+""".strip()

@@ -602,3 +602,107 @@ SELECT DISTINCT doc_id, wmin AS fp
 FROM wins WHERE i <= ng - {w} OR (ng < {w} AND i = 0)
 ORDER BY doc_id, fp
 """.strip()
+
+
+def watermark_greenlist(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """LLM watermark detection (Kirchenbauer et al. 2023, public): a
+    soft-watermarked generator biases each token toward a "green list"
+    seeded by the previous token's hash; the detector recounts. Here the
+    green predicate is ``md5(prev || ' ' || cur) mod 4 == 0`` (γ = 1/4,
+    context width 1 — md5 so the SQL oracle reproduces the exact hashes,
+    the simhash rule), and the per-doc detection statistic is the exact
+    z-score ``(4·g − T) / √(3T)`` over T = n_tokens − 1 scored positions
+    (integer numerator; the one float op is the mirrored √ expression,
+    rounded 4 — the recency rule). Human text z ≈ 0; watermarked text z
+    grows as √T.
+
+    Scale shape: embarrassingly parallel one-pass map_batches; the
+    per-distinct-bigram md5 loop is bigram-vocabulary-bounded per batch
+    (the simhash bound). Returns ``(doc_id, n_scored, n_green, z)`` by
+    doc; z NULL when T = 0."""
+    import math
+
+    import pandas as pd
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(batch[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n = batch.num_rows
+        ids = batch[id_col].combine_chunks().cast(pa.int64())
+        T = np.zeros(n, np.int64)
+        G = np.zeros(n, np.int64)
+        if rows.size > 1:
+            toks = dictionary.to_pandas().to_numpy(dtype=object)[codes]
+            same = rows[1:] == rows[:-1]
+            pr = rows[1:][same]
+            bigrams = np.array(
+                [f"{a} {b}" for a, b in zip(toks[:-1][same], toks[1:][same])],
+                dtype=object,
+            )
+            uniq, inv = np.unique(bigrams, return_inverse=True)
+            uh = np.empty(uniq.size, np.uint64)
+            for i, v in enumerate(uniq):  # distinct-bigram-bounded loop
+                uh[i] = int(hashlib.md5(v.encode()).hexdigest()[:16], 16)
+            green = (uh[inv] % np.uint64(4)) == 0
+            np.add.at(T, pr, 1)
+            np.add.at(G, pr, green.astype(np.int64))
+        z = np.full(n, np.nan)
+        pos = T > 0
+        z[pos] = np.round(
+            (4.0 * G[pos] - T[pos]) / np.sqrt(3.0 * T[pos].astype(np.float64)), 4
+        )
+        return pa.table({
+            "doc_id": ids,
+            "n_scored": pa.array(T, pa.int64()),
+            "n_green": pa.array(G, pa.int64()),
+            "z": pa.array(z, pa.float64()),
+        })
+
+    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    cols = ["doc_id", "n_scored", "n_green", "z"]
+    if out.empty:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("doc_id").reset_index(drop=True)[cols]
+
+
+def watermark_greenlist_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {table}),
+flat AS (
+  SELECT doc_id, unnest(ts) AS tok,
+         CAST(generate_subscripts(ts, 1) AS BIGINT) AS pos
+  FROM toks
+),
+pairs AS (
+  SELECT doc_id,
+         lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS ptok, tok
+  FROM flat
+),
+scored AS (
+  SELECT doc_id, ptok || ' ' || tok AS bg FROM pairs WHERE ptok IS NOT NULL
+),
+g AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS t,
+         CAST(count(*) FILTER (
+           CAST(('0x' || substr(md5(bg), 1, 16)) AS UBIGINT) % 4 = 0
+         ) AS BIGINT) AS gg
+  FROM scored GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(g.t, 0) AS n_scored, coalesce(g.gg, 0) AS n_green,
+       CASE WHEN g.t > 0
+            THEN round((4.0 * g.gg - g.t) / sqrt(3.0 * g.t), 4) + 0.0
+            ELSE NULL END AS z
+FROM (SELECT doc_id FROM toks) d LEFT JOIN g USING (doc_id)
+ORDER BY d.doc_id
+""".strip()

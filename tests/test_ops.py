@@ -844,3 +844,33 @@ def test_cluster_purity_perfect_separation(ray_session):
     assert r["n"] == 6 and r["n_clusters"] == 2
     assert r["purity"] == 1.0
     assert 0.999 < r["nmi"] <= 1.0
+
+
+def test_rbo_overlap_exact(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from harvester_ray.ops import similarity
+
+    a = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9, 10])
+    b = np.array([3, 1, 7, 11, 12, 2, 13, 14, 15, 16])
+    got = similarity.rbo_overlap(a, b)
+    con = duckdb.connect()
+    ra = ", ".join(f"({v}, {i+1})" for i, v in enumerate(a))
+    rb = ", ".join(f"({v}, {i+1})" for i, v in enumerate(b))
+    sql = (
+        f"WITH ra AS (SELECT col0 AS id, col1 AS r FROM (VALUES {ra})), "
+        f"rb AS (SELECT col0 AS id, col1 AS r FROM (VALUES {rb})), "
+        + similarity.rbo_overlap_sql("ra", "rb")
+    )
+    exp = con.execute(sql).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # identical rankings → rbo = Σ 0.5^i, nano-quantized per term
+    same = similarity.rbo_overlap(a, a)
+    import math
+    expect = sum(math.floor(0.5**i * 1e9 + 0.5) for i in range(1, 11)) / 1e9
+    assert same.iloc[-1]["rbo"] == expect
+    # disjoint → 0 everywhere
+    disj = similarity.rbo_overlap(a, a + 100)
+    assert (disj["rbo"] == 0).all()

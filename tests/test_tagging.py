@@ -82,3 +82,53 @@ def test_oracle_and_partition_independent(ray_session):
     pd.testing.assert_frame_equal(a, ora.reset_index(drop=True))
     assert set(a.phrase) == {"spark", "merge batch", "table part"}
     assert (a[a.phrase == "spark"].n_hits == 2).all()
+
+
+def test_watermark_greenlist_oracle(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import text_analysis
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta gamma delta eps zeta eta theta",
+            "one two one two one two one two one two",
+            "solo",
+            "",
+        ],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = text_analysis.watermark_greenlist(ds)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(text_analysis.watermark_greenlist_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # single-token and empty docs: T = 0, z NULL
+    assert got.iloc[2]["n_scored"] == 0 and np.isnan(got.iloc[2]["z"])
+    assert got.iloc[3]["n_scored"] == 0
+    # a "watermarked" doc: craft tokens where every bigram is green by
+    # searching greedily for green successors — its z must exceed 3
+    import hashlib
+
+    vocab = [f"w{i}" for i in range(200)]
+    cur, toks = "w0", ["w0"]
+    for _ in range(60):
+        for cand in vocab:
+            h = int(hashlib.md5(f"{cur} {cand}".encode()).hexdigest()[:16], 16)
+            if h % 4 == 0:
+                toks.append(cand)
+                cur = cand
+                break
+    wm = pd.DataFrame({"doc_id": [0], "text": [" ".join(toks)]})
+    z = text_analysis.watermark_greenlist(
+        rd.from_arrow(pa.Table.from_pandas(wm, preserve_index=False))
+    ).iloc[0]["z"]
+    assert z > 3.0
+    # partition-independence
+    again = text_analysis.watermark_greenlist(ds.repartition(3))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
