@@ -3070,6 +3070,62 @@ def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
 RBO_QUERY_B = "customer query"
 
 
+def _luhn_fixture_rows() -> list:
+    """Deterministic PAN-audit fixture (the VALUES-oracle precedent:
+    lifecycle gates build both sides from one fixture fn): every third doc
+    plants a checksum-VALID 16-digit number, the next a single-digit typo
+    of it (fails Luhn), the rest carry no candidate."""
+    def check_digit(base: str) -> str:
+        for d in "0123456789":
+            sdig = base + d
+            rev = [int(c) for c in sdig[::-1]]
+            tot = 0
+            for i, v in enumerate(rev):
+                if i % 2 == 1:
+                    v *= 2
+                    if v > 9:
+                        v -= 9
+                tot += v
+            if tot % 10 == 0:
+                return d
+        raise AssertionError
+
+    rows = []
+    for i in range(60):
+        base = f"4{i:014d}"
+        num = base + check_digit(base)
+        if i % 3 == 0:
+            txt = f"payment card {num} appeared in the transcript"
+        elif i % 3 == 1:
+            bad = num[:-1] + ("0" if num[-1] != "0" else "1")
+            txt = f"order id {bad} looks like a card but is not"
+        else:
+            txt = "no digit runs here only words"
+        rows.append((i, txt))
+    return rows
+
+
+def _luhn_audit(sf_dir: str) -> pd.DataFrame:
+    """Luhn mod-10 card-number audit over the planted fixture
+    (ops/pii.luhn_audit): checksum-valid PANs vs lookalikes."""
+    import ray.data as _rd
+
+    df = pd.DataFrame(_luhn_fixture_rows(), columns=["doc_id", "text"])
+    return (
+        _pii.luhn_audit(_rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def _luhn_audit_oracle() -> str:
+    vals = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''"))
+        for i, t in _luhn_fixture_rows()
+    )
+    head = f"WITH documents_l AS (SELECT col0 AS doc_id, col1 AS text FROM (VALUES {vals}))"
+    return _pii.luhn_audit_sql("documents_l").replace("WITH ", head + ", ", 1)
+
+
 def _rbo_retrievers(sf_dir: str) -> pd.DataFrame:
     """Rank-biased overlap between the OR-mode BM25 rankings of two
     overlapping queries — the top-weighted retriever comparison
@@ -4839,6 +4895,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_keys": lambda sf: _analytics.hot_keys(_ev_ds(sf, ("user_id",))),
         # 24h window / >5 events: probed non-degenerate on the sf0.01 events
         # table (732 violations; the 1h default matches nothing there)
+        "touch_attribution": lambda sf: _analytics.touch_attribution(
+            _ev_ds(sf, ("event_id", "user_id", "event_type", "ts"))
+        ),
         "rate_limit_violations": lambda sf: _analytics.rate_limit_violations(
             _ev_ds(sf, ("event_id", "user_id", "ts")),
             window_us=86_400_000_000, max_events=5,
@@ -4886,6 +4945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_rerank": _mmr_rerank,
         "retriever_agreement": _retriever_agreement,
         "rbo_retrievers": _rbo_retrievers,
+        "luhn_audit": _luhn_audit,
         "knn_binary": lambda sf: similarity.knn_binary(
             _emb_ds(sf), _query_vec(sf), k=10
         ).to_pandas(),
@@ -5737,6 +5797,7 @@ GROUP BY v.value ORDER BY v.value"""
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
         "hot_keys": _analytics.hot_keys_sql("events"),
+        "touch_attribution": _analytics.touch_attribution_sql("events"),
         "rate_limit_violations": _analytics.rate_limit_violations_sql(
             "events", window_us=86_400_000_000, max_events=5),
         "geometric_mean": _analytics.geometric_mean_sql("events"),
@@ -5797,6 +5858,7 @@ GROUP BY v.value ORDER BY v.value"""
             "CAST((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) AS BIGINT) AS overlap_at_k, "
             "floor(((SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 1 AND b.r <= 1) * 2520 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 2 AND b.r <= 2) * 1260 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 3 AND b.r <= 3) * 840 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 4 AND b.r <= 4) * 630 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 5 AND b.r <= 5) * 504 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 6 AND b.r <= 6) * 420 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 7 AND b.r <= 7) * 360 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 8 AND b.r <= 8) * 315 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 9 AND b.r <= 9) * 280 + (SELECT count(*) FROM a JOIN b USING (id) WHERE a.r <= 10 AND b.r <= 10) * 252) * 1.0 / 25200 * 1e6 + 0.5) / 1e6 AS avg_overlap"
         ),
+        "luhn_audit": _luhn_audit_oracle(),
         "rbo_retrievers": (
             "WITH rra AS ("
             + index_oracle.bm25_sql("documents", BM25_QUERY_OR, 10, mode="or")

@@ -4021,3 +4021,107 @@ SELECT event_id, {user_col}, {ts_col}, window_count
 FROM counted WHERE window_count > {max_events}
 ORDER BY {user_col}, {ts_col}, event_id
 """.strip()
+
+
+def touch_attribution(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    window_us: int = 7 * 24 * 3_600_000_000,
+) -> pd.DataFrame:
+    """Marketing-style conversion attribution: for every ``convert_type``
+    event, the FIRST and LAST ``touch_type`` event of the same user in the
+    trailing window ``[ts − window, ts)`` (strictly earlier — same-
+    microsecond touches are excluded on both sides, no tie ambiguity), and
+    the touch count. First/last order is (ts, event_id). The windowed
+    sibling of ``funnel``: funnel counts stage reachability, this assigns
+    each conversion its credit events.
+
+    One bucketed exchange on the user hash; per user the touch timestamps
+    are binary-searched once per conversion (two vectorized searchsorted
+    calls over the user's touch array — no row loop). Returns
+    ``(event_id, user_id, ts, first_touch, last_touch, n_touches)`` for
+    conversions with ≥1 touch, sorted by event_id."""
+    import zlib
+
+    n_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.string())
+        b = np.array(
+            [zlib.crc32(x.encode()) % n_buckets for x in u.to_pylist()], np.int32
+        )
+        return t.append_column("bucket", pa.array(b))
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        out_rows = []
+        for _, u in g.groupby(user_col, sort=False):  # per-USER loop
+            t = u[u["event_type"] == touch_type].sort_values(
+                [ts_col, "event_id"], kind="mergesort"
+            )
+            c = u[u["event_type"] == convert_type]
+            if t.empty or c.empty:
+                continue
+            tts = t[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+            tid = t["event_id"].to_numpy(np.int64)
+            cts = c[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+            lo = np.searchsorted(tts, cts - window_us, side="left")
+            hi = np.searchsorted(tts, cts, side="left")
+            m = hi > lo
+            if not m.any():
+                continue
+            out_rows.append(pd.DataFrame({
+                "event_id": c["event_id"].to_numpy(np.int64)[m],
+                user_col: c[user_col].to_numpy()[m],
+                ts_col: c[ts_col].to_numpy()[m],
+                "first_touch": tid[lo[m]],
+                "last_touch": tid[hi[m] - 1],
+                "n_touches": (hi - lo)[m].astype(np.int64),
+            }))
+        if not out_rows:
+            return pd.DataFrame(columns=[
+                "event_id", user_col, ts_col, "first_touch", "last_touch", "n_touches"
+            ])
+        return pd.concat(out_rows, ignore_index=True)
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(scan, batch_format="pandas")
+        .to_pandas()
+    )
+    cols = ["event_id", user_col, ts_col, "first_touch", "last_touch", "n_touches"]
+    if out.empty or "event_id" not in out.columns:
+        return pd.DataFrame(columns=cols)
+    return out.sort_values("event_id").reset_index(drop=True)[cols]
+
+
+def touch_attribution_sql(
+    table: str = "events",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    window_us: int = 7 * 24 * 3_600_000_000,
+) -> str:
+    win = (
+        f"t.{user_col} = p.{user_col} AND t.event_type = '{touch_type}' "
+        f"AND t.{ts_col} < p.{ts_col} "
+        f"AND epoch_us(t.{ts_col}) >= epoch_us(p.{ts_col}) - {window_us}"
+    )
+    return f"""
+WITH conv AS (SELECT * FROM {table} WHERE event_type = '{convert_type}')
+SELECT p.event_id, p.{user_col}, p.{ts_col},
+       (SELECT t.event_id FROM {table} t WHERE {win}
+        ORDER BY t.{ts_col}, t.event_id LIMIT 1) AS first_touch,
+       (SELECT t.event_id FROM {table} t WHERE {win}
+        ORDER BY t.{ts_col} DESC, t.event_id DESC LIMIT 1) AS last_touch,
+       (SELECT CAST(count(*) AS BIGINT) FROM {table} t WHERE {win}) AS n_touches
+FROM conv p
+WHERE EXISTS (SELECT 1 FROM {table} t WHERE {win})
+ORDER BY p.event_id
+""".strip()

@@ -764,3 +764,38 @@ def test_rate_limit_violations_oracle(ray_session):
         max_events=3,
     )
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
+
+
+def test_touch_attribution_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    n = 500
+    types = np.array(["click", "purchase", "view"])[rng.integers(0, 3, n)]
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 15, n),
+        "event_type": types,
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 14 * 86400, n), unit="s"),
+        "value": 1.0,
+    })
+    # same-microsecond touch+conversion pair: excluded on both sides
+    df.loc[0, ["event_type", "ts"]] = ["click", df.loc[1, "ts"]]
+    df.loc[1, "event_type"] = "purchase"
+    df.loc[1, "user_id"] = df.loc[0, "user_id"]
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytics.touch_attribution(ds, window_us=3 * 86400 * 1_000_000)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(
+        analytics.touch_attribution_sql("events", window_us=3 * 86400 * 1_000_000)
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert len(out) > 20
+    assert (out["first_touch"] != out["last_touch"]).any()  # multi-touch exists
+    again = analytics.touch_attribution(
+        ds.repartition(7), window_us=3 * 86400 * 1_000_000
+    )
+    pd.testing.assert_frame_equal(out, again, check_dtype=False)
