@@ -314,6 +314,17 @@ def run_headline() -> dict:
                 "p50_ms": round(statistics.median(lats) * 1000, 2),
                 "p95_ms": round(lats[int(len(lats) * 0.95)] * 1000, 2),
             }
+        # _msearch batch path: the whole set in A RPCs instead of Q x A —
+        # the throughput ceiling when clients can batch
+        t0s = time.time()
+        reps = 4
+        for _ in range(reps):
+            svc.msearch(qs, k=10)
+        wall = time.time() - t0s
+        concurrency_sweep["msearch_batch"] = {
+            "qps": round(reps * len(qs) / wall, 1),
+            "batch": len(qs),
+        }
 
         # release the serving pool's CPU reservations: with num_actors ==
         # NUM_CPUS the pool otherwise holds every slot and the first Dataset

@@ -1224,6 +1224,21 @@ class QuerySegmentActor:
             self.readers, terms, idf_map, k, mode, filters, recency
         )
 
+    def search_many(
+        self,
+        batch: list[tuple[list, dict, int, str]],
+    ) -> list[tuple[np.ndarray, np.ndarray]]:
+        """ES ``_msearch`` analog, actor side: one RPC carries a whole
+        batch of (terms, idf_map, k, mode) requests; the actor answers all
+        of them over its segments. Amortizes the ~4.5 ms per-RPC floor and
+        the driver's GIL across the batch (the r4 concurrency sweep
+        measured the sequential path degrading past ~4 concurrent
+        client threads for exactly those reasons)."""
+        return [
+            self._search_readers(self.readers, terms, idf_map, k, mode, None, None)
+            for terms, idf_map, k, mode in batch
+        ]
+
     def stats(self) -> dict:
         """Serving observability (the soak leg's per-actor memory + LRU
         evidence): resident set size from /proc plus the summed postings-
@@ -1446,6 +1461,48 @@ class QueryService:
 
     def df(self, terms: list[str]) -> dict[str, int]:
         return self._termstats.df(terms)
+
+    def msearch(
+        self,
+        queries: list[tuple[str, str]],
+        k: int = 10,
+    ) -> list[pa.Table]:
+        """ES ``_msearch``: answer a batch of (query_text, mode) requests
+        with ONE round-trip per actor for the whole batch instead of one
+        per (query, actor). Results are per-query tables identical to
+        ``search``'s. Throughput shape: RPC count drops from Q x A to A,
+        and the driver touches only Q x A x k merged rows."""
+        import ray
+
+        prepped: list[tuple[list, dict, int, str] | None] = []
+        for query_text, mode in queries:
+            terms = sorted(set(analyzer.tokenize_query(query_text)))
+            if not terms:
+                prepped.append(None)
+                continue
+            dfs = self.df(terms)
+            if mode == "and" and any(dfs[t] == 0 for t in terms):
+                prepped.append(None)
+                continue
+            live = [t for t in terms if dfs[t] > 0]
+            if not live:
+                prepped.append(None)
+                continue
+            idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in live}
+            prepped.append((live, idf_map, k, mode))
+        batch = [p for p in prepped if p is not None]
+        if not batch:
+            return [_empty_result() for _ in queries]
+        per_actor = ray.get([a.search_many.remote(batch) for a in self.actors])
+        out: list[pa.Table] = []
+        bi = 0
+        for p in prepped:
+            if p is None:
+                out.append(_empty_result())
+            else:
+                out.append(merge_topk([pa_res[bi] for pa_res in per_actor], k))
+                bi += 1
+        return out
 
     def actor_stats(self) -> list[dict]:
         """Per-actor {rss_kb, n_segments, cache_hits, cache_misses}."""

@@ -261,3 +261,17 @@ def test_actor_death_mid_build_resumes_identically(ray_session, tmp_path):
     rb = query.IndexReader(chaos_root).search("spark window", k=5).to_pandas()
     assert list(ra["doc_id"]) == list(rb["doc_id"])
     np.testing.assert_allclose(ra["score"], rb["score"], rtol=0, atol=0)
+
+
+def test_msearch_matches_sequential(index_root):
+    svc = query.QueryService(index_root, num_actors=2)
+    try:
+        batch = [("spark window", "and"), ("table", "or"),
+                 ("nosuchterm", "and"), ("", "or"),
+                 ("vector stream sort", "and")]
+        many = svc.msearch(batch, k=10)
+        for (q, mode), got in zip(batch, many):
+            exp = svc.search(q, k=10, mode=mode)
+            assert got.to_pandas().equals(exp.to_pandas()), (q, mode)
+    finally:
+        svc.shutdown()
