@@ -3070,6 +3070,15 @@ def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
 RBO_QUERY_B = "customer query"
 
 
+def _plant_sentences(t: "pa.Table") -> "pa.Table":
+    import pyarrow.compute as pc
+
+    return t.set_column(
+        t.schema.get_field_index("text"), "text",
+        pc.replace_substring(t["text"].combine_chunks(), " table ", ". "),
+    )
+
+
 def _luhn_fixture_rows() -> list:
     """Deterministic PAN-audit fixture (the VALUES-oracle precedent:
     lifecycle gates build both sides from one fixture fn): every third doc
@@ -4475,6 +4484,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rollup": relational.events_rollup,
         "q5_local_supplier": relational.q5_local_supplier,
         "pack_sequences": _pack_sequences,
+        # the synthetic docs contain no '. ' — plant sentence boundaries by
+        # replacing the frequent token ' table ' with '. ' IDENTICALLY on
+        # both sides (left-to-right non-overlapping replace in Arrow and
+        # DuckDB alike), so the packing is genuinely multi-sentence
+        "sentence_pack": lambda sf: _packing.sentence_pack(
+            _docs_ds(sf, ("doc_id", "text")).map_batches(
+                _plant_sentences, batch_format="pyarrow"
+            ),
+            capacity=64,
+        ).to_pandas().sort_values(["doc_id", "sent_idx"]).reset_index(drop=True),
         "span_corruption": lambda sf: _packing.span_corruption(
             _docs_ds(sf, ("doc_id", "text"))
         ),
@@ -5159,6 +5178,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": relational.events_rollup_sql(),
         "q5_local_supplier": relational.q5_local_supplier_sql(),
         "pack_sequences": _packing.pack_sequences_sql("documents", capacity=512),
+        "sentence_pack": _packing.sentence_pack_sql(
+            "(SELECT doc_id, replace(text, ' table ', '. ') AS text FROM documents)",
+            capacity=64,
+        ),
         "span_corruption": _packing.span_corruption_sql("documents"),
         "fim_split": _packing.fim_split_sql("documents"),
         "length_buckets": _packing.length_buckets_sql("documents"),

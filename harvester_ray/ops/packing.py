@@ -462,3 +462,98 @@ SELECT doc_id, n AS n_tokens,
        coalesce(array_to_string(ts[c2 + 1:n], ' '), '') AS suffix
 FROM cuts2 ORDER BY doc_id
 """.strip()
+
+
+def sentence_pack(
+    ds,
+    *,
+    capacity: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_sentences: int = 1024,
+    n_partitions: int = 64,
+):
+    """Sentence-ALIGNED packing: split each document on the literal
+    ``'. '`` delimiter (two-char split mirrors exactly in SQL — RE2 on
+    both sides has no lookbehind for a true boundary class, so the
+    delimiter is the contract) and lay the sentences end-to-end in
+    (doc_id, sentence_idx) order, cutting bins every ``capacity`` tokens
+    at SENTENCE boundaries — the RAG-chunking variant of
+    ``pack_sequences`` (no mid-sentence splits; a bin may under-fill).
+
+    Composition: one flat_map explodes docs to sentences keyed
+    ``sid = doc_id·max_sentences + idx`` (documented bound: docs with
+    more than ``max_sentences`` '. '-pieces are rejected), then the
+    existing two-phase global-prefix-sum machinery does the packing —
+    bin = exclusive-prefix-sum // capacity, all integer, exact oracle.
+    Returns (doc_id, sent_idx, n_tok, start_tok, bin) per sentence."""
+    import pyarrow.compute as pc
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        text = t[text_col].combine_chunks()
+        parts = pc.split_pattern(pc.fill_null(text, ""), ". ")
+        counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        if (counts > max_sentences).any():
+            raise ValueError(f"document exceeds max_sentences={max_sentences}")
+        flat = pc.list_flatten(parts)
+        doc_of = np.repeat(ids, counts)
+        idx = np.arange(doc_of.size, dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        return pa.table({
+            "sid": pa.array(doc_of * max_sentences + idx, pa.int64()),
+            "sentence": flat.cast(pa.string()),
+        })
+
+    sents = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    packed = pack_sequences(
+        sents, capacity=capacity, id_col="sid", text_col="sentence",
+        n_partitions=n_partitions,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # pack_sequences normalizes its id column name to doc_id — here it
+        # carries the composite sid
+        sid = np.asarray(t["doc_id"].combine_chunks().cast(pa.int64()))
+        return pa.table({
+            "doc_id": pa.array(sid // max_sentences, pa.int64()),
+            "sent_idx": pa.array(sid % max_sentences, pa.int64()),
+            "n_tok": t["n_tok"].combine_chunks().cast(pa.int64()),
+            "start_tok": t["start_tok"].combine_chunks().cast(pa.int64()),
+            "bin": t["bin"].combine_chunks().cast(pa.int64()),
+        })
+
+    return packed.map_batches(finish, batch_format="pyarrow")
+
+
+def sentence_pack_sql(
+    table: str = "documents",
+    *,
+    capacity: int = 128,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr("sentence")
+    return f"""
+WITH sents AS (
+  SELECT {id_col} AS doc_id,
+         CAST(generate_subscripts(pieces, 1) - 1 AS BIGINT) AS sent_idx,
+         unnest(pieces) AS sentence
+  FROM (SELECT {id_col}, string_split(coalesce({text_col}, ''), '. ') AS pieces FROM {table})
+),
+counted AS (
+  SELECT doc_id, sent_idx, CAST(len({tok}) AS BIGINT) AS n_tok FROM sents
+),
+packed AS (
+  SELECT doc_id, sent_idx, n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id, sent_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_tok
+  FROM counted
+)
+SELECT doc_id, sent_idx, n_tok, CAST(start_tok AS BIGINT) AS start_tok,
+       CAST(start_tok // {capacity} AS BIGINT) AS bin
+FROM packed ORDER BY doc_id, sent_idx
+""".strip()

@@ -328,3 +328,39 @@ def test_collect_false_streams_datasets(ray_session):
             .reset_index(drop=True)[list(collected.columns)]
         )
         pd.testing.assert_frame_equal(got, collected, check_dtype=False)
+
+
+def test_sentence_pack_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import packing
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta gamma. delta eps zeta. eta theta",
+            "one two three four five six seven eight",
+            "short. x. y. z",
+            "",
+        ],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = (
+        packing.sentence_pack(ds, capacity=5).to_pandas()
+        .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(packing.sentence_pack_sql("documents", capacity=5)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # sentence alignment: every bin boundary falls at a sentence start
+    assert (got["start_tok"] // 5 == got["bin"]).all()
+    # partition-independence
+    again = (
+        packing.sentence_pack(ds.repartition(3), capacity=5).to_pandas()
+        .sort_values(["doc_id", "sent_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
