@@ -3070,6 +3070,17 @@ def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
 RBO_QUERY_B = "customer query"
 
 
+def _mod5_split(t: "pa.Table", keep_zero: bool) -> "pa.Table":
+    import numpy as _np
+    import pyarrow as _pa
+
+    ids = _np.asarray(t["doc_id"].combine_chunks().cast(_pa.int64()))
+    m = _pa.array(ids % 5 == 0)
+    import pyarrow.compute as pc
+
+    return t.filter(m if keep_zero else pc.invert(m))
+
+
 def _plant_sentences(t: "pa.Table") -> "pa.Table":
     import pyarrow.compute as pc
 
@@ -4681,6 +4692,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: no deterministic compressor exists in DuckDB
         "compression_ratio": lambda sf: text_analysis.compression_ratio(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         # --- dedup --------------------------------------------------------
+        "near_dup_incremental": lambda sf: dedup.near_dup_incremental(
+            _docs_ds(sf, ("doc_id", "text")).map_batches(
+                lambda t: _mod5_split(t, False), batch_format="pyarrow"
+            ),
+            _docs_ds(sf, ("doc_id", "text")).map_batches(
+                lambda t: _mod5_split(t, True), batch_format="pyarrow"
+            ),
+            threshold=0.5,
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
         "url_dedup": _url_dedup,
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
@@ -5654,6 +5674,11 @@ GROUP BY v.value ORDER BY v.value"""
             FROM v, LATERAL unnest(range(0, ((nb + 511) // 512 + 3) // 4)) AS t(j)
             ORDER BY item_id, frame_idx
         """,
+        "near_dup_incremental": (
+            "WITH corpus_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0), "
+            "delta_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+            + dedup.ngram_jaccard_cross_sql(threshold=0.5).replace("WITH ", "", 1)
+        ),
         "exact_dedup": dedup.exact_dedup_sql("documents"),
         "url_dedup": urldedup.url_dedup_sql(_URL_SYNTH_SQL),
         "neardup_minhash": dedup.ngram_jaccard_sql("documents", threshold=0.8),

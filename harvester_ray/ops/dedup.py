@@ -1077,3 +1077,156 @@ FROM {table} a JOIN {table} b ON a.{id_col} < b.{id_col}
 WHERE round({cos}, {round_digits}) >= {threshold}
 ORDER BY doc_a, doc_b
 """.strip()
+
+
+def _group_cross_pairs(
+    n0: np.ndarray, n1: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Closed-form vectorized CROSS-product decode: the stream holds G
+    groups laid out [side0-block, side1-block] each; returns (i, j) local
+    indices pairing every side-0 member with every side-1 member of its
+    group — n0·n1 rows per group, no Python per-group call (the
+    ``_group_pairs`` discipline for two-sided buckets)."""
+    tot = (n0 * n1).astype(np.int64)
+    total = int(tot.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    off = np.concatenate(([0], np.cumsum(n0 + n1)[:-1]))
+    gid = np.repeat(np.arange(n0.size, dtype=np.int64), tot)
+    p = np.arange(total, dtype=np.int64) - np.repeat(
+        np.concatenate(([0], np.cumsum(tot)[:-1])), tot
+    )
+    i = off[gid] + p // n1[gid]
+    j = off[gid] + n0[gid] + p % n1[gid]
+    return i, j
+
+
+def jaccard_candidates_cross(
+    corpus_ds,
+    delta_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+    n_partitions: int = 64,
+):
+    """Cross-corpus candidate generation for INCREMENTAL dedup: only
+    (corpus, delta) pairs sharing ≥1 shingle are emitted — never
+    corpus×corpus or delta×delta — so re-screening a small delta against
+    a huge indexed corpus costs O(delta shingles + touched buckets), not
+    a corpus re-pass (the reference's upsert-against-current-DatasetVersion
+    shape, core/models/datatypes/dataset.py:124-180). Id spaces must be
+    disjoint (documented contract). Returns (doc_a=corpus, doc_b=delta,
+    n_shared) as a Dataset."""
+
+    def rows_for(side: int):
+        def to_rows(batch: pa.Table) -> pa.Table:
+            text = analyzer.normalize_text(batch[text_col])
+            ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+            sh_doc, sh_h = _dedup_doc_shingles(*_batch_shingles(text, shingle_n))
+            return pa.table({
+                "shingle": pa.array(sh_h.view(np.int64), pa.int64()),
+                "doc_id": pa.array(
+                    ids[sh_doc] if sh_doc.size else np.empty(0, np.int64), pa.int64()
+                ),
+                "side": pa.array(
+                    np.full(sh_doc.size, side, np.int8), pa.int8()
+                ),
+                "bucket": pa.array((sh_h % np.uint64(n_partitions)).astype(np.int32)),
+            })
+
+        return to_rows
+
+    rows = corpus_ds.map_batches(
+        rows_for(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        delta_ds.map_batches(rows_for(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        sh = group["shingle"].to_numpy()
+        side = group["side"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, side, sh))
+        sh, side, d = sh[order], side[order], d[order]
+        uniq, starts = np.unique(sh, return_index=True)
+        ends = np.append(starts[1:], sh.size)
+        n_all = ends - starts
+        # side-0 count per group via one prefix sum (no per-group Python)
+        cs = np.concatenate(([0], np.cumsum((side == 0).astype(np.int64))))
+        n0 = cs[ends] - cs[starts]
+        n1 = n_all - n0
+        if max_bucket is not None:
+            keep = n_all <= max_bucket
+            n0, n1 = np.where(keep, n0, 0), np.where(keep, n1, 0)
+        i, j = _group_cross_pairs(n0, n1)
+        return pa.table({
+            "doc_a": pa.array(d[i], pa.int64()),
+            "doc_b": pa.array(d[j], pa.int64()),
+        })
+
+    pairs = rows.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
+
+
+def near_dup_incremental(
+    corpus_ds,
+    delta_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int | None = None,
+):
+    """Incremental exact near-dup: which DELTA docs near-duplicate an
+    EXISTING corpus doc (the ingest-time admission check). Cross-only
+    shingle-bucket candidates → the shared distributed Jaccard verify over
+    the unioned corpus. Returns (doc_a=corpus, doc_b=delta, jaccard ≥
+    threshold)."""
+    cands = jaccard_candidates_cross(
+        corpus_ds, delta_ds, id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, max_bucket=max_bucket,
+    )
+    return jaccard_verify_pairs(
+        cands, corpus_ds.union(delta_ds), id_col=id_col, text_col=text_col,
+        shingle_n=shingle_n, threshold=threshold, referenced_only=True,
+    )
+
+
+def ngram_jaccard_cross_sql(
+    corpus_table: str = "corpus_side",
+    delta_table: str = "delta_side",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """Oracle for near_dup_incremental: exact cross-corpus word-n-gram
+    Jaccard (oracle scale only)."""
+    tok = analyzer.sql_tokenize_expr(text_col)
+    shingle = f"""
+         CASE WHEN len(ts) = 0 THEN []
+              WHEN len(ts) < {shingle_n} THEN [array_to_string(ts, ' ')]
+              ELSE list_distinct([array_to_string(ts[i : i + {shingle_n} - 1], ' ')
+                                 for i in range(1, len(ts) - {shingle_n} + 2)])
+         END"""
+    return f"""
+WITH ca AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {corpus_table}),
+cb AS (SELECT {id_col} AS doc_id, {tok} AS ts FROM {delta_table}),
+sa AS (SELECT doc_id, {shingle} AS shingles FROM ca),
+sb AS (SELECT doc_id, {shingle} AS shingles FROM cb),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS inter,
+         len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)) AS un
+  FROM sa a CROSS JOIN sb b
+)
+SELECT doc_a, doc_b, round(inter * 1.0 / un, 6) AS jaccard
+FROM pairs WHERE un > 0 AND inter * 1.0 / un >= {threshold}
+ORDER BY doc_a, doc_b
+""".strip()

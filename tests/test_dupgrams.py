@@ -87,3 +87,51 @@ def test_weighted_sample_favors_heavy(ray_session):
 def test_weighted_sample_excludes_nonpositive(ray_session):
     out = sampling.weighted_sample(_weights([0.0, -2.0, 3.0, 5.0]), k=10, weight_col="w")
     assert set(out["doc_id"]) == {2, 3}
+
+
+def test_near_dup_incremental_oracle(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    corpus = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "alpha beta gamma delta eps zeta",
+            "one two three four five six seven",
+            "quick brown fox jumps over the lazy dog",
+            "totally different content here now",
+        ],
+    })
+    delta = pd.DataFrame({
+        "doc_id": [100, 101, 102],
+        "text": [
+            "alpha beta gamma delta eps zeta",         # exact dup of 0
+            "one two three four five six EIGHT",       # near-dup of 1
+            "nothing in common with anything",          # fresh
+        ],
+    })
+    cds = rd.from_arrow(pa.Table.from_pandas(corpus, preserve_index=False))
+    dds = rd.from_arrow(pa.Table.from_pandas(delta, preserve_index=False))
+    got = (
+        dedup.near_dup_incremental(cds, dds, threshold=0.3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("corpus_side", corpus)
+    con.register("delta_side", delta)
+    exp = con.execute(dedup.ngram_jaccard_cross_sql(threshold=0.3)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(0, 100), (1, 101)}
+    assert got.set_index("doc_b").loc[100, "jaccard"] == 1.0
+    # no delta x delta or corpus x corpus pairs ever
+    assert (got["doc_a"] < 100).all() and (got["doc_b"] >= 100).all()
+    # partition-independence
+    again = (
+        dedup.near_dup_incremental(cds.repartition(3), dds.repartition(2), threshold=0.3)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
