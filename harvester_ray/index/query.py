@@ -1329,6 +1329,19 @@ class QuerySegmentActor:
             for terms, idf_map, k, mode in batch
         ]
 
+    def warm(self, terms: list[str], idf_map: dict[str, float], avgdl: float) -> int:
+        """ES index-warmer analog: pre-populate the postings, position and
+        score caches for ``terms`` across this actor's segments so the
+        first client query pays no decode (the 64x soak measured cold p50
+        5.3x warm). Returns the number of (segment, term) entries now
+        hot."""
+        n = 0
+        for _, seg, _ in self.readers:
+            for t in terms:
+                if t in idf_map and seg.scored_postings(t, idf_map[t], avgdl) is not None:
+                    n += 1
+        return n
+
     def stats(self) -> dict:
         """Serving observability (the soak leg's per-actor memory + LRU
         evidence): resident set size from /proc plus the summed postings-
@@ -1593,6 +1606,25 @@ class QueryService:
                 out.append(merge_topk([pa_res[bi] for pa_res in per_actor], k))
                 bi += 1
         return out
+
+    def warm(self, query_texts: list[str]) -> int:
+        """Pre-warm every actor's caches for the union of the queries'
+        terms (deploy-time warmer; the reference's OpenSearch delegates
+        the same to index warmers). Returns total (segment, term) entries
+        made hot."""
+        import ray
+
+        terms = sorted({
+            t for q in query_texts for t in analyzer.tokenize_query(q)
+        })
+        if not terms:
+            return 0
+        dfs = self.df(terms)
+        live = [t for t in terms if dfs[t] > 0]
+        idf_map = {t: float(bm25.idf(self.n_docs, dfs[t])) for t in live}
+        return sum(ray.get([
+            a.warm.remote(live, idf_map, self.avgdl) for a in self.actors
+        ]))
 
     def actor_stats(self) -> list[dict]:
         """Per-actor {rss_kb, n_segments, cache_hits, cache_misses}."""

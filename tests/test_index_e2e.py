@@ -275,3 +275,18 @@ def test_msearch_matches_sequential(index_root):
             assert got.to_pandas().equals(exp.to_pandas()), (q, mode)
     finally:
         svc.shutdown()
+
+
+def test_query_service_warm(index_root):
+    svc = query.QueryService(index_root, num_actors=2)
+    try:
+        n = svc.warm(["spark window", "table", "nosuchterm"])
+        assert n > 0
+        got = svc.search("spark window", k=5).to_pandas()
+        exp = query.IndexReader(index_root).search("spark window", k=5).to_pandas()
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        # warmed terms are cache hits from the first query on
+        stats = svc.actor_stats()
+        assert sum(a["cache_hits"] for a in stats) > 0
+    finally:
+        svc.shutdown()
