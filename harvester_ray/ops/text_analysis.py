@@ -609,7 +609,8 @@ def watermark_greenlist(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> "pd.DataFrame":
+    collect: bool = True,
+):
     """LLM watermark detection (Kirchenbauer et al. 2023, public): a
     soft-watermarked generator biases each token toward a "green list"
     seeded by the previous token's hash; the detector recounts. Here the
@@ -663,7 +664,10 @@ def watermark_greenlist(
             "z": pa.array(z, pa.float64()),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    res = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    if not collect:
+        return res  # per-doc stream — corpus-cardinality
+    out = res.to_pandas()
     cols = ["doc_id", "n_scored", "n_green", "z"]
     if out.empty:
         return pd.DataFrame(columns=cols)

@@ -3944,7 +3944,8 @@ def rate_limit_violations(
     ts_col: str = "ts",
     window_us: int = 3_600_000_000,
     max_events: int = 5,
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Sliding-window rate audit: for every event, the count of the SAME
     user's events in the half-open window ``(ts - window, ts]`` (inclusive
     of itself), flagging events where that count exceeds ``max_events`` —
@@ -3988,12 +3989,14 @@ def rate_limit_violations(
             ["event_id", user_col, ts_col, "window_count"]
         ]
 
-    out = (
+    res = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(scan, batch_format="pandas")
-        .to_pandas()
     )
+    if not collect:
+        return res  # violations stream (unsorted) — corpus-proportional
+    out = res.to_pandas()
     cols = ["event_id", user_col, ts_col, "window_count"]
     if out.empty or "event_id" not in out.columns:
         return pd.DataFrame(columns=cols)
@@ -4031,7 +4034,8 @@ def touch_attribution(
     touch_type: str = "click",
     convert_type: str = "purchase",
     window_us: int = 7 * 24 * 3_600_000_000,
-) -> pd.DataFrame:
+    collect: bool = True,
+):
     """Marketing-style conversion attribution: for every ``convert_type``
     event, the FIRST and LAST ``touch_type`` event of the same user in the
     trailing window ``[ts − window, ts)`` (strictly earlier — same-
@@ -4087,12 +4091,14 @@ def touch_attribution(
             ])
         return pd.concat(out_rows, ignore_index=True)
 
-    out = (
+    res = (
         ds.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(scan, batch_format="pandas")
-        .to_pandas()
     )
+    if not collect:
+        return res  # attributed conversions stream (unsorted)
+    out = res.to_pandas()
     cols = ["event_id", user_col, ts_col, "first_touch", "last_touch", "n_touches"]
     if out.empty or "event_id" not in out.columns:
         return pd.DataFrame(columns=cols)
