@@ -5000,6 +5000,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k=10,
         ).to_pandas(),
         "ranking_eval_mrr": _ranking_eval_mrr,
+        "ranking_eval_err": lambda sf: __import__(
+            "harvester_ray.index.evaluate", fromlist=["x"]
+        ).evaluate_ranking_err(index_query.IndexReader(_documents_index(sf))),
         "rank_feature": _rank_feature,
         "table_merge": _table_merge,
         "percentiles_agg": _percentiles_agg,
@@ -5923,6 +5926,9 @@ GROUP BY v.value ORDER BY v.value"""
         "ranking_eval_mrr": __import__(
             "harvester_ray.index.evaluate", fromlist=["x"]
         ).evaluate_ranking_mrr_sql("documents"),
+        "ranking_eval_err": __import__(
+            "harvester_ray.index.evaluate", fromlist=["x"]
+        ).evaluate_ranking_err_sql("documents"),
         "mmr_rerank": similarity.mmr_rerank_sql(
             "embeddings", 0, k=5, pool=12, lam=0.7
         ),

@@ -239,3 +239,99 @@ FROM (
 )""")
     union = "\nUNION ALL\n".join(per_query)
     return f"SELECT * FROM (\n{union}\n) ORDER BY query"
+
+
+def evaluate_ranking_err(
+    reader, queries: list[str] | None = None, k: int = 10
+) -> pd.DataFrame:
+    """ES ``_rank_eval`` ``expected_reciprocal_rank`` (Chapelle et al.
+    2009): ERR@k = Σ_i (R_i · Π_{j<i}(1−R_j)) / i with stop probability
+    R = (2^rel − 1) / 2^g, g = the query's max grade (its term count).
+    Every R and every running product is an exact dyadic rational (g ≤ 5,
+    k ≤ 10 keeps all numerators under 53 bits), so both sides compute
+    bit-identical floats; each rank's contribution quantizes to a 1e12
+    fixed-point integer before the sum (the nano discipline — no float
+    summation order). Returns (query, n_results, err)."""
+    import math
+
+    queries = QUERY_SET if queries is None else queries
+    rows = []
+    for q in queries:
+        terms = sorted(set(analyzer.tokenize_query(q)))
+        g = len(terms)
+        out = reader.search(q, k=k, mode="or").to_pandas()
+        docs = out["doc_id"].to_numpy(dtype=np.int64)
+        rel = _term_membership(reader, docs, terms)
+        acc = 0
+        prod = 1.0
+        for i, r in enumerate(rel.tolist(), start=1):
+            R = (2.0 ** int(r) - 1.0) / (2.0 ** g)
+            acc += math.floor(R * prod / i * 1e12 + 0.5)
+            prod *= 1.0 - R
+        rows.append({
+            "query": q,
+            "n_results": int(docs.size),
+            "err": acc / 1e12,
+        })
+    return pd.DataFrame(rows).sort_values("query").reset_index(drop=True)
+
+
+def evaluate_ranking_err_sql(
+    table: str,
+    queries: list[str] | None = None,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """Oracle for evaluate_ranking_err: the shared ranked CTE, stop
+    probabilities from pow(2, rel) (dyadic-exact), the prefix product via
+    DuckDB's product() window (exact over exact dyadics), per-rank 1e12
+    quantization before the integer sum."""
+    queries = QUERY_SET if queries is None else queries
+    tok = analyzer.sql_tokenize_expr(text_col)
+    per_query = []
+    for q in queries:
+        terms = sorted(set(analyzer.tokenize_query(q)))
+        g = len(terms)
+        term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+        qlit = q.replace("'", "''")
+        per_query.append(f"""
+SELECT '{qlit}' AS query, CAST(count(*) AS BIGINT) AS n_results,
+       CAST(coalesce(sum(CAST(floor(R * prod / rank * 1e12 + 0.5) AS BIGINT)), 0) AS DOUBLE) / 1e12 AS err
+FROM (
+  SELECT rank, R,
+         coalesce(product(1.0 - R) OVER (
+           ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 1.0) AS prod
+  FROM (
+    SELECT (pow(2.0, rel) - 1.0) / {2 ** g} AS R,
+           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM (
+      WITH doclen AS (
+        SELECT {id_col} AS doc_id, len({tok}) AS dl FROM {table}
+      ),
+      stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+      toks AS (SELECT {id_col} AS doc_id, unnest({tok}) AS term FROM {table}),
+      tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks
+        WHERE term IN ({term_list}) GROUP BY doc_id, term
+      ),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      SELECT tf.doc_id AS doc_id,
+             sum( ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                  * tf.tf * ({bm25.K1} + 1.0)
+                  / (tf.tf + {bm25.K1} * (1.0 - {bm25.B} + {bm25.B} * d.dl / s.avgdl)) ) AS score,
+             count(DISTINCT tf.term) AS rel
+      FROM tf
+      JOIN df USING (term)
+      JOIN doclen d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+      ORDER BY score DESC, tf.doc_id ASC
+      LIMIT {k}
+    )
+  )
+)""")
+    union = "\nUNION ALL\n".join(per_query)
+    return f"SELECT * FROM (\n{union}\n) ORDER BY query"
