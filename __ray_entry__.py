@@ -4934,6 +4934,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_keys": lambda sf: _analytics.hot_keys(_ev_ds(sf, ("user_id",))),
         # 24h window / >5 events: probed non-degenerate on the sf0.01 events
         # table (732 violations; the 1h default matches nothing there)
+        # daily periods: the 30-day events table yields ~27 cohorts x 9
+        # offsets (weekly gave a single cohort — degenerate)
+        "cohort_retention": lambda sf: _analytics.cohort_retention(
+            _ev_ds(sf, ("user_id", "ts")), period_us=86_400_000_000
+        ),
         "touch_attribution": lambda sf: _analytics.touch_attribution(
             _ev_ds(sf, ("event_id", "user_id", "event_type", "ts"))
         ),
@@ -5834,7 +5839,8 @@ GROUP BY v.value ORDER BY v.value"""
         "regression_by_type": _analytics.regression_by_group_sql("events"),
         "weighted_median": _analytics.weighted_median_sql("events"),
         "journey_trigrams": _analytics.journey_trigrams_sql("events", k=20),
-        "cohort_retention": _analytics.cohort_retention_sql("events"),
+        "cohort_retention": _analytics.cohort_retention_sql(
+            "events", period_us=86_400_000_000),
         "chi_square_hour_type": _analytics.chi_square_hour_type_sql("events"),
         "trimmed_mean": _analytics.trimmed_mean_sql("events", trim=0.1),
         "distinct_users_by_type": _analytics.distinct_users_by_type_sql("events"),
@@ -5848,6 +5854,8 @@ GROUP BY v.value ORDER BY v.value"""
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
         "hot_keys": _analytics.hot_keys_sql("events"),
+        "cohort_retention": _analytics.cohort_retention_sql(
+            "events", period_us=86_400_000_000),
         "touch_attribution": _analytics.touch_attribution_sql("events"),
         "rate_limit_violations": _analytics.rate_limit_violations_sql(
             "events", window_us=86_400_000_000, max_events=5),

@@ -4131,3 +4131,99 @@ FROM conv p
 WHERE EXISTS (SELECT 1 FROM {table} t WHERE {win})
 ORDER BY p.event_id
 """.strip()
+
+
+def cohort_retention(
+    ds,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 7 * 24 * 3_600_000_000,
+    max_offset: int = 8,
+) -> pd.DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-SEEN period
+    (epoch-microseconds // period — pure integer, no calendar/tz
+    surface), and for each offset k the count of cohort members active in
+    period cohort+k. The classic product-analytics view; the reference's
+    harvest-state watermark (core/models/harvest.py:13-41) is the same
+    first-seen bookkeeping per source.
+
+    One streaming pass emits per-batch (user, period) partials
+    (deduplicated per batch); the driver folds user-cardinality rows only
+    (the events_facets precedent), derives first-seen via a groupby min,
+    and counts (cohort, offset) pairs. Retention is the half-up 1e6
+    fixed-point share. Returns
+    ``(cohort_period, week_offset, n_cohort, n_active, retention)``
+    sorted by (cohort_period, week_offset), offsets 0..max_offset with
+    zero-activity offsets omitted (mirrored by the oracle's inner
+    join)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        ts = t[ts_col].combine_chunks().cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        p = ts // period_us
+        key = np.char.add(np.char.add(u.astype(str), "\x1f"), p.astype(str))
+        _, idx = np.unique(key, return_index=True)
+        return pa.table({
+            "u": pa.array(u[idx], pa.string()),
+            "p": pa.array(p[idx], pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["cohort_period", "week_offset", "n_cohort", "n_active", "retention"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    up = pd.concat(parts, ignore_index=True).drop_duplicates(["u", "p"])
+    first = up.groupby("u", as_index=False)["p"].min().rename(columns={"p": "c"})
+    cohort_sizes = first.groupby("c").size()
+    m = up.merge(first, on="u")
+    m["off"] = m["p"] - m["c"]
+    m = m[(m["off"] >= 0) & (m["off"] <= max_offset)]
+    counts = m.groupby(["c", "off"]).size().reset_index(name="n_active")
+    rows = []
+    for _, r in counts.iterrows():
+        nc = int(cohort_sizes[r["c"]])
+        na = int(r["n_active"])
+        rows.append((
+            int(r["c"]), int(r["off"]), nc, na,
+            ((2 * na * 1_000_000 + nc) // (2 * nc)) / 1e6,
+        ))
+    out = pd.DataFrame(rows, columns=cols)
+    return out.sort_values(["cohort_period", "week_offset"]).reset_index(drop=True)
+
+
+def cohort_retention_sql(
+    table: str = "events",
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 7 * 24 * 3_600_000_000,
+    max_offset: int = 8,
+) -> str:
+    return f"""
+WITH up AS (
+  SELECT DISTINCT CAST({user_col} AS VARCHAR) AS u,
+         epoch_us({ts_col}) // {period_us} AS p
+  FROM {table}
+),
+first AS (SELECT u, min(p) AS c FROM up GROUP BY u),
+sizes AS (SELECT c, CAST(count(*) AS BIGINT) AS n_cohort FROM first GROUP BY c),
+act AS (
+  SELECT f.c, up.p - f.c AS off, CAST(count(*) AS BIGINT) AS n_active
+  FROM up JOIN first f USING (u)
+  WHERE up.p - f.c BETWEEN 0 AND {max_offset}
+  GROUP BY f.c, up.p - f.c
+)
+SELECT CAST(a.c AS BIGINT) AS cohort_period, CAST(a.off AS BIGINT) AS week_offset,
+       s.n_cohort, a.n_active,
+       CAST((2 * CAST(a.n_active AS HUGEINT) * 1000000 + s.n_cohort)
+            // (2 * CAST(s.n_cohort AS HUGEINT)) AS DOUBLE) / 1e6 AS retention
+FROM act a JOIN sizes s USING (c)
+ORDER BY cohort_period, week_offset
+""".strip()

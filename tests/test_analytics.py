@@ -799,3 +799,31 @@ def test_touch_attribution_oracle(ray_session):
         ds.repartition(7), window_us=3 * 86400 * 1_000_000
     )
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
+
+
+def test_cohort_retention_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, n),
+        "event_type": "x",
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 60 * 86400, n), unit="s"),
+        "value": 1.0,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytics.cohort_retention(ds)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(analytics.cohort_retention_sql("events")).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # offset-0 retention is 1 by construction
+    z = out[out["week_offset"] == 0]
+    assert (z["retention"] == 1.0).all() and len(z) >= 2
+    assert (out["week_offset"] > 0).any()
+    again = analytics.cohort_retention(ds.repartition(7))
+    pd.testing.assert_frame_equal(out, again, check_dtype=False)
