@@ -4898,6 +4898,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_trigrams": lambda sf: _analytics.journey_trigrams(
             _ev_ds(sf, ("user_id", "event_type", "ts", "event_id")), k=20
         ),
+        "seasonal_decompose": lambda sf: _analytics.seasonal_decompose(
+            _ev_ds(sf, ("ts",))
+        ),
         "cohort_retention": lambda sf: _analytics.cohort_retention(
             _ev_ds(sf, ("user_id", "event_type", "ts"))
         ),
@@ -4936,6 +4939,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table (732 violations; the 1h default matches nothing there)
         # daily periods: the 30-day events table yields ~27 cohorts x 9
         # offsets (weekly gave a single cohort — degenerate)
+        "seasonal_decompose": lambda sf: _analytics.seasonal_decompose(
+            _ev_ds(sf, ("ts",))
+        ),
         "cohort_retention": lambda sf: _analytics.cohort_retention(
             _ev_ds(sf, ("user_id", "ts")), period_us=86_400_000_000
         ),
@@ -5839,6 +5845,7 @@ GROUP BY v.value ORDER BY v.value"""
         "regression_by_type": _analytics.regression_by_group_sql("events"),
         "weighted_median": _analytics.weighted_median_sql("events"),
         "journey_trigrams": _analytics.journey_trigrams_sql("events", k=20),
+        "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
         "cohort_retention": _analytics.cohort_retention_sql(
             "events", period_us=86_400_000_000),
         "chi_square_hour_type": _analytics.chi_square_hour_type_sql("events"),
@@ -5854,6 +5861,7 @@ GROUP BY v.value ORDER BY v.value"""
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
         "hot_keys": _analytics.hot_keys_sql("events"),
+        "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
         "cohort_retention": _analytics.cohort_retention_sql(
             "events", period_us=86_400_000_000),
         "touch_attribution": _analytics.touch_attribution_sql("events"),

@@ -4227,3 +4227,131 @@ SELECT CAST(a.c AS BIGINT) AS cohort_period, CAST(a.off AS BIGINT) AS week_offse
 FROM act a JOIN sizes s USING (c)
 ORDER BY cohort_period, week_offset
 """.strip()
+
+
+def seasonal_decompose(
+    ds,
+    *,
+    ts_col: str = "ts",
+    period: int = 24,
+) -> pd.DataFrame:
+    """Additive seasonal decomposition of the hourly event-count series
+    (STL-lite): ``y = seasonal + trend + remainder`` with the classical
+    estimators — seasonal = per-phase mean (phase = hour index mod
+    ``period``), trend = the centered 2×period moving average. Every
+    component is exact: counts are integers; the 2×24 MA's numerator
+    ``y[t−12] + 2·Σ y[t−11..t+11] + y[t+12]`` is an integer divided by
+    2·period with the half-up 1e6 fixed-point rule; the per-phase mean
+    uses the same rule; remainder is a fixed-point subtraction. Hours
+    with no events count 0 (the dense series over the observed range).
+    Rows limited to hours where the trend is defined. Returns
+    ``(hour_idx, phase, y, seasonal, trend, remainder)``.
+
+    Scale shape: per-batch hour-count partials; the driver folds
+    hour-cardinality rows (the events_hourly precedent — the series
+    length is time-bounded, not data-bounded)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].combine_chunks().cast(pa.timestamp("us")).to_numpy(
+            zero_copy_only=False
+        ).astype("datetime64[us]").astype(np.int64)
+        h = ts // 3_600_000_000
+        u, c = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(u, pa.int64()),
+            "n": pa.array(c.astype(np.int64), pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["hour_idx", "phase", "y", "seasonal", "trend", "remainder"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    agg = pd.concat(parts, ignore_index=True).groupby("h", as_index=False)["n"].sum()
+    if agg.empty:
+        return pd.DataFrame(columns=cols)
+    lo, hi = int(agg["h"].min()), int(agg["h"].max())
+    y = np.zeros(hi - lo + 1, np.int64)
+    y[agg["h"].to_numpy(np.int64) - lo] = agg["n"].to_numpy(np.int64)
+    T = y.size
+    half = period // 2
+    if T < period + 1:
+        return pd.DataFrame(columns=cols)
+
+    def fp_div(num: np.ndarray, den: int) -> np.ndarray:
+        # half-up fixed-point division on NONNEG numerators
+        return (2 * num * 1_000_000 + den) // (2 * den)
+
+    # trend: centered 2xperiod MA, defined for t in [half, T-half-1]
+    cs = np.concatenate(([0], np.cumsum(y)))
+    t_idx = np.arange(half, T - half)
+    inner = cs[t_idx + half] - cs[t_idx - half + 1]  # y[t-11..t+11]
+    num = y[t_idx - half] + 2 * inner + y[t_idx + half]
+    trend_fp = fp_div(num, 2 * period)
+    # seasonal: per-phase mean over the FULL series
+    phase = (np.arange(T, dtype=np.int64) + lo) % period
+    s_sum = np.zeros(period, np.int64)
+    s_cnt = np.zeros(period, np.int64)
+    np.add.at(s_sum, phase, y)
+    np.add.at(s_cnt, phase, 1)
+    seas_fp = np.array([
+        int((2 * int(s_sum[p]) * 1_000_000 + int(s_cnt[p])) // (2 * int(s_cnt[p])))
+        for p in range(period)
+    ], np.int64)
+    ph_t = phase[t_idx]
+    rows = pd.DataFrame({
+        "hour_idx": t_idx + lo,
+        "phase": ph_t,
+        "y": y[t_idx],
+        "seasonal": seas_fp[ph_t] / 1e6,
+        "trend": trend_fp / 1e6,
+        "remainder": (y[t_idx] * 1_000_000 - seas_fp[ph_t] - trend_fp) / 1e6,
+    })
+    return rows.reset_index(drop=True)
+
+
+def seasonal_decompose_sql(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    period: int = 24,
+) -> str:
+    half = period // 2
+    return f"""
+WITH hc AS (
+  SELECT epoch_us({ts_col}) // 3600000000 AS h, CAST(count(*) AS BIGINT) AS n
+  FROM {table} GROUP BY 1
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM hc),
+series AS (
+  SELECT g.h, coalesce(hc.n, 0) AS y
+  FROM (SELECT unnest(range((SELECT lo FROM bounds), (SELECT hi FROM bounds) + 1)) AS h) g
+  LEFT JOIN hc USING (h)
+),
+tr AS (
+  SELECT h, y,
+         lag(y, {half}) OVER w + 2 * (sum(y) OVER (ORDER BY h
+             ROWS BETWEEN {half - 1} PRECEDING AND {half - 1} FOLLOWING))
+           + lead(y, {half}) OVER w AS num,
+         count(*) OVER (ORDER BY h ROWS BETWEEN {half} PRECEDING AND {half} FOLLOWING) AS span
+  FROM series WINDOW w AS (ORDER BY h)
+),
+seas AS (
+  SELECT h % {period} AS phase,
+         (2 * CAST(sum(y) AS HUGEINT) * 1000000 + count(*)) // (2 * count(*)) AS s_fp
+  FROM series GROUP BY 1
+)
+SELECT t.h AS hour_idx, t.h % {period} AS phase, t.y,
+       CAST(s.s_fp AS DOUBLE) / 1e6 AS seasonal,
+       CAST((2 * CAST(t.num AS HUGEINT) * 1000000 + {2 * period})
+            // (2 * {2 * period}) AS DOUBLE) / 1e6 AS trend,
+       CAST(t.y * 1000000 - s.s_fp
+            - (2 * CAST(t.num AS HUGEINT) * 1000000 + {2 * period}) // (2 * {2 * period})
+            AS DOUBLE) / 1e6 AS remainder
+FROM tr t JOIN seas s ON s.phase = t.h % {period}
+WHERE t.span = {period + 1}
+ORDER BY t.h
+""".strip()

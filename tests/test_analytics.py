@@ -827,3 +827,34 @@ def test_cohort_retention_oracle(ray_session):
     assert (out["week_offset"] > 0).any()
     again = analytics.cohort_retention(ds.repartition(7))
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
+
+
+def test_seasonal_decompose_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(31)
+    # strong diurnal pattern + linear trend + noise over 14 days
+    rows, eid = [], 0
+    for d in range(14):
+        for h in range(24):
+            lam = 3 + 2 * np.sin(2 * np.pi * h / 24) + 0.1 * d
+            for _ in range(int(rng.poisson(max(lam, 0.1)))):
+                eid += 1
+                rows.append((eid, 1, "x", f"2024-01-{d + 1:02d} {h:02d}:30", 1.0))
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "event_type", "ts", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytics.seasonal_decompose(ds)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(analytics.seasonal_decompose_sql("events")).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    # decomposition identity holds exactly in fixed point
+    np.testing.assert_allclose(
+        out["y"], out["seasonal"] + out["trend"] + out["remainder"], atol=1e-9
+    )
+    # the diurnal signal is captured: seasonal varies across phases
+    assert out.groupby("phase")["seasonal"].first().std() > 0.5
+    again = analytics.seasonal_decompose(ds.repartition(6))
+    pd.testing.assert_frame_equal(out, again, check_dtype=False)
