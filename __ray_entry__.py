@@ -4864,6 +4864,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _docs_ds(sf, ("doc_id", "text")), points=24
         ),
         "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
+        "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
         "gini_vocab": lambda sf: _keywords.gini_vocab(_docs_ds(sf, ("text",))),
         "syllable_stats": lambda sf: _keywords.syllable_stats(
             _docs_ds(sf, ("source", "text"))
@@ -5823,6 +5824,7 @@ GROUP BY v.value ORDER BY v.value"""
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "burstiness": _keywords.burstiness_sql("documents", k=50),
+        "zipf_slope": _keywords.zipf_slope_sql("documents"),
         "gini_vocab": _keywords.gini_vocab_sql("documents"),
         "syllable_stats": _keywords.syllable_stats_sql("documents"),
         "stylometry_delta": _keywords.stylometry_delta_sql("documents", k=30),

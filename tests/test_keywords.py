@@ -395,3 +395,34 @@ def test_doremi_weights_partition_independent(ray_session):
     a = keywords.doremi_weights(_dom_ds(rows))
     b = keywords.doremi_weights(_dom_ds(rows).repartition(9))
     assert a.equals(b)
+
+
+def test_zipf_slope_oracle(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import keywords
+
+    # Zipfian synthetic text: term w_i drawn with prob ~ 1/i
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"w{i}" for i in range(1, 301)])
+    probs = 1.0 / np.arange(1, 301)
+    probs /= probs.sum()
+    docs = [
+        " ".join(rng.choice(vocab, size=60, p=probs)) for _ in range(80)
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": docs})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = keywords.zipf_slope(ds, top_n=50)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(keywords.zipf_slope_sql("documents", top_n=50)).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # a 1/rank corpus fits slope ~ -1 with high r^2
+    assert -1.3 < got.iloc[0]["slope"] < -0.7
+    assert got.iloc[0]["r2"] > 0.9
+    again = keywords.zipf_slope(ds.repartition(5), top_n=50)
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
