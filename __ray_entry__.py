@@ -3070,6 +3070,17 @@ def _retriever_agreement(sf_dir: str) -> pd.DataFrame:
 RBO_QUERY_B = "customer query"
 
 
+def _first_day_filter(t: "pa.Table") -> "pa.Table":
+    import numpy as _np
+    import pyarrow as _pa
+
+    ts = _np.asarray(t["ts"].combine_chunks().cast(_pa.timestamp("us"))).astype(
+        "datetime64[us]"
+    ).astype(_np.int64)
+    cut = int(_np.datetime64("2024-01-02T00:00:00", "us").astype(_np.int64))
+    return t.filter(_pa.array(ts < cut))
+
+
 def _mod5_split(t: "pa.Table", keep_zero: bool) -> "pa.Table":
     import numpy as _np
     import pyarrow as _pa
@@ -4860,11 +4871,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
+        "token_gini": lambda sf: _keywords.token_gini(_docs_ds(sf, ("text",))),
         "heaps_law": lambda sf: _keywords.heaps_law(
             _docs_ds(sf, ("doc_id", "text")), points=24
         ),
         "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
+        "token_gini": lambda sf: _keywords.token_gini(_docs_ds(sf, ("text",))),
         "gini_vocab": lambda sf: _keywords.gini_vocab(_docs_ds(sf, ("text",))),
         "syllable_stats": lambda sf: _keywords.syllable_stats(
             _docs_ds(sf, ("source", "text"))
@@ -4898,6 +4911,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "journey_trigrams": lambda sf: _analytics.journey_trigrams(
             _ev_ds(sf, ("user_id", "event_type", "ts", "event_id")), k=20
+        ),
+        # one-day slice: over the full 30 days every user converts (z
+        # degenerate); ~2 events/user in a day keeps both variants mixed
+        "ab_conversion_test": lambda sf: _analytics.ab_conversion_test(
+            _ev_ds(sf, ("user_id", "event_type", "ts")).map_batches(
+                _first_day_filter, batch_format="pyarrow"
+            )
         ),
         "seasonal_decompose": lambda sf: _analytics.seasonal_decompose(
             _ev_ds(sf, ("ts",))
@@ -4940,6 +4960,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # table (732 violations; the 1h default matches nothing there)
         # daily periods: the 30-day events table yields ~27 cohorts x 9
         # offsets (weekly gave a single cohort — degenerate)
+        # one-day slice: over the full 30 days every user converts (z
+        # degenerate); ~2 events/user in a day keeps both variants mixed
+        "ab_conversion_test": lambda sf: _analytics.ab_conversion_test(
+            _ev_ds(sf, ("user_id", "event_type", "ts")).map_batches(
+                _first_day_filter, batch_format="pyarrow"
+            )
+        ),
         "seasonal_decompose": lambda sf: _analytics.seasonal_decompose(
             _ev_ds(sf, ("ts",))
         ),
@@ -5822,9 +5849,11 @@ GROUP BY v.value ORDER BY v.value"""
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
+        "token_gini": _keywords.token_gini_sql("documents"),
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "burstiness": _keywords.burstiness_sql("documents", k=50),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
+        "token_gini": _keywords.token_gini_sql("documents"),
         "gini_vocab": _keywords.gini_vocab_sql("documents"),
         "syllable_stats": _keywords.syllable_stats_sql("documents"),
         "stylometry_delta": _keywords.stylometry_delta_sql("documents", k=30),
@@ -5847,6 +5876,8 @@ GROUP BY v.value ORDER BY v.value"""
         "regression_by_type": _analytics.regression_by_group_sql("events"),
         "weighted_median": _analytics.weighted_median_sql("events"),
         "journey_trigrams": _analytics.journey_trigrams_sql("events", k=20),
+        "ab_conversion_test": _analytics.ab_conversion_test_sql(
+            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02')"),
         "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
         "cohort_retention": _analytics.cohort_retention_sql(
             "events", period_us=86_400_000_000),
@@ -5863,6 +5894,8 @@ GROUP BY v.value ORDER BY v.value"""
         "event_gaps": _analytics.event_gaps_sql("events"),
         "key_skew": _analytics.key_skew_sql("events"),
         "hot_keys": _analytics.hot_keys_sql("events"),
+        "ab_conversion_test": _analytics.ab_conversion_test_sql(
+            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02')"),
         "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
         "cohort_retention": _analytics.cohort_retention_sql(
             "events", period_us=86_400_000_000),

@@ -2287,3 +2287,61 @@ SELECT CAST(n AS BIGINT) AS n_terms,
             ELSE NULL END AS r2
 FROM s
 """.strip()
+
+
+def token_gini(
+    ds,
+    *,
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """Gini coefficient of the corpus token-frequency distribution — the
+    inequality summary next to zipf_slope (uniform vocab → 0, one-token
+    corpus → 1−1/n). Exact: with counts sorted ascending,
+    G = (2·Σ i·c_i) / (n·S) − (n+1)/n; both terms are integer ratios,
+    combined as one mirrored float expression rounded 6. Vocabulary-
+    cardinality fold (the term_df precedent). Returns one row
+    ``(n_terms, total_tokens, gini)``."""
+    from ..index.stats import term_stats_shuffle
+
+    stats_ds = term_stats_shuffle(ds, text_col=text_col)
+    parts = [
+        b.to_pandas()
+        for b in stats_ds.select_columns(["cf"]).iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["n_terms", "total_tokens", "gini"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    cf = np.sort(pd.concat(parts, ignore_index=True)["cf"].to_numpy(np.int64))
+    n = int(cf.size)
+    S = int(cf.sum())
+    if n == 0 or S == 0:
+        return pd.DataFrame(columns=cols)
+    w = int((np.arange(1, n + 1, dtype=np.int64) * cf).sum())
+    gini = round(2.0 * w / (float(n) * S) - (n + 1.0) / n, 6) + 0.0
+    return pd.DataFrame({
+        "n_terms": np.array([n], np.int64),
+        "total_tokens": np.array([S], np.int64),
+        "gini": [gini],
+    })
+
+
+def token_gini_sql(table: str = "documents", *, text_col: str = "text") -> str:
+    from .. import analyzer
+
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH toks AS (SELECT unnest({tok}) AS term FROM {table}),
+cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term),
+ranked AS (
+  SELECT cf, row_number() OVER (ORDER BY cf ASC, term ASC) AS i FROM cf
+),
+s AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cf) AS HUGEINT) AS tot,
+         sum(CAST(i AS HUGEINT) * cf) AS w
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms, CAST(tot AS BIGINT) AS total_tokens,
+       round(2.0 * CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0.0 AS gini
+FROM s WHERE n > 0 AND tot > 0
+""".strip()

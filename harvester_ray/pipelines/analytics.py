@@ -4355,3 +4355,122 @@ FROM tr t JOIN seas s ON s.phase = t.h % {period}
 WHERE t.span = {period + 1}
 ORDER BY t.h
 """.strip()
+
+
+def ab_conversion_test(
+    ds,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+) -> pd.DataFrame:
+    """Two-proportion A/B conversion test: users hash-split into variants
+    (``user_id % n_variants`` — the deterministic assignment an
+    experimentation layer would persist), conversion = the user emitted at
+    least one ``convert_type`` event. Pooled two-proportion z:
+    z = (p₁ − p₀) / √(p̂(1−p̂)(1/n₀ + 1/n₁)) — all counts exact integers,
+    z one mirrored float expression rounded 6 (NULL when a variant is
+    empty or the pooled rate degenerates). Per-batch (user, converted)
+    partials; driver folds user-cardinality rows. Returns per-variant
+    rows ``(variant, n_users, n_converted, rate)`` plus the z on every
+    row (the window/rank oracle convention of repeating the scalar)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        u = t[user_col].combine_chunks().cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = t[type_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        conv = (et == convert_type).astype(np.int64)
+        uu, inv = np.unique(u, return_inverse=True)
+        c = np.zeros(uu.size, np.int64)
+        np.maximum.at(c, inv, conv)
+        return pa.table({
+            "u": pa.array(uu, pa.int64()),
+            "c": pa.array(c, pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["variant", "n_users", "n_converted", "rate", "z"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    per = pd.concat(parts, ignore_index=True).groupby("u", as_index=False)["c"].max()
+    per["variant"] = per["u"] % n_variants
+    g = (
+        per.groupby("variant")
+        .agg(n_users=("c", "size"), n_converted=("c", "sum"))
+        .reset_index()
+        .sort_values("variant")
+    )
+    n = g["n_users"].to_numpy(np.int64)
+    k = g["n_converted"].to_numpy(np.int64)
+    var = g["variant"].to_numpy(np.int64)
+    z = np.nan
+    if n_variants == 2 and set(var.tolist()) == {0, 1}:
+        n0, n1 = int(n[var == 0][0]), int(n[var == 1][0])
+        k0, k1 = int(k[var == 0][0]), int(k[var == 1][0])
+        N, K = n0 + n1, k0 + k1
+        if 0 < K < N:
+            p0, p1, ph = k0 / n0, k1 / n1, K / N
+            import math
+
+            z = round(
+                (p1 - p0) / math.sqrt(ph * (1.0 - ph) * (1.0 / n0 + 1.0 / n1)), 6
+            ) + 0.0
+    rate = np.array(
+        [(2 * int(ki) * 1_000_000 + int(ni)) // (2 * int(ni))
+         for ki, ni in zip(k, n)], np.int64
+    )
+    return pd.DataFrame({
+        "variant": var,
+        "n_users": n,
+        "n_converted": k,
+        "rate": rate / 1e6,
+        "z": [z] * len(g),
+    }).reset_index(drop=True)
+
+
+def ab_conversion_test_sql(
+    table: str = "events",
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    convert_type: str = "purchase",
+    n_variants: int = 2,
+) -> str:
+    return f"""
+WITH per AS (
+  SELECT {user_col} AS u,
+         CAST(max(CASE WHEN {type_col} = '{convert_type}' THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM {table} GROUP BY 1
+),
+v AS (
+  SELECT u % {n_variants} AS variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(c) AS BIGINT) AS n_converted
+  FROM per GROUP BY 1
+),
+zc AS (
+  SELECT
+    CASE WHEN count(*) = 2 AND min(n_users) > 0
+              AND sum(n_converted) > 0 AND sum(n_converted) < sum(n_users)
+         THEN round(
+           (CAST(max(CASE WHEN variant = 1 THEN n_converted END) AS DOUBLE)
+              / CAST(max(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE)
+            - CAST(max(CASE WHEN variant = 0 THEN n_converted END) AS DOUBLE)
+              / CAST(max(CASE WHEN variant = 0 THEN n_users END) AS DOUBLE))
+           / sqrt((CAST(sum(n_converted) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE))
+                  * (1.0 - CAST(sum(n_converted) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE))
+                  * (1.0 / CAST(max(CASE WHEN variant = 0 THEN n_users END) AS DOUBLE)
+                     + 1.0 / CAST(max(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE))), 6) + 0.0
+         ELSE NULL END AS z
+  FROM v
+)
+SELECT v.variant, v.n_users, v.n_converted,
+       CAST((2 * CAST(v.n_converted AS HUGEINT) * 1000000 + v.n_users)
+            // (2 * CAST(v.n_users AS HUGEINT)) AS DOUBLE) / 1e6 AS rate,
+       zc.z
+FROM v CROSS JOIN zc
+ORDER BY v.variant
+""".strip()

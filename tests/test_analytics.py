@@ -858,3 +858,31 @@ def test_seasonal_decompose_oracle(ray_session):
     assert out.groupby("phase")["seasonal"].first().std() > 0.5
     again = analytics.seasonal_decompose(ds.repartition(6))
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
+
+
+def test_ab_conversion_test_oracle(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    rng = np.random.default_rng(41)
+    n = 800
+    uid = rng.integers(0, 120, n)
+    # variant 1 users convert more often
+    conv_p = np.where(uid % 2 == 1, 0.25, 0.10)
+    types = np.where(rng.random(n) < conv_p, "purchase", "view")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": uid,
+        "event_type": types,
+        "ts": pd.to_datetime("2024-01-01"),
+        "value": 1.0,
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = analytics.ab_conversion_test(ds)
+    con = duckdb.connect()
+    con.register("events", df)
+    exp = con.execute(analytics.ab_conversion_test_sql("events")).fetchdf()
+    pd.testing.assert_frame_equal(out, exp, check_dtype=False)
+    assert len(out) == 2 and out.iloc[0]["z"] > 2.0  # planted lift detected
+    again = analytics.ab_conversion_test(ds.repartition(5))
+    pd.testing.assert_frame_equal(out, again, check_dtype=False)

@@ -426,3 +426,31 @@ def test_zipf_slope_oracle(ray_session):
     assert got.iloc[0]["r2"] > 0.9
     again = keywords.zipf_slope(ds.repartition(5), top_n=50)
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+
+
+def test_token_gini_oracle(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import keywords
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(3, dtype=np.int64),
+        "text": ["a a a a a a b b c", "a a a b c d", "a b"],
+    })
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = keywords.token_gini(ds)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(keywords.token_gini_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert 0 < got.iloc[0]["gini"] < 1
+    # uniform vocab → gini 0
+    uni = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["x y z w"], pa.string()),
+    }))
+    assert keywords.token_gini(uni).iloc[0]["gini"] == 0.0
