@@ -4871,13 +4871,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": lambda sf: _keywords.unigram_logprob(_docs_ds(sf)),
         "bigram_logprob": lambda sf: _keywords.bigram_logprob(_docs_ds(sf)),
         "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
-        "token_gini": lambda sf: _keywords.token_gini(_docs_ds(sf, ("text",))),
         "heaps_law": lambda sf: _keywords.heaps_law(
             _docs_ds(sf, ("doc_id", "text")), points=24
         ),
         "burstiness": lambda sf: _keywords.burstiness(_docs_ds(sf, ("text",)), k=50),
-        "zipf_slope": lambda sf: _keywords.zipf_slope(_docs_ds(sf, ("text",))),
-        "token_gini": lambda sf: _keywords.token_gini(_docs_ds(sf, ("text",))),
+        "doc_skyline": lambda sf: text_analysis.doc_skyline(
+            _docs_ds(sf, ("doc_id", "text"))
+        ),
         "gini_vocab": lambda sf: _keywords.gini_vocab(_docs_ds(sf, ("text",))),
         "syllable_stats": lambda sf: _keywords.syllable_stats(
             _docs_ds(sf, ("source", "text"))
@@ -5848,12 +5848,10 @@ GROUP BY v.value ORDER BY v.value"""
         "keyness_llr": _compare.keyness_llr_sql("documents", target_lang="en", k=50),
         "unigram_logprob": _keywords.unigram_logprob_sql("documents"),
         "bigram_logprob": _keywords.bigram_logprob_sql("documents"),
-        "zipf_slope": _keywords.zipf_slope_sql("documents"),
-        "token_gini": _keywords.token_gini_sql("documents"),
         "heaps_law": _keywords.heaps_law_sql("documents", points=24),
         "burstiness": _keywords.burstiness_sql("documents", k=50),
         "zipf_slope": _keywords.zipf_slope_sql("documents"),
-        "token_gini": _keywords.token_gini_sql("documents"),
+        "doc_skyline": text_analysis.doc_skyline_sql("documents"),
         "gini_vocab": _keywords.gini_vocab_sql("documents"),
         "syllable_stats": _keywords.syllable_stats_sql("documents"),
         "stylometry_delta": _keywords.stylometry_delta_sql("documents", k=30),

@@ -2186,162 +2186,3 @@ FROM ex
 ORDER BY domain
 """.strip()
 
-
-def zipf_slope(
-    ds,
-    *,
-    text_col: str = "text",
-    top_n: int = 100,
-) -> "pd.DataFrame":
-    """Zipf rank–frequency law fit: OLS slope of ln(freq) on ln(rank) over
-    the corpus's ``top_n`` terms (natural text ≈ −1; templated/synthetic
-    corpora drift shallower — a generation-quality diagnostic next to
-    heaps_law and burstiness). Exactness: each ln quantizes ONCE to a 1e9
-    fixed-point integer (the DSIR discipline; DuckDB ln ≡ libm log on the
-    same doubles), all OLS sums are Python ints / HUGEINTs, and slope and
-    r² are single mirrored float divisions rounded 6 (r² casts the
-    numerator to DOUBLE before squaring — its exact square would overflow
-    HUGEINT). Term totals come from the salted term-stats shuffle; only
-    blocks×top_n rows reach the driver. Returns one row
-    ``(n_terms, slope, r2)``."""
-    import math
-
-    from ..index.stats import term_stats_shuffle
-
-    stats_ds = term_stats_shuffle(ds, text_col=text_col)
-
-    def local_top(t: pa.Table) -> pa.Table:
-        cf = np.asarray(t["cf"].combine_chunks().cast(pa.int64()))
-        terms = t["term"].combine_chunks().to_numpy(zero_copy_only=False)
-        order = np.lexsort((terms, -cf))[:top_n]
-        return pa.table({
-            "term": pa.array(terms[order], pa.string()),
-            "cf": pa.array(cf[order], pa.int64()),
-        })
-
-    parts = [
-        b.to_pandas()
-        for b in stats_ds.map_batches(local_top, batch_format="pyarrow")
-        .iter_batches(batch_format="pyarrow")
-    ]
-    cols = ["n_terms", "slope", "r2"]
-    if not parts:
-        return pd.DataFrame(columns=cols)
-    allp = pd.concat(parts, ignore_index=True)
-    order = np.lexsort((allp["term"].to_numpy(), -allp["cf"].to_numpy(np.int64)))[:top_n]
-    sel = allp.iloc[order]
-    n = len(sel)
-    if n < 2:
-        return pd.DataFrame(columns=cols)
-    xs = [math.floor(math.log(i) * 1e9 + 0.5) for i in range(1, n + 1)]
-    ys = [math.floor(math.log(int(c)) * 1e9 + 0.5) for c in sel["cf"]]
-    Sx, Sy = sum(xs), sum(ys)
-    Sxx = sum(x * x for x in xs)
-    Syy = sum(y * y for y in ys)
-    Sxy = sum(x * y for x, y in zip(xs, ys))
-    num = n * Sxy - Sx * Sy
-    den = n * Sxx - Sx * Sx
-    deny = n * Syy - Sy * Sy
-    slope = round(float(num) / float(den), 6) + 0.0
-    r2 = (
-        round(float(num) * float(num) / (float(den) * float(deny)), 6) + 0.0
-        if deny > 0 else None
-    )
-    return pd.DataFrame({
-        "n_terms": np.array([n], np.int64),
-        "slope": [slope],
-        "r2": [r2],
-    })
-
-
-def zipf_slope_sql(
-    table: str = "documents",
-    *,
-    text_col: str = "text",
-    top_n: int = 100,
-) -> str:
-    from .. import analyzer
-
-    tok = analyzer.sql_tokenize_expr(text_col)
-    return f"""
-WITH toks AS (SELECT unnest({tok}) AS term FROM {table}),
-cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term),
-ranked AS (
-  SELECT cf, row_number() OVER (ORDER BY cf DESC, term ASC) AS r FROM cf
-),
-q AS (
-  SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS x,
-         CAST(floor(ln(CAST(cf AS DOUBLE)) * 1e9 + 0.5) AS HUGEINT) AS y
-  FROM ranked WHERE r <= {top_n}
-),
-s AS (
-  SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,
-         sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
-  FROM q
-)
-SELECT CAST(n AS BIGINT) AS n_terms,
-       round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) + 0.0 AS slope,
-       CASE WHEN n * syy - sy * sy > 0
-            THEN round(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
-                       / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 6) + 0.0
-            ELSE NULL END AS r2
-FROM s
-""".strip()
-
-
-def token_gini(
-    ds,
-    *,
-    text_col: str = "text",
-) -> "pd.DataFrame":
-    """Gini coefficient of the corpus token-frequency distribution — the
-    inequality summary next to zipf_slope (uniform vocab → 0, one-token
-    corpus → 1−1/n). Exact: with counts sorted ascending,
-    G = (2·Σ i·c_i) / (n·S) − (n+1)/n; both terms are integer ratios,
-    combined as one mirrored float expression rounded 6. Vocabulary-
-    cardinality fold (the term_df precedent). Returns one row
-    ``(n_terms, total_tokens, gini)``."""
-    from ..index.stats import term_stats_shuffle
-
-    stats_ds = term_stats_shuffle(ds, text_col=text_col)
-    parts = [
-        b.to_pandas()
-        for b in stats_ds.select_columns(["cf"]).iter_batches(batch_format="pyarrow")
-    ]
-    cols = ["n_terms", "total_tokens", "gini"]
-    if not parts:
-        return pd.DataFrame(columns=cols)
-    cf = np.sort(pd.concat(parts, ignore_index=True)["cf"].to_numpy(np.int64))
-    n = int(cf.size)
-    S = int(cf.sum())
-    if n == 0 or S == 0:
-        return pd.DataFrame(columns=cols)
-    w = int((np.arange(1, n + 1, dtype=np.int64) * cf).sum())
-    gini = round(2.0 * w / (float(n) * S) - (n + 1.0) / n, 6) + 0.0
-    return pd.DataFrame({
-        "n_terms": np.array([n], np.int64),
-        "total_tokens": np.array([S], np.int64),
-        "gini": [gini],
-    })
-
-
-def token_gini_sql(table: str = "documents", *, text_col: str = "text") -> str:
-    from .. import analyzer
-
-    tok = analyzer.sql_tokenize_expr(text_col)
-    return f"""
-WITH toks AS (SELECT unnest({tok}) AS term FROM {table}),
-cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM toks GROUP BY term),
-ranked AS (
-  SELECT cf, row_number() OVER (ORDER BY cf ASC, term ASC) AS i FROM cf
-),
-s AS (
-  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cf) AS HUGEINT) AS tot,
-         sum(CAST(i AS HUGEINT) * cf) AS w
-  FROM ranked
-)
-SELECT CAST(n AS BIGINT) AS n_terms, CAST(tot AS BIGINT) AS total_tokens,
-       round(2.0 * CAST(w AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(tot AS DOUBLE))
-             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) + 0.0 AS gini
-FROM s WHERE n > 0 AND tot > 0
-""".strip()

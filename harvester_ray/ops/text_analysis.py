@@ -710,3 +710,101 @@ SELECT d.doc_id, coalesce(g.t, 0) AS n_scored, coalesce(g.gg, 0) AS n_green,
 FROM (SELECT doc_id FROM toks) d LEFT JOIN g USING (doc_id)
 ORDER BY d.doc_id
 """.strip()
+
+
+def doc_skyline(
+    ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "pd.DataFrame":
+    """Skyline (Pareto-front) query over per-doc (n_tokens, n_distinct):
+    documents not strictly dominated on both axes — the maximal-documents
+    view a curation UI shows (long AND lexically rich). Strict dominance:
+    a ≻ b iff x_a ≥ x_b ∧ y_a ≥ y_b ∧ (x_a > x_b ∨ y_a > y_b); equal
+    (x, y) pairs are mutually non-dominated and all kept.
+
+    Scale shape: each block reduces to its LOCAL skyline (the skyline of
+    a union equals the skyline of the unions' skylines — dominance is
+    transitive), so the driver merges block-skyline-sized sets only. Both
+    passes are the same vectorized group-max + prefix-max scan (no O(n²)
+    anywhere; ties handled by the per-x-group max-y rule). Returns
+    ``(doc_id, n_tokens, n_distinct)`` sorted by (n_tokens desc,
+    n_distinct desc, doc_id)."""
+    import pandas as pd
+
+    def _skyline(ids: np.ndarray, x: np.ndarray, y: np.ndarray):
+        # survivors: per equal-x group only max-y rows, and only where
+        # that y exceeds the running max y of all strictly-greater x
+        order = np.lexsort((ids, -y, -x))
+        ids, x, y = ids[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate(([True], x[1:] != x[:-1])))
+        gmax = y[starts]  # max y per x-group (y desc within group)
+        prev_max = np.concatenate(([np.iinfo(np.int64).min],
+                                   np.maximum.accumulate(gmax)[:-1]))
+        keep_group = gmax > prev_max
+        group_of = np.searchsorted(starts, np.arange(x.size), side="right") - 1
+        keep = keep_group[group_of] & (y == gmax[group_of])
+        return ids[keep], x[keep], y[keep]
+
+    def local(t: pa.Table) -> pa.Table:
+        text = analyzer.normalize_text(t[text_col])
+        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        n = t.num_rows
+        ids = np.asarray(t[id_col].combine_chunks().cast(pa.int64()))
+        ntok = np.bincount(rows, minlength=n).astype(np.int64)
+        ndis = np.zeros(n, np.int64)
+        if rows.size:
+            key = rows.astype(np.int64) * (int(codes.max()) + 1) + codes
+            uk = np.unique(key)
+            np.add.at(ndis, (uk // (int(codes.max()) + 1)).astype(np.int64), 1)
+        i, x, y = _skyline(ids, ntok, ndis)
+        return pa.table({
+            "doc_id": pa.array(i, pa.int64()),
+            "n_tokens": pa.array(x, pa.int64()),
+            "n_distinct": pa.array(y, pa.int64()),
+        })
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    cols = ["doc_id", "n_tokens", "n_distinct"]
+    if not parts:
+        return pd.DataFrame(columns=cols)
+    m = pd.concat(parts, ignore_index=True)
+    i, x, y = _skyline(
+        m["doc_id"].to_numpy(np.int64),
+        m["n_tokens"].to_numpy(np.int64),
+        m["n_distinct"].to_numpy(np.int64),
+    )
+    order = np.lexsort((i, -y, -x))
+    return pd.DataFrame({
+        "doc_id": i[order], "n_tokens": x[order], "n_distinct": y[order],
+    })
+
+
+def doc_skyline_sql(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    tok = analyzer.sql_tokenize_expr(text_col)
+    return f"""
+WITH m AS (
+  SELECT {id_col} AS doc_id,
+         CAST(len({tok}) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct({tok})) AS BIGINT) AS n_distinct
+  FROM {table}
+)
+SELECT a.doc_id, a.n_tokens, a.n_distinct
+FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE b.n_tokens >= a.n_tokens AND b.n_distinct >= a.n_distinct
+    AND (b.n_tokens > a.n_tokens OR b.n_distinct > a.n_distinct)
+)
+ORDER BY a.n_tokens DESC, a.n_distinct DESC, a.doc_id
+""".strip()

@@ -395,62 +395,3 @@ def test_doremi_weights_partition_independent(ray_session):
     a = keywords.doremi_weights(_dom_ds(rows))
     b = keywords.doremi_weights(_dom_ds(rows).repartition(9))
     assert a.equals(b)
-
-
-def test_zipf_slope_oracle(ray_session):
-    import duckdb
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-    import ray.data as rd
-
-    from harvester_ray.ops import keywords
-
-    # Zipfian synthetic text: term w_i drawn with prob ~ 1/i
-    rng = np.random.default_rng(13)
-    vocab = np.array([f"w{i}" for i in range(1, 301)])
-    probs = 1.0 / np.arange(1, 301)
-    probs /= probs.sum()
-    docs = [
-        " ".join(rng.choice(vocab, size=60, p=probs)) for _ in range(80)
-    ]
-    df = pd.DataFrame({"doc_id": np.arange(80, dtype=np.int64), "text": docs})
-    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
-    got = keywords.zipf_slope(ds, top_n=50)
-    con = duckdb.connect()
-    con.register("documents", df)
-    exp = con.execute(keywords.zipf_slope_sql("documents", top_n=50)).fetchdf()
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-    # a 1/rank corpus fits slope ~ -1 with high r^2
-    assert -1.3 < got.iloc[0]["slope"] < -0.7
-    assert got.iloc[0]["r2"] > 0.9
-    again = keywords.zipf_slope(ds.repartition(5), top_n=50)
-    pd.testing.assert_frame_equal(got, again, check_dtype=False)
-
-
-def test_token_gini_oracle(ray_session):
-    import duckdb
-    import numpy as np
-    import pandas as pd
-    import pyarrow as pa
-    import ray.data as rd
-
-    from harvester_ray.ops import keywords
-
-    df = pd.DataFrame({
-        "doc_id": np.arange(3, dtype=np.int64),
-        "text": ["a a a a a a b b c", "a a a b c d", "a b"],
-    })
-    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
-    got = keywords.token_gini(ds)
-    con = duckdb.connect()
-    con.register("documents", df)
-    exp = con.execute(keywords.token_gini_sql("documents")).fetchdf()
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
-    assert 0 < got.iloc[0]["gini"] < 1
-    # uniform vocab → gini 0
-    uni = rd.from_arrow(pa.table({
-        "doc_id": pa.array([0], pa.int64()),
-        "text": pa.array(["x y z w"], pa.string()),
-    }))
-    assert keywords.token_gini(uni).iloc[0]["gini"] == 0.0

@@ -874,3 +874,31 @@ def test_rbo_overlap_exact(ray_session):
     # disjoint → 0 everywhere
     disj = similarity.rbo_overlap(a, a + 100)
     assert (disj["rbo"] == 0).all()
+
+
+def test_doc_skyline_oracle(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import text_analysis
+
+    rng = np.random.default_rng(17)
+    vocab = np.array([f"w{i}" for i in range(40)])
+    docs = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(2, 60))))
+        for _ in range(120)
+    ]
+    docs += [docs[0], docs[0]]  # exact ties: mutually non-dominated dups
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64), "text": docs})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    got = text_analysis.doc_skyline(ds)
+    con = duckdb.connect()
+    con.register("documents", df)
+    exp = con.execute(text_analysis.doc_skyline_sql("documents")).fetchdf()
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    assert 1 <= len(got) < len(df)
+    again = text_analysis.doc_skyline(ds.repartition(7))
+    pd.testing.assert_frame_equal(got, again, check_dtype=False)
