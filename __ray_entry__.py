@@ -4912,19 +4912,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "journey_trigrams": lambda sf: _analytics.journey_trigrams(
             _ev_ds(sf, ("user_id", "event_type", "ts", "event_id")), k=20
         ),
-        # one-day slice: over the full 30 days every user converts (z
-        # degenerate); ~2 events/user in a day keeps both variants mixed
-        "ab_conversion_test": lambda sf: _analytics.ab_conversion_test(
-            _ev_ds(sf, ("user_id", "event_type", "ts")).map_batches(
-                _first_day_filter, batch_format="pyarrow"
-            )
-        ),
-        "seasonal_decompose": lambda sf: _analytics.seasonal_decompose(
-            _ev_ds(sf, ("ts",))
-        ),
-        "cohort_retention": lambda sf: _analytics.cohort_retention(
-            _ev_ds(sf, ("user_id", "event_type", "ts"))
-        ),
         "chi_square_hour_type": lambda sf: _analytics.chi_square_hour_type(
             _ev_ds(sf, ("event_type", "ts"))
         ),
@@ -5874,11 +5861,6 @@ GROUP BY v.value ORDER BY v.value"""
         "regression_by_type": _analytics.regression_by_group_sql("events"),
         "weighted_median": _analytics.weighted_median_sql("events"),
         "journey_trigrams": _analytics.journey_trigrams_sql("events", k=20),
-        "ab_conversion_test": _analytics.ab_conversion_test_sql(
-            "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02')"),
-        "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
-        "cohort_retention": _analytics.cohort_retention_sql(
-            "events", period_us=86_400_000_000),
         "chi_square_hour_type": _analytics.chi_square_hour_type_sql("events"),
         "trimmed_mean": _analytics.trimmed_mean_sql("events", trim=0.1),
         "distinct_users_by_type": _analytics.distinct_users_by_type_sql("events"),
