@@ -4958,6 +4958,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _ev_ds(sf, ("ts",))
         ),
         "cohort_retention": lambda sf: _analytics.cohort_retention(
+            _ev_ds(sf, ("user_id", "event_type", "ts"))
+        ),
+        # daily first-seen periods (weekly collapses the 30-day table to
+        # one cohort): the ratio-matrix sibling of signup-anchored
+        # cohort_retention
+        "retention_matrix": lambda sf: _analytics.retention_matrix(
             _ev_ds(sf, ("user_id", "ts")), period_us=86_400_000_000
         ),
         "touch_attribution": lambda sf: _analytics.touch_attribution(
@@ -5877,7 +5883,8 @@ GROUP BY v.value ORDER BY v.value"""
         "ab_conversion_test": _analytics.ab_conversion_test_sql(
             "(SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-02')"),
         "seasonal_decompose": _analytics.seasonal_decompose_sql("events"),
-        "cohort_retention": _analytics.cohort_retention_sql(
+        "cohort_retention": _analytics.cohort_retention_sql("events"),
+        "retention_matrix": _analytics.retention_matrix_sql(
             "events", period_us=86_400_000_000),
         "touch_attribution": _analytics.touch_attribution_sql("events"),
         "rate_limit_violations": _analytics.rate_limit_violations_sql(

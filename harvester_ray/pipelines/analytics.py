@@ -4133,7 +4133,7 @@ ORDER BY p.event_id
 """.strip()
 
 
-def cohort_retention(
+def retention_matrix(
     ds,
     *,
     user_col: str = "user_id",
@@ -4198,7 +4198,7 @@ def cohort_retention(
     return out.sort_values(["cohort_period", "week_offset"]).reset_index(drop=True)
 
 
-def cohort_retention_sql(
+def retention_matrix_sql(
     table: str = "events",
     *,
     user_col: str = "user_id",

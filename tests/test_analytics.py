@@ -801,7 +801,7 @@ def test_touch_attribution_oracle(ray_session):
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
 
 
-def test_cohort_retention_oracle(ray_session):
+def test_retention_matrix_oracle(ray_session):
     import duckdb
     import ray.data as rd
 
@@ -816,16 +816,16 @@ def test_cohort_retention_oracle(ray_session):
         "value": 1.0,
     })
     ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
-    out = analytics.cohort_retention(ds)
+    out = analytics.retention_matrix(ds)
     con = duckdb.connect()
     con.register("events", df)
-    exp = con.execute(analytics.cohort_retention_sql("events")).fetchdf()
+    exp = con.execute(analytics.retention_matrix_sql("events")).fetchdf()
     pd.testing.assert_frame_equal(out, exp, check_dtype=False)
     # offset-0 retention is 1 by construction
     z = out[out["week_offset"] == 0]
     assert (z["retention"] == 1.0).all() and len(z) >= 2
     assert (out["week_offset"] > 0).any()
-    again = analytics.cohort_retention(ds.repartition(7))
+    again = analytics.retention_matrix(ds.repartition(7))
     pd.testing.assert_frame_equal(out, again, check_dtype=False)
 
 
