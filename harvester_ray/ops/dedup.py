@@ -1080,14 +1080,20 @@ ORDER BY doc_a, doc_b
 
 
 def _group_cross_pairs(
-    n0: np.ndarray, n1: np.ndarray
+    n0: np.ndarray, n1: np.ndarray, emit: np.ndarray | None = None
 ) -> tuple[np.ndarray, np.ndarray]:
     """Closed-form vectorized CROSS-product decode: the stream holds G
     groups laid out [side0-block, side1-block] each; returns (i, j) local
     indices pairing every side-0 member with every side-1 member of its
     group — n0·n1 rows per group, no Python per-group call (the
-    ``_group_pairs`` discipline for two-sided buckets)."""
+    ``_group_pairs`` discipline for two-sided buckets). ``emit`` masks
+    groups whose pairs are suppressed (hot-bucket cap) — it zeroes only the
+    per-group PAIR count; the layout offsets are always computed from the
+    unmasked n0+n1, because the masked group's rows still occupy the sorted
+    stream."""
     tot = (n0 * n1).astype(np.int64)
+    if emit is not None:
+        tot = np.where(emit, tot, 0)
     total = int(tot.sum())
     if total == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
@@ -1157,10 +1163,8 @@ def jaccard_candidates_cross(
         cs = np.concatenate(([0], np.cumsum((side == 0).astype(np.int64))))
         n0 = cs[ends] - cs[starts]
         n1 = n_all - n0
-        if max_bucket is not None:
-            keep = n_all <= max_bucket
-            n0, n1 = np.where(keep, n0, 0), np.where(keep, n1, 0)
-        i, j = _group_cross_pairs(n0, n1)
+        emit = n_all <= max_bucket if max_bucket is not None else None
+        i, j = _group_cross_pairs(n0, n1, emit)
         return pa.table({
             "doc_a": pa.array(d[i], pa.int64()),
             "doc_b": pa.array(d[j], pa.int64()),

@@ -89,6 +89,44 @@ def test_weighted_sample_excludes_nonpositive(ray_session):
     assert set(out["doc_id"]) == {2, 3}
 
 
+def test_jaccard_candidates_cross_max_bucket(ray_session):
+    """Hot-bucket cap: capped groups must only suppress their OWN pairs —
+    the masked group's rows still occupy the sorted stream, so later
+    groups' offsets must not shift (regression: zeroing n0/n1 corrupted
+    the cumsum layout, emitting corpus x corpus garbage and dropping
+    legitimate cross pairs)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    hot = "hot hot hot"  # one 3-gram shared by 12 docs -> capped at 4
+    corpus = pd.DataFrame({
+        "doc_id": list(range(9)),
+        "text": [hot] * 6 + ["zz yy xx", "aa bb cc", "dd ee ff"],
+    })
+    delta = pd.DataFrame({
+        "doc_id": list(range(100, 109)),
+        "text": [hot] * 6 + ["zz yy xx", "aa bb cc", "dd ee ff"],
+    })
+    cds = rd.from_arrow(pa.Table.from_pandas(corpus, preserve_index=False))
+    dds = rd.from_arrow(pa.Table.from_pandas(delta, preserve_index=False))
+    # n_partitions=1 forces every shingle group into ONE pandas group so a
+    # capped group precedes emitted ones in the sorted stream
+    got = (
+        dedup.jaccard_candidates_cross(cds, dds, max_bucket=4, n_partitions=1)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert set(zip(got["doc_a"], got["doc_b"])) == {(6, 106), (7, 107), (8, 108)}
+    assert (got["doc_a"] < 100).all() and (got["doc_b"] >= 100).all()
+    assert (got["n_shared"] == 1).all()
+    # uncapped: the hot bucket contributes all 6x6 cross pairs as well
+    full = dedup.jaccard_candidates_cross(cds, dds, n_partitions=1).to_pandas()
+    assert len(full) == 36 + 3
+    assert (full["doc_a"] < 100).all() and (full["doc_b"] >= 100).all()
+
+
 def test_near_dup_incremental_oracle(ray_session):
     import duckdb
     import pandas as pd
