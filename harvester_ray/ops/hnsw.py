@@ -84,7 +84,37 @@ def hnsw_partition(
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["shard"]
     )
+    _write_manifest(
+        os.path.join(out_dir, _PART_MANIFEST),
+        {"n_shards": n_shards, "id_col": id_col, "vec_col": vec_col},
+    )
     return out_dir
+
+
+# Completion/params sentinels: a crashed partial run leaves no manifest, and
+# a params change (n_shards/m/...) mismatches it — either way the artifacts
+# are rebuilt instead of silently reused (the build-fingerprint discipline of
+# index/build.py applied to the ANN scratch dirs).
+_PART_MANIFEST = "partition.manifest.json"
+_BUILD_MANIFEST = "hnsw.manifest.json"
+
+
+def _write_manifest(path: str, params: dict) -> None:
+    import json
+
+    with open(path + ".tmp", "w") as f:
+        json.dump(params, f)
+    os.replace(path + ".tmp", path)
+
+
+def _manifest_matches(path: str, params: dict) -> bool:
+    import json
+
+    try:
+        with open(path) as f:
+            return json.load(f) == params
+    except (OSError, ValueError):
+        return False
 
 
 class _ShardGraph:
@@ -277,14 +307,26 @@ def hnsw_build(
 ) -> str:
     """Build one graph per ``shard=K`` dir — one Ray task each, parallel
     across shards (the per-segment Lucene shape). Writes
-    ``shard-K.hnsw.npz`` next to the partitions; idempotent per shard
-    (existing graph files are kept — delete to rebuild)."""
+    ``shard-K.hnsw.npz`` next to the partitions. Idempotent on a COMPLETED
+    matching build (manifest check); on params mismatch or a missing/partial
+    manifest every ``*.hnsw.npz`` (including orphans from a previous
+    n_shards) is removed and rebuilt."""
     import ray
 
     shards = sorted(
         d for d in os.listdir(part_dir)
         if d.startswith("shard=") and os.path.isdir(os.path.join(part_dir, d))
     )
+    params = {
+        "shards": shards, "m": m, "ef_construction": ef_construction,
+        "id_col": id_col, "vec_col": vec_col,
+    }
+    manifest = os.path.join(part_dir, _BUILD_MANIFEST)
+    if _manifest_matches(manifest, params):
+        return part_dir
+    for f in os.listdir(part_dir):
+        if f.endswith(".hnsw.npz"):
+            os.remove(os.path.join(part_dir, f))
 
     @ray.remote
     def build_one(shard_dir: str, out_path: str) -> str:
@@ -300,9 +342,9 @@ def hnsw_build(
     futures = []
     for d in shards:
         out = os.path.join(part_dir, f"{d.replace('=', '-')}.hnsw.npz")
-        if not os.path.exists(out):
-            futures.append(build_one.remote(os.path.join(part_dir, d), out))
+        futures.append(build_one.remote(os.path.join(part_dir, d), out))
     ray.get(futures)
+    _write_manifest(manifest, params)
     return part_dir
 
 
@@ -320,6 +362,11 @@ class HnswService:
             for f in os.listdir(part_dir)
             if f.endswith(".hnsw.npz")
         )
+        if not graph_files:
+            raise FileNotFoundError(
+                f"no *.hnsw.npz shard graphs under {part_dir!r} — run "
+                "hnsw_build(part_dir) first"
+            )
         num_actors = max(1, min(num_actors, len(graph_files)))
         groups = [graph_files[i::num_actors] for i in range(num_actors)]
 
@@ -381,7 +428,14 @@ def knn_hnsw(
 
     wd = work_dir or tempfile.mkdtemp(prefix="hnsw-", dir="/tmp")
     part = os.path.join(wd, "parts")
-    if not os.path.isdir(part):
+    part_params = {"n_shards": n_shards, "id_col": id_col, "vec_col": vec_col}
+    if not _manifest_matches(os.path.join(part, _PART_MANIFEST), part_params):
+        # missing/partial/mismatched partitioning: wipe and redo (a crashed
+        # partial write or an n_shards change must never be reused)
+        if os.path.isdir(part):
+            import shutil
+
+            shutil.rmtree(part)
         hnsw_partition(ds, part, n_shards=n_shards, id_col=id_col, vec_col=vec_col)
     hnsw_build(part, m=m, ef_construction=ef_construction, id_col=id_col, vec_col=vec_col)
 

@@ -4416,9 +4416,10 @@ def ab_conversion_test(
             p0, p1, ph = k0 / n0, k1 / n1, K / N
             import math
 
-            z = round(
-                (p1 - p0) / math.sqrt(ph * (1.0 - ph) * (1.0 / n0 + 1.0 / n1)), 6
-            ) + 0.0
+            # sign-aware fixed-point (floor(|x|*1e6+0.5), never round-half:
+            # Python half-even vs DuckDB half-away — the CLAUDE.md trap)
+            zraw = (p1 - p0) / math.sqrt(ph * (1.0 - ph) * (1.0 / n0 + 1.0 / n1))
+            z = math.copysign(math.floor(abs(zraw) * 1e6 + 0.5), zraw) / 1e6 + 0.0
     rate = np.array(
         [(2 * int(ki) * 1_000_000 + int(ni)) // (2 * int(ni))
          for ki, ni in zip(k, n)], np.int64
@@ -4451,11 +4452,11 @@ v AS (
          CAST(sum(c) AS BIGINT) AS n_converted
   FROM per GROUP BY 1
 ),
-zc AS (
+zr AS (
   SELECT
     CASE WHEN count(*) = 2 AND min(n_users) > 0
               AND sum(n_converted) > 0 AND sum(n_converted) < sum(n_users)
-         THEN round(
+         THEN
            (CAST(max(CASE WHEN variant = 1 THEN n_converted END) AS DOUBLE)
               / CAST(max(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE)
             - CAST(max(CASE WHEN variant = 0 THEN n_converted END) AS DOUBLE)
@@ -4463,9 +4464,13 @@ zc AS (
            / sqrt((CAST(sum(n_converted) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE))
                   * (1.0 - CAST(sum(n_converted) AS DOUBLE) / CAST(sum(n_users) AS DOUBLE))
                   * (1.0 / CAST(max(CASE WHEN variant = 0 THEN n_users END) AS DOUBLE)
-                     + 1.0 / CAST(max(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE))), 6) + 0.0
-         ELSE NULL END AS z
+                     + 1.0 / CAST(max(CASE WHEN variant = 1 THEN n_users END) AS DOUBLE)))
+         ELSE NULL END AS zraw
   FROM v
+),
+-- sign-aware fixed-point quantization mirrored from the engine
+zc AS (
+  SELECT sign(zraw) * floor(abs(zraw) * 1e6 + 0.5) / 1e6 + 0.0 AS z FROM zr
 )
 SELECT v.variant, v.n_users, v.n_converted,
        CAST((2 * CAST(v.n_converted AS HUGEINT) * 1000000 + v.n_users)

@@ -102,3 +102,42 @@ def test_tiny_shard_edge(ray_session, tmp_path):
     ).to_pandas()
     assert set(got["vec_id"]) == {1, 2, 3}
     assert got.iloc[0]["vec_id"] == 1
+
+def test_artifact_manifest_lifecycle(ray_session, tmp_path):
+    """Stale-artifact regression: params change or partial build must
+    rebuild (and drop orphan shard graphs); a completed matching build is
+    reused as-is; an empty dir fails fast in HnswService."""
+    q = _queries(2)
+    wd = str(tmp_path / "h")
+    part = os.path.join(wd, "parts")
+    a = hnsw.knn_hnsw(_emb_ds(), q, k=5, n_shards=4, work_dir=wd).to_pandas()
+    mtimes = {
+        f: os.path.getmtime(os.path.join(part, f))
+        for f in os.listdir(part) if f.endswith(".hnsw.npz")
+    }
+    assert len(mtimes) == 4
+    # same params again: completed build reused, no graph rewritten
+    a2 = hnsw.knn_hnsw(_emb_ds(), q, k=5, n_shards=4, work_dir=wd).to_pandas()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, a2)
+    for f, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(part, f)) == m
+    # n_shards change in the SAME work_dir: repartition + rebuild, and the
+    # old shard-count's graph files must not survive as orphans
+    hnsw.knn_hnsw(_emb_ds(), q, k=5, n_shards=2, work_dir=wd)
+    graphs = sorted(f for f in os.listdir(part) if f.endswith(".hnsw.npz"))
+    assert len(graphs) == 2
+    # simulate a crashed partial build: drop the manifest and one graph
+    os.remove(os.path.join(part, hnsw._BUILD_MANIFEST))
+    os.remove(os.path.join(part, graphs[0]))
+    hnsw.hnsw_build(part)
+    assert sorted(
+        f for f in os.listdir(part) if f.endswith(".hnsw.npz")
+    ) == graphs
+    assert os.path.exists(os.path.join(part, hnsw._BUILD_MANIFEST))
+    # empty dir: clear construction-time error, not np.concatenate([])
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty)
+    with pytest.raises(FileNotFoundError, match="hnsw.npz"):
+        hnsw.HnswService(empty)
