@@ -3871,11 +3871,16 @@ def hot_keys(
     (ceil(n·P/total) for P=64 target partitions: how many ways that key's
     rows must split so no partition exceeds the mean load). All integer
     arithmetic: share is the half-up 1e6 fixed-point division, salt is
-    exact ceil division, so the oracle matches bit-for-bit. One streaming
-    pass emits per-batch (key, n) partials (pyarrow group_by); the driver
-    folds key-cardinality rows only — never data. Returns
+    exact ceil division, so the oracle matches bit-for-bit.
+
+    Fully distributed fold (key cardinality for user-id-like columns IS
+    corpus-scale): per-batch (key, n) partials (pyarrow group_by combiner)
+    → distributed ``groupby(key).sum`` → per-block local top-n + block
+    total. The driver folds ≤ top_n rows per shuffle block plus one total
+    per block — bounded, never key-cardinality. Returns
     ``(rank, key, n, share, salt)`` by rank."""
     P = 64
+    from ray.data.aggregate import Sum
 
     def partials(t: pa.Table) -> pa.Table:
         g = t.select([key_col]).group_by(key_col).aggregate([([], "count_all")])
@@ -3884,20 +3889,36 @@ def hot_keys(
             "n": g["count_all"].combine_chunks().cast(pa.int64()),
         })
 
-    parts = [
-        b.to_pandas()
-        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")
-    ]
+    def local_top(t: pa.Table) -> pa.Table:
+        # after the per-key groupby every key lives in exactly one block,
+        # so block-local top-n + block totals fold exactly on the driver
+        k = t["key"].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        n = np.asarray(t["n"].combine_chunks().cast(pa.int64()))
+        order = np.lexsort((k, -n))[:top_n]
+        tot = np.zeros(order.size, np.int64)
+        if order.size:
+            tot[0] = int(n.sum())
+        return pa.table({
+            "key": pa.array(k[order], pa.string()),
+            "n": pa.array(n[order], pa.int64()),
+            "tot": pa.array(tot, pa.int64()),
+        })
+
+    folded = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(local_top, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
     cols = ["rank", "key", "n", "share", "salt"]
-    if not parts:
+    if folded.empty:
         return pd.DataFrame(columns=cols)
-    per = pd.concat(parts, ignore_index=True).groupby("key", as_index=False)["n"].sum()
-    total = int(per["n"].sum())
+    total = int(folded["tot"].sum())
     if total == 0:
         return pd.DataFrame(columns=cols)
-    order = np.lexsort((per["key"].to_numpy(), -per["n"].to_numpy(np.int64)))[:top_n]
-    sel = per.iloc[order].reset_index(drop=True)
+    order = np.lexsort((folded["key"].to_numpy(), -folded["n"].to_numpy(np.int64)))[:top_n]
+    sel = folded.iloc[order].reset_index(drop=True)
     n = sel["n"].to_numpy(np.int64)
     share = np.array([(2 * int(x) * 1_000_000 + total) // (2 * total) for x in n], np.int64)
     # ceil via (a+b-1)//b on NONNEG operands — floor==trunc there, so
@@ -4148,44 +4169,78 @@ def retention_matrix(
     harvest-state watermark (core/models/harvest.py:13-41) is the same
     first-seen bookkeeping per source.
 
-    One streaming pass emits per-batch (user, period) partials
-    (deduplicated per batch); the driver folds user-cardinality rows only
-    (the events_facets precedent), derives first-seen via a groupby min,
-    and counts (cohort, offset) pairs. Retention is the half-up 1e6
-    fixed-point share. Returns
+    Fully distributed fold (user cardinality IS corpus-scale): per-batch
+    deduplicated (user, period, bucket=crc32(u)%64) partials → per-bucket
+    ``map_groups`` (each user's rows land wholly in its bucket, so
+    first-seen, offsets, and cohort membership are bucket-local) emitting
+    tiny (cohort, offset, partial-count) rows. The driver folds only
+    O(buckets × cohorts × offsets) count partials — never user rows (the
+    ``_with_conv_bucket`` discipline from pipelines/transcripts.py).
+    Retention is the half-up 1e6 fixed-point share. Returns
     ``(cohort_period, week_offset, n_cohort, n_active, retention)``
     sorted by (cohort_period, week_offset), offsets 0..max_offset with
     zero-activity offsets omitted (mirrored by the oracle's inner
     join)."""
+    import zlib
+
+    n_buckets = 64
 
     def partials(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks().cast(pa.string()).to_numpy(zero_copy_only=False)
+        enc = t[user_col].combine_chunks().cast(pa.string()).dictionary_encode()
+        uniq = enc.dictionary.to_pylist()
+        bh = np.fromiter(
+            (zlib.crc32(x.encode()) % n_buckets for x in uniq),
+            dtype=np.int32, count=len(uniq),
+        )
+        codes = np.asarray(enc.indices).astype(np.int64)
         ts = t[ts_col].combine_chunks().cast(pa.timestamp("us")).to_numpy(
             zero_copy_only=False
         ).astype("datetime64[us]").astype(np.int64)
         p = ts // period_us
-        key = np.char.add(np.char.add(u.astype(str), "\x1f"), p.astype(str))
-        _, idx = np.unique(key, return_index=True)
+        # batch-local (user, period) dedup on integer codes — no string concat
+        pu, pinv = np.unique(p, return_inverse=True)
+        _, idx = np.unique(codes * np.int64(pu.size) + pinv, return_index=True)
+        u = enc.dictionary.to_numpy(zero_copy_only=False)[codes[idx]]
         return pa.table({
-            "u": pa.array(u[idx], pa.string()),
+            "u": pa.array(u, pa.string()),
             "p": pa.array(p[idx], pa.int64()),
+            "bucket": pa.array(bh[codes[idx]], pa.int32()),
         })
 
-    parts = [
-        b.to_pandas()
-        for b in ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_format="pyarrow")
-    ]
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        up = df.drop_duplicates(["u", "p"])
+        c = up.groupby("u")["p"].transform("min")
+        off = up["p"] - c
+        keep = (off >= 0) & (off <= max_offset)
+        act = (
+            pd.DataFrame({"c": c[keep].to_numpy(np.int64), "off": off[keep].to_numpy(np.int64)})
+            .groupby(["c", "off"]).size().reset_index(name="cnt")
+        )
+        act["kind"] = 0
+        first = up.loc[up["p"] == c, ["u"]].assign(c=c[up["p"] == c].to_numpy(np.int64))
+        sizes = (
+            first.drop_duplicates("u").groupby("c").size().reset_index(name="cnt")
+        )
+        sizes["off"] = -1
+        sizes["kind"] = 1
+        out = pd.concat([act, sizes], ignore_index=True)
+        return out[["kind", "c", "off", "cnt"]].astype(np.int64)
+
+    parts = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     cols = ["cohort_period", "week_offset", "n_cohort", "n_active", "retention"]
-    if not parts:
+    if parts.empty:
         return pd.DataFrame(columns=cols)
-    up = pd.concat(parts, ignore_index=True).drop_duplicates(["u", "p"])
-    first = up.groupby("u", as_index=False)["p"].min().rename(columns={"p": "c"})
-    cohort_sizes = first.groupby("c").size()
-    m = up.merge(first, on="u")
-    m["off"] = m["p"] - m["c"]
-    m = m[(m["off"] >= 0) & (m["off"] <= max_offset)]
-    counts = m.groupby(["c", "off"]).size().reset_index(name="n_active")
+    cohort_sizes = parts[parts["kind"] == 1].groupby("c")["cnt"].sum()
+    counts = (
+        parts[parts["kind"] == 0]
+        .groupby(["c", "off"], as_index=False)["cnt"].sum()
+        .rename(columns={"cnt": "n_active"})
+    )
     rows = []
     for _, r in counts.iterrows():
         nc = int(cohort_sizes[r["c"]])
