@@ -4700,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_count": lambda sf: text_analysis.bpe_token_count(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "fingerprint": lambda sf: text_analysis.fingerprint(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         "repetition": lambda sf: text_analysis.repetition(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
+        "watermark_greenlist": lambda sf: text_analysis.watermark_greenlist(_docs_ds(sf)),
         # rows-only: no deterministic compressor exists in DuckDB
         "compression_ratio": lambda sf: text_analysis.compression_ratio(_docs_ds(sf)).to_pandas().sort_values("doc_id").reset_index(drop=True),
         # --- dedup --------------------------------------------------------
@@ -5666,6 +5667,7 @@ GROUP BY v.value ORDER BY v.value"""
         "bpe_token_count": text_analysis.bpe_token_count_sql("documents"),
         "fingerprint": text_analysis.fingerprint_sql("documents"),
         "repetition": text_analysis.repetition_sql("documents"),
+        "watermark_greenlist": text_analysis.watermark_greenlist_sql("documents"),
         # deterministic-fake stages with exact SQL mirrors: the prober's
         # status/ctype derive from the first 8 md5 hex digits of the url
         # (ops/probe.py), and the multimodal fakes are pure byte arithmetic
