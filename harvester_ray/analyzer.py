@@ -203,3 +203,25 @@ def sql_tokenize_expr(col: str = "text") -> str:
     covered by unit tests)."""
     stripped = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
     return f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"
+
+
+def crc_bucket(
+    arr: pa.Array | pa.ChunkedArray, n_buckets: int
+) -> np.ndarray:
+    """``crc32(s) % n_buckets`` for a string column, hashing each DISTINCT
+    value once via dictionary encoding and scattering through the codes
+    (the ``_with_conv_bucket`` idiom from pipelines/transcripts.py — never
+    a per-row Python hash loop). Returns an int32 array aligned with
+    ``arr``."""
+    import zlib
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    enc = arr.dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    h = np.fromiter(
+        (zlib.crc32(u.encode()) % n_buckets for u in uniq),
+        dtype=np.int32, count=len(uniq),
+    )
+    codes = np.asarray(enc.indices)
+    return h[codes] if len(codes) else np.empty(0, np.int32)

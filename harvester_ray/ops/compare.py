@@ -745,15 +745,19 @@ def source_ablation(
         # batch-local distinct (term_code, source_idx)
         pair = codes.astype(np.int64) * usrc.size + sinv[rows]
         upair = np.unique(pair)
+        # hash the DICTIONARY (each distinct term once), scatter to pairs —
+        # a term repeated across sources is never re-hashed
+        term_h = np.fromiter(
+            (zlib.crc32(t.encode()) % n_partitions for t in terms),
+            dtype=np.int32, count=terms.size,
+        )
         p_terms = terms[(upair // usrc.size).astype(np.int64)]
         p_src = usrc[(upair % usrc.size).astype(np.int64)]
-        tbuck = np.fromiter(
-            (zlib.crc32(t.encode()) % n_partitions for t in p_terms),
-            dtype=np.int32, count=p_terms.size,
-        )
+        tbuck = term_h[(upair // usrc.size).astype(np.int64)]
         # per-source stat partials: docs from the batch, tokens from rows
         n_tok = np.bincount(sinv[rows], minlength=usrc.size).astype(np.int64)
         n_doc = np.bincount(sinv, minlength=usrc.size).astype(np.int64)
+        # usrc is already batch-distinct — one hash per distinct source
         sbuck = np.fromiter(
             (zlib.crc32(s.encode()) % n_partitions for s in usrc),
             dtype=np.int32, count=usrc.size,

@@ -22,11 +22,11 @@ remaining params.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from harvester_ray import analyzer
 
 _TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
@@ -70,14 +70,13 @@ def url_dedup(
     def project(batch: pa.Table) -> pa.Table:
         urls = batch[url_col].to_pandas()
         norm = normalize_urls(urls)
-        buckets = np.fromiter(
-            (zlib.crc32(u.encode()) % n_buckets for u in norm),
-            dtype=np.int32,
-            count=len(norm),
-        )
+        norm_arr = pa.array(norm.to_numpy(dtype=object), pa.string())
+        # distinct-URL hashing via the dictionary idiom (dup-heavy corpora
+        # repeat canonical URLs — never hash per row)
+        buckets = analyzer.crc_bucket(norm_arr, n_buckets)
         return pa.table(
             {
-                "norm_url": pa.array(norm.to_numpy(dtype=object), pa.string()),
+                "norm_url": norm_arr,
                 "doc_id": batch[id_col].combine_chunks().cast(pa.int64()),
                 "quality": batch[quality_col].combine_chunks().cast(pa.int64()),
                 "bucket": pa.array(buckets, pa.int32()),

@@ -38,6 +38,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from harvester_ray import analyzer
+
 MICROS = 1_000_000.0
 
 
@@ -3980,16 +3982,11 @@ def rate_limit_violations(
     bucketed exchange on the user hash; each bucket sorts locally.
     Returns violating events ``(event_id, user_id, ts, window_count)``
     sorted by (user_id, ts, event_id)."""
-    import zlib
-
     n_buckets = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks().cast(pa.string())
-        b = np.array(
-            [zlib.crc32(x.encode()) % n_buckets for x in u.to_pylist()], np.int32
-        )
-        return t.append_column("bucket", pa.array(b))
+        b = analyzer.crc_bucket(t[user_col].cast(pa.string()), n_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([user_col, ts_col, "event_id"], kind="mergesort")
@@ -4070,16 +4067,11 @@ def touch_attribution(
     calls over the user's touch array — no row loop). Returns
     ``(event_id, user_id, ts, first_touch, last_touch, n_touches)`` for
     conversions with ≥1 touch, sorted by event_id."""
-    import zlib
-
     n_buckets = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
-        u = t[user_col].combine_chunks().cast(pa.string())
-        b = np.array(
-            [zlib.crc32(x.encode()) % n_buckets for x in u.to_pylist()], np.int32
-        )
-        return t.append_column("bucket", pa.array(b))
+        b = analyzer.crc_bucket(t[user_col].cast(pa.string()), n_buckets)
+        return t.append_column("bucket", pa.array(b, pa.int32()))
 
     def scan(g: pd.DataFrame) -> pd.DataFrame:
         out_rows = []
