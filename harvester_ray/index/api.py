@@ -149,10 +149,24 @@ def search_request(
                 ]
             }
             return resp
-        page = similarity.knn_brute(
-            emb_ds, np.asarray(spec["query_vector"], dtype=np.float64),
-            k=int(spec.get("k", size)), id_col=id_col, vec_col=field,
-        ).to_pandas()
+        ann = spec.get("ann") or {}
+        if ann.get("tier") == "ivf":
+            # opt-in ANN tier (the BASELINE.md measured serving decision):
+            # IVF-probed scan instead of the exhaustive corpus scan. At
+            # nprobe >= n_centroids the probe set covers every cluster and
+            # the result is identical to brute (the knn_ivf exact-regime
+            # precedent); below that it is approximate (recall-tested).
+            page = similarity.knn_ivf(
+                emb_ds, np.asarray(spec["query_vector"], dtype=np.float64),
+                k=int(spec.get("k", size)), id_col=id_col, vec_col=field,
+                n_centroids=int(ann.get("n_centroids", 16)),
+                nprobe=int(ann.get("nprobe", 4)),
+            ).to_pandas()
+        else:
+            page = similarity.knn_brute(
+                emb_ds, np.asarray(spec["query_vector"], dtype=np.float64),
+                k=int(spec.get("k", size)), id_col=id_col, vec_col=field,
+            ).to_pandas()
         resp["hits"] = {
             "hits": [
                 {"_id": int(r.vec_id), "_score": float(r.cosine)}

@@ -192,6 +192,33 @@ def test_knn_blocks(idx):
     assert [h["_score"] for h in hresp["hits"]["hits"]] == list(hdirect["hybrid"])
 
 
+def test_knn_ann_ivf_tier(idx):
+    """Opt-in ANN tier: exact regime (nprobe == n_centroids probes every
+    cluster) must be envelope-identical to brute; the approximate setting
+    must hit recall >= 0.9 vs brute on this corpus."""
+    EMB = os.path.join(SF_DIR, "embeddings.parquet")
+    emb = rd.read_parquet(EMB)
+    qv = list(pd.read_parquet(EMB).iloc[0]["embedding"])
+    brute = api.search_request(
+        idx, {"knn": {"field": "embedding", "query_vector": qv, "k": 10}},
+        emb_ds=emb,
+    )
+    exact = api.search_request(
+        idx, {"knn": {"field": "embedding", "query_vector": qv, "k": 10,
+                      "ann": {"tier": "ivf", "n_centroids": 8, "nprobe": 8}}},
+        emb_ds=emb,
+    )
+    assert exact == brute
+    approx = api.search_request(
+        idx, {"knn": {"field": "embedding", "query_vector": qv, "k": 10,
+                      "ann": {"tier": "ivf", "n_centroids": 8, "nprobe": 4}}},
+        emb_ds=emb,
+    )
+    b = [h["_id"] for h in brute["hits"]["hits"]]
+    a = [h["_id"] for h in approx["hits"]["hits"]]
+    assert len(set(a) & set(b)) >= 9
+
+
 def test_pit_snapshot_isolation(tmp_path_factory):
     from harvester_ray.index import build, incremental
 
