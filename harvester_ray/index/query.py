@@ -105,6 +105,14 @@ class SegmentReader:
         self._score_cache: OrderedDict[str, tuple[float, float, np.ndarray]] = OrderedDict()
         SCORE_CACHE = 32
         self._score_cache_cap = SCORE_CACHE
+        # term -> int64 packed (local_doc << 31) | pos occurrence keys —
+        # the phrase/proximity primitive, a pure function of the immutable
+        # segment (the dense scored-postings discipline applied to the
+        # positional family: varbyte decode + repeat + searchsorted were
+        # dominating warm phrase latency at 64x). int64 per OCCURRENCE, so
+        # a smaller cap than the per-posting caches.
+        self._packed_cache: OrderedDict[str, np.ndarray] = OrderedDict()
+        self._packed_cache_cap = 64
         # LRU observability (the soak serving leg reports hit rates)
         self.cache_hits = 0
         self.cache_misses = 0
@@ -309,6 +317,29 @@ class SegmentReader:
         p0, pn = int(self._pos_off[i]), int(self._pos_nbytes[i])
         gaps = codec.varbyte_decode(self._pos[p0 : p0 + pn]).astype(np.int64)
         return docs, tfs, self._abs_positions(gaps, tfs)
+
+    def packed_positions(self, term: str) -> np.ndarray | None:
+        """Sorted-unique int64 keys ``(local_doc << 31) | pos`` for every
+        occurrence of ``term`` in this segment — cached. Ascending by
+        construction (docs ascending, positions ascending within a doc) and
+        unique ((doc, pos) pairs are distinct). None when the term is
+        absent or the segment has no positional stream."""
+        hit = self._packed_cache.get(term)
+        if hit is not None:
+            self.cache_hits += 1
+            self._packed_cache.move_to_end(term)
+            return hit
+        res = self.positions(term)
+        if res is None:
+            return None
+        self.cache_misses += 1
+        _docs, tfs, pos = res
+        local = self.postings_positions(term)
+        keys = (np.repeat(local.astype(np.int64), tfs) << 31) | pos
+        self._packed_cache[term] = keys
+        if len(self._packed_cache) > self._packed_cache_cap:
+            self._packed_cache.popitem(last=False)
+        return keys
 
     def all_positions(self, tfs_stream: np.ndarray) -> np.ndarray:
         """Whole-segment position decode (one vectorized varbyte pass) in the
@@ -1160,20 +1191,12 @@ def proximity_match_segment(
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     mask = (np.int64(1) << 31) - 1
 
-    def packed(t: str) -> np.ndarray | None:
-        res = seg.positions(t)
-        if res is None:
-            return None
-        docs, tfs, pos = res
-        local = np.searchsorted(seg.doc_ids, docs)
-        return (np.repeat(local, tfs).astype(np.int64) << 31) | pos
-
-    starts = packed(terms[0])
+    starts = seg.packed_positions(terms[0])
     if starts is None or starts.size == 0:
         return empty
     chain = starts
     for t in terms[1:]:
-        keys = packed(t)
+        keys = seg.packed_positions(t)
         if keys is None or keys.size == 0:
             return empty
         idx = np.searchsorted(keys, chain, side="right")
@@ -1202,17 +1225,19 @@ def phrase_match_segment(
     < 2^31 (1M-char truncation) and local doc indices < 2^31, so the packed
     key fits int64."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    mask = (np.int64(1) << 31) - 1
     keys: np.ndarray | None = None
     for i, t in enumerate(terms):
-        res = seg.positions(t)
-        if res is None:
+        packed = seg.packed_positions(t)
+        if packed is None:
             return empty
-        docs, tfs, pos = res
-        local = np.searchsorted(seg.doc_ids, docs)
-        tok_local = np.repeat(local, tfs)
-        shifted = pos - i
-        ok = shifted >= 0
-        k = (tok_local[ok].astype(np.int64) << 31) | shifted[ok]
+        # (local << 31) | (pos - i) == packed - i whenever pos >= i (no
+        # borrow into the doc field) — one vectorized subtract per term on
+        # a warm cache instead of re-decoding positions per query
+        if i == 0:
+            k = packed
+        else:
+            k = packed[(packed & mask) >= i] - i
         keys = k if keys is None else np.intersect1d(keys, k, assume_unique=True)
         if keys.size == 0:
             return empty
