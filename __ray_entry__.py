@@ -65,6 +65,9 @@ _SCRATCH = "/tmp/harvester_ray_entry"
 
 # fixed evaluation queries over the `documents` corpus vocabulary
 BM25_QUERY_AND = "spark window"
+# v2 probe: stopword + plural/verbal suffixes — stems to [spark, window]
+# over an index whose postings merged spark/sparks and window/windows(…ing)
+BM25_QUERY_V2 = "the sparks windowing"
 BM25_QUERY_AND2 = "vector stream sort"
 BM25_QUERY_OR = "customer query big"
 BM25_MUST_NOT = "sort"
@@ -127,6 +130,33 @@ def _documents_index(sf_dir: str) -> str:
 
 def _bm25(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     root = _documents_index(sf_dir)
+    out = index_query.IndexReader(root).search(q, k=k, mode=mode).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _documents_index_v2(sf_dir: str) -> str:
+    """Analyzer-v2 (stopwords + light stemmer) index over documents —
+    its own root: v1 and v2 indices are distinct artifacts keyed by the
+    manifest's analyzer version (the fingerprint includes it, so a v1
+    segment can never be reused for a v2 build)."""
+    import ray.data as rd
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(_SCRATCH, f"docidx-v2-{tag}")
+    docs = os.path.join(sf_dir, "documents.parquet")
+    from harvester_ray.index import manifest as mf
+
+    if mf.current_version(root) is None:
+        ds = rd.read_parquet(docs, columns=["doc_id", "text"])
+        index_build.build_index(
+            ds, root, input_desc=docs, analyzer_version="v2"
+        )
+    return root
+
+
+def _bm25_v2(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
+    root = _documents_index_v2(sf_dir)
     out = index_query.IndexReader(root).search(q, k=k, mode=mode).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
@@ -4533,6 +4563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_top50": _term_df_top50,
         "term_df_shuffle": _term_df_shuffle,
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
+        "bm25_topk_v2": lambda sf: _bm25_v2(sf, BM25_QUERY_V2, "and"),
         "similarity_lmd": lambda sf: _similarity(sf, "lm_dirichlet"),
         "similarity_classic": lambda sf: _similarity(sf, "classic"),
         "similarity_jm": lambda sf: _similarity(sf, "lm_jelinek_mercer"),
@@ -5326,6 +5357,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df_top50": index_oracle.term_df_sql("documents", 50),
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
+        "bm25_topk_v2": index_oracle.bm25_sql("documents", BM25_QUERY_V2, 10, mode="and", version="v2"),
         "similarity_lmd": index_oracle.similarity_sql(
             "documents", BM25_QUERY_AND, model="lm_dirichlet", k=10, mode="or",
         ),

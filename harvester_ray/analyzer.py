@@ -28,6 +28,62 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 ANALYZER_VERSION = "v1"
+ANALYZER_VERSIONS = ("v1", "v2")
+
+# ---------------------------------------------------------------------------
+# analyzer v2: stopword + light-stemmer filters on top of the v1 chain.
+# Reference analog: the OpenSearch nl/en language analyzers (stemmer +
+# stopword token filters) configured for the reference's indices by the
+# external search_client package (harvester/search/models/index.py:173-188).
+# The filter tables ship as DATA so the DuckDB oracle mirrors them term for
+# term (VERDICT r4 item 7's oracle strategy).
+# ---------------------------------------------------------------------------
+
+# Compact en+nl stopword list (subset of the classic Lucene english_stop /
+# dutch_stop sets — small by design: every entry is mirrored into oracle SQL)
+STOPWORDS_V2 = (
+    # English (Lucene ENGLISH_STOP_WORDS_SET)
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with",
+    # Dutch (head of the snowball dutch stop list)
+    "de", "het", "een", "en", "van", "op", "te", "dat", "die", "der",
+    "den", "met", "ze", "zij", "ook", "als", "aan", "bij", "nog", "om",
+    "door", "over", "zo", "uit", "ik", "je", "hij", "wat", "werd", "naar",
+)
+_STOPSET_V2 = frozenset(STOPWORDS_V2)
+
+# Ordered first-match-wins suffix rules, applied ONCE per token:
+# (suffix, replacement, min_remaining_stem_chars). English rows follow
+# Harman's S-stemmer plus light verbal endings; Dutch rows follow the
+# Kraaij–Pohlmann light stemmer's plural/diminutive head. The "ss" row is
+# a guard: -ss words must not lose their plural "s".
+STEM_RULES_V2 = (
+    ("sses", "ss", 2),
+    ("ies", "y", 2),
+    ("ss", "ss", 0),
+    ("heden", "heid", 2),
+    ("s", "", 3),
+    ("ing", "", 3),
+    ("ed", "", 3),
+    ("ly", "", 3),
+    ("en", "", 3),
+)
+
+
+def check_version(version: str) -> str:
+    if version not in ANALYZER_VERSIONS:
+        raise ValueError(f"unknown analyzer version {version!r}")
+    return version
+
+
+def stem_v2(tok: str) -> str:
+    """First-match-wins single-pass suffix stem (the v2 rule table)."""
+    for suf, repl, keep in STEM_RULES_V2:
+        if tok.endswith(suf) and len(tok) - len(suf) >= keep:
+            return tok[: len(tok) - len(suf)] + repl
+    return tok
 
 # Reference constants (files/models/datatypes/file.py:183-185)
 MAX_TEXT_CHARS = 1_000_000
@@ -84,15 +140,37 @@ def normalize_text(arr: pa.Array | pa.ChunkedArray) -> pa.Array:
     return truncate_long_texts(out)
 
 
-def tokenize_flat(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+def apply_v2(
+    row_ids: np.ndarray, codes: np.ndarray, dictionary: pa.Array
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
+    """v2 token filters over a v1 flat stream: stopword drop, then the
+    suffix stem — both computed on the batch DICTIONARY (distinct tokens,
+    the vocabulary-bounded loop the house style allows); the stream itself
+    sees one boolean gather and one int32 remap."""
+    toks = dictionary.to_pylist()
+    keep_dict = np.fromiter(
+        (t not in _STOPSET_V2 for t in toks), dtype=bool, count=len(toks)
+    )
+    stemmed = pa.array([stem_v2(t) for t in toks], pa.string())
+    enc = stemmed.dictionary_encode()
+    remap = np.asarray(enc.indices, dtype=np.int32)
+    mask = keep_dict[codes] if codes.size else np.empty(0, bool)
+    return row_ids[mask], remap[codes[mask]], enc.dictionary
+
+
+def tokenize_flat(
+    arr: pa.Array | pa.ChunkedArray, version: str = "v1"
+) -> tuple[np.ndarray, np.ndarray, pa.Array]:
     """Tokenize a string column into a flat token stream.
 
     Returns ``(row_ids, codes, dictionary)`` where ``row_ids[i]`` is the source
     row of flat token i, ``codes[i]`` is its id into ``dictionary`` (a
     ``pa.StringArray`` of distinct token strings for this batch). Empty-string
     artifacts of the split are removed. Fully vectorized (Arrow kernels +
-    numpy); no Python loop over rows or tokens.
+    numpy); no Python loop over rows or tokens. ``version="v2"`` appends the
+    stopword + stemmer filters (``apply_v2``).
     """
+    check_version(version)
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     lowered = pc.utf8_lower(pc.fill_null(arr, ""))
@@ -114,6 +192,8 @@ def tokenize_flat(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarr
         keep = codes != np.int32(empty_pos[0])
         codes = codes[keep]
         row_ids = row_ids[keep]
+    if version == "v2":
+        return apply_v2(row_ids, codes, dictionary)
     return row_ids, codes, dictionary
 
 
@@ -187,22 +267,48 @@ def analyze_table(tbl: pa.Table, *, id_col: str = "doc_id",
     })
 
 
-def tokenize_query(text: str) -> list[str]:
+def tokenize_query(text: str, version: str = "v1") -> list[str]:
     """Tokenize a query string with the exact same analyzer as documents
-    (simple_query_string parity: core/models/search/query.py:80-86)."""
+    (simple_query_string parity: core/models/search/query.py:80-86).
+    Version must match the index's manifest analyzer: a v2 index stores
+    stems, so the query terms must stem identically."""
     import re
 
-    return re.findall(TOKEN_PATTERN, text.lower())
+    check_version(version)
+    toks = re.findall(TOKEN_PATTERN, text.lower())
+    if version == "v2":
+        toks = [stem_v2(t) for t in toks if t not in _STOPSET_V2]
+    return toks
 
 
-def sql_tokenize_expr(col: str = "text") -> str:
-    """The DuckDB expression exactly equivalent to analyzer-v1
-    normalize+tokenize (tag strip → lower → [a-z0-9]+ runs) — used by oracle
-    SQL so engine and oracle share one tokenizer definition. The >=1M-char
-    truncation rule is not expressed here (no such rows in oracle corpora;
-    covered by unit tests)."""
+def _sql_stem_case_v2(var: str = "t") -> str:
+    """One CASE expression mirroring ``stem_v2`` (ordered WHENs = the
+    first-match-wins rule order)."""
+    whens = []
+    for suf, repl, keep in STEM_RULES_V2:
+        cond = f"ends_with({var}, '{suf}') AND len({var}) >= {len(suf) + keep}"
+        val = f"left({var}, len({var}) - {len(suf)})"
+        if repl:
+            val += f" || '{repl}'"
+        whens.append(f"WHEN {cond} THEN {val}")
+    return "CASE " + " ".join(whens) + f" ELSE {var} END"
+
+
+def sql_tokenize_expr(col: str = "text", version: str = "v1") -> str:
+    """The DuckDB expression exactly equivalent to analyzer
+    normalize+tokenize (tag strip → lower → [a-z0-9]+ runs; v2 adds the
+    stopword filter + stem CASE built from the SAME rule tables) — used by
+    oracle SQL so engine and oracle share one tokenizer definition. The
+    >=1M-char truncation rule is not expressed here (no such rows in
+    oracle corpora; covered by unit tests)."""
+    check_version(version)
     stripped = f"regexp_replace({col}, '<[^>]*>', ' ', 'g')"
-    return f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"
+    base = f"regexp_extract_all(lower({stripped}), '{TOKEN_PATTERN}')"
+    if version == "v1":
+        return base
+    stop_list = ", ".join(f"'{w}'" for w in STOPWORDS_V2)
+    filtered = f"list_filter({base}, t -> t NOT IN ({stop_list}))"
+    return f"list_transform({filtered}, t -> {_sql_stem_case_v2('t')})"
 
 
 def crc_bucket(

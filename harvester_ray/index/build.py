@@ -276,7 +276,9 @@ class SegmentBuilder:
         staging_dir: str | None = None,
         store_positions: bool = False,
         store_source: bool = False,
+        analyzer_version: str = analyzer.ANALYZER_VERSION,
     ):
+        self.analyzer_version = analyzer.check_version(analyzer_version)
         self.seg_dir = seg_dir
         self.staging_dir = staging_dir
         self.id_col = id_col
@@ -366,7 +368,7 @@ class SegmentBuilder:
 
     def _fingerprint(self, doc_ids: np.ndarray, text: pa.Array) -> str:
         h = hashlib.sha1()
-        h.update(analyzer.ANALYZER_VERSION.encode())
+        h.update(self.analyzer_version.encode())
         h.update(",".join(self.attr_cols).encode())
         if self.store_positions:  # resume must not reuse a position-less segment
             h.update(b"+pos")
@@ -404,7 +406,7 @@ class SegmentBuilder:
                 return self._emit_existing(name, marker)
 
         encode_t0 = time.monotonic()
-        rows, codes, dictionary = analyzer.tokenize_flat(text)
+        rows, codes, dictionary = analyzer.tokenize_flat(text, self.analyzer_version)
         dl = np.bincount(rows, minlength=n).astype(np.int64)
         p_row, p_code, p_tf = analyzer.term_frequencies(rows, codes)
         p_doc = doc_ids[p_row]
@@ -468,7 +470,7 @@ class SegmentBuilder:
             "n_docs": int(n),
             "dl_sum": dl_sum,
             "n_terms": int(len(seg_terms)),
-            "analyzer": analyzer.ANALYZER_VERSION,
+            "analyzer": self.analyzer_version,
             # per-partition metric (north_rule: per-partition lineage +
             # metrics); byte sizes come from the files themselves at read
             # time so resumed/compacted segments never go stale
@@ -587,6 +589,7 @@ def _build_index_impl(
     attr_cols: list[str] | None = None,
     store_positions: bool = False,
     store_source: bool = False,
+    analyzer_version: str = analyzer.ANALYZER_VERSION,
 ) -> dict:
     """Build a new index version from a corpus Dataset. Returns the manifest.
 
@@ -638,6 +641,7 @@ def _build_index_impl(
                 "staging_dir": staging_dir,
                 "store_positions": store_positions,
                 "store_source": store_source,
+                "analyzer_version": analyzer_version,
             },
             batch_format="pyarrow",
             batch_size=batch_size,
@@ -651,7 +655,7 @@ def _build_index_impl(
                 f.write(metas.stats() + "\n")
         os.makedirs(os.path.dirname(phase1_marker), exist_ok=True)
         with open(phase1_marker + ".tmp", "w") as f:
-            json.dump({"analyzer": analyzer.ANALYZER_VERSION, "num_buckets": num_buckets}, f)
+            json.dump({"analyzer": analyzer_version, "num_buckets": num_buckets}, f)
         os.replace(phase1_marker + ".tmp", phase1_marker)
     t1 = time.time()
 
@@ -792,7 +796,7 @@ def _build_index_impl(
     build_sec = time.time() - t0
     man = {
         "version": version,
-        "analyzer": analyzer.ANALYZER_VERSION,
+        "analyzer": analyzer_version,
         "k1": 1.2,
         "b": 0.75,
         "n_docs": n_docs,

@@ -28,15 +28,18 @@ def bm25_sql(
     round_digits: int = 4,
     must_not: str | None = None,
     min_should_match: int | None = None,
+    version: str = "v1",
 ) -> str:
     """``must_not`` excludes docs containing ANY of its (tokenized) terms;
     ``min_should_match`` (OR mode) keeps docs matching at least that many
-    distinct query terms — mirrors IndexReader.search."""
-    terms = sorted(set(analyzer.tokenize_query(query_text)))
+    distinct query terms — mirrors IndexReader.search. ``version`` selects
+    the analyzer chain on BOTH the query terms and the token expression
+    (a v2 index stores stems)."""
+    terms = sorted(set(analyzer.tokenize_query(query_text, version)))
     if not terms:
         return f"SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
     term_list = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
-    tok = analyzer.sql_tokenize_expr(text_col)
+    tok = analyzer.sql_tokenize_expr(text_col, version)
     if mode == "and":
         having = f"HAVING count(*) = {len(terms)}"
     elif min_should_match is not None:

@@ -840,6 +840,9 @@ class IndexReader:
     def __init__(self, index_root: str, version: int | None = None):
         self.root = index_root
         self.manifest = mf.read_manifest(index_root, version)
+        # queries must tokenize with the INDEX's analyzer (a v2 index
+        # stores stems); extras/evaluate helpers still assume v1
+        self.analyzer_version = self.manifest.get("analyzer", "v1")
         self.avgdl = float(self.manifest["avgdl"])
         self.n_docs = int(self.manifest["n_docs"])
         self._termstats = TermStats(
@@ -878,8 +881,8 @@ class IndexReader:
         terms are excluded before top-k, per segment, via the same exclude
         mask tombstones use. ``min_should_match`` (OR mode) keeps only docs
         matching at least that many distinct query terms."""
-        terms = sorted(set(analyzer.tokenize_query(query_text)))
-        neg_terms = sorted(set(analyzer.tokenize_query(must_not))) if must_not else []
+        terms = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
+        neg_terms = sorted(set(analyzer.tokenize_query(must_not, self.analyzer_version))) if must_not else []
         return self._search_terms(
             terms, k, mode, filters=filters, recency=recency,
             neg_terms=neg_terms, min_should_match=min_should_match,
@@ -891,7 +894,7 @@ class IndexReader:
         ``max_expansions`` distinct terms in lexicographic order (Lucene
         MultiTermQuery rewrite cap), then score as a disjunction where each
         expanded term keeps its own idf."""
-        pfx = analyzer.tokenize_query(prefix)
+        pfx = analyzer.tokenize_query(prefix, self.analyzer_version)
         if len(pfx) != 1:
             raise ValueError("prefix must normalize to exactly one token")
         expanded: set[str] = set()
@@ -975,7 +978,7 @@ class IndexReader:
         Returns one table (query, doc_id, score): each query's top-k stacked
         in input order. Duplicate query strings are evaluated once."""
         uniq_queries = list(dict.fromkeys(queries))
-        qterms = {q: sorted(set(analyzer.tokenize_query(q))) for q in uniq_queries}
+        qterms = {q: sorted(set(analyzer.tokenize_query(q, self.analyzer_version))) for q in uniq_queries}
         union_terms = sorted({t for ts in qterms.values() for t in ts})
         dfs = self.df(union_terms) if union_terms else {}
         idf_map = {
@@ -1086,7 +1089,7 @@ class IndexReader:
         adjacently in order, BM25-scored with phrase frequency as tf and the
         phrase's own document frequency as df (Lucene PhraseQuery semantics).
         Requires an index built with ``store_positions=True``."""
-        terms = analyzer.tokenize_query(phrase)  # order + duplicates kept
+        terms = analyzer.tokenize_query(phrase, self.analyzer_version)  # order + duplicates kept
         if not terms:
             return _empty_result()
         matches: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -1140,7 +1143,7 @@ class IndexReader:
         the oracle's exists-chain count). Scored like ``search_phrase``:
         BM25 with span frequency as tf and span document frequency as df.
         Requires ``store_positions=True``."""
-        terms = analyzer.tokenize_query(phrase)
+        terms = analyzer.tokenize_query(phrase, self.analyzer_version)
         if not terms:
             return _empty_result()
         matches: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
@@ -1575,6 +1578,7 @@ class QueryService:
 
         self.two_wave = bool(two_wave)
         self.manifest = mf.read_manifest(index_root, version)
+        self.analyzer_version = self.manifest.get("analyzer", "v1")
         self.avgdl = float(self.manifest["avgdl"])
         self.n_docs = int(self.manifest["n_docs"])
         self._termstats = TermStats(
@@ -1604,7 +1608,7 @@ class QueryService:
 
         prepped: list[tuple[list, dict, int, str] | None] = []
         for query_text, mode in queries:
-            terms = sorted(set(analyzer.tokenize_query(query_text)))
+            terms = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
             if not terms:
                 prepped.append(None)
                 continue
@@ -1640,7 +1644,7 @@ class QueryService:
         import ray
 
         terms = sorted({
-            t for q in query_texts for t in analyzer.tokenize_query(q)
+            t for q in query_texts for t in analyzer.tokenize_query(q, self.analyzer_version)
         })
         if not terms:
             return 0
@@ -1679,7 +1683,7 @@ class QueryService:
     ) -> pa.Table:
         import ray
 
-        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        terms = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
         if not terms:
             return _empty_result()
         dfs = self.df(terms)
@@ -1747,7 +1751,7 @@ class QueryService:
             self._async_seq = 0
         self._async_seq += 1
         sid = f"async-{self._async_seq}"
-        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        terms = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
         dfs = self.df(terms) if terms else {}
         live = [t for t in terms if dfs.get(t, 0) > 0]
         if not live or (mode == "and" and len(live) < len(terms)):
@@ -1822,7 +1826,7 @@ class QueryService:
         scoring can't complete actor-locally)."""
         import ray
 
-        terms = analyzer.tokenize_query(phrase)
+        terms = analyzer.tokenize_query(phrase, self.analyzer_version)
         if not terms:
             return _empty_result()
         parts = ray.get([a.phrase_match.remote(terms, filters) for a in self.actors])
@@ -1839,7 +1843,7 @@ class QueryService:
 
     def _live_terms(self, query_text: str, mode: str) -> list[str] | None:
         """Query terms with df>0, or None when an AND query is unmatchable."""
-        terms = sorted(set(analyzer.tokenize_query(query_text)))
+        terms = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
         if not terms:
             return None
         dfs = self.df(terms)
@@ -1936,7 +1940,7 @@ class QueryService:
 
         from .extras import _best_suggestion
 
-        tokens = sorted(set(analyzer.tokenize_query(query_text)))
+        tokens = sorted(set(analyzer.tokenize_query(query_text, self.analyzer_version)))
         if not tokens:
             return pd.DataFrame({"token": pd.Series(dtype=object),
                                  "suggestion": pd.Series(dtype=object)})

@@ -126,7 +126,10 @@ def main() -> None:
                     help="comma list of build_ref,build,curate,neardup,dedup,"
                          "serve (serve = VERDICT r4 serving-at-scale leg: "
                          "positional+attr index, QueryService families, "
-                         "per-actor RSS + LRU evidence)")
+                         "per-actor RSS + LRU evidence), servepool (actor-"
+                         "count sweep 4/8/16 over the serve index), "
+                         "incdedup (VERDICT r5: ~1%-delta incremental "
+                         "near-dup admission against the full corpus)")
     args = ap.parse_args()
     stages = set(args.stages.split(","))
     if "dedup" in stages:
@@ -247,6 +250,43 @@ def main() -> None:
     if "dedup" in stages:
         report["dedup_survivors"] = stage("dedup_corpus", run_dedup_corpus)
 
+    # --- incremental near-dup admission at soak scale (VERDICT r5) ------
+    # ~0.8% of turns (doc_id % 128 == 0) play the ingest delta; the rest
+    # are the indexed corpus. Cross-only shingle-bucket candidates with the
+    # hot-bucket cap (max_bucket=256 — exact shared-shingle enumeration is
+    # O(corpus x cap) on low-entropy turn text, the dupgrams measurement),
+    # then the shared distributed verify with referenced_only pruning.
+    if "incdedup" in stages:
+        import pyarrow as _pa
+
+        def _side(is_delta: bool):
+            def f(t: "_pa.Table") -> "_pa.Table":
+                ids = np.asarray(t["doc_id"])
+                m = (ids % 128 == 0) == is_delta
+                return t.filter(_pa.array(m))
+            return f
+
+        def run_incdedup():
+            corpus = turns_as_docs(soak_dir).map_batches(
+                _side(False), batch_format="pyarrow", zero_copy_batch=True)
+            delta = turns_as_docs(soak_dir).map_batches(
+                _side(True), batch_format="pyarrow", zero_copy_batch=True)
+            cands = _dedup.jaccard_candidates_cross(
+                corpus, delta, max_bucket=256).materialize()
+            report["incdedup_candidates"] = cands.count()
+            # admission regime: templated turns give each delta doc
+            # thousands of exact siblings, so the FULL pair verify would
+            # re-enter the r3 blob-livelock regime; top-8 per delta doc
+            # answers the admission question exactly (docstring argument)
+            capped = _dedup._top_m_per_key(cands, 8).materialize()
+            report["incdedup_capped_candidates"] = capped.count()
+            pairs = _dedup.jaccard_verify_pairs(
+                capped, corpus.union(delta), threshold=0.8,
+                referenced_only=True)
+            return pairs.count()
+
+        report["incdedup_pairs"] = stage("incdedup", run_incdedup)
+
     # --- serving at soak scale (VERDICT r3 item 1) ----------------------
     # A POSITIONAL index with role/tool/ts attributes over the full soak
     # corpus (its own root — the plain soak index has neither), then the
@@ -254,7 +294,7 @@ def main() -> None:
     # filtered, and a ts-histogram aggregation. Evidence recorded:
     # cold/warm p50+p95 per family, per-actor RSS after cold vs after all
     # passes (boundedness — no per-query growth), LRU hit rate.
-    if "serve" in stages:
+    if stages & {"serve", "servepool"}:
         import statistics
 
         from harvester_ray.index import pipeline_aggs as _paggs
@@ -281,8 +321,6 @@ def main() -> None:
         qs += [("gaji hopotenu vafawu", "and"), ("gaji hopotenu vafawu", "or"),
                ("togisiwu zavi vilobara", "or"), ("wiva loraka", "and")]
 
-        svc = _iq.QueryService(serve_root, num_actors=8)
-
         def _family(run_one, items, passes):
             cold, warm = [], []
             for it in items:
@@ -301,6 +339,8 @@ def main() -> None:
                 "p95_ms": round(warm[int(len(warm) * 0.95)] * 1000, 2),
             }
 
+    if "serve" in stages:
+        svc = _iq.QueryService(serve_root, num_actors=8)
         t_serve = time.time()
         report["serve_bm25"] = _family(
             lambda it: svc.search(it[0], k=10, mode=it[1]), qs, passes=5)
@@ -326,6 +366,27 @@ def main() -> None:
         misses = sum(a["cache_misses"] for a in stats_end)
         report["serve_lru_hit_rate"] = round(hits / max(1, hits + misses), 3)
         svc.shutdown()
+
+    # --- serving pool-size sweep (VERDICT r5 item 6) --------------------
+    # p50 should track per-actor segment share: each query fans out to
+    # every actor, an actor's work is proportional to the segments it
+    # holds, so doubling the pool should roughly halve warm p50 until the
+    # per-RPC floor dominates.
+    if "servepool" in stages:
+        report["serve_pool_sweep"] = {}
+        for na in (4, 8, 16):
+            svc = _iq.QueryService(serve_root, num_actors=na)
+            fam = _family(
+                lambda it: svc.search(it[0], k=10, mode=it[1]), qs, passes=5)
+            ph = _family(
+                lambda p: svc.search_phrase(p, k=10),
+                ["gaji hopotenu", "zoquli todefi", "wiva loraka"], passes=5)
+            report["serve_pool_sweep"][str(na)] = {
+                "bm25": fam, "phrase": ph,
+                "segments_per_actor": round(
+                    report["serve_n_segments"] / na, 1),
+            }
+            svc.shutdown()
 
     stop.set()
     t_sampler.join(timeout=5)

@@ -3,6 +3,7 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from harvester_ray import analyzer
 
@@ -75,3 +76,69 @@ def test_normalize_idempotent():
     once = analyzer.normalize_text(arr)
     twice = analyzer.normalize_text(once)
     assert once.to_pylist() == twice.to_pylist()
+
+
+def test_analyzer_v2_stem_and_stop():
+    from harvester_ray import analyzer
+
+    assert analyzer.stem_v2("stories") == "story"
+    assert analyzer.stem_v2("glasses") == "glass"
+    assert analyzer.stem_v2("class") == "class"      # -ss guard
+    assert analyzer.stem_v2("mogelijkheden") == "mogelijkheid"
+    assert analyzer.stem_v2("running") == "runn"     # single-pass, no recode
+    assert analyzer.stem_v2("been") == "been"        # min-stem guard
+    assert analyzer.tokenize_query("The cats and Dogs", "v2") == ["cat", "dog"]
+    with pytest.raises(ValueError):
+        analyzer.tokenize_query("x", "v3")
+
+
+def test_analyzer_v2_flat_matches_sql():
+    import duckdb
+
+    from harvester_ray import analyzer
+
+    texts = [
+        "The Stories of running dogs", "de mogelijkheden en boeken",
+        "", "<b>Classes</b> crossed 123s",
+    ]
+    r, c, d = analyzer.tokenize_flat(
+        analyzer.normalize_text(pa.array(texts)), version="v2"
+    )
+    toks = d.take(pa.array(c, pa.int32())).to_pylist()
+    eng = [[] for _ in texts]
+    for ri, t in zip(r, toks):
+        eng[ri].append(t)
+    con = duckdb.connect()
+    expr = analyzer.sql_tokenize_expr("t", version="v2")
+    for i, txt in enumerate(texts):
+        got = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [txt]).fetchone()[0]
+        assert got == eng[i], (txt, got, eng[i])
+
+
+def test_v2_index_end_to_end(ray_session, tmp_path):
+    """A v2 index stores stems: stopword-laden plural queries must hit, the
+    manifest records the version, and the result must DIFFER from the same
+    corpus under v1 (degeneracy probe)."""
+    import ray.data as rd
+
+    from harvester_ray.index import build as ib
+    from harvester_ray.index import query as iq
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "the spark engines run windows",
+            "sparks and windowing galore windows",
+            "nothing relevant here at all",
+        ]),
+    })
+    r1 = str(tmp_path / "v1")
+    r2 = str(tmp_path / "v2")
+    ib.build_index(rd.from_arrow(docs), r1)
+    ib.build_index(rd.from_arrow(docs), r2, analyzer_version="v2")
+    rd1, rd2 = iq.IndexReader(r1), iq.IndexReader(r2)
+    assert rd1.analyzer_version == "v1" and rd2.analyzer_version == "v2"
+    v2 = rd2.search("the sparks windowing", k=10, mode="and").to_pandas()
+    assert set(v2["doc_id"]) == {1, 2}  # stems merge spark/sparks, window*
+    v1 = rd1.search("the sparks windowing", k=10, mode="and").to_pandas()
+    assert set(v1["doc_id"]) != set(v2["doc_id"])  # not degenerate

@@ -173,3 +173,16 @@ def test_near_dup_incremental_oracle(ray_session):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, again, check_dtype=False)
+    # admission regime: a generous M reproduces the exact pair set; M=1
+    # still finds each delta doc's best match (the planted dups rank first
+    # on shared shingles)
+    capped = (
+        dedup.near_dup_incremental(cds, dds, threshold=0.3, top_m_per_delta=8)
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, capped, check_dtype=False)
+    one = (
+        dedup.near_dup_incremental(cds, dds, threshold=0.3, top_m_per_delta=1)
+        .to_pandas()
+    )
+    assert set(zip(one["doc_a"], one["doc_b"])) == {(0, 100), (1, 101)}
