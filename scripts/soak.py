@@ -251,26 +251,34 @@ def main() -> None:
         report["dedup_survivors"] = stage("dedup_corpus", run_dedup_corpus)
 
     # --- incremental near-dup admission at soak scale (VERDICT r5) ------
-    # ~0.8% of turns (doc_id % 128 == 0) play the ingest delta; the rest
-    # are the indexed corpus. Cross-only shingle-bucket candidates with the
-    # hot-bucket cap (max_bucket=256 — exact shared-shingle enumeration is
-    # O(corpus x cap) on low-entropy turn text, the dupgrams measurement),
-    # then the shared distributed verify with referenced_only pruning.
+    # The admission scenario: the ingest delta RE-SUBMITS ~1% of already-
+    # indexed turns under fresh doc ids (doc_id % 101 == 0, re-keyed with
+    # bit 62 — id spaces stay disjoint per the op contract), so every
+    # delta doc has an exact corpus twin the verify must find. A prime
+    # modulus matters: doc_id's low bits are turn_idx, so a power-of-two
+    # modulus selects only the turn_idx==0 openers. (A random-split delta
+    # finds ZERO pairs on this corpus — 600,001 distinct texts in 600,027
+    # turns, max cross jaccard 0.2 in a 900k-pair sample — which soaks
+    # the pipeline but verifies nothing.) Candidates run with the
+    # hot-bucket cap (max_bucket=256 — exact shared-shingle enumeration
+    # is O(corpus x cap) on low-entropy turn text), then the distributed
+    # verify with referenced_only pruning.
     if "incdedup" in stages:
         import pyarrow as _pa
 
-        def _side(is_delta: bool):
-            def f(t: "_pa.Table") -> "_pa.Table":
-                ids = np.asarray(t["doc_id"])
-                m = (ids % 128 == 0) == is_delta
-                return t.filter(_pa.array(m))
-            return f
+        def _delta_rekey(t: "_pa.Table") -> "_pa.Table":
+            ids = np.asarray(t["doc_id"])
+            m = ids % 101 == 0
+            t = t.filter(_pa.array(m))
+            new_ids = np.asarray(t["doc_id"]) | np.int64(1 << 62)
+            return t.set_column(
+                t.schema.get_field_index("doc_id"), "doc_id",
+                _pa.array(new_ids, _pa.int64()))
 
         def run_incdedup():
-            corpus = turns_as_docs(soak_dir).map_batches(
-                _side(False), batch_format="pyarrow", zero_copy_batch=True)
+            corpus = turns_as_docs(soak_dir)
             delta = turns_as_docs(soak_dir).map_batches(
-                _side(True), batch_format="pyarrow", zero_copy_batch=True)
+                _delta_rekey, batch_format="pyarrow", zero_copy_batch=True)
             cands = _dedup.jaccard_candidates_cross(
                 corpus, delta, max_bucket=256).materialize()
             report["incdedup_candidates"] = cands.count()
