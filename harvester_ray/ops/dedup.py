@@ -1176,9 +1176,9 @@ def jaccard_candidates_cross(
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_shared"))
 
 
-def _top_m_per_key(cands, m: int, *, n_buckets: int = 64):
+def _top_m_per_key(cands, m: int, *, score_col: str = "n_shared", n_buckets: int = 64):
     """Keep the ``m`` strongest candidates per delta doc: rank within
-    ``doc_b`` by (n_shared desc, doc_a asc). Bucketed on ``doc_b % B`` so
+    ``doc_b`` by (score desc, doc_a asc). Bucketed on ``doc_b % B`` so
     every delta doc's candidates fold in one vectorized pass — no per-key
     Ray group."""
 
@@ -1188,7 +1188,7 @@ def _top_m_per_key(cands, m: int, *, n_buckets: int = 64):
 
     def best(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(
-            ["doc_b", "n_shared", "doc_a"], ascending=[True, False, True],
+            ["doc_b", score_col, "doc_a"], ascending=[True, False, True],
             kind="mergesort",
         )
         b = g["doc_b"].to_numpy(np.int64)
@@ -1196,13 +1196,102 @@ def _top_m_per_key(cands, m: int, *, n_buckets: int = 64):
         rank = np.arange(b.size, dtype=np.int64) - np.repeat(
             starts, np.diff(np.append(starts, b.size))
         )
-        return g.loc[rank < m, ["doc_a", "doc_b", "n_shared"]]
+        return g.loc[rank < m, ["doc_a", "doc_b", score_col]]
 
     return (
         cands.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(best, batch_format="pandas")
     )
+
+
+def minhash_candidates_cross(
+    corpus_ds,
+    delta_ds,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    n_partitions: int = 64,
+    max_bucket: int | None = None,
+):
+    """Cross-corpus MinHash-LSH candidates: (corpus, delta) pairs whose
+    signatures collide in ≥1 band — never corpus×corpus or delta×delta.
+
+    This is the admission-scale candidate generator for duplicate-heavy /
+    templated corpora, where exact shared-shingle candidates fail BOTH
+    ways: uncapped they are quadratic (every delta doc pairs with every
+    template sibling), and hot-bucket-capped they lose exact twins whose
+    every shingle is template-hot (measured: 602 of 5,941 re-ingested
+    twins found at max_bucket=256 on the 600k-turn soak corpus). A band
+    key is a pure function of the doc's OWN signature, so a twin collides
+    on all ``bands`` bands regardless of shingle popularity, while
+    sub-threshold siblings collide per band with probability jaccard^r.
+    Returns (doc_a=corpus, doc_b=delta, n_bands)."""
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    band_salt = np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def bands_for(side: int):
+        def to_bands(batch: pa.Table) -> pa.Table:
+            text = analyzer.normalize_text(batch[text_col])
+            ids = np.asarray(batch[id_col].combine_chunks().cast(pa.int64()))
+            sh_doc, sh_h = _batch_shingles(text, shingle_n)
+            sigs = _batch_signatures(sh_doc, sh_h, len(text), a, b)
+            has = np.zeros(len(text), dtype=bool)  # drop shingle-less docs
+            if sh_doc.size:
+                has[np.unique(sh_doc)] = True
+            bids, sigs = ids[has], sigs[has]
+            s3 = sigs.reshape(bids.size, bands, rows_per_band)
+            h = np.full((bids.size, bands), _FNV_OFF, dtype=np.uint64)
+            for k in range(rows_per_band):
+                h = (h ^ s3[:, :, k]) * _H64_MUL
+            h ^= band_salt[None, :]
+            flat = h.ravel()
+            return pa.table({
+                "bkey": pa.array(flat.view(np.int64), pa.int64()),
+                "doc_id": pa.array(np.repeat(bids, bands), pa.int64()),
+                "side": pa.array(
+                    np.full(bids.size * bands, side, np.int8), pa.int8()
+                ),
+                "bucket": pa.array(
+                    (flat % np.uint64(n_partitions)).astype(np.int32)
+                ),
+            })
+
+        return to_bands
+
+    banded = corpus_ds.map_batches(
+        bands_for(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        delta_ds.map_batches(bands_for(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucket_pairs(group: pd.DataFrame) -> pa.Table:
+        k = group["bkey"].to_numpy()
+        side = group["side"].to_numpy()
+        d = group["doc_id"].to_numpy()
+        order = np.lexsort((d, side, k))
+        k, side, d = k[order], side[order], d[order]
+        _, starts = np.unique(k, return_index=True)
+        ends = np.append(starts[1:], k.size)
+        n_all = ends - starts
+        cs = np.concatenate(([0], np.cumsum((side == 0).astype(np.int64))))
+        n0 = cs[ends] - cs[starts]
+        n1 = n_all - n0
+        emit = n_all <= max_bucket if max_bucket is not None else None
+        i, j = _group_cross_pairs(n0, n1, emit)
+        return pa.table({
+            "doc_a": pa.array(d[i], pa.int64()),
+            "doc_b": pa.array(d[j], pa.int64()),
+        })
+
+    pairs = banded.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands"))
 
 
 def near_dup_incremental(
@@ -1215,6 +1304,9 @@ def near_dup_incremental(
     threshold: float = 0.5,
     max_bucket: int | None = None,
     top_m_per_delta: int | None = None,
+    method: str = "exact",
+    num_perm: int = 64,
+    bands: int = 16,
 ):
     """Incremental exact near-dup: which DELTA docs near-duplicate an
     EXISTING corpus doc (the ingest-time admission check). Cross-only
@@ -1232,13 +1324,33 @@ def near_dup_incremental(
     its best match" is answered exactly whenever a true near-dup ranks in
     the top M by shared-shingle count, which holds with huge margin since
     near-dups share ~all shingles. Full exact semantics (the driver gate)
-    = None."""
-    cands = jaccard_candidates_cross(
-        corpus_ds, delta_ds, id_col=id_col, text_col=text_col,
-        shingle_n=shingle_n, max_bucket=max_bucket,
-    )
+    = None.
+
+    ``method="minhash"`` swaps the exact shared-shingle candidates for
+    cross-only LSH band collisions (``minhash_candidates_cross``) — the
+    scale regime for duplicate-heavy corpora where the exact generator is
+    quadratic uncapped and twin-blind capped (see that docstring). The
+    verify stays exact either way; minhash only bounds candidate RECALL
+    (a true pair is missed iff it collides in no band: prob
+    (1−j^r)^bands)."""
+    if method == "minhash":
+        cands = minhash_candidates_cross(
+            corpus_ds, delta_ds, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, num_perm=num_perm, bands=bands,
+            max_bucket=max_bucket,
+        )
+    elif method == "exact":
+        cands = jaccard_candidates_cross(
+            corpus_ds, delta_ds, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, max_bucket=max_bucket,
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
     if top_m_per_delta is not None:
-        cands = _top_m_per_key(cands, top_m_per_delta)
+        cands = _top_m_per_key(
+            cands, top_m_per_delta,
+            score_col="n_bands" if method == "minhash" else "n_shared",
+        )
     return jaccard_verify_pairs(
         cands, corpus_ds.union(delta_ds), id_col=id_col, text_col=text_col,
         shingle_n=shingle_n, threshold=threshold, referenced_only=True,

@@ -279,18 +279,23 @@ def main() -> None:
             corpus = turns_as_docs(soak_dir)
             delta = turns_as_docs(soak_dir).map_batches(
                 _delta_rekey, batch_format="pyarrow", zero_copy_batch=True)
-            cands = _dedup.jaccard_candidates_cross(
-                corpus, delta, max_bucket=256).materialize()
+            # minhash candidate regime (the scale decision, see
+            # minhash_candidates_cross): band keys are signature-local, so
+            # every re-ingested twin collides in all 16 bands while the
+            # sub-0.2-jaccard template siblings almost never collide —
+            # candidates stay ~delta-linear where the exact generator was
+            # quadratic uncapped and twin-blind at max_bucket=256
+            # (602/5941 twins found, measured at mult=1)
+            cands = _dedup.minhash_candidates_cross(
+                corpus, delta).materialize()
             report["incdedup_candidates"] = cands.count()
-            # admission regime: templated turns give each delta doc
-            # thousands of exact siblings, so the FULL pair verify would
-            # re-enter the r3 blob-livelock regime; top-8 per delta doc
-            # answers the admission question exactly (docstring argument)
-            capped = _dedup._top_m_per_key(cands, 8).materialize()
+            capped = _dedup._top_m_per_key(
+                cands, 8, score_col="n_bands").materialize()
             report["incdedup_capped_candidates"] = capped.count()
             pairs = _dedup.jaccard_verify_pairs(
                 capped, corpus.union(delta), threshold=0.8,
-                referenced_only=True)
+                referenced_only=True).materialize()
+            report["incdedup_delta_docs"] = delta.count()
             return pairs.count()
 
         report["incdedup_pairs"] = stage("incdedup", run_incdedup)

@@ -186,3 +186,20 @@ def test_near_dup_incremental_oracle(ray_session):
         .to_pandas()
     )
     assert set(zip(one["doc_a"], one["doc_b"])) == {(0, 100), (1, 101)}
+    # minhash candidate regime: the exact twin collides in every band, so
+    # the verified pair set must include it; near-dup of 1 at j~0.66 also
+    # collides with overwhelming probability at 16 bands x r=4
+    mh = (
+        dedup.near_dup_incremental(cds, dds, threshold=0.3, method="minhash")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    assert (0, 100) in set(zip(mh["doc_a"], mh["doc_b"]))
+    got2 = set(zip(mh["doc_a"], mh["doc_b"]))
+    assert got2 <= set(zip(got["doc_a"], got["doc_b"]))  # verify is exact
+    # partition-independence of the banded path
+    mh2 = (
+        dedup.near_dup_incremental(
+            cds.repartition(3), dds.repartition(2), threshold=0.3, method="minhash")
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(mh, mh2, check_dtype=False)
