@@ -380,6 +380,11 @@ def doc_shingle_sets(
     return docs_ds.map_batches(to_shingles, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# "no pair partner" sentinel for the verify exchange's ``other`` column —
+# kept non-null so the column survives the pandas group conversion as int64
+# (nullable int64 -> float64 would mantissa-round ids above 2^53)
+_NO_OTHER = np.int64(-(2**63))
+
 _VERIFY_SCHEMA = pa.schema(
     [
         ("bucket", pa.int32()),
@@ -488,7 +493,12 @@ def jaccard_verify_pairs(
             {
                 "bucket": _bucket(keys),
                 "key": pa.array(keys, pa.int64()),
-                "other": pa.nulls(n, pa.int64()),
+                # NON-NULL sentinel, not pa.nulls: a nullable int64 column
+                # becomes float64 in the pandas group, and doc ids above
+                # 2^53 (e.g. re-keyed delta ids with a high bit set) would
+                # be mantissa-rounded, silently breaking the second-pass
+                # merge
+                "other": pa.array(np.full(n, _NO_OTHER, np.int64), pa.int64()),
                 "sh": t["sh"].combine_chunks(),
                 "sh_x": pa.nulls(n, pa.binary()),
             },
@@ -510,8 +520,8 @@ def jaccard_verify_pairs(
         )
 
     def attach_a(g: pd.DataFrame) -> pa.Table:
-        prs = g[g["other"].notna()]
-        docs = g[g["other"].isna()]
+        prs = g[g["other"] != _NO_OTHER]
+        docs = g[g["other"] == _NO_OTHER]
         if not len(prs) or not len(docs):
             return _VERIFY_SCHEMA.empty_table()
         merged = prs[["key", "other"]].merge(docs[["key", "sh"]], on="key", how="inner")
@@ -532,7 +542,7 @@ def jaccard_verify_pairs(
 
     def verify_b(g: pd.DataFrame) -> pa.Table:
         prs = g[g["sh_x"].notna()]
-        docs = g[g["sh_x"].isna() & g["other"].isna()]
+        docs = g[g["sh_x"].isna() & (g["other"] == _NO_OTHER)]
         out_a, out_b, out_j = [], [], []
         if len(prs) and len(docs):
             merged = prs[["key", "other", "sh_x"]].merge(

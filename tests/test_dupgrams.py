@@ -203,3 +203,42 @@ def test_near_dup_incremental_oracle(ray_session):
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(mh, mh2, check_dtype=False)
+
+
+def test_verify_pairs_large_ids(ray_session):
+    """Regression: doc ids above 2^53 (e.g. re-keyed delta ids with a high
+    bit set) were mantissa-rounded when the verify exchange's nullable
+    int64 ``other`` column became float64 in the pandas group, silently
+    dropping pairs in the second-pass merge."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from harvester_ray.ops import dedup
+
+    big = 1 << 62
+    corpus = pd.DataFrame({
+        "doc_id": [3, 5, 7],
+        "text": [
+            "alpha beta gamma delta epsilon",
+            "one two three four five",
+            "unique content entirely here",
+        ],
+    })
+    delta = pd.DataFrame({
+        "doc_id": [big | 3, big | 5],
+        "text": [
+            "alpha beta gamma delta epsilon",   # twin of 3
+            "one two three four five",          # twin of 5
+        ],
+    })
+    cds = rd.from_arrow(pa.Table.from_pandas(corpus, preserve_index=False))
+    dds = rd.from_arrow(pa.Table.from_pandas(delta, preserve_index=False))
+    for method in ("exact", "minhash"):
+        out = (
+            dedup.near_dup_incremental(cds, dds, threshold=0.8, method=method)
+            .to_pandas().sort_values("doc_a").reset_index(drop=True)
+        )
+        assert list(out["doc_a"]) == [3, 5], method
+        assert list(out["doc_b"]) == [big | 3, big | 5], method
+        assert (out["jaccard"] == 1.0).all(), method
