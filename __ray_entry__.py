@@ -4744,6 +4744,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
             threshold=0.5,
         ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
+        # banded-candidate admission regime: deterministic minhash perms, so
+        # on this fixture the band collisions cover every true pair and the
+        # result is value-identical to the exact oracle (verified; the
+        # recall difference is a corpus property, not a run property)
+        "near_dup_incremental_mh": lambda sf: dedup.near_dup_incremental(
+            _docs_ds(sf, ("doc_id", "text")).map_batches(
+                lambda t: _mod5_split(t, False), batch_format="pyarrow"
+            ),
+            _docs_ds(sf, ("doc_id", "text")).map_batches(
+                lambda t: _mod5_split(t, True), batch_format="pyarrow"
+            ),
+            threshold=0.5, method="minhash",
+        ).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
         "exact_dedup": lambda sf: dedup.exact_dedup(_docs_ds(sf)).to_pandas().sort_values("text_hash").reset_index(drop=True),
         "url_dedup": _url_dedup,
         "neardup_minhash": lambda sf: dedup.near_dup_minhash(_docs_ds(sf), threshold=0.8).to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True),
@@ -5744,6 +5757,11 @@ GROUP BY v.value ORDER BY v.value"""
             ORDER BY item_id, frame_idx
         """,
         "near_dup_incremental": (
+            "WITH corpus_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0), "
+            "delta_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+            + dedup.ngram_jaccard_cross_sql(threshold=0.5).replace("WITH ", "", 1)
+        ),
+        "near_dup_incremental_mh": (
             "WITH corpus_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 != 0), "
             "delta_side AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
             + dedup.ngram_jaccard_cross_sql(threshold=0.5).replace("WITH ", "", 1)
