@@ -113,6 +113,13 @@ class SegmentReader:
         # a smaller cap than the per-posting caches.
         self._packed_cache: OrderedDict[str, np.ndarray] = OrderedDict()
         self._packed_cache_cap = 64
+        # (kind, terms...) -> (docs, ptf) phrase/proximity match results —
+        # the Lucene/OpenSearch segment query-cache analog: a match is a
+        # pure function of the immutable segment (tombstones and facet
+        # filters apply AFTER, per query), so repeated phrases skip the
+        # packed-key intersection entirely
+        self._match_cache: OrderedDict[tuple, tuple[np.ndarray, np.ndarray]] = OrderedDict()
+        self._match_cache_cap = 32
         # LRU observability (the soak serving leg reports hit rates)
         self.cache_hits = 0
         self.cache_misses = 0
@@ -1181,6 +1188,20 @@ class IndexReader:
         return merge_topk(parts, k)
 
 
+def _cached_match(seg: SegmentReader, key: tuple, compute):
+    hit = seg._match_cache.get(key)
+    if hit is not None:
+        seg.cache_hits += 1
+        seg._match_cache.move_to_end(key)
+        return hit
+    out = compute()
+    seg.cache_misses += 1
+    seg._match_cache[key] = out
+    if len(seg._match_cache) > seg._match_cache_cap:
+        seg._match_cache.popitem(last=False)
+    return out
+
+
 def proximity_match_segment(
     seg: SegmentReader, terms: list[str], slop: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -1190,7 +1211,17 @@ def proximity_match_segment(
     ``(local_doc << 31) | pos`` keys: for each candidate start, the minimal
     next-occurrence of each subsequent term is found with one searchsorted
     per term; the greedy chain minimizes the final position for a given
-    start, so its span test is equivalent to the exists-any-chain test."""
+    start, so its span test is equivalent to the exists-any-chain test.
+    Results are served from the segment's match cache."""
+    return _cached_match(
+        seg, ("prox", slop, *terms),
+        lambda: _proximity_match_segment_uncached(seg, terms, slop),
+    )
+
+
+def _proximity_match_segment_uncached(
+    seg: SegmentReader, terms: list[str], slop: int
+) -> tuple[np.ndarray, np.ndarray]:
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     mask = (np.int64(1) << 31) - 1
 
@@ -1226,7 +1257,16 @@ def phrase_match_segment(
     ``(local_doc << 31) | (pos - i)``; a phrase occurrence is a key present
     for EVERY term, found by iterative sorted-set intersection. Positions are
     < 2^31 (1M-char truncation) and local doc indices < 2^31, so the packed
-    key fits int64."""
+    key fits int64. Results are served from the segment's match cache."""
+    return _cached_match(
+        seg, ("phrase", *terms),
+        lambda: _phrase_match_segment_uncached(seg, terms),
+    )
+
+
+def _phrase_match_segment_uncached(
+    seg: SegmentReader, terms: list[str]
+) -> tuple[np.ndarray, np.ndarray]:
     empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     mask = (np.int64(1) << 31) - 1
     keys: np.ndarray | None = None
