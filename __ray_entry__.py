@@ -68,6 +68,9 @@ BM25_QUERY_AND = "spark window"
 # v2 probe: stopword + plural/verbal suffixes — stems to [spark, window]
 # over an index whose postings merged spark/sparks and window/windows(…ing)
 BM25_QUERY_V2 = "the sparks windowing"
+# phrase probe: "parts" stems to part; "the" is dropped, so v2 adjacency
+# matches "part <the> filter" spans that v1 would reject
+PHRASE_QUERY_V2 = "parts the filter"
 BM25_QUERY_AND2 = "vector stream sort"
 BM25_QUERY_OR = "customer query big"
 BM25_MUST_NOT = "sort"
@@ -150,7 +153,8 @@ def _documents_index_v2(sf_dir: str) -> str:
     if mf.current_version(root) is None:
         ds = rd.read_parquet(docs, columns=["doc_id", "text"])
         index_build.build_index(
-            ds, root, input_desc=docs, analyzer_version="v2"
+            ds, root, input_desc=docs, analyzer_version="v2",
+            store_positions=True,
         )
     return root
 
@@ -158,6 +162,17 @@ def _documents_index_v2(sf_dir: str) -> str:
 def _bm25_v2(sf_dir: str, q: str, mode: str, k: int = 10) -> pd.DataFrame:
     root = _documents_index_v2(sf_dir)
     out = index_query.IndexReader(root).search(q, k=k, mode=mode).to_pandas()
+    out["score"] = out["score"].round(4)
+    return out[["doc_id", "score"]]
+
+
+def _phrase_v2(sf_dir: str, phrase: str, k: int = 10) -> pd.DataFrame:
+    """Quoted phrase over the analyzer-v2 positional index: adjacency is
+    over POST-FILTER ordinals (stopwords dropped, stems), so a stopword
+    inside the query phrase matches documents where the content words are
+    adjacent after filtering."""
+    root = _documents_index_v2(sf_dir)
+    out = index_query.IndexReader(root).search_phrase(phrase, k=k).to_pandas()
     out["score"] = out["score"].round(4)
     return out[["doc_id", "score"]]
 
@@ -4564,6 +4579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df_shuffle": _term_df_shuffle,
         "bm25_topk": lambda sf: _bm25(sf, BM25_QUERY_AND, "and"),
         "bm25_topk_v2": lambda sf: _bm25_v2(sf, BM25_QUERY_V2, "and"),
+        "phrase_search_v2": lambda sf: _phrase_v2(sf, PHRASE_QUERY_V2),
         "similarity_lmd": lambda sf: _similarity(sf, "lm_dirichlet"),
         "similarity_classic": lambda sf: _similarity(sf, "classic"),
         "similarity_jm": lambda sf: _similarity(sf, "lm_jelinek_mercer"),
@@ -5371,6 +5387,7 @@ def oracle_sql() -> dict[str, str]:
         "term_df_shuffle": index_oracle.term_df_sql("documents", 50),
         "bm25_topk": index_oracle.bm25_sql("documents", BM25_QUERY_AND, 10, mode="and"),
         "bm25_topk_v2": index_oracle.bm25_sql("documents", BM25_QUERY_V2, 10, mode="and", version="v2"),
+        "phrase_search_v2": index_oracle.phrase_bm25_sql("documents", PHRASE_QUERY_V2, 10, version="v2"),
         "similarity_lmd": index_oracle.similarity_sql(
             "documents", BM25_QUERY_AND, model="lm_dirichlet", k=10, mode="or",
         ),

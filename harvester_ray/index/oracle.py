@@ -374,16 +374,19 @@ def phrase_bm25_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_digits: int = 4,
+    version: str = "v1",
 ) -> str:
     """Exact-phrase BM25 oracle (Lucene PhraseQuery semantics: tf = phrase
     frequency, df = docs containing the phrase). Adjacency is checked on
     token ordinals from the shared tokenizer — positions here are 1-based
     (generate_subscripts) vs the engine's 0-based, which cancels out in the
-    relative-adjacency predicate."""
-    terms = analyzer.tokenize_query(phrase)
+    relative-adjacency predicate. ``version="v2"`` checks adjacency over
+    POST-FILTER ordinals (stopwords removed, stems), exactly as a v2
+    positional index stores them."""
+    terms = analyzer.tokenize_query(phrase, version)
     if not terms:
         return "SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS DOUBLE) AS score WHERE 1=0"
-    tok = analyzer.sql_tokenize_expr(text_col)
+    tok = analyzer.sql_tokenize_expr(text_col, version)
     quoted = ["'" + t.replace("'", "''") + "'" for t in terms]
     joins = "\n  ".join(
         f"JOIN pos p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.i = p0.i + {i}"
